@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{EdgeLists, GraphPatterns}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Golden fixture: the reference's own 10-edge smoke-test graph
+  * (reference README.md:145-157; hand-derived expected values in
+  * FIXTURES.md §A) plus brute-force property checks on random digraphs
+  * (SURVEY.md §5).
+  */
+class GraphPatternsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  val sample: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L),
+    (5L, 6L), (6L, 4L), (3L, 6L), (2L, 5L), (5L, 3L))
+
+  def df(edges: Seq[(Long, Long)]) = EdgeLists.fromSeq(spark, edges)
+
+  test("golden: edge_count = 10 (CountEdgesAfterMax semantics)") {
+    assert(GraphPatterns.edgeCount(df(sample), Some(11316812L))
+      .first().getLong(0) === 10L)
+  }
+
+  test("golden: exact 2-hop = 16, both plans") {
+    assert(GraphPatterns.twoHopCountDegrees(df(sample)).first().getLong(0) === 16L)
+    assert(GraphPatterns.twoHopCountJoin(df(sample)).first().getLong(0) === 16L)
+  }
+
+  test("golden: approx 2-hop (MAX=12500) = 16") {
+    assert(GraphPatterns.twoHopCountDegrees(df(sample), Some(12500L))
+      .first().getLong(0) === 16L)
+  }
+
+  test("golden: 2-hop paths materialize 16 path instances") {
+    val paths = GraphPatterns.twoHopPaths(df(sample), Some(12500L))
+    assert(paths.agg(org.apache.spark.sql.functions.sum("path_count"))
+      .first().getLong(0) === 16L)
+    assert(paths.count() === 16L) // no multi-edges in the sample
+  }
+
+  test("golden: raw triangle counter = 6, shuffle and broadcast variants") {
+    val row = GraphPatterns.triangleCounter(df(sample), Some(12500L)).first()
+    assert(row.getLong(0) === 6L)
+    assert(row.getLong(1) === 2L) // distinct directed triangles
+    val bcast = GraphPatterns
+      .triangleCounter(df(sample), Some(12500L), broadcastClosing = true).first()
+    assert(bcast.getLong(0) === 6L)
+  }
+
+  test("broadcast variant actually plans a broadcast join") {
+    val plan = GraphPatterns
+      .triangleCounter(df(sample), Some(12500L), broadcastClosing = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // ---- brute-force property checks --------------------------------------
+
+  def brute2Hop(edges: Seq[(Long, Long)]): Long =
+    (for ((a, b) <- edges; (c, d) <- edges if b == c) yield 1L).sum
+
+  def bruteTriangleCounter(edges: Seq[(Long, Long)]): Long = {
+    val set = edges.toSet
+    (for ((a, b) <- edges; (c, d) <- edges
+          if b == c && a != d && set.contains((d, a))) yield 1L).sum
+  }
+
+  def randomGraph(seed: Int, n: Int, m: Int,
+      allowDup: Boolean): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val raw = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b } // no self-loops (SURVEY §5 property c)
+    if (allowDup) raw else raw.distinct
+  }
+
+  test("property: both 2-hop plans match brute force on random multigraphs") {
+    for (seed <- 1 to 5) {
+      val g = randomGraph(seed, n = 8, m = 40, allowDup = true)
+      val expected = brute2Hop(g)
+      assert(GraphPatterns.twoHopCountDegrees(df(g)).first().getLong(0) === expected,
+        s"degree plan, seed=$seed")
+      assert(GraphPatterns.twoHopCountJoin(df(g)).first().getLong(0) === expected,
+        s"join plan, seed=$seed")
+    }
+  }
+
+  test("property: triangle counter matches brute force; shuffle == broadcast") {
+    for (seed <- 1 to 5) {
+      val g = randomGraph(seed, n = 8, m = 40, allowDup = true)
+      val expected = bruteTriangleCounter(g)
+      val shuffle = GraphPatterns.triangleCounter(df(g)).first().getLong(0)
+      val bcast = GraphPatterns
+        .triangleCounter(df(g), broadcastClosing = true).first().getLong(0)
+      assert(shuffle === expected, s"seed=$seed")
+      assert(bcast === expected, s"seed=$seed")
+    }
+  }
+
+  test("property: distinct-edge graphs have counter divisible by 3") {
+    for (seed <- 10 to 13) {
+      val g = randomGraph(seed, n = 10, m = 60, allowDup = false)
+      val raw = GraphPatterns.triangleCounter(df(g)).first().getLong(0)
+      assert(raw % 3 === 0, s"seed=$seed raw=$raw")
+    }
+  }
+
+  test("property: edge_count is monotonic in MAX") {
+    val g = randomGraph(42, n = 50, m = 200, allowDup = true)
+    val counts = Seq(10L, 25L, 50L).map(m =>
+      GraphPatterns.edgeCount(df(g), Some(m)).first().getLong(0))
+    assert(counts === counts.sorted)
+  }
+}
