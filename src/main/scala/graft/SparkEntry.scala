@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.graph.{EdgeLists, GraphPatterns}
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +61,15 @@ object SparkEntry {
     "repjoin_triangles" -> ((s, dir) =>
       GraphPatterns.triangleCounter(edges(s, dir), Some(PathMax),
         broadcastClosing = true)),
+    // ---- LLM-data-pipeline extensions: text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+    "token_profile" -> ((s, dir) =>
+      TextAnalysis.tokenProfile(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(graft.Tables.documents(s, dir)).orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +104,10 @@ object SparkEntry {
          |ORDER BY x, y, z""".stripMargin,
     "rsjoin_triangles" -> triangleOracle,
     "repjoin_triangles" -> triangleOracle,
+    "text_stats" -> TextAnalysis.textStatsSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "token_profile" -> TextAnalysis.tokenProfileSql,
+    "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
   )
 
   private def triangleOracle: String =
