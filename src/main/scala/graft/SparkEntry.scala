@@ -50,10 +50,11 @@ object SparkEntry {
     // P1+J1+A3: approx.Approx2HopCount (MAX-filtered subgraph)
     "approx_2hop" -> ((s, dir) =>
       GraphPatterns.twoHopCountDegrees(edges(s, dir), Some(PathMax))),
-    // S3: approx job's materialized (x,y,z) triples, grouped w/ multiplicity
+    // S3: approx job's materialized (x,y,z) triples, grouped w/ multiplicity.
+    // No orderBy here: determinism for the oracle compare is Verify's job
+    // (it sorts before dumping); the query itself stays an unsorted plan.
     "twohop_paths" -> ((s, dir) =>
-      GraphPatterns.twoHopPaths(edges(s, dir), Some(PathMax))
-        .orderBy("x", "y", "z")),
+      GraphPatterns.twoHopPaths(edges(s, dir), Some(PathMax))),
     // P2+J2+J3: rsjoin.RSJoinTriangleCount (raw ×3 counter, shuffle join)
     "rsjoin_triangles" -> ((s, dir) =>
       GraphPatterns.triangleCounter(edges(s, dir), Some(PathMax))),
@@ -63,13 +64,13 @@ object SparkEntry {
         broadcastClosing = true)),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
-      TextAnalysis.textStats(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.textStats(graft.Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
-      TextAnalysis.langId(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.langId(graft.Tables.documents(s, dir))),
     "token_profile" -> ((s, dir) =>
-      TextAnalysis.tokenProfile(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.tokenProfile(graft.Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(graft.Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.fingerprints(graft.Tables.documents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

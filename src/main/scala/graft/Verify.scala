@@ -15,10 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Determinism for the driver's hash-compare lives HERE, not in the
+    // query definitions: sort by every column (queries lead with a unique
+    // key, so this matches the oracle SQL's ORDER BY) and write a single
+    // file. This is a verify-only artifact — Bench and library callers get
+    // the unsorted distributed plan.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

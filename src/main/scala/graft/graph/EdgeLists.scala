@@ -42,9 +42,24 @@ object EdgeLists {
   val lineitemEdgeSql: String =
     "SELECT l_partkey % 100 AS src, (l_orderkey + l_suppkey) % 100 AS dst FROM lineitem"
 
-  /** Reference input format: text lines `src,dst` (README.md:145-157). */
+  /** Reference input format: text lines `src,dst` (README.md:145-157).
+    *
+    * Strictness: the reference hard-crashes on malformed input
+    * (`Integer.parseInt` — `countedges/CountEdgesAfterMax.java:52-53`).
+    * FAILFAST alone does not deliver that: Spark file sources force
+    * read-schema nullability to true, so a row like `1,` parses to a null
+    * dst without tripping FAILFAST. The raise_error projection below turns
+    * any null id into a task failure, restoring the reference's contract
+    * for every query that reads the ids (all of them do; the one carve-out
+    * is a bare count(), where Spark's CSV count optimization skips parsing
+    * entirely — something a record-at-a-time engine cannot even express).
+    */
   def fromCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
+      .select(
+        Seq("src", "dst").map { c =>
+          coalesce(col(c), raise_error(lit(s"malformed edge row: null $c"))).as(c)
+        }: _*)
 
   /** In-memory edges for unit tests / golden fixtures. */
   def fromSeq(spark: SparkSession, edges: Seq[(Long, Long)]): DataFrame = {

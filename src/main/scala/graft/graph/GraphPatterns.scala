@@ -125,9 +125,12 @@ object GraphPatterns {
       .groupBy(col("e1.src").as("x"), col("e2.dst").as("z"))
       .agg(sum(col("e1.w") * col("e2.w")).as("pathcnt"))
     // closing edge z→x, existence-only (left_semi collapses multiplicity
-    // exactly like the reference's hasEdge boolean)
+    // exactly like the reference's hasEdge boolean). The broadcast variant
+    // ships the DISTINCT pair set: only existence matters under left_semi,
+    // and on a multigraph the distinct relation is the small one — the
+    // whole point of the replicated-join variant at scale.
     val closing0 = f.select(col("dst").as("x"), col("src").as("z"))
-    val closing = if (broadcastClosing) broadcast(closing0) else closing0
+    val closing = if (broadcastClosing) broadcast(closing0.distinct()) else closing0
     pathsByXZ.join(closing, Seq("x", "z"), "left_semi")
       .agg(coalesce(sum(col("pathcnt")), lit(0L)).as("triangle_counter"))
       .withColumn("triangles_distinct",

@@ -21,9 +21,21 @@ import graft.functions.PortableHash
   */
 object TextAnalysis {
 
+  /** Explicit ASCII whitespace class, written identically for Java regex
+    * (Spark) and RE2 (DuckDB). `\s`/`\S` are NOT portable: the two engines
+    * disagree on vertical tab \x0B, which would skew token counts and
+    * fingerprints on documents containing it. Both engines accept the
+    * `\x{0B}` hex escape (probed).
+    */
+  private val WsChars = " \\t\\n\\r\\f\\x{0B}"
+  val TokenRe: String = s"[^$WsChars]+"
+  val WsRunRe: String = s"[$WsChars]+"
+  /** Single non-alnum symbol (the BPE-ish pre-tokenizer's symbol class). */
+  val SymRe: String = s"[^a-z0-9$WsChars]"
+
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    regexp_extract_all(lower(text), lit(TokenRe), lit(0))
 
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to")
 
@@ -61,7 +73,7 @@ object TextAnalysis {
 
   def textStatsSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks,
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenRe') AS toks,
        |         CAST(length(text) AS BIGINT) AS char_count
        |  FROM documents
        |), s AS (
@@ -109,7 +121,7 @@ object TextAnalysis {
     val caseChain = langStop
       .map { case (l, _) => s"WHEN c_$l = m THEN '$l'" }.mkString(" ")
     s"""WITH t AS (
-       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\S+') AS toks
+       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '$TokenRe') AS toks
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, lang,
@@ -130,7 +142,7 @@ object TextAnalysis {
       col("doc_id"),
       regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("n_alpha_tokens"),
       regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num_tokens"),
-      regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).cast("long").as("n_sym_tokens"))
+      regexp_count(lower(col("text")), lit(SymRe)).cast("long").as("n_sym_tokens"))
       .withColumn("n_bpe_tokens",
         col("n_alpha_tokens") + col("n_num_tokens") + col("n_sym_tokens"))
 
@@ -138,10 +150,10 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
-       |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_sym_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$SymRe')) AS BIGINT) AS n_sym_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
        |    + CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
-       |    + CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+       |    + CAST(len(regexp_extract_all(lower(text), '$SymRe')) AS BIGINT) AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Powers of 31 used by the rolling fingerprint window. */
@@ -150,20 +162,23 @@ object TextAnalysis {
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) + a position-weighted rolling integer hash (order-sensitive, so
     * token permutations get different prints — unlike a bag-of-words sum).
-    * The rolling print is Σ (tokHash(tok) mod 1e6)·31^((pos-1) mod 6) mod P:
-    * bounded ≤ 1e6·31^5·n_tokens < 2^54, exact in both engines.
+    * The rolling print is Σ ((tokHash(tok) mod 1e6)·31^((pos-1) mod 6) mod P)
+    * mod P — each TERM is reduced mod P before the sum, so every partial
+    * sum stays < P·n_tokens < 2^63 for any document under ~9.2e9 tokens
+    * (an unreduced 1e6·31^5 term would overflow Long at ~3.2e5 tokens,
+    * well inside real web-crawl document sizes). Exact in both engines.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp_md5"),
+      md5(trim(regexp_replace(lower(col("text")), WsRunRe, " "))).as("fp_md5"),
       tokens(col("text")).as("toks"))
     val powArr = array(pows.map(lit): _*)
     val exploded = t.select(col("doc_id"), col("fp_md5"),
       posexplode(col("toks")).as(Seq("pos0", "tok")))
     exploded
       .select(col("doc_id"), col("fp_md5"),
-        ((PortableHash.tokHash(col("tok")) % 1000000L)
-          * element_at(powArr, (col("pos0") % 6) + 1)).as("term"))
+        (((PortableHash.tokHash(col("tok")) % 1000000L)
+          * element_at(powArr, (col("pos0") % 6) + 1)) % PortableHash.P).as("term"))
       .groupBy("doc_id", "fp_md5")
       .agg((sum("term") % PortableHash.P).as("fp_rolling"))
   }
@@ -172,8 +187,8 @@ object TextAnalysis {
     val powList = pows.mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
-       |    regexp_extract_all(lower(text), '\\S+') AS toks
+       |    md5(trim(regexp_replace(lower(text), '$WsRunRe', ' ', 'g'))) AS fp_md5,
+       |    regexp_extract_all(lower(text), '$TokenRe') AS toks
        |  FROM documents
        |), e AS (
        |  SELECT doc_id, fp_md5,
@@ -181,8 +196,8 @@ object TextAnalysis {
        |  FROM t
        |), terms AS (
        |  SELECT doc_id, fp_md5,
-       |    (${PortableHash.tokHashSql("u.tok")} % 1000000)
-       |      * ($powList)[((u.pos - 1) % 6) + 1] AS term
+       |    ((${PortableHash.tokHashSql("u.tok")} % 1000000)
+       |      * ($powList)[((u.pos - 1) % 6) + 1]) % ${PortableHash.P} AS term
        |  FROM e
        |)
        |SELECT doc_id, fp_md5,
