@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.graph.{EdgeLists, GraphPatterns}
-import graft.text.TextAnalysis
+import graft.text.{Dedup, TextAnalysis}
+import graft.ml.Similarity
+import graft.events.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +73,23 @@ object SparkEntry {
       TextAnalysis.tokenProfile(graft.Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(graft.Tables.documents(s, dir))),
+    // ---- LLM-data-pipeline extensions: deduplication ----
+    "exact_dup_clusters" -> ((s, dir) =>
+      Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
+    "minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(graft.Tables.documents(s, dir))),
+    "near_dup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
+    // ---- LLM-data-pipeline extensions: embedding similarity ----
+    "embed_knn" -> ((s, dir) =>
+      Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
+    "embed_ann_pairs" -> ((s, dir) =>
+      Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
+    // ---- LLM-data-pipeline extensions: event streams ----
+    "events_sessions" -> ((s, dir) =>
+      Events.sessionize(graft.Tables.events(s, dir))),
+    "events_hourly" -> ((s, dir) =>
+      Events.hourlyRollup(graft.Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,13 +121,20 @@ object SparkEntry {
          |       count(*) AS path_count
          |FROM f e1 JOIN f e2 ON e1.dst = e2.src
          |GROUP BY 1, 2, 3
-         |ORDER BY x, y, z""".stripMargin,
+         |ORDER BY x, y, z, path_count""".stripMargin,
     "rsjoin_triangles" -> triangleOracle,
     "repjoin_triangles" -> triangleOracle,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_profile" -> TextAnalysis.tokenProfileSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "exact_dup_clusters" -> Dedup.exactDupClustersSql,
+    "minhash_bands" -> Dedup.minhashBandsSql,
+    "near_dup_pairs" -> Dedup.nearDupPairsSql,
+    "embed_knn" -> Similarity.embedKnnSql(),
+    "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
+    "events_sessions" -> Events.sessionizeSql(),
+    "events_hourly" -> Events.hourlyRollupSql,
   )
 
   private def triangleOracle: String =

@@ -21,7 +21,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS); Spark has no
+    * nanosecond timestamp type and rejects the file outright
+    * ([PARQUET_TYPE_ILLEGAL]). The legacy conf reads it as epoch-nanos
+    * BIGINT — set here (runtime-settable SQLConf) so every session that
+    * reaches events gets it, however the session was built. Downstream
+    * operators treat time as integer epoch-µs (see graft.events.Events).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

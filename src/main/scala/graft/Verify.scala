@@ -16,10 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Determinism for the driver's hash-compare lives HERE, not in the
-    // query definitions: sort by every column (queries lead with a unique
-    // key, so this matches the oracle SQL's ORDER BY) and write a single
-    // file. This is a verify-only artifact — Bench and library callers get
-    // the unsorted distributed plan.
+    // query definitions: sort by every column in schema order and write a
+    // single file. CONTRACT (tested by OracleContractSpec): every
+    // multi-row oracle SQL must end with ORDER BY over ALL its output
+    // columns in the same order, so both sides apply the identical total
+    // order — no uniqueness assumption on any key column is needed. This
+    // is a verify-only artifact — Bench and library callers get the
+    // unsorted distributed plan.
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

@@ -1,0 +1,127 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over
+  * `events(event_id, ts, user_id, event_type, value, props)`.
+  *
+  * The fixture's `ts` is parquet INT64 TIMESTAMP(NANOS), which Spark has no
+  * timestamp type for — [[graft.Tables.events]] reads it as epoch-nanos
+  * BIGINT (`spark.sql.legacy.parquet.nanosAsLong`). All time arithmetic here
+  * is integer epoch-microseconds (`ts div 1000`, matching DuckDB's
+  * µs-truncating parquet read bit-for-bit), deliberately: timestamps never
+  * round-trip through timezone-dependent types, so the results are
+  * deterministic across engines, sessions, and timezones.
+  *
+  * `value` is quantized to exact integer cents (`floor(v·100 + 0.5)`) before
+  * any aggregation — summing doubles is order-dependent and would make
+  * results depend on partitioning; summing int64 cents is exact and
+  * associative. Same rule the graph/text operators follow: floats at the
+  * edges, integers in the aggregates.
+  *
+  * Both operators are the batch shape of their Structured Streaming twins:
+  * [[hourlyRollup]] is a tumbling window (groupBy window(ts) + watermark in
+  * streaming) and [[sessionize]] is session-window state
+  * (flatMapGroupsWithState / session_window in streaming). The aggregation
+  * logic is identical; only the source/trigger changes.
+  */
+object Events {
+
+  /** Epoch-µs from the raw epoch-ns long (integer division — truncation
+    * matches DuckDB's ns→µs parquet conversion). */
+  private val tsUs: Column = expr("CAST(ts DIV 1000 AS BIGINT)")
+
+  /** Exact integer cents. floor(v·100 + 0.5) rather than round(): the two
+    * engines disagree on round-half-to-even vs half-away at exact .5
+    * doubles; floor(x + 0.5) is the same IEEE ops in both. */
+  private val valueCents: Column = floor(col("value") * lit(100.0) + lit(0.5))
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than `gapSeconds`. Classic two-window plan — lag() flags
+    * session starts, a running sum numbers them — then one aggregation
+    * per (user, session). Both windows and the final groupBy share the
+    * SAME `user_id` hash partitioning, so Catalyst plans ONE shuffle and
+    * two in-partition sorts; per-user state never crosses executors.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 14400L): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val e = events.select(col("user_id"), col("event_id"),
+      tsUs.as("ts_us"), valueCents.as("value_cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val flagged = e.withColumn("new_sess",
+      when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+    val numbered = flagged.withColumn("session_seq",
+      sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    numbered.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        sum("value_cents").as("sum_value_cents"))
+  }
+
+  def sessionizeSql(gapSeconds: Long = 14400L): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS value_cents
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id) > $gapUs
+       |    THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |), numbered AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  min(ts_us) AS session_start_us,
+       |  max(ts_us) AS session_end_us,
+       |  CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+       |FROM numbered GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq, n_events, session_start_us, session_end_us,
+       |  sum_value_cents""".stripMargin
+  }
+
+  /** Tumbling one-hour rollup per event type, with a JSON payload field
+    * extracted from `props`. One partial-aggregated shuffle on
+    * (hour, event_type); the hour key is pure integer arithmetic on
+    * epoch-µs (no timezone truncation). `n_users` is an exact distinct —
+    * Spark expands it to a two-phase aggregate automatically.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    events.select(
+        (tsUs - (tsUs % hourUs)).as("hour_us"),
+        col("event_type"),
+        col("user_id"),
+        valueCents.as("value_cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("hour_us", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("value_cents").as("sum_value_cents"),
+        sum("k").as("sum_k"))
+  }
+
+  def hourlyRollupSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+       |    event_type, user_id,
+       |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS value_cents,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events
+       |)
+       |SELECT hour_us, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+       |  CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM e GROUP BY hour_us, event_type
+       |ORDER BY hour_us, event_type, n_events, n_users, sum_value_cents, sum_k""".stripMargin
+}

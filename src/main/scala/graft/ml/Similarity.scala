@@ -1,0 +1,199 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** One (neighbor, similarity) candidate flowing into the top-k aggregate. */
+case class Scored(neighbor_id: Long, cos_sim: Double)
+
+/** Product-encodable top-k buffer (Encoders.product handles the Seq field;
+  * keeps the Aggregator on the public Encoders API — no catalyst imports).
+  */
+case class TopKBuf(items: Seq[Scored])
+
+/** Bounded-state top-k: the buffer never holds more than k rows, so the
+  * partial (map-side) aggregation reduces each input partition to ≤k
+  * candidates per query BEFORE the shuffle. That is the property that makes
+  * distributed top-k scale: the alternative — a row_number window over all
+  * scored rows — shuffles |corpus|·|queries| rows into |queries| partitions,
+  * which at 100 TB is both a full-corpus shuffle and a skew bomb. Order of
+  * reduce/merge calls cannot affect the result: selection uses the total
+  * order (cos_sim desc, neighbor_id asc), so the aggregate is commutative
+  * and associative.
+  */
+class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
+  private def best(s: Seq[Scored]): Seq[Scored] =
+    s.sortBy(x => (-x.cos_sim, x.neighbor_id)).take(k)
+  def zero: TopKBuf = TopKBuf(Seq.empty)
+  def reduce(b: TopKBuf, a: Scored): TopKBuf = TopKBuf(best(b.items :+ a))
+  def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = TopKBuf(best(b1.items ++ b2.items))
+  def finish(r: TopKBuf): TopKBuf = r
+  def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
+
+/** Similarity search over `embeddings(vec_id, embedding array<float>, label)`.
+  *
+  * Cross-engine determinism: float cosine sums are order-sensitive, so the
+  * engine quantizes each coordinate to int64 (`floor(x·1e6)` — float→double
+  * is exact, one IEEE multiply, floor) and computes dot products and squared
+  * norms in EXACT integer arithmetic (|x|≤2 ⇒ coords ≤ 2e6 ⇒ a 4096-dim dot
+  * ≤ 1.6e16 < 2^62 — no overflow at any realistic dimension). The only
+  * floating-point steps are the final sqrt/divide, identical expression
+  * shape in Spark and DuckDB ⇒ bit-identical doubles. This mirrors what
+  * production ANN systems do anyway (int8 quantization) — determinism and
+  * speed come from the same design choice.
+  *
+  * Two plans, the same pair every ANN system ships:
+  *  - [[embedKnn]]: exact brute-force top-k for a small query set —
+  *    broadcast the queries, scan the corpus once, bounded-state top-k
+  *    aggregate ([[TopKAgg]]). The baseline that defines ground truth.
+  *  - [[embedAnnPairs]]: sign-random-projection LSH — bucket by the sign
+  *    pattern of H pseudo-random hyperplane projections, score pairs only
+  *    within buckets. Equi-join on the bucket id ⇒ per-bucket quadratic,
+  *    never corpus-quadratic; the scale path for all-pairs similarity.
+  */
+object Similarity {
+
+  /** Quantization scale: 1e6 ≈ 20 bits per coordinate. */
+  private val QScale = 1000000.0
+
+  /** Hyperplane count for sign-random-projection (2^H buckets). */
+  val NumPlanes = 8
+  /** Deterministic hyperplane coefficient parameters, seed-split from the
+    * minhash family so the two operators' hash streams are independent. */
+  val planeParams: Seq[(Long, Long)] = PortableHash.minhashPerms(NumPlanes, seed = 7L)
+
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * lit(QScale)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2 norm. */
+  def vectors(embeds: DataFrame): DataFrame = {
+    val qv = quantize(col("embedding"))
+    embeds.select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", sqrt(dot(col("qv"), col("qv")).cast("double")))
+  }
+
+  private def vectorsCte: String =
+    s"""qvecs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), vecs AS (
+       |  SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM qvecs
+       |)""".stripMargin
+
+  /** Exact k-nearest-neighbors by cosine for the query set
+    * `vec_id < nQueries`: broadcast the (small) query side, score every
+    * corpus vector against every query in one scan, reduce with the
+    * bounded top-k aggregate. Self-matches excluded.
+    */
+  def embedKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+    val v = vectors(embeds)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("r0", "s")))
+      .select(col("query_id"), (col("r0") + 1L).as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.cos_sim").as("cos_sim"))
+  }
+
+  def embedKnnSql(nQueries: Long = 10L, k: Int = 5): String =
+    s"""WITH $vectorsCte,
+       |queries AS (
+       |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs WHERE vec_id < $nQueries
+       |),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qqv[i] * qv[i])) AS DOUBLE)
+       |      / (qnrm * nrm) AS cos_sim
+       |  FROM vecs CROSS JOIN queries WHERE vec_id <> query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
+
+  /** Pseudo-random hyperplane coefficient for plane h, coordinate i
+    * (1-based): ((a_h·i + b_h) mod 997) − 498 ∈ [−498, 498]. Pure
+    * arithmetic (no literal weight tables), identical in both engines.
+    */
+  private def planeCoef(h: Int, i: Column): Column = {
+    val (a, b) = planeParams(h)
+    (lit(a) * i + lit(b)) % 997L - 498L
+  }
+
+  private def planeCoefSql(h: Int, i: String): String = {
+    val (a, b) = planeParams(h)
+    s"(($a * $i + $b) % 997 - 498)"
+  }
+
+  /** Sign-random-projection bucket id: bit h = sign(qv · plane_h). */
+  private def bucketCol(qv: Column): Column =
+    (0 until NumPlanes).map { h =>
+      val proj = aggregate(
+        transform(sequence(lit(1), size(qv)), i => element_at(qv, i) * planeCoef(h, i)),
+        lit(0L), _ + _)
+      when(proj >= 0L, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql: String =
+    (0 until NumPlanes).map { h =>
+      s"""CAST(CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
+         |      i -> qv[i] * ${planeCoefSql(h, "i")})) >= 0
+         |    THEN ${1L << h} ELSE 0 END AS BIGINT)""".stripMargin
+    }.mkString("(", "\n  + ", ")")
+
+  /** LSH-bucketed all-pairs similarity: candidate pairs share a full
+    * sign-pattern bucket; cosine computed only within buckets and kept
+    * when ≥ simThreshold. The equi-join on `bucket` is the whole trick:
+    * Catalyst shuffles both sides by bucket id and AQE splits skewed
+    * buckets — no cartesian anywhere in the plan.
+    */
+  def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {
+    val v = vectors(embeds).withColumn("bucket", bucketCol(col("qv")))
+    val a = v.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        (dot(col("qv_a"), col("qv_b")).cast("double") / (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= lit(simThreshold))
+  }
+
+  def embedAnnPairsSql(simThreshold: Double = 0.1): String =
+    s"""WITH $vectorsCte,
+       |bucketed AS (
+       |  SELECT vec_id, qv, nrm,
+       |  $bucketSql AS bucket
+       |  FROM vecs
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |      / (a.nrm * b.nrm) AS cos_sim
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, bucket, cos_sim FROM pairs
+       |WHERE cos_sim >= ${simThreshold}e0
+       |ORDER BY vec_a, vec_b, bucket, cos_sim""".stripMargin
+}

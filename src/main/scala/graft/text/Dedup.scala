@@ -1,0 +1,197 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Deduplication operators for a training-data pipeline, over
+  * `documents(doc_id, text, ...)`.
+  *
+  * Two tiers, matching how curation pipelines actually run at 100 TB:
+  *
+  *  1. '''Exact dedup''' — group on the whitespace-normalized md5 key
+  *     ([[TextAnalysis.normMd5]]). One hash-partitioned shuffle keyed on a
+  *     32-byte digest; output cardinality = distinct documents. The only
+  *     scalable shape for exact dedup (sorting full texts would shuffle
+  *     the corpus bytes; hashing shuffles 32 bytes/doc).
+  *
+  *  2. '''Near-dup via MinHash + banded LSH''' — 3-token shingles →
+  *     k=16 min-wise permutation hashes → 4 bands × 4 rows. Candidate
+  *     pairs come ONLY from an equi-join on (band, band_hash): documents
+  *     that collide in no band are never paired, so the plan is
+  *     per-bucket quadratic instead of corpus-quadratic — the property
+  *     that keeps it alive at 100 TB (an all-pairs similarity join is
+  *     ~1e18 comparisons at that scale; banded LSH is Θ(Σ bucket²) with
+  *     bucket sizes driven by actual similarity). Banding math: a pair
+  *     with signature agreement s collides in ≥1 band with probability
+  *     1-(1-s⁴)⁴ — the usual r/b S-curve with threshold ≈ (1/4)^(1/4) ≈ 0.71.
+  *
+  * Everything is built-in expressions over [[PortableHash]]'s exact int64
+  * arithmetic (no UDFs, bit-identical in the DuckDB oracle). The hash
+  * family (`tokHash`/`shingle3`/`permHash`) and the permutation constants
+  * ([[PortableHash.minhashPerms]], seed 42) are embedded as literals in
+  * BOTH the Spark plan and the oracle SQL so they cannot drift.
+  */
+object Dedup {
+  private val P = PortableHash.P
+
+  /** MinHash signature width. */
+  val NumHashes = 16
+  /** LSH banding: 4 bands × 4 rows = the 16 signature slots. */
+  val Bands = 4
+  val RowsPerBand = 4
+  val perms: Seq[(Long, Long)] = PortableHash.minhashPerms(NumHashes)
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Duplicate clusters under the normalized-md5 key: one row per distinct
+    * content, with the surviving (minimum) doc_id — the usual
+    * keep-first-dedup policy made deterministic.
+    */
+  def exactDupClusters(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
+      .groupBy("fp_md5")
+      .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("keeper_doc_id"))
+      .withColumn("n_dups", col("cluster_size") - 1L)
+
+  def exactDupClustersSql: String =
+    s"""SELECT fp_md5,
+       |  CAST(count(*) AS BIGINT) AS cluster_size,
+       |  min(doc_id) AS keeper_doc_id,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_dups
+       |FROM (SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents)
+       |GROUP BY fp_md5
+       |ORDER BY fp_md5, cluster_size, keeper_doc_id, n_dups""".stripMargin
+
+  // ---- MinHash signatures -------------------------------------------------
+
+  /** `(doc_id, mh array<long>[16])` — the MinHash signature per document
+    * with ≥3 tokens (shorter docs have no 3-shingle; near-dup on them is
+    * exact dedup's job). Per-row map work only: tokenize → tokHash each
+    * token → distinct 3-shingle set → min over each of the 16 permuted
+    * hash streams. No shuffle, no UDF — arrays + HOFs.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val th = transform(TextAnalysis.tokens(col("text")),
+      t => PortableHash.tokHash(t))
+    val t = docs.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
+    val shingles = array_distinct(transform(
+      sequence(lit(1), size(col("th")) - 2),
+      i => PortableHash.shingle3(
+        element_at(col("th"), i),
+        element_at(col("th"), i + 1),
+        element_at(col("th"), i + 2))))
+    val withSh = t.select(col("doc_id"), shingles.as("sh"))
+    val mh = array(perms.map { case (a, b) =>
+      array_min(transform(col("sh"), s => PortableHash.permHash(s, a, b)))
+    }: _*)
+    withSh.select(col("doc_id"), mh.as("mh"))
+  }
+
+  /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB. */
+  private def sigCte: String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    val mhList = perms.map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> ${PortableHash.permHashSql("s", a, b)}))"
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""toks AS (
+       |  SELECT doc_id, $tok AS th FROM documents
+       |), longdocs AS (
+       |  SELECT doc_id, th FROM toks WHERE len(th) >= 3
+       |), shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
+       |    i -> ${PortableHash.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")})) AS sh
+       |  FROM longdocs
+       |), sig AS (
+       |  SELECT doc_id, $mhList AS mh FROM shingled
+       |)""".stripMargin
+  }
+
+  // ---- banded LSH ---------------------------------------------------------
+
+  /** Polynomial combine of band m's 4 signature slots (1-based array). */
+  private def bandHash(mh: Column, m: Int): Column =
+    (0 until RowsPerBand).map(r => element_at(mh, m * RowsPerBand + r + 1))
+      .reduce((acc, x) => (acc * 131L + x) % P)
+
+  private def bandHashSql(m: Int): String =
+    (0 until RowsPerBand).map(r => s"mh[${m * RowsPerBand + r + 1}]")
+      .reduce((acc, x) => s"(($acc) * 131 + $x) % $P")
+
+  /** `(doc_id, band, band_hash)` — the LSH bucket keys, 4 rows per doc.
+    * This is the relation a 100 TB pipeline would persist (bucketed by
+    * (band, band_hash)) and incrementally join new shards against.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map(m =>
+      struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  def minhashBandsSql: String = {
+    val bandSelects = (0 until Bands).map(m =>
+      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT doc_id, band, band_hash FROM bands
+       |ORDER BY doc_id, band, band_hash""".stripMargin
+  }
+
+  /** Near-duplicate candidate pairs: equi-join of the band relation with
+    * itself on (band, band_hash), doc_a < doc_b, deduped across bands,
+    * then re-joined to the signatures to score each candidate's exact
+    * signature agreement (`n_match`/16 estimates Jaccard similarity of
+    * the shingle sets). The candidate set is distinct-ed BEFORE the
+    * signature join so the (wider) signature arrays never travel through
+    * the band shuffle.
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = minhashBands(docs)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+      .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
+  }
+
+  def nearDupPairsSql: String = {
+    val bandSelects = (0 until Bands).map(m =>
+      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |)
+       |SELECT doc_a, doc_b, n_match, n_match / ${NumHashes}e0 AS est_jaccard
+       |FROM scored
+       |ORDER BY doc_a, doc_b, n_match, est_jaccard""".stripMargin
+  }
+}

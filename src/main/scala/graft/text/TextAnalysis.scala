@@ -37,6 +37,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenRe), lit(0))
 
+  /** md5 of the whitespace-normalized lowercased text — the exact-duplicate
+    * key shared by [[fingerprints]] and [[Dedup.exactDupClusters]]. */
+  def normMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), WsRunRe, " ")))
+
+  /** DuckDB twin of [[normMd5]] over a SQL expression. */
+  def normMd5Sql(text: String): String =
+    s"md5(trim(regexp_replace(lower($text), '$WsRunRe', ' ', 'g')))"
+
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to")
 
   private val langStop: Seq[(String, Seq[String])] = Seq(
@@ -90,7 +99,8 @@ object TextAnalysis {
        |  0.5e0 * least(1e0, n_tokens / 200e0)
        |    + 0.25e0 * (n_distinct_tokens / n_tokens)
        |    + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s ORDER BY doc_id, char_count, n_tokens, n_distinct_tokens,
+       |  avg_token_len, stopword_ratio, quality_score""".stripMargin
 
   /** Stopword-profile language identification. Predicted language = the
     * alphabetically-first language whose stopword-hit count attains the
@@ -131,7 +141,7 @@ object TextAnalysis {
        |SELECT doc_id, lang,
        |  CASE WHEN m = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
        |  m AS lang_hits
-       |FROM g ORDER BY doc_id""".stripMargin
+       |FROM g ORDER BY doc_id, lang, lang_pred, lang_hits""".stripMargin
   }
 
   /** BPE-ish tokenizer census: counts of alpha runs, digit runs, and
@@ -154,7 +164,8 @@ object TextAnalysis {
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
        |    + CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
        |    + CAST(len(regexp_extract_all(lower(text), '$SymRe')) AS BIGINT) AS n_bpe_tokens
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents
+       |ORDER BY doc_id, n_alpha_tokens, n_num_tokens, n_sym_tokens, n_bpe_tokens""".stripMargin
 
   /** Powers of 31 used by the rolling fingerprint window. */
   private val pows: Seq[Long] = (0 until 6).scanLeft(1L)((a, _) => a * 31L).init
@@ -162,47 +173,41 @@ object TextAnalysis {
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) + a position-weighted rolling integer hash (order-sensitive, so
     * token permutations get different prints — unlike a bag-of-words sum).
-    * The rolling print is Σ ((tokHash(tok) mod 1e6)·31^((pos-1) mod 6) mod P)
-    * mod P — each TERM is reduced mod P before the sum, so every partial
-    * sum stays < P·n_tokens < 2^63 for any document under ~9.2e9 tokens
-    * (an unreduced 1e6·31^5 term would overflow Long at ~3.2e5 tokens,
-    * well inside real web-crawl document sizes). Exact in both engines.
+    * The rolling print is Σ ((tokHash(tok) mod 1e6)·31^(pos0 mod 6) mod P)
+    * mod P (pos0 = 0-based token position), folded per row with the
+    * `aggregate` HOF carrying a (pos, acc) struct and reducing mod P at
+    * every step so nothing overflows at any document length. Zero shuffle:
+    * this is pure per-row map work — the round-2 posexplode → groupBy
+    * version shuffled every token of every document (the whole bench's
+    * dominant cost) for a sum that never needed to leave its row.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), WsRunRe, " "))).as("fp_md5"),
-      tokens(col("text")).as("toks"))
     val powArr = array(pows.map(lit): _*)
-    val exploded = t.select(col("doc_id"), col("fp_md5"),
-      posexplode(col("toks")).as(Seq("pos0", "tok")))
-    exploded
-      .select(col("doc_id"), col("fp_md5"),
-        (((PortableHash.tokHash(col("tok")) % 1000000L)
-          * element_at(powArr, (col("pos0") % 6) + 1)) % PortableHash.P).as("term"))
-      .groupBy("doc_id", "fp_md5")
-      .agg((sum("term") % PortableHash.P).as("fp_rolling"))
+    val P = PortableHash.P
+    docs.select(col("doc_id"),
+      normMd5(col("text")).as("fp_md5"),
+      aggregate(
+        tokens(col("text")),
+        struct(lit(0L).as("pos"), lit(0L).as("acc")),
+        (st, tok) => {
+          val term = (PortableHash.tokHash(tok) % 1000000L) *
+            element_at(powArr, ((st.getField("pos") % 6) + 1).cast("int")) % P
+          struct((st.getField("pos") + 1L).as("pos"),
+            ((st.getField("acc") + term) % P).as("acc"))
+        },
+        st => st.getField("acc")).as("fp_rolling"))
   }
 
   def fingerprintsSql: String = {
     val powList = pows.mkString("[", ", ", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    md5(trim(regexp_replace(lower(text), '$WsRunRe', ' ', 'g'))) AS fp_md5,
-       |    regexp_extract_all(lower(text), '$TokenRe') AS toks
-       |  FROM documents
-       |), e AS (
-       |  SELECT doc_id, fp_md5,
-       |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x})) AS u
-       |  FROM t
-       |), terms AS (
-       |  SELECT doc_id, fp_md5,
-       |    ((${PortableHash.tokHashSql("u.tok")} % 1000000)
-       |      * ($powList)[((u.pos - 1) % 6) + 1]) % ${PortableHash.P} AS term
-       |  FROM e
-       |)
-       |SELECT doc_id, fp_md5,
-       |  CAST(SUM(term) % ${PortableHash.P} AS BIGINT) AS fp_rolling
-       |FROM terms GROUP BY doc_id, fp_md5 ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${normMd5Sql("text")} AS fp_md5,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    regexp_extract_all(lower(text), '$TokenRe'),
+       |    (x, i) -> ((${PortableHash.tokHashSql("x")} % 1000000)
+       |      * ($powList)[((i - 1) % 6) + 1]) % ${PortableHash.P})), 0)
+       |    % ${PortableHash.P} AS BIGINT) AS fp_rolling
+       |FROM documents ORDER BY doc_id, fp_md5, fp_rolling""".stripMargin
   }
 
   private def sqlList(xs: Seq[String]): String =

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+
+  val base: String = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+    "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four five six " +
+    "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen")
+  // one token changed near the middle — 3 of ~40 shingles differ
+  val nearDup: String = base.replace("oscar", "OSCARX")
+  val unrelated: String = "red green blue cyan magenta yellow black white " +
+    "purple orange pink brown gray silver gold bronze copper iron lead zinc"
+
+  test("exactDupClusters groups whitespace-variant duplicates, keeps min doc_id") {
+    val out = Dedup.exactDupClusters(docs(
+      (3L, "alpha  beta\tgamma"),
+      (1L, "alpha beta gamma"),
+      (2L, "something else entirely")))
+      .collect().map(r => r.getAs[Long]("keeper_doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_dups"))).toMap
+    assert(out(1L) === (2L, 1L)) // docs 1+3 cluster; keeper = min id
+    assert(out(2L) === (1L, 0L))
+  }
+
+  test("minhashSignatures: identical docs get identical signatures; short docs dropped") {
+    val sig = Dedup.minhashSignatures(docs(
+      (1L, base), (2L, base), (3L, "only two tokens".take(8)))) // "only two" = 2 tokens
+    val rows = sig.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("mh")).toList).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L).length === Dedup.NumHashes)
+  }
+
+  test("golden: exact duplicates collide in every band (n_match=16, jaccard 1.0)") {
+    val out = Dedup.nearDupPairs(docs((1L, base), (2L, base), (3L, unrelated)))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L)
+    assert(r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("n_match") === 16L)
+    assert(r.getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("golden: near-duplicate (one token changed) is caught; unrelated doc is not") {
+    val out = Dedup.nearDupPairs(docs((1L, base), (2L, nearDup), (3L, unrelated)))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_match"))).toList
+    assert(out.map(p => (p._1, p._2)) === List((1L, 2L)))
+    // high but not perfect signature agreement
+    assert(out.head._3 >= 10L && out.head._3 < 16L, s"n_match=${out.head._3}")
+  }
+
+  test("property: similarity monotonicity — more shared content, higher agreement") {
+    // doc pairs with progressively more divergence from base
+    val twoChanged = base.replace("oscar", "OSCARX").replace("victor", "VICTORX")
+    def agreement(a: String, b: String): Long = {
+      val sig = Dedup.minhashSignatures(docs((1L, a), (2L, b)))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getSeq[Long](r.fieldIndex("mh")).toList).toMap
+      sig(1L).zip(sig(2L)).count { case (x, y) => x == y }.toLong
+    }
+    val exact = agreement(base, base)
+    val one = agreement(base, nearDup)
+    val two = agreement(base, twoChanged)
+    val none = agreement(base, unrelated)
+    assert(exact === 16L)
+    assert(one >= two, s"one=$one two=$two")
+    assert(two > none, s"two=$two none=$none")
+    assert(none <= 2L, s"none=$none") // unrelated vocab ⇒ ~0 agreement
+  }
+
+  test("banded LSH never pairs documents that collide in no band") {
+    // bands(doc) are deterministic; assert the candidate join equals a
+    // brute-force over the band relation
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " seventeen"), (5L, unrelated + " halt"))
+    val bands = Dedup.minhashBands(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[Long]("band_hash")))
+    val expected = (for {
+      (d1, b1, h1) <- bands; (d2, b2, h2) <- bands
+      if d1 < d2 && b1 == b2 && h1 == h2
+    } yield (d1, d2)).toSet
+    val got = Dedup.nearDupPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === expected)
+  }
+}

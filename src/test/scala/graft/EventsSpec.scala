@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.events.Events
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** ts is epoch-NANOS (the nanosAsLong read shape of the fixture). */
+  def events(rows: (Long, Long, Long, String, Double, String)*) =
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  val T: Long = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+  val H: Long = 3600L * 1000000000L       // one hour in ns
+
+  test("golden: gap sessionization splits on idle > 4h, aggregates exact cents") {
+    val out = Events.sessionize(events(
+      (0L, T, 1L, "view", 1.00, "{}"),
+      (1L, T + H, 1L, "click", 2.23, "{}"),      // 1h gap → same session
+      (2L, T + 10 * H, 1L, "view", 3.00, "{}"),  // 9h gap → new session
+      (3L, T, 2L, "view", 5.55, "{}")))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("sum_value_cents"))).toMap
+    assert(out.size === 3)
+    assert(out((1L, 0L)) === (2L, T / 1000, (T + H) / 1000, 323L)) // 100 + 223
+    assert(out((1L, 1L)) === (1L, (T + 10 * H) / 1000, (T + 10 * H) / 1000, 300L))
+    assert(out((2L, 0L)) === (1L, T / 1000, T / 1000, 555L))
+  }
+
+  test("golden: hourly rollup groups by integer hour, extracts props.k") {
+    val out = Events.hourlyRollup(events(
+      (0L, T + 1, 1L, "view", 1.00, """{"k": 5}"""),
+      (1L, T + 2, 2L, "view", 2.00, """{"k": 7}"""),
+      (2L, T + 3, 1L, "view", 3.00, """{"k": 1}"""),
+      (3L, T + H, 1L, "click", 4.00, """{"k": 2}""")))
+      .collect().map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("sum_value_cents"), r.getAs[Long]("sum_k"))).toMap
+    val h0 = T / 1000
+    assert(out((h0, "view")) === (3L, 2L, 600L, 13L))
+    assert(out((h0 + 3600000000L, "click")) === (1L, 1L, 400L, 2L))
+  }
+
+  test("sessionization is stable under input order") {
+    val rows = Seq(
+      (0L, T, 1L, "view", 1.0, "{}"),
+      (1L, T + H, 1L, "view", 1.0, "{}"),
+      (2L, T + 10 * H, 1L, "view", 1.0, "{}"))
+    val a = Events.sessionize(events(rows: _*)).collect().toSet
+    val b = Events.sessionize(events(rows.reverse: _*)).collect().toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def embeds(rows: (Long, Seq[Float])*) =
+    rows.toSeq.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  /** Scala twin of the engine's quantized cosine — used as the oracle in
+    * property tests (same floor(x·1e6) int64 arithmetic). */
+  def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    val (qa, qb) = (q(a), q(b))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    dot.toDouble / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+      math.sqrt(qb.map(x => x * x).sum.toDouble))
+  }
+
+  /** Scala twin of the SRP bucket id. */
+  def bucket(v: Seq[Float]): Long = {
+    val qv = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    (0 until Similarity.NumPlanes).map { h =>
+      val (a, b) = Similarity.planeParams(h)
+      val proj = qv.zipWithIndex.map { case (x, i0) =>
+        x * ((a * (i0 + 1) + b) % 997 - 498)
+      }.sum
+      if (proj >= 0) 1L << h else 0L
+    }.sum
+  }
+
+  test("golden: kNN ranks by cosine with deterministic tie-break") {
+    val out = Similarity.embedKnn(embeds(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(-1f, 0f, 0f)),
+      (4L, Seq(1f, 0.01f, 0f))), nQueries = 1L, k = 2)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(4L, 1L))
+    assert(out.map(_.getAs[Long]("query_id")).distinct.toSeq === Seq(0L))
+    assert(out.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
+  test("property: bounded top-k aggregate equals brute-force ranking") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val k = 4
+    val nQ = 3L
+    val expected = (for {
+      (qid, qv) <- vecs.take(nQ.toInt)
+    } yield qid -> vecs.filter(_._1 != qid)
+      .map { case (nid, nv) => (nid, cos(qv, nv)) }
+      .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toList).toMap
+    val got = Similarity.embedKnn(embeds(vecs: _*), nQueries = nQ, k = k)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toList
+      }
+    assert(got === expected)
+  }
+
+  test("golden: identical vectors share a bucket and pair at cos 1.0") {
+    val v = Seq(0.3f, -0.2f, 0.5f, 0.1f)
+    val out = Similarity.embedAnnPairs(embeds((1L, v), (2L, v)), simThreshold = 0.1)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("vec_a") === 1L)
+    assert(out.head.getAs[Long]("vec_b") === 2L)
+    // dot/(sqrt(n)·sqrt(n)) lands within one ulp of 1.0 — and lands on the
+    // SAME double in DuckDB (identical expression shape), which is what the
+    // oracle compare needs
+    assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("property: ANN pairs = exactly the same-bucket pairs above threshold") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val thr = 0.1
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && bucket(va) == bucket(vb) && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    val got = Similarity.embedAnnPairs(embeds(vecs: _*), simThreshold = thr)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // the property must actually exercise pairs
+  }
+}
