@@ -68,19 +68,27 @@ object Dedup {
   /** `(doc_id, mh array<long>[16])` — the MinHash signature per document
     * with ≥3 tokens (shorter docs have no 3-shingle; near-dup on them is
     * exact dedup's job). Per-row map work only: tokenize → tokHash each
-    * token → distinct 3-shingle set → min over each of the 16 permuted
-    * hash streams. No shuffle, no UDF — arrays + HOFs.
+    * token → 3-shingle array → min over each of the 16 permuted hash
+    * streams. No shuffle, no UDF — arrays + HOFs. Two shapes were
+    * measured: this one (16 × transform + array_min over the shingle
+    * array) and a single aggregate() fold carrying 16 running minima in a
+    * struct; the fold LOST by ~1.5× (min-of-5, one JVM) because
+    * array_min is a plain codegen expression while the fold pays
+    * interpreted per-token struct construction — a reminder that fewer
+    * logical passes ≠ faster when the passes differ in codegen-ability.
+    * (No array_distinct before the mins: min over the shingle multiset
+    * equals min over the distinct set.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val th = transform(TextAnalysis.tokens(col("text")),
       t => PortableHash.tokHash(t))
     val t = docs.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
-    val shingles = array_distinct(transform(
+    val shingles = transform(
       sequence(lit(1), size(col("th")) - 2),
       i => PortableHash.shingle3(
         element_at(col("th"), i),
         element_at(col("th"), i + 1),
-        element_at(col("th"), i + 2))))
+        element_at(col("th"), i + 2)))
     val withSh = t.select(col("doc_id"), shingles.as("sh"))
     val mh = array(perms.map { case (a, b) =>
       array_min(transform(col("sh"), s => PortableHash.permHash(s, a, b)))
@@ -118,17 +126,25 @@ object Dedup {
     (0 until RowsPerBand).map(r => s"mh[${m * RowsPerBand + r + 1}]")
       .reduce((acc, x) => s"(($acc) * 131 + $x) % $P")
 
+  /** `(doc_id, mh, band, band_hash)` — signature + LSH bucket keys, 4 rows
+    * per doc, computed in ONE pass over the text. The signature array (16
+    * longs = 128 bytes) rides along so downstream consumers never have to
+    * re-derive it from the raw text. */
+  private def bandedSignatures(docs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map(m =>
+      struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
+    minhashSignatures(docs)
+      .select(col("doc_id"), col("mh"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("mh"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
   /** `(doc_id, band, band_hash)` — the LSH bucket keys, 4 rows per doc.
     * This is the relation a 100 TB pipeline would persist (bucketed by
     * (band, band_hash)) and incrementally join new shards against.
     */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val bandStructs = array((0 until Bands).map(m =>
-      struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
-    minhashSignatures(docs)
-      .select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-  }
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandedSignatures(docs).select("doc_id", "band", "band_hash")
 
   def minhashBandsSql: String = {
     val bandSelects = (0 until Bands).map(m =>
@@ -142,30 +158,44 @@ object Dedup {
        |ORDER BY doc_id, band, band_hash""".stripMargin
   }
 
-  /** Near-duplicate candidate pairs: equi-join of the band relation with
-    * itself on (band, band_hash), doc_a < doc_b, deduped across bands,
-    * then re-joined to the signatures to score each candidate's exact
-    * signature agreement (`n_match`/16 estimates Jaccard similarity of
-    * the shingle sets). The candidate set is distinct-ed BEFORE the
-    * signature join so the (wider) signature arrays never travel through
-    * the band shuffle.
+  /** Near-duplicate candidate pairs: group the banded-signature relation
+    * by (band, band_hash) and emit every intra-bucket pair, scored by
+    * exact signature agreement (`n_match`/16 estimates Jaccard similarity
+    * of the shingle sets), deduped across bands. ONE pass computes
+    * signatures and ONE shuffle (the bucket groupBy, 128 bytes of
+    * signature per row) feeds the pairing — the self-join formulation
+    * costs a second full text → signature pass and a second shuffle for
+    * the same pairs. n_match is symmetric and functionally determined by
+    * the pair, so (least, greatest) ordering + distinct() is insensitive
+    * to collect_list's nondeterministic order and collapses multi-band
+    * collisions.
+    *
+    * Skew note for 100 TB: a bucket's pair count is quadratic in ANY
+    * pairing scheme — that's the LSH contract (bucket sizes are bounded
+    * because band hashes are selective). A degenerate mega-bucket (e.g.
+    * boilerplate pages sharing every band) is fixed upstream by raising
+    * rows-per-band, not by the pairing operator; collect_list makes that
+    * failure loud (bucket must fit an executor) instead of silently
+    * running a quadratic join for hours.
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bands = minhashBands(docs)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("mh_a"), col("mh_b"),
+    val buckets = bandedSignatures(docs)
+      .groupBy("band", "band_hash")
+      .agg(collect_list(struct(col("doc_id"), col("mh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("ds")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ds"))),
+        j => struct(element_at(col("ds"), i).as("x"),
+          element_at(col("ds"), j).as("y")))))
+    buckets.select(explode(pairList).as("p"))
+      .select(
+        least(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_a"),
+        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_b"),
+        aggregate(zip_with(col("p.x.mh"), col("p.y.mh"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+      .distinct()
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
 
