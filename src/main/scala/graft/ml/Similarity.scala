@@ -162,20 +162,32 @@ object Similarity {
 
   /** LSH-bucketed all-pairs similarity: candidate pairs share a full
     * sign-pattern bucket; cosine computed only within buckets and kept
-    * when ≥ simThreshold. The equi-join on `bucket` is the whole trick:
-    * Catalyst shuffles both sides by bucket id and AQE splits skewed
-    * buckets — no cartesian anywhere in the plan.
+    * when ≥ simThreshold. One pass quantizes + buckets each vector and
+    * ONE shuffle (the bucket groupBy) feeds intra-bucket pair expansion —
+    * the self-join formulation would run the quantize/project pipeline
+    * once per side. Per-bucket pair count is quadratic by design (the
+    * LSH contract: sign-pattern buckets are small); cosine is symmetric,
+    * so (least, greatest) id ordering makes the output independent of
+    * collect_list order. No cartesian anywhere in the plan.
     */
   def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {
     val v = vectors(embeds).withColumn("bucket", bucketCol(col("qv")))
-    val a = v.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"),
-      col("nrm").as("nrm_a"), col("bucket"))
-    val b = v.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"),
-      col("nrm").as("nrm_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("bucket"),
-        (dot(col("qv_a"), col("qv_b")).cast("double") / (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
+    val buckets = v.groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("qv"), col("nrm"))).as("vs"))
+      .filter(size(col("vs")) >= 2)
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("vs")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("vs"))),
+        j => struct(element_at(col("vs"), i).as("x"),
+          element_at(col("vs"), j).as("y")))))
+    buckets.select(col("bucket"), explode(pairList).as("p"))
+      .select(
+        least(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_a"),
+        greatest(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_b"),
+        col("bucket"),
+        (dot(col("p.x.qv"), col("p.y.qv")).cast("double")
+          / (col("p.x.nrm") * col("p.y.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
