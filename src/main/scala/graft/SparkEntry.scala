@@ -85,6 +85,9 @@ object SparkEntry {
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
     "embed_ann_pairs" -> ((s, dir) =>
       Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
+    // ---- LLM-data-pipeline extensions: multimodal binary columns ----
+    "media_features" -> ((s, dir) =>
+      graft.multimodal.Media.mediaFeatures(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -133,6 +136,7 @@ object SparkEntry {
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
+    "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
   )
