@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.events.Events]]): the same aggregation logic lifted onto an
+  * unbounded source with event-time watermarks. `readStream` on the same
+  * schema → these transforms → `writeStream` is the full deployment; the
+  * specs drive them with an in-memory source and the batch operators as
+  * the oracle.
+  *
+  * Differences from batch, forced by streaming semantics (documented here
+  * so they read as design, not drift):
+  *
+  *  - Time must be a real `TimestampType` column (watermarks and
+  *    `window`/`session_window` operate on event time, not on our integer
+  *    epoch-µs), so the raw epoch-ns long converts via `timestamp_micros`
+  *    — the same ns→µs truncation as the batch path.
+  *  - Exact `count(DISTINCT)` is not executable incrementally; the
+  *    streaming rollup uses `approx_count_distinct` (HLL sketch, mergeable
+  *    state) and names the column `n_users_approx` to keep the contrast
+  *    honest.
+  *  - Sessionization uses the built-in `session_window` gap-state operator
+  *    rather than lag+running-sum (window functions over unbounded input
+  *    don't stream); session identity is (user, window start) instead of a
+  *    per-user ordinal.
+  */
+object EventStream {
+
+  /** Event-time column from the raw epoch-ns BIGINT `ts`. */
+  private val eventTime: Column =
+    timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))
+
+  private val valueCents: Column =
+    floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+
+  /** Streaming tumbling one-hour rollup per event type — the
+    * [[graft.events.Events.hourlyRollup]] logic under a watermark. Late
+    * rows beyond `watermarkDelay` are dropped; state for closed windows is
+    * evicted, so state size is O(open windows × event types), constant in
+    * stream length.
+    */
+  def hourlyRollup(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events.select(eventTime.as("event_time"), col("event_type"), col("user_id"),
+        valueCents.as("value_cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"),
+        sum("value_cents").as("sum_value_cents"),
+        sum("k").as("sum_k"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("n_events"), col("n_users_approx"), col("sum_value_cents"), col("sum_k"))
+
+  /** Streaming gap sessionization — [[graft.events.Events.sessionize]]
+    * through the `session_window` state operator: per-user windows merge
+    * while events arrive within `gap`, close when the watermark passes
+    * start + gap. State is per OPEN session only.
+    */
+  def sessionize(events: DataFrame, gap: String = "4 hours",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.select(col("user_id"), eventTime.as("event_time"),
+        valueCents.as("value_cents"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("event_time"))).as("session_start_us"),
+        max(unix_micros(col("event_time"))).as("session_end_us"),
+        sum("value_cents").as("sum_value_cents"))
+      .select(col("user_id"), col("n_events"), col("session_start_us"),
+        col("session_end_us"), col("sum_value_cents"))
+}

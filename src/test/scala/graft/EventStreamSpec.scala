@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Drives the streaming operators with an in-memory source and checks
+  * them against hand-derived results (and, for the rollup, against the
+  * batch operator's exact columns — same rows in, same aggregates out).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val T: Long = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+  val H: Long = 3600L * 1000000000L       // one hour in ns
+
+  type Ev = (Long, Long, Long, String, Double, String)
+
+  def runStream(rows: Seq[Ev])(xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(rows: _*)
+    val events = src.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = xform(events).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).collect()
+  }
+
+  test("streaming hourly rollup matches the batch aggregates") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T + 1, 1L, "view", 1.00, """{"k": 5}"""),
+      (1L, T + 2, 2L, "view", 2.00, """{"k": 7}"""),
+      (2L, T + 3, 1L, "view", 3.00, """{"k": 1}"""),
+      (3L, T + H, 1L, "click", 4.00, """{"k": 2}"""))
+    val out = runStream(rows)(EventStream.hourlyRollup(_))
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"),
+          r.getAs[Long]("sum_k"))).toMap
+    val h0 = T / 1000
+    assert(out((h0, "view")) === (3L, 600L, 13L))
+    assert(out((h0 + 3600000000L, "click")) === (1L, 400L, 2L))
+    // exact columns agree with the batch operator on the same rows
+    val batch = graft.events.Events.hourlyRollup(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"),
+          r.getAs[Long]("sum_k"))).toMap
+    assert(out === batch)
+  }
+
+  test("streaming session_window splits on the same 4h gap as batch sessionize") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 1.00, "{}"),
+      (1L, T + H, 1L, "click", 2.23, "{}"),     // 1h gap → same session
+      (2L, T + 10 * H, 1L, "view", 3.00, "{}"), // 9h gap → new session
+      (3L, T, 2L, "view", 5.55, "{}"))
+    val out = runStream(rows)(EventStream.sessionize(_))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("session_end_us"),
+          r.getAs[Long]("sum_value_cents"))).toMap
+    assert(out.size === 3)
+    assert(out((1L, T / 1000)) === (2L, (T + H) / 1000, 323L))
+    assert(out((1L, (T + 10 * H) / 1000)) === (1L, (T + 10 * H) / 1000, 300L))
+    assert(out((2L, T / 1000)) === (1L, T / 1000, 555L))
+  }
+}
