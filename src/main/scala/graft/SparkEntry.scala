@@ -80,6 +80,12 @@ object SparkEntry {
       Dedup.minhashBands(graft.Tables.documents(s, dir))),
     "near_dup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
+    "near_dup_jaccard" -> ((s, dir) =>
+      Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
+    "doc_simhash" -> ((s, dir) =>
+      Dedup.docSimhash(graft.Tables.documents(s, dir))),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: embedding similarity ----
     "embed_knn" -> ((s, dir) =>
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
@@ -134,6 +140,9 @@ object SparkEntry {
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
+    "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
+    "doc_simhash" -> Dedup.docSimhashSql,
+    "simhash_pairs" -> Dedup.simhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,

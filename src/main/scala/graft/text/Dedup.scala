@@ -199,6 +199,191 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
 
+  // ---- exact n-gram Jaccard rescoring ------------------------------------
+
+  /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    val th = transform(TextAnalysis.tokens(col("text")),
+      t => PortableHash.tokHash(t))
+    val t = docs.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
+    t.select(col("doc_id"), array_distinct(transform(
+      sequence(lit(1), size(col("th")) - 2),
+      i => PortableHash.shingle3(
+        element_at(col("th"), i),
+        element_at(col("th"), i + 1),
+        element_at(col("th"), i + 2)))).as("sh_set"))
+  }
+
+  /** The LSH pipeline's verification stage: EXACT n-gram (3-shingle)
+    * Jaccard for each banded-LSH candidate pair — candidates come from
+    * the same bucket-grouped pairing as [[nearDupPairs]], then each
+    * side's distinct shingle set is joined back in and intersected.
+    * This is the standard two-phase shape at scale: the sketch prunes
+    * ~all pairs, the exact measure runs only on survivors, so the
+    * full-fidelity set intersection (which is O(doc length) and shuffles
+    * shingle sets, i.e. roughly corpus bytes) is paid per CANDIDATE, not
+    * per pair of documents.
+    */
+  def nearDupJaccard(docs: DataFrame): DataFrame = {
+    val buckets = bandedSignatures(docs)
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("ds")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ds"))),
+        j => struct(element_at(col("ds"), i).as("x"),
+          element_at(col("ds"), j).as("y")))))
+    val cand = buckets.select(explode(pairList).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("doc_a"),
+        greatest(col("p.x"), col("p.y")).as("doc_b"))
+      .distinct()
+    val sa = shingleSets(docs).select(col("doc_id").as("doc_a"), col("sh_set").as("sh_a"))
+    val sb = shingleSets(docs).select(col("doc_id").as("doc_b"), col("sh_set").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard", col("n_common") / col("n_union"))
+  }
+
+  def nearDupJaccardSql: String = {
+    val bandSelects = (0 until Bands).map(m =>
+      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $sigCte,
+       |shsets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
+       |    i -> ${PortableHash.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")})) AS sh_set
+       |  FROM longdocs
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS n_common,
+       |    CAST(len(list_distinct(list_concat(sa.sh_set, sb.sh_set))) AS BIGINT) AS n_union
+       |  FROM cand
+       |  JOIN shsets sa ON sa.doc_id = cand.doc_a
+       |  JOIN shsets sb ON sb.doc_id = cand.doc_b
+       |)
+       |SELECT doc_a, doc_b, n_common, n_union, n_common / n_union AS jaccard
+       |FROM scored
+       |ORDER BY doc_a, doc_b, n_common, n_union, jaccard""".stripMargin
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** SimHash width. Real deployments use 64 bits with 4 × 16-bit bands
+    * (the classic near-dup config); the operator SHAPE here — per-bit
+    * majority vote, banded exact-match candidates, Hamming rescore — is
+    * width-independent, and 16 bits keeps the portable twin-SQL oracle's
+    * expression budget sane on the fixtures. */
+  val SimHashBits = 16
+  val SimBands = 4
+  private val simBandBits = SimHashBits / SimBands
+  /** The bit-source permutation (seed-split from the minhash family). */
+  val simPerm: (Long, Long) = PortableHash.minhashPerms(1, seed = 99L).head
+
+  /** `(doc_id, n_tokens, simhash)` — per-bit majority vote over the
+    * permuted token hashes: bit j is set iff more than half the tokens
+    * have bit j set (strict, so ties → 0 and the empty doc → 0). Like
+    * MinHash, one codegen'd size/filter pass per bit beats a single
+    * interpreted fold. Term frequency weights votes naturally (the sum
+    * runs over the token multiset).
+    */
+  def docSimhash(docs: DataFrame): DataFrame = {
+    val (a, b) = simPerm
+    val th2 = transform(TextAnalysis.tokens(col("text")),
+      t => PortableHash.permHash(PortableHash.tokHash(t), a, b))
+    val t = docs.select(col("doc_id"), th2.as("th2"))
+    val n = size(col("th2"))
+    val sim = (0 until SimHashBits).map { j =>
+      val ones = size(filter(col("th2"),
+        h => (shiftright(h, j) % 2) === 1L))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    t.select(col("doc_id"), n.cast("long").as("n_tokens"), sim.as("simhash"))
+  }
+
+  def docSimhashSql: String = {
+    val (a, b) = simPerm
+    val h2 = PortableHash.permHashSql(PortableHash.tokHashSql("x"), a, b)
+    val sim = (0 until SimHashBits).map { j =>
+      s"""CAST(CASE WHEN 2 * len(list_filter(th2, h -> (h >> $j) % 2 = 1)) > len(th2)
+         |    THEN ${1L << j} ELSE 0 END AS BIGINT)""".stripMargin
+    }.mkString("(", "\n   + ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'),
+       |      x -> $h2) AS th2
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(len(th2) AS BIGINT) AS n_tokens,
+       |  $sim AS simhash
+       |FROM t ORDER BY doc_id, n_tokens, simhash""".stripMargin
+  }
+
+  /** Near-dup pairs by SimHash: candidates share at least one of the 4
+    * simhash bands (exact-match equi-buckets — by pigeonhole, Hamming
+    * distance ≤ 3 over 16 bits guarantees ≥ 1 of 4 nibbles equal, so the
+    * banding is COMPLETE for maxHamming ≤ 3), then rescored with the
+    * exact Hamming distance (`bit_count(xor)`) and filtered. Same
+    * bucket-grouped pairing shape as the MinHash and embedding operators.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = docSimhash(docs)
+    val bandStructs = array((0 until SimBands).map(m =>
+      struct(lit(m.toLong).as("band"),
+        (shiftright(col("simhash"), m * simBandBits) % (1 << simBandBits)).as("nibble"))): _*)
+    val buckets = s.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.nibble").as("nibble"))
+      .groupBy("band", "nibble")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("ds")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ds"))),
+        j => struct(element_at(col("ds"), i).as("x"),
+          element_at(col("ds"), j).as("y")))))
+    buckets.select(explode(pairList).as("p"))
+      .select(
+        least(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_a"),
+        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_b"),
+        bit_count(col("p.x.simhash").bitwiseXOR(col("p.y.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val nibbleSelects = (0 until SimBands).map(m =>
+      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) % ${1 << simBandBits} AS nibble FROM s")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (${docSimhashSql.replace("ORDER BY doc_id, n_tokens, simhash", "")}),
+       |bands AS (
+       |  $nibbleSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b, hamming""".stripMargin
+  }
+
   def nearDupPairsSql: String = {
     val bandSelects = (0 until Bands).map(m =>
       s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")

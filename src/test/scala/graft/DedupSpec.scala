@@ -80,6 +80,39 @@ class DedupSpec extends AnyFunSuite {
     assert(none <= 2L, s"none=$none") // unrelated vocab ⇒ ~0 agreement
   }
 
+  test("exact Jaccard rescoring: identical docs = 1.0; near-dup high; ranked above") {
+    val out = Dedup.nearDupJaccard(docs((1L, base), (2L, base), (3L, nearDup)))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(out((1L, 2L)) === 1.0)
+    // (1,3): one mid-token change kills 3 of ~41 shingles on each side
+    assert(out((1L, 3L)) > 0.8 && out((1L, 3L)) < 1.0)
+    assert(out((1L, 2L)) > out((1L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming; unrelated far") {
+    val s = Dedup.docSimhash(docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(s(1L) === s(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(3L)) <= 3, s"near-dup hamming=${hamming(s(1L), s(3L))}")
+    assert(hamming(s(1L), s(4L)) > 3, s"unrelated hamming=${hamming(s(1L), s(4L))}")
+  }
+
+  test("simhashPairs: complete for hamming <= 3 via 4-band pigeonhole") {
+    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+    val s = Dedup.docSimhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val expected = (for {
+      (i, si) <- s.toSeq; (j, sj) <- s.toSeq
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    val got = Dedup.simhashPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === expected)
+    assert(expected.contains((1L, 2L)))
+  }
+
   test("banded LSH never pairs documents that collide in no band") {
     // bands(doc) are deterministic; assert the candidate join equals a
     // brute-force over the band relation
