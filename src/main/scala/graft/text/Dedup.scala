@@ -281,68 +281,82 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** SimHash width. Real deployments use 64 bits with 4 × 16-bit bands
-    * (the classic near-dup config); the operator SHAPE here — per-bit
-    * majority vote, banded exact-match candidates, Hamming rescore — is
-    * width-independent, and 16 bits keeps the portable twin-SQL oracle's
-    * expression budget sane on the fixtures. */
-  val SimHashBits = 16
+  /** SimHash: 64 bits, 4 bands × 16 bits, Hamming radius 3 — the classic
+    * web-dedup configuration. `permHash` values live in [0, P) ≈ 2^30, so
+    * one permutation cannot source 64 independent bits; instead each of
+    * the 4 bands draws its 16 bits from its OWN permutation of the token
+    * hashes (seed-split from the minhash family). Band m = bits
+    * [16m, 16m+16) = bits 0..15 of permutation m. */
+  val SimHashBits = 64
   val SimBands = 4
   private val simBandBits = SimHashBits / SimBands
-  /** The bit-source permutation (seed-split from the minhash family). */
-  val simPerm: (Long, Long) = PortableHash.minhashPerms(1, seed = 99L).head
+  /** One bit-source permutation per band. */
+  val simPerms: Seq[(Long, Long)] = PortableHash.minhashPerms(SimBands, seed = 99L)
 
   /** `(doc_id, n_tokens, simhash)` — per-bit majority vote over the
-    * permuted token hashes: bit j is set iff more than half the tokens
-    * have bit j set (strict, so ties → 0 and the empty doc → 0). Like
-    * MinHash, one codegen'd size/filter pass per bit beats a single
-    * interpreted fold. Term frequency weights votes naturally (the sum
-    * runs over the token multiset).
+    * permuted token hashes: bit 16p+j is set iff more than half the
+    * tokens have bit j of permutation p set (strict, so ties → 0 and the
+    * empty doc → 0). Like MinHash, one codegen'd size/filter pass per bit
+    * beats a single interpreted fold. Term frequency weights votes
+    * naturally (the sum runs over the token multiset). Bit 63's weight is
+    * Long.MinValue; partial sums never overflow because bits 0..62 sum to
+    * at most Long.MaxValue and the bit-63 term is added last.
     */
   def docSimhash(docs: DataFrame): DataFrame = {
-    val (a, b) = simPerm
-    val th2 = transform(TextAnalysis.tokens(col("text")),
-      t => PortableHash.permHash(PortableHash.tokHash(t), a, b))
-    val t = docs.select(col("doc_id"), th2.as("th2"))
-    val n = size(col("th2"))
-    val sim = (0 until SimHashBits).map { j =>
-      val ones = size(filter(col("th2"),
-        h => (shiftright(h, j) % 2) === 1L))
-      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    val toks = TextAnalysis.tokens(col("text"))
+    val permCols = simPerms.zipWithIndex.map { case ((a, b), p) =>
+      transform(toks, t => PortableHash.permHash(PortableHash.tokHash(t), a, b)).as(s"th$p")
+    }
+    val t = docs.select(col("doc_id") +: permCols: _*)
+    val n = size(col("th0"))
+    val sim = (0 until SimBands).flatMap { p =>
+      (0 until simBandBits).map { j =>
+        val ones = size(filter(col(s"th$p"),
+          h => (shiftright(h, j) % 2) === 1L))
+        when(ones * 2 > n, lit(1L << (p * simBandBits + j))).otherwise(lit(0L))
+      }
     }.reduce(_ + _)
     t.select(col("doc_id"), n.cast("long").as("n_tokens"), sim.as("simhash"))
   }
 
   def docSimhashSql: String = {
-    val (a, b) = simPerm
-    val h2 = PortableHash.permHashSql(PortableHash.tokHashSql("x"), a, b)
-    val sim = (0 until SimHashBits).map { j =>
-      s"""CAST(CASE WHEN 2 * len(list_filter(th2, h -> (h >> $j) % 2 = 1)) > len(th2)
-         |    THEN ${1L << j} ELSE 0 END AS BIGINT)""".stripMargin
+    val permLists = simPerms.zipWithIndex.map { case ((a, b), p) =>
+      val h = PortableHash.permHashSql(PortableHash.tokHashSql("x"), a, b)
+      s"""list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'),
+         |      x -> $h) AS th$p""".stripMargin
+    }.mkString(",\n    ")
+    val sim = (0 until SimBands).flatMap { p =>
+      (0 until simBandBits).map { j =>
+        s"""CAST(CASE WHEN 2 * len(list_filter(th$p, h -> (h >> $j) % 2 = 1)) > len(th0)
+           |    THEN ${1L << (p * simBandBits + j)} ELSE 0 END AS BIGINT)""".stripMargin
+      }
     }.mkString("(", "\n   + ", ")")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'),
-       |      x -> $h2) AS th2
+       |    $permLists
        |  FROM documents
        |)
-       |SELECT doc_id, CAST(len(th2) AS BIGINT) AS n_tokens,
+       |SELECT doc_id, CAST(len(th0) AS BIGINT) AS n_tokens,
        |  $sim AS simhash
        |FROM t ORDER BY doc_id, n_tokens, simhash""".stripMargin
   }
 
   /** Near-dup pairs by SimHash: candidates share at least one of the 4
-    * simhash bands (exact-match equi-buckets — by pigeonhole, Hamming
-    * distance ≤ 3 over 16 bits guarantees ≥ 1 of 4 nibbles equal, so the
-    * banding is COMPLETE for maxHamming ≤ 3), then rescored with the
+    * 16-bit simhash bands (exact-match equi-buckets — by pigeonhole,
+    * Hamming distance ≤ 3 over the 4 bands guarantees ≥ 1 band equal, so
+    * the banding is COMPLETE for maxHamming ≤ 3), then rescored with the
     * exact Hamming distance (`bit_count(xor)`) and filtered. Same
     * bucket-grouped pairing shape as the MinHash and embedding operators.
+    * 2^16 buckets per band keeps bucket occupancy (and thus the per-bucket
+    * quadratic pair step) low even on large corpora; the `& 0xFFFF` mask
+    * (not `%`) keeps the band value non-negative when bit 63 is set.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val s = docSimhash(docs)
+    val bandMask = (1L << simBandBits) - 1
     val bandStructs = array((0 until SimBands).map(m =>
       struct(lit(m.toLong).as("band"),
-        (shiftright(col("simhash"), m * simBandBits) % (1 << simBandBits)).as("nibble"))): _*)
+        shiftright(col("simhash"), m * simBandBits).bitwiseAND(lit(bandMask)).as("nibble"))): _*)
     val buckets = s.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.nibble").as("nibble"))
@@ -366,8 +380,9 @@ object Dedup {
   }
 
   def simhashPairsSql(maxHamming: Int = 3): String = {
+    val bandMask = (1L << simBandBits) - 1
     val nibbleSelects = (0 until SimBands).map(m =>
-      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) % ${1 << simBandBits} AS nibble FROM s")
+      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH s AS (${docSimhashSql.replace("ORDER BY doc_id, n_tokens, simhash", "")}),
        |bands AS (
