@@ -82,6 +82,8 @@ object SparkEntry {
       Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(graft.Tables.documents(s, dir))),
     "doc_simhash" -> ((s, dir) =>
       Dedup.docSimhash(graft.Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
@@ -141,6 +143,7 @@ object SparkEntry {
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),

@@ -34,4 +34,20 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Redistribute a scan that yields fewer partitions than the session can
+    * run in parallel. CPU-bound per-row operators (tokenize / hash /
+    * quantize) otherwise serialize on one core when the input is a single
+    * small file or row group — the local-test shape (measured 5× on
+    * docSimhash at sf0.1: one 0.6 MB parquet file = one scan task doing
+    * all the hashing). At target scale this is a no-op: a 100 TB scan
+    * yields orders of magnitude more splits than cores, so the repartition
+    * shuffle is only ever paid when the input is small enough for it to be
+    * trivially cheap. Identical subplans share the exchange (ReuseExchange),
+    * so operators calling this on the same source shuffle once.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

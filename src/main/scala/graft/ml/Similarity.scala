@@ -75,7 +75,7 @@ object Similarity {
   /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2 norm. */
   def vectors(embeds: DataFrame): DataFrame = {
     val qv = quantize(col("embedding"))
-    embeds.select(col("vec_id"), qv.as("qv"))
+    graft.Tables.widen(embeds).select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(dot(col("qv"), col("qv")).cast("double")))
   }
 

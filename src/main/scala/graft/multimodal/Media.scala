@@ -63,7 +63,7 @@ object Media {
     * `hex` output), so byte statistics stay inside codegen with no UDF.
     */
   def mediaFeatures(docs: DataFrame): DataFrame = {
-    val media = asMediaTable(docs)
+    val media = asMediaTable(graft.Tables.widen(docs))
     val h = hex(col("payload"))
     val bytes = regexp_extract_all(h, lit(".."), lit(0))
     val byteVal = (p: org.apache.spark.sql.Column) =>

@@ -82,7 +82,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val th = transform(TextAnalysis.tokens(col("text")),
       t => PortableHash.tokHash(t))
-    val t = docs.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
+    val t = graft.Tables.widen(docs)
+      .select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
     val shingles = transform(
       sequence(lit(1), size(col("th")) - 2),
       i => PortableHash.shingle3(
@@ -199,13 +200,105 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
 
+  // ---- connected-component dedup clusters --------------------------------
+
+  /** The step AFTER pair detection in a real dedup pipeline: treat
+    * confirmed near-dup pairs (signature agreement ≥ `minMatch` of 16) as
+    * edges of an undirected graph, compute connected components, and
+    * assign every document a cluster representative — the minimum doc_id
+    * in its component (keep-first policy, deterministic). `is_survivor`
+    * marks the one document per component the pipeline keeps; everything
+    * else is the drop set. Output: one row per input document.
+    *
+    * Algorithm: min-label propagation to fixpoint. Labels start as
+    * doc_id; each round every node takes the min of its own label and its
+    * neighbors'. Rounds needed = component diameter, and near-dup
+    * components are shallow by construction (documents clustered around
+    * shared content); an adversarial million-hop chain would exhaust
+    * `maxIters` and throw rather than silently return a partial
+    * clustering — at that point swap in star-contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), which has the same
+    * per-round cost shape (one join + one min-aggregate, both on the
+    * doc_id key). `localCheckpoint` truncates lineage so the plan does
+    * not grow with iterations, and the convergence check reads the
+    * checkpointed step output — no recomputation per round.
+    */
+  def dedupClusters(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 25): DataFrame = {
+    val pairs = nearDupPairs(docs).filter(col("n_match") >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep_id"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"dedupClusters: no fixpoint after $maxIters rounds — component " +
+            "diameter exceeds the near-dup assumption; use star contraction")
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min("rep_id").as("nbr_min"))
+      val step = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("rep_id").as("prev"),
+          least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("rep_id"))
+        .localCheckpoint()
+      done = step.filter(col("rep_id") < col("prev")).limit(1).count() == 0L
+      labels = step.select("doc_id", "rep_id")
+      it += 1
+    }
+    labels.withColumn("is_survivor", col("doc_id") === col("rep_id"))
+  }
+
+  /** Oracle twin: reachability closure via a recursive CTE — min reachable
+    * doc_id (or self) is the component representative. */
+  def dedupClustersSql(minMatch: Long = 8L): String = {
+    val bandSelects = (0 until Bands).map(m =>
+      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |confirmed AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE len(list_filter(range(1, ${NumHashes + 1}),
+       |    i -> sa.mh[i] = sb.mh[i])) >= $minMatch
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM confirmed
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT d.doc_id AS doc_id,
+       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep_id,
+       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
+  }
+
   // ---- exact n-gram Jaccard rescoring ------------------------------------
 
   /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */
   private def shingleSets(docs: DataFrame): DataFrame = {
     val th = transform(TextAnalysis.tokens(col("text")),
       t => PortableHash.tokHash(t))
-    val t = docs.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
+    val t = graft.Tables.widen(docs)
+      .select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
     t.select(col("doc_id"), array_distinct(transform(
       sequence(lit(1), size(col("th")) - 2),
       i => PortableHash.shingle3(
@@ -307,7 +400,7 @@ object Dedup {
     val permCols = simPerms.zipWithIndex.map { case ((a, b), p) =>
       transform(toks, t => PortableHash.permHash(PortableHash.tokHash(t), a, b)).as(s"th$p")
     }
-    val t = docs.select(col("doc_id") +: permCols: _*)
+    val t = graft.Tables.widen(docs).select(col("doc_id") +: permCols: _*)
     val n = size(col("th0"))
     val sim = (0 until SimBands).flatMap { p =>
       (0 until simBandBits).map { j =>
@@ -345,35 +438,35 @@ object Dedup {
     * 16-bit simhash bands (exact-match equi-buckets — by pigeonhole,
     * Hamming distance ≤ 3 over the 4 bands guarantees ≥ 1 band equal, so
     * the banding is COMPLETE for maxHamming ≤ 3), then rescored with the
-    * exact Hamming distance (`bit_count(xor)`) and filtered. Same
-    * bucket-grouped pairing shape as the MinHash and embedding operators.
-    * 2^16 buckets per band keeps bucket occupancy (and thus the per-bucket
-    * quadratic pair step) low even on large corpora; the `& 0xFFFF` mask
-    * (not `%`) keeps the band value non-negative when bit 63 is set.
+    * exact Hamming distance (`bit_count(xor)`) and filtered. The `& 0xFFFF`
+    * mask (not `%`) keeps the band value non-negative when bit 63 is set.
+    *
+    * Pairing shape differs from the MinHash/ANN operators deliberately:
+    * simhash bands over near-template corpora produce MEASURABLY skewed
+    * buckets (sf0.1 fixtures: max bucket 323 docs → a 52k-pair expansion
+    * in ONE task under the collect_list+HOF scheme, interpreted). Here
+    * the signature table (8 bytes/doc — the sketch a 100 TB pipeline
+    * would persist anyway) is checkpointed ONCE, then candidate pairs
+    * come from a self-equi-join on (band, nibble): expansion runs in
+    * whole-stage codegen and AQE's skew-join splitting applies to hot
+    * buckets. (A plain self-join without the checkpoint recomputes the
+    * 64-bit vote pipeline on both sides — ReuseExchange cannot fire once
+    * AQE broadcasts the build side; measured, not guessed.)
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = docSimhash(docs)
+    val s = docSimhash(docs).select("doc_id", "simhash").localCheckpoint()
     val bandMask = (1L << simBandBits) - 1
     val bandStructs = array((0 until SimBands).map(m =>
       struct(lit(m.toLong).as("band"),
         shiftright(col("simhash"), m * simBandBits).bitwiseAND(lit(bandMask)).as("nibble"))): _*)
-    val buckets = s.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
+    val bands = s.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.nibble").as("nibble"))
-      .groupBy("band", "nibble")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val pairList = flatten(transform(
-      sequence(lit(1), size(col("ds")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("ds"))),
-        j => struct(element_at(col("ds"), i).as("x"),
-          element_at(col("ds"), j).as("y")))))
-    buckets.select(explode(pairList).as("p"))
-      .select(
-        least(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_a"),
-        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_b"),
-        bit_count(col("p.x.simhash").bitwiseXOR(col("p.y.simhash")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

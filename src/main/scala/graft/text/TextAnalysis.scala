@@ -184,7 +184,7 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame = {
     val powArr = array(pows.map(lit): _*)
     val P = PortableHash.P
-    docs.select(col("doc_id"),
+    graft.Tables.widen(docs).select(col("doc_id"),
       normMd5(col("text")).as("fp_md5"),
       aggregate(
         tokens(col("text")),

@@ -117,6 +117,30 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.contains((1L, 2L)))
   }
 
+  test("dedupClusters: fixpoint equals driver-side union-find; survivors are component minima") {
+    // base2 is a second, distinct duplicate family, far from base's vocab
+    val base2 = unrelated + " extra tail tokens here to pass the shingle gate"
+    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated),
+      (5L, base2), (6L, base2), (7L, base))
+    // driver-side ground truth: union-find over the same confirmed pairs
+    val pairs = Dedup.nearDupPairs(d).filter($"n_match" >= 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((1L to 7L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 7L).map(i => (i, find(i), find(i) == i)).toSet
+    val got = Dedup.dedupClusters(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Boolean]("is_survivor"))).toSet
+    assert(got === expected)
+    // sanity on the fixture itself: {1,2,3,7} one cluster; base2 contains
+    // all of unrelated's text, so {4,5,6} cluster too (4 survives)
+    assert(got.contains((7L, 1L, false)) && got.contains((6L, 4L, false))
+      && got.contains((4L, 4L, true)))
+  }
+
   test("banded LSH never pairs documents that collide in no band") {
     // bands(doc) are deterministic; assert the candidate join equals a
     // brute-force over the band relation
