@@ -229,7 +229,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("rep_id"))
+    // Iterate ONLY over edge-incident nodes: everything else is trivially
+    // its own representative, and at corpus scale the paired subset is a
+    // small fraction of the documents — the per-round join/agg run on the
+    // duplicate graph, not the corpus. Singletons rejoin at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep_id", col("doc_id"))
       .localCheckpoint()
     var it = 0
     var done = false
@@ -240,15 +245,19 @@ object Dedup {
             "diameter exceeds the near-dup assumption; use star contraction")
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min("rep_id").as("nbr_min"))
-      val step = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+      val step = labels.join(nbrMin, col("doc_id") === col("src"), "inner")
         .select(col("doc_id"), col("rep_id").as("prev"),
-          least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("rep_id"))
+          least(col("rep_id"), col("nbr_min")).as("rep_id"))
         .localCheckpoint()
       done = step.filter(col("rep_id") < col("prev")).limit(1).count() == 0L
       labels = step.select("doc_id", "rep_id")
       it += 1
     }
-    labels.withColumn("is_survivor", col("doc_id") === col("rep_id"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "node_id"),
+        col("doc_id") === col("node_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .withColumn("is_survivor", col("doc_id") === col("rep_id"))
   }
 
   /** Oracle twin: reachability closure via a recursive CTE — min reachable

@@ -53,6 +53,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("streaming dedup keeps one doc per normalized-content hash") {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    src.addData(
+      (1L, T, "alpha beta gamma"),
+      (2L, T + 1, "alpha  beta\tgamma"), // whitespace variant → same fp
+      (3L, T + 2, "something else"),
+      (4L, T + 3, "alpha beta gamma"))   // exact repeat
+    val name = s"dedup_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.dedupDocs(
+        src.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getAs[String]("fp_md5") -> r.getAs[Long]("doc_id"))
+    // one survivor per distinct normalized content, two distinct contents
+    assert(out.length === 2)
+    assert(out.map(_._1).distinct.length === 2)
+    // the batch operator's keepers cover the same fp set
+    val batchFps = graft.text.Dedup.exactDupClusters(
+      Seq((1L, "alpha beta gamma", "en"), (2L, "alpha  beta\tgamma", "en"),
+        (3L, "something else", "en"), (4L, "alpha beta gamma", "en"))
+        .toDF("doc_id", "text", "lang"))
+      .collect().map(_.getAs[String]("fp_md5")).toSet
+    assert(out.map(_._1).toSet === batchFps)
+  }
+
   test("streaming session_window splits on the same 4h gap as batch sessionize") {
     val rows: Seq[Ev] = Seq(
       (0L, T, 1L, "view", 1.00, "{}"),
