@@ -84,6 +84,8 @@ object SparkEntry {
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(graft.Tables.documents(s, dir))),
+    "corpus_keep" -> ((s, dir) =>
+      graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
     "doc_simhash" -> ((s, dir) =>
       Dedup.docSimhash(graft.Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
@@ -144,6 +146,7 @@ object SparkEntry {
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),

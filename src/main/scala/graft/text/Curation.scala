@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation decision — the composite a training-data pipeline
+  * actually ships: per document, the keep/drop verdict plus the reasons,
+  * composed from the primitive operators (exact-dup keeper, near-dup
+  * component survivor, quality threshold). Keeping the reason columns
+  * (not just the filtered corpus) is deliberate: curation runs are
+  * audited, thresholds get re-tuned, and a drop-reason log turns a
+  * re-tune into a cheap re-filter instead of a full recompute.
+  *
+  * Plan shape: three independent per-doc relations (each already
+  * scale-shaped — see their operators) equi-joined back on doc_id.
+  * No new shuffles beyond the components' own.
+  */
+object Curation {
+
+  def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
+    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_doc_id"))
+    val exactDup = fp.join(keepers, "fp_md5")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
+    val nearDup = Dedup.dedupClusters(docs)
+      .select(col("doc_id"), (!col("is_survivor")).as("is_near_dup"))
+    val quality = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), (col("quality_score") >= lit(minQuality)).as("quality_ok"))
+    exactDup.join(nearDup, "doc_id").join(quality, "doc_id")
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"), col("quality_ok"),
+        (!col("is_exact_dup") && !col("is_near_dup") && col("quality_ok")).as("keep"))
+  }
+
+  def corpusKeepSql(minQuality: Double = 0.5, minMatch: Long = 8L): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |fp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
+       |),
+       |keepers AS (
+       |  SELECT fp_md5, min(doc_id) AS keeper_doc_id FROM fp GROUP BY fp_md5
+       |),
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_doc_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |)
+       |SELECT exd.doc_id AS doc_id, is_exact_dup,
+       |  rep.rep_id <> exd.doc_id AS is_near_dup, quality_ok,
+       |  NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok AS keep
+       |FROM exd
+       |JOIN rep ON rep.doc_id = exd.doc_id
+       |JOIN q ON q.doc_id = exd.doc_id
+       |ORDER BY doc_id, is_exact_dup, is_near_dup, quality_ok, keep""".stripMargin
+  }
+}

@@ -260,13 +260,16 @@ object Dedup {
       .withColumn("is_survivor", col("doc_id") === col("rep_id"))
   }
 
-  /** Oracle twin: reachability closure via a recursive CTE — min reachable
-    * doc_id (or self) is the component representative. */
-  def dedupClustersSql(minMatch: Long = 8L): String = {
+  /** The WITH-chain fragment (no `WITH RECURSIVE` prefix) building the
+    * near-dup component relation: `sig` → `bands` → candidate pairs →
+    * confirmed edges → `reach` (transitive closure) → `rep(doc_id,
+    * rep_id)`, one row per document. Shared by [[dedupClustersSql]] and
+    * the curation oracle ([[Curation.corpusKeepSql]]). */
+  private[text] def componentCtes(minMatch: Long): String = {
     val bandSelects = (0 until Bands).map(m =>
       s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE $sigCte,
+    s"""$sigCte,
        |bands AS (
        |  $bandSelects
        |),
@@ -291,14 +294,22 @@ object Dedup {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT d.doc_id AS doc_id,
-       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep_id,
-       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) = d.doc_id AS is_survivor
-       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-       |GROUP BY d.doc_id
-       |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
+       |),
+       |rep AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
   }
+
+  /** Oracle twin: reachability closure via a recursive CTE — min reachable
+    * doc_id (or self) is the component representative. */
+  def dedupClustersSql(minMatch: Long = 8L): String =
+    s"""WITH RECURSIVE ${componentCtes(minMatch)}
+       |SELECT doc_id, rep_id, rep_id = doc_id AS is_survivor
+       |FROM rep
+       |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
 
   // ---- exact n-gram Jaccard rescoring ------------------------------------
 
@@ -327,7 +338,21 @@ object Dedup {
     * per pair of documents.
     */
   def nearDupJaccard(docs: DataFrame): DataFrame = {
-    val buckets = bandedSignatures(docs)
+    // ONE text → shingle pass, checkpointed; the signature/banding stage
+    // AND both sides of the verification join all derive from it (min
+    // over the distinct set == min over the multiset, per
+    // [[minhashSignatures]]'s note). Without this the operator paid the
+    // tokenize+shingle pipeline three times — and at corpus scale the
+    // shingle-set relation is exactly the artifact worth materializing.
+    val shs = shingleSets(docs).localCheckpoint()
+    val mh = array(perms.map { case (a, b) =>
+      array_min(transform(col("sh_set"), s => PortableHash.permHash(s, a, b)))
+    }: _*)
+    val bandStructs = array((0 until Bands).map(m =>
+      struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
+    val buckets = shs.select(col("doc_id"), mh.as("mh"))
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -341,8 +366,8 @@ object Dedup {
       .select(least(col("p.x"), col("p.y")).as("doc_a"),
         greatest(col("p.x"), col("p.y")).as("doc_b"))
       .distinct()
-    val sa = shingleSets(docs).select(col("doc_id").as("doc_a"), col("sh_set").as("sh_a"))
-    val sb = shingleSets(docs).select(col("doc_id").as("doc_b"), col("sh_set").as("sh_b"))
+    val sa = shs.select(col("doc_id").as("doc_a"), col("sh_set").as("sh_a"))
+    val sb = shs.select(col("doc_id").as("doc_b"), col("sh_set").as("sh_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),

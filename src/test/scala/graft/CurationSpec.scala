@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+
+  val base: String = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+    "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four five six " +
+    "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen")
+  val nearDup: String = base.replace("oscar", "OSCARX")
+  val unrelated: String = "red green blue cyan magenta yellow black white " +
+    "purple orange pink brown gray silver gold bronze copper iron lead zinc"
+  // degenerate repetition → low distinct ratio + short → low quality score
+  val lowQuality: String = "spam spam spam spam spam"
+
+  test("corpusKeep: flags exact dups, near dups, and low quality; keeps the rest") {
+    val out = Curation.corpusKeep(docs(
+      (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_near_dup"),
+          r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("keep")))).toMap
+    // 1 is the keeper of the {1,2} exact family and the {1,2,3} component
+    assert(out(1L)._1 === false && out(1L)._2 === false)
+    assert(out(1L)._4 === true)
+    // 2 = exact dup of 1 (also a near-dup component member) → dropped
+    assert(out(2L) === ((true, true, true, false)))
+    // 3 = near dup only → dropped, but not an exact dup
+    assert(out(3L) === ((false, true, true, false)))
+    // 4 = unique and decent quality → kept
+    assert(out(4L) === ((false, false, true, true)))
+    // 5 = unique but low quality → dropped
+    assert(out(5L)._1 === false && out(5L)._2 === false)
+    assert(out(5L)._3 === false && out(5L)._4 === false)
+  }
+
+  test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
+    val out = Curation.corpusKeep(docs(
+      (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
+      .collect()
+    out.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val expect = !r.getAs[Boolean]("is_exact_dup") &&
+        !r.getAs[Boolean]("is_near_dup") && r.getAs[Boolean]("quality_ok")
+      assert(keep === expect, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+}
