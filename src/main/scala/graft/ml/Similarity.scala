@@ -93,7 +93,12 @@ object Similarity {
   /** Exact k-nearest-neighbors by cosine for the query set
     * `vec_id < nQueries`: broadcast the (small) query side, score every
     * corpus vector against every query in one scan, reduce with the
-    * bounded top-k aggregate. Self-matches excluded.
+    * bounded top-k aggregate. Self-matches excluded. The join condition
+    * is non-equi (`=!=`), so the physical plan is a
+    * BroadcastNestedLoopJoin over the ≤nQueries broadcast rows — for
+    * brute-force kNN that IS the intended shape (corpus × small-k
+    * scoring, one corpus scan, no shuffle of corpus vectors);
+    * PlanAuditSpec pins it and the query-side parquet pushdown.
     */
   def embedKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
     val v = vectors(embeds)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for scale-critical properties: column
+  * pruning reaches the parquet scan, the small side of the kNN join is
+  * broadcast, and no operator degenerates into a cartesian product.
+  * These lock in the plan shapes the Scaladocs claim — a regression
+  * that silently widens a scan or drops a broadcast fails here, not in
+  * a 100 TB run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("text operators prune the documents scan to the columns they read") {
+    // lang_id needs (doc_id, lang, text); media needs (doc_id, text, source,
+    // n_chars, lang); none may read the full table when fewer cols suffice
+    val p = plan("token_profile")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"token_profile reads more than it uses: $readSchema")
+  }
+
+  test("embed_knn broadcasts the filtered query side (nested-loop by design: non-equi join)") {
+    // The score join's condition is vec_id =!= query_id — non-equi, so the
+    // correct physical shape IS BroadcastNestedLoopJoin with the ≤nQueries
+    // rows broadcast: every corpus row scores against every query in one
+    // scan. A hash join is impossible here; the thing to guard is that the
+    // BROADCAST side is the filtered query scan (LessThan pushed to parquet).
+    val p = plan("embed_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      s"query-side filter not pushed to the embeddings scan")
+  }
+
+  test("no query plans a cartesian product; nested-loop only where the join is non-equi") {
+    // embed_knn's BNLJ is the intended broadcast-queries plan (above).
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if name != "embed_knn") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
+    // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
+    // LessThan cannot be pushed into the parquet reader — only IsNotNull
+    // lands in PushedFilters. The guard here is that the filter still sits
+    // directly on top of the scan (map-side, before any shuffle); pushdown
+    // onto RAW columns is separately proven by embed_knn's LessThan(vec_id).
+    val p = plan("edge_count")
+    assert("Filter [^\\n]*% 100\\) < \\d+".r.findFirstIn(p).isDefined,
+      s"MAX filter missing from plan:\n$p")
+    assert(!p.contains("Exchange") ||
+      p.indexOf("Filter") > p.indexOf("Exchange"),
+      "MAX filter must evaluate before the aggregation exchange")
+  }
+}
