@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering this engine's native Catalyst
+  * expressions — the public mechanism for shipping custom codegen
+  * functions (vs. reaching into `private[sql]` internals). Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` on the
+  * session builder (Verify, Bench, and the test session all do); the
+  * operators then reach the expression through
+  * `functions.call_function("simhash_of_hashes", ...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.SimhashOfHashes].getName,
+        "simhash_of_hashes"),
+      (children: Seq[Expression]) =>
+        graft.functions.SimhashOfHashes(children.head, graft.text.Dedup.simPerms)))
+  }
+}

@@ -423,27 +423,23 @@ object Dedup {
   /** `(doc_id, n_tokens, simhash)` — per-bit majority vote over the
     * permuted token hashes: bit 16p+j is set iff more than half the
     * tokens have bit j of permutation p set (strict, so ties → 0 and the
-    * empty doc → 0). Like MinHash, one codegen'd size/filter pass per bit
-    * beats a single interpreted fold. Term frequency weights votes
-    * naturally (the sum runs over the token multiset). Bit 63's weight is
-    * Long.MinValue; partial sums never overflow because bits 0..62 sum to
-    * at most Long.MaxValue and the bit-63 term is added last.
+    * empty doc → 0). Term frequency weights votes naturally (the vote
+    * runs over the token multiset).
+    *
+    * One declarative `tokHash` pass produces the hash array; the
+    * permute-and-vote stage is the native codegen expression
+    * [[graft.functions.SimhashOfHashes]] — the declarative formulation
+    * (4 transforms + 64 size/filter passes, all interpreted HOFs) walks
+    * the array 68 times per row; the expression walks it once inside
+    * whole-stage codegen. `SimhashSpec` pins bit-equality between the two.
     */
   def docSimhash(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val permCols = simPerms.zipWithIndex.map { case ((a, b), p) =>
-      transform(toks, t => PortableHash.permHash(PortableHash.tokHash(t), a, b)).as(s"th$p")
-    }
-    val t = graft.Tables.widen(docs).select(col("doc_id") +: permCols: _*)
-    val n = size(col("th0"))
-    val sim = (0 until SimBands).flatMap { p =>
-      (0 until simBandBits).map { j =>
-        val ones = size(filter(col(s"th$p"),
-          h => (shiftright(h, j) % 2) === 1L))
-        when(ones * 2 > n, lit(1L << (p * simBandBits + j))).otherwise(lit(0L))
-      }
-    }.reduce(_ + _)
-    t.select(col("doc_id"), n.cast("long").as("n_tokens"), sim.as("simhash"))
+    val th = transform(TextAnalysis.tokens(col("text")),
+      t => PortableHash.tokHash(t))
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+        call_function("simhash_of_hashes", col("th")).as("simhash"))
   }
 
   def docSimhashSql: String = {

@@ -13,6 +13,7 @@ object MicroBench {
     val trials = if (args.length > 2) args(2).toInt else 5
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
