@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash_of_hashes"),
       (children: Seq[Expression]) =>
         graft.functions.SimhashOfHashes(children.head, graft.text.Dedup.simPerms)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.MinhashOfHashes].getName,
+        "minhash_of_hashes"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinhashOfHashes(children.head, graft.text.Dedup.perms)))
   }
 }

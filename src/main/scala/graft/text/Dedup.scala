@@ -69,13 +69,11 @@ object Dedup {
     * with ≥3 tokens (shorter docs have no 3-shingle; near-dup on them is
     * exact dedup's job). Per-row map work only: tokenize → tokHash each
     * token → 3-shingle array → min over each of the 16 permuted hash
-    * streams. No shuffle, no UDF — arrays + HOFs. Two shapes were
-    * measured: this one (16 × transform + array_min over the shingle
-    * array) and a single aggregate() fold carrying 16 running minima in a
-    * struct; the fold LOST by ~1.5× (min-of-5, one JVM) because
-    * array_min is a plain codegen expression while the fold pays
-    * interpreted per-token struct construction — a reminder that fewer
-    * logical passes ≠ faster when the passes differ in codegen-ability.
+    * streams; no shuffle, no UDF. The 16 minima come from the native
+    * [[graft.functions.MinhashOfHashes]] expression — one codegen'd walk
+    * of the shingle array instead of 16 interpreted
+    * `array_min(transform(...))` passes (array HOFs are CodegenFallback);
+    * `MinhashSpec` pins bit-equality against the declarative formulation.
     * (No array_distinct before the mins: min over the shingle multiset
     * equals min over the distinct set.)
     */
@@ -90,11 +88,8 @@ object Dedup {
         element_at(col("th"), i),
         element_at(col("th"), i + 1),
         element_at(col("th"), i + 2)))
-    val withSh = t.select(col("doc_id"), shingles.as("sh"))
-    val mh = array(perms.map { case (a, b) =>
-      array_min(transform(col("sh"), s => PortableHash.permHash(s, a, b)))
-    }: _*)
-    withSh.select(col("doc_id"), mh.as("mh"))
+    t.select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), call_function("minhash_of_hashes", col("sh")).as("mh"))
   }
 
   /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB. */
