@@ -88,8 +88,15 @@ object Dedup {
         element_at(col("th"), i),
         element_at(col("th"), i + 1),
         element_at(col("th"), i + 2)))
+    val mh =
+      if (docs.sparkSession.catalog.functionExists("minhash_of_hashes"))
+        call_function("minhash_of_hashes", col("sh"))
+      else // session built without GraftExtensions: same arithmetic, k HOF passes
+        array(perms.map { case (a, b) =>
+          array_min(transform(col("sh"), s => PortableHash.permHash(s, a, b)))
+        }: _*)
     t.select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"), call_function("minhash_of_hashes", col("sh")).as("mh"))
+      .select(col("doc_id"), mh.as("mh"))
   }
 
   /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB. */
@@ -431,10 +438,21 @@ object Dedup {
   def docSimhash(docs: DataFrame): DataFrame = {
     val th = transform(TextAnalysis.tokens(col("text")),
       t => PortableHash.tokHash(t))
+    val n = size(col("th"))
+    val sim =
+      if (docs.sparkSession.catalog.functionExists("simhash_of_hashes"))
+        call_function("simhash_of_hashes", col("th"))
+      else // session built without GraftExtensions: same vote, 68 HOF passes
+        simPerms.zipWithIndex.flatMap { case ((a, b), p) =>
+          (0 until simBandBits).map { j =>
+            val ones = size(filter(col("th"),
+              h => (shiftright(PortableHash.permHash(h, a, b), j) % 2) === 1L))
+            when(ones * 2 > n, lit(1L << (p * simBandBits + j))).otherwise(lit(0L))
+          }
+        }.reduce(_ + _)
     graft.Tables.widen(docs)
       .select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
-        call_function("simhash_of_hashes", col("th")).as("simhash"))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"), sim.as("simhash"))
   }
 
   def docSimhashSql: String = {
