@@ -19,13 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.SimhashOfHashes].getName,
         "simhash_of_hashes"),
-      (children: Seq[Expression]) =>
-        graft.functions.SimhashOfHashes(children.head, graft.text.Dedup.simPerms)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"simhash_of_hashes takes exactly 1 argument, got ${children.size}")
+        graft.functions.SimhashOfHashes(children.head, graft.text.Dedup.simPerms)
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.MinhashOfHashes].getName,
         "minhash_of_hashes"),
-      (children: Seq[Expression]) =>
-        graft.functions.MinhashOfHashes(children.head, graft.text.Dedup.perms)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"minhash_of_hashes takes exactly 1 argument, got ${children.size}")
+        graft.functions.MinhashOfHashes(children.head, graft.text.Dedup.perms)
+      }))
   }
 }

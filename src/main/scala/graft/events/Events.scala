@@ -29,14 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Epoch-µs from the raw epoch-ns long (integer division — truncation
-    * matches DuckDB's ns→µs parquet conversion). */
-  private val tsUs: Column = expr("CAST(ts DIV 1000 AS BIGINT)")
+  /** Epoch-µs from the raw epoch-ns long. FLOOR division, not `DIV`:
+    * `DIV` truncates toward zero, which diverges from DuckDB's ns→µs
+    * epoch conversion (a floor) for pre-epoch timestamps (-1500 ns is
+    * -2 µs, not -1). `ts - pmod(ts, 1000)` is exactly divisible, so the
+    * DIV afterwards is exact for every int64. Shared by the streaming
+    * twins ([[graft.streaming.EventStream]], [[graft.streaming.DocStream]])
+    * so batch and streaming cannot drift. */
+  private[graft] val tsUs: Column =
+    expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)")
 
   /** Exact integer cents. floor(v·100 + 0.5) rather than round(): the two
     * engines disagree on round-half-to-even vs half-away at exact .5
-    * doubles; floor(x + 0.5) is the same IEEE ops in both. */
-  private val valueCents: Column = floor(col("value") * lit(100.0) + lit(0.5))
+    * doubles; floor(x + 0.5) is the same IEEE ops in both. Shared by the
+    * streaming twins. */
+  private[graft] val valueCents: Column = floor(col("value") * lit(100.0) + lit(0.5))
 
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Classic two-window plan — lag() flags

@@ -72,11 +72,17 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
-  /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2 norm. */
+  /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2
+    * norm. Zero-norm vectors (all coordinates quantize to 0) are
+    * excluded: they carry no direction, cosine against them is 0/0, and
+    * a NULL cos_sim would crash the non-nullable [[Scored]] encoder —
+    * the exclusion is mirrored in the oracle CTE so both engines see the
+    * same corpus. */
   def vectors(embeds: DataFrame): DataFrame = {
     val qv = quantize(col("embedding"))
     graft.Tables.widen(embeds).select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(dot(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0.0)
   }
 
   private def vectorsCte: String =
@@ -85,26 +91,32 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0) AS BIGINT)) AS qv
        |  FROM embeddings
        |), vecs AS (
-       |  SELECT vec_id, qv,
-       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
-       |  FROM qvecs
+       |  SELECT * FROM (
+       |    SELECT vec_id, qv,
+       |      sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |    FROM qvecs
+       |  ) WHERE nrm > 0
        |)""".stripMargin
 
   /** Exact k-nearest-neighbors by cosine for the query set
     * `vec_id < nQueries`: broadcast the (small) query side, score every
     * corpus vector against every query in one scan, reduce with the
-    * bounded top-k aggregate. Self-matches excluded. The join condition
-    * is non-equi (`=!=`), so the physical plan is a
-    * BroadcastNestedLoopJoin over the ≤nQueries broadcast rows — for
-    * brute-force kNN that IS the intended shape (corpus × small-k
-    * scoring, one corpus scan, no shuffle of corpus vectors);
-    * PlanAuditSpec pins it and the query-side parquet pushdown.
+    * bounded top-k aggregate. Self-matches excluded. The dimensionality
+    * guard (`size(qqv) === size(qv)`) doubles as an equi-key, so the
+    * physical plan is a BroadcastHashJoin over the ≤nQueries broadcast
+    * rows — one corpus scan, no shuffle of corpus vectors; PlanAuditSpec
+    * pins the plan shape and the query-side parquet pushdown.
     */
   def embedKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
     val v = vectors(embeds)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // Length guard: Spark's zip_with null-pads ragged pairs (→ NULL dot)
+    // while DuckDB's list_sum silently drops the null products (→ partial
+    // sum) — requiring equal dimensionality on BOTH sides keeps the
+    // engines agreeing instead of diverging quietly on malformed input.
+    val scored = v.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && size(col("qqv")) === size(col("qv")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
@@ -124,7 +136,8 @@ object Similarity {
        |  SELECT query_id, vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qqv[i] * qv[i])) AS DOUBLE)
        |      / (qnrm * nrm) AS cos_sim
-       |  FROM vecs CROSS JOIN queries WHERE vec_id <> query_id
+       |  FROM vecs CROSS JOIN queries
+       |  WHERE vec_id <> query_id AND len(qqv) = len(qv)
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -180,13 +193,11 @@ object Similarity {
     val buckets = v.groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("qv"), col("nrm"))).as("vs"))
       .filter(size(col("vs")) >= 2)
-    val pairList = flatten(transform(
-      sequence(lit(1), size(col("vs")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("vs"))),
-        j => struct(element_at(col("vs"), i).as("x"),
-          element_at(col("vs"), j).as("y")))))
+    val pairList = graft.functions.Pairing.intraBucketPairs(col("vs"))
     buckets.select(col("bucket"), explode(pairList).as("p"))
+      // same ragged-length guard as embedKnn: keep the engines' dot
+      // products identical instead of NULL-vs-partial-sum divergent
+      .filter(size(col("p.x.qv")) === size(col("p.y.qv")))
       .select(
         least(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_a"),
         greatest(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_b"),
@@ -209,6 +220,7 @@ object Similarity {
        |      / (a.nrm * b.nrm) AS cos_sim
        |  FROM bucketed a JOIN bucketed b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |      AND len(a.qv) = len(b.qv)
        |)
        |SELECT vec_a, vec_b, bucket, cos_sim FROM pairs
        |WHERE cos_sim >= ${simThreshold}e0

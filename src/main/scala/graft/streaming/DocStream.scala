@@ -20,10 +20,9 @@ import graft.text.TextAnalysis
   */
 object DocStream {
 
-  /** Event-time from an epoch-ns BIGINT `ts` (same convention as
-    * [[EventStream]]). */
-  private val eventTime: Column =
-    timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))
+  /** Event-time from an epoch-ns BIGINT `ts` — the same shared ns→µs
+    * floor as every other time consumer ([[EventStream.eventTime]]). */
+  private val eventTime: Column = EventStream.eventTime
 
   /** `(doc_id, fp_md5, event_time)` stream with duplicates (by normalized
     * content hash) dropped within the watermark horizon. */

@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** Event-time column from the raw epoch-ns BIGINT `ts`. */
-  private val eventTime: Column =
-    timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))
+  /** Event-time column from the raw epoch-ns BIGINT `ts` — the batch
+    * operators' shared ns→µs floor ([[graft.events.Events.tsUs]]), lifted
+    * to the TimestampType watermarks require. */
+  private[streaming] val eventTime: Column =
+    timestamp_micros(graft.events.Events.tsUs)
 
-  private val valueCents: Column =
-    floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+  private val valueCents: Column = graft.events.Events.valueCents.cast("long")
 
   /** Streaming tumbling one-hour rollup per event type — the
     * [[graft.events.Events.hourlyRollup]] logic under a watermark. Late

@@ -186,12 +186,7 @@ object Dedup {
       .groupBy("band", "band_hash")
       .agg(collect_list(struct(col("doc_id"), col("mh"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val pairList = flatten(transform(
-      sequence(lit(1), size(col("ds")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("ds"))),
-        j => struct(element_at(col("ds"), i).as("x"),
-          element_at(col("ds"), j).as("y")))))
+    val pairList = graft.functions.Pairing.intraBucketPairs(col("ds"))
     buckets.select(explode(pairList).as("p"))
       .select(
         least(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_a"),
@@ -358,12 +353,7 @@ object Dedup {
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val pairList = flatten(transform(
-      sequence(lit(1), size(col("ds")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("ds"))),
-        j => struct(element_at(col("ds"), i).as("x"),
-          element_at(col("ds"), j).as("y")))))
+    val pairList = graft.functions.Pairing.intraBucketPairs(col("ds"))
     val cand = buckets.select(explode(pairList).as("p"))
       .select(least(col("p.x"), col("p.y")).as("doc_a"),
         greatest(col("p.x"), col("p.y")).as("doc_b"))

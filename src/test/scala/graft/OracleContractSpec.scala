@@ -26,7 +26,11 @@ class OracleContractSpec extends AnyFunSuite {
   test("every multi-row oracle ends with ORDER BY over all columns in schema order") {
     val norm = (s: String) => s.toLowerCase.replaceAll("\\s+", " ").trim
     for ((name, fn) <- SparkEntry.queries if !scalarQueries.contains(name)) {
-      val cols = fn(spark, sfDir).columns // analysis only, no job
+      // NB: not free for every query — the iterative operators
+      // (dedup_clusters, corpus_keep) and the checkpointing ones run real
+      // jobs during DataFrame CONSTRUCTION, so .columns costs wall-clock
+      // there; acceptable at the sf0.001 fixture this spec reads.
+      val cols = fn(spark, sfDir).columns
       val expected = "order by " + cols.mkString(", ").toLowerCase
       val sql = norm(SparkEntry.oracleSql(name))
       assert(sql.endsWith(expected),

@@ -27,21 +27,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"token_profile reads more than it uses: $readSchema")
   }
 
-  test("embed_knn broadcasts the filtered query side (nested-loop by design: non-equi join)") {
-    // The score join's condition is vec_id =!= query_id — non-equi, so the
-    // correct physical shape IS BroadcastNestedLoopJoin with the ≤nQueries
-    // rows broadcast: every corpus row scores against every query in one
-    // scan. A hash join is impossible here; the thing to guard is that the
-    // BROADCAST side is the filtered query scan (LessThan pushed to parquet).
+  test("embed_knn broadcasts the filtered query side as a hash join") {
+    // The scoring join is vec_id =!= query_id (non-equi) AND
+    // size(qqv) === size(qv) — the dimensionality guard doubles as an
+    // equi-key, so Spark plans a BroadcastHashJoin over the ≤nQueries
+    // broadcast rows instead of a nested loop. Guard both that and the
+    // query-side LessThan pushdown into the parquet scan.
     val p = plan("embed_knn")
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
       s"query-side filter not pushed to the embeddings scan")
   }
 
-  test("no query plans a cartesian product; nested-loop only where the join is non-equi") {
-    // embed_knn's BNLJ is the intended broadcast-queries plan (above).
-    for (name <- SparkEntry.queries.keys.toSeq.sorted if name != "embed_knn") {
+  test("no query plans a cartesian product or a nested-loop join") {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
