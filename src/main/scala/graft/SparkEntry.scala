@@ -73,6 +73,8 @@ object SparkEntry {
       TextAnalysis.tokenProfile(graft.Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(graft.Tables.documents(s, dir))),
+    "corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -103,6 +105,8 @@ object SparkEntry {
       Events.sessionize(graft.Tables.events(s, dir))),
     "events_hourly" -> ((s, dir) =>
       Events.hourlyRollup(graft.Tables.events(s, dir))),
+    "top_events_per_user" -> ((s, dir) =>
+      Events.topEventsPerUser(graft.Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,6 +145,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "token_profile" -> TextAnalysis.tokenProfileSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
@@ -154,6 +159,7 @@ object SparkEntry {
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
+    "top_events_per_user" -> Events.topEventsPerUserSql(),
   )
 
   private def triangleOracle: String =

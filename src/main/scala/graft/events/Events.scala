@@ -131,4 +131,35 @@ object Events {
        |  CAST(sum(k) AS BIGINT) AS sum_k
        |FROM e GROUP BY hour_us, event_type
        |ORDER BY hour_us, event_type, n_events, n_users, sum_value_cents, sum_k""".stripMargin
+
+  /** Per-user top-k events by value — the ranking-window operator (the
+    * reference has none; SURVEY §2.5 lists the category as an extension).
+    * One hash partition by user_id + in-partition sort; output bounded at
+    * k rows per user. Ties broken by event_id (unique), so the ranking is
+    * total and both engines agree row-for-row.
+    */
+  def topEventsPerUser(events: DataFrame, k: Int = 3): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+      tsUs.as("ts_us"), valueCents.as("value_cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value_cents").desc, col("event_id"))
+    e.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("user_id"), col("rnk"), col("event_id"),
+        col("ts_us"), col("value_cents"))
+  }
+
+  def topEventsPerUserSql(k: Int = 3): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS value_cents
+       |  FROM events
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY user_id ORDER BY value_cents DESC, event_id) AS BIGINT) AS rnk
+       |  FROM e
+       |)
+       |SELECT user_id, rnk, event_id, ts_us, value_cents
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY user_id, rnk, event_id, ts_us, value_cents""".stripMargin
 }

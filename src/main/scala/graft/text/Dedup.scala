@@ -149,10 +149,14 @@ object Dedup {
   def minhashBands(docs: DataFrame): DataFrame =
     bandedSignatures(docs).select("doc_id", "band", "band_hash")
 
-  def minhashBandsSql: String = {
-    val bandSelects = (0 until Bands).map(m =>
+  /** The 4-way band UNION over `sig`, shared by every oracle that buckets. */
+  private def bandSelectsSql: String =
+    (0 until Bands).map(m =>
       s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
       .mkString("\n  UNION ALL\n  ")
+
+  def minhashBandsSql: String = {
+    val bandSelects = bandSelectsSql
     s"""WITH $sigCte,
        |bands AS (
        |  $bandSelects
@@ -263,9 +267,7 @@ object Dedup {
     * rep_id)`, one row per document. Shared by [[dedupClustersSql]] and
     * the curation oracle ([[Curation.corpusKeepSql]]). */
   private[text] def componentCtes(minMatch: Long): String = {
-    val bandSelects = (0 until Bands).map(m =>
-      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val bandSelects = bandSelectsSql
     s"""$sigCte,
        |bands AS (
        |  $bandSelects
@@ -368,9 +370,7 @@ object Dedup {
   }
 
   def nearDupJaccardSql: String = {
-    val bandSelects = (0 until Bands).map(m =>
-      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val bandSelects = bandSelectsSql
     s"""WITH $sigCte,
        |shsets AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
@@ -526,9 +526,7 @@ object Dedup {
   }
 
   def nearDupPairsSql: String = {
-    val bandSelects = (0 until Bands).map(m =>
-      s"SELECT doc_id, CAST($m AS BIGINT) AS band, ${bandHashSql(m)} AS band_hash FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val bandSelects = bandSelectsSql
     s"""WITH $sigCte,
        |bands AS (
        |  $bandSelects

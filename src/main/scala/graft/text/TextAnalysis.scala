@@ -212,4 +212,39 @@ object TextAnalysis {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Corpus rollup per (lang, source): doc counts, token/char totals, and
+    * the exact-dup rate — the dashboard numbers every curation run
+    * reports. One partial-aggregated shuffle on the (lang, source) key;
+    * the dup count rides the same shuffle as a distinct-count expansion.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        normMd5(col("text")).as("fp"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("fp").as("n_distinct_docs"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_docs"))
+
+  def corpusStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, source,
+       |    CAST(len(regexp_extract_all(lower(text), '$TokenRe')) AS BIGINT) AS n_toks,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    ${normMd5Sql("text")} AS fp
+       |  FROM documents
+       |)
+       |SELECT lang, source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+       |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
+       |FROM d GROUP BY lang, source
+       |ORDER BY lang, source, n_docs, total_tokens, total_chars,
+       |  n_distinct_docs, n_dup_docs""".stripMargin
 }

@@ -53,4 +53,21 @@ class EventsSpec extends AnyFunSuite {
     val b = Events.sessionize(events(rows.reverse: _*)).collect().toSet
     assert(a === b)
   }
+
+  test("topEventsPerUser ranks by value desc with event_id tiebreak, bounded at k") {
+    val out = Events.topEventsPerUser(events(
+      (0L, T, 1L, "buy", 5.00, "{}"),
+      (1L, T + 1, 1L, "buy", 9.00, "{}"),
+      (2L, T + 2, 1L, "buy", 9.00, "{}"), // tie with 1 → later event_id ranks lower
+      (3L, T + 3, 1L, "buy", 1.00, "{}"),
+      (4L, T + 4, 1L, "buy", 0.50, "{}"), // 5th → cut at k=3
+      (5L, T, 2L, "buy", 2.00, "{}")), k = 3)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rnk")) ->
+        r.getAs[Long]("event_id")).toMap
+    assert(out((1L, 1L)) === 1L)
+    assert(out((1L, 2L)) === 2L)
+    assert(out((1L, 3L)) === 0L)
+    assert(out((2L, 1L)) === 5L)
+    assert(out.size === 4) // user 1 capped at 3, user 2 has 1
+  }
 }

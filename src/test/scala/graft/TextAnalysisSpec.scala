@@ -55,4 +55,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._1 !== out(3L)._1)
     assert(out(1L)._2 !== out(3L)._2) // order-sensitive
   }
+
+  test("corpusStats rolls up per (lang, source) with exact dup counts") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "alpha  beta\tgamma", "en", "web"), // whitespace dup of 1
+      (3L, "one two", "en", "web"),
+      (4L, "uno dos tres", "es", "book"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusStats(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_distinct_docs"), r.getAs[Long]("n_dup_docs"))).toMap
+    assert(out(("en", "web")) === (3L, 8L, 2L, 1L))
+    assert(out(("es", "book")) === (1L, 3L, 1L, 0L))
+  }
 }
