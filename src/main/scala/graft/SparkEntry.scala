@@ -100,6 +100,8 @@ object SparkEntry {
     // ---- LLM-data-pipeline extensions: multimodal binary columns ----
     "media_features" -> ((s, dir) =>
       graft.multimodal.Media.mediaFeatures(graft.Tables.documents(s, dir))),
+    "media_frames" -> ((s, dir) =>
+      graft.multimodal.Media.frameSample(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -157,6 +159,7 @@ object SparkEntry {
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
+    "media_frames" -> graft.multimodal.Media.frameSampleSql(),
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),

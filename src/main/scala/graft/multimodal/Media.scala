@@ -62,13 +62,15 @@ object Media {
     * string is the portable byte-access path (Spark and DuckDB agree on
     * `hex` output), so byte statistics stay inside codegen with no UDF.
     */
+  /** Byte value of a 2-hex-char column — the portable byte-access path. */
+  private def byteVal(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (instr(lit("0123456789ABCDEF"), substring(p, 1, 1)) - 1) * 16L +
+      (instr(lit("0123456789ABCDEF"), substring(p, 2, 1)) - 1)
+
   def mediaFeatures(docs: DataFrame): DataFrame = {
     val media = asMediaTable(graft.Tables.widen(docs))
     val h = hex(col("payload"))
     val bytes = regexp_extract_all(h, lit(".."), lit(0))
-    val byteVal = (p: org.apache.spark.sql.Column) =>
-      (instr(lit("0123456789ABCDEF"), substring(p, 1, 1)) - 1) * 16L +
-        (instr(lit("0123456789ABCDEF"), substring(p, 2, 1)) - 1)
     media.select(
       col("media_id"),
       col("fmt"),
@@ -77,6 +79,48 @@ object Media {
       aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
       size(filter(bytes, p =>
         instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"))
+  }
+
+  /** Frame sampling: every `stride`-th complete `frameBytes`-byte block
+    * of the payload, as `(media_id, frame_idx, frame_hex, frame_sum)` —
+    * the video-frame-sampling batch shape with the frame DECODE faked by
+    * byte statistics (same stance as [[mediaFeatures]]: the sampling
+    * arithmetic, row explosion, and per-frame schema are the real
+    * plumbing a codec would drop into). Payloads shorter than one frame
+    * emit no rows in either engine. frame_idx is the block's position in
+    * the payload (not the sample ordinal), so downstream code can seek.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val hexPerFrame = frameBytes * 2
+    val media = asMediaTable(graft.Tables.widen(docs))
+      .select(col("media_id"), hex(col("payload")).as("h"))
+    val nFrames = (length(col("h")) / hexPerFrame).cast("long")
+    val sampled = media.filter(nFrames >= 1L)
+      .select(col("media_id"), col("h"),
+        explode(sequence(lit(0L), nFrames - 1L, lit(stride.toLong))).as("frame_idx"))
+    val frame = col("h").substr(
+      (col("frame_idx") * hexPerFrame + 1L).cast("int"), lit(hexPerFrame))
+    sampled.select(col("media_id"), col("frame_idx"), frame.as("frame_hex"))
+      .withColumn("frame_sum", (0 until frameBytes).map(k =>
+        byteVal(substring(col("frame_hex"), k * 2 + 1, 2))).reduce(_ + _))
+  }
+
+  def frameSampleSql(frameBytes: Int = 16, stride: Int = 4): String = {
+    val hexPerFrame = frameBytes * 2
+    val sumTerms = (0 until frameBytes).map { k =>
+      s"((strpos('0123456789ABCDEF', substring(frame_hex, ${k * 2 + 1}, 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(frame_hex, ${k * 2 + 2}, 1)) - 1))"
+    }.mkString("(", "\n   + ", ")")
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents
+       |), frames AS (
+       |  SELECT media_id, CAST(u.f AS BIGINT) AS frame_idx,
+       |    substring(h, CAST(u.f * $hexPerFrame + 1 AS INT), $hexPerFrame) AS frame_hex
+       |  FROM media, UNNEST(range(0, len(h) // $hexPerFrame, $stride)) AS u(f)
+       |)
+       |SELECT media_id, frame_idx, frame_hex,
+       |  CAST($sumTerms AS BIGINT) AS frame_sum
+       |FROM frames
+       |ORDER BY media_id, frame_idx, frame_hex, frame_sum""".stripMargin
   }
 
   def mediaFeaturesSql: String =

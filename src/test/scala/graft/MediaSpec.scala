@@ -37,6 +37,23 @@ class MediaSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("frameSample: stride-samples complete frames; short payloads emit none") {
+    // 40-byte payload of 'a'..'(char 40)' → 2 complete 16-byte frames
+    // (blocks 0 and 1); stride 4 samples only block 0. 5-byte payload →
+    // no complete frame → no rows.
+    val text40 = (0 until 40).map(i => ('a' + i % 26).toChar).mkString
+    val out = Media.frameSample(docs(
+      (1L, text40, "en", "s", 40L), (2L, "hello", "en", "s", 5L)))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[String]("frame_hex"), r.getAs[Long]("frame_sum")))
+    assert(out.length === 1)
+    val ((id, idx), (hex16, sum)) = out.head
+    assert(id === 1L && idx === 0L)
+    val expectBytes = text40.take(16).map(_.toLong)
+    assert(hex16 === text40.take(16).map(c => f"${c.toInt}%02X").mkString)
+    assert(sum === expectBytes.sum)
+  }
+
   test("media table keeps payload opaque binary with typed metadata") {
     val schema = Media.asMediaTable(docs(sample: _*)).schema
     assert(schema("payload").dataType.typeName === "binary")
