@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import graft.functions.{MinhashOfHashes, PortableHash, SimhashOfHashes}
+import graft.text.Dedup
+
+/** ScalaCheck properties for the native hash expressions' interpreted
+  * eval path, checked against independent Scala models (the codegen path
+  * is pinned by MinhashSpec/SimhashSpec through real Spark jobs). No
+  * SparkSession needed: expressions evaluate over Literal array children.
+  */
+object HashExprProps extends Properties("HashExpressions") {
+
+  private val P = PortableHash.P
+  private val hashGen = Gen.chooseNum(0L, 1L << 52)
+  private val arrGen = Gen.listOf(hashGen)
+
+  private def evalExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
+    e.eval(null)
+
+  private def litArr(hs: Seq[Long]): Literal =
+    Literal.create(new GenericArrayData(hs.toArray), ArrayType(LongType))
+
+  private def minhashModel(hs: Seq[Long]): Seq[Option[Long]] =
+    Dedup.perms.map { case (a, b) =>
+      if (hs.isEmpty) None
+      else Some(hs.map(h => ((h % P) * a + b) % P).min)
+    }
+
+  private def simhashModel(hs: Seq[Long]): Long = {
+    val n = hs.size
+    var sim = 0L
+    for (((a, b), p) <- Dedup.simPerms.zipWithIndex; j <- 0 until 16) {
+      val ones = hs.count(h => ((((h % P) * a + b) % P) >>> j & 1L) == 1L)
+      if (2L * ones > n) sim |= 1L << (p * 16 + j)
+    }
+    sim
+  }
+
+  property("minhash eval equals the model") = forAll(arrGen) { hs =>
+    val out = evalExpr(MinhashOfHashes(litArr(hs), Dedup.perms))
+      .asInstanceOf[ArrayData]
+    val got = (0 until out.numElements()).map(i =>
+      if (out.isNullAt(i)) None else Some(out.getLong(i)))
+    got == minhashModel(hs)
+  }
+
+  property("simhash eval equals the model") = forAll(arrGen) { hs =>
+    evalExpr(SimhashOfHashes(litArr(hs), Dedup.simPerms)) == simhashModel(hs)
+  }
+
+  property("both are order-invariant (sketches of a bag, not a sequence)") =
+    forAll(arrGen) { hs =>
+      val r = hs.reverse
+      evalExpr(SimhashOfHashes(litArr(hs), Dedup.simPerms)) ==
+        evalExpr(SimhashOfHashes(litArr(r), Dedup.simPerms)) &&
+      evalExpr(MinhashOfHashes(litArr(hs), Dedup.perms)).toString ==
+        evalExpr(MinhashOfHashes(litArr(r), Dedup.perms)).toString
+    }
+
+  property("duplicating every element leaves minhash unchanged (set semantics)") =
+    forAll(Gen.nonEmptyListOf(hashGen)) { hs =>
+      evalExpr(MinhashOfHashes(litArr(hs ++ hs), Dedup.perms)).toString ==
+        evalExpr(MinhashOfHashes(litArr(hs), Dedup.perms)).toString
+    }
+}
