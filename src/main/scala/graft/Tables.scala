@@ -48,6 +48,11 @@ object Tables {
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd compiles the (scan-only) upstream plan once at operator
+    // CONSTRUCTION to read the split count — a fixed tens-of-ms driver
+    // cost per call, never per-row; accepted for an accurate answer
+    // (file-split math incl. maxPartitionBytes), which a static
+    // heuristic over file sizes would re-implement.
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

@@ -121,7 +121,8 @@ object Events {
        |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
        |    event_type, user_id,
        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS value_cents,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |    CASE WHEN regexp_matches(trim(json_extract_string(props, '$$.k')), '^[+-]?[0-9]+$$')
+       |      THEN CAST(trim(json_extract_string(props, '$$.k')) AS BIGINT) END AS k
        |  FROM events
        |)
        |SELECT hour_us, event_type,

@@ -27,7 +27,16 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   private def best(s: Seq[Scored]): Seq[Scored] =
     s.sortBy(x => (-x.cos_sim, x.neighbor_id)).take(k)
   def zero: TopKBuf = TopKBuf(Seq.empty)
-  def reduce(b: TopKBuf, a: Scored): TopKBuf = TopKBuf(best(b.items :+ a))
+  // `best` keeps items sorted, so a full buffer's last element is its
+  // worst — most rows in the map-side hot loop fail that bound check and
+  // return the buffer untouched instead of paying a per-row sort.
+  def reduce(b: TopKBuf, a: Scored): TopKBuf =
+    if (b.items.size >= k && {
+      val w = b.items.last
+      a.cos_sim < w.cos_sim ||
+        (a.cos_sim == w.cos_sim && a.neighbor_id >= w.neighbor_id)
+    }) b
+    else TopKBuf(best(b.items :+ a))
   def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = TopKBuf(best(b1.items ++ b2.items))
   def finish(r: TopKBuf): TopKBuf = r
   def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
@@ -85,11 +94,17 @@ object Similarity {
       .filter(col("nrm") > 0.0)
   }
 
+  /** NULL-element guard mirrored from the Spark side: Spark's dot/nrm
+    * aggregate NULL-propagates, so a vector containing a NULL coordinate
+    * gets nrm = NULL and fails `nrm > 0`; DuckDB's list_sum would instead
+    * SKIP the NULL and keep the vector with a partial norm — the WHERE
+    * below makes the oracle drop exactly the same vectors. */
   private def vectorsCte: String =
     s"""qvecs AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0) AS BIGINT)) AS qv
        |  FROM embeddings
+       |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
        |), vecs AS (
        |  SELECT * FROM (
        |    SELECT vec_id, qv,

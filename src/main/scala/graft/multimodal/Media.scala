@@ -134,9 +134,11 @@ object Media {
        |SELECT media_id, fmt,
        |  CAST(n_bytes AS BIGINT) AS n_bytes,
        |  substring(h, 1, 16) AS header_hex,
-       |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(h, '..'),
-       |    p -> (strpos('0123456789ABCDEF', substring(p, 1, 1)) - 1) * 16
-       |       + (strpos('0123456789ABCDEF', substring(p, 2, 1)) - 1))), 0) AS BIGINT) AS byte_sum,
+       |  CAST(CASE WHEN h IS NULL THEN NULL
+       |    ELSE COALESCE(list_sum(list_transform(regexp_extract_all(h, '..'),
+       |      p -> (strpos('0123456789ABCDEF', substring(p, 1, 1)) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', substring(p, 2, 1)) - 1))), 0)
+       |    END AS BIGINT) AS byte_sum,
        |  CAST(len(list_filter(regexp_extract_all(h, '..'),
        |    p -> strpos('89ABCDEF', substring(p, 1, 1)) > 0)) AS BIGINT) AS n_hi_bytes
        |FROM hexed

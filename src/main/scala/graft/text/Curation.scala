@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    // The keep-first policy is defined ONCE, in Dedup.exactDupClusters —
+    // joining against it (rather than re-deriving min(doc_id) here) means
+    // a future change to the survivor policy cannot desynchronize
+    // corpus_keep from exact_dup_clusters.
     val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
-    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_doc_id"))
-    val exactDup = fp.join(keepers, "fp_md5")
+    val exactDup = fp.join(Dedup.exactDupClusters(docs), "fp_md5")
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
     val nearDup = Dedup.dedupClusters(docs)
       .select(col("doc_id"), (!col("is_survivor")).as("is_near_dup"))

@@ -77,27 +77,20 @@ object Dedup {
     * (No array_distinct before the mins: min over the shingle multiset
     * equals min over the distinct set.)
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val th = transform(TextAnalysis.tokens(col("text")),
-      t => PortableHash.tokHash(t))
-    val t = graft.Tables.widen(docs)
-      .select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
-    val shingles = transform(
-      sequence(lit(1), size(col("th")) - 2),
-      i => PortableHash.shingle3(
-        element_at(col("th"), i),
-        element_at(col("th"), i + 1),
-        element_at(col("th"), i + 2)))
-    val mh =
-      if (docs.sparkSession.catalog.functionExists("minhash_of_hashes"))
-        call_function("minhash_of_hashes", col("sh"))
-      else // session built without GraftExtensions: same arithmetic, k HOF passes
-        array(perms.map { case (a, b) =>
-          array_min(transform(col("sh"), s => PortableHash.permHash(s, a, b)))
-        }: _*)
-    t.select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"), mh.as("mh"))
-  }
+  /** The 16 permuted minima of a shingle-array column — native
+    * [[graft.functions.MinhashOfHashes]] when the session has
+    * GraftExtensions, the equivalent k-pass HOF formulation otherwise. */
+  private def signatureOf(docs: DataFrame, sh: Column): Column =
+    if (docs.sparkSession.catalog.functionExists("minhash_of_hashes"))
+      call_function("minhash_of_hashes", sh)
+    else
+      array(perms.map { case (a, b) =>
+        array_min(transform(sh, s => PortableHash.permHash(s, a, b)))
+      }: _*)
+
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), signatureOf(docs, col("sh_set")).as("mh"))
 
   /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB. */
   private def sigCte: String = {
@@ -133,14 +126,17 @@ object Dedup {
     * per doc, computed in ONE pass over the text. The signature array (16
     * longs = 128 bytes) rides along so downstream consumers never have to
     * re-derive it from the raw text. */
-  private def bandedSignatures(docs: DataFrame): DataFrame = {
+  /** Explode a `(doc_id, mh)` signature relation into its 4 band rows. */
+  private def bandedFrom(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map(m =>
       struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
-    minhashSignatures(docs)
-      .select(col("doc_id"), col("mh"), explode(bandStructs).as("b"))
+    sig.select(col("doc_id"), col("mh"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("mh"),
         col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
+
+  private def bandedSignatures(docs: DataFrame): DataFrame =
+    bandedFrom(minhashSignatures(docs))
 
   /** `(doc_id, band, band_hash)` — the LSH bucket keys, 4 rows per doc.
     * This is the relation a 100 TB pipeline would persist (bucketed by
@@ -344,14 +340,8 @@ object Dedup {
     // tokenize+shingle pipeline three times — and at corpus scale the
     // shingle-set relation is exactly the artifact worth materializing.
     val shs = shingleSets(docs).localCheckpoint()
-    val mh = array(perms.map { case (a, b) =>
-      array_min(transform(col("sh_set"), s => PortableHash.permHash(s, a, b)))
-    }: _*)
-    val bandStructs = array((0 until Bands).map(m =>
-      struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
-    val buckets = shs.select(col("doc_id"), mh.as("mh"))
-      .select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val sig = shs.select(col("doc_id"), signatureOf(docs, col("sh_set")).as("mh"))
+    val buckets = bandedFrom(sig)
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -440,9 +430,14 @@ object Dedup {
             when(ones * 2 > n, lit(1L << (p * simBandBits + j))).otherwise(lit(0L))
           }
         }.reduce(_ + _)
+    // NULL text: the native expression null-propagates, but the fallback's
+    // when/otherwise chain and the DuckDB oracle's CASE both land on 0 —
+    // coalesce pins all three to the same answer (n_tokens stays NULL
+    // everywhere: size/len of a NULL array is NULL in both engines).
     graft.Tables.widen(docs)
       .select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"), n.cast("long").as("n_tokens"), sim.as("simhash"))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        coalesce(sim, lit(0L)).as("simhash"))
   }
 
   def docSimhashSql: String = {
