@@ -102,6 +102,8 @@ object SparkEntry {
       graft.multimodal.Media.mediaFeatures(graft.Tables.documents(s, dir))),
     "media_frames" -> ((s, dir) =>
       graft.multimodal.Media.frameSample(graft.Tables.documents(s, dir))),
+    "media_resize" -> ((s, dir) =>
+      graft.multimodal.Media.mediaResize(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -160,6 +162,7 @@ object SparkEntry {
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),
+    "media_resize" -> graft.multimodal.Media.mediaResizeSql(),
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),

@@ -123,6 +123,40 @@ object Media {
        |ORDER BY media_id, frame_idx, frame_hex, frame_sum""".stripMargin
   }
 
+  /** Resize: stride-downsample the payload bytes (every `stride`-th byte,
+    * re-encoded as hex) — the image/audio RESAMPLING stub, same stance as
+    * the other fakes: a real resampler replaces the byte arithmetic, the
+    * schema/row shape/NULL discipline around it is the tested plumbing.
+    * NULL payloads stay NULL; empty payloads resize to the empty string.
+    */
+  def mediaResize(docs: DataFrame, stride: Int = 4): DataFrame = {
+    val media = asMediaTable(graft.Tables.widen(docs))
+      .select(col("media_id"), col("fmt"), hex(col("payload")).as("h"))
+    val nBytes = (length(col("h")) / 2).cast("long")
+    val resized = when(col("h").isNull, lit(null).cast("string"))
+      .when(nBytes >= 1L, concat_ws("",
+        transform(sequence(lit(0L), nBytes - 1L, lit(stride.toLong)),
+          k => col("h").substr((k * 2 + 1).cast("int"), lit(2)))))
+      .otherwise(lit(""))
+    media.select(col("media_id"), col("fmt"),
+        nBytes.as("n_bytes"), resized.as("resized_hex"))
+      .withColumn("n_resized_bytes", (length(col("resized_hex")) / 2).cast("long"))
+  }
+
+  def mediaResizeSql(stride: Int = 4): String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, source AS fmt, hex(encode(text)) AS h
+       |  FROM documents
+       |)
+       |SELECT media_id, fmt,
+       |  CAST(len(h) // 2 AS BIGINT) AS n_bytes,
+       |  array_to_string(list_transform(range(0, len(h) // 2, $stride),
+       |    k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '') AS resized_hex,
+       |  CAST(len(array_to_string(list_transform(range(0, len(h) // 2, $stride),
+       |    k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '')) // 2 AS BIGINT) AS n_resized_bytes
+       |FROM media
+       |ORDER BY media_id, fmt, n_bytes, resized_hex, n_resized_bytes""".stripMargin
+
   def mediaFeaturesSql: String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, encode(text) AS payload, source AS fmt

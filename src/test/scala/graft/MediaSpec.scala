@@ -54,6 +54,17 @@ class MediaSpec extends AnyFunSuite {
     assert(sum === expectBytes.sum)
   }
 
+  test("mediaResize stride-downsamples bytes; empty payload resizes to empty") {
+    val out = Media.mediaResize(docs(
+      (1L, "abcdefgh", "en", "s", 8L), (2L, "", "en", "s", 0L)), stride = 4)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[String]("resized_hex"),
+          r.getAs[Long]("n_resized_bytes"))).toMap
+    // bytes 0 and 4 of "abcdefgh" = 'a' (61), 'e' (65)
+    assert(out(1L) === (8L, "6165", 2L))
+    assert(out(2L) === (0L, "", 0L))
+  }
+
   test("media table keeps payload opaque binary with typed metadata") {
     val schema = Media.asMediaTable(docs(sample: _*)).schema
     assert(schema("payload").dataType.typeName === "binary")
