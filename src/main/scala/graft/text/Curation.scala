@@ -23,7 +23,8 @@ object Curation {
     // a future change to the survivor policy cannot desynchronize
     // corpus_keep from exact_dup_clusters.
     val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
-    val exactDup = fp.join(Dedup.exactDupClusters(docs), "fp_md5")
+      .localCheckpoint()
+    val exactDup = fp.join(Dedup.exactDupClustersFromFp(fp), "fp_md5")
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
     val nearDup = Dedup.dedupClusters(docs)
       .select(col("doc_id"), (!col("is_survivor")).as("is_near_dup"))

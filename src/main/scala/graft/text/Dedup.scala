@@ -49,8 +49,15 @@ object Dedup {
     * keep-first-dedup policy made deterministic.
     */
   def exactDupClusters(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
-      .groupBy("fp_md5")
+    exactDupClustersFromFp(
+      docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5")))
+
+  /** Same clustering over a precomputed `(doc_id, fp_md5)` relation — the
+    * overload [[Curation.corpusKeep]] uses so one md5 pass feeds both the
+    * cluster aggregate and the per-doc join, while the keep-first policy
+    * (min doc_id) stays defined in exactly one place. */
+  def exactDupClustersFromFp(fp: DataFrame): DataFrame =
+    fp.groupBy("fp_md5")
       .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("keeper_doc_id"))
       .withColumn("n_dups", col("cluster_size") - 1L)
 
