@@ -80,6 +80,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === batchFps)
   }
 
+  test("mapGroupsWithState running summaries match batch per-user aggregates") {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      (0L, T, 1L, "view", 1.00, "{}"),
+      (1L, T + H, 1L, "click", 2.50, "{}"),
+      (2L, T + 2 * H, 2L, "view", 4.00, "{}"))
+    val name = s"activity_out_${System.nanoTime()}"
+    val q = graft.streaming.UserActivity.summaries(
+        src.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    // NOT processAllAvailable: ProcessingTimeTimeout schedules recurring
+    // timeout-check batches, so the stream never reports idle — poll the
+    // sink for the expected per-user rows instead.
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table(name).select("user_id").distinct().count() < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("first_us"),
+          r.getAs[Long]("last_us"), r.getAs[Long]("sum_value_cents"),
+          r.getAs[Boolean]("is_final")))).toMap
+    assert(out(1L) === ((2L, T / 1000, (T + H) / 1000, 350L, false)))
+    assert(out(2L) === ((1L, (T + 2 * H) / 1000, (T + 2 * H) / 1000, 400L, false)))
+  }
+
   test("streaming session_window splits on the same 4h gap as batch sessionize") {
     val rows: Seq[Ev] = Seq(
       (0L, T, 1L, "view", 1.00, "{}"),
