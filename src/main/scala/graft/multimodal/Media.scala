@@ -147,14 +147,16 @@ object Media {
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, source AS fmt, hex(encode(text)) AS h
        |  FROM documents
+       |), resized AS (
+       |  SELECT media_id, fmt,
+       |    CAST(len(h) // 2 AS BIGINT) AS n_bytes,
+       |    array_to_string(list_transform(range(0, len(h) // 2, $stride),
+       |      k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '') AS resized_hex
+       |  FROM media
        |)
-       |SELECT media_id, fmt,
-       |  CAST(len(h) // 2 AS BIGINT) AS n_bytes,
-       |  array_to_string(list_transform(range(0, len(h) // 2, $stride),
-       |    k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '') AS resized_hex,
-       |  CAST(len(array_to_string(list_transform(range(0, len(h) // 2, $stride),
-       |    k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '')) // 2 AS BIGINT) AS n_resized_bytes
-       |FROM media
+       |SELECT media_id, fmt, n_bytes, resized_hex,
+       |  CAST(len(resized_hex) // 2 AS BIGINT) AS n_resized_bytes
+       |FROM resized
        |ORDER BY media_id, fmt, n_bytes, resized_hex, n_resized_bytes""".stripMargin
 
   def mediaFeaturesSql: String =

@@ -22,8 +22,13 @@ object Curation {
     // joining against it (rather than re-deriving min(doc_id) here) means
     // a future change to the survivor policy cannot desynchronize
     // corpus_keep from exact_dup_clusters.
+    // persist (lazy, lineage kept) rather than localCheckpoint: the goal
+    // is only to share ONE md5 pass between the cluster aggregate and the
+    // per-doc join — no iteration to truncate, and checkpoint's
+    // executor-local non-replicated blocks would fail the query on any
+    // executor loss.
     val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
-      .localCheckpoint()
+      .persist()
     val exactDup = fp.join(Dedup.exactDupClustersFromFp(fp), "fp_md5")
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
     val nearDup = Dedup.dedupClusters(docs)
