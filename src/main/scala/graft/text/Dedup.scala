@@ -227,9 +227,18 @@ object Dedup {
     * not grow with iterations, and the convergence check reads the
     * checkpointed step output — no recomputation per round.
     */
-  def dedupClusters(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 25): DataFrame = {
-    val pairs = nearDupPairs(docs).filter(col("n_match") >= minMatch)
-      .select(col("doc_a"), col("doc_b"))
+  def dedupClusters(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 25): DataFrame =
+    dedupClustersFromPairs(docs,
+      nearDupPairs(docs).filter(col("n_match") >= minMatch)
+        .select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Same clustering over precomputed `(doc_a, doc_b)` confirmed pairs —
+    * for pipelines that already materialized [[nearDupPairs]] (or a
+    * [[simhashPairs]] / embedding-pair relation): the signature pipeline
+    * runs once, not once per consumer. */
+  def dedupClustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
