@@ -33,5 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_of_hashes takes exactly 1 argument, got ${children.size}")
         graft.functions.MinhashOfHashes(children.head, graft.text.Dedup.perms)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShinglesOfHashes].getName,
+        "shingles_of_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"shingles_of_hashes takes exactly 1 argument, got ${children.size}")
+        graft.functions.ShinglesOfHashes(children.head)
+      }))
   }
 }

@@ -330,12 +330,17 @@ object Dedup {
       t => PortableHash.tokHash(t))
     val t = graft.Tables.widen(docs)
       .select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
-    t.select(col("doc_id"), array_distinct(transform(
-      sequence(lit(1), size(col("th")) - 2),
-      i => PortableHash.shingle3(
-        element_at(col("th"), i),
-        element_at(col("th"), i + 1),
-        element_at(col("th"), i + 2)))).as("sh_set"))
+    val shSet =
+      if (docs.sparkSession.catalog.functionExists("shingles_of_hashes"))
+        call_function("shingles_of_hashes", col("th"))
+      else // session built without GraftExtensions: interpreted HOF walk
+        array_distinct(transform(
+          sequence(lit(1), size(col("th")) - 2),
+          i => PortableHash.shingle3(
+            element_at(col("th"), i),
+            element_at(col("th"), i + 1),
+            element_at(col("th"), i + 2))))
+    t.select(col("doc_id"), shSet.as("sh_set"))
   }
 
   /** The LSH pipeline's verification stage: EXACT n-gram (3-shingle)

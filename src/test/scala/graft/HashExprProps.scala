@@ -67,4 +67,16 @@ object HashExprProps extends Properties("HashExpressions") {
       evalExpr(MinhashOfHashes(litArr(hs ++ hs), Dedup.perms)).toString ==
         evalExpr(MinhashOfHashes(litArr(hs), Dedup.perms)).toString
     }
+
+  private def shingleModel(hs: Seq[Long]): Seq[Long] =
+    hs.sliding(3).filter(_.size == 3).map { w =>
+      (((w(0) % P) * 131L + w(1)) % P * 131L + w(2)) % P
+    }.toSeq.distinct
+
+  property("shingles eval equals the model (distinct, first-occurrence order)") =
+    forAll(arrGen) { hs =>
+      val out = evalExpr(graft.functions.ShinglesOfHashes(litArr(hs)))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == shingleModel(hs)
+    }
 }
