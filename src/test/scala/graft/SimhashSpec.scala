@@ -62,6 +62,13 @@ class SimhashSpec extends AnyFunSuite {
     assertAgree(synth.toDF("doc_id", "text", "lang"))
   }
 
+  test("registered functions reject wrong arity with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash_of_hashes(array(1L, 2L), 3)").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"))
+  }
+
   test("generated code path is actually exercised (no codegen fallback)") {
     val df = Dedup.docSimhash(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
