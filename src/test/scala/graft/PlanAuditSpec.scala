@@ -47,6 +47,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped aggregates combine map-side before the shuffle") {
+    // partial_ aggregate functions in the plan = map-side combine: the
+    // shuffle carries one row per (group, partition), not per input row.
+    for (name <- Seq("corpus_stats", "events_hourly", "exact_dup_clusters")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name has no partial aggregation:\n$p")
+    }
+  }
+
   test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
     // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
     // LessThan cannot be pushed into the parquet reader — only IsNotNull
