@@ -69,6 +69,8 @@ object SparkEntry {
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(graft.Tables.documents(s, dir))),
+    "lang_id_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(graft.Tables.documents(s, dir))),
     "token_profile" -> ((s, dir) =>
       TextAnalysis.tokenProfile(graft.Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) =>
@@ -147,6 +149,7 @@ object SparkEntry {
     "repjoin_triangles" -> triangleOracle,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
+    "lang_id_ngram" -> TextAnalysis.langIdNgramSql,
     "token_profile" -> TextAnalysis.tokenProfileSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,

@@ -144,6 +144,63 @@ object TextAnalysis {
        |FROM g ORDER BY doc_id, lang, lang_pred, lang_hits""".stripMargin
   }
 
+  /** Characteristic character n-grams per language (public linguistic
+    * commonplaces; for CJK the single characters are the discriminating
+    * "grams"). Occurrences counted by length-difference after replace —
+    * pure string ops with identical non-overlapping semantics in both
+    * engines, no regex escaping concerns. */
+  private val langGrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "ei", "ch", "ung", "der"),
+    "en" -> Seq("th", "ing", "he", "er", "and"),
+    "es" -> Seq("ll", "ci", "os", "ar", "que"),
+    "fr" -> Seq("ou", "eau", "eux", "est", "les"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language ID by character n-gram profile — the n-gram-heuristic
+    * sibling of the stopword-based [[langId]]: per language, sum the
+    * occurrence counts of its characteristic grams over the lowercased
+    * text; predict the alphabetically-first argmax, 'und' on zero hits.
+    * Per-row map work, every count a codegen'd length/replace pair.
+    */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), lower(col("text")).as("s"))
+    val counted = langGrams.foldLeft(base) { case (df, (l, grams)) =>
+      df.withColumn(s"g_$l", grams.map { g =>
+        ((length(col("s")) - length(replace(col("s"), lit(g), lit(""))))
+          / lit(g.length)).cast("long")
+      }.reduce(_ + _))
+    }
+    val m = greatest(langGrams.map { case (l, _) => col(s"g_$l") }: _*)
+    val pred = langGrams.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"g_$l") === m, lit(l)).otherwise(els)
+    }
+    counted.select(col("doc_id"), col("lang"),
+      when(m === 0, lit("und")).otherwise(pred).as("lang_pred_ngram"),
+      m.as("ngram_hits"))
+  }
+
+  def langIdNgramSql: String = {
+    val counts = langGrams.map { case (l, grams) =>
+      grams.map { g =>
+        s"(length(s) - length(replace(s, '$g', ''))) // ${g.length}"
+      }.mkString(s"CAST(", " + ", s" AS BIGINT) AS g_$l")
+    }.mkString(",\n    ")
+    val m = langGrams.map { case (l, _) => s"g_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = langGrams
+      .map { case (l, _) => s"WHEN g_$l = m THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, lower(text) AS s FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang,
+       |    $counts
+       |  FROM t
+       |), g AS (SELECT *, $m AS m FROM c)
+       |SELECT doc_id, lang,
+       |  CASE WHEN m = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred_ngram,
+       |  m AS ngram_hits
+       |FROM g ORDER BY doc_id, lang, lang_pred_ngram, ngram_hits""".stripMargin
+  }
+
   /** BPE-ish tokenizer census: counts of alpha runs, digit runs, and
     * single non-alnum symbols — the classic pre-tokenizer regex.
     */

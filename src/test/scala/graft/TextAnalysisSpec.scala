@@ -56,6 +56,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 !== out(3L)._2) // order-sensitive
   }
 
+  test("langIdNgram: characteristic grams pick the language; zero hits = und") {
+    val out = TextAnalysis.langIdNgram(docs(
+      (1L, "the thing is singing there and everywhere", "en"),
+      (2L, "die entscheidung der verschiedenen schönen scheine", "de"),
+      (3L, "xyz 123", "xx")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_pred_ngram"), r.getAs[Long]("ngram_hits"))).toMap
+    assert(out(1L)._1 === "en")
+    assert(out(2L)._1 === "de")
+    assert(out(3L) === (("und", 0L)))
+    // overlapping-count sanity: "the thing..." has th×3 ("the","thing","there")
+    assert(out(1L)._2 >= 3L)
+  }
+
   test("corpusStats rolls up per (lang, source) with exact dup counts") {
     val d = Seq(
       (1L, "alpha beta gamma", "en", "web"),
