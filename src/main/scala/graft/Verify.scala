@@ -27,7 +27,11 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        // asc_nulls_last: Spark's bare asc sorts NULLS FIRST, DuckDB's
+        // default ORDER BY sorts NULLS LAST — a NULL in any sort column
+        // would otherwise dump identical row sets in different orders.
+        df.orderBy(df.columns.map(c =>
+            org.apache.spark.sql.functions.col(c).asc_nulls_last).toSeq: _*)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

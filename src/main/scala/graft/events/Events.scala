@@ -45,6 +45,13 @@ object Events {
     * streaming twins. */
   private[graft] val valueCents: Column = floor(col("value") * lit(100.0) + lit(0.5))
 
+  /** `props.$.k` as BIGINT-or-NULL. try_cast, NOT cast: Spark 4 runs
+    * ANSI mode by default, where cast crashes the job on k = 5.7 or
+    * "abc"; try_cast yields NULL in every mode, matching the oracle's
+    * integer-regex guard. Shared by the streaming twin. */
+  private[graft] val propsK: Column =
+    expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Classic two-window plan — lag() flags
     * session starts, a running sum numbers them — then one aggregation
@@ -108,7 +115,7 @@ object Events {
         col("event_type"),
         col("user_id"),
         valueCents.as("value_cents"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        propsK.as("k"))
       .groupBy("hour_us", "event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"),
@@ -121,7 +128,8 @@ object Events {
        |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
        |    event_type, user_id,
        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS value_cents,
-       |    CASE WHEN regexp_matches(trim(json_extract_string(props, '$$.k')), '^[+-]?[0-9]+$$')
+       |    CASE WHEN json_valid(props)
+       |        AND regexp_matches(trim(json_extract_string(props, '$$.k')), '^[+-]?[0-9]+$$')
        |      THEN CAST(trim(json_extract_string(props, '$$.k')) AS BIGINT) END AS k
        |  FROM events
        |)

@@ -21,16 +21,24 @@ object PortableHash {
   /** Modulus for permutation/fingerprint hashing (prime). */
   val P: Long = 1000000007L
 
+  /** Length cap for the tokHash length term: without it, one unbroken
+    * token of ≥ ~10.8M chars (minified JS, base64 blobs — real web-corpus
+    * rows) overflows int64 in length·31^8, which under Spark's default
+    * ANSI mode is a job-killing ARITHMETIC_OVERFLOW and in DuckDB a hard
+    * error. 1e6·31^8 ≈ 8.5e17 « 2^62 keeps the full chain overflow-free. */
+  val MaxLenTerm: Long = 1000000L
+
   /** Length-salted polynomial over the codepoints of the first 8 chars
-    * (padded with '.'): h = len(t)*31^8 + Σ_{i=1..8} ascii(char_i)·31^(i-1).
-    * Bound: codepoints ≤ 65535 ⇒ h < 3e15 « 2^62.
+    * (padded with '.'): h = min(len(t),1e6)·31^8 + Σ_{i=1..8}
+    * ascii(char_i)·31^(i-1). Bound: codepoints ≤ 65535 and the capped
+    * length ⇒ h < 8.6e17 « 2^62.
     */
   def tokHash(c: Column): Column = {
     val padded = rpad(c, 8, ".")
     val poly = (1 to 8).map { i =>
       ascii(substring(padded, i, 1)).cast("long") * lit(pow31(i - 1))
     }.reduce(_ + _)
-    length(c).cast("long") * lit(pow31(8)) + poly
+    least(length(c).cast("long"), lit(MaxLenTerm)) * lit(pow31(8)) + poly
   }
 
   /** Same hash as DuckDB SQL over a column expression. */
@@ -39,7 +47,7 @@ object PortableHash {
     val poly = (1 to 8)
       .map(i => s"CAST(ascii(substring($padded, $i, 1)) AS BIGINT) * ${pow31(i - 1)}")
       .mkString(" + ")
-    s"(CAST(length($c) AS BIGINT) * ${pow31(8)} + $poly)"
+    s"(least(CAST(length($c) AS BIGINT), $MaxLenTerm) * ${pow31(8)} + $poly)"
   }
 
   /** Combine three word hashes into a shingle hash, mod P.

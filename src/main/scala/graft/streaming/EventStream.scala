@@ -45,7 +45,7 @@ object EventStream {
   def hourlyRollup(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events.select(eventTime.as("event_time"), col("event_type"), col("user_id"),
         valueCents.as("value_cents"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        graft.events.Events.propsK.as("k"))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

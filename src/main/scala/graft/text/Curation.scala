@@ -26,7 +26,10 @@ object Curation {
     // is only to share ONE md5 pass between the cluster aggregate and the
     // per-doc join — no iteration to truncate, and checkpoint's
     // executor-local non-replicated blocks would fail the query on any
-    // executor loss.
+    // executor loss. The cache lives until session end (nothing here can
+    // unpersist before the caller materializes the result); callers
+    // re-running curation in a long-lived session should
+    // spark.catalog.clearCache() between runs.
     val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
       .persist()
     val exactDup = fp.join(Dedup.exactDupClustersFromFp(fp), "fp_md5")

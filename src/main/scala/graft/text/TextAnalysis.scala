@@ -257,13 +257,17 @@ object TextAnalysis {
 
   def fingerprintsSql: String = {
     val powList = pows.mkString("[", ", ", "]")
+    // CASE on NULL text: Spark's aggregate HOF null-propagates (fp_rolling
+    // NULL), while a bare COALESCE here could not tell a NULL token list
+    // from an empty one and would emit 0 — asymmetric with the operator.
     s"""SELECT doc_id,
        |  ${normMd5Sql("text")} AS fp_md5,
-       |  CAST(COALESCE(list_sum(list_transform(
-       |    regexp_extract_all(lower(text), '$TokenRe'),
-       |    (x, i) -> ((${PortableHash.tokHashSql("x")} % 1000000)
-       |      * ($powList)[((i - 1) % 6) + 1]) % ${PortableHash.P})), 0)
-       |    % ${PortableHash.P} AS BIGINT) AS fp_rolling
+       |  CAST(CASE WHEN text IS NULL THEN NULL
+       |    ELSE COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(lower(text), '$TokenRe'),
+       |      (x, i) -> ((${PortableHash.tokHashSql("x")} % 1000000)
+       |        * ($powList)[((i - 1) % 6) + 1]) % ${PortableHash.P})), 0)
+       |      % ${PortableHash.P} END AS BIGINT) AS fp_rolling
        |FROM documents ORDER BY doc_id, fp_md5, fp_rolling""".stripMargin
   }
 

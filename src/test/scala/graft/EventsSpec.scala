@@ -54,6 +54,19 @@ class EventsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("hourly rollup tolerates non-integer and malformed props.k (ANSI-safe)") {
+    // Spark 4 defaults to ANSI mode, where a plain cast('5.7' as long)
+    // kills the job; try_cast must map these to NULL (excluded from sum_k)
+    val out = Events.hourlyRollup(events(
+      (0L, T, 1L, "view", 1.00, """{"k": 5}"""),
+      (1L, T + 1, 1L, "view", 1.00, """{"k": 5.7}"""),
+      (2L, T + 2, 1L, "view", 1.00, """{"k": "abc"}"""),
+      (3L, T + 3, 1L, "view", 1.00, "not json")))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_k"))).toMap
+    assert(out("view") === (4L, 5L))
+  }
+
   test("topEventsPerUser ranks by value desc with event_id tiebreak, bounded at k") {
     val out = Events.topEventsPerUser(events(
       (0L, T, 1L, "buy", 5.00, "{}"),
