@@ -24,7 +24,11 @@ class PortableHashSpec extends AnyFunSuite {
     (1 to 2000).map { _ =>
       val a = alphabets(rnd.nextInt(alphabets.length))
       (1 to (1 + rnd.nextInt(30))).map(_ => a(rnd.nextInt(a.length))).mkString
-    } ++ Seq("", "￿" * 8, "x" * 10000)
+    } ++ Seq("", "￿" * 8, "x" * 10000,
+      // an unbroken ~12M-char token (minified-JS class) — overflowed
+      // int64 before the 1e6 length cap; under default ANSI mode that
+      // was a job-killing ARITHMETIC_OVERFLOW, not a wrong number
+      "y" * 12000000)
   }
 
   test("tokHash stays within the documented bound for adversarial tokens") {
