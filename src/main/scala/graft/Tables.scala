@@ -11,16 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning keys) without changing call sites.
   */
 object Tables {
+  /** Generic access path for any fixture table — the named readers below
+    * exist only for the tables an operator actually consumes. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
-  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
-  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
-  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
-  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS); Spark has no
     * nanosecond timestamp type and rejects the file outright
     * ([PARQUET_TYPE_ILLEGAL]). The legacy conf reads it as epoch-nanos
