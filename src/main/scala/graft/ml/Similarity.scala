@@ -59,9 +59,10 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   *  - [[embedKnn]]: exact brute-force top-k for a small query set —
   *    broadcast the queries, scan the corpus once, bounded-state top-k
   *    aggregate ([[TopKAgg]]). The baseline that defines ground truth.
-  *  - [[embedAnnPairs]]: sign-random-projection LSH — bucket by the sign
-  *    pattern of H pseudo-random hyperplane projections, score pairs only
-  *    within buckets. Equi-join on the bucket id ⇒ per-bucket quadratic,
+  *  - [[embedAnnPairs]]: banded sign-random-projection LSH — L hash
+  *    tables of b hyperplanes each; candidates share an exact b-bit sign
+  *    bucket in ≥1 table (OR-amplification, like MinHash bands), then
+  *    exact rescore. Equi-join on (table, bucket) ⇒ per-bucket quadratic,
   *    never corpus-quadratic; the scale path for all-pairs similarity.
   */
 object Similarity {
@@ -69,11 +70,23 @@ object Similarity {
   /** Quantization scale: 1e6 ≈ 20 bits per coordinate. */
   private val QScale = 1000000.0
 
-  /** Hyperplane count for sign-random-projection (2^H buckets). */
-  val NumPlanes = 8
-  /** Deterministic hyperplane coefficient parameters, seed-split from the
-    * minhash family so the two operators' hash streams are independent. */
-  val planeParams: Seq[(Long, Long)] = PortableHash.minhashPerms(NumPlanes, seed = 7L)
+  /** Banded sign-LSH geometry: L independent hash tables of b hyperplanes
+    * each (OR-amplification, the same shape as MinHash banding). The
+    * candidate bucket space is L·2^b — it GROWS with b, so a larger corpus
+    * raises b (keeping expected bucket occupancy bounded) and recovers
+    * recall by raising L; a single fixed plane set (round 3's NumPlanes=8
+    * = 256 buckets forever) had per-bucket population growing linearly
+    * with the corpus, degenerating the per-bucket quadratic pairing
+    * toward corpus²/256. With b=12: 4096 buckets per table at the test
+    * SFs; a 1e9-vector corpus would run b≈28-30, L 8-16 — same operator,
+    * different constants. */
+  val NumTables = 4
+  val PlanesPerTable = 12
+  /** Deterministic hyperplane coefficient parameters (table t uses planes
+    * [t·b, (t+1)·b)), seed-split from the minhash family so the two
+    * operators' hash streams are independent. */
+  val planeParams: Seq[(Long, Long)] =
+    PortableHash.minhashPerms(NumTables * PlanesPerTable, seed = 7L)
 
   private def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * lit(QScale)))
@@ -177,67 +190,99 @@ object Similarity {
     s"(($a * $i + $b) % 997 - 498)"
   }
 
-  /** Sign-random-projection bucket id: bit h = sign(qv · plane_h). */
-  private def bucketCol(qv: Column): Column =
-    (0 until NumPlanes).map { h =>
+  /** Sign-random-projection bucket id for hash table `t`:
+    * bit j = sign(qv · plane_{t·b+j}), j ∈ [0, b). */
+  private def bucketCol(qv: Column, t: Int): Column =
+    (0 until PlanesPerTable).map { j =>
       val proj = aggregate(
-        transform(sequence(lit(1), size(qv)), i => element_at(qv, i) * planeCoef(h, i)),
+        transform(sequence(lit(1), size(qv)),
+          i => element_at(qv, i) * planeCoef(t * PlanesPerTable + j, i)),
         lit(0L), _ + _)
-      when(proj >= 0L, lit(1L << h)).otherwise(lit(0L))
+      when(proj >= 0L, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketSql: String =
-    (0 until NumPlanes).map { h =>
+  private def bucketSql(t: Int): String =
+    (0 until PlanesPerTable).map { j =>
       s"""CAST(CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
-         |      i -> qv[i] * ${planeCoefSql(h, "i")})) >= 0
-         |    THEN ${1L << h} ELSE 0 END AS BIGINT)""".stripMargin
+         |      i -> qv[i] * ${planeCoefSql(t * PlanesPerTable + j, "i")})) >= 0
+         |    THEN ${1L << j} ELSE 0 END AS BIGINT)""".stripMargin
     }.mkString("(", "\n  + ", ")")
 
-  /** LSH-bucketed all-pairs similarity: candidate pairs share a full
-    * sign-pattern bucket; cosine computed only within buckets and kept
-    * when ≥ simThreshold. One pass quantizes + buckets each vector and
-    * ONE shuffle (the bucket groupBy) feeds intra-bucket pair expansion —
-    * the self-join formulation would run the quantize/project pipeline
-    * once per side. Per-bucket pair count is quadratic by design (the
-    * LSH contract: sign-pattern buckets are small); cosine is symmetric,
-    * so (least, greatest) id ordering makes the output independent of
-    * collect_list order. No cartesian anywhere in the plan.
+  /** Banded-LSH all-pairs similarity, the two-phase sketch→verify shape:
+    *
+    *  1. ''Candidates'': each vector lands in one bucket per hash table
+    *     (L=4 small (vec_id, tbl, bucket) rows, 24 bytes each — NOT the
+    *     vector); candidate pairs share an exact bucket in ≥1 table.
+    *     Pairing is a self-equi-join on (tbl, bucket) — whole-stage
+    *     codegen, and AQE's skew-join splitting applies to a hot bucket,
+    *     unlike a collect_list expansion which pins a bucket to one task.
+    *     The band relation is localCheckpoint'd so the 48-projection
+    *     sketch pipeline runs ONCE, not once per join side (ReuseExchange
+    *     does not fire across an AQE-broadcast self-join).
+    *  2. ''Verify'': `distinct` collapses multi-table collisions, then
+    *     the (few) candidates join the checkpointed vector relation on
+    *     both sides for the exact quantized cosine, kept when
+    *     ≥ simThreshold.
+    *
+    * Only the band relation and candidate ids shuffle — vectors move only
+    * for surviving candidates. No cartesian anywhere in the plan.
     */
+  /** `(vec_id, tbl, bucket)` over a [[vectors]] relation — one row per
+    * vector per hash table. This is the sketch a 100 TB pipeline persists
+    * (bucketed by (tbl, bucket)) and joins new shards against; bucket
+    * cardinality = NumTables·2^PlanesPerTable, asserted in PlanAuditSpec. */
+  def annBands(v: DataFrame): DataFrame = {
+    val tableStructs = array((0 until NumTables).map(t =>
+      struct(lit(t.toLong).as("tbl"), bucketCol(col("qv"), t).as("bucket"))): _*)
+    v.select(col("vec_id"), explode(tableStructs).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+  }
+
   def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {
-    val v = vectors(embeds).withColumn("bucket", bucketCol(col("qv")))
-    val buckets = v.groupBy("bucket")
-      .agg(collect_list(struct(col("vec_id"), col("qv"), col("nrm"))).as("vs"))
-      .filter(size(col("vs")) >= 2)
-    val pairList = graft.functions.Pairing.intraBucketPairs(col("vs"))
-    buckets.select(col("bucket"), explode(pairList).as("p"))
+    val v = vectors(embeds).localCheckpoint()
+    val bands = annBands(v).localCheckpoint()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
       // same ragged-length guard as embedKnn: keep the engines' dot
       // products identical instead of NULL-vs-partial-sum divergent
-      .filter(size(col("p.x.qv")) === size(col("p.y.qv")))
-      .select(
-        least(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_a"),
-        greatest(col("p.x.vec_id"), col("p.y.vec_id")).as("vec_b"),
-        col("bucket"),
-        (dot(col("p.x.qv"), col("p.y.qv")).cast("double")
-          / (col("p.x.nrm") * col("p.y.nrm"))).as("cos_sim"))
+      .filter(size(col("qa")) === size(col("qb")))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
-  def embedAnnPairsSql(simThreshold: Double = 0.1): String =
+  def embedAnnPairsSql(simThreshold: Double = 0.1): String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH $vectorsCte,
-       |bucketed AS (
-       |  SELECT vec_id, qv, nrm,
-       |  $bucketSql AS bucket
-       |  FROM vecs
+       |bands AS (
+       |  $tableSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-       |      / (a.nrm * b.nrm) AS cos_sim
-       |  FROM bucketed a JOIN bucketed b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |      AND len(a.qv) = len(b.qv)
+       |  SELECT vec_a, vec_b,
+       |    CAST(list_sum(list_transform(range(1, len(va.qv) + 1), i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+       |      / (va.nrm * vb.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN vecs va ON va.vec_id = cand.vec_a
+       |  JOIN vecs vb ON vb.vec_id = cand.vec_b
+       |  WHERE len(va.qv) = len(vb.qv)
        |)
-       |SELECT vec_a, vec_b, bucket, cos_sim FROM pairs
+       |SELECT vec_a, vec_b, cos_sim FROM pairs
        |WHERE cos_sim >= ${simThreshold}e0
-       |ORDER BY vec_a, vec_b, bucket, cos_sim""".stripMargin
+       |ORDER BY vec_a, vec_b, cos_sim""".stripMargin
+  }
 }

@@ -56,6 +56,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN bucket space scales with the hash-table count (no fixed-bucket ceiling)") {
+    // Round-3 weakness: a single 8-plane table = 256 buckets FOREVER, so
+    // per-bucket population (and the quadratic pairing) grew linearly with
+    // the corpus. The banded scheme's bucket domain is L·2^b; even the
+    // tiny sf0.001 corpus (500 vectors) must occupy more distinct
+    // (table, bucket) cells than the entire old ceiling.
+    import graft.ml.Similarity
+    val bands = Similarity.annBands(
+      Similarity.vectors(Tables.embeddings(spark, dir)))
+    val perTable = bands.groupBy("tbl").agg(
+      org.apache.spark.sql.functions.countDistinct("bucket").as("nb")).collect()
+    assert(perTable.length === Similarity.NumTables)
+    val totalCells = perTable.map(_.getAs[Long]("nb")).sum
+    assert(totalCells > 256L,
+      s"bucket occupancy $totalCells does not exceed the old 256-bucket ceiling")
+    val dom = bands.agg(org.apache.spark.sql.functions.max("bucket"),
+      org.apache.spark.sql.functions.min("bucket")).head()
+    assert(dom.getLong(0) < (1L << Similarity.PlanesPerTable) && dom.getLong(1) >= 0L)
+  }
+
   test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
     // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
     // LessThan cannot be pushed into the parquet reader — only IsNotNull

@@ -21,17 +21,21 @@ class SimilaritySpec extends AnyFunSuite {
       math.sqrt(qb.map(x => x * x).sum.toDouble))
   }
 
-  /** Scala twin of the SRP bucket id. */
-  def bucket(v: Seq[Float]): Long = {
+  /** Scala twin of the SRP bucket id for hash table t. */
+  def bucket(v: Seq[Float], t: Int): Long = {
     val qv = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
-    (0 until Similarity.NumPlanes).map { h =>
-      val (a, b) = Similarity.planeParams(h)
+    (0 until Similarity.PlanesPerTable).map { j =>
+      val (a, b) = Similarity.planeParams(t * Similarity.PlanesPerTable + j)
       val proj = qv.zipWithIndex.map { case (x, i0) =>
         x * ((a * (i0 + 1) + b) % 997 - 498)
       }.sum
-      if (proj >= 0) 1L << h else 0L
+      if (proj >= 0) 1L << j else 0L
     }.sum
   }
+
+  /** True iff the pair collides in at least one of the L hash tables. */
+  def collides(va: Seq[Float], vb: Seq[Float]): Boolean =
+    (0 until Similarity.NumTables).exists(t => bucket(va, t) == bucket(vb, t))
 
   test("golden: kNN ranks by cosine with deterministic tie-break") {
     val out = Similarity.embedKnn(embeds(
@@ -77,17 +81,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
-  test("property: ANN pairs = exactly the same-bucket pairs above threshold") {
+  test("property: ANN pairs = exactly the union-over-tables bucket collisions above threshold") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
     val thr = 0.1
     val expected = (for {
       (ia, va) <- vecs; (ib, vb) <- vecs
-      if ia < ib && bucket(va) == bucket(vb) && cos(va, vb) >= thr
+      if ia < ib && collides(va, vb) && cos(va, vb) >= thr
     } yield (ia, ib)).toSet
     val got = Similarity.embedAnnPairs(embeds(vecs: _*), simThreshold = thr)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(got === expected)
     assert(expected.nonEmpty) // the property must actually exercise pairs
+  }
+
+  test("property: banded LSH recalls planted near-duplicate pairs vs brute-force ground truth") {
+    // 60 random base vectors + a perturbed near-copy of each of the first
+    // 20 (cosine ≈ 0.995): ground truth = ALL pairs with cos ≥ 0.95 by
+    // brute force; recall = fraction the banded LSH surfaces. Everything
+    // is deterministic (fixed seed, fixed hyperplanes), so the asserted
+    // bound is a regression pin, not a flaky sample. A single 12-plane
+    // table recalls ~54% of cos≈0.995 pairs ((1-θ/π)^12); the 4-table OR
+    // lifts that to ~96% — the assertion leaves slack for the planted
+    // geometry but must beat any single table by a wide margin.
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 60L).map(i => i -> Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val dups = (0L until 20L).map { i =>
+      (100L + i) -> base(i.toInt)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    }
+    val vecs = base ++ dups
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 15, s"planting failed: only ${truth.size} ground-truth pairs")
+    val got = Similarity.embedAnnPairs(embeds(vecs: _*), simThreshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall over ${truth.size} planted pairs")
   }
 }
