@@ -47,14 +47,8 @@ object Curation {
     val statsBody = TextAnalysis.textStatsSql
       .replaceAll("(?s)ORDER BY.*$", "")
     s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
-       |fp AS (
-       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
-       |),
-       |keepers AS (
-       |  SELECT fp_md5, min(doc_id) AS keeper_doc_id FROM fp GROUP BY fp_md5
-       |),
        |exd AS (
-       |  SELECT doc_id, doc_id <> keeper_doc_id AS is_exact_dup
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
        |  FROM fp JOIN keepers USING (fp_md5)
        |),
        |q AS (

@@ -70,6 +70,42 @@ object Dedup {
        |GROUP BY fp_md5
        |ORDER BY fp_md5, cluster_size, keeper_doc_id, n_dups""".stripMargin
 
+  // ---- exact-dup pre-collapse (shared by the pairing operators) -----------
+
+  /** `(doc_id, fp_md5)` — the exact-dup key per document; one map-only
+    * text pass. */
+  private def fingerprintsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
+
+  /** `(doc_id)` of one representative (min doc_id) per distinct content.
+    *
+    * The pairing operators bucket over REPRESENTATIVES only: N identical
+    * documents have identical signatures, so without the collapse they
+    * form one bucket of N — a quadratic N²/2-pair expansion in one task,
+    * and the one real-world degenerate bucket (10 M copies of boilerplate)
+    * that isn't genuine near-dup structure. Collapsing first bounds every
+    * bucket by DISTINCT-content near-dup structure, which is what the LSH
+    * selectivity argument actually covers. Scale shape: signatures stay
+    * map-only over all docs; only the 136-byte/row signature relation is
+    * semi-joined against keeper ids (an 8-byte key shuffle) — corpus text
+    * and shingle sets never shuffle for the collapse. Exact-dup membership
+    * re-enters downstream: [[dedupClustersFromFp]] adds copy→keeper edges,
+    * [[Curation.corpusKeep]] joins the exact-dup relation directly.
+    */
+  private def keeperIds(fp: DataFrame): DataFrame =
+    fp.groupBy("fp_md5").agg(min("doc_id").as("doc_id")).select("doc_id")
+
+  /** fp → keepers → repdocs CTE chain, the oracle twin of the collapse. */
+  private def keepersCte: String =
+    s"""fp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
+       |), keepers AS (
+       |  SELECT fp_md5, min(doc_id) AS keeper_id FROM fp GROUP BY fp_md5
+       |), repdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN keepers k ON d.doc_id = k.keeper_id
+       |)""".stripMargin
+
   // ---- MinHash signatures -------------------------------------------------
 
   /** `(doc_id, mh array<long>[16])` — the MinHash signature per document
@@ -99,14 +135,15 @@ object Dedup {
     shingleSets(docs)
       .select(col("doc_id"), signatureOf(docs, col("sh_set")).as("mh"))
 
-  /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB. */
-  private def sigCte: String = {
+  /** Shared CTE chain rebuilding [[minhashSignatures]] in DuckDB, over
+    * `src` (the full table, or `repdocs` for the collapsed variants). */
+  private def sigCteFrom(src: String): String = {
     val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
     val mhList = perms.map { case (a, b) =>
       s"list_min(list_transform(sh, s -> ${PortableHash.permHashSql("s", a, b)}))"
     }.mkString("[\n    ", ",\n    ", "]")
     s"""toks AS (
-       |  SELECT doc_id, $tok AS th FROM documents
+       |  SELECT doc_id, $tok AS th FROM $src
        |), longdocs AS (
        |  SELECT doc_id, th FROM toks WHERE len(th) >= 3
        |), shingled AS (
@@ -117,6 +154,8 @@ object Dedup {
        |  SELECT doc_id, $mhList AS mh FROM shingled
        |)""".stripMargin
   }
+
+  private def sigCte: String = sigCteFrom("documents")
 
   // ---- banded LSH ---------------------------------------------------------
 
@@ -168,8 +207,11 @@ object Dedup {
        |ORDER BY doc_id, band, band_hash""".stripMargin
   }
 
-  /** Near-duplicate candidate pairs: group the banded-signature relation
-    * by (band, band_hash) and emit every intra-bucket pair, scored by
+  /** Near-duplicate candidate pairs BETWEEN DISTINCT CONTENTS: the
+    * signature relation is collapsed to one representative per exact-dup
+    * cluster (see [[keeperIds]] — exact duplicates are
+    * [[exactDupClusters]]' output, not near-dup pairs), then grouped by
+    * (band, band_hash) with every intra-bucket pair emitted, scored by
     * exact signature agreement (`n_match`/16 estimates Jaccard similarity
     * of the shingle sets), deduped across bands. ONE pass computes
     * signatures and ONE shuffle (the bucket groupBy, 128 bytes of
@@ -182,14 +224,18 @@ object Dedup {
     *
     * Skew note for 100 TB: a bucket's pair count is quadratic in ANY
     * pairing scheme — that's the LSH contract (bucket sizes are bounded
-    * because band hashes are selective). A degenerate mega-bucket (e.g.
-    * boilerplate pages sharing every band) is fixed upstream by raising
-    * rows-per-band, not by the pairing operator; collect_list makes that
-    * failure loud (bucket must fit an executor) instead of silently
-    * running a quadratic join for hours.
+    * because band hashes are selective OVER DISTINCT CONTENTS, which the
+    * pre-collapse guarantees is the population being bucketed). A bucket
+    * that is still degenerate after the collapse is genuine near-dup
+    * structure, fixed upstream by raising rows-per-band; collect_list
+    * makes that failure loud (bucket must fit an executor) instead of
+    * silently running a quadratic join for hours.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    val buckets = bandedSignatures(docs)
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    nearDupPairsOverReps(minhashSignatures(docs), keeperIds(fingerprintsOf(docs)))
+
+  private def nearDupPairsOverReps(sig: DataFrame, keepers: DataFrame): DataFrame = {
+    val buckets = bandedFrom(sig.join(keepers, Seq("doc_id"), "left_semi"))
       .groupBy("band", "band_hash")
       .agg(collect_list(struct(col("doc_id"), col("mh"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -207,8 +253,9 @@ object Dedup {
   // ---- connected-component dedup clusters --------------------------------
 
   /** The step AFTER pair detection in a real dedup pipeline: treat
-    * confirmed near-dup pairs (signature agreement ≥ `minMatch` of 16) as
-    * edges of an undirected graph, compute connected components, and
+    * confirmed near-dup pairs (signature agreement ≥ `minMatch` of 16,
+    * between exact-dup representatives) plus exact-dup copy→keeper edges
+    * as an undirected graph, compute connected components, and
     * assign every document a cluster representative — the minimum doc_id
     * in its component (keep-first policy, deterministic). `is_survivor`
     * marks the one document per component the pipeline keeps; everything
@@ -228,10 +275,28 @@ object Dedup {
     * checkpointed step output — no recomputation per round.
     */
   def dedupClusters(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 25): DataFrame =
-    dedupClustersFromPairs(docs,
-      nearDupPairs(docs).filter(col("n_match") >= minMatch)
-        .select(col("doc_a"), col("doc_b")),
-      maxIters)
+    dedupClustersFromFp(docs, fingerprintsOf(docs).localCheckpoint(), minMatch, maxIters)
+
+  /** Same clustering over a precomputed `(doc_id, fp_md5)` relation (the
+    * caller must cache/checkpoint it — it is consumed twice): clusters
+    * unite exact duplicates AND confirmed near-duplicates. Near-dup pairs
+    * come from the representative-collapsed pairing ([[nearDupPairs]]);
+    * exact-dup membership re-enters as copy→keeper edges, so N identical
+    * copies contribute N−1 edges (a star), not N²/2 — and a copy whose
+    * keeper near-dups another document lands in that same component.
+    */
+  def dedupClustersFromFp(docs: DataFrame, fp: DataFrame,
+      minMatch: Long = 8L, maxIters: Int = 25): DataFrame = {
+    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_id"))
+    val near = nearDupPairsOverReps(minhashSignatures(docs),
+        keepers.select(col("keeper_id").as("doc_id")))
+      .filter(col("n_match") >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = fp.join(keepers, "fp_md5")
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as("doc_a"), col("keeper_id").as("doc_b"))
+    dedupClustersFromPairs(docs, near.union(exact), maxIters)
+  }
 
   /** Same clustering over precomputed `(doc_a, doc_b)` confirmed pairs —
     * for pipelines that already materialized [[nearDupPairs]] (or a
@@ -280,7 +345,8 @@ object Dedup {
     * the curation oracle ([[Curation.corpusKeepSql]]). */
   private[text] def componentCtes(minMatch: Long): String = {
     val bandSelects = bandSelectsSql
-    s"""$sigCte,
+    s"""$keepersCte,
+       |${sigCteFrom("repdocs")},
        |bands AS (
        |  $bandSelects
        |),
@@ -296,10 +362,19 @@ object Dedup {
        |  WHERE len(list_filter(range(1, ${NumHashes + 1}),
        |    i -> sa.mh[i] = sb.mh[i])) >= $minMatch
        |),
+       |exact_pairs AS (
+       |  SELECT fp.doc_id AS doc_a, k.keeper_id AS doc_b
+       |  FROM fp JOIN keepers k USING (fp_md5)
+       |  WHERE fp.doc_id <> k.keeper_id
+       |),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM confirmed
+       |  UNION ALL
+       |  SELECT doc_a, doc_b FROM exact_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM exact_pairs
        |),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM edges
@@ -360,8 +435,12 @@ object Dedup {
     // [[minhashSignatures]]'s note). Without this the operator paid the
     // tokenize+shingle pipeline three times — and at corpus scale the
     // shingle-set relation is exactly the artifact worth materializing.
+    // Candidates are generated over exact-dup representatives only (see
+    // [[keeperIds]]): the semi-join restricts the 136-byte signature
+    // relation, never the checkpointed shingle sets.
     val shs = shingleSets(docs).localCheckpoint()
     val sig = shs.select(col("doc_id"), signatureOf(docs, col("sh_set")).as("mh"))
+      .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi")
     val buckets = bandedFrom(sig)
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ds"))
@@ -382,7 +461,8 @@ object Dedup {
 
   def nearDupJaccardSql: String = {
     val bandSelects = bandSelectsSql
-    s"""WITH $sigCte,
+    s"""WITH $keepersCte,
+       |${sigCteFrom("repdocs")},
        |shsets AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
        |    i -> ${PortableHash.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")})) AS sh_set
@@ -543,7 +623,8 @@ object Dedup {
 
   def nearDupPairsSql: String = {
     val bandSelects = bandSelectsSql
-    s"""WITH $sigCte,
+    s"""WITH $keepersCte,
+       |${sigCteFrom("repdocs")},
        |bands AS (
        |  $bandSelects
        |),
