@@ -88,6 +88,16 @@ object SparkEntry {
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(graft.Tables.documents(s, dir))),
+    // Nightly-ingest twin: shard = doc_id % 10 = 9 (scale-invariant 10%
+    // split), corpus bands recomputed here from the other 90% — in
+    // production they'd be a parquet read of the persisted relation.
+    "incremental_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        Dedup.signatureBands(docs.filter(col("doc_id") % 10 =!= 9)))
+    }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
     "doc_simhash" -> ((s, dir) =>
@@ -158,6 +168,7 @@ object SparkEntry {
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),

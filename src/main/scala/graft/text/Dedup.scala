@@ -181,15 +181,20 @@ object Dedup {
         col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
-  private def bandedSignatures(docs: DataFrame): DataFrame =
+  /** `(doc_id, mh, band, band_hash)` — signature + LSH bucket keys, 4
+    * rows per doc. THIS is the relation a 100 TB pipeline persists
+    * (parquet, bucketed by (band, band_hash)): nightly ingest runs
+    * [[incrementalNearDupPairs]] of the new shard against it instead of
+    * recomputing the corpus, then appends the shard's rows to it. */
+  def signatureBands(docs: DataFrame): DataFrame =
     bandedFrom(minhashSignatures(docs))
 
-  /** `(doc_id, band, band_hash)` — the LSH bucket keys, 4 rows per doc.
-    * This is the relation a 100 TB pipeline would persist (bucketed by
-    * (band, band_hash)) and incrementally join new shards against.
+  /** `(doc_id, band, band_hash)` — the LSH bucket keys alone, 4 rows per
+    * doc (the queryable projection of [[signatureBands]], which is the
+    * persisted incremental-ingest artifact).
     */
   def minhashBands(docs: DataFrame): DataFrame =
-    bandedSignatures(docs).select("doc_id", "band", "band_hash")
+    signatureBands(docs).select("doc_id", "band", "band_hash")
 
   /** The 4-way band UNION over `sig`, shared by every oracle that buckets. */
   private def bandSelectsSql: String =
@@ -248,6 +253,70 @@ object Dedup {
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
       .distinct()
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
+  }
+
+  // ---- incremental shard dedup --------------------------------------------
+
+  /** The nightly-ingest operator: near-dup candidate pairs of a NEW SHARD
+    * against the persisted corpus [[signatureBands]] relation — without
+    * recomputing anything over the corpus. Only the shard pays the
+    * text → signature pass; the corpus side is a parquet read of 4×136-byte
+    * rows per doc (bucketed by (band, band_hash) at scale, so the join is
+    * co-located). Pairs cover new-vs-corpus AND new-vs-new (a shard has
+    * internal duplicates too); corpus-vs-corpus pairs never appear — that
+    * work was paid when those shards landed. Pairing is an equi-join on
+    * the bucket key (codegen, AQE-skew-splittable), not a collect_list
+    * expansion; `distinct` collapses multi-band and (for new-new pairs)
+    * both-direction collisions. The shard bands are localCheckpoint'd: the
+    * union puts them on both join sides, and ReuseExchange cannot be
+    * relied on across an AQE self-join.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "mh", "band", "band_hash").map(col)
+    val newBands = signatureBands(newDocs).select(cols: _*).localCheckpoint()
+    val all = corpusBands.select(cols: _*).union(newBands)
+    newBands.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        aggregate(zip_with(col("x.mh"), col("y.mh"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+      .distinct()
+      .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
+  }
+
+  /** Oracle twin for the driver's fixture split (shard = doc_id % 10 = 9):
+    * signatures don't depend on which side a doc is on, so one sig chain
+    * over all documents feeds both the shard and corpus∪shard band sides.
+    */
+  def incrementalNearDupPairsSql(shardPred: String = "doc_id % 10 = 9"): String = {
+    val bandSelects = bandSelectsSql
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM newb a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |)
+       |SELECT doc_a, doc_b, n_match, n_match / ${NumHashes}e0 AS est_jaccard
+       |FROM scored
+       |ORDER BY doc_a, doc_b, n_match, est_jaccard""".stripMargin
   }
 
   // ---- connected-component dedup clusters --------------------------------

@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite {
     assert(cl.count(_.getAs[Boolean]("is_survivor")) === 1)
   }
 
+  test("incremental shard dedup = exactly the band collisions touching the shard") {
+    // corpus {1,2,3}, new shard {4,5}: 4 duplicates corpus doc 1, 5 is a
+    // shard-internal near-dup family with 4. Ground truth = brute force
+    // over the band relation, restricted to pairs with >= 1 shard member;
+    // corpus-vs-corpus (1,2)/(1,3)/(2,3) must NOT reappear.
+    val corpus = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val shard = docs((4L, base), (5L, base.replace("kilo", "KILOX")))
+    val allBands = Dedup.minhashBands(docs((1L, base), (2L, nearDup),
+      (3L, unrelated), (4L, base), (5L, base.replace("kilo", "KILOX")))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[Long]("band_hash")))
+    val expected = (for {
+      (d1, b1, h1) <- allBands; (d2, b2, h2) <- allBands
+      if d1 < d2 && b1 == b2 && h1 == h2 && (d1 >= 4L || d2 >= 4L)
+    } yield (d1, d2)).toSet
+    val got = Dedup.incrementalNearDupPairs(shard, Dedup.signatureBands(corpus))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === expected)
+    assert(got.contains((1L, 4L)) && got.contains((4L, 5L)))
+    assert(!got.exists { case (a, b) => a <= 3L && b <= 3L })
+  }
+
   test("banded LSH never pairs documents that collide in no band") {
     // bands(doc) are deterministic; assert the candidate join equals a
     // brute-force over the band relation
