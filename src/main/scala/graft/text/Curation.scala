@@ -18,25 +18,33 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    // ONE documents scan and ONE tokenize pass feed every component: the
+    // eagerly-checkpointed base carries (doc_id, text, toks, char_count),
+    // and fingerprints, quality stats, and minhash signatures all derive
+    // from it (PlanAuditSpec pins that the final plan re-scans no
+    // documents parquet). This replaces round 3's lazy persist(), which
+    // held corpus-sized cache blocks until session end — checkpoint
+    // blocks are dropped by the ContextCleaner once the result stops
+    // referencing them. Tradeoff (accepted project-wide, same as the
+    // dedup checkpoints): executor-local non-replicated blocks mean an
+    // executor loss fails the query instead of recomputing.
+    val base = graft.Tables.widen(docs).select(col("doc_id"), col("text"),
+      TextAnalysis.tokens(col("text")).as("toks"),
+      length(col("text")).cast("long").as("char_count"))
+      .localCheckpoint()
+    // fp is consumed four times (cluster agg, per-doc join, keeper
+    // derivation, exact edges) — checkpoint the 40-byte rows once.
+    val fp = base.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
+      .localCheckpoint()
     // The keep-first policy is defined ONCE, in Dedup.exactDupClusters —
     // joining against it (rather than re-deriving min(doc_id) here) means
     // a future change to the survivor policy cannot desynchronize
     // corpus_keep from exact_dup_clusters.
-    // persist (lazy, lineage kept) rather than localCheckpoint: the goal
-    // is only to share ONE md5 pass between the cluster aggregate and the
-    // per-doc join — no iteration to truncate, and checkpoint's
-    // executor-local non-replicated blocks would fail the query on any
-    // executor loss. The cache lives until session end (nothing here can
-    // unpersist before the caller materializes the result); callers
-    // re-running curation in a long-lived session should
-    // spark.catalog.clearCache() between runs.
-    val fp = docs.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
-      .persist()
     val exactDup = fp.join(Dedup.exactDupClustersFromFp(fp), "fp_md5")
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
-    val nearDup = Dedup.dedupClusters(docs)
+    val nearDup = Dedup.dedupClustersFromParts(base, fp, Dedup.signaturesFromToks(base))
       .select(col("doc_id"), (!col("is_survivor")).as("is_near_dup"))
-    val quality = TextAnalysis.textStats(docs)
+    val quality = TextAnalysis.textStatsFromToks(base)
       .select(col("doc_id"), (col("quality_score") >= lit(minQuality)).as("quality_ok"))
     exactDup.join(nearDup, "doc_id").join(quality, "doc_id")
       .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"), col("quality_ok"),

@@ -355,9 +355,15 @@ object Dedup {
     * keeper near-dups another document lands in that same component.
     */
   def dedupClustersFromFp(docs: DataFrame, fp: DataFrame,
+      minMatch: Long = 8L, maxIters: Int = 25): DataFrame =
+    dedupClustersFromParts(docs, fp, minhashSignatures(docs), minMatch, maxIters)
+
+  /** Same, with a caller-supplied `(doc_id, mh)` signature relation —
+    * so a shared-tokenize caller pays the text pass exactly once. */
+  def dedupClustersFromParts(docs: DataFrame, fp: DataFrame, sig: DataFrame,
       minMatch: Long = 8L, maxIters: Int = 25): DataFrame = {
     val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_id"))
-    val near = nearDupPairsOverReps(minhashSignatures(docs),
+    val near = nearDupPairsOverReps(sig,
         keepers.select(col("keeper_id").as("doc_id")))
       .filter(col("n_match") >= minMatch)
       .select(col("doc_a"), col("doc_b"))
@@ -468,14 +474,16 @@ object Dedup {
 
   // ---- exact n-gram Jaccard rescoring ------------------------------------
 
-  /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */
-  private def shingleSets(docs: DataFrame): DataFrame = {
-    val th = transform(TextAnalysis.tokens(col("text")),
-      t => PortableHash.tokHash(t))
-    val t = graft.Tables.widen(docs)
-      .select(col("doc_id"), th.as("th")).filter(size(col("th")) >= 3)
+  /** `(doc_id, th)` — token-hash arrays of the ≥3-token docs, from any
+    * tokens expression (freshly tokenized text, or a shared `toks` col). */
+  private def hashedTokens(df: DataFrame, toks: Column): DataFrame =
+    df.select(col("doc_id"), transform(toks, t => PortableHash.tokHash(t)).as("th"))
+      .filter(size(col("th")) >= 3)
+
+  /** `(doc_id, sh_set)` over a prepared [[hashedTokens]] relation. */
+  private def shingleSetsOf(t: DataFrame): DataFrame = {
     val shSet =
-      if (docs.sparkSession.catalog.functionExists("shingles_of_hashes"))
+      if (t.sparkSession.catalog.functionExists("shingles_of_hashes"))
         call_function("shingles_of_hashes", col("th"))
       else // session built without GraftExtensions: interpreted HOF walk
         array_distinct(transform(
@@ -486,6 +494,18 @@ object Dedup {
             element_at(col("th"), i + 2))))
     t.select(col("doc_id"), shSet.as("sh_set"))
   }
+
+  /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    shingleSetsOf(hashedTokens(graft.Tables.widen(docs),
+      TextAnalysis.tokens(col("text"))))
+
+  /** `(doc_id, mh)` from a base relation already carrying a `toks` array
+    * — the shared-tokenize path ([[Curation.corpusKeep]]): same hash
+    * chain as [[minhashSignatures]], minus the second tokenize pass. */
+  def signaturesFromToks(base: DataFrame): DataFrame =
+    shingleSetsOf(hashedTokens(base, col("toks")))
+      .select(col("doc_id"), signatureOf(base, col("sh_set")).as("mh"))
 
   /** The LSH pipeline's verification stage: EXACT n-gram (3-shingle)
     * Jaccard for each banded-LSH candidate pair — candidates come from

@@ -58,9 +58,16 @@ object TextAnalysis {
   /** Per-document token statistics + a composite quality score
     * (length/diversity/stopword mix — the usual pre-train heuristics).
     */
-  def textStats(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
-      length(col("text")).cast("long").as("char_count"))
+  def textStats(docs: DataFrame): DataFrame =
+    textStatsFromToks(docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      length(col("text")).cast("long").as("char_count")))
+
+  /** Same stats over a relation already carrying `(doc_id, toks,
+    * char_count)` — the shared-tokenize path [[Curation.corpusKeep]]
+    * uses so the corpus is tokenized once, not once per component.
+    * Expressions are identical to [[textStats]], so values (including
+    * the bit-exact doubles the oracle compares) cannot drift. */
+  def textStatsFromToks(t: DataFrame): DataFrame = {
     val hits = size(filter(col("toks"),
       x => x.isin(stopwordsEn: _*))).cast("long")
     val s = t.select(

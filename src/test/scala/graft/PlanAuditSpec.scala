@@ -56,6 +56,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_keep scans the documents parquet once (shared tokenized base)") {
+    // All three components (fingerprints, signatures, quality stats)
+    // derive from one checkpointed base; the final plan must contain NO
+    // documents parquet scan (the single scan ran at checkpoint time),
+    // while a plain text operator shows exactly one.
+    assert(!plan("corpus_keep").contains("documents.parquet"),
+      "corpus_keep re-scans documents parquet instead of the shared base")
+    assert("documents\\.parquet".r.findAllIn(plan("text_stats")).size === 1)
+  }
+
   test("ANN bucket space scales with the hash-table count (no fixed-bucket ceiling)") {
     // Round-3 weakness: a single 8-plane table = 256 buckets FOREVER, so
     // per-bucket population (and the quadratic pairing) grew linearly with
