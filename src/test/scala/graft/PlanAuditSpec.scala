@@ -47,12 +47,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("grouped aggregates combine map-side before the shuffle") {
+  test("every aggregating query combines map-side before the shuffle") {
     // partial_ aggregate functions in the plan = map-side combine: the
     // shuffle carries one row per (group, partition), not per input row.
-    for (name <- Seq("corpus_stats", "events_hourly", "exact_dup_clusters")) {
+    // Exception: distinct() compiles to a FUNCTION-LESS HashAggregate
+    // pair — no "partial_" prefix exists (it attaches to agg functions),
+    // but the pre-shuffle stage is still there, so for the distinct-only
+    // plans we assert the aggregate-node pair instead.
+    val distinctOnly = Set("embed_ann_pairs", "incremental_dedup", "simhash_pairs")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
-      assert(p.contains("partial_"), s"$name has no partial aggregation:\n$p")
+      if (distinctOnly(name)) {
+        assert("HashAggregate".r.findAllIn(p).size >= 2,
+          s"$name: distinct lacks its pre-shuffle aggregate stage:\n$p")
+      } else if (p.contains("Aggregate")) {
+        assert(p.contains("partial_"), s"$name has no partial aggregation:\n$p")
+      }
     }
   }
 
