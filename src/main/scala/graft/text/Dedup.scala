@@ -336,10 +336,10 @@ object Dedup {
     * components are shallow by construction (documents clustered around
     * shared content); an adversarial million-hop chain would exhaust
     * `maxIters` and throw rather than silently return a partial
-    * clustering — at that point swap in star-contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond"), which has the same
-    * per-round cost shape (one join + one min-aggregate, both on the
-    * doc_id key). `localCheckpoint` truncates lineage so the plan does
+    * clustering — at that point swap in
+    * [[dedupClustersFromPairsStar]], the O(log² n) star-contraction
+    * twin with the same output contract (property-tested equal).
+    * `localCheckpoint` truncates lineage so the plan does
     * not grow with iterations, and the convergence check reads the
     * checkpointed step output — no recomputation per round.
     */
@@ -406,11 +406,76 @@ object Dedup {
       labels = step.select("doc_id", "rep_id")
       it += 1
     }
+    attachLabels(docs, labels)
+  }
+
+  /** Rejoin iterated `(doc_id, rep_id)` labels to the corpus: singletons
+    * (never edge-incident) default to self; survivor = component min. */
+  private def attachLabels(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "node_id"),
         col("doc_id") === col("node_id"), "left")
       .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .withColumn("is_survivor", col("doc_id") === col("rep_id"))
+
+  /** Star-contraction variant of [[dedupClustersFromPairs]] — alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): large-star connects every
+    * larger neighbor of a node to the minimum of its closed neighborhood;
+    * small-star does the same for the smaller neighbors. Converges to
+    * per-component stars rooted at the component minimum in O(log² n)
+    * rounds on ANY graph — where min-label propagation needs
+    * diameter-many rounds, so this retires the deep-component escape
+    * hatch (an adversarial million-hop chain is ~40 rounds, not 1e6).
+    * Per-round cost shape matches min-label (a groupBy-min plus an
+    * equi-join on node ids, all on the edge-incident subset);
+    * `localCheckpoint` truncates lineage; convergence = edge-set
+    * fixpoint (count-equal + empty difference, both cheap on the
+    * shrinking edge relation). Same output contract as
+    * [[dedupClustersFromPairs]]; DedupSpec property-tests equality on
+    * random graphs and on a chain deeper than min-label's budget.
+    */
+  def dedupClustersFromPairsStar(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    // canonical undirected edges (u > v), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"dedupClustersStar: no fixpoint after $maxIters rounds — " +
+            "exceeds the O(log^2 n) bound; the edge relation is corrupt")
+      // large-star: incidence at BOTH endpoints; each node's larger
+      // neighbors re-attach to min(closed neighborhood)
+      val inc = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = inc.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = inc.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: edges hang at their larger endpoint; that node and
+      // all its smaller neighbors re-attach to the neighborhood min
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(greatest(col("e.a"), col("e.b")).as("u"),
+          least(col("e.a"), col("e.b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      done = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      it += 1
+    }
+    // fixpoint = stars: every non-root points at its component minimum
+    attachLabels(docs,
+      edges.select(col("u").as("doc_id"), col("v").as("rep_id")))
   }
 
   /** The WITH-chain fragment (no `WITH RECURSIVE` prefix) building the

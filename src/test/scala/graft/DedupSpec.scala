@@ -159,6 +159,37 @@ class DedupSpec extends AnyFunSuite {
     assert(cl.count(_.getAs[Boolean]("is_survivor")) === 1)
   }
 
+  test("property: star contraction equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 3) {
+      val n = 40L
+      val ids = (0L until n)
+      val pairs = Seq.fill(45)((ids(rnd.nextInt(40)), ids(rnd.nextInt(40))))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val ds = ids.toDF("doc_id")
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id"),
+          r.getAs[Boolean]("is_survivor"))).toSet
+      assert(res(Dedup.dedupClustersFromPairsStar(ds, pairs))
+        === res(Dedup.dedupClustersFromPairs(ds, pairs)))
+    }
+  }
+
+  test("star contraction clusters a chain deeper than min-label's iteration budget") {
+    // a 60-node path has diameter 59: min-label needs 59 rounds and must
+    // throw at its default budget; star contraction finishes in O(log² n)
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ds = (0L until 60L).toDF("doc_id")
+    val got = Dedup.dedupClustersFromPairsStar(ds, chain).collect()
+    assert(got.length === 60)
+    assert(got.forall(_.getAs[Long]("rep_id") == 0L))
+    assert(got.count(_.getAs[Boolean]("is_survivor")) === 1)
+    assertThrows[IllegalStateException] {
+      Dedup.dedupClustersFromPairs(ds, chain).collect()
+    }
+  }
+
   test("incremental shard dedup = exactly the band collisions touching the shard") {
     // corpus {1,2,3}, new shard {4,5}: 4 duplicates corpus doc 1, 5 is a
     // shard-internal near-dup family with 4. Ground truth = brute force
