@@ -88,6 +88,10 @@ object SparkEntry {
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(graft.Tables.documents(s, dir))),
+    // Same clusters through the O(log² n) star-contraction iterator —
+    // the deep-component path; same oracle as dedup_clusters by design.
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dedupClustersStar(graft.Tables.documents(s, dir))),
     // Nightly-ingest twin: shard = doc_id % 10 = 9 (scale-invariant 10%
     // split), corpus bands recomputed here from the other 90% — in
     // production they'd be a parquet read of the persisted relation.
@@ -168,6 +172,7 @@ object SparkEntry {
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "doc_simhash" -> Dedup.docSimhashSql,

@@ -361,7 +361,21 @@ object Dedup {
   /** Same, with a caller-supplied `(doc_id, mh)` signature relation —
     * so a shared-tokenize caller pays the text pass exactly once. */
   def dedupClustersFromParts(docs: DataFrame, fp: DataFrame, sig: DataFrame,
-      minMatch: Long = 8L, maxIters: Int = 25): DataFrame = {
+      minMatch: Long = 8L, maxIters: Int = 25): DataFrame =
+    dedupClustersFromPairs(docs, confirmedPairs(fp, sig, minMatch), maxIters)
+
+  /** [[dedupClusters]] through the star-contraction iterator instead of
+    * min-label propagation — identical output (same confirmed-pair edge
+    * relation, same oracle), O(log² n) rounds on any component shape. */
+  def dedupClustersStar(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 50): DataFrame =
+    dedupClustersFromPairsStar(docs,
+      confirmedPairs(fingerprintsOf(docs).localCheckpoint(),
+        minhashSignatures(docs), minMatch),
+      maxIters)
+
+  /** The confirmed duplicate-edge relation: rep-rep near-dup pairs with
+    * signature agreement ≥ minMatch, plus exact-dup copy→keeper edges. */
+  private def confirmedPairs(fp: DataFrame, sig: DataFrame, minMatch: Long): DataFrame = {
     val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_id"))
     val near = nearDupPairsOverReps(sig,
         keepers.select(col("keeper_id").as("doc_id")))
@@ -370,7 +384,7 @@ object Dedup {
     val exact = fp.join(keepers, "fp_md5")
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id").as("doc_a"), col("keeper_id").as("doc_b"))
-    dedupClustersFromPairs(docs, near.union(exact), maxIters)
+    near.union(exact)
   }
 
   /** Same clustering over precomputed `(doc_a, doc_b)` confirmed pairs —
