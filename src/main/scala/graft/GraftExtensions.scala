@@ -34,6 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinhashOfHashes(children.head, graft.text.Dedup.perms)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sign_buckets_of_quantized"),
+      new ExpressionInfo(classOf[graft.functions.SignBucketsOfQuantized].getName,
+        "sign_buckets_of_quantized"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"sign_buckets_of_quantized takes exactly 1 argument, got ${children.size}")
+        graft.functions.SignBucketsOfQuantized(children.head,
+          graft.ml.Similarity.planeParams,
+          graft.ml.Similarity.NumTables, graft.ml.Similarity.PlanesPerTable)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingles_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.ShinglesOfHashes].getName,
         "shingles_of_hashes"),

@@ -230,12 +230,20 @@ object Similarity {
   /** `(vec_id, tbl, bucket)` over a [[vectors]] relation — one row per
     * vector per hash table. This is the sketch a 100 TB pipeline persists
     * (bucketed by (tbl, bucket)) and joins new shards against; bucket
-    * cardinality = NumTables·2^PlanesPerTable, asserted in PlanAuditSpec. */
+    * cardinality = NumTables·2^PlanesPerTable, asserted in PlanAuditSpec.
+    * The L bucket ids come from the native codegen
+    * [[graft.functions.SignBucketsOfQuantized]] when the session has
+    * GraftExtensions — ONE walk of the vector instead of L·b interpreted
+    * `aggregate(transform(...))` passes (array HOFs are CodegenFallback);
+    * SimilaritySpec pins bit-equality against the declarative twin. */
   def annBands(v: DataFrame): DataFrame = {
-    val tableStructs = array((0 until NumTables).map(t =>
-      struct(lit(t.toLong).as("tbl"), bucketCol(col("qv"), t).as("bucket"))): _*)
-    v.select(col("vec_id"), explode(tableStructs).as("b"))
-      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val buckets =
+      if (v.sparkSession.catalog.functionExists("sign_buckets_of_quantized"))
+        call_function("sign_buckets_of_quantized", col("qv"))
+      else
+        array((0 until NumTables).map(t => bucketCol(col("qv"), t)): _*)
+    v.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
   }
 
   def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {

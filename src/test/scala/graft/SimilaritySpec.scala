@@ -95,6 +95,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.nonEmpty) // the property must actually exercise pairs
   }
 
+  test("native sign_buckets_of_quantized equals the declarative twin, incl. edge cases") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    // normal vectors: the expression path (annBands) vs the Scala twin
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 25L).map(i => i -> Seq.fill(10)(rnd.nextFloat() - 0.5f))
+    val bands = Similarity.annBands(Similarity.vectors(embeds(vecs: _*)))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("tbl"))
+        -> r.getAs[Long]("bucket")).toMap
+    for ((id, v) <- vecs; t <- 0 until Similarity.NumTables)
+      assert(bands((id, t.toLong)) === bucket(v, t))
+    // raw-array edge semantics (unreachable through vectors(), but the
+    // expression must not diverge from the declarative fallback): a NULL
+    // element nullifies every projection → when(null >= 0) → 0 buckets;
+    // an empty array leaves every projection at the fold seed 0 → proj
+    // >= 0 holds → every bit set
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("qv", ArrayType(LongType, containsNull = true))))
+    val raw = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq[Any](3L, null, 5L)), Row(2L, Seq.empty[Any])),
+      schema)
+    val got = raw.select(col("vec_id"),
+        call_function("sign_buckets_of_quantized", col("qv")).as("b"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toList).toMap
+    assert(got(1L) === List.fill(Similarity.NumTables)(0L))
+    assert(got(2L) ===
+      List.fill(Similarity.NumTables)((1L << Similarity.PlanesPerTable) - 1L))
+  }
+
   test("property: banded LSH recalls planted near-duplicate pairs vs brute-force ground truth") {
     // 60 random base vectors + a perturbed near-copy of each of the first
     // 20 (cosine ≈ 0.995): ground truth = ALL pairs with cos ≥ 0.95 by
