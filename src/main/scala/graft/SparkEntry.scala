@@ -113,6 +113,8 @@ object SparkEntry {
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
     "embed_ann_pairs" -> ((s, dir) =>
       Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
+    "embed_ann_knn" -> ((s, dir) =>
+      Similarity.embedAnnKnn(graft.Tables.embeddings(s, dir))),
     // ---- LLM-data-pipeline extensions: multimodal binary columns ----
     "media_features" -> ((s, dir) =>
       graft.multimodal.Media.mediaFeatures(graft.Tables.documents(s, dir))),
@@ -179,6 +181,7 @@ object SparkEntry {
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
+    "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),
     "media_resize" -> graft.multimodal.Media.mediaResizeSql(),

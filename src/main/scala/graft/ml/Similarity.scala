@@ -265,6 +265,81 @@ object Similarity {
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
+  /** LSH-accelerated k-nearest-neighbor SEARCH — the query-serving twin
+    * of [[embedAnnPairs]] (which mines all pairs): each query vector
+    * probes its own bucket in each of the L hash tables, candidates are
+    * the distinct bucket co-residents, and only those are exactly
+    * rescored and top-k'd (same bounded-state [[TopKAgg]] as
+    * [[embedKnn]]). Recall follows the banded S-curve, so near-duplicate
+    * neighbors are found while the corpus scan, per-candidate work, and
+    * shuffle all shrink to the probed buckets — the scale path when the
+    * corpus is too large to brute-force per query. The tiny query-band
+    * side broadcasts; the bands relation is the same persistable sketch
+    * [[annBands]] produces (at 100 TB: parquet bucketed by (tbl,
+    * bucket), so probes prune to matching buckets). Queries with no
+    * bucket co-residents return no rows (honest ANN semantics: the
+    * index found nothing).
+    */
+  def embedAnnKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+    val v = vectors(embeds).localCheckpoint()
+    val bands = annBands(v).localCheckpoint()
+    val qb = bands.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = broadcast(qb).join(bands, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = v.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val n = v.select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .filter(size(col("qqv")) === size(col("qv")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("r0", "s")))
+      .select(col("query_id"), (col("r0") + 1L).as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.cos_sim").as("cos_sim"))
+  }
+
+  def embedAnnKnnSql(nQueries: Long = 10L, k: Int = 5): String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vectorsCte,
+       |bands AS (
+       |  $tableSelects
+       |),
+       |qb AS (
+       |  SELECT vec_id AS query_id, tbl, bucket FROM bands WHERE vec_id < $nQueries
+       |),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+       |  FROM qb JOIN bands b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+       |  WHERE b.vec_id <> qb.query_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * vn.qv[i])) AS DOUBLE)
+       |      / (vq.nrm * vn.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN vecs vq ON vq.vec_id = cand.query_id
+       |  JOIN vecs vn ON vn.vec_id = cand.neighbor_id
+       |  WHERE len(vq.qv) = len(vn.qv)
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
+  }
+
   def embedAnnPairsSql(simThreshold: Double = 0.1): String = {
     val tableSelects = (0 until NumTables).map(t =>
       s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,

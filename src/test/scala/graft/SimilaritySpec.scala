@@ -125,6 +125,32 @@ class SimilaritySpec extends AnyFunSuite {
       List.fill(Similarity.NumTables)((1L << Similarity.PlanesPerTable) - 1L))
   }
 
+  test("property: ANN kNN = top-k by cosine over exactly the bucket-collision candidates") {
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 50L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    // make the first queries actually have near neighbors in the index
+    val dups = (0L until 6L).map { i =>
+      (200L + i) -> base(i.toInt)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    }
+    val vecs = base ++ dups
+    val (nQ, k) = (6L, 3)
+    val expected = (for {
+      (qid, qv) <- vecs.take(nQ.toInt)
+    } yield qid -> vecs
+      .filter { case (nid, nv) => nid != qid && collides(qv, nv) }
+      .map { case (nid, nv) => (nid, cos(qv, nv)) }
+      .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toList)
+      .filter(_._2.nonEmpty).toMap
+    val got = Similarity.embedAnnKnn(embeds(vecs: _*), nQueries = nQ, k = k)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toList
+      }
+    assert(got === expected)
+    // the planted near-duplicates must be found as top-1
+    for (i <- 0L until 6L) assert(expected(i).headOption === Some(200L + i))
+  }
+
   test("property: banded LSH recalls planted near-duplicate pairs vs brute-force ground truth") {
     // 60 random base vectors + a perturbed near-copy of each of the first
     // 20 (cosine ≈ 0.995): ground truth = ALL pairs with cos ≥ 0.95 by
