@@ -5,8 +5,9 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, LongType}
-import graft.functions.{MinhashOfHashes, PortableHash, SimhashOfHashes}
+import graft.functions.{MinhashOfHashes, PortableHash, SignBucketsOfQuantized, SimhashOfHashes}
 import graft.text.Dedup
+import graft.ml.Similarity
 
 /** ScalaCheck properties for the native hash expressions' interpreted
   * eval path, checked against independent Scala models (the codegen path
@@ -78,5 +79,27 @@ object HashExprProps extends Properties("HashExpressions") {
       val out = evalExpr(graft.functions.ShinglesOfHashes(litArr(hs)))
         .asInstanceOf[ArrayData]
       (0 until out.numElements()).map(out.getLong) == shingleModel(hs)
+    }
+
+  // quantized embedding coordinates: |floor(x·1e6)| ≤ 2e6 for |x| ≤ 2
+  private val coordGen = Gen.chooseNum(-2000000L, 2000000L)
+
+  private def signBucketsModel(qv: Seq[Long]): Seq[Long] =
+    (0 until Similarity.NumTables).map { t =>
+      (0 until Similarity.PlanesPerTable).map { j =>
+        val (a, b) = Similarity.planeParams(t * Similarity.PlanesPerTable + j)
+        val proj = qv.zipWithIndex.map { case (q, i0) =>
+          q * ((a * (i0 + 1) + b) % 997L - 498L)
+        }.sum
+        if (proj >= 0L) 1L << j else 0L
+      }.sum
+    }
+
+  property("sign buckets eval equals the model (incl. empty = all bits set)") =
+    forAll(Gen.listOf(coordGen)) { qv =>
+      val out = evalExpr(SignBucketsOfQuantized(litArr(qv),
+        Similarity.planeParams, Similarity.NumTables, Similarity.PlanesPerTable))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == signBucketsModel(qv)
     }
 }
