@@ -115,6 +115,16 @@ object SparkEntry {
       Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
     "embed_ann_knn" -> ((s, dir) =>
       Similarity.embedAnnKnn(graft.Tables.embeddings(s, dir))),
+    // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
+    // corpus vector/band sketches are recomputed here from the other 90%
+    // — in production they'd be parquet reads of the persisted relations.
+    "incremental_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.Tables.embeddings(s, dir)
+      val corpusV = Similarity.vectors(e.filter(col("vec_id") % 10 =!= 9))
+      Similarity.incrementalAnnPairs(e.filter(col("vec_id") % 10 === 9),
+        corpusV, Similarity.annBands(corpusV))
+    }),
     // ---- LLM-data-pipeline extensions: multimodal binary columns ----
     "media_features" -> ((s, dir) =>
       graft.multimodal.Media.mediaFeatures(graft.Tables.documents(s, dir))),
@@ -182,6 +192,7 @@ object SparkEntry {
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
+    "incremental_ann" -> Similarity.incrementalAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),
     "media_resize" -> graft.multimodal.Media.mediaResizeSql(),

@@ -265,6 +265,76 @@ object Similarity {
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
+  /** The nightly-ingest operator for embeddings — the [[embedAnnPairs]]
+    * analog of [[graft.text.Dedup.incrementalNearDupPairs]]: similarity
+    * pairs of a NEW SHARD against the persisted corpus sketches (the
+    * quantized-vector relation and the [[annBands]] bucket relation)
+    * without recomputing anything over the corpus. Only the shard pays
+    * the quantize + projection pass; pairing is a (tbl, bucket) equi-join
+    * of the shard's bands against corpus ∪ shard bands (new-vs-corpus AND
+    * new-vs-new pairs; corpus-vs-corpus was paid when those shards
+    * landed), then the exact rescore joins the union of the two vector
+    * relations on the distinct surviving candidates.
+    */
+  def incrementalAnnPairs(newEmbeds: DataFrame, corpusVecs: DataFrame,
+      corpusBands: DataFrame, simThreshold: Double = 0.1): DataFrame = {
+    val nv = vectors(newEmbeds).localCheckpoint()
+    val nb = annBands(nv).localCheckpoint()
+    val allBands = corpusBands.select("vec_id", "tbl", "bucket").union(nb)
+    val cand = nb.as("x").join(allBands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    val allVecs = corpusVecs.select("vec_id", "qv", "nrm")
+      .union(nv.select("vec_id", "qv", "nrm"))
+    val va = allVecs.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val vb = allVecs.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .filter(size(col("qa")) === size(col("qb")))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= lit(simThreshold))
+  }
+
+  /** Oracle twin for the driver's fixture split (shard = vec_id % 10 = 9):
+    * buckets don't depend on which side a vector is on, so one band chain
+    * over all embeddings feeds both the shard and corpus∪shard sides. */
+  def incrementalAnnPairsSql(simThreshold: Double = 0.1,
+      shardPred: String = "vec_id % 10 = 9"): String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vectorsCte,
+       |bands AS (
+       |  $tableSelects
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |cand AS (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+       |    greatest(a.vec_id, b.vec_id) AS vec_b
+       |  FROM newb a JOIN bands b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |),
+       |pairs AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(list_sum(list_transform(range(1, len(va.qv) + 1), i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+       |      / (va.nrm * vb.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN vecs va ON va.vec_id = cand.vec_a
+       |  JOIN vecs vb ON vb.vec_id = cand.vec_b
+       |  WHERE len(va.qv) = len(vb.qv)
+       |)
+       |SELECT vec_a, vec_b, cos_sim FROM pairs
+       |WHERE cos_sim >= ${simThreshold}e0
+       |ORDER BY vec_a, vec_b, cos_sim""".stripMargin
+  }
+
   /** LSH-accelerated k-nearest-neighbor SEARCH — the query-serving twin
     * of [[embedAnnPairs]] (which mines all pairs): each query vector
     * probes its own bucket in each of the L hash tables, candidates are

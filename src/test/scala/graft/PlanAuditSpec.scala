@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // pair — no "partial_" prefix exists (it attaches to agg functions),
     // but the pre-shuffle stage is still there, so for the distinct-only
     // plans we assert the aggregate-node pair instead.
-    val distinctOnly = Set("embed_ann_pairs", "incremental_dedup", "simhash_pairs")
+    val distinctOnly =
+      Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       if (distinctOnly(name)) {

@@ -151,6 +151,29 @@ class SimilaritySpec extends AnyFunSuite {
     for (i <- 0L until 6L) assert(expected(i).headOption === Some(200L + i))
   }
 
+  test("incremental ANN = exactly the bucket collisions touching the shard") {
+    val rnd = new scala.util.Random(53)
+    val base = (0L until 30L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    // shard: a near-copy of corpus vector 0 plus two fresh vectors
+    val shard = Seq(
+      100L -> base(0)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f),
+      101L -> Seq.fill(12)(rnd.nextFloat() - 0.5f),
+      102L -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val all = base ++ shard
+    val thr = -1.0 // keep every collision: the property is the candidate set
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && collides(va, vb) && (ia >= 100L || ib >= 100L)
+    } yield (ia, ib)).toSet
+    val corpusV = Similarity.vectors(embeds(base: _*))
+    val got = Similarity.incrementalAnnPairs(embeds(shard: _*),
+        corpusV, Similarity.annBands(corpusV), simThreshold = thr)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got === expected)
+    assert(got.contains((0L, 100L))) // the planted near-copy is found
+    assert(!got.exists { case (a, b) => a < 100L && b < 100L })
+  }
+
   test("property: banded LSH recalls planted near-duplicate pairs vs brute-force ground truth") {
     // 60 random base vectors + a perturbed near-copy of each of the first
     // 20 (cosine ≈ 0.995): ground truth = ALL pairs with cos ≥ 0.95 by
