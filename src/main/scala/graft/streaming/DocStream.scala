@@ -32,4 +32,24 @@ object DocStream {
         eventTime.as("event_time"))
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp_md5")
+
+  /** The streaming face of incremental ingest (the exact-dedup sibling of
+    * [[graft.text.Dedup.incrementalNearDupPairs]]): drop incoming docs
+    * whose normalized content already exists in the PERSISTED corpus
+    * fingerprint relation (any static relation with an `fp_md5` column,
+    * e.g. the materialized [[graft.text.TextAnalysis.fingerprints]]
+    * output), then drop intra-stream repeats within the watermark
+    * horizon. The stream-static anti join is STATELESS — corpus history
+    * never enters streaming state, which is what makes "dedup against
+    * 100 TB of history" feasible in a stream at all: the static side is
+    * a parquet relation the join probes per micro-batch, not per-key
+    * state the stream must carry. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFp: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs.select(col("doc_id"),
+        TextAnalysis.normMd5(col("text")).as("fp_md5"),
+        eventTime.as("event_time"))
+      .join(corpusFp.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp_md5")
 }

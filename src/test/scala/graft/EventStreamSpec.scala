@@ -80,6 +80,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === batchFps)
   }
 
+  test("streaming dedup against a static corpus drops known content statelessly") {
+    implicit val ctx = spark.sqlContext
+    val corpusFp = graft.text.TextAnalysis.fingerprints(
+      Seq((100L, "alpha beta gamma", "en"), (101L, "old corpus doc", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val src = MemoryStream[(Long, Long, String)]
+    src.addData(
+      (1L, T, "alpha  beta\tgamma"),   // whitespace variant of corpus 100 → dropped
+      (2L, T + 1, "something else"),   // new content → kept
+      (3L, T + 2, "something  else"),  // intra-stream repeat of 2 → dropped
+      (4L, T + 3, "old corpus doc"))   // exact corpus repeat → dropped
+    val name = s"inc_dedup_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.dedupAgainstCorpus(
+        src.toDF().toDF("doc_id", "ts", "text"), corpusFp)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).collect().map(_.getAs[Long]("doc_id"))
+    assert(out.toList === List(2L))
+  }
+
   test("mapGroupsWithState running summaries match batch per-user aggregates") {
     implicit val ctx = spark.sqlContext
     val src = MemoryStream[Ev]
