@@ -264,16 +264,23 @@ object Dedup {
     * rows per doc (bucketed by (band, band_hash) at scale, so the join is
     * co-located). Pairs cover new-vs-corpus AND new-vs-new (a shard has
     * internal duplicates too); corpus-vs-corpus pairs never appear — that
-    * work was paid when those shards landed. Pairing is an equi-join on
-    * the bucket key (codegen, AQE-skew-splittable), not a collect_list
-    * expansion; `distinct` collapses multi-band and (for new-new pairs)
-    * both-direction collisions. The shard bands are localCheckpoint'd: the
-    * union puts them on both join sides, and ReuseExchange cannot be
-    * relied on across an AQE self-join.
+    * work was paid when those shards landed. The shard is pre-collapsed
+    * to one representative per exact-dup fingerprint first (same
+    * [[keeperIds]] policy as [[nearDupPairs]] — a boilerplate-heavy
+    * shard would otherwise emit quadratic copy-pairs); shard copies
+    * re-expand through [[exactDupClusters]] on the shard, exactly as in
+    * batch. Pairing is an equi-join on the bucket key (codegen,
+    * AQE-skew-splittable), not a collect_list expansion; `distinct`
+    * collapses multi-band and (for new-new pairs) both-direction
+    * collisions. The shard bands are localCheckpoint'd: the union puts
+    * them on both join sides, and ReuseExchange cannot be relied on
+    * across an AQE self-join.
     */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "mh", "band", "band_hash").map(col)
-    val newBands = signatureBands(newDocs).select(cols: _*).localCheckpoint()
+    val newBands = bandedFrom(minhashSignatures(newDocs)
+        .join(keeperIds(fingerprintsOf(newDocs)), Seq("doc_id"), "left_semi"))
+      .select(cols: _*).localCheckpoint()
     val all = corpusBands.select(cols: _*).union(newBands)
     newBands.as("x").join(all.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
@@ -289,7 +296,8 @@ object Dedup {
 
   /** Oracle twin for the driver's fixture split (shard = doc_id % 10 = 9):
     * signatures don't depend on which side a doc is on, so one sig chain
-    * over all documents feeds both the shard and corpus∪shard band sides.
+    * over all documents feeds both sides; the shard side is restricted
+    * to its per-fingerprint keepers (the within-shard pre-collapse).
     */
   def incrementalNearDupPairsSql(shardPred: String = "doc_id % 10 = 9"): String = {
     val bandSelects = bandSelectsSql
@@ -297,13 +305,26 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
+       |sfp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE $shardPred
+       |),
+       |skeep AS (
+       |  SELECT min(doc_id) AS doc_id FROM sfp GROUP BY fp_md5
+       |),
        |newb AS (
-       |  SELECT * FROM bands WHERE $shardPred
+       |  SELECT b.* FROM bands b JOIN skeep USING (doc_id)
+       |),
+       |oldb AS (
+       |  SELECT * FROM bands WHERE NOT ($shardPred)
+       |),
+       |allb AS (
+       |  SELECT * FROM oldb UNION ALL SELECT * FROM newb
        |),
        |cand AS (
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
        |    greatest(a.doc_id, b.doc_id) AS doc_b
-       |  FROM newb a JOIN bands b
+       |  FROM newb a JOIN allb b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
        |),
        |scored AS (

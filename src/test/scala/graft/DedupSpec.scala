@@ -190,13 +190,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("incremental shard dedup = exactly the band collisions touching the shard") {
-    // corpus {1,2,3}, new shard {4,5}: 4 duplicates corpus doc 1, 5 is a
-    // shard-internal near-dup family with 4. Ground truth = brute force
-    // over the band relation, restricted to pairs with >= 1 shard member;
-    // corpus-vs-corpus (1,2)/(1,3)/(2,3) must NOT reappear.
+  test("incremental shard dedup = band collisions touching the shard's keepers") {
+    // corpus {1,2,3}; shard {4,5,6}: 4 duplicates corpus doc 1's content,
+    // 5 is a near-dup variant, 6 is a SHARD-INTERNAL exact copy of 4 (so
+    // the within-shard pre-collapse drops it — copy membership is the
+    // shard's exactDupClusters' job). Ground truth = brute force over the
+    // band relation of {1..5}, restricted to pairs with >= 1 shard
+    // keeper; corpus-vs-corpus pairs must NOT reappear.
     val corpus = docs((1L, base), (2L, nearDup), (3L, unrelated))
-    val shard = docs((4L, base), (5L, base.replace("kilo", "KILOX")))
+    val shard = docs((4L, base), (5L, base.replace("kilo", "KILOX")), (6L, base))
     val allBands = Dedup.minhashBands(docs((1L, base), (2L, nearDup),
       (3L, unrelated), (4L, base), (5L, base.replace("kilo", "KILOX")))).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[Long]("band_hash")))
@@ -209,6 +211,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.contains((1L, 4L)) && got.contains((4L, 5L)))
     assert(!got.exists { case (a, b) => a <= 3L && b <= 3L })
+    assert(!got.exists { case (a, b) => a == 6L || b == 6L })
   }
 
   test("banded LSH never pairs documents that collide in no band") {
