@@ -39,6 +39,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query-side filter not pushed to the embeddings scan")
   }
 
+  test("embed_ann_knn broadcasts the query-band probe side") {
+    // the per-query bucket probes (nQueries×L rows) must broadcast into
+    // the bands relation — the corpus side never shuffles for the probe
+    val p = plan("embed_ann_knn")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe join in:\n$p")
+  }
+
   test("no query plans a cartesian product or a nested-loop join") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
