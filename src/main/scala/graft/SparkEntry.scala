@@ -115,6 +115,8 @@ object SparkEntry {
       Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
     "embed_ann_knn" -> ((s, dir) =>
       Similarity.embedAnnKnn(graft.Tables.embeddings(s, dir))),
+    "embed_ivf_knn" -> ((s, dir) =>
+      Similarity.embedIvfKnn(graft.Tables.embeddings(s, dir))),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
     // corpus vector/band sketches are recomputed here from the other 90%
     // — in production they'd be parquet reads of the persisted relations.
@@ -192,6 +194,7 @@ object SparkEntry {
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
+    "embed_ivf_knn" -> Similarity.embedIvfKnnSql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),

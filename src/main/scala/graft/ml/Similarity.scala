@@ -359,6 +359,16 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    rescoreTopK(cand, v, k)
+  }
+
+  /** Exact-rescore + bounded-state top-k tail shared by the candidate-set
+    * search operators ([[embedAnnKnn]], [[embedIvfKnn]]): join the
+    * `(query_id, neighbor_id)` candidates against the vector relation on
+    * both sides, exact quantized cosine, then [[TopKAgg]] (≤k rows per
+    * query BEFORE the shuffle) with the (cos desc, id asc) total order
+    * the oracles' row_number mirrors. */
+  private def rescoreTopK(cand: DataFrame, v: DataFrame, k: Int): DataFrame = {
     val q = v.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
     val n = v.select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
     val scored = cand.join(q, "query_id").join(n, "neighbor_id")
@@ -409,6 +419,100 @@ object Similarity {
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
   }
+
+  /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
+    * sign-LSH: a coarse quantizer partitions the corpus into
+    * `numCentroids` inverted lists (each vector assigned to its
+    * max-cosine centroid), queries probe only their `nProbe` closest
+    * lists, and the exact rescore runs on the probed lists' members. The
+    * centroid set here is the deterministic prefix sample
+    * (`vec_id < numCentroids`) — a legitimate cheap initialization that
+    * keeps the oracle mechanical; production would k-means-refine the
+    * sample, changing constants, not plan shape. Scale shape: the
+    * centroid relation is tiny and BROADCAST twice (assignment scan,
+    * probe scan); assignment is a map-side `max(struct(cos, -cid))`
+    * partial aggregate (one 16-byte row per vector to the shuffle — NOT
+    * a row_number window over the K×N scored relation); at 100 TB the
+    * assignment relation is the persisted index, partitioned by cid, so
+    * probes prune to nProbe/numCentroids of the corpus.
+    */
+  def embedIvfKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val v = vectors(embeds).localCheckpoint()
+    val cent = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    // same ragged-dimension equi-guard as every other scorer
+    val scoredVc = v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
+    // argmax centroid per vector, ties to the smaller cid: max of
+    // (cosvc, -cid) struct = lexicographic, mirrored by the oracle's
+    // row_number(ORDER BY cosvc DESC, cid)
+    val asg = scoredVc.groupBy("vec_id")
+      .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    val topkProbe = udaf(new TopKAgg(nProbe), Encoders.product[Scored])
+    val probe = scoredVc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid").as("neighbor_id"),
+        col("cosvc").as("cos_sim"))
+      .groupBy("query_id")
+      .agg(topkProbe(col("neighbor_id"), col("cos_sim")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items.neighbor_id")).as("cid"))
+    val cand = broadcast(probe).join(asg, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rescoreTopK(cand, v, k)
+  }
+
+  def embedIvfKnnSql(nQueries: Long = 10L, k: Int = 5,
+      numCentroids: Int = 16, nProbe: Int = 4): String =
+    s"""WITH $vectorsCte,
+       |cent AS (
+       |  SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM vecs WHERE vec_id < $numCentroids
+       |),
+       |scored_vc AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] * c.cqv[i])) AS DOUBLE)
+       |      / (v.nrm * c.cnrm) AS cosvc
+       |  FROM vecs v JOIN cent c ON len(v.qv) = len(c.cqv)
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cosvc DESC, cid) AS rn
+       |    FROM scored_vc
+       |  ) WHERE rn = 1
+       |),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cosvc DESC, cid) AS rn
+       |    FROM scored_vc WHERE vec_id < $nQueries
+       |  ) WHERE rn <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * vn.qv[i])) AS DOUBLE)
+       |      / (vq.nrm * vn.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN vecs vq ON vq.vec_id = cand.query_id
+       |  JOIN vecs vn ON vn.vec_id = cand.neighbor_id
+       |  WHERE len(vq.qv) = len(vn.qv)
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
 
   def embedAnnPairsSql(simThreshold: Double = 0.1): String = {
     val tableSelects = (0 until NumTables).map(t =>

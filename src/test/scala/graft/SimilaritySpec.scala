@@ -151,6 +151,34 @@ class SimilaritySpec extends AnyFunSuite {
     for (i <- 0L until 6L) assert(expected(i).headOption === Some(200L + i))
   }
 
+  test("property: IVF kNN = top-k over exactly the probed inverted lists") {
+    val rnd = new scala.util.Random(61)
+    val vecs = (0L until 60L).map(i => i -> Seq.fill(10)(rnd.nextFloat() - 0.5f))
+    val (nQ, k, nc, np) = (5L, 3, 8, 2)
+    val byId = vecs.toMap
+    val cents = (0L until nc.toLong)
+    // Scala twin: assignment = argmax cosine (ties → smaller cid)
+    def assign(v: Seq[Float]): Long =
+      cents.map(c => c -> cos(v, byId(c))).minBy { case (c, s) => (-s, c) }._1
+    val asg = vecs.map { case (id, v) => id -> assign(v) }.toMap
+    val expected = (for {
+      (qid, qv) <- vecs.take(nQ.toInt)
+      probed = cents.map(c => c -> cos(qv, byId(c)))
+        .sortBy { case (c, s) => (-s, c) }.take(np).map(_._1).toSet
+    } yield qid -> vecs
+      .filter { case (nid, _) => nid != qid && probed.contains(asg(nid)) }
+      .map { case (nid, nv) => (nid, cos(qv, nv)) }
+      .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toList).toMap
+    val got = Similarity.embedIvfKnn(embeds(vecs: _*), nQueries = nQ, k = k,
+        numCentroids = nc, nProbe = np)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toList
+      }
+    assert(got === expected)
+    assert(expected.values.exists(_.nonEmpty))
+  }
+
   test("incremental ANN = exactly the bucket collisions touching the shard") {
     val rnd = new scala.util.Random(53)
     val base = (0L until 30L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
