@@ -46,7 +46,9 @@ object Bench {
     // codegen, and each table's footer/scan caches.
     Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly")
       .filter(SparkEntry.queries.contains).foreach(run)
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // clamp: a zero/negative override would silently record every query
+    // as failed (-1) with total 0 instead of measuring anything
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val results = names.map { name =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

@@ -93,14 +93,22 @@ object SparkEntry {
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.dedupClustersStar(graft.Tables.documents(s, dir))),
     // Nightly-ingest twin: shard = doc_id % 10 = 9 (scale-invariant 10%
-    // split), corpus bands recomputed here from the other 90% — in
-    // production they'd be a parquet read of the persisted relation.
+    // split); corpus fingerprints/bands recomputed here from the other
+    // 90% — in production they'd be parquet reads of the persisted
+    // relations. Full ingest composition: exact-known content is dropped
+    // by the fingerprint anti-join FIRST (its complement is the
+    // exact-dup verdict), then only genuinely-new content enters
+    // near-dup candidate pairing — which is also what keeps the
+    // persisted band relation from accumulating one keeper per shard
+    // for the same boilerplate.
     "incremental_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
       Dedup.incrementalNearDupPairs(
-        docs.filter(col("doc_id") % 10 === 9),
-        Dedup.signatureBands(docs.filter(col("doc_id") % 10 =!= 9)))
+        Dedup.newContent(docs.filter(col("doc_id") % 10 === 9),
+          Dedup.contentFingerprints(corpus)),
+        Dedup.signatureBands(corpus))
     }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
@@ -118,14 +126,18 @@ object SparkEntry {
     "embed_ivf_knn" -> ((s, dir) =>
       Similarity.embedIvfKnn(graft.Tables.embeddings(s, dir))),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
-    // corpus vector/band sketches are recomputed here from the other 90%
-    // — in production they'd be parquet reads of the persisted relations.
+    // corpus vector/band sketches are parquet reads of persisted
+    // relations in production — here they're derived, so checkpoint them
+    // once (the vector relation feeds both rescore sides AND the band
+    // derivation; uncached it would recompute the corpus quantize
+    // pipeline ~3x, which no real deployment pays).
     "incremental_ann" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val e = graft.Tables.embeddings(s, dir)
       val corpusV = Similarity.vectors(e.filter(col("vec_id") % 10 =!= 9))
+        .localCheckpoint()
       Similarity.incrementalAnnPairs(e.filter(col("vec_id") % 10 === 9),
-        corpusV, Similarity.annBands(corpusV))
+        corpusV, Similarity.annBands(corpusV).localCheckpoint())
     }),
     // ---- LLM-data-pipeline extensions: multimodal binary columns ----
     "media_features" -> ((s, dir) =>

@@ -241,7 +241,12 @@ object Similarity {
       if (v.sparkSession.catalog.functionExists("sign_buckets_of_quantized"))
         call_function("sign_buckets_of_quantized", col("qv"))
       else
-        array((0 until NumTables).map(t => bucketCol(col("qv"), t)): _*)
+        // the isNotNull guard matches the native expression's
+        // null-propagation: a NULL qv yields NO band rows on either path
+        // (a bare array(...) of bucketCols would instead emit L rows of
+        // bucket 0 for a NULL vector)
+        when(col("qv").isNotNull,
+          array((0 until NumTables).map(t => bucketCol(col("qv"), t)): _*))
     v.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
   }

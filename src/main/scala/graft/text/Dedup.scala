@@ -95,6 +95,28 @@ object Dedup {
   private def keeperIds(fp: DataFrame): DataFrame =
     fp.groupBy("fp_md5").agg(min("doc_id").as("doc_id")).select("doc_id")
 
+  /** `(doc_id, fp_md5)` — the public face of the exact-dup key relation:
+    * what a pipeline persists alongside the signature bands, and the
+    * static side of [[graft.streaming.DocStream.dedupAgainstCorpus]] and
+    * [[newContent]]. */
+  def contentFingerprints(docs: DataFrame): DataFrame = fingerprintsOf(docs)
+
+  /** The batch face of [[graft.streaming.DocStream.dedupAgainstCorpus]]:
+    * shard rows whose normalized content is NOT already in the persisted
+    * corpus fingerprint relation (any relation with an `fp_md5` column).
+    * Runs BEFORE [[incrementalNearDupPairs]] in the ingest composition —
+    * exact-known content is this anti-join's (dropped) output, mirroring
+    * batch where exact duplicates are [[exactDupClusters]]' output — and
+    * it is what keeps the persisted band relation bounded: without it,
+    * every day's shard contributes a fresh keeper row for the same
+    * boilerplate content, regrowing per-bucket population linearly with
+    * ingest days. NULL-text rows (NULL fp) never match and pass through,
+    * identically in both engines. */
+  def newContent(newDocs: DataFrame, corpusFp: DataFrame): DataFrame =
+    newDocs.withColumn("fp_md5", TextAnalysis.normMd5(col("text")))
+      .join(corpusFp.select("fp_md5"), Seq("fp_md5"), "left_anti")
+      .drop("fp_md5")
+
   /** fp → keepers → repdocs CTE chain, the oracle twin of the collapse. */
   private def keepersCte: String =
     s"""fp AS (
@@ -269,7 +291,13 @@ object Dedup {
     * [[keeperIds]] policy as [[nearDupPairs]] — a boilerplate-heavy
     * shard would otherwise emit quadratic copy-pairs); shard copies
     * re-expand through [[exactDupClusters]] on the shard, exactly as in
-    * batch. Pairing is an equi-join on the bucket key (codegen,
+    * batch. Cross-shard exact duplicates are NOT this operator's job:
+    * the ingest composition runs the shard through [[newContent]] FIRST
+    * (as the incremental_dedup query does) — that anti-join's complement
+    * is the exact-dup verdict, and filtering before banding is what
+    * keeps the persisted band relation from accumulating one keeper per
+    * shard for the same boilerplate content across ingest days.
+    * Pairing is an equi-join on the bucket key (codegen,
     * AQE-skew-splittable), not a collect_list expansion; `distinct`
     * collapses multi-band and (for new-new pairs) both-direction
     * collisions. The shard bands are localCheckpoint'd: the union puts
@@ -296,8 +324,11 @@ object Dedup {
 
   /** Oracle twin for the driver's fixture split (shard = doc_id % 10 = 9):
     * signatures don't depend on which side a doc is on, so one sig chain
-    * over all documents feeds both sides; the shard side is restricted
-    * to its per-fingerprint keepers (the within-shard pre-collapse).
+    * over all documents feeds both sides; the shard side is first
+    * filtered to content absent from the corpus (the [[newContent]]
+    * anti-join — NOT EXISTS, so NULL fingerprints pass through exactly
+    * as Spark's null-keyed left_anti does), then restricted to its
+    * per-fingerprint keepers (the within-shard pre-collapse).
     */
   def incrementalNearDupPairsSql(shardPred: String = "doc_id % 10 = 9"): String = {
     val bandSelects = bandSelectsSql
@@ -305,12 +336,20 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
+       |cfp AS (
+       |  SELECT DISTINCT ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE NOT ($shardPred)
+       |),
        |sfp AS (
        |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
        |  FROM documents WHERE $shardPred
        |),
+       |snew AS (
+       |  SELECT s.* FROM sfp s
+       |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = s.fp_md5)
+       |),
        |skeep AS (
-       |  SELECT min(doc_id) AS doc_id FROM sfp GROUP BY fp_md5
+       |  SELECT min(doc_id) AS doc_id FROM snew GROUP BY fp_md5
        |),
        |newb AS (
        |  SELECT b.* FROM bands b JOIN skeep USING (doc_id)
@@ -408,10 +447,14 @@ object Dedup {
     near.union(exact)
   }
 
-  /** Same clustering over precomputed `(doc_a, doc_b)` confirmed pairs —
-    * for pipelines that already materialized [[nearDupPairs]] (or a
-    * [[simhashPairs]] / embedding-pair relation): the signature pipeline
-    * runs once, not once per consumer. */
+  /** Same clustering over precomputed `(doc_a, doc_b)` confirmed pairs.
+    * CONTRACT: the pairs must carry ALL edges the caller wants clustered.
+    * [[nearDupPairs]]/[[simhashPairs]] emit pairs between exact-dup
+    * REPRESENTATIVES only — composing with them directly leaves exact
+    * copies unclustered (each copy comes back as its own survivor); use
+    * [[dedupClustersFromFp]] (which unions the copy→keeper edges back
+    * in), or append those edges yourself, when exact duplicates must
+    * land in the same cluster. */
   def dedupClustersFromPairs(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -730,7 +773,9 @@ object Dedup {
         coalesce(sim, lit(0L)).as("simhash"))
   }
 
-  def docSimhashSql: String = {
+  /** The simhash SELECT (no ORDER BY) over `src` — shared by the
+    * standalone oracle (all documents) and the pairing oracle (repdocs). */
+  private def docSimhashBodySql(src: String): String = {
     val permLists = simPerms.zipWithIndex.map { case ((a, b), p) =>
       val h = PortableHash.permHashSql(PortableHash.tokHashSql("x"), a, b)
       s"""list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'),
@@ -745,12 +790,15 @@ object Dedup {
     s"""WITH t AS (
        |  SELECT doc_id,
        |    $permLists
-       |  FROM documents
+       |  FROM $src
        |)
        |SELECT doc_id, CAST(len(th0) AS BIGINT) AS n_tokens,
        |  $sim AS simhash
-       |FROM t ORDER BY doc_id, n_tokens, simhash""".stripMargin
+       |FROM t""".stripMargin
   }
+
+  def docSimhashSql: String =
+    docSimhashBodySql("documents") + " ORDER BY doc_id, n_tokens, simhash"
 
   /** Near-dup pairs by SimHash: candidates share at least one of the 4
     * 16-bit simhash bands (exact-match equi-buckets — by pigeonhole,
@@ -772,7 +820,14 @@ object Dedup {
     * AQE broadcasts the build side; measured, not guessed.)
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = docSimhash(docs).select("doc_id", "simhash").localCheckpoint()
+    // same exact-dup pre-collapse as [[nearDupPairs]]: identical docs
+    // share every simhash band (hamming 0), so N copies would otherwise
+    // emit N²/2 pairs through the band join — exact duplicates are
+    // [[exactDupClusters]]' output, not near-dup pairs. The semi-join
+    // restricts the 16-byte sketch relation, never the corpus text.
+    val s = docSimhash(docs).select("doc_id", "simhash")
+      .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val bandMask = (1L << simBandBits) - 1
     val bandStructs = array((0 until SimBands).map(m =>
       struct(lit(m.toLong).as("band"),
@@ -795,7 +850,8 @@ object Dedup {
     val nibbleSelects = (0 until SimBands).map(m =>
       s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH s AS (${docSimhashSql.replace("ORDER BY doc_id, n_tokens, simhash", "")}),
+    s"""WITH $keepersCte,
+       |s AS (${docSimhashBodySql("repdocs")}),
        |bands AS (
        |  $nibbleSelects
        |),

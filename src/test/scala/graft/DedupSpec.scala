@@ -102,18 +102,27 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(s(1L), s(3L)) < hamming(s(1L), s(4L)))
   }
 
-  test("simhashPairs: complete for hamming <= 3 via 4-band pigeonhole") {
-    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+  test("simhashPairs: complete for hamming <= 3 over exact-dup representatives") {
+    // 1,2,5 share identical content → only representative 1 may pair
+    // (exact duplicates are exactDupClusters' output); 6 is a one-char
+    // variant of base whose simhash stays within the radius, giving the
+    // completeness property a surviving positive pair
+    val variant = base.replace("zulu", "zulux")
+    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated),
+      (5L, base), (6L, variant))
     val s = Dedup.docSimhash(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val reps = Set(1L, 3L, 4L, 6L) // 2 and 5 collapse into 1
     val expected = (for {
       (i, si) <- s.toSeq; (j, sj) <- s.toSeq
-      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+      if i < j && reps(i) && reps(j) && java.lang.Long.bitCount(si ^ sj) <= 3
     } yield (i, j)).toSet
     val got = Dedup.simhashPairs(d).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(got === expected)
-    assert(expected.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 2L || b == 2L || a == 5L || b == 5L })
+    assert(expected.contains((1L, 6L)),
+      s"fixture lost its positive pair: hamming=${java.lang.Long.bitCount(s(1L) ^ s(6L))}")
   }
 
   test("dedupClusters: fixpoint equals driver-side union-find; survivors are component minima") {
@@ -212,6 +221,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L)) && got.contains((4L, 5L)))
     assert(!got.exists { case (a, b) => a <= 3L && b <= 3L })
     assert(!got.exists { case (a, b) => a == 6L || b == 6L })
+    // the full ingest composition (as the incremental_dedup query runs):
+    // the corpus-fingerprint anti-join drops 4 and 6 (content = corpus
+    // doc 1) BEFORE pairing; only genuinely-new content 5 remains
+    val fresh = Dedup.newContent(shard, Dedup.contentFingerprints(corpus))
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
+    val composedGot = Dedup.incrementalNearDupPairs(fresh, Dedup.signatureBands(corpus))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // population after the anti-join = corpus ∪ {5}; 4 and 6 are gone
+    val pop = Set(1L, 2L, 3L, 5L)
+    val composedExpected = (for {
+      (d1, b1, h1) <- allBands; (d2, b2, h2) <- allBands
+      if d1 < d2 && b1 == b2 && h1 == h2 && (d1 == 5L || d2 == 5L) &&
+        pop(d1) && pop(d2)
+    } yield (d1, d2)).toSet
+    assert(composedGot === composedExpected)
   }
 
   test("banded LSH never pairs documents that collide in no band") {
