@@ -43,6 +43,15 @@ object SparkEntry {
     // S1+P3+A5: countedges.CountEdgesAfterMax
     "edge_count" -> ((s, dir) =>
       GraphPatterns.edgeCount(edges(s, dir), Some(CensusMax))),
+    // S1 end-to-end through the driver gate: round-trip the edge view
+    // through the reference's native format (headerless src,dst CSV,
+    // FAILFAST + null-id hard error) and run the census on the re-read
+    // relation — same oracle as edge_count by construction.
+    "edge_count_csv" -> ((s, dir) => {
+      val tmp = s"/root/repo/target/edges_csv/${new java.io.File(dir).getName}"
+      EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
+      GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))
+    }),
     // A1+A2: exact.Exact2HopCount — degree-identity plan
     "exact_2hop" -> ((s, dir) =>
       GraphPatterns.twoHopCountDegrees(edges(s, dir))),
@@ -159,6 +168,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "edge_count" ->
+      s"""$EdgeCte
+         |SELECT count(*) AS edge_count FROM edges
+         |WHERE src < $CensusMax AND dst < $CensusMax""".stripMargin,
+    "edge_count_csv" ->
       s"""$EdgeCte
          |SELECT count(*) AS edge_count FROM edges
          |WHERE src < $CensusMax AND dst < $CensusMax""".stripMargin,
