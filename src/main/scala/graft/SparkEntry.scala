@@ -47,8 +47,15 @@ object SparkEntry {
     // through the reference's native format (headerless src,dst CSV,
     // FAILFAST + null-id hard error) and run the census on the re-read
     // relation — same oracle as edge_count by construction.
+    // NB: the CSV write happens eagerly at DataFrame-construction time —
+    // the round-trip IS the operator (fromCsv needs the files on disk), so
+    // its bench time is sink+scan, not census cost. The path derives from
+    // java.io.tmpdir (round-4 advice: a hardcoded repo path broke
+    // relocated checkouts and made plan audits write under the repo).
     "edge_count_csv" -> ((s, dir) => {
-      val tmp = s"/root/repo/target/edges_csv/${new java.io.File(dir).getName}"
+      val tmp = new java.io.File(
+        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_edges_csv"),
+        new java.io.File(dir).getName).getPath
       EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
       GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))
     }),

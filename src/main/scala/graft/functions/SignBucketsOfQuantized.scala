@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (48 at the default 4×12 geometry); this is ONE codegen'd walk updating
   * all L·b projections. Parity with the declarative fallback (pinned in
   * SimilaritySpec): a NULL element nullifies every projection and
-  * `when(null ≥ 0)` falls through to 0 ⇒ all buckets 0; an empty array
-  * leaves every projection at the fold seed 0 ⇒ every bit set. Both are
-  * unreachable through [[graft.ml.Similarity.vectors]] (norm filter),
-  * but the expression must not diverge on raw inputs.
+  * `when(null ≥ 0)` falls through to 0 ⇒ all buckets 0. The EMPTY array
+  * is native-only behavior: here every projection stays at the fold seed
+  * 0 ⇒ every bit set, while the declarative fallback ERRORS (its
+  * `sequence(1, size(qv))` on size 0 yields the descending [1, 0] and
+  * `element_at(qv, 0)` raises) — both raw-input cases are unreachable
+  * through [[graft.ml.Similarity.vectors]] (norm filter), which is the
+  * only production entry point.
   *
   * Overflow bounds: |qv[i]| ≤ 2·10^6 (quantized unit-ish floats), |coef|
   * ≤ 498 ⇒ |per-term| ≤ 10^9; 4096 dims ⇒ |proj| ≤ 4·10^12 « 2^62.
@@ -29,6 +32,12 @@ case class SignBucketsOfQuantized(child: Expression, planes: Seq[(Long, Long)],
     numTables: Int, planesPerTable: Int) extends UnaryExpression {
 
   private def h: Int = numTables * planesPerTable
+
+  // hoisted coefficient arrays for the interpreted path: indexing the
+  // `planes` Seq (a List) inside the per-element loop made nullSafeEval
+  // O(h²) per array element; the codegen path already hoists these
+  @transient private lazy val planeA: Array[Long] = planes.map(_._1).toArray
+  @transient private lazy val planeB: Array[Long] = planes.map(_._2).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -51,7 +60,7 @@ case class SignBucketsOfQuantized(child: Expression, planes: Seq[(Long, Long)],
         val idx = i + 1L
         var p = 0
         while (p < h) {
-          proj(p) += q * ((planes(p)._1 * idx + planes(p)._2) % 997L - 498L)
+          proj(p) += q * ((planeA(p) * idx + planeB(p)) % 997L - 498L)
           p += 1
         }
       }

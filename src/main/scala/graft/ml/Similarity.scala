@@ -280,6 +280,13 @@ object Similarity {
     * new-vs-new pairs; corpus-vs-corpus was paid when those shards
     * landed), then the exact rescore joins the union of the two vector
     * relations on the distinct surviving candidates.
+    *
+    * PRECONDITION: shard vec_ids are DISJOINT from corpus vec_ids — the
+    * id is the identity key of the persisted index, so a nightly shard
+    * re-using a corpus id is an upstream ingest bug (the same contract a
+    * parquet-appended index table has). A violating id would make the
+    * unioned vector relation carry two rows for that key and duplicate
+    * its rescore output rather than fail loudly.
     */
   def incrementalAnnPairs(newEmbeds: DataFrame, corpusVecs: DataFrame,
       corpusBands: DataFrame, simThreshold: Double = 0.1): DataFrame = {

@@ -237,42 +237,40 @@ object Dedup {
   /** Near-duplicate candidate pairs BETWEEN DISTINCT CONTENTS: the
     * signature relation is collapsed to one representative per exact-dup
     * cluster (see [[keeperIds]] — exact duplicates are
-    * [[exactDupClusters]]' output, not near-dup pairs), then grouped by
-    * (band, band_hash) with every intra-bucket pair emitted, scored by
-    * exact signature agreement (`n_match`/16 estimates Jaccard similarity
-    * of the shingle sets), deduped across bands. ONE pass computes
-    * signatures and ONE shuffle (the bucket groupBy, 128 bytes of
-    * signature per row) feeds the pairing — the self-join formulation
-    * costs a second full text → signature pass and a second shuffle for
-    * the same pairs. n_match is symmetric and functionally determined by
-    * the pair, so (least, greatest) ordering + distinct() is insensitive
-    * to collect_list's nondeterministic order and collapses multi-band
+    * [[exactDupClusters]]' output, not near-dup pairs), candidate pairs
+    * come from a self-equi-join on the (band, band_hash) bucket key,
+    * scored by exact signature agreement (`n_match`/16 estimates Jaccard
+    * similarity of the shingle sets), deduped across bands. n_match is
+    * symmetric and functionally determined by the pair, so the
+    * doc_a < doc_b join predicate + distinct() collapses multi-band
     * collisions.
     *
-    * Skew note for 100 TB: a bucket's pair count is quadratic in ANY
-    * pairing scheme — that's the LSH contract (bucket sizes are bounded
-    * because band hashes are selective OVER DISTINCT CONTENTS, which the
-    * pre-collapse guarantees is the population being bucketed). A bucket
-    * that is still degenerate after the collapse is genuine near-dup
-    * structure, fixed upstream by raising rows-per-band; collect_list
-    * makes that failure loud (bucket must fit an executor) instead of
-    * silently running a quadratic join for hours.
+    * Pairing shape (round-4 verdict #3, converged with [[simhashPairs]]
+    * and [[embedAnnPairs]]): the banded signature relation (136 bytes/row,
+    * 4 rows/doc) is localCheckpoint'd ONCE — the text → signature pipeline
+    * runs once, not once per join side (ReuseExchange cannot be relied on
+    * across an AQE self-join) — then the pair expansion is a codegen'd
+    * self-equi-join. A bucket's pair count is quadratic in ANY pairing
+    * scheme (the LSH contract: bucket sizes are bounded because band
+    * hashes are selective OVER DISTINCT CONTENTS, which the pre-collapse
+    * guarantees is the population being bucketed), but under the join a
+    * genuinely hot template-family bucket expands inside whole-stage
+    * codegen across AQE's skew-split sub-partitions, where the previous
+    * collect_list shape serialized the same expansion, interpreted, on
+    * ONE task pinned to the bucket.
     */
   def nearDupPairs(docs: DataFrame): DataFrame =
     nearDupPairsOverReps(minhashSignatures(docs), keeperIds(fingerprintsOf(docs)))
 
   private def nearDupPairsOverReps(sig: DataFrame, keepers: DataFrame): DataFrame = {
-    val buckets = bandedFrom(sig.join(keepers, Seq("doc_id"), "left_semi"))
-      .groupBy("band", "band_hash")
-      .agg(collect_list(struct(col("doc_id"), col("mh"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val pairList = graft.functions.Pairing.intraBucketPairs(col("ds"))
-    buckets.select(explode(pairList).as("p"))
-      .select(
-        least(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_a"),
-        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("doc_b"),
-        aggregate(zip_with(col("p.x.mh"), col("p.y.mh"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+    val bands = bandedFrom(sig.join(keepers, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        aggregate(zip_with(col("x.mh"), col("y.mh"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
       .distinct()
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
@@ -303,6 +301,12 @@ object Dedup {
     * collisions. The shard bands are localCheckpoint'd: the union puts
     * them on both join sides, and ReuseExchange cannot be relied on
     * across an AQE self-join.
+    *
+    * PRECONDITION: shard doc_ids are DISJOINT from the corpus doc_ids
+    * behind `corpusBands` — the id is the identity key of the persisted
+    * band relation (same contract as any appended index table); a
+    * violating id would put two band rows under one key and duplicate
+    * that document's pair output rather than fail loudly.
     */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "mh", "band", "band_hash").map(col)
@@ -652,8 +656,9 @@ object Dedup {
 
   /** The LSH pipeline's verification stage: EXACT n-gram (3-shingle)
     * Jaccard for each banded-LSH candidate pair — candidates come from
-    * the same bucket-grouped pairing as [[nearDupPairs]], then each
-    * side's distinct shingle set is joined back in and intersected.
+    * the same checkpointed bucket self-equi-join as [[nearDupPairs]],
+    * then each side's distinct shingle set is joined back in and
+    * intersected.
     * This is the standard two-phase shape at scale: the sketch prunes
     * ~all pairs, the exact measure runs only on survivors, so the
     * full-fidelity set intersection (which is O(doc length) and shuffles
@@ -673,14 +678,16 @@ object Dedup {
     val shs = shingleSets(docs).localCheckpoint()
     val sig = shs.select(col("doc_id"), signatureOf(docs, col("sh_set")).as("mh"))
       .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi")
-    val buckets = bandedFrom(sig)
-      .groupBy("band", "band_hash")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val pairList = graft.functions.Pairing.intraBucketPairs(col("ds"))
-    val cand = buckets.select(explode(pairList).as("p"))
-      .select(least(col("p.x"), col("p.y")).as("doc_a"),
-        greatest(col("p.x"), col("p.y")).as("doc_b"))
+    // candidates via the same checkpointed self-equi-join shape as
+    // [[nearDupPairs]]/[[simhashPairs]] — the rescore is exact Jaccard,
+    // so only the 24-byte (doc_id, band, band_hash) key rows join here
+    // (the mh payload is dropped before the shuffle)
+    val bands = bandedFrom(sig).select("doc_id", "band", "band_hash")
+      .localCheckpoint()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sa = shs.select(col("doc_id").as("doc_a"), col("sh_set").as("sh_a"))
     val sb = shs.select(col("doc_id").as("doc_b"), col("sh_set").as("sh_b"))
@@ -807,14 +814,15 @@ object Dedup {
     * exact Hamming distance (`bit_count(xor)`) and filtered. The `& 0xFFFF`
     * mask (not `%`) keeps the band value non-negative when bit 63 is set.
     *
-    * Pairing shape differs from the MinHash/ANN operators deliberately:
-    * simhash bands over near-template corpora produce MEASURABLY skewed
-    * buckets (sf0.1 fixtures: max bucket 323 docs → a 52k-pair expansion
-    * in ONE task under the collect_list+HOF scheme, interpreted). Here
-    * the signature table (8 bytes/doc — the sketch a 100 TB pipeline
-    * would persist anyway) is checkpointed ONCE, then candidate pairs
-    * come from a self-equi-join on (band, nibble): expansion runs in
-    * whole-stage codegen and AQE's skew-join splitting applies to hot
+    * Pairing shape (now shared by ALL the sketch-pairing operators —
+    * [[nearDupPairs]], [[nearDupJaccard]], [[embedAnnPairs]] converged on
+    * it in rounds 4-5): simhash bands over near-template corpora produce
+    * MEASURABLY skewed buckets (sf0.1 fixtures: max bucket 323 docs → a
+    * 52k-pair expansion in ONE task under a collect_list+HOF scheme,
+    * interpreted). The signature table (8 bytes/doc — the sketch a 100 TB
+    * pipeline would persist anyway) is checkpointed ONCE, then candidate
+    * pairs come from a self-equi-join on (band, nibble): expansion runs
+    * in whole-stage codegen and AQE's skew-join splitting applies to hot
     * buckets. (A plain self-join without the checkpoint recomputes the
     * 64-bit vote pipeline on both sides — ReuseExchange cannot fire once
     * AQE broadcasts the build side; measured, not guessed.)

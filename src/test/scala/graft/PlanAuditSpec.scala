@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // but the pre-shuffle stage is still there, so for the distinct-only
     // plans we assert the aggregate-node pair instead.
     val distinctOnly =
-      Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs")
+      Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs",
+        "near_dup_pairs", "near_dup_jaccard")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       if (distinctOnly(name)) {
@@ -71,6 +72,20 @@ class PlanAuditSpec extends AnyFunSuite {
       } else if (p.contains("Aggregate")) {
         assert(p.contains("partial_"), s"$name has no partial aggregation:\n$p")
       }
+    }
+  }
+
+  test("no sketch-pairing plan expands buckets through collect_list") {
+    // Round-4 verdict #3: every sketch-pairing operator must use the
+    // checkpointed self-equi-join shape (codegen, AQE-skew-splittable) —
+    // a collect_list bucket expansion pins a hot bucket's quadratic pair
+    // blow-up to ONE task, interpreted. collect_list also forces an
+    // ObjectHashAggregate, so both spellings are asserted absent.
+    for (name <- Seq("near_dup_pairs", "near_dup_jaccard", "incremental_dedup",
+        "simhash_pairs", "embed_ann_pairs", "incremental_ann")) {
+      val p = plan(name)
+      assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+        s"$name expands buckets via collect_list:\n$p")
     }
   }
 
