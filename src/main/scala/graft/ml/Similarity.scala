@@ -432,37 +432,114 @@ object Similarity {
        |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
   }
 
-  /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
-    * sign-LSH: a coarse quantizer partitions the corpus into
-    * `numCentroids` inverted lists (each vector assigned to its
-    * max-cosine centroid), queries probe only their `nProbe` closest
-    * lists, and the exact rescore runs on the probed lists' members. The
-    * centroid set here is the deterministic prefix sample
-    * (`vec_id < numCentroids`) — a legitimate cheap initialization that
-    * keeps the oracle mechanical; production would k-means-refine the
-    * sample, changing constants, not plan shape. Scale shape: the
-    * centroid relation is tiny and BROADCAST twice (assignment scan,
-    * probe scan); assignment is a map-side `max(struct(cos, -cid))`
-    * partial aggregate (one 16-byte row per vector to the shuffle — NOT
-    * a row_number window over the K×N scored relation); at 100 TB the
-    * assignment relation is the persisted index, partitioned by cid, so
-    * probes prune to nProbe/numCentroids of the corpus.
-    */
-  def embedIvfKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5,
-      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val v = vectors(embeds).localCheckpoint()
-    val cent = v.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
-    // same ragged-dimension equi-guard as every other scorer
-    val scoredVc = v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
+  /** `(vec_id, cid, cosvc)` — every vector scored against every centroid
+    * through the broadcast join; the ragged-dimension guard
+    * (`size(qv) === size(cqv)`) doubles as the equi-key, same as every
+    * other scorer in this file. */
+  private def scoreAgainst(v: DataFrame, cent: DataFrame): DataFrame =
+    v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
       .select(col("vec_id"), col("cid"),
         (dot(col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
-    // argmax centroid per vector, ties to the smaller cid: max of
-    // (cosvc, -cid) struct = lexicographic, mirrored by the oracle's
-    // row_number(ORDER BY cosvc DESC, cid)
-    val asg = scoredVc.groupBy("vec_id")
+
+  /** `(vec_id, cid)` argmax-cosine assignment, ties to the smaller cid:
+    * max of the (cosvc, -cid) struct = lexicographic, mirrored by the
+    * oracle's row_number(ORDER BY cosvc DESC, cid). Map-side partial
+    * aggregate — one 16-byte row per vector reaches the shuffle, NOT a
+    * row_number window over the K×N scored relation. */
+  private def argmaxAssign(scoredVc: DataFrame): DataFrame =
+    scoredVc.groupBy("vec_id")
       .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+
+  /** K-means-refined coarse quantizer over a [[vectors]] relation:
+    * Lloyd iterations with a FIXED deterministic count (no convergence
+    * test — a data-dependent stopping rule would make the oracle
+    * non-mechanical), seeded from the deterministic prefix sample
+    * (`vec_id < numCentroids`, cid = seed vec_id). Each iteration:
+    *
+    *  1. assign every vector to its max-cosine centroid
+    *     ([[scoreAgainst]] broadcast join + [[argmaxAssign]] partial agg);
+    *  2. new centroid = the per-dimension QUANTIZED mean of its members —
+    *     `floor(sum_d / count_d)` with the sum in exact int64 and ONE
+    *     IEEE divide+floor, so both engines produce bit-identical
+    *     integer centroids (a float mean would accumulate in
+    *     engine-specific order). posexplode + groupBy(cid, d) keeps the
+    *     update map-combined: each partition pre-reduces to ≤K·dim rows
+    *     before the shuffle, and the K×dim result re-assembles into
+    *     centroid arrays with an array_sort(collect_list) over the dim
+    *     elements of one centroid (bounded by the vector width, never by
+    *     corpus size). Sum bound: |coord| ≤ 2·10^6 ⇒ exact for clusters
+    *     up to ~4·10^9 members (2^53/2e6), far past any real list size.
+    *
+    * Degenerate clusters follow k-means semantics: a centroid that loses
+    * all members (or floor-means to the zero vector) drops out, so the
+    * list count can shrink below numCentroids — deterministically in
+    * both engines. The tiny centroid relation is localCheckpoint'd per
+    * iteration, so iteration i+1's plan starts from K materialized rows
+    * instead of nesting i corpus joins. Cost shape at 100 TB: iters ×
+    * (one broadcast-join corpus scan + one map-combined shuffle of
+    * K·dim·partitions rows) — the canonical distributed Lloyd step.
+    * Like every iterative operator here (see [[graft.text.Dedup
+    * .dedupClusters]]), the wall-clock floor at ANY scale is the
+    * scheduling of iters × 3 sequential shuffle stages (~1 s/round on
+    * local[32]) — data volume is not the bench cost at test SFs.
+    */
+  def kmeansCentroids(v: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    var cent = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      // assignment carries qv through the argmax aggregate instead of
+      // joining back to v afterwards: the broadcast join preserves v's
+      // partitioning, so every vector's K scored rows sit in one
+      // partition and the partial aggregate fully reduces to one row per
+      // vec_id BEFORE the shuffle — same bytes moved as the bare argmax,
+      // one whole join stage (and its shuffle) saved per iteration.
+      // first(qv) is deterministic: qv is functionally determined by the
+      // grouping key.
+      val scored = v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          (dot(col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
+      val asg = scored.groupBy("vec_id")
+        .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"),
+          first(col("qv")).as("qv"))
+        .select((-col("m.ncid")).as("cid"), col("qv"))
+      val dimMeans = asg
+        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"))
+      cent = dimMeans.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+        .select(col("cid"), transform(col("dc"), e => e.getField("c")).as("cqv"))
+        .withColumn("cnrm", sqrt(dot(col("cqv"), col("cqv")).cast("double")))
+        .filter(col("cnrm") > 0.0)
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
+    * sign-LSH: a coarse quantizer partitions the corpus into inverted
+    * lists (each vector assigned to its max-cosine centroid), queries
+    * probe only their `nProbe` closest lists, and the exact rescore runs
+    * on the probed lists' members. The quantizer is [[kmeansCentroids]]
+    * — `kmeansIters` fixed Lloyd rounds from the deterministic prefix
+    * seed (kmeansIters = 0 IS the raw prefix sample, kept reachable for
+    * the recall-vs-seed property test). Scale shape: the centroid
+    * relation is tiny and BROADCAST at every use (per-iteration
+    * assignment scans, the final assignment scan, the probe scan);
+    * assignment is a map-side `max(struct(cos, -cid))` partial aggregate
+    * (one 16-byte row per vector to the shuffle — NOT a row_number
+    * window over the K×N scored relation); at 100 TB the assignment
+    * relation is the persisted index, partitioned by cid, so probes
+    * prune to nProbe/numCentroids of the corpus.
+    */
+  def embedIvfKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5,
+      numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): DataFrame = {
+    val v = vectors(embeds).localCheckpoint()
+    val cent = kmeansCentroids(v, numCentroids, kmeansIters)
+    val scoredVc = scoreAgainst(v, cent)
+    val asg = argmaxAssign(scoredVc)
     val topkProbe = udaf(new TopKAgg(nProbe), Encoders.product[Scored])
     val probe = scoredVc.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("cid").as("neighbor_id"),
@@ -477,17 +554,54 @@ object Similarity {
     rescoreTopK(cand, v, k)
   }
 
+  /** Oracle twin of [[embedIvfKnn]]: the Lloyd loop unrolls to a fixed
+    * CTE chain (cent0 = prefix seed; sc_i → asg_i → ex_i → sums_i →
+    * cent_{i+1} per iteration — the zipped unnests in ex_i mirror
+    * posexplode, `list(c ORDER BY d)` mirrors the array_sort
+    * re-assembly, and floor(sum/count) is the same one-divide quantized
+    * mean), which is exactly why the iteration count is FIXED. */
   def embedIvfKnnSql(nQueries: Long = 10L, k: Int = 5,
-      numCentroids: Int = 16, nProbe: Int = 4): String =
+      numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): String = {
+    val iterCtes = (0 until kmeansIters).map { i =>
+      s"""sc$i AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1), j -> v.qv[j] * c.cqv[j])) AS DOUBLE)
+         |      / (v.nrm * c.cnrm) AS cosvc
+         |  FROM vecs v JOIN cent$i c ON len(v.qv) = len(c.cqv)
+         |),
+         |asg$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cosvc DESC, cid) AS rn
+         |    FROM sc$i
+         |  ) WHERE rn = 1
+         |),
+         |ex$i AS (
+         |  SELECT a.cid, unnest(range(1, len(v.qv) + 1)) AS d, unnest(v.qv) AS x
+         |  FROM asg$i a JOIN vecs v USING (vec_id)
+         |),
+         |sums$i AS (
+         |  SELECT cid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM ex$i GROUP BY cid, d
+         |),
+         |cent${i + 1} AS (
+         |  SELECT cid, cqv, cnrm FROM (
+         |    SELECT cid, cqv,
+         |      sqrt(CAST(list_sum(list_transform(cqv, x -> x * x)) AS DOUBLE)) AS cnrm
+         |    FROM (SELECT cid, list(c ORDER BY d) AS cqv FROM sums$i GROUP BY cid)
+         |  ) WHERE cnrm > 0
+         |),""".stripMargin
+    }.mkString("\n")
     s"""WITH $vectorsCte,
-       |cent AS (
+       |cent0 AS (
        |  SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM vecs WHERE vec_id < $numCentroids
        |),
+       |$iterCtes
        |scored_vc AS (
        |  SELECT v.vec_id, c.cid,
        |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] * c.cqv[i])) AS DOUBLE)
        |      / (v.nrm * c.cnrm) AS cosvc
-       |  FROM vecs v JOIN cent c ON len(v.qv) = len(c.cqv)
+       |  FROM vecs v JOIN cent$kmeansIters c ON len(v.qv) = len(c.cqv)
        |),
        |asg AS (
        |  SELECT vec_id, cid FROM (
@@ -525,6 +639,7 @@ object Similarity {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
+  }
 
   def embedAnnPairsSql(simThreshold: Double = 0.1): String = {
     val tableSelects = (0 until NumTables).map(t =>

@@ -238,6 +238,32 @@ class DedupSpec extends AnyFunSuite {
     assert(composedGot === composedExpected)
   }
 
+  test("persisted-artifact round-trip: incremental dedup over a parquet-bucketed band relation") {
+    // The production story the incremental operator documents: the corpus
+    // band relation is PERSISTED (parquet, bucketed by the join key) and
+    // nightly shards join against the RE-READ relation — until now the
+    // operator was only ever verified against the in-memory derived
+    // relation. Write → bucketed table → re-read → pair must be
+    // row-identical to the derived path (schema fidelity through parquet
+    // included: the mh array<long> payload rides along).
+    val corpus = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val shard = docs((10L, base.replace("kilo", "KILOX")), (11L, unrelated + " coda"))
+    val derived = Dedup.signatureBands(corpus)
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_rt")
+    derived.write.mode("overwrite")
+      .bucketBy(4, "band", "band_hash").sortBy("doc_id")
+      .saveAsTable("corpus_bands_rt")
+    def pairsOf(bands: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDupPairs(shard, bands).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("n_match"))).toSet
+    val fromDerived = pairsOf(derived)
+    val fromReread = pairsOf(spark.table("corpus_bands_rt"))
+    assert(fromReread === fromDerived)
+    assert(fromDerived.nonEmpty, "fixture must actually produce pairs")
+    spark.sql("DROP TABLE corpus_bands_rt")
+  }
+
   test("banded LSH never pairs documents that collide in no band") {
     // bands(doc) are deterministic; assert the candidate join equals a
     // brute-force over the band relation

@@ -152,6 +152,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("property: IVF kNN = top-k over exactly the probed inverted lists") {
+    // kmeansIters = 0 pins the RAW prefix quantizer — the Scala twin below
+    // models centroids = the first nc vectors verbatim; the refined path
+    // is covered by the recall property two tests down
     val rnd = new scala.util.Random(61)
     val vecs = (0L until 60L).map(i => i -> Seq.fill(10)(rnd.nextFloat() - 0.5f))
     val (nQ, k, nc, np) = (5L, 3, 8, 2)
@@ -170,13 +173,83 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (nid, nv) => (nid, cos(qv, nv)) }
       .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toList).toMap
     val got = Similarity.embedIvfKnn(embeds(vecs: _*), nQueries = nQ, k = k,
-        numCentroids = nc, nProbe = np)
+        numCentroids = nc, nProbe = np, kmeansIters = 0)
       .collect().groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rows) =>
         q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toList
       }
     assert(got === expected)
     assert(expected.values.exists(_.nonEmpty))
+  }
+
+  /** `query_id -> top-k neighbor set` of a search-operator result. */
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  /** Mean per-query recall of `got` against the exact top-k `truth`. */
+  private def meanRecall(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+    truth.keys.toSeq.map { q =>
+      (truth(q) & got.getOrElse(q, Set.empty[Long])).size.toDouble / truth(q).size
+    }.sum / truth.size
+
+  test("property: ANN kNN recall vs exact kNN ground truth; planted near-dups always found") {
+    // Ground truth is the engine's OWN exact operator (embedKnn), per the
+    // round-4 verdict: the pairs operator had a brute-force recall
+    // property but the search paths only asserted candidate-set identity.
+    // Deterministic fixture (fixed seed + fixed hyperplanes) ⇒ the bound
+    // is a regression pin, not a flaky sample.
+    val rnd = new scala.util.Random(71)
+    val base = (0L until 60L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val dups = (0L until 8L).map { i =>
+      (300L + i) -> base(i.toInt)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    }
+    val vecs = base ++ dups
+    val nQ = 8L
+    // recall@1 — the near-duplicate regime the index exists for: each
+    // query's exact top-1 is its planted cos≈0.995 copy, and the banded
+    // S-curve puts such pairs at ~96% per-pair collision probability, so
+    // the deterministic fixture must recall ALL of them
+    val exact1 = topkSets(Similarity.embedKnn(embeds(vecs: _*), nQueries = nQ, k = 1))
+    val ann1 = topkSets(Similarity.embedAnnKnn(embeds(vecs: _*), nQueries = nQ, k = 1))
+    assert(meanRecall(exact1, ann1) === 1.0, "ANN kNN must recall every planted near-dup top-1")
+    for (i <- 0L until 8L) assert(exact1(i) === Set(300L + i))
+    // recall@5 — the far tail: ranks 2..5 of a random query sit near
+    // cos ≈ 0.5, which the S-curve is DESIGNED to prune (per-table
+    // collision (1-θ/π)^12 ≈ 0.8%); the mean recall pin documents that
+    // falloff honestly rather than pretending the index is exact
+    val exact5 = topkSets(Similarity.embedKnn(embeds(vecs: _*), nQueries = nQ, k = 5))
+    val ann5 = topkSets(Similarity.embedAnnKnn(embeds(vecs: _*), nQueries = nQ, k = 5))
+    val recall5 = meanRecall(exact5, ann5)
+    assert(recall5 >= 0.2 && recall5 < 1.0,
+      s"ANN kNN recall@5 $recall5 outside the expected S-curve band")
+  }
+
+  test("property: k-means IVF recall ≥ raw prefix-seed recall vs exact kNN ground truth") {
+    // 16 clusters quantized through 6 centroids, single-probe — the
+    // regime where coarse-quantizer QUALITY is the whole game: with more
+    // clusters than lists, recall hinges on boundaries aligning with
+    // cluster structure, which Lloyd iterations optimize and a raw
+    // prefix sample cannot. Measured on this fixture: prefix 0.88,
+    // 5-iteration k-means 1.0. Deterministic (fixed seed, fixed
+    // iteration count), so the strict > is a regression pin.
+    val rnd = new scala.util.Random(17)
+    val dim = 12; val nClusters = 16
+    val centers = (0 until nClusters).map(_ => Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % nClusters).toInt)
+      i -> c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f)
+    }
+    val (nQ, k, nc, np) = (10L, 5, 6, 1)
+    val e = embeds(vecs: _*)
+    val exact = topkSets(Similarity.embedKnn(e, nQueries = nQ, k = k))
+    def recallAt(iters: Int): Double = meanRecall(exact,
+      topkSets(Similarity.embedIvfKnn(e, nQueries = nQ, k = k,
+        numCentroids = nc, nProbe = np, kmeansIters = iters)))
+    val (prefix, kmeans) = (recallAt(0), recallAt(5))
+    assert(kmeans >= 0.95, s"k-means IVF recall $kmeans")
+    assert(kmeans > prefix,
+      s"k-means refinement must beat the raw prefix seed here: $kmeans vs $prefix")
   }
 
   test("incremental ANN = exactly the bucket collisions touching the shard") {
@@ -200,6 +273,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.contains((0L, 100L))) // the planted near-copy is found
     assert(!got.exists { case (a, b) => a < 100L && b < 100L })
+  }
+
+  test("persisted-artifact round-trip: incremental ANN over parquet-bucketed sketch relations") {
+    // Same production-story proof as the dedup twin: the corpus sketches
+    // (quantized vectors + (tbl, bucket) bands) are written as bucketed
+    // parquet tables, re-read, and the incremental pairing over the
+    // re-read relations must be row-identical (cos_sim doubles included)
+    // to the derived-relation path.
+    val rnd = new scala.util.Random(83)
+    val base = (0L until 30L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val shard = Seq(
+      100L -> base(0)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f),
+      101L -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val corpusV = Similarity.vectors(embeds(base: _*)).localCheckpoint()
+    val corpusB = Similarity.annBands(corpusV)
+    spark.sql("DROP TABLE IF EXISTS ann_vecs_rt")
+    spark.sql("DROP TABLE IF EXISTS ann_bands_rt")
+    corpusV.write.mode("overwrite").saveAsTable("ann_vecs_rt")
+    corpusB.write.mode("overwrite")
+      .bucketBy(4, "tbl", "bucket").sortBy("vec_id").saveAsTable("ann_bands_rt")
+    def pairsOf(v: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalAnnPairs(embeds(shard: _*), v, b, simThreshold = -1.0)
+        .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+          r.getAs[Double]("cos_sim"))).toSet
+    val fromDerived = pairsOf(corpusV, corpusB)
+    val fromReread = pairsOf(spark.table("ann_vecs_rt"), spark.table("ann_bands_rt"))
+    assert(fromReread === fromDerived)
+    assert(fromDerived.nonEmpty, "fixture must actually produce pairs")
+    spark.sql("DROP TABLE ann_vecs_rt")
+    spark.sql("DROP TABLE ann_bands_rt")
   }
 
   test("property: banded LSH recalls planted near-duplicate pairs vs brute-force ground truth") {
