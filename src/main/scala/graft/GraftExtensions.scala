@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.ml.Similarity.NumTables, graft.ml.Similarity.PlanesPerTable)
       }))
     ext.injectFunction((
+      FunctionIdentifier("dot_of_quantized"),
+      new ExpressionInfo(classOf[graft.functions.DotOfQuantized].getName,
+        "dot_of_quantized"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_of_quantized takes exactly 2 arguments, got ${children.size}")
+        graft.functions.DotOfQuantized(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingles_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.ShinglesOfHashes].getName,
         "shingles_of_hashes"),

@@ -91,8 +91,18 @@ object Similarity {
   private def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * lit(QScale)))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+  /** Exact int64 dot product — the native codegen
+    * [[graft.functions.DotOfQuantized]] (one whole-stage-codegen walk, no
+    * intermediate array) when the session has GraftExtensions, the
+    * equivalent interpreted zip_with/aggregate fold otherwise. This is
+    * the engine's hottest scalar: every kNN rescore, ANN verification,
+    * k-means assignment, and vector norm runs through it.
+    * SimilaritySpec pins parity, including the NULL-element and
+    * ragged-length edges. */
+  private def dot(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("dot_of_quantized"))
+      call_function("dot_of_quantized", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
   /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2
     * norm. Zero-norm vectors (all coordinates quantize to 0) are
@@ -103,7 +113,7 @@ object Similarity {
   def vectors(embeds: DataFrame): DataFrame = {
     val qv = quantize(col("embedding"))
     graft.Tables.widen(embeds).select(col("vec_id"), qv.as("qv"))
-      .withColumn("nrm", sqrt(dot(col("qv"), col("qv")).cast("double")))
+      .withColumn("nrm", sqrt(dot(embeds, col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0.0)
   }
 
@@ -146,7 +156,7 @@ object Similarity {
     val scored = v.join(broadcast(q),
         col("vec_id") =!= col("query_id") && size(col("qqv")) === size(col("qv")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
+        (dot(v, col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy("query_id")
       .agg(topk(col("neighbor_id"), col("cos_sim")).as("tk"))
@@ -266,7 +276,7 @@ object Similarity {
       // products identical instead of NULL-vs-partial-sum divergent
       .filter(size(col("qa")) === size(col("qb")))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
+        (dot(v, col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
@@ -306,7 +316,7 @@ object Similarity {
     cand.join(va, "vec_a").join(vb, "vec_b")
       .filter(size(col("qa")) === size(col("qb")))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
+        (dot(nv, col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= lit(simThreshold))
   }
 
@@ -386,7 +396,7 @@ object Similarity {
     val scored = cand.join(q, "query_id").join(n, "neighbor_id")
       .filter(size(col("qqv")) === size(col("qv")))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
+        (dot(v, col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy("query_id")
       .agg(topk(col("neighbor_id"), col("cos_sim")).as("tk"))
@@ -439,7 +449,7 @@ object Similarity {
   private def scoreAgainst(v: DataFrame, cent: DataFrame): DataFrame =
     v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
       .select(col("vec_id"), col("cid"),
-        (dot(col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
+        (dot(v, col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
 
   /** `(vec_id, cid)` argmax-cosine assignment, ties to the smaller cid:
     * max of the (cosvc, -cid) struct = lexicographic, mirrored by the
@@ -499,7 +509,7 @@ object Similarity {
       // grouping key.
       val scored = v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
         .select(col("vec_id"), col("qv"), col("cid"),
-          (dot(col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
+          (dot(v, col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
       val asg = scored.groupBy("vec_id")
         .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"),
           first(col("qv")).as("qv"))
@@ -511,7 +521,7 @@ object Similarity {
       cent = dimMeans.groupBy("cid")
         .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
         .select(col("cid"), transform(col("dc"), e => e.getField("c")).as("cqv"))
-        .withColumn("cnrm", sqrt(dot(col("cqv"), col("cqv")).cast("double")))
+        .withColumn("cnrm", sqrt(dot(v, col("cqv"), col("cqv")).cast("double")))
         .filter(col("cnrm") > 0.0)
         .localCheckpoint()
     }

@@ -275,6 +275,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a < 100L && b < 100L })
   }
 
+  test("native dot_of_quantized equals the declarative fold, incl. null/ragged/empty edges") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, col, lit, zip_with}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq[Any](2L, -3L, 5L), Seq[Any](7L, 11L, -13L)), // plain
+      Row(2L, Seq[Any](2L, 3L), Seq[Any](4L, 5L, 6L)),         // ragged → NULL
+      Row(3L, Seq[Any](2L, null, 5L), Seq[Any](1L, 1L, 1L)),   // null elem → NULL
+      Row(4L, Seq.empty[Any], Seq.empty[Any]),                  // empty → seed 0
+      Row(5L, null, Seq[Any](1L)),                              // null array → NULL
+      Row(6L, Seq[Any](1000000L, -2000000L), Seq[Any](2000000L, 1000000L))) // big
+    val df = spark.createDataFrame(rows, schema)
+    val declarative = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+    val out = df.select(col("id"),
+        call_function("dot_of_quantized", col("a"), col("b")).as("native"),
+        declarative.as("decl"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    for ((id, (n, d)) <- out) assert(n === d, s"row $id: native=$n declarative=$d")
+    assert(out(1L)._1 === Some(2L * 7L - 3L * 11L - 5L * 13L))
+    assert(out(2L)._1 === None)
+    assert(out(3L)._1 === None)
+    assert(out(4L)._1 === Some(0L))
+    assert(out(5L)._1 === None)
+    assert(out(6L)._1 === Some(0L)) // 2e12 - 2e12: exact int64, no overflow
+  }
+
   test("persisted-artifact round-trip: incremental ANN over parquet-bucketed sketch relations") {
     // Same production-story proof as the dedup twin: the corpus sketches
     // (quantized vectors + (tbl, bucket) bands) are written as bucketed
