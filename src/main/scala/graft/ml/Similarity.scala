@@ -43,6 +43,48 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
 
+/** One quantized vector flowing into the element-wise sum aggregate. */
+case class QVec(qv: Seq[Long])
+
+/** Per-dimension running sums + presence counts of a vector set. */
+case class VecSum(sums: Seq[Long], counts: Seq[Long])
+
+/** Bounded-state element-wise vector sum: the buffer is one
+  * (sums, counts) pair of max-member-dimension length, so the map-side
+  * partial aggregation reduces each partition to ≤K buffers BEFORE the
+  * shuffle. This is the k-means update step's aggregate — the
+  * alternative (posexplode to (cid, dim, value) rows and groupBy)
+  * multiplies the corpus row count by the vector dimension before the
+  * partial aggregate even sees it, which at 1000-dim embeddings is a
+  * 1000× row blow-up per Lloyd round. Per-dimension counts (not one
+  * group count) preserve exact ragged-input semantics: dimension d's
+  * mean divides by the number of members that HAVE dimension d,
+  * identical to grouping by (cid, d). Element-wise addition is
+  * commutative/associative, so reduce/merge order cannot affect the
+  * result.
+  */
+class VecSumAgg extends Aggregator[QVec, VecSum, VecSum] {
+  private def addInto(sums: Seq[Long], counts: Seq[Long],
+      v: Seq[Long], vc: Seq[Long]): VecSum = {
+    val n = math.max(sums.length, v.length)
+    VecSum(
+      Array.tabulate(n)(i =>
+        (if (i < sums.length) sums(i) else 0L) +
+          (if (i < v.length) v(i) else 0L)).toSeq,
+      Array.tabulate(n)(i =>
+        (if (i < counts.length) counts(i) else 0L) +
+          (if (i < vc.length) vc(i) else 0L)).toSeq)
+  }
+  def zero: VecSum = VecSum(Seq.empty, Seq.empty)
+  def reduce(b: VecSum, a: QVec): VecSum =
+    addInto(b.sums, b.counts, a.qv, Seq.fill(a.qv.length)(1L))
+  def merge(b1: VecSum, b2: VecSum): VecSum =
+    addInto(b1.sums, b1.counts, b2.sums, b2.counts)
+  def finish(r: VecSum): VecSum = r
+  def bufferEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+  def outputEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+}
+
 /** Similarity search over `embeddings(vec_id, embedding array<float>, label)`.
   *
   * Cross-engine determinism: float cosine sums are order-sensitive, so the
@@ -473,13 +515,13 @@ object Similarity {
     *     `floor(sum_d / count_d)` with the sum in exact int64 and ONE
     *     IEEE divide+floor, so both engines produce bit-identical
     *     integer centroids (a float mean would accumulate in
-    *     engine-specific order). posexplode + groupBy(cid, d) keeps the
-    *     update map-combined: each partition pre-reduces to ≤K·dim rows
-    *     before the shuffle, and the K×dim result re-assembles into
-    *     centroid arrays with an array_sort(collect_list) over the dim
-    *     elements of one centroid (bounded by the vector width, never by
-    *     corpus size). Sum bound: |coord| ≤ 2·10^6 ⇒ exact for clusters
-    *     up to ~4·10^9 members (2^53/2e6), far past any real list size.
+    *     engine-specific order). The sums come from the bounded-state
+    *     [[VecSumAgg]] — one dim-length (sums, counts) buffer per
+    *     (partition, cid) before the shuffle, never a posexplode of
+    *     corpus×dim rows; per-dimension counts keep ragged inputs
+    *     identical to the oracle's per-(cid, d) grouping. Sum bound:
+    *     |coord| ≤ 2·10^6 ⇒ exact for clusters up to ~4·10^9 members
+    *     (2^53/2e6), far past any real list size.
     *
     * Degenerate clusters follow k-means semantics: a centroid that loses
     * all members (or floor-means to the zero vector) drops out, so the
@@ -514,13 +556,14 @@ object Similarity {
         .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"),
           first(col("qv")).as("qv"))
         .select((-col("m.ncid")).as("cid"), col("qv"))
-      val dimMeans = asg
-        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy("cid", "d")
-        .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"))
-      cent = dimMeans.groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
-        .select(col("cid"), transform(col("dc"), e => e.getField("c")).as("cqv"))
+      // centroid update: ONE bounded-state aggregate ([[VecSumAgg]]) per
+      // round — never a posexplode of corpus×dim rows — then the
+      // per-dimension quantized mean floor(sum_d/count_d) in one
+      // zip_with (matching the oracle's per-(cid, d) grouping exactly)
+      val vsum = udaf(new VecSumAgg, Encoders.product[QVec])
+      cent = asg.groupBy("cid").agg(vsum(col("qv")).as("s"))
+        .select(col("cid"), zip_with(col("s.sums"), col("s.counts"),
+          (sd, cd) => floor(sd.cast("double") / cd).cast("long")).as("cqv"))
         .withColumn("cnrm", sqrt(dot(v, col("cqv"), col("cqv")).cast("double")))
         .filter(col("cnrm") > 0.0)
         .localCheckpoint()
