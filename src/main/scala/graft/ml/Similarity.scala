@@ -146,6 +146,19 @@ object Similarity {
       call_function("dot_of_quantized", a, b)
     else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
+  /** Stream-facing twins ([[graft.streaming.EmbedStream]]) of the private
+    * expression builders: the SAME quantize/dot/bucket expressions batch
+    * uses, so a vector admitted through the stream and later re-scored in
+    * batch gets bit-identical numbers and lands in the same buckets. */
+  private[graft] def quantizeExpr(e: Column): Column = quantize(e)
+  private[graft] def dotExpr(df: DataFrame, a: Column, b: Column): Column = dot(df, a, b)
+  /** The array of L bucket ids of a quantized vector (native expression
+    * or declarative fallback — the same dispatch as [[annBands]]). */
+  private[graft] def bucketsExpr(df: DataFrame, qv: Column): Column =
+    if (df.sparkSession.catalog.functionExists("sign_buckets_of_quantized"))
+      call_function("sign_buckets_of_quantized", qv)
+    else when(qv.isNotNull, array((0 until NumTables).map(t => bucketCol(qv, t)): _*))
+
   /** `(vec_id, qv array<long>, nrm double)` — quantized vectors + L2
     * norm. Zero-norm vectors (all coordinates quantize to 0) are
     * excluded: they carry no direction, cosine against them is 0/0, and
@@ -288,20 +301,13 @@ object Similarity {
     * GraftExtensions — ONE walk of the vector instead of L·b interpreted
     * `aggregate(transform(...))` passes (array HOFs are CodegenFallback);
     * SimilaritySpec pins bit-equality against the declarative twin. */
-  def annBands(v: DataFrame): DataFrame = {
-    val buckets =
-      if (v.sparkSession.catalog.functionExists("sign_buckets_of_quantized"))
-        call_function("sign_buckets_of_quantized", col("qv"))
-      else
-        // the isNotNull guard matches the native expression's
-        // null-propagation: a NULL qv yields NO band rows on either path
-        // (a bare array(...) of bucketCols would instead emit L rows of
-        // bucket 0 for a NULL vector)
-        when(col("qv").isNotNull,
-          array((0 until NumTables).map(t => bucketCol(col("qv"), t)): _*))
-    v.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+  def annBands(v: DataFrame): DataFrame =
+    // bucketsExpr's isNotNull guard on the fallback matches the native
+    // expression's null-propagation: a NULL qv yields NO band rows on
+    // either path (a bare array(...) of bucketCols would instead emit L
+    // rows of bucket 0 for a NULL vector)
+    v.select(col("vec_id"), posexplode(bucketsExpr(v, col("qv"))).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
-  }
 
   def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {
     val v = vectors(embeds).localCheckpoint()

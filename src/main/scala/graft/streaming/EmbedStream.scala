@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ml.Similarity
+
+/** Structured Streaming twin of the incremental embedding-ANN operator
+  * ([[graft.ml.Similarity.incrementalAnnPairs]]): an incoming embedding
+  * stream matched against the PERSISTED corpus sketches as it arrives —
+  * the real-time face of the nightly ingest path, the way
+  * [[DocStream.dedupAgainstCorpus]] is the real-time face of the
+  * fingerprint anti-join.
+  *
+  * Scale/state discipline (the design point, same as [[DocStream]]):
+  * every per-row stage is stateless map work (quantize → norm → L bucket
+  * ids, the SAME expressions batch uses via
+  * [[graft.ml.Similarity.bucketsExpr]]/`dotExpr`, so a vector admitted
+  * here and re-scored in batch gets bit-identical numbers), and both
+  * joins are STREAM-STATIC — the corpus band relation and vector
+  * relation are parquet-backed relations probed per micro-batch (at
+  * scale: bucketed by (tbl, bucket) / vec_id, so the probe prunes), and
+  * corpus history never enters streaming state. The only stateful
+  * operator is the multi-table collision dedup, bounded by the
+  * watermark horizon. Stream-vs-stream pairs are deliberately OUT of
+  * scope — that's the batch operator's job on the accumulated shard
+  * (a stream-stream self-join would hold the stream in state forever);
+  * the composition mirrors how [[DocStream]] leaves near-dup pairing to
+  * batch.
+  */
+object EmbedStream {
+
+  /** Event-time from an epoch-ns BIGINT `ts` — the same shared ns→µs
+    * floor as every other time consumer ([[EventStream.eventTime]]). */
+  private val eventTime: Column = EventStream.eventTime
+
+  /** `(vec_id, neighbor_id, cos_sim, event_time)` — for each streamed
+    * embedding, its above-threshold cosine matches among the bucket
+    * co-residents in the persisted corpus sketches. One output row per
+    * (stream vector, corpus neighbor) pair within the watermark horizon
+    * (multi-table collisions collapse via
+    * `dropDuplicatesWithinWatermark`, the streaming analog of the batch
+    * operator's `distinct`).
+    */
+  def annMatchesAgainstCorpus(embeds: DataFrame, corpusVecs: DataFrame,
+      corpusBands: DataFrame, simThreshold: Double = 0.1,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = embeds
+      .select(col("vec_id"), Similarity.quantizeExpr(col("embedding")).as("qv"),
+        eventTime.as("event_time"))
+      .withColumn("nrm",
+        sqrt(Similarity.dotExpr(embeds, col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0.0)
+      .withWatermark("event_time", watermarkDelay)
+    // bands inline (posexplode of the L bucket ids) rather than through
+    // annBands + a join back to the stream — re-joining a stream with a
+    // projection of itself would be a stateful stream-stream join
+    val banded = v.select(col("vec_id"), col("qv"), col("nrm"), col("event_time"),
+        posexplode(Similarity.bucketsExpr(v, col("qv"))).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("event_time"),
+        col("tbl").cast("long").as("tbl"), col("bucket"))
+    val cand = banded.join(
+        corpusBands.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val cv = corpusVecs.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("cqv"), col("nrm").as("cnrm"))
+    cand.join(cv, "neighbor_id")
+      // same ragged-dimension guard as every batch scorer
+      .filter(size(col("qv")) === size(col("cqv")))
+      .select(col("vec_id"), col("neighbor_id"),
+        (Similarity.dotExpr(embeds, col("qv"), col("cqv")).cast("double")
+          / (col("nrm") * col("cnrm"))).as("cos_sim"),
+        col("event_time"))
+      .filter(col("cos_sim") >= lit(simThreshold))
+      .dropDuplicatesWithinWatermark("vec_id", "neighbor_id")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Similarity
+import graft.streaming.EmbedStream
+
+/** Drives the streaming ANN-ingest operator with an in-memory source
+  * against a small static corpus and checks it against the batch
+  * operator's semantics (same buckets, same cosines, corpus-side only).
+  */
+class EmbedStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val T: Long = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+
+  def corpusDf(rows: (Long, Seq[Float])*) =
+    rows.toSeq.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  test("streamed embeddings match the persisted corpus sketches exactly as batch would") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(97)
+    val base = (0L until 20L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val corpusV = Similarity.vectors(corpusDf(base: _*)).localCheckpoint()
+    val corpusB = Similarity.annBands(corpusV).localCheckpoint()
+
+    // stream: a near-copy of corpus vector 0 (must match it), the same
+    // row sent twice (multi-arrival must collapse within the watermark),
+    // and a zero vector (must be dropped by the norm filter, not crash)
+    val nearCopy = base(0)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val src = MemoryStream[(Long, Long, Seq[Float])]
+    src.addData(
+      (100L, T, nearCopy),
+      (100L, T + 1000L, nearCopy),
+      (101L, T, Seq.fill(12)(0f)))
+    val embeds = src.toDF().toDF("vec_id", "ts", "embedding")
+    val name = s"embed_stream_${System.nanoTime()}"
+    val q = EmbedStream.annMatchesAgainstCorpus(embeds, corpusV, corpusB,
+        simThreshold = -1.0) // keep every collision: the property is the set
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+
+    // ground truth: the batch incremental operator on the same shard
+    // (corpus-side pairs only — the stream has no intra-stream pairing)
+    val batch = Similarity.incrementalAnnPairs(
+        corpusDf(100L -> nearCopy), corpusV, corpusB, simThreshold = -1.0)
+      .collect()
+      .filter(r => r.getAs[Long]("vec_b") == 100L) // (corpus, stream) pairs
+      .map(r => (100L, r.getAs[Long]("vec_a")) -> r.getAs[Double]("cos_sim")).toMap
+    assert(got === batch)
+    // the planted near-copy is matched to its original, at cosine ≈ 1,
+    // exactly once despite the double send and the multi-table collision
+    assert(got.contains((100L, 0L)))
+    assert(got((100L, 0L)) > 0.99)
+    assert(!got.keys.exists(_._1 == 101L), "zero vector must be norm-filtered")
+  }
+}
