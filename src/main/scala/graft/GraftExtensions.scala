@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DotOfQuantized(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("agree_count_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.AgreeCountOfHashes].getName,
+        "agree_count_of_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"agree_count_of_hashes takes exactly 2 arguments, got ${children.size}")
+        graft.functions.AgreeCountOfHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingles_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.ShinglesOfHashes].getName,
         "shingles_of_hashes"),

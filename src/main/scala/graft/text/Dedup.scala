@@ -117,6 +117,19 @@ object Dedup {
       .join(corpusFp.select("fp_md5"), Seq("fp_md5"), "left_anti")
       .drop("fp_md5")
 
+  /** Slot-wise signature agreement count (`n_match`) — the native codegen
+    * [[graft.functions.AgreeCountOfHashes]] when the session has
+    * GraftExtensions, the equivalent interpreted zip_with/aggregate fold
+    * otherwise; DedupSpec pins parity incl. the null-element and
+    * ragged-length edges. Scored once per LSH candidate pair, which is
+    * the verification hot path of every MinHash pairing operator. */
+  private def agreeCount(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("agree_count_of_hashes"))
+      call_function("agree_count_of_hashes", a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _)
+
   /** fp → keepers → repdocs CTE chain, the oracle twin of the collapse. */
   private def keepersCte: String =
     s"""fp AS (
@@ -269,8 +282,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        aggregate(zip_with(col("x.mh"), col("y.mh"),
-          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+        agreeCount(bands, col("x.mh"), col("y.mh")).as("n_match"))
       .distinct()
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
@@ -320,8 +332,7 @@ object Dedup {
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-        aggregate(zip_with(col("x.mh"), col("y.mh"),
-          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+        agreeCount(newBands, col("x.mh"), col("y.mh")).as("n_match"))
       .distinct()
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }

@@ -238,6 +238,35 @@ class DedupSpec extends AnyFunSuite {
     assert(composedGot === composedExpected)
   }
 
+  test("native agree_count_of_hashes equals the declarative fold, incl. null/ragged edges") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, col, lit, when, zip_with}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq[Any](1L, 2L, 3L), Seq[Any](1L, 9L, 3L)),   // 2 agreements
+      Row(2L, Seq[Any](1L, 2L), Seq[Any](1L, 2L, 3L)),       // ragged → overlap only
+      Row(3L, Seq[Any](1L, null, 3L), Seq[Any](1L, null, 3L)), // null elems → 0 contribution
+      Row(4L, Seq.empty[Any], Seq.empty[Any]),                // empty → 0
+      Row(5L, null, Seq[Any](1L)))                            // null array → NULL
+    val df = spark.createDataFrame(rows, schema)
+    val declarative = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, t) => acc + t)
+    val out = df.select(col("id"),
+        call_function("agree_count_of_hashes", col("a"), col("b")).as("native"),
+        declarative.as("decl"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    for ((id, (n, d)) <- out) assert(n === d, s"row $id: native=$n declarative=$d")
+    assert(out(1L)._1 === Some(2L))
+    assert(out(2L)._1 === Some(2L))
+    assert(out(3L)._1 === Some(2L)) // nulls contribute 0, never poison
+    assert(out(4L)._1 === Some(0L))
+    assert(out(5L)._1 === None)
+  }
+
   test("persisted-artifact round-trip: incremental dedup over a parquet-bucketed band relation") {
     // The production story the incremental operator documents: the corpus
     // band relation is PERSISTED (parquet, bucketed by the join key) and
