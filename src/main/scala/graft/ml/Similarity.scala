@@ -577,6 +577,15 @@ object Similarity {
     cent
   }
 
+  /** `(vec_id, cid)` — the IVF inverted-list assignment of every corpus
+    * vector under a centroid relation: THIS is the index a 100 TB
+    * deployment persists (parquet partitioned by cid, so a probe's read
+    * prunes to its nProbe lists — SimilaritySpec proves the pruned
+    * partition read round-trips identically), rebuilt only when the
+    * centroids are re-trained. */
+  def ivfAssign(v: DataFrame, cent: DataFrame): DataFrame =
+    argmaxAssign(scoreAgainst(v, cent))
+
   /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
     * sign-LSH: a coarse quantizer partitions the corpus into inverted
     * lists (each vector assigned to its max-cosine centroid), queries

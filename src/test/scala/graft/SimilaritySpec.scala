@@ -275,6 +275,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a < 100L && b < 100L })
   }
 
+  test("golden: one Lloyd round computes the quantized per-dimension floor-means") {
+    // two obvious axis clusters seeded by their first members; after one
+    // round each centroid must be exactly the per-dimension
+    // floor(sum/count) of its members' quantized coordinates — computed
+    // here by an independent Scala twin, not by trusting the operator
+    val vecs = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0.2f),
+      4L -> Seq(0.1f, 0.9f), 5L -> Seq(0.2f, 0.8f))
+    val byId = vecs.toMap
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    val seeds = Seq(0L, 1L)
+    val asg = vecs.map { case (id, v) =>
+      id -> seeds.minBy(s => (-cos(v, byId(s)), s)) }.toMap
+    val expected = seeds.map { s =>
+      val members = vecs.collect { case (id, v) if asg(id) == s => q(v) }
+      s -> (0 until 2).map(d =>
+        math.floor(members.map(_(d)).sum.toDouble / members.size).toLong).toList
+    }.toMap
+    val got = Similarity.kmeansCentroids(
+        Similarity.vectors(embeds(vecs: _*)), numCentroids = 2, iters = 1)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Long](r.fieldIndex("cqv")).toList).toMap
+    assert(got === expected)
+  }
+
+  test("IVF assignment persists as a cid-partitioned index whose probe reads prune") {
+    // the production index story embedIvfKnn's scaladoc documents: the
+    // (vec_id, cid) assignment relation is written partitioned by cid;
+    // probing a list is a partition-pruned read that round-trips the
+    // derived assignment exactly
+    val rnd = new scala.util.Random(89)
+    val vecs = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val v = Similarity.vectors(embeds(vecs: _*)).localCheckpoint()
+    val cent = Similarity.kmeansCentroids(v, numCentroids = 4, iters = 2)
+    val asg = Similarity.ivfAssign(v, cent)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    asg.write.mode("overwrite").partitionBy("cid").parquet(path)
+    val probedCid = asg.collect().map(_.getAs[Long]("cid")).groupBy(identity)
+      .maxBy(_._2.length)._1 // the fullest list
+    val read = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("cid") === probedCid)
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"cid probe not applied as a partition filter:\n$plan")
+    val expected = asg.filter(org.apache.spark.sql.functions.col("cid") === probedCid)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(read.collect().map(_.getAs[Long]("vec_id")).toSet === expected)
+    assert(expected.size > 1, "fixture's probed list must be non-trivial")
+  }
+
   test("native dot_of_quantized equals the declarative fold, incl. null/ragged/empty edges") {
     import org.apache.spark.sql.functions.{aggregate, call_function, col, lit, zip_with}
     import org.apache.spark.sql.Row
