@@ -705,7 +705,12 @@ object Dedup {
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("n_ab"))
+      // inclusion-exclusion over DISTINCT sets: |A∪B| = |A|+|B|−|A∩B| —
+      // the same values the oracle's list_distinct(list_concat) computes,
+      // without materializing a merged array per candidate pair
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_ab") - col("n_common")).as("n_union"))
       .withColumn("jaccard", col("n_common") / col("n_union"))
   }
 
