@@ -128,6 +128,15 @@ object SparkEntry {
     }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
+    // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
+    // scale-invariant "eval set"), train = the rest; flags train docs
+    // sharing >= 1 distinct 3-shingle with any benchmark doc.
+    "decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     "doc_simhash" -> ((s, dir) =>
       Dedup.docSimhash(graft.Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
@@ -221,6 +230,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
+    "decontaminate" -> Dedup.contaminationSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),

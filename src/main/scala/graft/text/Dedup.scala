@@ -744,6 +744,67 @@ object Dedup {
        |ORDER BY doc_a, doc_b, n_common, n_union, jaccard""".stripMargin
   }
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Benchmark decontamination — the pipeline step that keeps eval data
+    * out of the training corpus: for every training document, count the
+    * DISTINCT 3-token shingles it shares with any benchmark document,
+    * and keep rows with ≥ `minHits` (the flag set a curation pass drops
+    * or audits). The match key is the same `shingle3` hash family every
+    * dedup operator uses, so "contaminated" is decided by exactly the
+    * text normalization the rest of the pipeline already defines.
+    *
+    * Scale shape: the benchmark side collapses to its distinct shingle
+    * relation (8 bytes/row — benchmarks are small by definition, a few
+    * thousand documents) and is BROADCAST; the corpus side is a map-only
+    * explode of per-doc shingle sets feeding a broadcast LEFT SEMI join
+    * and a partial-aggregated count — the corpus never shuffles except
+    * for the final ≤1-row-per-doc count, which is the minimum any
+    * per-doc verdict pays. A benchmark too large to broadcast degrades
+    * to a shuffled semi-join on the 8-byte key, same plan otherwise.
+    * n_hits counts distinct shared shingles (per-doc sets are distinct
+    * by construction), so a doc repeating one benchmark phrase scores 1,
+    * not its term frequency.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, minHits: Long = 1L): DataFrame = {
+    val benchSh = shingleSets(bench)
+      .select(explode(col("sh_set")).as("sh")).distinct()
+    shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh_set")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Oracle twin for the driver's fixture split (benchmark = doc_id %
+    * 50 = 0, train = the rest): both sides rebuild the tokenize→shingle
+    * chain under distinct CTE names. */
+  def contaminationSql(minHits: Long = 1L,
+      benchPred: String = "doc_id % 50 = 0"): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    def shingleChain(prefix: String, pred: String) =
+      s"""${prefix}toks AS (
+         |  SELECT doc_id, $tok AS th FROM documents WHERE $pred
+         |), ${prefix}sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
+         |    i -> ${PortableHash.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")})) AS sh
+         |  FROM ${prefix}toks WHERE len(th) >= 3
+         |)""".stripMargin
+    s"""WITH ${shingleChain("b", benchPred)},
+       |${shingleChain("d", s"NOT ($benchPred)")},
+       |bdistinct AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM bsh
+       |),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) t
+       |  JOIN bdistinct USING (s)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_hits FROM hits WHERE n_hits >= $minHits
+       |ORDER BY doc_id, n_hits""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash: 64 bits, 4 bands × 16 bits, Hamming radius 3 — the classic

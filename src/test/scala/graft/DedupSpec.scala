@@ -238,6 +238,21 @@ class DedupSpec extends AnyFunSuite {
     assert(composedGot === composedExpected)
   }
 
+  test("contamination counts exactly the distinct shingles shared with the benchmark") {
+    // benchmark = base; train: an exact copy (every shingle shared), the
+    // one-token near-dup (the 3 shingles straddling the changed token
+    // are NOT shared), and an unrelated doc (no shared shingles, so it
+    // must not appear in the output at all)
+    val bench = docs((100L, base))
+    val train = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val out = Dedup.contamination(train, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === out(2L) + 3L,
+      s"one mid-token change must kill exactly 3 shingles: $out")
+    assert(out(1L) > 30L) // the copy shares base's full shingle set
+  }
+
   test("native agree_count_of_hashes equals the declarative fold, incl. null/ragged edges") {
     import org.apache.spark.sql.functions.{aggregate, call_function, col, lit, when, zip_with}
     import org.apache.spark.sql.Row

@@ -75,6 +75,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate broadcasts the benchmark shingle set into a semi join") {
+    // the corpus side must stay map-only up to the per-doc count: the
+    // benchmark's distinct shingle relation broadcasts and the match is
+    // a LEFT SEMI hash join, never a shuffle of exploded corpus shingles
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark side not broadcast as a semi join:\n$p")
+  }
+
   test("no sketch-pairing plan expands buckets through collect_list") {
     // Round-4 verdict #3: every sketch-pairing operator must use the
     // checkpointed self-equi-join shape (codegen, AQE-skew-splittable) —
