@@ -141,6 +141,18 @@ object SparkEntry {
       Dedup.docSimhash(graft.Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(graft.Tables.documents(s, dir))),
+    // SimHash sibling of incremental_dedup (same shard split, same
+    // newContent-first composition): shard vs the persisted 16-byte
+    // (doc_id, simhash) corpus sketch.
+    "incremental_simhash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      Dedup.incrementalSimhashPairs(
+        Dedup.newContent(docs.filter(col("doc_id") % 10 === 9),
+          Dedup.contentFingerprints(corpus)),
+        Dedup.simhashSketch(corpus))
+    }),
     // ---- LLM-data-pipeline extensions: embedding similarity ----
     "embed_knn" -> ((s, dir) =>
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
@@ -233,6 +245,7 @@ object SparkEntry {
     "decontaminate" -> Dedup.contaminationSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
+    "incremental_simhash" -> Dedup.incrementalSimhashPairsSql(),
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),

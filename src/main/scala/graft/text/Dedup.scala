@@ -904,22 +904,32 @@ object Dedup {
     * 64-bit vote pipeline on both sides — ReuseExchange cannot fire once
     * AQE broadcasts the build side; measured, not guessed.)
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // same exact-dup pre-collapse as [[nearDupPairs]]: identical docs
-    // share every simhash band (hamming 0), so N copies would otherwise
-    // emit N²/2 pairs through the band join — exact duplicates are
-    // [[exactDupClusters]]' output, not near-dup pairs. The semi-join
-    // restricts the 16-byte sketch relation, never the corpus text.
-    val s = docSimhash(docs).select("doc_id", "simhash")
+  /** `(doc_id, simhash)` per exact-dup REPRESENTATIVE — the persisted
+    * simhash artifact (16 bytes/row), the third sketch relation a
+    * pipeline persists next to [[signatureBands]] and the ANN bands.
+    * Identical docs share every simhash band (hamming 0), so N copies
+    * would otherwise emit N²/2 pairs through the band join — exact
+    * duplicates are [[exactDupClusters]]' output, not near-dup pairs;
+    * the semi-join restricts the 16-byte sketch relation, never the
+    * corpus text. */
+  def simhashSketch(docs: DataFrame): DataFrame =
+    docSimhash(docs).select("doc_id", "simhash")
       .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+
+  /** `(doc_id, simhash, band, nibble)` — the 4 Hamming-band rows of a
+    * `(doc_id, simhash)` sketch relation (cheap map work, 4 rows/doc). */
+  private def simhashBands(sk: DataFrame): DataFrame = {
     val bandMask = (1L << simBandBits) - 1
     val bandStructs = array((0 until SimBands).map(m =>
       struct(lit(m.toLong).as("band"),
         shiftright(col("simhash"), m * simBandBits).bitwiseAND(lit(bandMask)).as("nibble"))): _*)
-    val bands = s.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
+    sk.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.nibble").as("nibble"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBands(simhashSketch(docs).localCheckpoint())
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -928,6 +938,90 @@ object Dedup {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Nightly-ingest twin of [[simhashPairs]] — the SimHash sibling of
+    * [[incrementalNearDupPairs]] / [[graft.ml.Similarity
+    * .incrementalAnnPairs]], completing the incremental story for all
+    * three sketch families: Hamming-band pairs of a NEW SHARD against
+    * the persisted corpus [[simhashSketch]] relation, without
+    * recomputing anything over the corpus. Only the shard pays the
+    * text → simhash pass; the corpus side re-expands its 4 band rows
+    * from the 16-byte persisted sketch (map work — cheaper than
+    * persisting the 4× band relation). Shard pre-collapse, disjoint-id
+    * precondition, and the AQE-splittable equi-join shape all match the
+    * MinHash twin; run the shard through [[newContent]] FIRST in the
+    * ingest composition, exactly as `incremental_dedup` does.
+    */
+  def incrementalSimhashPairs(newDocs: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val newB = simhashBands(simhashSketch(newDocs)).localCheckpoint()
+    val allB = simhashBands(corpusSketch.select("doc_id", "simhash")).union(newB)
+    newB.as("x").join(allB.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Oracle twin for the driver's fixture split (shard = doc_id % 10 =
+    * 9): corpus keepers + post-anti-join shard keepers rebuild their
+    * simhashes under one chain — simhash doesn't depend on which side a
+    * doc is on, so one body over the union population feeds both. */
+  def incrementalSimhashPairsSql(maxHamming: Int = 3,
+      shardPred: String = "doc_id % 10 = 9"): String = {
+    val bandMask = (1L << simBandBits) - 1
+    val nibbleSelects = (0 until SimBands).map(m =>
+      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cfp AS (
+       |  SELECT DISTINCT ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE NOT ($shardPred)
+       |),
+       |ckeep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |        FROM documents WHERE NOT ($shardPred))
+       |  GROUP BY fp_md5
+       |),
+       |sfp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE $shardPred
+       |),
+       |snew AS (
+       |  SELECT f.* FROM sfp f
+       |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = f.fp_md5)
+       |),
+       |skeep AS (
+       |  SELECT min(doc_id) AS doc_id FROM snew GROUP BY fp_md5
+       |),
+       |allkeep AS (
+       |  SELECT doc_id FROM ckeep UNION ALL SELECT doc_id FROM skeep
+       |),
+       |incdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN allkeep USING (doc_id)
+       |),
+       |s AS (${docSimhashBodySql("incdocs")}),
+       |bands AS (
+       |  $nibbleSelects
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM newb a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id <> b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b, hamming""".stripMargin
   }
 
   def simhashPairsSql(maxHamming: Int = 3): String = {

@@ -238,6 +238,36 @@ class DedupSpec extends AnyFunSuite {
     assert(composedGot === composedExpected)
   }
 
+  test("incremental simhash = Hamming-band collisions touching the shard's keepers") {
+    // same composition as the MinHash twin: 4 duplicates corpus doc 1
+    // (dropped by newContent), 5 is the one-char variant whose simhash
+    // provably stays within the radius of base (see the batch
+    // completeness test above), 6 is a shard-internal copy of 4 (gone
+    // before banding either way)
+    val corpus = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val shard = docs((4L, base), (5L, base.replace("zulu", "zulux")), (6L, base))
+    val fresh = Dedup.newContent(shard, Dedup.contentFingerprints(corpus))
+    val got = Dedup.incrementalSimhashPairs(fresh, Dedup.simhashSketch(corpus))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // ground truth: brute force over the population's simhashes (corpus
+    // keepers 1,2,3 plus post-anti-join shard keeper 5), shard-touching
+    val sim = Dedup.docSimhash(docs((1L, base), (2L, nearDup), (3L, unrelated),
+        (5L, base.replace("zulu", "zulux"))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def bandEq(a: Long, b: Long): Boolean =
+      (0 until 4).exists(m => ((a >> (m * 16)) & 0xFFFFL) == ((b >> (m * 16)) & 0xFFFFL))
+    val expected = (for {
+      (i, si) <- sim.toSeq; (j, sj) <- sim.toSeq
+      if i < j && (i == 5L || j == 5L) && bandEq(si, sj) &&
+        java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j, java.lang.Long.bitCount(si ^ sj).toLong)).toSet
+    assert(got === expected)
+    assert(got.exists { case (a, b, _) => a == 1L && b == 5L },
+      "the planted near-variant must pair with its corpus original")
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L || a == 6L || b == 6L })
+  }
+
   test("contamination counts exactly the distinct shingles shared with the benchmark") {
     // benchmark = base; train: an exact copy (every shingle shared), the
     // one-token near-dup (the 3 shingles straddling the changed token
