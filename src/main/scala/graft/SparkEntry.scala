@@ -128,6 +128,10 @@ object SparkEntry {
     }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
+    // Deterministic hash-based train/val/test assignment (map-only; a
+    // doc's split never changes as the corpus grows).
+    "corpus_split" -> ((s, dir) =>
+      graft.text.Curation.splitAssign(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 3-shingle with any benchmark doc.
@@ -242,6 +246,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
+    "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),

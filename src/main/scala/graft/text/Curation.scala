@@ -51,6 +51,48 @@ object Curation {
         (!col("is_exact_dup") && !col("is_near_dup") && col("quality_ok")).as("keep"))
   }
 
+  /** The split hash parameters — seed-split from the shared family so the
+    * split stream is independent of every dedup/LSH hash stream, and
+    * embedded as literals in both engines (they cannot drift). */
+  val splitPerm: (Long, Long) =
+    graft.functions.PortableHash.minhashPerms(1, seed = 271L).head
+
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs between curation and packing. Hash-based,
+    * not row-number-based, for two scale reasons: (1) a document's
+    * split NEVER changes as the corpus grows (new shards cannot shuffle
+    * old eval docs into train — the cross-version leakage a
+    * count-proportional split silently causes), and (2) the plan is
+    * pure map work: no shuffle, no window, no total ordering of a
+    * 100 TB corpus; written `partitionBy("split")`, downstream readers
+    * partition-prune their slice. Buckets come from the same portable
+    * permHash family as every other operator, so the assignment is
+    * bit-identical in the oracle; proportions are statistical (each doc
+    * lands in val/test with valPct/testPct percent probability),
+    * exact-count stratification being precisely the total-order shuffle
+    * this operator exists to avoid.
+    */
+  def splitAssign(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val (a, b) = splitPerm
+    docs.select(col("doc_id"),
+        (graft.functions.PortableHash.permHash(col("doc_id"), a, b) % 100L).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < testPct, lit("test"))
+          .when(col("bucket") < testPct + valPct, lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  def splitAssignSql(valPct: Int = 5, testPct: Int = 5): String = {
+    val (a, b) = splitPerm
+    val bucket = s"(${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % 100)"
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < $testPct THEN 'test'
+       |       WHEN bucket < ${testPct + valPct} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, $bucket AS bucket FROM documents)
+       |ORDER BY doc_id, bucket, split""".stripMargin
+  }
+
   def corpusKeepSql(minQuality: Double = 0.5, minMatch: Long = 8L): String = {
     val statsBody = TextAnalysis.textStatsSql
       .replaceAll("(?s)ORDER BY.*$", "")

@@ -41,6 +41,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L)._3 === false && out(5L)._4 === false)
   }
 
+  test("splitAssign: deterministic, stable under corpus growth, near-nominal proportions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 2000L).toDF("doc_id")
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Curation.splitAssign(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val full = asg(ids)
+    // determinism + growth stability: the first 500 docs' assignments are
+    // unchanged when the other 1500 exist — the anti-leakage property a
+    // count-proportional split does not have
+    val prefix = asg(ids.filter(col("doc_id") < 500L))
+    assert(prefix === full.filter { case (id, _) => id < 500L })
+    // statistical proportions: 5%/5%/90% nominal, generous tolerance
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("test") - 0.05) < 0.03, s"test frac ${frac("test")}")
+    assert(math.abs(frac("val") - 0.05) < 0.03, s"val frac ${frac("val")}")
+    assert(frac("train") > 0.85)
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
