@@ -132,6 +132,10 @@ object SparkEntry {
     // doc's split never changes as the corpus grows).
     "corpus_split" -> ((s, dir) =>
       graft.text.Curation.splitAssign(graft.Tables.documents(s, dir))),
+    // Sharded sequence packing: per-shard running token sums bin docs
+    // into ~2048-token training sequences (window per shard, parallel).
+    "pack_sequences" -> ((s, dir) =>
+      graft.text.Curation.packSequences(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 3-shingle with any benchmark doc.
@@ -247,6 +251,7 @@ object SparkEntry {
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
+    "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),

@@ -93,6 +93,61 @@ object Curation {
        |ORDER BY doc_id, bucket, split""".stripMargin
   }
 
+  /** Hash parameters for the packing shard assignment (seed-split, like
+    * [[splitPerm]]). */
+  val packPerm: (Long, Long) =
+    graft.functions.PortableHash.minhashPerms(1, seed = 377L).head
+
+  /** Sequence packing — the step between split and training: assign
+    * every document a (shard, seq_id) so each seq_id groups roughly
+    * `budget` tokens of contiguous documents. The global-prefix-sum
+    * formulation (one total order over the corpus) is exactly what
+    * cannot scale, so packing is SHARDED: a deterministic hash spreads
+    * docs over `nShards` independent shards and the running token sum is
+    * a window partitioned BY SHARD — nShards window partitions run in
+    * parallel and nShards grows with the corpus (at 100 TB you run
+    * thousands of shards, each a bounded window). seq_id =
+    * floor(prev_cum/budget): a doc straddling a boundary stays in the
+    * bin its first token lands in (budget is a fill target; splitting
+    * overlong docs is an orthogonal transform). Deterministic
+    * end-to-end — hash shard, doc_id order, exact integer token counts
+    * — so the oracle reproduces it with the same window.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 2048L, nShards: Int = 8): DataFrame = {
+    val (a, b) = packPerm
+    val t = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_count"))
+      .filter(col("tok_count").isNotNull) // NULL text packs nowhere, both engines
+      .withColumn("shard",
+        graft.functions.PortableHash.permHash(col("doc_id"), a, b) % nShards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.withColumn("prev_cum", sum(col("tok_count")).over(w) - col("tok_count"))
+      .select(col("doc_id"), col("shard"), col("tok_count"),
+        floor(col("prev_cum").cast("double") / budget).cast("long").as("seq_id"))
+  }
+
+  def packSequencesSql(budget: Long = 2048L, nShards: Int = 8): String = {
+    val (a, b) = packPerm
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
+       |    (${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) AS shard
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, shard, tok_count,
+       |    sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_count AS prev_cum
+       |  FROM t WHERE tok_count IS NOT NULL
+       |)
+       |SELECT doc_id, shard, tok_count,
+       |  CAST(floor(CAST(prev_cum AS DOUBLE) / $budget) AS BIGINT) AS seq_id
+       |FROM c
+       |ORDER BY doc_id, shard, tok_count, seq_id""".stripMargin
+  }
+
   def corpusKeepSql(minQuality: Double = 0.5, minMatch: Long = 8L): String = {
     val statsBody = TextAnalysis.textStatsSql
       .replaceAll("(?s)ORDER BY.*$", "")

@@ -62,6 +62,23 @@ class CurationSpec extends AnyFunSuite {
     assert(frac("train") > 0.85)
   }
 
+  test("packSequences: contiguous bins fill to the token budget in doc_id order") {
+    import spark.implicits._
+    // 10 docs of exactly 10 tokens each, one shard, budget 25: running
+    // sums 0,10,...,90 → seq ids 0,0,0,1,1,2,2,2,3,3 (a doc straddling a
+    // boundary stays in the bin its first token lands in)
+    val docs = (0L until 10L)
+      .map(i => (i, "a b c d e f g h i j", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Curation.packSequences(docs, budget = 25L, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("tok_count"), r.getAs[Long]("seq_id")))
+      .toMap
+    assert(out.values.forall { case (shard, tok, _) => shard == 0L && tok == 10L })
+    val seqByDoc = (0L until 10L).map(i => out(i)._3)
+    assert(seqByDoc === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
