@@ -79,8 +79,11 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: f"$s%.2f" uses the JVM default locale, and a comma
+    // decimal separator (de_DE etc.) would corrupt the one-line JSON
+    val spreads = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Block-manager hygiene (round-4 verdict #7): a 35-query × k-pass run
     // accumulates localCheckpoint blocks; surface the residue as a number

@@ -51,10 +51,14 @@ object SparkEntry {
     // the round-trip IS the operator (fromCsv needs the files on disk), so
     // its bench time is sink+scan, not census cost. The path derives from
     // java.io.tmpdir (round-4 advice: a hardcoded repo path broke
-    // relocated checkouts and made plan audits write under the repo).
+    // relocated checkouts and made plan audits write under the repo) and
+    // is PER-PROCESS: two JVMs round-tripping the same fixture (test
+    // suite + Verify, or two worktrees) must not overwrite each other's
+    // files mid-FAILFAST-scan.
     "edge_count_csv" -> ((s, dir) => {
       val tmp = new java.io.File(
-        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_edges_csv"),
+        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft_edges_csv_${ProcessHandle.current().pid()}"),
         new java.io.File(dir).getName).getPath
       EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
       GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))

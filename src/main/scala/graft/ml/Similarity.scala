@@ -490,24 +490,33 @@ object Similarity {
        |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
   }
 
-  /** `(vec_id, cid, cosvc)` — every vector scored against every centroid
-    * through the broadcast join; the ragged-dimension guard
-    * (`size(qv) === size(cqv)`) doubles as the equi-key, same as every
-    * other scorer in this file. */
-  private def scoreAgainst(v: DataFrame, cent: DataFrame): DataFrame =
+  /** `(vec_id, [carry...,] cid, cosvc)` — every vector scored against
+    * every centroid through the broadcast join; the ragged-dimension
+    * guard (`size(qv) === size(cqv)`) doubles as the equi-key, same as
+    * every other scorer in this file. `carry` rides extra vector-side
+    * columns through (the Lloyd loop carries qv so the centroid update
+    * needs no join back to v) — ONE definition of the cosine join, so
+    * the in-loop assignment cannot drift from the final one or from the
+    * oracle. */
+  private def scoreAgainst(v: DataFrame, cent: DataFrame, carry: Column*): DataFrame =
     v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
-      .select(col("vec_id"), col("cid"),
-        (dot(v, col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
+      .select(Seq(col("vec_id")) ++ carry ++ Seq(col("cid"),
+        (dot(v, col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc")): _*)
 
-  /** `(vec_id, cid)` argmax-cosine assignment, ties to the smaller cid:
-    * max of the (cosvc, -cid) struct = lexicographic, mirrored by the
-    * oracle's row_number(ORDER BY cosvc DESC, cid). Map-side partial
+  /** `(vec_id, cid[, qv])` argmax-cosine assignment, ties to the smaller
+    * cid: max of the (cosvc, -cid) struct = lexicographic, mirrored by
+    * the oracle's row_number(ORDER BY cosvc DESC, cid). Map-side partial
     * aggregate — one 16-byte row per vector reaches the shuffle, NOT a
-    * row_number window over the K×N scored relation. */
-  private def argmaxAssign(scoredVc: DataFrame): DataFrame =
-    scoredVc.groupBy("vec_id")
-      .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    * row_number window over the K×N scored relation. `carryQv` rides the
+    * vector along (first() is deterministic: qv is functionally
+    * determined by the grouping key); one definition of the tie-break. */
+  private def argmaxAssign(scoredVc: DataFrame, carryQv: Boolean = false): DataFrame = {
+    val aggs = Seq(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m")) ++
+      (if (carryQv) Seq(first(col("qv")).as("qv")) else Nil)
+    val out = Seq(col("vec_id"), (-col("m.ncid")).as("cid")) ++
+      (if (carryQv) Seq(col("qv")) else Nil)
+    scoredVc.groupBy("vec_id").agg(aggs.head, aggs.tail: _*).select(out: _*)
+  }
 
   /** K-means-refined coarse quantizer over a [[vectors]] relation:
     * Lloyd iterations with a FIXED deterministic count (no convergence
@@ -547,21 +556,15 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      // assignment carries qv through the argmax aggregate instead of
-      // joining back to v afterwards: the broadcast join preserves v's
-      // partitioning, so every vector's K scored rows sit in one
-      // partition and the partial aggregate fully reduces to one row per
-      // vec_id BEFORE the shuffle — same bytes moved as the bare argmax,
-      // one whole join stage (and its shuffle) saved per iteration.
-      // first(qv) is deterministic: qv is functionally determined by the
-      // grouping key.
-      val scored = v.join(broadcast(cent), size(col("qv")) === size(col("cqv")))
-        .select(col("vec_id"), col("qv"), col("cid"),
-          (dot(v, col("qv"), col("cqv")).cast("double") / (col("nrm") * col("cnrm"))).as("cosvc"))
-      val asg = scored.groupBy("vec_id")
-        .agg(max(struct(col("cosvc"), (-col("cid")).as("ncid"))).as("m"),
-          first(col("qv")).as("qv"))
-        .select((-col("m.ncid")).as("cid"), col("qv"))
+      // assignment carries qv through the scoring join and the argmax
+      // aggregate instead of joining back to v afterwards: the broadcast
+      // join preserves v's partitioning, so every vector's K scored rows
+      // sit in one partition and the partial aggregate fully reduces to
+      // one row per vec_id BEFORE the shuffle — same bytes moved as the
+      // bare argmax, one whole join stage (and its shuffle) saved per
+      // iteration.
+      val asg = argmaxAssign(scoreAgainst(v, cent, col("qv")), carryQv = true)
+        .select("cid", "qv")
       // centroid update: ONE bounded-state aggregate ([[VecSumAgg]]) per
       // round — never a posexplode of corpus×dim rows — then the
       // per-dimension quantized mean floor(sum_d/count_d) in one
@@ -572,6 +575,11 @@ object Similarity {
           (sd, cd) => floor(sd.cast("double") / cd).cast("long")).as("cqv"))
         .withColumn("cnrm", sqrt(dot(v, col("cqv"), col("cqv")).cast("double")))
         .filter(col("cnrm") > 0.0)
+        // each round's checkpoint supersedes the last; the old blocks are
+        // only WEAKLY held (persistentRdds is a weak-value map) and the
+        // ContextCleaner drops them once the superseded Dataset is GC'd —
+        // measured end-of-bench residue across a 39-query × 3-pass run:
+        // ~6 RDDs / 15 MB (see Bench's storage line), not a leak
         .localCheckpoint()
     }
     cent

@@ -74,8 +74,13 @@ object Curation {
     */
   def splitAssign(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
     val (a, b) = splitPerm
+    // pmod, not %: permHash inherits the dividend's sign, and a corpus
+    // with negative doc_ids would land ~half its buckets in (-100, 0) —
+    // all routed to 'test' by the CASE, a silent eval leak both engines
+    // would agree on (so the oracle could never catch it)
     docs.select(col("doc_id"),
-        (graft.functions.PortableHash.permHash(col("doc_id"), a, b) % 100L).as("bucket"))
+        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(100L))
+          .as("bucket"))
       .withColumn("split",
         when(col("bucket") < testPct, lit("test"))
           .when(col("bucket") < testPct + valPct, lit("val"))
@@ -84,7 +89,8 @@ object Curation {
 
   def splitAssignSql(valPct: Int = 5, testPct: Int = 5): String = {
     val (a, b) = splitPerm
-    val bucket = s"(${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % 100)"
+    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
+    val bucket = s"((($h % 100) + 100) % 100)" // pmod twin
     s"""SELECT doc_id, bucket,
        |  CASE WHEN bucket < $testPct THEN 'test'
        |       WHEN bucket < ${testPct + valPct} THEN 'val'
@@ -118,8 +124,8 @@ object Curation {
     val t = docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_count"))
       .filter(col("tok_count").isNotNull) // NULL text packs nowhere, both engines
-      .withColumn("shard",
-        graft.functions.PortableHash.permHash(col("doc_id"), a, b) % nShards)
+      .withColumn("shard", // pmod: same negative-doc_id guard as splitAssign
+        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(nShards.toLong)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -133,7 +139,7 @@ object Curation {
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
-       |    (${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) AS shard
+       |    (((${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) + $nShards) % $nShards) AS shard
        |  FROM documents
        |),
        |c AS (
