@@ -140,6 +140,10 @@ object SparkEntry {
     // into ~2048-token training sequences (window per shard, parallel).
     "pack_sequences" -> ((s, dir) =>
       graft.text.Curation.packSequences(graft.Tables.documents(s, dir))),
+    // The whole pipeline in one DAG: curate → keep → split → pack,
+    // one scan + one tokenize pass end to end.
+    "pipeline_manifest" -> ((s, dir) =>
+      graft.text.Curation.pipelineManifest(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 3-shingle with any benchmark doc.
@@ -256,6 +260,7 @@ object SparkEntry {
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
+    "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),

@@ -17,21 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    // ONE documents scan and ONE tokenize pass feed every component: the
-    // eagerly-checkpointed base carries (doc_id, text, toks, char_count),
-    // and fingerprints, quality stats, and minhash signatures all derive
-    // from it (PlanAuditSpec pins that the final plan re-scans no
-    // documents parquet). This replaces round 3's lazy persist(), which
-    // held corpus-sized cache blocks until session end — checkpoint
-    // blocks are dropped by the ContextCleaner once the result stops
-    // referencing them. Tradeoff (accepted project-wide, same as the
-    // dedup checkpoints): executor-local non-replicated blocks mean an
-    // executor loss fails the query instead of recomputing.
-    val base = graft.Tables.widen(docs).select(col("doc_id"), col("text"),
+  /** The shared curation base: ONE documents scan and ONE tokenize pass
+    * feed every downstream component — the eagerly-checkpointed relation
+    * carries (doc_id, text, toks, char_count), and fingerprints, quality
+    * stats, minhash signatures, token counts all derive from it
+    * (PlanAuditSpec pins that corpus_keep's final plan re-scans no
+    * documents parquet). This replaces round 3's lazy persist(), which
+    * held corpus-sized cache blocks until session end — checkpoint
+    * blocks are dropped by the ContextCleaner once the result stops
+    * referencing them. Tradeoff (accepted project-wide, same as the
+    * dedup checkpoints): executor-local non-replicated blocks mean an
+    * executor loss fails the query instead of recomputing. */
+  private def curatedBase(docs: DataFrame): DataFrame =
+    graft.Tables.widen(docs).select(col("doc_id"), col("text"),
       TextAnalysis.tokens(col("text")).as("toks"),
       length(col("text")).cast("long").as("char_count"))
       .localCheckpoint()
+
+  def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    corpusKeepFromBase(curatedBase(docs), minQuality)
+
+  private def corpusKeepFromBase(base: DataFrame, minQuality: Double): DataFrame = {
     // fp is consumed four times (cluster agg, per-doc join, keeper
     // derivation, exact edges) — checkpoint the 40-byte rows once.
     val fp = base.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
@@ -119,10 +125,17 @@ object Curation {
     * end-to-end — hash shard, doc_id order, exact integer token counts
     * — so the oracle reproduces it with the same window.
     */
-  def packSequences(docs: DataFrame, budget: Long = 2048L, nShards: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long = 2048L, nShards: Int = 8): DataFrame =
+    packFromCounts(docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_count")), budget, nShards)
+
+  /** The packing body over a prepared `(doc_id, tok_count)` relation —
+    * shared by [[packSequences]] (fresh tokenize) and
+    * [[pipelineManifest]] (token counts from the curation base's one
+    * tokenize pass). */
+  private def packFromCounts(t0: DataFrame, budget: Long, nShards: Int): DataFrame = {
     val (a, b) = packPerm
-    val t = docs.select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_count"))
+    val t = t0
       .filter(col("tok_count").isNotNull) // NULL text packs nowhere, both engines
       .withColumn("shard", // pmod: same negative-doc_id guard as splitAssign
         pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(nShards.toLong)))
@@ -152,6 +165,83 @@ object Curation {
        |  CAST(floor(CAST(prev_cum AS DOUBLE) / $budget) AS BIGINT) AS seq_id
        |FROM c
        |ORDER BY doc_id, shard, tok_count, seq_id""".stripMargin
+  }
+
+  /** The whole curation pipeline as ONE DAG — the composition a
+    * training-data team actually ships nightly: curate (exact-dup,
+    * near-dup, quality) → keep → split → pack, producing the per-document
+    * manifest `(doc_id, shard, tok_count, seq_id, split)` of the kept
+    * corpus. One documents scan and ONE tokenize pass feed everything:
+    * the keep verdict, the token counts the packer bins (from the
+    * curation base's `toks`, never re-tokenized), and the map-only split
+    * — the joins after the verdict are doc_id equi-joins on the
+    * checkpointed base. At 100 TB this manifest, written
+    * `partitionBy("split")`, IS the training-run input.
+    */
+  def pipelineManifest(docs: DataFrame, minQuality: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val base = curatedBase(docs)
+    val kept = corpusKeepFromBase(base, minQuality)
+      .filter(col("keep")).select("doc_id")
+    val keptBase = base.join(kept, "doc_id")
+    val packed = packFromCounts(
+      keptBase.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
+      budget, nShards)
+    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+  }
+
+  def pipelineManifestSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (pa, pb) = packPerm
+    val (spa, spb) = splitPerm
+    val shard = s"(((${graft.functions.PortableHash.permHashSql("doc_id", pa, pb)} % $nShards) + $nShards) % $nShards)"
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS (
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
+       |    $shard AS shard
+       |  FROM documents JOIN kept USING (doc_id)
+       |),
+       |c AS (
+       |  SELECT doc_id, shard, tok_count,
+       |    sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_count AS prev_cum
+       |  FROM t WHERE tok_count IS NOT NULL
+       |),
+       |packed AS (
+       |  SELECT doc_id, shard, tok_count,
+       |    CAST(floor(CAST(prev_cum AS DOUBLE) / $budget) AS BIGINT) AS seq_id
+       |  FROM c
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents JOIN kept USING (doc_id)
+       |)
+       |SELECT doc_id, shard, tok_count, seq_id, split
+       |FROM packed JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, tok_count, seq_id, split""".stripMargin
   }
 
   def corpusKeepSql(minQuality: Double = 0.5, minMatch: Long = 8L): String = {

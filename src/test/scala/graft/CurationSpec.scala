@@ -62,6 +62,31 @@ class CurationSpec extends AnyFunSuite {
     assert(frac("train") > 0.85)
   }
 
+  test("pipelineManifest = the manual keep → split → pack composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    val texts = (0L until 40L).map(i => i -> words(30 + rnd.nextInt(30)))
+    // doc 100 exactly duplicates doc 0 → dropped by the keep verdict
+    val d = (texts ++ Seq(100L -> texts.head._2))
+      .map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.text.Curation.corpusKeep(d)
+      .filter(col("keep")).select("doc_id")
+    val keptDocs = d.join(kept, "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("tok_count"),
+        r.getAs[Long]("seq_id"), r.getAs[String]("split"))).toSet
+    val expected = rows(graft.text.Curation.packSequences(keptDocs)
+      .join(graft.text.Curation.splitAssign(keptDocs).select("doc_id", "split"), "doc_id")
+      .select("doc_id", "shard", "tok_count", "seq_id", "split"))
+    val got = rows(graft.text.Curation.pipelineManifest(d))
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == 100L), "dropped docs must not reach the manifest")
+  }
+
   test("packSequences: contiguous bins fill to the token budget in doc_id order") {
     import spark.implicits._
     // 10 docs of exactly 10 tokens each, one shard, budget 25: running

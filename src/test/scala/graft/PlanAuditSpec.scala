@@ -105,6 +105,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // while a plain text operator shows exactly one.
     assert(!plan("corpus_keep").contains("documents.parquet"),
       "corpus_keep re-scans documents parquet instead of the shared base")
+    // same contract for the full-pipeline composition: keep verdict,
+    // token counts, and split all derive from the one checkpointed base
+    assert(!plan("pipeline_manifest").contains("documents.parquet"),
+      "pipeline_manifest re-scans documents parquet instead of the shared base")
     assert("documents\\.parquet".r.findAllIn(plan("text_stats")).size === 1)
   }
 
