@@ -34,6 +34,23 @@ object SparkEntry {
   private def edges(s: SparkSession, dir: String): DataFrame =
     EdgeLists.fromLineitem(s, dir)
 
+  /** Per-process scratch dir for the CSV round-trip query — unique per
+    * JVM (two processes must not overwrite each other's files mid-scan)
+    * and deleted on JVM exit (a per-pid dir that outlives its process
+    * would otherwise accumulate one edge-CSV copy per run in tmp). */
+  private lazy val edgesCsvBase: java.io.File = {
+    val d = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_edges_csv_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     GraphPatterns.triangleCounter(edges(spark, "/root/testdata/sf0.001"), Some(PathMax))
@@ -49,16 +66,11 @@ object SparkEntry {
     // relation — same oracle as edge_count by construction.
     // NB: the CSV write happens eagerly at DataFrame-construction time —
     // the round-trip IS the operator (fromCsv needs the files on disk), so
-    // its bench time is sink+scan, not census cost. The path derives from
-    // java.io.tmpdir (round-4 advice: a hardcoded repo path broke
-    // relocated checkouts and made plan audits write under the repo) and
-    // is PER-PROCESS: two JVMs round-tripping the same fixture (test
-    // suite + Verify, or two worktrees) must not overwrite each other's
-    // files mid-FAILFAST-scan.
+    // its bench time is sink+scan, not census cost. The path is the
+    // per-process, exit-cleaned [[edgesCsvBase]] (round-4 advice: a
+    // hardcoded repo path broke relocated checkouts).
     "edge_count_csv" -> ((s, dir) => {
-      val tmp = new java.io.File(
-        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          s"graft_edges_csv_${ProcessHandle.current().pid()}"),
+      val tmp = new java.io.File(edgesCsvBase,
         new java.io.File(dir).getName).getPath
       EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
       GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))

@@ -337,6 +337,27 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match") / lit(NumHashes.toDouble))
   }
 
+  /** cfp → sfp → snew → skeep CTE chain — the oracle twin of the
+    * shard-ingest composition (corpus-fingerprint anti-join + within-
+    * shard keeper collapse), shared by every incremental oracle so the
+    * ingest keeper policy exists in exactly one SQL spelling. */
+  private def shardKeeperCtes(shardPred: String): String =
+    s"""cfp AS (
+       |  SELECT DISTINCT ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE NOT ($shardPred)
+       |),
+       |sfp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents WHERE $shardPred
+       |),
+       |snew AS (
+       |  SELECT f.* FROM sfp f
+       |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = f.fp_md5)
+       |),
+       |skeep AS (
+       |  SELECT min(doc_id) AS doc_id FROM snew GROUP BY fp_md5
+       |)""".stripMargin
+
   /** Oracle twin for the driver's fixture split (shard = doc_id % 10 = 9):
     * signatures don't depend on which side a doc is on, so one sig chain
     * over all documents feeds both sides; the shard side is first
@@ -351,21 +372,7 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
-       |cfp AS (
-       |  SELECT DISTINCT ${TextAnalysis.normMd5Sql("text")} AS fp_md5
-       |  FROM documents WHERE NOT ($shardPred)
-       |),
-       |sfp AS (
-       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
-       |  FROM documents WHERE $shardPred
-       |),
-       |snew AS (
-       |  SELECT s.* FROM sfp s
-       |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = s.fp_md5)
-       |),
-       |skeep AS (
-       |  SELECT min(doc_id) AS doc_id FROM snew GROUP BY fp_md5
-       |),
+       |${shardKeeperCtes(shardPred)},
        |newb AS (
        |  SELECT b.* FROM bands b JOIN skeep USING (doc_id)
        |),
@@ -904,6 +911,15 @@ object Dedup {
     * 64-bit vote pipeline on both sides — ReuseExchange cannot fire once
     * AQE broadcasts the build side; measured, not guessed.)
     */
+  /** The 4-way Hamming-band (nibble) expansion over `s`, shared by both
+    * simhash pairing oracles. */
+  private def simhashNibbleSelectsSql: String = {
+    val bandMask = (1L << simBandBits) - 1
+    (0 until SimBands).map(m =>
+      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
+      .mkString("\n  UNION ALL\n  ")
+  }
+
   /** `(doc_id, simhash)` per exact-dup REPRESENTATIVE — the persisted
     * simhash artifact (16 bytes/row), the third sketch relation a
     * pipeline persists next to [[signatureBands]] and the ANN bands.
@@ -974,30 +990,13 @@ object Dedup {
     * doc is on, so one body over the union population feeds both. */
   def incrementalSimhashPairsSql(maxHamming: Int = 3,
       shardPred: String = "doc_id % 10 = 9"): String = {
-    val bandMask = (1L << simBandBits) - 1
-    val nibbleSelects = (0 until SimBands).map(m =>
-      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH cfp AS (
-       |  SELECT DISTINCT ${TextAnalysis.normMd5Sql("text")} AS fp_md5
-       |  FROM documents WHERE NOT ($shardPred)
-       |),
+    val nibbleSelects = simhashNibbleSelectsSql
+    s"""WITH ${shardKeeperCtes(shardPred)},
        |ckeep AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM (SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
        |        FROM documents WHERE NOT ($shardPred))
        |  GROUP BY fp_md5
-       |),
-       |sfp AS (
-       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
-       |  FROM documents WHERE $shardPred
-       |),
-       |snew AS (
-       |  SELECT f.* FROM sfp f
-       |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = f.fp_md5)
-       |),
-       |skeep AS (
-       |  SELECT min(doc_id) AS doc_id FROM snew GROUP BY fp_md5
        |),
        |allkeep AS (
        |  SELECT doc_id FROM ckeep UNION ALL SELECT doc_id FROM skeep
@@ -1025,10 +1024,7 @@ object Dedup {
   }
 
   def simhashPairsSql(maxHamming: Int = 3): String = {
-    val bandMask = (1L << simBandBits) - 1
-    val nibbleSelects = (0 until SimBands).map(m =>
-      s"SELECT doc_id, simhash, CAST($m AS BIGINT) AS band, (simhash >> ${m * simBandBits}) & $bandMask AS nibble FROM s")
-      .mkString("\n  UNION ALL\n  ")
+    val nibbleSelects = simhashNibbleSelectsSql
     s"""WITH $keepersCte,
        |s AS (${docSimhashBodySql("repdocs")}),
        |bands AS (

@@ -311,19 +311,26 @@ class SimilaritySpec extends AnyFunSuite {
     val v = Similarity.vectors(embeds(vecs: _*)).localCheckpoint()
     val cent = Similarity.kmeansCentroids(v, numCentroids = 4, iters = 2)
     val asg = Similarity.ivfAssign(v, cent)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-    asg.write.mode("overwrite").partitionBy("cid").parquet(path)
-    val probedCid = asg.collect().map(_.getAs[Long]("cid")).groupBy(identity)
-      .maxBy(_._2.length)._1 // the fullest list
-    val read = spark.read.parquet(path)
-      .filter(org.apache.spark.sql.functions.col("cid") === probedCid)
-    val plan = read.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r.findFirstIn(plan).isDefined,
-      s"cid probe not applied as a partition filter:\n$plan")
-    val expected = asg.filter(org.apache.spark.sql.functions.col("cid") === probedCid)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(read.collect().map(_.getAs[Long]("vec_id")).toSet === expected)
-    assert(expected.size > 1, "fixture's probed list must be non-trivial")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+    try {
+      val path = dir.toString
+      asg.write.mode("overwrite").partitionBy("cid").parquet(path)
+      val probedCid = asg.collect().map(_.getAs[Long]("cid")).groupBy(identity)
+        .maxBy(_._2.length)._1 // the fullest list
+      val read = spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col("cid") === probedCid)
+      val plan = read.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+        s"cid probe not applied as a partition filter:\n$plan")
+      val expected = asg.filter(org.apache.spark.sql.functions.col("cid") === probedCid)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(read.collect().map(_.getAs[Long]("vec_id")).toSet === expected)
+      assert(expected.size > 1, "fixture's probed list must be non-trivial")
+    } finally { // deleteOnExit can't remove non-empty dirs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("native dot_of_quantized equals the declarative fold, incl. null/ragged/empty edges") {
