@@ -136,7 +136,12 @@ object Curation {
   private def packFromCounts(t0: DataFrame, budget: Long, nShards: Int): DataFrame = {
     val (a, b) = packPerm
     val t = t0
-      .filter(col("tok_count").isNotNull) // NULL text packs nowhere, both engines
+      // NULL text packs nowhere, in both engines AND both ANSI modes:
+      // under ansi=false size(NULL) is -1 (not NULL), so an isNotNull
+      // guard would admit a tok_count=-1 row that silently shifts every
+      // later doc's running sum in its shard (round-5 advice) — `>= 0`
+      // drops legacy -1 and NULL (three-valued comparison) alike.
+      .filter(col("tok_count") >= 0)
       .withColumn("shard", // pmod: same negative-doc_id guard as splitAssign
         pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(nShards.toLong)))
     val w = org.apache.spark.sql.expressions.Window
