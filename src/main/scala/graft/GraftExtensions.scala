@@ -67,9 +67,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ShinglesOfHashes].getName,
         "shingles_of_hashes"),
       (children: Seq[Expression]) => {
-        require(children.size == 1,
-          s"shingles_of_hashes takes exactly 1 argument, got ${children.size}")
-        graft.functions.ShinglesOfHashes(children.head)
+        require(children.size == 1 || children.size == 2,
+          s"shingles_of_hashes takes 1 or 2 arguments, got ${children.size}")
+        // optional 2nd arg: the shingle window width, a literal int
+        // (codegen unrolls per-window constants, so it cannot be a
+        // runtime column) — default 3, the dedup family's width
+        val window = if (children.size == 2) children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles_of_hashes window must be an integer literal, got $other")
+        } else 3
+        graft.functions.ShinglesOfHashes(children.head, window)
       }))
   }
 }

@@ -175,11 +175,22 @@ object SparkEntry {
       graft.text.Curation.pipelineManifest(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
-    // sharing >= 1 distinct 3-shingle with any benchmark doc.
+    // sharing >= 1 distinct 13-token shingle with any benchmark doc
+    // (Dedup.DecontaminationWindow — the production n-gram width; the
+    // dedup family's 3-shingles flagged 52% of fixture train docs).
     "decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(s, dir)
       Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // Fuzzy sibling (same split): train docs whose MinHash signature
+    // agrees >= 8/16 with some benchmark doc — the paraphrased-leak case
+    // exact-window shingle matching misses by design.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.contaminationFuzzy(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
     "doc_simhash" -> ((s, dir) =>
@@ -291,6 +302,7 @@ object SparkEntry {
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "decontaminate" -> Dedup.contaminationSql(),
+    "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "incremental_simhash" -> Dedup.incrementalSimhashPairsSql(),

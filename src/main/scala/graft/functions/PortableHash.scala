@@ -58,6 +58,19 @@ object PortableHash {
   def shingle3Sql(h1: String, h2: String, h3: String): String =
     s"((((($h1) % $P) * 131 + ($h2)) % $P * 131 + ($h3)) % $P)"
 
+  /** [[shingle3]] generalized to any window width k ≥ 1: the same
+    * left-nested fold acc ← (acc·131 + h) mod P over the k word hashes
+    * (identical to shingle3 at k=3, property-tested). Per-step bound:
+    * acc < P ⇒ acc·131 + h < 1.4e11 + 8.6e17 < 2^62 — overflow-free for
+    * ANY k, which is what makes the window a first-class parameter
+    * (decontamination runs at k=8..13 where dedup shingling stays at 3).
+    */
+  def shingleK(hs: Seq[Column]): Column =
+    hs.tail.foldLeft(hs.head % P)((acc, h) => (acc * 131 + h) % P)
+
+  def shingleKSql(hs: Seq[String]): String =
+    hs.tail.foldLeft(s"((${hs.head}) % $P)")((acc, h) => s"(($acc * 131 + ($h)) % $P)")
+
   /** Deterministic MinHash permutation parameters (a_i, b_i), seeded —
     * generated once here and embedded as literals in BOTH the Spark plan
     * and the oracle SQL, so they cannot drift. a_i ≤ 1e9 and the hash is

@@ -6,23 +6,28 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native Catalyst expression producing the DISTINCT 3-shingle hashes of
-  * an `array<long>` of token hashes: element i of the output set is
-  * [[PortableHash.shingle3]] over (th(i), th(i+1), th(i+2)), first
-  * occurrence order, exactly what
-  * `array_distinct(transform(sequence(...), shingle3(element_at...)))`
+/** Native Catalyst expression producing the DISTINCT `window`-shingle
+  * hashes of an `array<long>` of token hashes: element i of the output
+  * set is [[PortableHash.shingleK]] over (th(i), …, th(i+window-1)),
+  * first occurrence order, exactly what
+  * `array_distinct(transform(sequence(...), shingleK(element_at...)))`
   * computes — minus that formulation's interpreted per-element
-  * `element_at` walk (3 probes per shingle, all CodegenFallback; measured
-  * ~half the minhash signature pipeline's cost at sf0.1).
+  * `element_at` walk (`window` probes per shingle, all CodegenFallback;
+  * measured ~half the minhash signature pipeline's cost at sf0.1 for
+  * the k=3 case). At the default window=3 this is bit-identical to the
+  * original 3-shingle expression ([[PortableHash.shingle3]] IS the k=3
+  * fold); decontamination calls it at window 8..13.
   *
   * Differences from the declarative chain, both outside the operators'
-  * domain (they filter to ≥3 tokens first): inputs shorter than 3 yield
-  * an EMPTY array here (the declarative `sequence(1, n-2)` would count
-  * DOWN for n=2 and crash in `element_at(th, 0)`); a null element makes
-  * its up-to-three shingles null, deduplicated to one null like
-  * array_distinct.
+  * domain (they filter to ≥window tokens first): inputs shorter than
+  * window yield an EMPTY array here (the declarative
+  * `sequence(1, n-window+1)` would count DOWN for n < window and crash
+  * in `element_at(th, 0)`); a null element makes its up-to-`window`
+  * shingles null, deduplicated to one null like array_distinct.
   */
-case class ShinglesOfHashes(child: Expression) extends UnaryExpression {
+case class ShinglesOfHashes(child: Expression, window: Int = 3)
+    extends UnaryExpression {
+  require(window >= 1, s"shingles_of_hashes window must be >= 1, got $window")
 
   private val P: Long = PortableHash.P
 
@@ -39,14 +44,23 @@ case class ShinglesOfHashes(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     val seen = new java.util.LinkedHashSet[Any]()
     var i = 0
-    while (i + 2 < n) {
-      if (arr.isNullAt(i) || arr.isNullAt(i + 1) || arr.isNullAt(i + 2)) {
+    while (i + window - 1 < n) {
+      var hasNull = false
+      var j = 0
+      while (j < window && !hasNull) {
+        if (arr.isNullAt(i + j)) hasNull = true
+        j += 1
+      }
+      if (hasNull) {
         seen.add(null)
       } else {
-        val h1 = arr.getLong(i)
-        val h2 = arr.getLong(i + 1)
-        val h3 = arr.getLong(i + 2)
-        seen.add(Long.box((((h1 % P) * 131L + h2) % P * 131L + h3) % P))
+        var acc = arr.getLong(i) % P
+        var k = 1
+        while (k < window) {
+          acc = (acc * 131L + arr.getLong(i + k)) % P
+          k += 1
+        }
+        seen.add(Long.box(acc))
       }
       i += 1
     }
@@ -58,17 +72,26 @@ case class ShinglesOfHashes(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val seen = ctx.freshName("seen")
       val i = ctx.freshName("i")
-      val sh = ctx.freshName("sh")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val hasNull = ctx.freshName("hasNull")
+      val acc = ctx.freshName("acc")
       s"""
         int $n = $c.numElements();
         java.util.LinkedHashSet<Object> $seen = new java.util.LinkedHashSet<Object>();
-        for (int $i = 0; $i + 2 < $n; $i++) {
-          if ($c.isNullAt($i) || $c.isNullAt($i + 1) || $c.isNullAt($i + 2)) {
+        for (int $i = 0; $i + ${window - 1} < $n; $i++) {
+          boolean $hasNull = false;
+          for (int $j = 0; $j < $window && !$hasNull; $j++) {
+            if ($c.isNullAt($i + $j)) $hasNull = true;
+          }
+          if ($hasNull) {
             $seen.add(null);
           } else {
-            long $sh = ((($c.getLong($i) % ${P}L) * 131L + $c.getLong($i + 1)) % ${P}L
-              * 131L + $c.getLong($i + 2)) % ${P}L;
-            $seen.add(java.lang.Long.valueOf($sh));
+            long $acc = $c.getLong($i) % ${P}L;
+            for (int $k = 1; $k < $window; $k++) {
+              $acc = ($acc * 131L + $c.getLong($i + $k)) % ${P}L;
+            }
+            $seen.add(java.lang.Long.valueOf($acc));
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($seen.toArray());

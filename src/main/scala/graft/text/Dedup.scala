@@ -645,24 +645,25 @@ object Dedup {
 
   // ---- exact n-gram Jaccard rescoring ------------------------------------
 
-  /** `(doc_id, th)` — token-hash arrays of the ≥3-token docs, from any
-    * tokens expression (freshly tokenized text, or a shared `toks` col). */
-  private def hashedTokens(df: DataFrame, toks: Column): DataFrame =
+  /** `(doc_id, th)` — token-hash arrays of the ≥minLen-token docs, from
+    * any tokens expression (freshly tokenized text, or a shared `toks`
+    * col); minLen = the consumer's shingle window (docs shorter than one
+    * window have no shingle). */
+  private def hashedTokens(df: DataFrame, toks: Column, minLen: Int = 3): DataFrame =
     df.select(col("doc_id"), transform(toks, t => PortableHash.tokHash(t)).as("th"))
-      .filter(size(col("th")) >= 3)
+      .filter(size(col("th")) >= minLen)
 
-  /** `(doc_id, sh_set)` over a prepared [[hashedTokens]] relation. */
-  private def shingleSetsOf(t: DataFrame): DataFrame = {
+  /** `(doc_id, sh_set)` over a prepared [[hashedTokens]] relation —
+    * distinct `window`-shingles (default 3, the dedup family's width). */
+  private def shingleSetsOf(t: DataFrame, window: Int = 3): DataFrame = {
     val shSet =
       if (t.sparkSession.catalog.functionExists("shingles_of_hashes"))
-        call_function("shingles_of_hashes", col("th"))
+        call_function("shingles_of_hashes", col("th"), lit(window))
       else // session built without GraftExtensions: interpreted HOF walk
         array_distinct(transform(
-          sequence(lit(1), size(col("th")) - 2),
-          i => PortableHash.shingle3(
-            element_at(col("th"), i),
-            element_at(col("th"), i + 1),
-            element_at(col("th"), i + 2))))
+          sequence(lit(1), size(col("th")) - (window - 1)),
+          i => PortableHash.shingleK(
+            (0 until window).map(j => element_at(col("th"), i + j)))))
     t.select(col("doc_id"), shSet.as("sh_set"))
   }
 
@@ -670,6 +671,12 @@ object Dedup {
   private def shingleSets(docs: DataFrame): DataFrame =
     shingleSetsOf(hashedTokens(graft.Tables.widen(docs),
       TextAnalysis.tokens(col("text"))))
+
+  /** Same, at an arbitrary shingle window (the decontamination path —
+    * every dedup operator stays on the shared 3-shingle family). */
+  private def shingleSetsK(docs: DataFrame, window: Int): DataFrame =
+    shingleSetsOf(hashedTokens(graft.Tables.widen(docs),
+      TextAnalysis.tokens(col("text")), window), window)
 
   /** `(doc_id, mh)` from a base relation already carrying a `toks` array
     * — the shared-tokenize path ([[Curation.corpusKeep]]): same hash
@@ -759,13 +766,26 @@ object Dedup {
 
   // ---- benchmark decontamination ------------------------------------------
 
+  /** Default decontamination n-gram window: 13 tokens, the published
+    * production norm (GPT-3's appendix C used 13-grams; later pipelines
+    * use 8..13). Round-5 verdict #1: the dedup family's 3-token shingles
+    * are far too aggressive here — on the sf0.01 fixture they flagged
+    * 52% of train docs (every ubiquitous 3-word phrase "matches" some
+    * benchmark doc), correct per the oracle but useless as a filter. A
+    * 13-token verbatim run is evidence of actual leakage. */
+  val DecontaminationWindow: Int = 13
+
   /** Benchmark decontamination — the pipeline step that keeps eval data
     * out of the training corpus: for every training document, count the
-    * DISTINCT 3-token shingles it shares with any benchmark document,
-    * and keep rows with ≥ `minHits` (the flag set a curation pass drops
-    * or audits). The match key is the same `shingle3` hash family every
-    * dedup operator uses, so "contaminated" is decided by exactly the
-    * text normalization the rest of the pipeline already defines.
+    * DISTINCT `window`-token shingles it shares with any benchmark
+    * document, and keep rows with ≥ `minHits` (the flag set a curation
+    * pass drops or audits). The window is a first-class parameter with
+    * its own hash chain ([[PortableHash.shingleK]], the k-wide
+    * generalization of the dedup family's `shingle3` fold — identical
+    * arithmetic, identical text normalization, so "contaminated" is
+    * decided under exactly the tokenization the rest of the pipeline
+    * already defines, at a width tuned for leak detection rather than
+    * near-dup estimation).
     *
     * Scale shape: the benchmark side collapses to its distinct shingle
     * relation (8 bytes/row — benchmarks are small by definition, a few
@@ -777,12 +797,14 @@ object Dedup {
     * to a shuffled semi-join on the 8-byte key, same plan otherwise.
     * n_hits counts distinct shared shingles (per-doc sets are distinct
     * by construction), so a doc repeating one benchmark phrase scores 1,
-    * not its term frequency.
+    * not its term frequency. Exact-window matching misses PARAPHRASED
+    * leakage by design — that is [[contaminationFuzzy]]'s job.
     */
-  def contamination(docs: DataFrame, bench: DataFrame, minHits: Long = 1L): DataFrame = {
-    val benchSh = shingleSets(bench)
+  def contamination(docs: DataFrame, bench: DataFrame, minHits: Long = 1L,
+      window: Int = DecontaminationWindow): DataFrame = {
+    val benchSh = shingleSetsK(bench, window)
       .select(explode(col("sh_set")).as("sh")).distinct()
-    shingleSets(docs)
+    shingleSetsK(docs, window)
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -791,17 +813,21 @@ object Dedup {
 
   /** Oracle twin for the driver's fixture split (benchmark = doc_id %
     * 50 = 0, train = the rest): both sides rebuild the tokenize→shingle
-    * chain under distinct CTE names. */
+    * chain under distinct CTE names, at the same window. */
   def contaminationSql(minHits: Long = 1L,
-      benchPred: String = "doc_id % 50 = 0"): String = {
+      benchPred: String = "doc_id % 50 = 0",
+      window: Int = DecontaminationWindow): String = {
     val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    // i runs over 1..len-window+1 (DuckDB range() is end-exclusive)
+    val shK = PortableHash.shingleKSql((0 until window).map(j =>
+      if (j == 0) "th[i]" else s"th[i+$j]"))
     def shingleChain(prefix: String, pred: String) =
       s"""${prefix}toks AS (
          |  SELECT doc_id, $tok AS th FROM documents WHERE $pred
          |), ${prefix}sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
-         |    i -> ${PortableHash.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")})) AS sh
-         |  FROM ${prefix}toks WHERE len(th) >= 3
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - ${window - 2}),
+         |    i -> $shK)) AS sh
+         |  FROM ${prefix}toks WHERE len(th) >= $window
          |)""".stripMargin
     s"""WITH ${shingleChain("b", benchPred)},
        |${shingleChain("d", s"NOT ($benchPred)")},
@@ -816,6 +842,75 @@ object Dedup {
        |)
        |SELECT doc_id, n_hits FROM hits WHERE n_hits >= $minHits
        |ORDER BY doc_id, n_hits""".stripMargin
+  }
+
+  /** Fuzzy benchmark decontamination — the paraphrase case exact-window
+    * matching misses BY DESIGN (round-5 verdict #5/"missing" #4): an eval
+    * item lightly rewritten into a train doc shares no long verbatim run,
+    * but its 3-shingle MinHash signature still agrees heavily. This
+    * composes the existing sketch machinery with the benchmark as the
+    * (small, persisted) side: per train doc, the MAXIMUM signature
+    * agreement against any benchmark doc it band-collides with; rows with
+    * n_match ≥ `minMatch` are the fuzzy-leak flag set. Same signature
+    * family as every dedup operator, so a doc flagged here and paired by
+    * [[nearDupPairs]] shows the same n_match.
+    *
+    * Scale shape — deliberately NOT the self-join pairing shape: the
+    * benchmark band relation (a few thousand docs × 4 rows) is BROADCAST
+    * into the corpus band stream, so the corpus side is one map-only
+    * signature pass + a broadcast hash join; train docs never pair with
+    * each other (no quadratic bucket expansion is possible — per-bucket
+    * cost is train_count × bench_count, bench-bounded), and the only
+    * shuffle is the ≤4-rows-per-flagged-doc max-aggregation. No exact-dup
+    * pre-collapse on the TRAIN side: the verdict is per-document (every
+    * copy of a leaked doc must flag), and skipping the collapse costs
+    * nothing here because the expansion is bench-bounded, not
+    * bucket-quadratic.
+    */
+  def contaminationFuzzy(docs: DataFrame, bench: DataFrame,
+      minMatch: Long = 8L): DataFrame = {
+    val benchBands = bandedFrom(minhashSignatures(bench))
+      .select(col("doc_id").as("bench_id"), col("mh").as("bmh"),
+        col("band"), col("band_hash"))
+    val docBands = bandedFrom(minhashSignatures(docs))
+    docBands.join(broadcast(benchBands), Seq("band", "band_hash"))
+      .select(col("doc_id"),
+        agreeCount(docBands, col("mh"), col("bmh")).as("m"))
+      .groupBy("doc_id").agg(max("m").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
+  /** Oracle twin for the driver's fixture split (benchmark = doc_id %
+    * 50 = 0): signatures don't depend on which side a doc is on, so one
+    * sig chain over all documents feeds both band relations. */
+  def contaminationFuzzySql(minMatch: Long = 8L,
+      benchPred: String = "doc_id % 50 = 0"): String = {
+    val bandSelects = bandSelectsSql
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |bb AS (
+       |  SELECT * FROM bands WHERE $benchPred
+       |),
+       |db AS (
+       |  SELECT * FROM bands WHERE NOT ($benchPred)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM db d JOIN bb b ON d.band = b.band AND d.band_hash = b.band_hash
+       |),
+       |scored AS (
+       |  SELECT cand.doc_id,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS m
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_id
+       |  JOIN sig sb ON sb.doc_id = cand.bench_id
+       |)
+       |SELECT doc_id, max(m) AS n_match FROM scored
+       |GROUP BY doc_id HAVING max(m) >= $minMatch
+       |ORDER BY doc_id, n_match""".stripMargin
   }
 
   // ---- SimHash ------------------------------------------------------------

@@ -268,19 +268,78 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L || a == 6L || b == 6L })
   }
 
-  test("contamination counts exactly the distinct shingles shared with the benchmark") {
-    // benchmark = base; train: an exact copy (every shingle shared), the
-    // one-token near-dup (the 3 shingles straddling the changed token
-    // are NOT shared), and an unrelated doc (no shared shingles, so it
-    // must not appear in the output at all)
+  test("contamination counts exactly the distinct window shingles shared with the benchmark") {
+    // benchmark = base (42 tokens); train: an exact copy (every shingle
+    // shared), the one-token near-dup (exactly W windows straddle the
+    // changed token, which sits ≥W tokens from both ends), and an
+    // unrelated doc (no shared shingles → absent from the output)
+    val W = Dedup.DecontaminationWindow.toLong
     val bench = docs((100L, base))
     val train = docs((1L, base), (2L, nearDup), (3L, unrelated))
     val out = Dedup.contamination(train, bench).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
     assert(out.keySet === Set(1L, 2L))
-    assert(out(1L) === out(2L) + 3L,
-      s"one mid-token change must kill exactly 3 shingles: $out")
-    assert(out(1L) > 30L) // the copy shares base's full shingle set
+    assert(out(1L) === out(2L) + W,
+      s"one mid-token change must kill exactly $W shingles: $out")
+    assert(out(1L) === 42L - W + 1L) // the copy shares base's full shingle set
+  }
+
+  test("window 13 flags only a verbatim >=13-token quote where window 3 flags everything") {
+    // The round-5 failure mode, reproduced and retired: trainA embeds one
+    // 13-token VERBATIM benchmark run (real leakage — must flag, n_hits
+    // exactly 1); trainB shares only runs of ≤7 tokens (every 8th token
+    // replaced — the ubiquitous-short-phrase overlap that made 3-shingle
+    // decontamination flag 52% of fixture train docs); at the production
+    // window only the quote flags, while window 3 flags both.
+    val benchTokens = base.split(" ")
+    val quote = benchTokens.slice(10, 23).mkString(" ") // 13 verbatim tokens
+    val trainA = "my document quotes " + quote + " and then moves on"
+    val trainB = benchTokens.zipWithIndex
+      .map { case (t, i) => if (i % 8 == 7) s"chg$i" else t }.mkString(" ")
+    val train = docs((1L, trainA), (2L, trainB), (3L, unrelated))
+    val bench = docs((100L, base))
+    val out13 = Dedup.contamination(train, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out13 === Map(1L -> 1L),
+      s"only the verbatim quote doc may flag at window 13: $out13")
+    val out3 = Dedup.contamination(train, bench, window = 3).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(out3 === Set(1L, 2L),
+      "window 3 must reproduce the over-flagging this parameter exists to fix")
+  }
+
+  test("fuzzy decontamination catches a paraphrased leak that exact-window matching misses") {
+    // benchmark doc: 204 tokens; planted paraphrase: every 12th token
+    // rewritten, so the longest verbatim run is 11 tokens < the 13-token
+    // window (exact decontamination provably scores ZERO shared
+    // 13-shingles) while ~75% of 3-shingles survive (Jaccard ≈ 0.6) —
+    // the signature still agrees on most slots and the pair band-collides
+    val benchTokens = (0 until 204).map(i => s"w${i}q")
+    val benchDoc = benchTokens.mkString(" ")
+    val para = benchTokens.zipWithIndex
+      .map { case (t, i) => if (i % 12 == 0) s"chg$i" else t }.mkString(" ")
+    val train = docs((1L, para), (2L, unrelated))
+    val bench = docs((100L, benchDoc))
+    // exact window-13: the paraphrase shares no 13-token run → no row
+    val exact = Dedup.contamination(train, bench).collect()
+    assert(exact.isEmpty,
+      s"paraphrase must evade exact-window matching: ${exact.toList}")
+    // fuzzy: the same paraphrase flags on signature agreement
+    val fuzzy = Dedup.contaminationFuzzy(train, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_match")).toMap
+    assert(fuzzy.keySet === Set(1L),
+      s"fuzzy must flag exactly the planted paraphrase: $fuzzy")
+    assert(fuzzy(1L) >= 8L && fuzzy(1L) < 16L, s"n_match=${fuzzy(1L)}")
+  }
+
+  test("fuzzy decontamination flags every copy of a leaked doc (no train-side collapse)") {
+    // two identical train copies of a benchmark doc must BOTH flag at
+    // full agreement — the verdict is per-document, unlike the pairing
+    // operators' representative collapse
+    val out = Dedup.contaminationFuzzy(
+        docs((1L, base), (2L, base), (3L, unrelated)), docs((100L, base)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_match")).toMap
+    assert(out === Map(1L -> 16L, 2L -> 16L))
   }
 
   test("native agree_count_of_hashes equals the declarative fold, incl. null/ragged edges") {

@@ -81,6 +81,22 @@ object HashExprProps extends Properties("HashExpressions") {
       (0 until out.numElements()).map(out.getLong) == shingleModel(hs)
     }
 
+  // window-k generalization: the same left-nested ×131 fold at any width
+  // (k=3 reduces to shingleModel above — the fold IS shingle3's chain)
+  private def shingleModelK(hs: Seq[Long], k: Int): Seq[Long] =
+    hs.sliding(k).filter(_.size == k).map(w =>
+      w.tail.foldLeft(w.head % P)((acc, h) => (acc * 131L + h) % P)).toSeq.distinct
+
+  property("window-k shingles eval equals the model for k in 1..13") =
+    forAll(arrGen, Gen.chooseNum(1, 13)) { (hs, k) =>
+      val out = evalExpr(graft.functions.ShinglesOfHashes(litArr(hs), k))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == shingleModelK(hs, k)
+    }
+
+  property("window-3 shingles equal the legacy 3-shingle chain exactly") =
+    forAll(arrGen) { hs => shingleModelK(hs, 3) == shingleModel(hs) }
+
   // quantized embedding coordinates: |floor(x·1e6)| ≤ 2e6 for |x| ≤ 2
   private val coordGen = Gen.chooseNum(-2000000L, 2000000L)
 

@@ -82,6 +82,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"benchmark side not broadcast as a semi join:\n$p")
+    // fuzzy sibling: the benchmark BAND relation broadcasts into the
+    // corpus band stream — train docs never pair with each other, so the
+    // corpus side stays one map-only signature pass + a broadcast join
+    val pf = plan("decontaminate_fuzzy")
+    assert(pf.contains("BroadcastHashJoin"),
+      s"benchmark bands not broadcast into the corpus band stream:\n$pf")
   }
 
   test("no sketch-pairing plan expands buckets through collect_list") {
