@@ -169,6 +169,10 @@ object SparkEntry {
     // into ~2048-token training sequences (window per shard, parallel).
     "pack_sequences" -> ((s, dir) =>
       graft.text.Curation.packSequences(graft.Tables.documents(s, dir))),
+    // Chunked variant: overlong docs split at the exact budget
+    // boundaries they cross, so no bin ever exceeds the token budget.
+    "pack_sequences_chunked" -> ((s, dir) =>
+      graft.text.Curation.packSequencesChunked(graft.Tables.documents(s, dir))),
     // The whole pipeline in one DAG: curate → keep → split → pack,
     // one scan + one tokenize pass end to end.
     "pipeline_manifest" -> ((s, dir) =>
@@ -300,6 +304,7 @@ object SparkEntry {
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
+    "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),

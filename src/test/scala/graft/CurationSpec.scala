@@ -104,6 +104,113 @@ class CurationSpec extends AnyFunSuite {
     assert(seqByDoc === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
   }
 
+  test("packSequencesChunked golden: a straddling doc splits at the exact boundary") {
+    import spark.implicits._
+    // one shard, budget 25, docs of 10 tokens: doc 2 occupies [20,30) and
+    // must split into 5 tokens in bin 0 + 5 in bin 1; doc 7 at [70,80)
+    // splits 5/5 across bins 2|3; all other docs stay whole
+    val docs = (0L until 10L)
+      .map(i => (i, "a b c d e f g h i j", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Curation.packSequencesChunked(docs, budget = 25L, nShards = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("chunk_tok"), r.getAs[Long]("seq_id")))
+      .toMap
+    assert(out.values.forall(_._1 == 0L))
+    assert(out((2L, 0L)) === ((0L, 5L, 0L)) && out((2L, 1L)) === ((0L, 5L, 1L)))
+    assert(out((7L, 0L)) === ((0L, 5L, 2L)) && out((7L, 1L)) === ((0L, 5L, 3L)))
+    assert(out((0L, 0L)) === ((0L, 10L, 0L)) && out((9L, 0L)) === ((0L, 10L, 3L)))
+    assert(out.size === 12) // 10 docs + 2 extra boundary chunks
+    // every bin except the shard's last holds exactly the budget
+    val bins = out.values.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(bins === Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+  }
+
+  test("packSequencesChunked properties: bins never overflow, chunks tile each doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial mix: overlong docs (tok >> budget), exact-budget docs,
+    // tiny docs, an empty doc — across several shards
+    val rnd = new scala.util.Random(11)
+    val texts = (0L until 60L).map { i =>
+      val n = rnd.nextInt(4) match {
+        case 0 => 5 + rnd.nextInt(20)        // small
+        case 1 => 64                          // exactly one budget
+        case 2 => 150 + rnd.nextInt(200)      // overlong (2-5 bins)
+        case 3 => 0                           // empty
+      }
+      (i, Seq.fill(n)("t" + rnd.nextInt(900)).mkString(" "), "en")
+    }
+    val d = texts.toDF("doc_id", "text", "lang")
+    val budget = 64L
+    val rows = graft.text.Curation.packSequencesChunked(d, budget = budget, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_tok"), r.getAs[Long]("seq_id")))
+    // (1) no bin's token sum exceeds the budget, and every non-final bin
+    //     of each shard is filled to exactly the budget
+    val byBin = rows.groupBy(r => (r._2, r._5)).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = rows.groupBy(_._2).view.mapValues(_.map(_._5).max).toMap
+    for (((shard, seq), tot) <- byBin) {
+      assert(tot <= budget, s"bin ($shard,$seq) overflows: $tot > $budget")
+      if (seq < lastBin(shard))
+        assert(tot === budget, s"non-final bin ($shard,$seq) underfilled: $tot")
+    }
+    // (2) chunks tile the doc: per-doc chunk_tok sums to tok_count, and
+    //     chunk count is bounded by ceil(tok/budget)+1
+    val tokCounts = texts.map { case (i, t, _) =>
+      i -> (if (t.isEmpty) 0L else t.split(" ").length.toLong) }.toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet === tokCounts.keySet) // empty doc keeps one chunk
+    for ((id, chunks) <- byDoc) {
+      assert(chunks.map(_._4).sum === tokCounts(id), s"doc $id chunks don't tile")
+      val bound = (tokCounts(id) + budget - 1) / budget + 1
+      assert(chunks.length <= math.max(bound, 1L), s"doc $id has ${chunks.length} chunks")
+      // chunk_ids are contiguous from 0 over consecutive seq_ids
+      val sorted = chunks.sortBy(_._3)
+      assert(sorted.map(_._3).toList === (0L until sorted.length).toList)
+      assert(sorted.map(_._5).distinct.length === sorted.length)
+    }
+    // (3) the first chunk of every doc lands in packSequences' bin (the
+    //     two operators agree on where a doc STARTS)
+    val whole = graft.text.Curation.packSequences(d, budget = budget, nShards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq_id")).toMap
+    for ((id, chunks) <- byDoc)
+      assert(chunks.minBy(_._3)._5 === whole(id), s"doc $id first-bin mismatch")
+  }
+
+  test("the manifest's partitionBy(split) write really partition-prunes a split read") {
+    // The claim in pipelineManifest's docs, proven on the ACTUAL manifest
+    // (round-5 verdict #3: SinksSpec proved pruning generically, but no
+    // test wrote this operator's output partitioned): write the manifest
+    // partitionBy("split"), re-read one split, and the split filter must
+    // become a PartitionFilter with fewer files scanned — plus row
+    // identity against the unpartitioned DataFrame's own filter.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = graft.text.Curation.pipelineManifest(docs).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    graft.sources.Sinks.writePartitioned(manifest, path, Seq("split"))
+    val read = spark.read.parquet(path).filter(col("split") === "train")
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*split[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"split filter not applied as a partition filter:\n$plan")
+    // collect() executes THIS Dataset's own QueryExecution (a select()
+    // would build a new one whose scan metrics we could not read after)
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("tok_count"),
+        r.getAs[Long]("seq_id"), r.getAs[String]("split"))).toSet
+    val expected = rows(manifest.filter(col("split") === "train").collect())
+    assert(rows(read.collect()) === expected)
+    assert(expected.nonEmpty, "fixture must actually have train rows")
+    // pruning is real: the pruned scan reads strictly fewer files
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pruned = scan.metrics("numFiles").value
+    assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
