@@ -177,6 +177,10 @@ object SparkEntry {
     // one scan + one tokenize pass end to end.
     "pipeline_manifest" -> ((s, dir) =>
       graft.text.Curation.pipelineManifest(graft.Tables.documents(s, dir))),
+    // Same composition with the chunked packer: the manifest a
+    // fixed-context trainer consumes (no bin ever exceeds the budget).
+    "pipeline_manifest_chunked" -> ((s, dir) =>
+      graft.text.Curation.pipelineManifestChunked(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -306,6 +310,7 @@ object SparkEntry {
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
+    "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),
     "doc_simhash" -> Dedup.docSimhashSql,

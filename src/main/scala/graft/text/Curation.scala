@@ -211,13 +211,18 @@ object Curation {
         col("chunk_tok"), col("seq_id"))
   }
 
-  def packSequencesChunkedSql(budget: Long = 2048L, nShards: Int = 8): String = {
+  /** t → c → spans → exploded → chunks CTE chain — the oracle twin of
+    * [[chunkFromCounts]] over `src` (the documents table, or the
+    * kept-join for the chunked manifest); shared so the boundary-split
+    * arithmetic exists in exactly one SQL spelling. `chunks` ends with
+    * columns (doc_id, shard, chunk_id, chunk_tok, seq_id). */
+  private def chunkCtesSql(src: String, budget: Long, nShards: Int): String = {
     val (a, b) = packPerm
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
        |    (((${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) + $nShards) % $nShards) AS shard
-       |  FROM documents
+       |  FROM $src
        |),
        |c AS (
        |  SELECT doc_id, shard, tok_count,
@@ -238,15 +243,22 @@ object Curation {
        |  SELECT doc_id, shard, tok_count, prev_cum, b0,
        |    unnest(generate_series(b0, b1)) AS seq_id
        |  FROM spans
-       |)
-       |SELECT doc_id, shard, seq_id - b0 AS chunk_id,
-       |  CASE WHEN tok_count = 0 THEN CAST(0 AS BIGINT)
-       |    ELSE least((seq_id + 1) * $budget, prev_cum + tok_count)
-       |       - greatest(seq_id * $budget, prev_cum) END AS chunk_tok,
-       |  seq_id
-       |FROM exploded
-       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id""".stripMargin
+       |),
+       |chunks AS (
+       |  SELECT doc_id, shard, seq_id - b0 AS chunk_id,
+       |    CASE WHEN tok_count = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE least((seq_id + 1) * $budget, prev_cum + tok_count)
+       |         - greatest(seq_id * $budget, prev_cum) END AS chunk_tok,
+       |    seq_id
+       |  FROM exploded
+       |)""".stripMargin
   }
+
+  def packSequencesChunkedSql(budget: Long = 2048L, nShards: Int = 8): String =
+    s"""WITH ${chunkCtesSql("documents", budget, nShards)}
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id
+       |FROM chunks
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id""".stripMargin
 
   def packSequencesSql(budget: Long = 2048L, nShards: Int = 8): String = {
     val (a, b) = packPerm
@@ -290,6 +302,61 @@ object Curation {
       keptBase.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
       budget, nShards)
     packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+  }
+
+  /** [[pipelineManifest]] with the CHUNKED packer — the manifest a
+    * fixed-context trainer actually consumes: curate → keep → split →
+    * chunk-at-boundaries as one DAG, `(doc_id, shard, chunk_id,
+    * chunk_tok, seq_id, split)` per kept chunk, every non-final bin of
+    * every shard holding exactly `budget` tokens. Same single-scan /
+    * single-tokenize discipline as the whole-doc manifest (plan-audited:
+    * the final plan re-scans no documents parquet). */
+  def pipelineManifestChunked(docs: DataFrame, minQuality: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val base = curatedBase(docs)
+    val kept = corpusKeepFromBase(base, minQuality)
+      .filter(col("keep")).select("doc_id")
+    val keptBase = base.join(kept, "doc_id")
+    val packed = chunkFromCounts(
+      keptBase.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
+      budget, nShards)
+    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+  }
+
+  def pipelineManifestChunkedSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (spa, spb) = splitPerm
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS (
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |${chunkCtesSql("documents JOIN kept USING (doc_id)", budget, nShards)},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents JOIN kept USING (doc_id)
+       |)
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split
+       |FROM chunks JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split""".stripMargin
   }
 
   def pipelineManifestSql(minQuality: Double = 0.5, minMatch: Long = 8L,

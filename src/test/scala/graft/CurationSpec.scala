@@ -104,6 +104,33 @@ class CurationSpec extends AnyFunSuite {
     assert(seqByDoc === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
   }
 
+  test("pipelineManifestChunked = the manual keep → split → chunk composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    // doc 5 is overlong relative to the 64-token budget → must chunk
+    val texts = (0L until 30L).map(i =>
+      i -> words(if (i == 5L) 300 else 30 + rnd.nextInt(30)))
+    val d = (texts ++ Seq(100L -> texts.head._2))
+      .map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.text.Curation.corpusKeep(d)
+      .filter(col("keep")).select("doc_id")
+    val keptDocs = d.join(kept, "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_tok"), r.getAs[Long]("seq_id"), r.getAs[String]("split")))
+      .toSet
+    val expected = rows(graft.text.Curation.packSequencesChunked(keptDocs, budget = 64L)
+      .join(graft.text.Curation.splitAssign(keptDocs).select("doc_id", "split"), "doc_id")
+      .select("doc_id", "shard", "chunk_id", "chunk_tok", "seq_id", "split"))
+    val got = rows(graft.text.Curation.pipelineManifestChunked(d, budget = 64L))
+    assert(got === expected)
+    assert(got.count(_._1 == 5L) > 1L, "the overlong doc must appear as chunks")
+    assert(!got.exists(_._1 == 100L), "dropped docs must not reach the manifest")
+  }
+
   test("packSequencesChunked golden: a straddling doc splits at the exact boundary") {
     import spark.implicits._
     // one shard, budget 25, docs of 10 tokens: doc 2 occupies [20,30) and

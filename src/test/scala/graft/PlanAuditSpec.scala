@@ -115,6 +115,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // token counts, and split all derive from the one checkpointed base
     assert(!plan("pipeline_manifest").contains("documents.parquet"),
       "pipeline_manifest re-scans documents parquet instead of the shared base")
+    assert(!plan("pipeline_manifest_chunked").contains("documents.parquet"),
+      "pipeline_manifest_chunked re-scans documents parquet instead of the shared base")
     assert("documents\\.parquet".r.findAllIn(plan("text_stats")).size === 1)
   }
 
