@@ -308,6 +308,32 @@ class DedupSpec extends AnyFunSuite {
       "window 3 must reproduce the over-flagging this parameter exists to fix")
   }
 
+  test("window-k HOF fallback formulation equals the native shingle expression in a job") {
+    // the no-extensions fallback branch of shingleSetsOf, verbatim,
+    // pinned bit-equal to the codegen expression at every width the
+    // engine uses (1 = degenerate, 3 = dedup family, 8/13 = decon range);
+    // the 12-token doc also exercises the >= k gate at k=13
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base.split(" ").take(12).mkString(" ")))
+    val th = transform(graft.text.TextAnalysis.tokens(col("text")),
+      t => PortableHash.tokHash(t))
+    for (k <- Seq(1, 3, 8, 13)) {
+      val t = d.select(col("doc_id"), th.as("th")).filter(size(col("th")) >= k)
+      val declarative = array_distinct(transform(
+        sequence(lit(1), size(col("th")) - (k - 1)),
+        i => PortableHash.shingleK((0 until k).map(j => element_at(col("th"), i + j)))))
+      val out = t.select(col("doc_id"),
+          call_function("shingles_of_hashes", col("th"), lit(k)).as("native"),
+          declarative.as("decl")).collect()
+      assert(out.length === (if (k == 13) 3 else 4))
+      out.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"k=$k doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("fuzzy decontamination catches a paraphrased leak that exact-window matching misses") {
     // benchmark doc: 204 tokens; planted paraphrase: every 12th token
     // rewritten, so the longest verbatim run is 11 tokens < the 13-token
