@@ -41,6 +41,17 @@ object PortableHash {
     least(length(c).cast("long"), lit(MaxLenTerm)) * lit(pow31(8)) + poly
   }
 
+  /** Token-hash ARRAY of a tokens column — the native codegen
+    * [[TokHashesOfTokens]] (one byte-walk per token) when the session
+    * has GraftExtensions, the equivalent interpreted
+    * `transform(toks, tokHash)` otherwise. `df` is only consulted for
+    * the session's function registry. */
+  def tokHashes(df: org.apache.spark.sql.DataFrame, toks: Column): Column =
+    if (df.sparkSession.catalog.functionExists("tok_hashes_of_tokens"))
+      call_function("tok_hashes_of_tokens", toks)
+    else
+      transform(toks, t => tokHash(t))
+
   /** Same hash as DuckDB SQL over a column expression. */
   def tokHashSql(c: String): String = {
     val padded = s"rpad($c, 8, '.')"

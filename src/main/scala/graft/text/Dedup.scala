@@ -650,7 +650,7 @@ object Dedup {
     * col); minLen = the consumer's shingle window (docs shorter than one
     * window have no shingle). */
   private def hashedTokens(df: DataFrame, toks: Column, minLen: Int = 3): DataFrame =
-    df.select(col("doc_id"), transform(toks, t => PortableHash.tokHash(t)).as("th"))
+    df.select(col("doc_id"), PortableHash.tokHashes(df, toks).as("th"))
       .filter(size(col("th")) >= minLen)
 
   /** `(doc_id, sh_set)` over a prepared [[hashedTokens]] relation —
@@ -941,8 +941,7 @@ object Dedup {
     * whole-stage codegen. `SimhashSpec` pins bit-equality between the two.
     */
   def docSimhash(docs: DataFrame): DataFrame = {
-    val th = transform(TextAnalysis.tokens(col("text")),
-      t => PortableHash.tokHash(t))
+    val th = PortableHash.tokHashes(docs, TextAnalysis.tokens(col("text")))
     val n = size(col("th"))
     val sim =
       if (docs.sparkSession.catalog.functionExists("simhash_of_hashes"))

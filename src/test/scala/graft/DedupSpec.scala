@@ -308,6 +308,26 @@ class DedupSpec extends AnyFunSuite {
       "window 3 must reproduce the over-flagging this parameter exists to fix")
   }
 
+  test("native tok_hashes_of_tokens equals the interpreted transform, incl. non-ASCII") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val d = docs((1L, base), (2L, "héllo wörld émoji 😀😀 世界 tokens ab"),
+      (3L, "x"), (4L, "averyveryverylongtokenthatkeepsgoing short"))
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val out = d.select(col("doc_id"),
+        call_function("tok_hashes_of_tokens", toks).as("native"),
+        transform(toks, t => PortableHash.tokHash(t)).as("decl")).collect()
+    out.foreach(r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+    // the expression lands in the text operators' physical plans (over
+    // the parquet fixture — a local relation of literals would be
+    // constant-folded into a LocalTableScan before the plan is readable)
+    val p = Dedup.docSimhash(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("tok_hashes_of_tokens") || p.contains("TokHashesOfTokens"),
+      s"native token hashing missing from the simhash plan:\n$p")
+  }
+
   test("window-k HOF fallback formulation equals the native shingle expression in a job") {
     // the no-extensions fallback branch of shingleSetsOf, verbatim,
     // pinned bit-equal to the codegen expression at every width the

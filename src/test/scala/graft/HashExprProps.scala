@@ -97,6 +97,42 @@ object HashExprProps extends Properties("HashExpressions") {
   property("window-3 shingles equal the legacy 3-shingle chain exactly") =
     forAll(arrGen) { hs => shingleModelK(hs, 3) == shingleModel(hs) }
 
+  // --- tok_hashes_of_tokens vs an independent code-point model ---------
+
+  private val pow31s: Array[Long] =
+    (0 until 9).scanLeft(1L)((a, _) => a * 31L).toArray.init
+
+  /** Independent model of tokHash: code points (NOT bytes/chars — a
+    * 4-byte emoji is one position), first 8 padded with '.' = 46,
+    * length term capped at 1e6. */
+  private def tokHashModel(s: String): Long = {
+    val cps = s.codePoints().toArray
+    val first8 = (cps.take(8) ++ Array.fill(math.max(0, 8 - cps.length))(46)).take(8)
+    math.min(cps.length.toLong, 1000000L) * pow31s(8) +
+      first8.zipWithIndex.map { case (cp, i) => cp.toLong * pow31s(i) }.sum
+  }
+
+  // code points across ASCII, BMP (incl. multi-byte), and supplementary
+  // planes; the surrogate range is invalid in UTF-8 and excluded
+  private val cpGen = Gen.frequency(
+    (6, Gen.chooseNum(0x21, 0x7E)),
+    (2, Gen.chooseNum(0xA1, 0x2FFF)),
+    (1, Gen.chooseNum(0x1F300, 0x1F64F)))
+  private val tokGen: Gen[String] = Gen.listOf(cpGen).map(cps =>
+    new String(cps.toArray, 0, cps.length))
+
+  private def litStrArr(ts: Seq[String]): Literal =
+    Literal.create(new GenericArrayData(
+      ts.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+
+  property("tok hashes eval equals the code-point model incl. non-ASCII") =
+    forAll(Gen.listOf(tokGen)) { ts =>
+      val out = evalExpr(graft.functions.TokHashesOfTokens(litStrArr(ts)))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == ts.map(tokHashModel)
+    }
+
   // quantized embedding coordinates: |floor(x·1e6)| ≤ 2e6 for |x| ≤ 2
   private val coordGen = Gen.chooseNum(-2000000L, 2000000L)
 
