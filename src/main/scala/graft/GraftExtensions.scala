@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.AgreeCountOfHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("tok_hashes_of_text"),
+      new ExpressionInfo(classOf[graft.functions.TokHashesOfText].getName,
+        "tok_hashes_of_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"tok_hashes_of_text takes exactly 1 argument, got ${children.size}")
+        graft.functions.TokHashesOfText(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("tok_hashes_of_tokens"),
       new ExpressionInfo(classOf[graft.functions.TokHashesOfTokens].getName,
         "tok_hashes_of_tokens"),

@@ -653,6 +653,14 @@ object Dedup {
     df.select(col("doc_id"), PortableHash.tokHashes(df, toks).as("th"))
       .filter(size(col("th")) >= minLen)
 
+  /** Same relation straight from the text column — the fused
+    * tokenize+hash expression when available (no token materialization
+    * at all); the raw-text operators use this, the shared-`toks` path
+    * ([[signaturesFromToks]]) keeps [[hashedTokens]]. */
+  private def hashedTokensFromText(df: DataFrame, minLen: Int = 3): DataFrame =
+    df.select(col("doc_id"), TextAnalysis.tokenHashes(df, col("text")).as("th"))
+      .filter(size(col("th")) >= minLen)
+
   /** `(doc_id, sh_set)` over a prepared [[hashedTokens]] relation —
     * distinct `window`-shingles (default 3, the dedup family's width). */
   private def shingleSetsOf(t: DataFrame, window: Int = 3): DataFrame = {
@@ -669,14 +677,12 @@ object Dedup {
 
   /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */
   private def shingleSets(docs: DataFrame): DataFrame =
-    shingleSetsOf(hashedTokens(graft.Tables.widen(docs),
-      TextAnalysis.tokens(col("text"))))
+    shingleSetsOf(hashedTokensFromText(graft.Tables.widen(docs)))
 
   /** Same, at an arbitrary shingle window (the decontamination path —
     * every dedup operator stays on the shared 3-shingle family). */
   private def shingleSetsK(docs: DataFrame, window: Int): DataFrame =
-    shingleSetsOf(hashedTokens(graft.Tables.widen(docs),
-      TextAnalysis.tokens(col("text")), window), window)
+    shingleSetsOf(hashedTokensFromText(graft.Tables.widen(docs), window), window)
 
   /** `(doc_id, mh)` from a base relation already carrying a `toks` array
     * — the shared-tokenize path ([[Curation.corpusKeep]]): same hash
@@ -941,7 +947,7 @@ object Dedup {
     * whole-stage codegen. `SimhashSpec` pins bit-equality between the two.
     */
   def docSimhash(docs: DataFrame): DataFrame = {
-    val th = PortableHash.tokHashes(docs, TextAnalysis.tokens(col("text")))
+    val th = TextAnalysis.tokenHashes(docs, col("text"))
     val n = size(col("th"))
     val sim =
       if (docs.sparkSession.catalog.functionExists("simhash_of_hashes"))

@@ -37,6 +37,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenRe), lit(0))
 
+  /** Token-hash array straight from a text column — the fused native
+    * [[graft.functions.TokHashesOfText]] when the session has
+    * GraftExtensions (one byte-walk: no regex engine, no token-string
+    * array, no per-token substring copies), the [[tokens]] +
+    * [[PortableHash.tokHashes]] chain otherwise. The hash-only paths
+    * (minhash/shingles, simhash, rolling fingerprints) use this; paths
+    * that need the token STRINGS (quality stats, the curation base's
+    * shared `toks`) keep [[tokens]]. */
+  def tokenHashes(df: DataFrame, text: Column): Column =
+    if (df.sparkSession.catalog.functionExists("tok_hashes_of_text"))
+      call_function("tok_hashes_of_text", text)
+    else
+      PortableHash.tokHashes(df, tokens(text))
+
   /** md5 of the whitespace-normalized lowercased text — the exact-duplicate
     * key shared by [[fingerprints]] and [[Dedup.exactDupClusters]]. */
   def normMd5(text: Column): Column =
@@ -255,7 +269,7 @@ object TextAnalysis {
     graft.Tables.widen(docs).select(col("doc_id"),
       normMd5(col("text")).as("fp_md5"),
       aggregate(
-        PortableHash.tokHashes(docs, tokens(col("text"))),
+        tokenHashes(docs, col("text")),
         struct(lit(0L).as("pos"), lit(0L).as("acc")),
         (st, th) => {
           val term = (th % 1000000L) *

@@ -312,19 +312,24 @@ class DedupSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableHash
     val d = docs((1L, base), (2L, "héllo wörld émoji 😀😀 世界 tokens ab"),
-      (3L, "x"), (4L, "averyveryverylongtokenthatkeepsgoing short"))
+      (3L, "x"), (4L, "averyveryverylongtokenthatkeepsgoing short"),
+      (5L, "UPPER Case HÉLLO WÖRLD\tÉMOJI 😀  mixed\n\nΣΙΓΜΑ"))
     val toks = graft.text.TextAnalysis.tokens(col("text"))
     val out = d.select(col("doc_id"),
         call_function("tok_hashes_of_tokens", toks).as("native"),
-        transform(toks, t => PortableHash.tokHash(t)).as("decl")).collect()
-    out.foreach(r =>
-      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+        transform(toks, t => PortableHash.tokHash(t)).as("decl"),
+        call_function("tok_hashes_of_text", col("text")).as("fused")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+      // the fused tokenize+hash agrees with the tokens()-then-hash chain
+      assert(r.getSeq[Long](3) === r.getSeq[Long](2), s"fused, doc ${r.getLong(0)}")
+    }
     // the expression lands in the text operators' physical plans (over
     // the parquet fixture — a local relation of literals would be
     // constant-folded into a LocalTableScan before the plan is readable)
     val p = Dedup.docSimhash(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("tok_hashes_of_tokens") || p.contains("TokHashesOfTokens"),
+    assert(p.contains("tok_hashes_of_"),
       s"native token hashing missing from the simhash plan:\n$p")
   }
 

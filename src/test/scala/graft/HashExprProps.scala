@@ -133,6 +133,30 @@ object HashExprProps extends Properties("HashExpressions") {
       (0 until out.numElements()).map(out.getLong) == ts.map(tokHashModel)
     }
 
+  // --- tok_hashes_of_text vs lower + regex-split + per-token model -----
+
+  /** Independent model of the fused tokenize+hash: lowercase through the
+    * SAME UTF8String method lower() uses, split on the TokenRe's six
+    * whitespace chars, hash each run. */
+  private def tokTextModel(s: String): Seq[Long] =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .toLowerCase.toString
+      .split("[ \t\n\r\f]+").toSeq.filter(_.nonEmpty).map(tokHashModel)
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    (4, tokGen),
+    (1, Gen.oneOf(" ", "\t", "\n", "\r", "\f", "", "  ", " \t ")),
+    (1, Gen.const("MIXED Case ÜPPER Σ")))) // exercise real lowercasing
+    .map(_.mkString)
+
+  property("fused text tok hashes equal the split+hash model incl. case folding") =
+    forAll(textGen) { s =>
+      val out = evalExpr(graft.functions.TokHashesOfText(Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))).asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == tokTextModel(s)
+    }
+
   // quantized embedding coordinates: |floor(x·1e6)| ≤ 2e6 for |x| ≤ 2
   private val coordGen = Gen.chooseNum(-2000000L, 2000000L)
 
