@@ -126,6 +126,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(graft.Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(graft.Tables.documents(s, dir))),
+    // Intra-document n-gram repetition signals (Gopher-style filters):
+    // per-row map work only — the n-gram multiset never leaves its row.
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.docRepetition(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -298,6 +302,7 @@ object SparkEntry {
     "token_profile" -> TextAnalysis.tokenProfileSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
+    "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,

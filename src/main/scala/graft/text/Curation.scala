@@ -105,6 +105,107 @@ object Curation {
        |ORDER BY doc_id, bucket, split""".stripMargin
   }
 
+  /** Hash parameters for the mixture-sampling bucket (seed-split, like
+    * [[splitPerm]] — the mix stream must be independent of the split
+    * stream, or downsampling would correlate with train/val/test). */
+  val mixPerm: (Long, Long) =
+    graft.functions.PortableHash.minhashPerms(1, seed = 433L).head
+
+  /** Bucket resolution for mixture sampling: keep rates are granted in
+    * millionths, so a source's realized rate is within 1e-6 of target. */
+  val MixResolution: Long = 1000000L
+
+  /** Example mixture for the fixture corpus (sources are uniform there —
+    * equal weights would keep everything): up-weight three sources,
+    * weight 1 for the rest. A real pipeline passes its own weights. */
+  val MixWeights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 2L)
+
+  /** Deterministic source-mixture sampling — the "data mixing" step every
+    * pre-train run tunes: given integer weights per source, downsample so
+    * surviving counts are proportional to the weights, keeping as much
+    * data as feasible (the largest total T with T·w_s/ΣW ≤ n_s for every
+    * source; the binding source keeps ~everything, the rest downsample to
+    * match). Selection is hash-threshold, not sampled: doc keep/drop is a
+    * pure function of doc_id, so reruns and engines agree row-for-row —
+    * `rand()`-based sampling could never pass an oracle compare.
+    *
+    * All arithmetic is EXACT int64: per-source keep thresholds are
+    * computed in millionths ([[MixResolution]]) with integer `div`, and a
+    * doc survives iff its mix-hash bucket clears its source's threshold.
+    * Overflow bound (documented like PortableHash's): thresholds multiply
+    * T·w_s·1e6 where T ≤ n_s·ΣW/w_s, so the requirement is n_s·ΣW <
+    * 4.6e12 — a 1e11-doc source under total weight 20 is 2e12, within
+    * bound; coarser [[MixResolution]] buys headroom if ever needed.
+    *
+    * Scale shape: one column-pruned pass over `source` builds the
+    * per-source counts (partial-agg shuffle of a few-hundred-row
+    * relation); thresholds derive from that tiny relation via 1-row
+    * broadcasts; the corpus pass is map-only — broadcast-join the
+    * per-source threshold, compare the hash bucket, done. No corpus
+    * shuffle, no total order, no rand(). Unlike [[splitAssign]] a doc's
+    * verdict here CAN change as the corpus grows (T and the rates move
+    * with the counts — inherent to a mixture target, which is relative
+    * by definition); anything leakage-sensitive belongs in the split,
+    * not the mix.
+    */
+  def corpusMix(docs: DataFrame, weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L): DataFrame = {
+    require(defaultWeight >= 1L && weights.values.forall(_ >= 1L),
+      "mixture weights must be >= 1")
+    val (a, b) = mixPerm
+    val wt = coalesce(
+      element_at(typedLit(weights), col("source")), lit(defaultWeight))
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs")).withColumn("wt", wt)
+    val tot = stats.agg(sum("wt").as("w_total"))
+    // SQL `div` = IntegralDivide: exact int64 (a double `/`+floor would
+    // lose exactness above 2^53 — thresholds reach ~4.6e18 in-bound)
+    val cap = stats.crossJoin(broadcast(tot))
+      .select(expr("(n_docs * w_total) div wt").as("cap"))
+      .agg(min("cap").as("t_total"))
+    val thr = stats.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+      .select(col("source"),
+        expr(s"(t_total * wt * ${MixResolution}L) div (w_total * n_docs)")
+          .as("thr"))
+    docs.select(col("doc_id"), col("source"),
+        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b),
+          lit(MixResolution)).as("bucket"))
+      .join(broadcast(thr), Seq("source"))
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  def corpusMixSql(weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L): String = {
+    val (a, b) = mixPerm
+    val caseW = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", s" ELSE $defaultWeight END")
+    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
+    s"""WITH w AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST($caseW AS BIGINT) AS wt
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(wt) AS BIGINT) AS w_total FROM w
+       |), cap AS (
+       |  SELECT CAST(min((n_docs * w_total) // wt) AS BIGINT) AS t_total
+       |  FROM w, tot
+       |), thr AS (
+       |  SELECT source,
+       |    CAST((t_total * wt * $MixResolution) // (w_total * n_docs) AS BIGINT) AS thr
+       |  FROM w, tot, cap
+       |), fin AS (
+       |  SELECT doc_id, source,
+       |    ((($h) % $MixResolution) + $MixResolution) % $MixResolution AS bucket
+       |  FROM documents
+       |)
+       |SELECT fin.doc_id, fin.source, fin.bucket
+       |FROM fin JOIN thr ON fin.source = thr.source
+       |WHERE fin.bucket < thr.thr
+       |ORDER BY doc_id, source, bucket""".stripMargin
+  }
+
   /** Hash parameters for the packing shard assignment (seed-split, like
     * [[splitPerm]]). */
   val packPerm: (Long, Long) =

@@ -333,4 +333,131 @@ object TextAnalysis {
        |FROM d GROUP BY lang, source
        |ORDER BY lang, source, n_docs, total_tokens, total_chars,
        |  n_distinct_docs, n_dup_docs""".stripMargin
+
+  /** Repetition window (token n-gram width) and the flag threshold: a doc
+    * whose single most frequent 3-gram covers > 18% of its 3-grams is
+    * flagged `repetitive` — the published pre-train heuristic band (the
+    * Gopher/MassiveText repetition filters use 0.16..0.20 for short
+    * n-grams). */
+  val RepetitionWindow: Int = 3
+  val RepetitionTopFrac: Double = 0.18
+
+  /** Per-document n-gram repetition signals — the intra-document twin of
+    * the corpus-level dedup family: machine-generated and boilerplate
+    * text repeats the SAME few n-grams inside one document, which no
+    * cross-document operator can see. Signals per doc (token n-grams at
+    * [[RepetitionWindow]], over the same tokenize→hash→shingle chain as
+    * dedup, so "n-gram" means the same thing everywhere):
+    *
+    *  - `n_ngrams` / `n_distinct_ngrams`: multiset vs set size,
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences that are
+    *    repeats of an earlier one (1 − distinct/total),
+    *  - `top_ngram_count` / `top_ngram_frac`: the highest single-n-gram
+    *    multiplicity and its share — "one sentence pasted 50×" scores
+    *    high here even when `dup_ngram_frac` stays moderate,
+    *  - `repetitive`: top share > [[RepetitionTopFrac]] AND the top
+    *    n-gram actually repeats (count > 1) — without the second
+    *    conjunct every all-distinct doc of ≤ 1/threshold n-grams would
+    *    flag on share alone (top=1 of 4 is 0.25 "coverage").
+    *
+    * Scale shape: pure per-row map work, ZERO shuffle — the multiset
+    * never leaves its row. Total and distinct counts are arithmetic over
+    * the native shingle expression ([[graft.functions.ShinglesOfHashes]]
+    * already yields the distinct set); the top multiplicity is a per-row
+    * sort + adjacent-run fold (O(L log L) per doc, bounded by doc
+    * length). The groupBy-per-(doc, n-gram) formulation the oracle uses
+    * would shuffle every token of every document — the round-2
+    * fingerprint mistake, see [[fingerprints]]. Docs with < window
+    * tokens (or NULL text) report zero counts and 0.0 fractions: "no
+    * n-gram structure" is a curation signal, not an excluded row.
+    */
+  def docRepetition(docs: DataFrame, window: Int = RepetitionWindow,
+      topFrac: Double = RepetitionTopFrac): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"),
+      tokenHashes(wide, col("text")).as("th"))
+    // multiset of window-shingles (the native expression dedups — total
+    // count is arithmetic on the token count, so only the top
+    // multiplicity needs the full multiset walk)
+    val multi = when(size(col("th")) >= window,
+      transform(sequence(lit(1), size(col("th")) - (window - 1)),
+        i => PortableHash.shingleK(
+          (0 until window).map(j => element_at(col("th"), i + j)))))
+      .otherwise(array().cast("array<long>"))
+    val distinctSh =
+      if (wide.sparkSession.catalog.functionExists("shingles_of_hashes"))
+        call_function("shingles_of_hashes", col("th"), lit(window))
+      else array_distinct(multi)
+    // top multiplicity = longest equal-run of the sorted multiset; the
+    // fold carries (prev, run, best) with a NULL prev sentinel (a real
+    // shingle can hash to any value incl. 0, so no in-band sentinel)
+    val top = aggregate(array_sort(multi),
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    t.select(col("doc_id"),
+        greatest(lit(0L), size(col("th")).cast("long") - (window - 1))
+          .as("n_ngrams"),
+        coalesce(size(distinctSh).cast("long"), lit(0L))
+          .as("n_distinct_ngrams"),
+        coalesce(top, lit(0L)).as("top_ngram_count"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct_ngrams"),
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - col("n_distinct_ngrams")) / col("n_ngrams"))
+          .otherwise(lit(0.0)).as("dup_ngram_frac"),
+        col("top_ngram_count"),
+        when(col("n_ngrams") > 0, col("top_ngram_count") / col("n_ngrams"))
+          .otherwise(lit(0.0)).as("top_ngram_frac"))
+      .withColumn("repetitive",
+        col("top_ngram_count") > 1L && col("top_ngram_frac") > topFrac)
+  }
+
+  /** Oracle twin: the per-(doc, n-gram) groupBy formulation — same
+    * multiset, counted the relational way (fine in DuckDB at fixture
+    * scale; the Spark operator deliberately keeps it per-row). */
+  def docRepetitionSql(window: Int = RepetitionWindow,
+      topFrac: Double = RepetitionTopFrac): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '$TokenRe'), x -> ${PortableHash.tokHashSql("x")})"
+    val shK = PortableHash.shingleKSql((0 until window).map(j =>
+      if (j == 0) "th[i]" else s"th[i+$j]"))
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tok AS th FROM documents
+       |), mult AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= $window THEN
+       |      list_transform(range(1, len(th) - ${window - 2}), i -> $shK)
+       |    ELSE [] END AS sh
+       |  FROM toks
+       |), counts AS (
+       |  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM mult) t
+       |  GROUP BY doc_id, s
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS top
+       |  FROM counts GROUP BY doc_id
+       |)
+       |, fin AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(n, 0) AS n_ngrams,
+       |    COALESCE(nd, 0) AS n_distinct_ngrams,
+       |    CASE WHEN COALESCE(n, 0) > 0 THEN (n - nd) / n ELSE 0e0 END
+       |      AS dup_ngram_frac,
+       |    COALESCE(top, 0) AS top_ngram_count,
+       |    CASE WHEN COALESCE(n, 0) > 0 THEN top / n ELSE 0e0 END
+       |      AS top_ngram_frac,
+       |    COALESCE(top, 0) > 1 AND
+       |      CASE WHEN COALESCE(n, 0) > 0 THEN top / n ELSE 0e0 END > $topFrac
+       |      AS repetitive
+       |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |)
+       |SELECT * FROM fin
+       |ORDER BY doc_id, n_ngrams, n_distinct_ngrams, dup_ngram_frac,
+       |  top_ngram_count, top_ngram_frac, repetitive""".stripMargin
+  }
 }

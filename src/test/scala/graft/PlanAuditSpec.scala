@@ -75,6 +75,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_repetition stays shuffle-free (the n-gram multiset never leaves its row)") {
+    // the per-(doc, n-gram) groupBy formulation would shuffle every token
+    // of every document (the round-2 fingerprint mistake); the operator's
+    // only exchange is the widen() repartition of the small local scan
+    val p = plan("doc_repetition")
+    assert(!p.contains("hashpartitioning"),
+      s"doc_repetition shuffles the n-gram stream:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"doc_repetition grew a grouping aggregate:\n$p")
+  }
+
   test("decontaminate broadcasts the benchmark shingle set into a semi join") {
     // the corpus side must stay map-only up to the per-doc count: the
     // benchmark's distinct shingle relation broadcasts and the match is

@@ -84,4 +84,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(("en", "web")) === (3L, 8L, 2L, 1L))
     assert(out(("es", "book")) === (1L, 3L, 1L, 0L))
   }
+
+  test("docRepetition flags pasted-loop text, passes varied text") {
+    // doc 1: "spam ham eggs" pasted 50× — 150 tokens, 148 3-grams but
+    // only 3 distinct (the cycle's rotations); top gram covers 50/148
+    val loop = Seq.fill(50)("spam ham eggs").mkString(" ")
+    val out = TextAnalysis.docRepetition(docs(
+      (1L, loop, "en"),
+      (2L, "one two three four five six", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_ngrams") === 148L)
+    assert(r1.getAs[Long]("n_distinct_ngrams") === 3L)
+    assert(r1.getAs[Long]("top_ngram_count") === 50L)
+    assert(r1.getAs[Double]("top_ngram_frac") === 50.0 / 148.0)
+    assert(r1.getAs[Boolean]("repetitive"))
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_ngrams") === 4L)
+    assert(r2.getAs[Double]("dup_ngram_frac") === 0.0)
+    assert(r2.getAs[Long]("top_ngram_count") === 1L)
+    assert(!r2.getAs[Boolean]("repetitive"))
+  }
+
+  test("docRepetition: short and NULL-text docs report zeros, not errors") {
+    val out = TextAnalysis.docRepetition(docs(
+      (1L, "two tokens", "en"),
+      (2L, null, "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Long]("n_ngrams") === 0L)
+      assert(out(id).getAs[Long]("n_distinct_ngrams") === 0L)
+      assert(out(id).getAs[Double]("dup_ngram_frac") === 0.0)
+      assert(out(id).getAs[Long]("top_ngram_count") === 0L)
+      assert(!out(id).getAs[Boolean]("repetitive"))
+    }
+  }
+
+  test("docRepetition: top-run fold survives a shingle hashing to any value") {
+    // duplicate runs split across distinct grams: a b a b a b → 3-grams
+    // (a,b,a) ×2, (b,a,b) ×2 — top 2 of 4, dup frac 1/2
+    val r = TextAnalysis.docRepetition(docs((1L, "a b a b a b", "en"))).first()
+    assert(r.getAs[Long]("n_ngrams") === 4L)
+    assert(r.getAs[Long]("n_distinct_ngrams") === 2L)
+    assert(r.getAs[Double]("dup_ngram_frac") === 0.5)
+    assert(r.getAs[Long]("top_ngram_count") === 2L)
+  }
 }
