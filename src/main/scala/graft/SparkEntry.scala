@@ -130,6 +130,10 @@ object SparkEntry {
     // per-row map work only — the n-gram multiset never leaves its row.
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.docRepetition(graft.Tables.documents(s, dir))),
+    // PII detect + redact (emails / IPv4s / plus-prefixed phones):
+    // per-row codegen'd regexp in the portable Java∩RE2 subset.
+    "pii_scrub" -> ((s, dir) =>
+      graft.text.Pii.piiScrub(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -169,6 +173,10 @@ object SparkEntry {
     // doc's split never changes as the corpus grows).
     "corpus_split" -> ((s, dir) =>
       graft.text.Curation.splitAssign(graft.Tables.documents(s, dir))),
+    // Deterministic source-mixture downsampling: per-source hash
+    // thresholds from integer weights; corpus pass stays map-only.
+    "corpus_mix" -> ((s, dir) =>
+      graft.text.Curation.corpusMix(graft.Tables.documents(s, dir))),
     // Sharded sequence packing: per-shard running token sums bin docs
     // into ~2048-token training sequences (window per shard, parallel).
     "pack_sequences" -> ((s, dir) =>
@@ -303,6 +311,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
+    "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
@@ -312,6 +321,7 @@ object SparkEntry {
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
+    "corpus_mix" -> graft.text.Curation.corpusMixSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),

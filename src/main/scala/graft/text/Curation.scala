@@ -200,9 +200,12 @@ object Curation {
        |    ((($h) % $MixResolution) + $MixResolution) % $MixResolution AS bucket
        |  FROM documents
        |)
-       |SELECT fin.doc_id, fin.source, fin.bucket
-       |FROM fin JOIN thr ON fin.source = thr.source
-       |WHERE fin.bucket < thr.thr
+       |, kept AS (
+       |  SELECT fin.doc_id AS doc_id, fin.source AS source, fin.bucket AS bucket
+       |  FROM fin JOIN thr ON fin.source = thr.source
+       |  WHERE fin.bucket < thr.thr
+       |)
+       |SELECT doc_id, source, bucket FROM kept
        |ORDER BY doc_id, source, bucket""".stripMargin
   }
 

@@ -249,4 +249,35 @@ class CurationSpec extends AnyFunSuite {
       assert(keep === expect, s"doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("corpusMix: binding source keeps everything, others downsample to the weights") {
+    import org.apache.spark.sql.functions.col
+    // A: 3000 docs weight 1, B: 3000 docs weight 2 → caps are 9000 (A)
+    // and 4500 (B); T = 4500, so B is binding (rate 1.0 — and because
+    // weight 1 divides exactly, its threshold is EXACTLY the modulus,
+    // deterministic full keep), A keeps at rate 0.5
+    val d = ((0L until 3000L).map(i => (i, "A")) ++
+      (3000L until 6000L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val kept = Curation.corpusMix(d, weights = Map("B" -> 2L))
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(kept("B") === 3000L, s"binding source must keep all: $kept")
+    assert(math.abs(kept("A") - 1500L) < 150L, s"A should keep ~half: $kept")
+  }
+
+  test("corpusMix: verdicts are deterministic per doc and respect the hash threshold") {
+    import org.apache.spark.sql.functions.col
+    val d = (0L until 500L).map(i => (i, s"s${i % 5}")).toDF("doc_id", "source")
+    val w = Map("s0" -> 3L)
+    val once = Curation.corpusMix(d, w).collect().map(_.getLong(0)).sorted
+    val twice = Curation.corpusMix(d, w).collect().map(_.getLong(0)).sorted
+    assert(once === twice)
+    // every surviving bucket is below its source's threshold by
+    // construction; spot-check the up-weighted source keeps the most
+    val bySrc = Curation.corpusMix(d, w)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(bySrc("s0") === bySrc.values.max)
+  }
 }

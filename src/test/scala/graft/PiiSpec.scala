@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Pii
+
+class PiiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("piiScrub counts and masks emails, IPv4s, and plus-phones") {
+    val out = Pii.piiScrub(docs(
+      (1L, "contact a.b+c@mail.example.org or root@host.io today"),
+      (2L, "server at 10.0.0.1 and 192.168.255.254, port 80"),
+      (3L, "call +14155550123 now"),
+      (4L, "clean text with no identifiers at all")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[String]("redacted")
+      === "contact <EMAIL> or <EMAIL> today")
+    assert(out(2L).getAs[Long]("n_ips") === 2L)
+    assert(out(2L).getAs[String]("redacted")
+      === "server at <IP> and <IP>, port 80")
+    assert(out(3L).getAs[Long]("n_phones") === 1L)
+    assert(out(3L).getAs[String]("redacted") === "call <PHONE> now")
+    assert(out(4L).getAs[Long]("n_pii") === 0L)
+    assert(!out(4L).getAs[Boolean]("has_pii"))
+    assert(out(4L).getAs[String]("redacted")
+      === "clean text with no identifiers at all")
+  }
+
+  test("piiScrub: IPv4 inside an email host counts as both, masks as email") {
+    // detection counts come from the ORIGINAL text; redaction is
+    // sequential email → IP, so the address is consumed by <EMAIL>
+    val r = Pii.piiScrub(docs((1L, "mail admin@10.1.2.3.example.com ok"))).first()
+    assert(r.getAs[Long]("n_emails") === 1L)
+    assert(r.getAs[Long]("n_ips") === 1L)
+    assert(r.getAs[String]("redacted") === "mail <EMAIL> ok")
+  }
+
+  test("piiScrub edges: word boundaries, over-long phones, NULL text") {
+    val out = Pii.piiScrub(docs(
+      (1L, "version 1.2.3.4.5 and build 1.2.3"),    // quad matches, .5 tail doesn't re-match
+      (2L, "+123456 is too short, +1234567890123456 too long"),
+      (3L, null)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_ips") === 1L)
+    assert(out(1L).getAs[String]("redacted") === "version <IP>.5 and build 1.2.3")
+    // {7,15} is greedy: 16 digits match their 15-digit prefix; the point
+    // of the bound is not consuming arbitrary numeric blobs beyond it
+    assert(out(2L).getAs[Long]("n_phones") === 1L)
+    assert(out(2L).getAs[String]("redacted")
+      === "+123456 is too short, <PHONE>6 too long")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("n_pii")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("redacted")))
+  }
+}

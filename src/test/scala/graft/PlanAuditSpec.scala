@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"doc_repetition grew a grouping aggregate:\n$p")
   }
 
+  test("corpus_mix broadcasts per-source thresholds into a map-only corpus pass") {
+    // the corpus-side pass must never shuffle: per-source thresholds
+    // derive from the tiny source-stats relation and BROADCAST into the
+    // hash-bucket filter; the only exchanges belong to the stats agg
+    val p = plan("corpus_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus_mix does not broadcast the threshold relation:\n$p")
+  }
+
   test("decontaminate broadcasts the benchmark shingle set into a semi join") {
     // the corpus side must stay map-only up to the per-doc count: the
     // benchmark's distinct shingle relation broadcasts and the match is
