@@ -155,15 +155,23 @@ object Curation {
     val (a, b) = mixPerm
     val wt = coalesce(
       element_at(typedLit(weights), col("source")), lit(defaultWeight))
-    val stats = docs.groupBy("source")
-      .agg(count(lit(1)).as("n_docs")).withColumn("wt", wt)
-    val tot = stats.agg(sum("wt").as("w_total"))
+    // the scalar reductions (total weight, feasible total) are
+    // unpartitioned windows over the per-source relation — that relation
+    // is bounded by the source count (hundreds at any corpus size), so
+    // "one window partition" here is a few hundred rows, not a corpus
+    // sort. The join-back alternatives both fail structurally: a bare
+    // crossJoin of the 1-row aggregate plans the BroadcastNestedLoopJoin
+    // the plan audit forbids engine-wide, and a constant-key equi-join
+    // gets its key folded away by Catalyst, landing in the same place.
+    val scalarW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     // SQL `div` = IntegralDivide: exact int64 (a double `/`+floor would
     // lose exactness above 2^53 — thresholds reach ~4.6e18 in-bound)
-    val cap = stats.crossJoin(broadcast(tot))
-      .select(expr("(n_docs * w_total) div wt").as("cap"))
-      .agg(min("cap").as("t_total"))
-    val thr = stats.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+    val thr = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs")).withColumn("wt", wt)
+      .withColumn("w_total", sum("wt").over(scalarW))
+      .withColumn("cap", expr("(n_docs * w_total) div wt"))
+      .withColumn("t_total", min("cap").over(scalarW))
       .select(col("source"),
         expr(s"(t_total * wt * ${MixResolution}L) div (w_total * n_docs)")
           .as("thr"))
