@@ -134,6 +134,10 @@ object SparkEntry {
     // per-row codegen'd regexp in the portable Java∩RE2 subset.
     "pii_scrub" -> ((s, dir) =>
       graft.text.Pii.piiScrub(graft.Tables.documents(s, dir))),
+    // Vocabulary induction: top-k tokens by occurrence count with doc
+    // frequency; partial-agg shuffle + TakeOrdered, no global sort.
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -312,6 +316,7 @@ object SparkEntry {
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
+    "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,

@@ -334,6 +334,51 @@ object TextAnalysis {
        |ORDER BY lang, source, n_docs, total_tokens, total_chars,
        |  n_distinct_docs, n_dup_docs""".stripMargin
 
+  /** Default vocabulary size for [[vocabTopK]] — fixture-scaled; real
+    * tokenizer inductions run 32k..256k, which changes nothing about the
+    * plan shape (TakeOrdered keeps k rows per partition, then k total). */
+  val VocabSize: Int = 1000
+
+  /** Corpus-level vocabulary induction — the first step of building a
+    * tokenizer: the top-`k` whitespace tokens by total occurrence count,
+    * with document frequency riding along (the signal that separates
+    * "common everywhere" from "spammed in one doc"; it's also the IDF
+    * numerator). Ties at the cut line break by token text, so the
+    * selected SET is a pure function of the corpus in both engines.
+    *
+    * Scale shape: the token explode never shuffles raw occurrences —
+    * partial aggregation combines per (token, partition) map-side, so
+    * the shuffle carries at most |vocab| rows per partition; the
+    * doc-frequency distinct expands to (token, doc_id) pairs on the
+    * same key shuffle (the inherent cost of df). The top-k is
+    * `orderBy(...).limit(k)` = TakeOrderedAndProject: every partition
+    * keeps k rows, the driver merges — never a global sort, never a
+    * single-partition window. At 100 TB with k=256k this is exactly the
+    * vocab job you'd run.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = VocabSize): DataFrame =
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
+  def vocabTopKSql(k: Int = VocabSize): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token
+       |  FROM documents
+       |), agg AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM tok GROUP BY token
+       |), topk AS (
+       |  SELECT * FROM agg ORDER BY n_occurrences DESC, token LIMIT $k
+       |)
+       |SELECT token, n_occurrences, n_docs FROM topk
+       |ORDER BY token, n_occurrences, n_docs""".stripMargin
+
   /** Repetition window (token n-gram width) and the flag threshold: a doc
     * whose single most frequent 3-gram covers > 18% of its 3-grams is
     * flagged `repetitive` — the published pre-train heuristic band (the

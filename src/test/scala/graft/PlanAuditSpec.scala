@@ -86,6 +86,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"doc_repetition grew a grouping aggregate:\n$p")
   }
 
+  test("vocab_topk plans TakeOrdered, never a global sort or one-partition window") {
+    // top-k over the aggregated vocab must be TakeOrderedAndProject
+    // (k rows kept per partition, driver merge) — a Sort + Limit or a
+    // row_number window would serialize the whole vocab through one task
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab_topk does not plan a distributed top-k:\n$p")
+    assert(!p.contains("Window"), s"vocab_topk plans a window:\n$p")
+  }
+
   test("corpus_mix broadcasts per-source thresholds into a map-only corpus pass") {
     // the corpus-side pass must never shuffle: per-source thresholds
     // derive from the tiny source-stats relation and BROADCAST into the

@@ -85,6 +85,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(("es", "book")) === (1L, 3L, 1L, 0L))
   }
 
+  test("vocabTopK ranks by occurrence count with doc frequency, ties cut by token") {
+    val out = TextAnalysis.vocabTopK(docs(
+      (1L, "apple apple banana cherry", "en"),
+      (2L, "apple banana banana date", "en"),
+      (3L, "apple elder", "en")), k = 3)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs")))
+    // apple: 4 occ / 3 docs; banana: 3 occ / 2 docs; then the 1-occ tie
+    // {cherry, date, elder} cuts alphabetically → cherry
+    assert(out.toSeq === Seq(("apple", 4L, 3L), ("banana", 3L, 2L),
+      ("cherry", 1L, 1L)))
+  }
+
   test("docRepetition flags pasted-loop text, passes varied text") {
     // doc 1: "spam ham eggs" pasted 50× — 150 tokens, 148 3-grams but
     // only 3 distinct (the cycle's rotations); top gram covers 50/148
