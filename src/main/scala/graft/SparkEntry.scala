@@ -138,6 +138,14 @@ object SparkEntry {
     // frequency; partial-agg shuffle + TakeOrdered, no global sort.
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(graft.Tables.documents(s, dir))),
+    // Corpus-frequency rarity signals: raw occurrences shuffle once into
+    // (doc, token) multiplicities; tf derives from that relation.
+    "token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(graft.Tables.documents(s, dir))),
+    // Hashed-feature linear classifier inference: literal weight table,
+    // per-row codegen map over the fused tokenize+hash — zero shuffle.
+    "classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -242,6 +250,19 @@ object SparkEntry {
       Similarity.embedAnnKnn(graft.Tables.embeddings(s, dir))),
     "embed_ivf_knn" -> ((s, dir) =>
       Similarity.embedIvfKnn(graft.Tables.embeddings(s, dir))),
+    // Semantic dedup (SemDeDup-style): connected components over the
+    // cosine-similarity pair graph, star-contraction iterator. Threshold
+    // 0.3 sits inside the fixture corpus's similarity range (its ANN
+    // pairs top out near 0.43 — synthetic embeddings cluster weakly);
+    // real embedding corpora run ~0.8+, a constant not a plan change.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(graft.Tables.embeddings(s, dir),
+        simThreshold = 0.3)),
+    // k-NN label classification over the labeled embedding corpus:
+    // queries broadcast, one corpus scan, bounded-state top-k, majority
+    // vote on the ≤ nQueries·k winner rows.
+    "knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(graft.Tables.embeddings(s, dir))),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
     // corpus vector/band sketches are parquet reads of persisted
     // relations in production — here they're derived, so checkpoint them
@@ -317,6 +338,8 @@ object SparkEntry {
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "token_rarity" -> TextAnalysis.tokenRaritySql,
+    "classifier_score" -> TextAnalysis.classifierScoreSql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
@@ -340,6 +363,8 @@ object SparkEntry {
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
     "embed_ivf_knn" -> Similarity.embedIvfKnnSql(),
+    "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
+    "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),

@@ -241,6 +241,75 @@ object Similarity {
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
 
+  /** k-NN label classification — the inference step a labeled embedding
+    * corpus serves (quality tiers, topic buckets, safety labels):
+    * each query vector (`vec_id < nQueries`) takes the majority label of
+    * its k exact nearest corpus neighbors (`vec_id >= nQueries` — the
+    * labeled side; disjoint by construction, so no self-vote). Ties
+    * break deterministically: more votes first, then the smaller label.
+    *
+    * Plan shape is [[embedKnn]]'s: queries broadcast, ONE corpus scan,
+    * bounded-state [[TopKAgg]] (≤k rows per query before the shuffle).
+    * The vote join runs on the ≤nQueries·k winner rows — that side
+    * broadcasts, so corpus labels stream past it without a shuffle; the
+    * final argmax window sees ≤nQueries·k rows, never corpus rows.
+    */
+  def knnClassify(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+    val v = vectors(embeds)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    // same equi-key trick as embedKnn: the dimensionality guard doubles
+    // as the BroadcastHashJoin key
+    val scored = v.filter(col("vec_id") >= nQueries)
+      .join(broadcast(q), size(col("qqv")) === size(col("qv")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(v, col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm"))).as("cos_sim"))
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    val nbrs = scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items.neighbor_id")).as("neighbor_id"))
+    val labels = embeds.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("label"))
+    val votes = labels.join(broadcast(nbrs), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  def knnClassifySql(nQueries: Long = 10L, k: Int = 5): String =
+    s"""WITH $vectorsCte,
+       |queries AS (
+       |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs WHERE vec_id < $nQueries
+       |),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qqv[i] * qv[i])) AS DOUBLE)
+       |      / (qnrm * nrm) AS cos_sim
+       |  FROM vecs CROSS JOIN queries
+       |  WHERE vec_id >= $nQueries AND len(qqv) = len(qv)
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM scored
+       |),
+       |votes AS (
+       |  SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*) AS votes
+       |  FROM ranked JOIN embeddings e ON e.vec_id = ranked.neighbor_id
+       |  WHERE rnk <= $k
+       |  GROUP BY 1, 2
+       |),
+       |win AS (
+       |  SELECT query_id, label, votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+       |  FROM votes
+       |)
+       |SELECT query_id, label AS pred_label, votes FROM win WHERE r = 1
+       |ORDER BY query_id, pred_label, votes""".stripMargin
+
   /** Pseudo-random hyperplane coefficient for plane h, coordinate i
     * (1-based): ((a_h·i + b_h) mod 997) − 498 ∈ [−498, 498]. Pure
     * arithmetic (no literal weight tables), identical in both engines.
@@ -327,6 +396,40 @@ object Similarity {
         (dot(v, col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= lit(simThreshold))
   }
+
+  /** Semantic deduplication (the embedding-space member of the dedup
+    * family — SemDeDup-style): treat [[embedAnnPairs]]'s confirmed
+    * cosine-similarity pairs (≥ `simThreshold`) as an undirected graph,
+    * compute connected components, and assign every vector a cluster
+    * representative — the minimum vec_id in its component, `is_survivor`
+    * marking the one kept per cluster. This is the dedup pass that
+    * catches what the token-space families (exact md5, MinHash shingles,
+    * SimHash) cannot: documents with the same MEANING but disjoint
+    * surface text, which near-duplicate only in embedding space.
+    *
+    * Composition, not new machinery: candidate generation + exact
+    * rescore is [[embedAnnPairs]] (banded sign-LSH — per-bucket
+    * quadratic, never corpus-quadratic), and the component iterator is
+    * [[graft.text.Dedup.dedupClustersFromPairsStar]] (star contraction,
+    * O(log² n) rounds on any component shape) — the same code path the
+    * token-space clusters run, so the 100 TB arguments carry over
+    * unchanged. Vectors that never pair (including zero-norm/NULL-coord
+    * vectors excluded by [[vectors]]) come back as their own singleton
+    * clusters, one output row per input vector.
+    *
+    * Like the dedup twins, candidate recall is the banded S-curve's —
+    * a pair the LSH never co-buckets is not clustered (honest ANN
+    * semantics; raise L to push recall). The oracle mirrors the same
+    * candidate generation, so both engines see the identical graph.
+    */
+  def semanticDedup(embeds: DataFrame, simThreshold: Double = 0.8,
+      maxIters: Int = 50): DataFrame =
+    graft.text.Dedup.dedupClustersFromPairsStar(
+        embeds.select(col("vec_id").as("doc_id")),
+        embedAnnPairs(embeds, simThreshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+        maxIters)
+      .select(col("doc_id").as("vec_id"), col("rep_id"), col("is_survivor"))
 
   /** The nightly-ingest operator for embeddings — the [[embedAnnPairs]]
     * analog of [[graft.text.Dedup.incrementalNearDupPairs]]: similarity
@@ -744,5 +847,53 @@ object Similarity {
        |SELECT vec_a, vec_b, cos_sim FROM pairs
        |WHERE cos_sim >= ${simThreshold}e0
        |ORDER BY vec_a, vec_b, cos_sim""".stripMargin
+  }
+
+  /** Oracle twin of [[semanticDedup]]: the [[embedAnnPairsSql]] candidate
+    * + rescore chain feeds a recursive reachability closure (the same
+    * shape as [[graft.text.Dedup.dedupClustersSql]]) — min reachable
+    * vec_id (or self) is the component representative. */
+  def semanticDedupSql(simThreshold: Double = 0.8): String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $vectorsCte,
+       |bands AS (
+       |  $tableSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM cand
+       |  JOIN vecs va ON va.vec_id = cand.vec_a
+       |  JOIN vecs vb ON vb.vec_id = cand.vec_b
+       |  WHERE len(va.qv) = len(vb.qv)
+       |    AND CAST(list_sum(list_transform(range(1, len(va.qv) + 1), i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+       |      / (va.nrm * vb.nrm) >= ${simThreshold}e0
+       |),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |rep AS (
+       |  SELECT e.vec_id AS vec_id,
+       |    least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS rep_id
+       |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+       |  GROUP BY e.vec_id
+       |)
+       |SELECT vec_id, rep_id, rep_id = vec_id AS is_survivor
+       |FROM rep
+       |ORDER BY vec_id, rep_id, is_survivor""".stripMargin
   }
 }

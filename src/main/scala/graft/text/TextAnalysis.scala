@@ -379,6 +379,143 @@ object TextAnalysis {
        |SELECT token, n_occurrences, n_docs FROM topk
        |ORDER BY token, n_occurrences, n_docs""".stripMargin
 
+  /** Per-document corpus-frequency rarity signals — the two-pass
+    * "compare each document against corpus statistics" operator family
+    * (the shape TF-IDF, unigram-LM perplexity proxies, and rare-token
+    * noise filters all share). Pass 1 builds the corpus term-frequency
+    * relation; pass 2 scores every document against it:
+    *
+    *  - `n_tokens`: occurrence count (0 for empty/NULL-text docs),
+    *  - `min_tok_freq`: corpus frequency of the doc's rarest token —
+    *    low values mean hapax-like junk (OCR noise, random ids),
+    *  - `avg_tok_freq`: occurrence-weighted mean corpus frequency — a
+    *    document of common words scores high, jargon/noise scores low,
+    *  - `hapax_frac`: fraction of occurrences whose token appears
+    *    exactly once in the whole corpus (NULL for empty docs, like the
+    *    other ratios).
+    *
+    * All ratios are exact-int64 sums divided once at the end, so the
+    * doubles agree bit-for-bit across engines ([[PortableHash]] doc).
+    *
+    * Scale shape: raw occurrences shuffle ONCE — into the per-(doc,
+    * token) multiplicity relation (partial aggregation combines
+    * map-side). The term-frequency table derives from THAT relation
+    * (already collapsed, ≤ one row per distinct pair), not from a second
+    * pass over raw tokens; the score join is a (token)-key equi-join
+    * where AQE's skew handling covers the Zipf head ("the" pairs with
+    * every doc), and the final per-doc rollup rides the doc_id key.
+    * The pair relation is localCheckpoint'd because both the tf
+    * derivation and the score join consume it — uncached, the tokenize
+    * + explode + first shuffle would run twice.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val pairs = graft.Tables.widen(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val tf = pairs.groupBy("token").agg(sum("n_occ").as("corpus_freq"))
+    val scored = pairs.join(tf, "token")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_tok"),
+        min("corpus_freq").as("min_tok_freq"),
+        sum(col("corpus_freq") * col("n_occ")).as("sum_freq"),
+        sum(when(col("corpus_freq") === 1L, col("n_occ")).otherwise(0L)).as("hapax_occ"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        col("min_tok_freq"),
+        (col("sum_freq") / col("n_tok")).as("avg_tok_freq"),
+        (col("hapax_occ") / col("n_tok")).as("hapax_frac"))
+  }
+
+  def tokenRaritySql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token
+       |    FROM documents
+       |  ) GROUP BY doc_id, token
+       |), tf AS (
+       |  SELECT token, CAST(sum(n_occ) AS BIGINT) AS corpus_freq
+       |  FROM pairs GROUP BY token
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_occ) AS BIGINT) AS n_tok,
+       |    min(corpus_freq) AS min_tok_freq,
+       |    CAST(sum(corpus_freq * n_occ) AS BIGINT) AS sum_freq,
+       |    CAST(sum(CASE WHEN corpus_freq = 1 THEN n_occ ELSE 0 END) AS BIGINT) AS hapax_occ
+       |  FROM pairs JOIN tf USING (token) GROUP BY doc_id
+       |), fin AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    coalesce(n_tok, 0) AS n_tokens,
+       |    min_tok_freq,
+       |    sum_freq / n_tok AS avg_tok_freq,
+       |    hapax_occ / n_tok AS hapax_frac
+       |  FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, n_tokens, min_tok_freq, avg_tok_freq, hapax_frac FROM fin
+       |ORDER BY doc_id, n_tokens, min_tok_freq, avg_tok_freq, hapax_frac""".stripMargin
+
+  /** Feature-hash width and weight range of [[classifierScore]]. */
+  val ClassifierFeatures: Int = 64
+  /** Deterministic integer weight table, one per hashed feature bucket —
+    * seeded like [[PortableHash.minhashPerms]] and embedded as LITERALS
+    * in both the Spark plan and the oracle SQL (in production these are
+    * the trained coefficients, shipped the same way). Range [−8, 8]. */
+  val ClassifierWeights: Seq[Long] = {
+    val rnd = new scala.util.Random(19L)
+    Seq.fill(ClassifierFeatures)(rnd.nextInt(17).toLong - 8L)
+  }
+
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality/safety gate every production corpus runs at full scale: each
+    * token hashes into one of [[ClassifierFeatures]] buckets, the
+    * document's margin is the exact-int64 sum of the bucket weights over
+    * ALL occurrences (a bag-of-words dot product with the weight vector),
+    * `pred_keep` = margin > 0. Weights ride as a broadcast literal array;
+    * scoring is pure per-row map work over the fused tokenize+hash
+    * expression — ZERO shuffle, no model server in the loop. The margin
+    * stays integer (score calibration is a training-side concern), so
+    * both engines agree exactly with no sigmoid portability question.
+    * Empty and NULL-text docs get margin 0 / pred_keep false on both
+    * sides (the aggregate's empty-vs-NULL seam is coalesced explicitly).
+    */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val f = ClassifierFeatures
+    val w = typedLit(ClassifierWeights)
+    val th = tokenHashes(docs, col("text"))
+    graft.Tables.widen(docs).select(col("doc_id"),
+        // greatest(…, 0): size(NULL) is NULL under ANSI (Spark 4 default)
+        // but -1 under legacy sizeOfNull — clamp so NULL-text docs report
+        // 0 tokens in EITHER session config (round-6 advice pattern)
+        greatest(coalesce(size(th), lit(0)), lit(0)).cast("long").as("n_tokens"),
+        coalesce(
+          aggregate(th, lit(0L),
+            (acc, h) => acc + element_at(w, (h % f).cast("int") + 1)),
+          lit(0L)).as("margin"))
+      .withColumn("pred_keep", col("margin") > 0L)
+  }
+
+  def classifierScoreSql: String = {
+    val f = ClassifierFeatures
+    val wLit = ClassifierWeights.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenRe') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, list_transform(toks, tk -> ${PortableHash.tokHashSql("tk")}) AS th
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CAST(coalesce(len(th), 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(th,
+       |    x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) AS margin,
+       |  CAST(coalesce(list_sum(list_transform(th,
+       |    x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) > 0 AS pred_keep
+       |FROM h
+       |ORDER BY doc_id, n_tokens, margin, pred_keep""".stripMargin
+  }
+
   /** Repetition window (token n-gram width) and the flag threshold: a doc
     * whose single most frequent 3-gram covers > 18% of its 3-grams is
     * flagged `repetitive` — the published pre-train heuristic band (the

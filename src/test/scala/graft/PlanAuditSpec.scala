@@ -96,6 +96,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"vocab_topk plans a window:\n$p")
   }
 
+  test("classifier_score stays shuffle-free (weights ride as a literal, no model join)") {
+    // inference is per-row map work over the fused tokenize+hash chain;
+    // the only exchange allowed is widen()'s round-robin repartition of
+    // the small local scan — never a hash shuffle or an aggregate
+    val p = plan("classifier_score")
+    assert(!p.contains("hashpartitioning"),
+      s"classifier_score shuffles the corpus:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"classifier_score grew a grouping aggregate:\n$p")
+  }
+
+  test("knn_classify broadcasts queries, and the vote join never shuffles labels") {
+    // same shape as embed_knn (queries broadcast into ONE corpus scan,
+    // LessThan pushed to parquet); the label join must broadcast the
+    // ≤nQueries·k winner rows, so label lookup is also broadcast-side —
+    // every join in the plan is a BroadcastHashJoin, none shuffles the
+    // corpus
+    val p = plan("knn_classify")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      s"query-side filter not pushed to the embeddings scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"knn_classify shuffles a join side:\n$p")
+  }
+
   test("corpus_mix broadcasts per-source thresholds into a map-only corpus pass") {
     // the corpus-side pass must never shuffle: per-source thresholds
     // derive from the tiny source-stats relation and BROADCAST into the

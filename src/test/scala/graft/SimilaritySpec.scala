@@ -419,4 +419,93 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (truth & got).size.toDouble / truth.size
     assert(recall >= 0.8, s"recall $recall over ${truth.size} planted pairs")
   }
+
+  test("property: semantic dedup = connected components of the ANN pair graph") {
+    // ground truth: union-find over exactly the pairs the LSH surfaces
+    // (bucket collision in ≥1 table AND cos ≥ τ) — the documented
+    // candidate-recall semantics, so the test derives the graph from the
+    // same public geometry helpers, independently of the operator.
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 25L).map(i => i -> Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    // two planted chains of FRESH vectors (not copies of a base vector —
+    // an exact copy would merge its whole chain into that base id's
+    // component and the survivor would be the base id, not 100/200)
+    def jitter(v: Seq[Float], eps: Float) =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * eps)
+    val f1 = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val f2 = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val c1 = Seq(100L -> f1, 101L -> jitter(f1, 0.02f), 102L -> jitter(f1, 0.04f))
+    val c2 = Seq(200L -> f2, 201L -> jitter(f2, 0.02f))
+    val vecs = base ++ c1 ++ c2
+    val tau = 0.9
+    val parent = scala.collection.mutable.Map(vecs.map(_._1 -> -1L): _*)
+    def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (ia, va) <- vecs; (ib, vb) <- vecs
+          if ia < ib && collides(va, vb) && cos(va, vb) >= tau } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = vecs.map { case (id, _) => id -> find(id) }.toMap
+    val out = Similarity.semanticDedup(embeds(vecs: _*), simThreshold = tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    assert(out.keySet === vecs.map(_._1).toSet) // one row per input vector
+    for ((id, rep) <- expected) {
+      assert(out(id)._1 === rep, s"vec $id")
+      assert(out(id)._2 === (rep == id))
+    }
+    // the planted chains actually merged (the test isn't vacuous)
+    assert(expected(101L) === 100L && expected(102L) === 100L)
+    assert(expected(201L) === 200L)
+  }
+
+  def labeled(rows: (Long, Seq[Float], Int)*) =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("golden: kNN classification takes the majority label; ties break low") {
+    // queries 0,1; corpus: label 7 twice near +x, label 3 once near +x,
+    // label 3 twice near +y, label 2 once near +y
+    val out = Similarity.knnClassify(labeled(
+      (0L, Seq(1f, 0f), 0),         // query pointing +x
+      (1L, Seq(0f, 1f), 0),         // query pointing +y
+      (10L, Seq(0.99f, 0.01f), 7),
+      (11L, Seq(0.98f, 0.02f), 7),
+      (12L, Seq(0.97f, 0.03f), 3),
+      (20L, Seq(0.01f, 0.99f), 3),
+      (21L, Seq(0.02f, 0.98f), 3),
+      (22L, Seq(0.03f, 0.97f), 2)), nQueries = 2L, k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(out(0L) === (7L, 2L))
+    assert(out(1L) === (3L, 2L))
+    // tie case: k=2 near +x picks one of each in the top set? construct
+    // explicitly — two neighbors with different labels, equal votes → the
+    // smaller label wins
+    val tie = Similarity.knnClassify(labeled(
+      (0L, Seq(1f, 0f), 0),
+      (10L, Seq(0.99f, 0.01f), 9),
+      (11L, Seq(0.98f, 0.02f), 4)), nQueries = 1L, k = 2).first()
+    assert(tie.getAs[Long]("pred_label") === 4L)
+    assert(tie.getAs[Long]("votes") === 1L)
+  }
+
+  test("property: kNN classification equals brute-force vote over exact top-k") {
+    val rnd = new scala.util.Random(41)
+    val nQ = 4L
+    val k = 5
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f),
+      rnd.nextInt(3)))
+    val expected = vecs.take(nQ.toInt).map { case (qid, qv, _) =>
+      val top = vecs.filter(_._1 >= nQ)
+        .map { case (id, v, lab) => (id, cos(qv, v), lab) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(k)
+      val votes = top.groupBy(_._3).view.mapValues(_.size)
+      val (lab, n) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      qid -> (lab.toLong, n.toLong)
+    }.toMap
+    val got = Similarity.knnClassify(labeled(vecs: _*), nQueries = nQ, k = k)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(got === expected)
+  }
 }

@@ -142,4 +142,64 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_ngram_frac") === 0.5)
     assert(r.getAs[Long]("top_ngram_count") === 2L)
   }
+
+  test("tokenRarity: corpus frequencies weight by occurrence; hapaxes and empty docs") {
+    // corpus term frequencies: the=3, cat=2, ran=2, sat=1 (hapax)
+    val out = TextAnalysis.tokenRarity(docs(
+      (1L, "the cat sat", "en"),
+      (2L, "the cat ran ran", "en"),
+      (3L, "the", "en"),
+      (4L, "", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 3L)
+    assert(out(1L).getAs[Long]("min_tok_freq") === 1L) // sat
+    assert(out(1L).getAs[Double]("avg_tok_freq") === (3.0 + 2.0 + 1.0) / 3)
+    assert(out(1L).getAs[Double]("hapax_frac") === 1.0 / 3)
+    assert(out(2L).getAs[Long]("n_tokens") === 4L)
+    assert(out(2L).getAs[Long]("min_tok_freq") === 2L)
+    assert(out(2L).getAs[Double]("avg_tok_freq") === (3.0 + 2.0 + 2.0 + 2.0) / 4)
+    assert(out(2L).getAs[Double]("hapax_frac") === 0.0)
+    assert(out(3L).getAs[Double]("avg_tok_freq") === 3.0)
+    // empty doc: zero count, NULL rarity stats (not fabricated zeros)
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("min_tok_freq")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("avg_tok_freq")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("hapax_frac")))
+  }
+
+  test("classifierScore: margin = exact sum of hashed-bucket weights; empty/NULL zero") {
+    // independent model of tokHash (ASCII tokens, <8 chars padded with
+    // '.') — same formulation HashExprProps pins against the native expr
+    val pow31s = (0 until 9).scanLeft(1L)((a, _) => a * 31L).toArray
+    def tokHash(s: String): Long = {
+      val first8 = (s + "." * 8).take(8)
+      s.length.toLong * pow31s(8) +
+        first8.zipWithIndex.map { case (c, i) => c.toLong * pow31s(i) }.sum
+    }
+    def margin(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(t =>
+        TextAnalysis.ClassifierWeights(
+          (tokHash(t) % TextAnalysis.ClassifierFeatures).toInt)).sum
+    val out = TextAnalysis.classifierScore(docs(
+      (1L, "The cat AND the hat", "en"),
+      (2L, "", "en"),
+      (3L, null, "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val m1 = margin("The cat AND the hat")
+    assert(out(1L).getAs[Long]("n_tokens") === 5L)
+    assert(out(1L).getAs[Long]("margin") === m1)
+    assert(out(1L).getAs[Boolean]("pred_keep") === (m1 > 0L))
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[Long]("n_tokens") === 0L)
+      assert(out(id).getAs[Long]("margin") === 0L)
+      assert(!out(id).getAs[Boolean]("pred_keep"))
+    }
+  }
+
+  test("classifierScore: weight table is fixed, bounded, and wide enough to discriminate") {
+    val w = TextAnalysis.ClassifierWeights
+    assert(w.size === TextAnalysis.ClassifierFeatures)
+    assert(w.forall(x => x >= -8L && x <= 8L))
+    assert(w.distinct.size > 5) // not a degenerate constant table
+  }
 }
