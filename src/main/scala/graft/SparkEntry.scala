@@ -34,22 +34,24 @@ object SparkEntry {
   private def edges(s: SparkSession, dir: String): DataFrame =
     EdgeLists.fromLineitem(s, dir)
 
-  /** Per-process scratch dir for the CSV round-trip query — unique per
-    * JVM (two processes must not overwrite each other's files mid-scan)
-    * and deleted on JVM exit (a per-pid dir that outlives its process
-    * would otherwise accumulate one edge-CSV copy per run in tmp). The
-    * shutdown hook never runs on SIGKILL/OOM-kill, so lazy-init also
-    * sweeps peer dirs whose owning pid is no longer alive (round-5
-    * advice: repeatedly-killed bench runs accumulated one dir per run) —
-    * accumulation is bounded at one dir per LIVE process. */
-  private lazy val edgesCsvBase: java.io.File = {
+  /** Per-process scratch dir for the round-trip queries (edge CSV, docs
+    * JSONL) — unique per JVM (two processes must not overwrite each
+    * other's files mid-scan) and deleted on JVM exit (a per-pid dir that
+    * outlives its process would otherwise accumulate one copy per run in
+    * tmp). The shutdown hook never runs on SIGKILL/OOM-kill, so
+    * lazy-init also sweeps peer dirs whose owning pid is no longer alive
+    * (round-5 advice: repeatedly-killed bench runs accumulated one dir
+    * per run) — accumulation is bounded at one dir per LIVE process. */
+  private lazy val scratchBase: java.io.File = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
     val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val myPid = ProcessHandle.current().pid()
-    val Stale = "graft_edges_csv_(\\d+)".r
+    // graft_edges_csv_<pid> is the pre-round-6 name of the same dir —
+    // keep sweeping it so a stale one from an older killed run still goes
+    val Stale = "graft_(?:scratch|edges_csv)_(\\d+)".r
     Option(tmp.listFiles()).foreach(_.foreach { f =>
       f.getName match {
         case Stale(pid) if scala.util.Try {
@@ -63,10 +65,15 @@ object SparkEntry {
         case _ => ()
       }
     })
-    val d = new java.io.File(tmp, s"graft_edges_csv_$myPid")
+    val d = new java.io.File(tmp, s"graft_scratch_$myPid")
     Runtime.getRuntime.addShutdownHook(new Thread(() => rm(d)))
     d
   }
+
+  /** `<scratchBase>/<kind>/<sf-dir-name>` for a round-trip query. */
+  private def scratch(kind: String, dir: String): String =
+    new java.io.File(new java.io.File(scratchBase, kind),
+      new java.io.File(dir).getName).getPath
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -87,8 +94,7 @@ object SparkEntry {
     // per-process, exit-cleaned [[edgesCsvBase]] (round-4 advice: a
     // hardcoded repo path broke relocated checkouts).
     "edge_count_csv" -> ((s, dir) => {
-      val tmp = new java.io.File(edgesCsvBase,
-        new java.io.File(dir).getName).getPath
+      val tmp = scratch("edges_csv", dir)
       EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
       GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))
     }),
@@ -126,6 +132,19 @@ object SparkEntry {
       TextAnalysis.fingerprints(graft.Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(graft.Tables.documents(s, dir))),
+    // The JSONL ingest path end-to-end through the driver gate: round-trip
+    // the documents relation through newline-delimited JSON (the format
+    // LLM corpora arrive in — explicit schema, PERMISSIVE parse with a
+    // quarantine split) and run the corpus rollup on the re-read
+    // relation — same oracle as corpus_stats by construction. Like
+    // edge_count_csv, the write happens eagerly at construction (the
+    // round-trip IS the operator); bench time is sink+scan, not rollup.
+    "corpus_stats_jsonl" -> ((s, dir) => {
+      val tmp = scratch("docs_jsonl", dir)
+      graft.sources.JsonLines.writeDocuments(graft.Tables.documents(s, dir), tmp)
+      TextAnalysis.corpusStats(
+        graft.sources.JsonLines.good(graft.sources.JsonLines.readDocuments(s, tmp)))
+    }),
     // Intra-document n-gram repetition signals (Gopher-style filters):
     // per-row map work only — the n-gram multiset never leaves its row.
     "doc_repetition" -> ((s, dir) =>
@@ -335,6 +354,7 @@ object SparkEntry {
     "token_profile" -> TextAnalysis.tokenProfileSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintsSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
+    "corpus_stats_jsonl" -> TextAnalysis.corpusStatsSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),

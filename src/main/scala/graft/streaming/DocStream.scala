@@ -52,4 +52,15 @@ object DocStream {
       .join(corpusFp.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp_md5")
+
+  /** Streaming admission gate — the stream face of
+    * [[TextAnalysis.classifierScore]], literally the same operator (the
+    * batch code runs unchanged on a stream: the weight table is a
+    * broadcast literal and scoring is per-row map work, so the query is
+    * STATELESS — no watermark, no state store, nothing to evict). A
+    * document scored on ingest and re-scored in a batch sweep gets the
+    * bit-identical margin, the same persisted-sketch discipline as the
+    * dedup/ANN twins. */
+  def classifyDocs(docs: DataFrame): DataFrame =
+    TextAnalysis.classifierScore(docs)
 }

@@ -182,4 +182,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out((1L, (T + 10 * H) / 1000)) === (1L, (T + 10 * H) / 1000, 300L))
     assert(out((2L, T / 1000)) === (1L, T / 1000, 555L))
   }
+
+  test("streaming classifier gate = the batch operator, stateless, bit-identical margins") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta"),
+      (3L, ""),
+      (4L, "spam spam spam spam spam"))
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val name = s"classify_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.classifyDocs(
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val progress = try {
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("margin"),
+          r.getAs[Boolean]("pred_keep"))).toMap
+    val batch = graft.text.TextAnalysis.classifierScore(
+        rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("margin"),
+          r.getAs[Boolean]("pred_keep"))).toMap
+    assert(streamed === batch)
+    // stateless: no stateful operator ever appears in the progress log
+    assert(progress.forall(_.stateOperators.isEmpty),
+      "classifier gate grew streaming state")
+  }
 }

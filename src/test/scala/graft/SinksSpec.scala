@@ -31,4 +31,39 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned > 0, "scan metric never populated — assertion would be vacuous")
     assert(pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
   }
+
+  test("bucketed tables join with ZERO shuffle (the co-located-join layout)") {
+    // The 100 TB claim behind "pre-partition the persisted sketch/index
+    // relations": two tables bucketed by the join key in the SAME number
+    // of buckets join as a SortMergeJoin with NO Exchange on either side
+    // — the shuffle was paid once at write time and amortizes over every
+    // subsequent join. This is the layout the persisted band/vector/
+    // fingerprint relations ship in at scale.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fp = graft.text.TextAnalysis.fingerprints(docs)
+      .select(col("doc_id"), col("fp_md5"))
+    val stats = graft.text.TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("n_tokens"))
+    try {
+      fp.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("fp_bkt")
+      stats.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("stats_bkt")
+      // merge hint: without it the tiny fixture sides auto-broadcast,
+      // which would hide the property under a BroadcastExchange — at
+      // scale neither side of a corpus-sized join broadcasts
+      val joined = spark.table("fp_bkt").hint("merge")
+        .join(spark.table("stats_bkt"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a merge join over co-bucketed scans:\n$plan")
+      assert(joined.count() === docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_bkt")
+      spark.sql("DROP TABLE IF EXISTS stats_bkt")
+    }
+  }
 }
