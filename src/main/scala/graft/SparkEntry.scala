@@ -165,6 +165,11 @@ object SparkEntry {
     // per-row codegen map over the fused tokenize+hash — zero shuffle.
     "classifier_score" -> ((s, dir) =>
       TextAnalysis.classifierScore(graft.Tables.documents(s, dir))),
+    // Cross-document boilerplate blocks (CCNet/RefinedWeb repeated-span
+    // filter): non-overlapping 8-token block hashes, doc-frequency join,
+    // per-doc boilerplate share — tokenRarity's two-pass skeleton.
+    "boilerplate_blocks" -> ((s, dir) =>
+      TextAnalysis.boilerplateBlocks(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -360,6 +365,7 @@ object SparkEntry {
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
+    "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,

@@ -642,4 +642,118 @@ object TextAnalysis {
        |ORDER BY doc_id, n_ngrams, n_distinct_ngrams, dup_ngram_frac,
        |  top_ngram_count, top_ngram_frac, repetitive""".stripMargin
   }
+
+  /** Boilerplate block width (non-overlapping k-token blocks), the
+    * cross-document threshold (a block seen in ≥ MinDocs DISTINCT docs is
+    * boilerplate), and the per-doc flag band. 8 tokens ≈ a short
+    * header/footer line; 2 docs is the floor that makes "shared at all"
+    * the signal (real pipelines raise it to O(100) on web crawls, which
+    * changes nothing about the plan). */
+  val BoilerWindow: Int = 8
+  val BoilerMinDocs: Long = 2L
+  val BoilerHeavyFrac: Double = 0.3
+
+  /** Cross-document boilerplate block signals — the "repeated spans
+    * across pages" filter (CCNet dedups repeated lines, RefinedWeb drops
+    * nav/footer text the same way): headers, license blurbs, and
+    * navigation chrome recur VERBATIM across many documents while each
+    * host document is globally unique, so no whole-document operator
+    * ([[Dedup]] families) and no intra-document one ([[docRepetition]])
+    * can see them. Each doc's token-hash stream is cut into
+    * NON-OVERLAPPING `k`-token blocks (overlapping shingles would let one
+    * shared phrase flag k positions; blocks count each span once — and
+    * the fixed tiling means a block repeated across docs only matches
+    * when it sits at the same token offset mod k, the trade every
+    * line-hash dedup makes vs paying k× the volume). Signals per doc:
+    *
+    *  - `n_blocks`: block occurrences (0 for sub-window/NULL-text docs),
+    *  - `n_boiler_blocks`: occurrences whose block hash appears in
+    *    ≥ `minDocs` DISTINCT documents (doc frequency, not occurrence
+    *    count — 50 repeats inside one doc is [[docRepetition]]'s signal,
+    *    not boilerplate),
+    *  - `boiler_frac`: their share (0.0 when blockless, same "no
+    *    structure is a signal" policy as docRepetition),
+    *  - `boiler_heavy`: share > `heavyFrac` with ≥1 shared block.
+    *
+    * Scale shape: [[tokenRarity]]'s exact two-pass skeleton with blocks
+    * for tokens — raw occurrences shuffle ONCE into the per-(doc, block)
+    * multiplicity relation (map-side combine; the localCheckpoint exists
+    * because both the doc-frequency derivation and the score join consume
+    * it), doc frequency is a count over that already-collapsed relation,
+    * the score join rides the 8-byte block key (AQE covers the hot
+    * ubiquitous-block head), and the rollup rides doc_id. The block cut
+    * itself is per-row map work over the fused tokenize+hash expression.
+    */
+  def boilerplateBlocks(docs: DataFrame, k: Int = BoilerWindow,
+      minDocs: Long = BoilerMinDocs,
+      heavyFrac: Double = BoilerHeavyFrac): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"), tokenHashes(wide, col("text")).as("th"))
+    // CaseWhen evaluates branches lazily, so sequence() never sees a
+    // 0-block doc (sequence(1, 0) would count DOWN — the docRepetition
+    // guard pattern); block b covers th[(b−1)k+1 .. bk], a fixed tiling
+    // truncated at the last full window
+    val blocks = when(size(col("th")) >= k,
+        transform(sequence(lit(1), floor(size(col("th")) / lit(k)).cast("int")),
+          b => PortableHash.shingleK(
+            (0 until k).map(j => element_at(col("th"), (b - 1) * k + (j + 1))))))
+      .otherwise(array().cast("array<long>"))
+    val occ = t.select(col("doc_id"), explode(blocks).as("bh"))
+      .groupBy("doc_id", "bh").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    // occ is one row per (doc, block) — count(*) IS the distinct-doc count
+    val docFreq = occ.groupBy("bh").agg(count(lit(1)).as("n_docs"))
+    val scored = occ.join(docFreq, "bh")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("nb"),
+        sum(when(col("n_docs") >= minDocs, col("n_occ")).otherwise(0L)).as("nboil"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_blocks"),
+        coalesce(col("nboil"), lit(0L)).as("n_boiler_blocks"),
+        when(coalesce(col("nb"), lit(0L)) > 0L, col("nboil") / col("nb"))
+          .otherwise(lit(0.0)).as("boiler_frac"))
+      .withColumn("boiler_heavy",
+        col("n_boiler_blocks") > 0L && col("boiler_frac") > heavyFrac)
+  }
+
+  /** Oracle twin — same tiling, counted relationally (1-based lists;
+    * DuckDB range() is end-exclusive and `//` is integer division). */
+  def boilerplateBlocksSql(k: Int = BoilerWindow,
+      minDocs: Long = BoilerMinDocs,
+      heavyFrac: Double = BoilerHeavyFrac): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '$TokenRe'), x -> ${PortableHash.tokHashSql("x")})"
+    val blockHash = PortableHash.shingleKSql(
+      (0 until k).map(j => s"th[(b-1)*$k + ${j + 1}]"))
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tok AS th FROM documents
+       |), blocks AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= $k THEN
+       |      list_transform(range(1, len(th)//$k + 1), b -> $blockHash)
+       |    ELSE [] END AS bs
+       |  FROM toks
+       |), occ AS (
+       |  SELECT doc_id, bh, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT doc_id, unnest(bs) AS bh FROM blocks) t
+       |  GROUP BY doc_id, bh
+       |), dfreq AS (
+       |  SELECT bh, CAST(count(*) AS BIGINT) AS n_docs FROM occ GROUP BY bh
+       |), scored AS (
+       |  SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN n_docs >= $minDocs THEN n_occ ELSE 0 END) AS BIGINT) AS nboil
+       |  FROM occ JOIN dfreq USING (bh) GROUP BY doc_id
+       |), fin AS (
+       |  SELECT d.doc_id,
+       |    coalesce(nb, 0) AS n_blocks,
+       |    coalesce(nboil, 0) AS n_boiler_blocks,
+       |    CASE WHEN coalesce(nb, 0) > 0 THEN nboil / nb ELSE 0e0 END
+       |      AS boiler_frac,
+       |    coalesce(nboil, 0) > 0 AND
+       |      CASE WHEN coalesce(nb, 0) > 0 THEN nboil / nb ELSE 0e0 END > $heavyFrac
+       |      AS boiler_heavy
+       |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+       |)
+       |SELECT * FROM fin
+       |ORDER BY doc_id, n_blocks, n_boiler_blocks, boiler_frac, boiler_heavy""".stripMargin
+  }
 }

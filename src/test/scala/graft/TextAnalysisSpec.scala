@@ -202,4 +202,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w.forall(x => x >= -8L && x <= 8L))
     assert(w.distinct.size > 5) // not a degenerate constant table
   }
+
+  // 8 tokens exactly — one full boilerplate block when aligned
+  private val footer = "subscribe to our newsletter terms of service apply"
+
+  test("boilerplateBlocks flags a shared aligned footer, not unique text") {
+    val out = TextAnalysis.boilerplateBlocks(docs(
+      // docs 1-3: shared 8-token header block + 8 unique tokens
+      (1L, footer + " u1 u2 u3 u4 u5 u6 u7 u8", "en"),
+      (2L, footer + " v1 v2 v3 v4 v5 v6 v7 v8", "en"),
+      (3L, footer + " w1 w2 w3 w4 w5 w6 w7 w8", "en"),
+      // doc 4: all unique — zero shared blocks
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id).getAs[Long]("n_blocks") === 2L)
+      assert(out(id).getAs[Long]("n_boiler_blocks") === 1L)
+      assert(out(id).getAs[Double]("boiler_frac") === 0.5)
+      assert(out(id).getAs[Boolean]("boiler_heavy")) // 0.5 > 0.3
+    }
+    assert(out(4L).getAs[Long]("n_blocks") === 2L)
+    assert(out(4L).getAs[Long]("n_boiler_blocks") === 0L)
+    assert(!out(4L).getAs[Boolean]("boiler_heavy"))
+  }
+
+  test("boilerplateBlocks: tiling is offset-sensitive by design") {
+    // doc 2 carries the same footer shifted one token right — its tiling
+    // cuts the footer across two blocks, so nothing matches doc 1/3's
+    // aligned block (the documented trade vs paying k× with overlaps)
+    val out = TextAnalysis.boilerplateBlocks(docs(
+      (1L, footer + " u1 u2 u3 u4 u5 u6 u7 u8", "en"),
+      (2L, "pad " + footer + " v1 v2 v3 v4 v5 v6 v7", "en"),
+      (3L, footer + " w1 w2 w3 w4 w5 w6 w7 w8", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_boiler_blocks") === 1L) // still pairs with doc 3
+    assert(out(2L).getAs[Long]("n_boiler_blocks") === 0L)
+  }
+
+  test("boilerplateBlocks: doc frequency not occurrence count; short/NULL zeros") {
+    val out = TextAnalysis.boilerplateBlocks(docs(
+      // doc 1 repeats its own block twice — intra-doc repetition is
+      // docRepetition's signal, NOT boilerplate (doc frequency = 1)
+      (1L, footer + " " + footer, "en"),
+      // doc 2 shares it once → now BOTH of doc 1's occurrences flag
+      (2L, footer + " z1 z2 z3 z4 z5 z6 z7 z8", "en"),
+      (3L, "seven tokens only here not eight yet", "en"),
+      (4L, null, "en"),
+      // doc 5: repeats its own (globally unique) block — occurrence count
+      // 2 but doc frequency 1 → must NOT flag
+      (5L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_blocks") === 2L)
+    assert(out(1L).getAs[Long]("n_boiler_blocks") === 2L)
+    assert(out(1L).getAs[Double]("boiler_frac") === 1.0)
+    assert(out(5L).getAs[Long]("n_blocks") === 2L)
+    assert(out(5L).getAs[Long]("n_boiler_blocks") === 0L)
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).getAs[Long]("n_blocks") === 0L)
+      assert(out(id).getAs[Long]("n_boiler_blocks") === 0L)
+      assert(out(id).getAs[Double]("boiler_frac") === 0.0)
+      assert(!out(id).getAs[Boolean]("boiler_heavy"))
+    }
+  }
 }
