@@ -170,6 +170,10 @@ object SparkEntry {
     // per-doc boilerplate share — tokenRarity's two-pass skeleton.
     "boilerplate_blocks" -> ((s, dir) =>
       TextAnalysis.boilerplateBlocks(graft.Tables.documents(s, dir))),
+    // The transform counterpart: flagged tiles removed, normalized
+    // cleaned text out (the count+mask pairing pii_scrub ships).
+    "boilerplate_scrub" -> ((s, dir) =>
+      TextAnalysis.boilerplateScrub(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -213,6 +217,19 @@ object SparkEntry {
     // thresholds from integer weights; corpus pass stays map-only.
     "corpus_mix" -> ((s, dir) =>
       graft.text.Curation.corpusMix(graft.Tables.documents(s, dir))),
+    // Corpus version diff: old = docs minus the %10=0 ids ("new in v2"),
+    // new = docs minus the %10=9 ids with %10=5 texts edited — per id:
+    // same/changed/added/removed + moved-content flag via the distinct
+    // fingerprint relations (a scale-invariant synthetic version pair).
+    "corpus_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = graft.Tables.documents(s, dir)
+      graft.text.Curation.corpusDiff(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 =!= 9).withColumn("text",
+          when(col("doc_id") % 10 === 5, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text"))))
+    }),
     // Sharded sequence packing: per-shard running token sums bin docs
     // into ~2048-token training sequences (window per shard, parallel).
     "pack_sequences" -> ((s, dir) =>
@@ -366,6 +383,7 @@ object SparkEntry {
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
+    "boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
@@ -376,6 +394,7 @@ object SparkEntry {
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),
+    "corpus_diff" -> graft.text.Curation.corpusDiffSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),

@@ -544,4 +544,93 @@ object Curation {
        |JOIN q ON q.doc_id = exd.doc_id
        |ORDER BY doc_id, is_exact_dup, is_near_dup, quality_ok, keep""".stripMargin
   }
+
+  /** NULL-text content sentinel for [[corpusDiff]]: md5 of NULL is NULL,
+    * and a NULL fingerprint on a PRESENT row would read as "row absent"
+    * in the outer join — a doc whose text was nulled out between
+    * versions must diff as `changed`, not vanish. Any fixed non-md5
+    * string works; both engines coalesce to the same one. */
+  val NullTextFp: String = "<null-text>"
+
+  /** Corpus version diff — the audit step between two snapshots of the
+    * same corpus (crawl N vs crawl N+1, pre- vs post-filter): per
+    * document id, did its CONTENT survive, change, appear, or go away?
+    * Content identity is the pipeline's canonical normalized-md5
+    * fingerprint ([[TextAnalysis.normMd5]] — the exact-dedup key), so
+    * whitespace-only churn diffs as `same`, and every dataset-versioning
+    * consumer (did the filter change what I train on? what did the new
+    * crawl actually add?) reads one relation. Statuses per doc_id:
+    *
+    *  - `same` / `changed`: id in both versions, fingerprint equal /
+    *    different,
+    *  - `added` / `removed`: id only in the new / old version, with
+    *    `content_moved` = true when the SAME content exists in the other
+    *    version under a different id (a re-keyed shard, a moved URL —
+    *    rows an ingest-count audit would miscount as real churn);
+    *    false for same/changed rows.
+    *
+    * Scale shape: one full-outer sort-merge join on the long doc_id key
+    * carries the verdict; the moved-flags are two equi-joins against the
+    * DISTINCT-fingerprint relations (32-byte keys, exact-dup collapsed
+    * — the same pre-collapse discipline as the sketch families). Both
+    * versions pay one scan + one fingerprint map pass; nothing explodes,
+    * nothing is quadratic.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fps(df: DataFrame, fpCol: String) =
+      graft.Tables.widen(df).select(col("doc_id"),
+        coalesce(TextAnalysis.normMd5(col("text")), lit(NullTextFp)).as(fpCol))
+    val o = fps(oldDocs, "fp_old")
+    val n = fps(newDocs, "fp_new")
+    val joined = o.join(n, Seq("doc_id"), "full_outer")
+    val inOld = o.select(col("fp_old").as("fp")).distinct()
+      .withColumn("in_old", lit(true))
+    val inNew = n.select(col("fp_new").as("fp")).distinct()
+      .withColumn("in_new", lit(true))
+    joined
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("same"))
+          .otherwise(lit("changed")))
+      .join(inOld, col("fp_new") === inOld("fp"), "left").drop("fp")
+      .join(inNew, col("fp_old") === inNew("fp"), "left").drop("fp")
+      .select(col("doc_id"), col("status"),
+        (col("status") === "added" && coalesce(col("in_old"), lit(false)) ||
+         col("status") === "removed" && coalesce(col("in_new"), lit(false)))
+          .as("content_moved"))
+  }
+
+  /** Oracle twin over the driver fixture's synthetic version pair:
+    * old = docs except `doc_id % 10 = 0` (those are "new in v2"), new =
+    * docs except `doc_id % 10 = 9` (those were "dropped in v2") with the
+    * text of `doc_id % 10 = 5` rows edited. Mirrors [[corpusDiff]] run
+    * on the same two derived relations. */
+  def corpusDiffSql(): String = {
+    def fpSql(text: String) =
+      s"coalesce(${TextAnalysis.normMd5Sql(text)}, '$NullTextFp')"
+    s"""WITH o AS (
+       |  SELECT doc_id, ${fpSql("text")} AS fp_old
+       |  FROM documents WHERE doc_id % 10 <> 0
+       |), n AS (
+       |  SELECT doc_id, ${fpSql(
+      "CASE WHEN doc_id % 10 = 5 THEN text || ' edited v2' ELSE text END")} AS fp_new
+       |  FROM documents WHERE doc_id % 10 <> 9
+       |), j AS (
+       |  SELECT doc_id, fp_old, fp_new,
+       |    CASE WHEN fp_old IS NULL THEN 'added'
+       |         WHEN fp_new IS NULL THEN 'removed'
+       |         WHEN fp_old = fp_new THEN 'same'
+       |         ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n USING (doc_id)
+       |), io AS (SELECT DISTINCT fp_old AS fp FROM o),
+       |inw AS (SELECT DISTINCT fp_new AS fp FROM n)
+       |SELECT j.doc_id AS doc_id, status,
+       |  (status = 'added' AND io.fp IS NOT NULL) OR
+       |  (status = 'removed' AND inw.fp IS NOT NULL) AS content_moved
+       |FROM j
+       |LEFT JOIN io ON j.fp_new = io.fp
+       |LEFT JOIN inw ON j.fp_old = inw.fp
+       |ORDER BY doc_id, status, content_moved""".stripMargin
+  }
 }

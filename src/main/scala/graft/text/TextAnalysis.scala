@@ -756,4 +756,102 @@ object TextAnalysis {
        |SELECT * FROM fin
        |ORDER BY doc_id, n_blocks, n_boiler_blocks, boiler_frac, boiler_heavy""".stripMargin
   }
+
+  /** The transform counterpart of [[boilerplateBlocks]] — the same
+    * count+mask pairing [[Pii]] ships: detect cross-document boilerplate
+    * tiles and REMOVE them, emitting the cleaned text a downstream
+    * tokenizer consumes. Reconstruction is normalized (lowercased tokens
+    * re-joined with single spaces): every consumer in this pipeline
+    * tokenizes through [[tokens]] (which lowercases and splits on
+    * whitespace runs) so the normalized form is token-identical to
+    * scrubbing the raw text, and it keeps the rebuild a pure function of
+    * the token array. NULL text stays NULL (the [[Pii]] policy — NULL is
+    * not "clean"); the sub-window tail of a doc belongs to no tile and
+    * is always kept.
+    *
+    * Scale shape: [[boilerplateBlocks]]'s two-pass skeleton plus the
+    * rebuild join: the checkpointed (doc, toks, th) base feeds both the
+    * tile-flagging side (explode → distinct (doc, block) → doc-frequency
+    * → flagged (doc, tile) rows) and the reconstruction (flagged tiles
+    * collect per doc — bounded by ⌊doc_len/k⌋, the per-row-array class
+    * of state, NOT a corpus-sized collect — then one doc_id equi-join
+    * and a per-row indexed filter over the token array).
+    */
+  def boilerplateScrub(docs: DataFrame, k: Int = BoilerWindow,
+      minDocs: Long = BoilerMinDocs): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        PortableHash.tokHashes(wide, col("toks")).as("th"))
+      .localCheckpoint() // consumed by the flag side AND the rebuild join
+    val blocks = when(size(col("th")) >= k,
+        transform(sequence(lit(1), floor(size(col("th")) / lit(k)).cast("int")),
+          b => struct(b.cast("long").as("tile"), PortableHash.shingleK(
+            (0 until k).map(j => element_at(col("th"), (b - 1) * k + (j + 1))))
+            .as("bh"))))
+      .otherwise(array().cast("array<struct<tile:bigint,bh:bigint>>"))
+    val occ = t.select(col("doc_id"), explode(blocks).as("blk"))
+      .select(col("doc_id"), col("blk.tile").as("tile"), col("blk.bh").as("bh"))
+    val docFreq = occ.select("doc_id", "bh").distinct()
+      .groupBy("bh").agg(count(lit(1)).as("n_docs"))
+    val flaggedTiles = occ
+      .join(docFreq.filter(col("n_docs") >= minDocs), "bh")
+      .groupBy("doc_id").agg(collect_set(col("tile")).as("tiles"))
+    t.join(flaggedTiles, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("tiles"), array().cast("array<bigint>")).as("tiles"))
+      .select(col("doc_id"),
+        greatest(coalesce(size(col("toks")), lit(0)), lit(0)).cast("long")
+          .as("n_tokens"),
+        (size(col("tiles")) * k).cast("long").as("n_removed_tokens"),
+        // 0-based index i sits in 1-based tile ⌊i/k⌋+1; tail tokens map to
+        // a tile number past the last full tile — never flagged, kept
+        array_join(filter(col("toks"), (tok, i) =>
+          !array_contains(col("tiles"), floor(i / lit(k)).cast("long") + 1L)),
+          " ").as("clean_text"))
+  }
+
+  /** Oracle twin — block hashes recomputed per (doc, tile) row from the
+    * shared token-hash array; indexed rebuild via range + list indexing
+    * (DuckDB list_filter lambdas carry no index). */
+  def boilerplateScrubSql(k: Int = BoilerWindow,
+      minDocs: Long = BoilerMinDocs): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '$TokenRe'), x -> ${PortableHash.tokHashSql("x")})"
+    val blockHash = PortableHash.shingleKSql(
+      (0 until k).map(j => s"th[(tile-1)*$k + ${j + 1}]"))
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenRe') AS toks,
+       |    $tok AS th
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, tile, $blockHash AS bh
+       |  FROM (SELECT doc_id, th, unnest(range(1, len(th)//$k + 1)) AS tile
+       |        FROM t WHERE len(th) >= $k)
+       |), dfreq AS (
+       |  SELECT bh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM occ GROUP BY bh
+       |), flagged AS (
+       |  SELECT doc_id, list(DISTINCT tile) AS tiles
+       |  FROM occ JOIN dfreq USING (bh)
+       |  WHERE n_docs >= $minDocs
+       |  GROUP BY doc_id
+       |), fin AS (
+       |  SELECT t.doc_id,
+       |    CAST(greatest(coalesce(len(toks), 0), 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(len(tiles), 0) * $k AS BIGINT) AS n_removed_tokens,
+       |    CASE WHEN toks IS NULL THEN NULL ELSE
+       |      -- array_to_string([]) is NULL in DuckDB where Spark's
+       |      -- array_join([]) is '' — a fully-scrubbed doc must be ''
+       |      coalesce(array_to_string(
+       |        list_filter(list_transform(range(1, len(toks) + 1),
+       |          i -> CASE WHEN NOT list_contains(coalesce(tiles, []),
+       |                              CAST((i-1)//$k + 1 AS BIGINT))
+       |               THEN toks[i] END),
+       |          x -> x IS NOT NULL), ' '), '')
+       |    END AS clean_text
+       |  FROM t LEFT JOIN flagged ON t.doc_id = flagged.doc_id
+       |)
+       |SELECT * FROM fin
+       |ORDER BY doc_id, n_tokens, n_removed_tokens, clean_text""".stripMargin
+  }
 }

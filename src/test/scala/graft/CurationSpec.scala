@@ -280,4 +280,39 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
     assert(bySrc("s0") === bySrc.values.max)
   }
+
+  test("corpusDiff: same/changed/added/removed with moved-content detection") {
+    val old = docs(
+      (1L, base),            // survives untouched → same
+      (2L, unrelated),       // edited in v2 → changed
+      (3L, nearDup),         // dropped in v2, content gone → removed
+      (4L, lowQuality))      // dropped at id 4 but re-keyed to id 9 → moved
+    val nw = docs(
+      (1L, base + "   "),    // whitespace churn only — fp normalizes → same
+      (2L, unrelated + " edited"),
+      (5L, "brand new content never seen before"), // added, not moved
+      (9L, lowQuality))      // same content as old id 4 → added + moved
+    val out = Curation.corpusDiff(old, nw)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Boolean]("content_moved")))).toMap
+    assert(out(1L) === (("same", false)))
+    assert(out(2L) === (("changed", false)))
+    assert(out(3L) === (("removed", false)))
+    assert(out(4L) === (("removed", true)))
+    assert(out(5L) === (("added", false)))
+    assert(out(9L) === (("added", true)))
+    assert(out.size === 6)
+  }
+
+  test("corpusDiff: NULL text diffs as content, not as an absent row") {
+    val old = Seq((1L, "some words here", "en"), (2L, null, "en"))
+      .toDF("doc_id", "text", "lang")
+    val nw = Seq((1L, null, "en"), (2L, null, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.corpusDiff(old, nw)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(out(1L) === "changed") // text → NULL is a content change
+    assert(out(2L) === "same")    // NULL on both sides is stable
+  }
 }

@@ -63,7 +63,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // plans we assert the aggregate-node pair instead.
     val distinctOnly =
       Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs",
-        "near_dup_pairs", "near_dup_jaccard")
+        "near_dup_pairs", "near_dup_jaccard",
+        // corpus_diff's only aggregates are its two distinct-fingerprint
+        // relations (the moved-content sides)
+        "corpus_diff")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       if (distinctOnly(name)) {
@@ -173,6 +176,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("pipeline_manifest_chunked").contains("documents.parquet"),
       "pipeline_manifest_chunked re-scans documents parquet instead of the shared base")
     assert("documents\\.parquet".r.findAllIn(plan("text_stats")).size === 1)
+    // boilerplate_scrub: the flag side AND the rebuild join both derive
+    // from the checkpointed (doc, toks, th) base — no re-scan either
+    assert(!plan("boilerplate_scrub").contains("documents.parquet"),
+      "boilerplate_scrub re-scans documents parquet instead of the shared base")
   }
 
   test("ANN bucket space scales with the hash-table count (no fixed-bucket ceiling)") {

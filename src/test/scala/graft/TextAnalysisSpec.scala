@@ -264,4 +264,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(!out(id).getAs[Boolean]("boiler_heavy"))
     }
   }
+
+  test("boilerplateScrub removes only the shared tile, keeps tails and NULLs intact") {
+    val out = TextAnalysis.boilerplateScrub(docs(
+      // shared first tile + unique second tile + 2-token tail (tail is
+      // never part of a tile → always kept)
+      (1L, footer + " u1 u2 u3 u4 u5 u6 u7 u8 tail keep", "en"),
+      (2L, footer + " v1 v2 v3 v4 v5 v6 v7 v8", "en"),
+      (3L, "short unique doc", "en"),
+      (4L, null, "en"),
+      // docs 5/6: nothing BUT the shared tile — fully scrubbed docs must
+      // come back as '' (not NULL; the oracle coalesces DuckDB's
+      // array_to_string([]) = NULL to match)
+      (5L, footer, "en"),
+      (6L, footer, "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 18L)
+    assert(out(1L).getAs[Long]("n_removed_tokens") === 8L)
+    assert(out(1L).getAs[String]("clean_text")
+      === "u1 u2 u3 u4 u5 u6 u7 u8 tail keep")
+    assert(out(2L).getAs[String]("clean_text") === "v1 v2 v3 v4 v5 v6 v7 v8")
+    // untouched docs come back normalized but whole
+    assert(out(3L).getAs[Long]("n_removed_tokens") === 0L)
+    assert(out(3L).getAs[String]("clean_text") === "short unique doc")
+    // NULL text stays NULL (the Pii policy), counts report zero
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).getAs[Long]("n_removed_tokens") === 0L)
+    assert(out(4L).getAs[String]("clean_text") === null)
+    assert(out(5L).getAs[Long]("n_removed_tokens") === 8L)
+    assert(out(5L).getAs[String]("clean_text") === "")
+  }
+
+  test("boilerplateScrub: scrub counts agree with boilerplateBlocks' flags") {
+    val fixture = docs(
+      (1L, footer + " u1 u2 u3 u4 u5 u6 u7 u8", "en"),
+      (2L, footer + " v1 v2 v3 v4 v5 v6 v7 v8", "en"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16", "en"))
+    val sig = TextAnalysis.boilerplateBlocks(fixture)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_boiler_blocks")).toMap
+    val scrub = TextAnalysis.boilerplateScrub(fixture)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed_tokens")).toMap
+    // every flagged block occurrence removes exactly its k tokens
+    for ((id, nb) <- sig)
+      assert(scrub(id) === nb * TextAnalysis.BoilerWindow)
+  }
 }
