@@ -98,5 +98,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } else 3
         graft.functions.ShinglesOfHashes(children.head, window)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("blocks_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BlocksOfHashes].getName,
+        "blocks_of_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"blocks_of_hashes takes 1 or 2 arguments, got ${children.size}")
+        // optional 2nd arg: the tile width, a literal int (same contract
+        // as shingles_of_hashes) — default 8, the boilerplate width
+        val window = if (children.size == 2) children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"blocks_of_hashes window must be an integer literal, got $other")
+        } else 8
+        graft.functions.BlocksOfHashes(children.head, window)
+      }))
   }
 }

@@ -174,6 +174,14 @@ object SparkEntry {
     // cleaned text out (the count+mask pairing pii_scrub ships).
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(graft.Tables.documents(s, dir))),
+    // Per-language token-count distribution over fixed power-of-two
+    // bands — one partial-agg shuffle of <= |langs|*|bands| rows.
+    "corpus_histogram" -> ((s, dir) =>
+      TextAnalysis.corpusHistogram(graft.Tables.documents(s, dir))),
+    // Per-source classifier rollup: pass counts + mean margin, the
+    // curation dashboard; map-side scoring, one source-key shuffle.
+    "source_quality" -> ((s, dir) =>
+      TextAnalysis.sourceQuality(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -384,6 +392,8 @@ object SparkEntry {
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
     "boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql(),
+    "corpus_histogram" -> TextAnalysis.corpusHistogramSql,
+    "source_quality" -> TextAnalysis.sourceQualitySql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,

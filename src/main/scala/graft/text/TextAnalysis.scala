@@ -480,19 +480,26 @@ object TextAnalysis {
     * Empty and NULL-text docs get margin 0 / pred_keep false on both
     * sides (the aggregate's empty-vs-NULL seam is coalesced explicitly).
     */
-  def classifierScore(docs: DataFrame): DataFrame = {
-    val f = ClassifierFeatures
+  /** The exact-int64 classifier margin of `text` — the one scoring
+    * expression [[classifierScore]] (per-doc inference) and
+    * [[sourceQuality]] (per-source rollup) both compile in, so a doc's
+    * margin is bit-identical wherever it is consumed. */
+  private def marginOf(df: DataFrame): Column = {
     val w = typedLit(ClassifierWeights)
+    coalesce(
+      aggregate(tokenHashes(df, col("text")), lit(0L),
+        (acc, h) => acc + element_at(w, (h % ClassifierFeatures).cast("int") + 1)),
+      lit(0L))
+  }
+
+  def classifierScore(docs: DataFrame): DataFrame = {
     val th = tokenHashes(docs, col("text"))
     graft.Tables.widen(docs).select(col("doc_id"),
         // greatest(…, 0): size(NULL) is NULL under ANSI (Spark 4 default)
         // but -1 under legacy sizeOfNull — clamp so NULL-text docs report
         // 0 tokens in EITHER session config (round-6 advice pattern)
         greatest(coalesce(size(th), lit(0)), lit(0)).cast("long").as("n_tokens"),
-        coalesce(
-          aggregate(th, lit(0L),
-            (acc, h) => acc + element_at(w, (h % f).cast("int") + 1)),
-          lit(0L)).as("margin"))
+        marginOf(docs).as("margin"))
       .withColumn("pred_keep", col("margin") > 0L)
   }
 
@@ -684,21 +691,32 @@ object TextAnalysis {
     * ubiquitous-block head), and the rollup rides doc_id. The block cut
     * itself is per-row map work over the fused tokenize+hash expression.
     */
+  /** Non-overlapping `k`-token block hashes over a `th` column — the
+    * native codegen [[graft.functions.BlocksOfHashes]] (one array walk)
+    * when the session has GraftExtensions, the equivalent interpreted
+    * transform+element_at chain otherwise. Output is a MULTISET in tile
+    * order: position p (0-based) is tile p+1's hash — the scrub path
+    * relies on that alignment. The fallback's CaseWhen evaluates
+    * branches lazily, so sequence() never sees a 0-block doc
+    * (sequence(1, 0) would count DOWN — the docRepetition guard
+    * pattern); block b covers th[(b−1)k+1 .. bk], a fixed tiling
+    * truncated at the last full window. */
+  private def blockHashes(df: DataFrame, k: Int): Column =
+    if (df.sparkSession.catalog.functionExists("blocks_of_hashes"))
+      call_function("blocks_of_hashes", col("th"), lit(k))
+    else
+      when(size(col("th")) >= k,
+        transform(sequence(lit(1), floor(size(col("th")) / lit(k)).cast("int")),
+          b => PortableHash.shingleK(
+            (0 until k).map(j => element_at(col("th"), (b - 1) * k + (j + 1))))))
+        .otherwise(array().cast("array<long>"))
+
   def boilerplateBlocks(docs: DataFrame, k: Int = BoilerWindow,
       minDocs: Long = BoilerMinDocs,
       heavyFrac: Double = BoilerHeavyFrac): DataFrame = {
     val wide = graft.Tables.widen(docs)
     val t = wide.select(col("doc_id"), tokenHashes(wide, col("text")).as("th"))
-    // CaseWhen evaluates branches lazily, so sequence() never sees a
-    // 0-block doc (sequence(1, 0) would count DOWN — the docRepetition
-    // guard pattern); block b covers th[(b−1)k+1 .. bk], a fixed tiling
-    // truncated at the last full window
-    val blocks = when(size(col("th")) >= k,
-        transform(sequence(lit(1), floor(size(col("th")) / lit(k)).cast("int")),
-          b => PortableHash.shingleK(
-            (0 until k).map(j => element_at(col("th"), (b - 1) * k + (j + 1))))))
-      .otherwise(array().cast("array<long>"))
-    val occ = t.select(col("doc_id"), explode(blocks).as("bh"))
+    val occ = t.select(col("doc_id"), explode(blockHashes(wide, k)).as("bh"))
       .groupBy("doc_id", "bh").agg(count(lit(1)).as("n_occ"))
       .localCheckpoint()
     // occ is one row per (doc, block) — count(*) IS the distinct-doc count
@@ -784,14 +802,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("toks"),
         PortableHash.tokHashes(wide, col("toks")).as("th"))
       .localCheckpoint() // consumed by the flag side AND the rebuild join
-    val blocks = when(size(col("th")) >= k,
-        transform(sequence(lit(1), floor(size(col("th")) / lit(k)).cast("int")),
-          b => struct(b.cast("long").as("tile"), PortableHash.shingleK(
-            (0 until k).map(j => element_at(col("th"), (b - 1) * k + (j + 1))))
-            .as("bh"))))
-      .otherwise(array().cast("array<struct<tile:bigint,bh:bigint>>"))
-    val occ = t.select(col("doc_id"), explode(blocks).as("blk"))
-      .select(col("doc_id"), col("blk.tile").as("tile"), col("blk.bh").as("bh"))
+    // blockHashes is tile-ordered, so the posexplode position IS the
+    // 0-based tile index
+    val occ = t.select(col("doc_id"),
+        posexplode(blockHashes(wide, k)).as(Seq("pos", "bh")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("tile"), col("bh"))
     val docFreq = occ.select("doc_id", "bh").distinct()
       .groupBy("bh").agg(count(lit(1)).as("n_docs"))
     val flaggedTiles = occ
@@ -853,5 +868,96 @@ object TextAnalysis {
        |)
        |SELECT * FROM fin
        |ORDER BY doc_id, n_tokens, n_removed_tokens, clean_text""".stripMargin
+  }
+
+  /** Power-of-two token-count bands for [[corpusHistogram]]: `band_lo` =
+    * the largest band ≤ the doc's token count, 0 for empty/NULL-text
+    * docs, capped at the last band (4096 — past the packing budget, one
+    * "overlong" bucket suffices). Fixed integer edges, never quantiles:
+    * exact percentiles need a per-group sort (or value-proportional
+    * aggregation state) and approx sketches aren't oracle-matchable —
+    * a fixed-edge histogram is one partial-agg shuffle of ≤ |langs|·14
+    * rows and answers the same "where does my corpus mass sit" question
+    * every data report actually asks. */
+  val HistogramBands: Seq[Long] =
+    Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** Per-language token-count distribution — the corpus-health profile a
+    * training-data report leads with (how much mass is in sub-window
+    * stubs? how much in overlong docs the packer will chunk?). Exact
+    * integer bands, identical CASE ladder in both engines.
+    *
+    * Scale shape: per-row map work (tokenize + count + band) into ONE
+    * partial-aggregated shuffle carrying ≤ |langs|·|bands| rows per
+    * partition — the cheapest aggregate class in the engine. */
+  def corpusHistogram(docs: DataFrame): DataFrame = {
+    val n = greatest(coalesce(size(tokens(col("text"))), lit(0)), lit(0))
+      .cast("long")
+    val band = HistogramBands.foldLeft(lit(0L)) {
+      (acc, b) => when(n >= b, lit(b)).otherwise(acc)
+    }
+    graft.Tables.widen(docs)
+      .select(col("lang"), n.as("n_tok"), band.as("band_lo"))
+      .groupBy("lang", "band_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+  }
+
+  def corpusHistogramSql: String = {
+    val ladder = HistogramBands.reverse
+      .map(b => s"WHEN n >= $b THEN $b").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(greatest(coalesce(len(regexp_extract_all(lower(text), '$TokenRe')), 0), 0) AS BIGINT) AS n
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(CASE $ladder ELSE 0 END AS BIGINT) AS band_lo,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY lang, band_lo
+       |ORDER BY lang, band_lo, n_docs, total_tokens""".stripMargin
+  }
+
+  /** Per-source quality rollup — the "which sources are junk" dashboard
+    * a curation run is steered by: document counts, classifier-gate pass
+    * counts and fraction, and the mean margin per source (the
+    * [[marginOf]] expression, so a doc contributes the bit-identical
+    * margin it gets from [[classifierScore]]). Both ratios are exact
+    * int64 sums divided once, so the doubles agree across engines.
+    *
+    * Scale shape: per-row map scoring (zero shuffle, no model join —
+    * the [[classifierScore]] discipline) into one partial-aggregated
+    * shuffle on the source key, ≤ |sources| rows out. */
+  def sourceQuality(docs: DataFrame): DataFrame =
+    graft.Tables.widen(docs)
+      .select(col("source"), marginOf(docs).as("margin"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0L, 1L).otherwise(0L)).as("n_keep"),
+        sum("margin").as("sum_margin"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        (col("n_keep") / col("n_docs")).as("keep_frac"),
+        (col("sum_margin") / col("n_docs")).as("mean_margin"))
+
+  def sourceQualitySql: String = {
+    val f = ClassifierFeatures
+    val wLit = ClassifierWeights.mkString("[", ", ", "]")
+    s"""WITH h AS (
+       |  SELECT source,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_transform(regexp_extract_all(lower(text), '$TokenRe'),
+       |        tk -> ${PortableHash.tokHashSql("tk")}),
+       |      x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) AS margin
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    CAST(sum(margin) AS BIGINT) AS sum_margin
+       |  FROM h GROUP BY source
+       |)
+       |SELECT source, n_docs, n_keep,
+       |  n_keep / n_docs AS keep_frac,
+       |  sum_margin / n_docs AS mean_margin
+       |FROM agg
+       |ORDER BY source, n_docs, n_keep, keep_frac, mean_margin""".stripMargin
   }
 }

@@ -97,6 +97,30 @@ object HashExprProps extends Properties("HashExpressions") {
   property("window-3 shingles equal the legacy 3-shingle chain exactly") =
     forAll(arrGen) { hs => shingleModelK(hs, 3) == shingleModel(hs) }
 
+  // --- blocks_of_hashes vs a grouped-fold model ------------------------
+  // non-overlapping tiles: same fold as shingles, stride k, multiset in
+  // tile order, trailing partial tile dropped
+  private def blockModelK(hs: Seq[Long], k: Int): Seq[Long] =
+    hs.grouped(k).filter(_.size == k).map(w =>
+      w.tail.foldLeft(w.head % P)((acc, h) => (acc * 131L + h) % P)).toSeq
+
+  property("window-k blocks eval equals the model for k in 1..13") =
+    forAll(arrGen, Gen.chooseNum(1, 13)) { (hs, k) =>
+      val out = evalExpr(graft.functions.BlocksOfHashes(litArr(hs), k))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == blockModelK(hs, k)
+    }
+
+  property("blocks are every k-th shingle (the tiling is a stride over the sliding fold)") =
+    forAll(arrGen, Gen.chooseNum(1, 8)) { (hs, k) =>
+      // the un-deduplicated sliding folds at positions 0, k, 2k, … are
+      // exactly the tile hashes — pins the two families to ONE fold
+      val slide = hs.sliding(k).filter(_.size == k).map(w =>
+        w.tail.foldLeft(w.head % P)((acc, h) => (acc * 131L + h) % P)).toSeq
+      blockModelK(hs, k) == slide.grouped(k).map(_.head).toSeq
+        .take(hs.size / k)
+    }
+
   // --- tok_hashes_of_tokens vs an independent code-point model ---------
 
   private val pow31s: Array[Long] =

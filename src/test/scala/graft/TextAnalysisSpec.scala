@@ -310,4 +310,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     for ((id, nb) <- sig)
       assert(scrub(id) === nb * TextAnalysis.BoilerWindow)
   }
+
+  test("corpusHistogram bands by the largest power of two <= token count") {
+    val out = TextAnalysis.corpusHistogram(docs(
+      (1L, "", "en"),                       // 0 tokens → band 0
+      (2L, "one", "en"),                    // 1 → band 1
+      (3L, "a b c", "en"),                  // 3 → band 2
+      (4L, Seq.fill(9)("t").mkString(" "), "en"),     // 9 → band 8
+      (5L, Seq.fill(5000)("t").mkString(" "), "en"),  // 5000 → capped 4096
+      (6L, "un deux trois quatre", "fr")))  // 4 → band 4, other lang
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("band_lo")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))).toMap
+    assert(out(("en", 0L)) === ((1L, 0L)))
+    assert(out(("en", 1L)) === ((1L, 1L)))
+    assert(out(("en", 2L)) === ((1L, 3L)))
+    assert(out(("en", 8L)) === ((1L, 9L)))
+    assert(out(("en", 4096L)) === ((1L, 5000L)))
+    assert(out(("fr", 4L)) === ((1L, 4L)))
+    assert(out.size === 6)
+  }
+
+  test("sourceQuality: per-source rollup agrees with per-doc classifier margins") {
+    val fixture = Seq(
+      (1L, "the cat and the hat", "en", "webA"),
+      (2L, "alpha beta gamma delta", "en", "webA"),
+      (3L, "one two three", "en", "webB"),
+      (4L, null.asInstanceOf[String], "en", "webB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val perDoc = TextAnalysis.classifierScore(fixture)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    val out = TextAnalysis.sourceQuality(fixture)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val aMargins = Seq(perDoc(1L), perDoc(2L))
+    val bMargins = Seq(perDoc(3L), perDoc(4L))
+    assert(out("webA").getAs[Long]("n_docs") === 2L)
+    assert(out("webA").getAs[Long]("n_keep") === aMargins.count(_ > 0L))
+    assert(out("webA").getAs[Double]("mean_margin") === aMargins.sum.toDouble / 2)
+    assert(out("webB").getAs[Long]("n_keep") === bMargins.count(_ > 0L))
+    assert(out("webB").getAs[Double]("keep_frac")
+      === bMargins.count(_ > 0L).toDouble / 2)
+    assert(perDoc(4L) === 0L) // NULL text contributes margin 0, still counted
+  }
 }
