@@ -63,4 +63,13 @@ object DocStream {
     * dedup/ANN twins. */
   def classifyDocs(docs: DataFrame): DataFrame =
     TextAnalysis.classifierScore(docs)
+
+  /** Streaming ingest scrub — the stream face of
+    * [[graft.text.Pii.piiScrub]], the batch operator unchanged (per-row
+    * codegen'd regexp, STATELESS — the scrub a pipeline runs before
+    * anything is persisted, so raw PII never lands in the corpus store).
+    * A doc scrubbed on ingest and re-scrubbed in a batch sweep produces
+    * the bit-identical redaction. */
+  def scrubDocs(docs: DataFrame): DataFrame =
+    graft.text.Pii.piiScrub(docs)
 }

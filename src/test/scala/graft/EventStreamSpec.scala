@@ -215,4 +215,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(progress.forall(_.stateOperators.isEmpty),
       "classifier gate grew streaming state")
   }
+
+  test("streaming PII scrub = the batch operator, stateless, identical redaction") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "contact me at alice@example.com or +14155550123"),
+      (2L, "server 10.0.0.1 responded"),
+      (3L, "nothing sensitive here"))
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val name = s"scrub_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.scrubDocs(
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val progress = try {
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally q.stop()
+    val pick = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_pii"), r.getAs[String]("redacted"))
+    val streamed = spark.table(name).collect().map(pick).toMap
+    val batch = graft.text.Pii.piiScrub(
+        rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang"))
+      .collect().map(pick).toMap
+    assert(streamed === batch)
+    assert(streamed(1L)._2 === "contact me at <EMAIL> or <PHONE>")
+    assert(progress.forall(_.stateOperators.isEmpty),
+      "PII scrub grew streaming state")
+  }
 }
