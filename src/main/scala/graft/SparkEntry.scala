@@ -265,6 +265,14 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // The reverse rollup (same split): per benchmark item, how many
+    // distinct train docs leak it — the eval owner's burn report.
+    "decontaminate_report" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.contaminationReport(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // Fuzzy sibling (same split): train docs whose MinHash signature
     // agrees >= 8/16 with some benchmark doc — the paraphrased-leak case
     // exact-window shingle matching misses by design.
@@ -410,6 +418,7 @@ object SparkEntry {
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
     "decontaminate" -> Dedup.contaminationSql(),
+    "decontaminate_report" -> Dedup.contaminationReportSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),

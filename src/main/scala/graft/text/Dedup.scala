@@ -919,6 +919,61 @@ object Dedup {
        |ORDER BY doc_id, n_match""".stripMargin
   }
 
+  /** The reverse rollup of [[contamination]] — per BENCHMARK document,
+    * how many distinct training documents share at least one
+    * `window`-token shingle with it. [[contamination]] answers "which
+    * train docs must I drop"; this answers the eval-owner's question:
+    * "which benchmark items are burned" (an item leaked into thousands
+    * of train docs is dead for measurement and gets rotated out; an item
+    * leaked once is recoverable by dropping the train doc). Same window,
+    * same hash chain, so the two reports describe the SAME leak set from
+    * both ends.
+    *
+    * Scale shape: the benchmark shingle relation broadcasts exactly as
+    * in [[contamination]], but the train side must carry doc ids through
+    * the join (an inner join, not LEFT SEMI — the report needs to know
+    * WHICH bench item matched), so the cost adds one distinct over the
+    * surviving (bench_id, train_id) pairs — bounded by actual leakage,
+    * which is ~zero on a healthy corpus — and the final ≤1-row-per-bench
+    * count. Only bench items with ≥1 leak appear (the healthy case is an
+    * EMPTY report, not |benchmark| zero rows).
+    */
+  def contaminationReport(docs: DataFrame, bench: DataFrame,
+      window: Int = DecontaminationWindow): DataFrame = {
+    val benchSh = shingleSetsK(bench, window)
+      .select(col("doc_id").as("bench_id"), explode(col("sh_set")).as("sh"))
+    shingleSetsK(docs, window)
+      .select(col("doc_id").as("train_id"), explode(col("sh_set")).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .select("bench_id", "train_id").distinct()
+      .groupBy("bench_id").agg(count(lit(1)).as("n_leaking_docs"))
+  }
+
+  /** Oracle twin — the [[contaminationSql]] shingle chain, grouped by
+    * the benchmark side. */
+  def contaminationReportSql(benchPred: String = "doc_id % 50 = 0",
+      window: Int = DecontaminationWindow): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    val shK = PortableHash.shingleKSql((0 until window).map(j =>
+      if (j == 0) "th[i]" else s"th[i+$j]"))
+    def shingleChain(prefix: String, pred: String) =
+      s"""${prefix}toks AS (
+         |  SELECT doc_id, $tok AS th FROM documents WHERE $pred
+         |), ${prefix}sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - ${window - 2}),
+         |    i -> $shK)) AS sh
+         |  FROM ${prefix}toks WHERE len(th) >= $window
+         |)""".stripMargin
+    s"""WITH ${shingleChain("b", benchPred)},
+       |${shingleChain("d", s"NOT ($benchPred)")}
+       |SELECT b.doc_id AS bench_id,
+       |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_leaking_docs
+       |FROM (SELECT doc_id, unnest(sh) AS s FROM bsh) b
+       |JOIN (SELECT doc_id, unnest(sh) AS s FROM dsh) d USING (s)
+       |GROUP BY bench_id
+       |ORDER BY bench_id, n_leaking_docs""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash: 64 bits, 4 bands × 16 bits, Hamming radius 3 — the classic

@@ -308,6 +308,29 @@ class DedupSpec extends AnyFunSuite {
       "window 3 must reproduce the over-flagging this parameter exists to fix")
   }
 
+  test("contamination report counts distinct leaking train docs per benchmark item") {
+    // bench 100 is leaked verbatim into trains 1 AND 2 (distinct docs,
+    // multiple shared shingles each — the report counts DOCS, not
+    // shingle hits); bench 200 is leaked into train 1 only; bench 300 is
+    // clean and must be ABSENT (an empty report is the healthy case)
+    val benchTokens = base.split(" ")
+    val quoteA = benchTokens.slice(5, 25).mkString(" ")  // 20 tokens of base
+    val quoteB = unrelated + " " + unrelated             // bench 200's body
+    val train = docs(
+      (1L, "intro " + quoteA + " middle " + quoteB + " outro"),
+      (2L, quoteA + " different tail content here entirely"),
+      (3L, "no shared content in this training document at all"))
+    val bench = docs((100L, base), (200L, quoteB),
+      (300L, "pristine benchmark item nothing quotes it anywhere truly"))
+    val out = Dedup.contaminationReport(train, bench).collect()
+      .map(r => r.getAs[Long]("bench_id") -> r.getAs[Long]("n_leaking_docs")).toMap
+    assert(out === Map(100L -> 2L, 200L -> 1L))
+    // both ends describe the same leak set: flagged train docs = {1, 2}
+    val flagged = Dedup.contamination(train, bench).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged === Set(1L, 2L))
+  }
+
   test("native tok_hashes_of_tokens equals the interpreted transform, incl. non-ASCII") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableHash
