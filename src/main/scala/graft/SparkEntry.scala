@@ -215,6 +215,17 @@ object SparkEntry {
           Dedup.contentFingerprints(corpus)),
         Dedup.signatureBands(corpus))
     }),
+    // Nightly-ingest admission manifest (same shard split): per shard
+    // doc, the keep/drop verdict with reasons against the persisted
+    // corpus fingerprints + signature bands — pipeline_manifest's
+    // incremental sibling.
+    "ingest_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      Dedup.ingestManifest(docs.filter(col("doc_id") % 10 === 9),
+        Dedup.contentFingerprints(corpus), Dedup.signatureBands(corpus))
+    }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
     // Deterministic hash-based train/val/test assignment (map-only; a
@@ -409,6 +420,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
+    "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),

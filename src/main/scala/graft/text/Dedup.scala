@@ -401,6 +401,146 @@ object Dedup {
        |ORDER BY doc_a, doc_b, n_match, est_jaccard""".stripMargin
   }
 
+  /** The nightly-ingest admission manifest — the incremental sibling of
+    * [[Curation.pipelineManifest]]: per SHARD document, the full
+    * keep/drop decision against the persisted corpus artifacts, with
+    * reasons (the audit-log discipline of [[Curation.corpusKeep]],
+    * applied to ingest):
+    *
+    *  - `is_known_content`: normalized fingerprint already in the
+    *    persisted corpus fingerprint relation ([[contentFingerprints]]),
+    *  - `is_shard_dup`: content new to the corpus but repeated within
+    *    the shard — the [[keeperIds]] min-doc_id policy (NULL-content
+    *    rows group together under it, identically in both engines),
+    *  - `is_near_dup`: the doc's shard-keeper signature agrees
+    *    ≥ `minMatch`/16 with a persisted corpus band row (corpus content
+    *    always wins — it is already trained on) or with a smaller-id
+    *    shard keeper (keep-first within the shard),
+    *  - `pred_keep`: the [[TextAnalysis.classifierScore]] gate,
+    *  - `admit` = none of the drop reasons and the gate passes.
+    *
+    * Scale shape: everything is the composed operators' own — ONE shard
+    * fingerprint pass (checkpointed) feeds the known-content flag, the
+    * keeper collapse, and the near-dup stage's input; the pair stage is
+    * [[incrementalNearDupPairs]] verbatim (only the shard pays the
+    * sketch pass; bucket equi-join, AQE-splittable) folded to a per-doc
+    * flag over ≤2 rows per surviving pair; the classifier is map-only.
+    * Corpus and shard doc_ids must be disjoint (the composition's
+    * standing precondition, see [[incrementalNearDupPairs]]).
+    */
+  def ingestManifest(shard: DataFrame, corpusFp: DataFrame,
+      corpusBands: DataFrame, minMatch: Long = 8L): DataFrame = {
+    val sfp = fingerprintsOf(graft.Tables.widen(shard)).localCheckpoint()
+    val known = corpusFp.select("fp_md5").distinct()
+      .withColumn("known", lit(true))
+    val flagged = sfp.join(known, Seq("fp_md5"), "left")
+      .select(col("doc_id"), col("fp_md5"),
+        coalesce(col("known"), lit(false)).as("is_known_content"))
+    val newRows = flagged.filter(!col("is_known_content"))
+    val keepers = newRows.groupBy("fp_md5").agg(min("doc_id").as("keeper_id"))
+    val shardDup = newRows.join(keepers, Seq("fp_md5"))
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_shard_dup"))
+    val pairs = incrementalNearDupPairs(
+        shard.join(newRows.select("doc_id"), Seq("doc_id"), "left_semi"),
+        corpusBands)
+      .filter(col("n_match") >= minMatch)
+    // fold pairs to a per-doc flag: each pair contributes both
+    // orientations, and (m, o) flags m when o is corpus content (not a
+    // shard id) or a smaller shard keeper
+    val touched = pairs.select(col("doc_a").as("m"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("m"), col("doc_a").as("o")))
+    val shardIds = sfp.select(col("doc_id").as("o"))
+      .withColumn("o_in_shard", lit(true))
+    val nearDup = touched.join(shardIds, Seq("o"), "left")
+      .filter(!coalesce(col("o_in_shard"), lit(false)) || col("o") < col("m"))
+      .select(col("m").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    val gate = TextAnalysis.classifierScore(shard)
+      .select(col("doc_id"), col("pred_keep"))
+    flagged.select("doc_id", "is_known_content")
+      .join(shardDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(gate, Seq("doc_id"))
+      .select(col("doc_id"), col("is_known_content"),
+        coalesce(col("is_shard_dup"), lit(false)).as("is_shard_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+        col("pred_keep"))
+      .withColumn("admit",
+        !col("is_known_content") && !col("is_shard_dup") &&
+          !col("is_near_dup") && col("pred_keep"))
+  }
+
+  /** Oracle twin over the driver fixture split (shard = doc_id % 10 = 9,
+    * corpus = the rest) — the [[incrementalNearDupPairsSql]] chain plus
+    * the shared margin spelling, folded to per-doc verdict flags. */
+  def ingestManifestSql(shardPred: String = "doc_id % 10 = 9",
+      minMatch: Long = 8L): String = {
+    val bandSelects = bandSelectsSql
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${PortableHash.tokHashSql("tk")})"
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |${shardKeeperCtes(shardPred)},
+       |newb AS (
+       |  SELECT b.* FROM bands b JOIN skeep USING (doc_id)
+       |),
+       |oldb AS (
+       |  SELECT * FROM bands WHERE NOT ($shardPred)
+       |),
+       |allb AS (
+       |  SELECT * FROM oldb UNION ALL SELECT * FROM newb
+       |),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM newb a JOIN allb b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |),
+       |flagged AS (
+       |  SELECT DISTINCT m AS doc_id FROM (
+       |    SELECT doc_a AS m, doc_b AS o, n_match FROM scored
+       |    UNION ALL
+       |    SELECT doc_b AS m, doc_a AS o, n_match FROM scored
+       |  ) t
+       |  WHERE n_match >= $minMatch AND (
+       |    NOT EXISTS (SELECT 1 FROM sfp s WHERE s.doc_id = t.o) OR t.o < t.m)
+       |),
+       |margins AS (
+       |  SELECT doc_id, ${TextAnalysis.marginSqlOf(th)} AS margin
+       |  FROM documents WHERE $shardPred
+       |),
+       |fin AS (
+       |  SELECT s.doc_id AS doc_id,
+       |    EXISTS (SELECT 1 FROM cfp c WHERE c.fp_md5 = s.fp_md5)
+       |      AS is_known_content,
+       |    -- fp IS NOT NULL: a NULL-content row is never a dup of another
+       |    -- NULL-content row (Spark's null-keyed equi-join agrees for free)
+       |    (s.fp_md5 IS NOT NULL
+       |      AND EXISTS (SELECT 1 FROM snew n WHERE n.doc_id = s.doc_id)
+       |      AND NOT EXISTS (SELECT 1 FROM skeep k WHERE k.doc_id = s.doc_id))
+       |      AS is_shard_dup,
+       |    EXISTS (SELECT 1 FROM flagged fl WHERE fl.doc_id = s.doc_id)
+       |      AS is_near_dup,
+       |    margin > 0 AS pred_keep
+       |  FROM sfp s JOIN margins USING (doc_id)
+       |)
+       |SELECT doc_id, is_known_content, is_shard_dup, is_near_dup, pred_keep,
+       |  NOT is_known_content AND NOT is_shard_dup AND NOT is_near_dup
+       |    AND pred_keep AS admit
+       |FROM fin
+       |ORDER BY doc_id, is_known_content, is_shard_dup, is_near_dup,
+       |  pred_keep, admit""".stripMargin
+  }
+
   // ---- connected-component dedup clusters --------------------------------
 
   /** The step AFTER pair detection in a real dedup pipeline: treat

@@ -503,9 +503,16 @@ object TextAnalysis {
       .withColumn("pred_keep", col("margin") > 0L)
   }
 
-  def classifierScoreSql: String = {
-    val f = ClassifierFeatures
+  /** The classifier margin as one DuckDB expression over a token-hash
+    * array expression — the single SQL spelling every margin-consuming
+    * oracle shares ([[classifierScoreSql]], [[sourceQualitySql]],
+    * [[graft.text.Dedup.ingestManifestSql]]). */
+  def marginSqlOf(th: String): String = {
     val wLit = ClassifierWeights.mkString("[", ", ", "]")
+    s"CAST(coalesce(list_sum(list_transform($th, x -> ($wLit)[CAST(x % $ClassifierFeatures AS INT) + 1])), 0) AS BIGINT)"
+  }
+
+  def classifierScoreSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenRe') AS toks
        |  FROM documents
@@ -515,13 +522,10 @@ object TextAnalysis {
        |)
        |SELECT doc_id,
        |  CAST(coalesce(len(th), 0) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(list_sum(list_transform(th,
-       |    x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) AS margin,
-       |  CAST(coalesce(list_sum(list_transform(th,
-       |    x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) > 0 AS pred_keep
+       |  ${marginSqlOf("th")} AS margin,
+       |  ${marginSqlOf("th")} > 0 AS pred_keep
        |FROM h
        |ORDER BY doc_id, n_tokens, margin, pred_keep""".stripMargin
-  }
 
   /** Repetition window (token n-gram width) and the flag threshold: a doc
     * whose single most frequent 3-gram covers > 18% of its 3-grams is
@@ -939,14 +943,9 @@ object TextAnalysis {
         (col("sum_margin") / col("n_docs")).as("mean_margin"))
 
   def sourceQualitySql: String = {
-    val f = ClassifierFeatures
-    val wLit = ClassifierWeights.mkString("[", ", ", "]")
+    val th = s"list_transform(regexp_extract_all(lower(text), '$TokenRe'), tk -> ${PortableHash.tokHashSql("tk")})"
     s"""WITH h AS (
-       |  SELECT source,
-       |    CAST(coalesce(list_sum(list_transform(
-       |      list_transform(regexp_extract_all(lower(text), '$TokenRe'),
-       |        tk -> ${PortableHash.tokHashSql("tk")}),
-       |      x -> ($wLit)[CAST(x % $f AS INT) + 1])), 0) AS BIGINT) AS margin
+       |  SELECT source, ${marginSqlOf(th)} AS margin
        |  FROM documents
        |), agg AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -308,6 +308,40 @@ class DedupSpec extends AnyFunSuite {
       "window 3 must reproduce the over-flagging this parameter exists to fix")
   }
 
+  test("ingestManifest: known / shard-dup / near-dup / gate verdicts with admit consistency") {
+    val fresh = "nova comet quasar pulsar nebula meteor aurora eclipse " +
+      "orbit galaxy cluster photon neutron proton electron hadron " +
+      "lepton boson quark gluon plasma corona zenith apex"
+    val corpus = docs((10L, base), (11L, unrelated))
+    val shard = docs(
+      (100L, base),      // exact content already persisted → known
+      (101L, fresh),     // new content, the shard keeper of {101, 102}
+      (102L, fresh),     // same content again → shard dup
+      (103L, nearDup),   // one-token variant of corpus 10 → near dup
+      (104L, "entirely novel words nobody else uses anywhere wavelength " +
+        "frequency amplitude resonance harmonics overtone timbre cadence"))
+    val out = Dedup.ingestManifest(shard,
+        Dedup.contentFingerprints(corpus), Dedup.signatureBands(corpus))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flags(id: Long) = (
+      out(id).getAs[Boolean]("is_known_content"),
+      out(id).getAs[Boolean]("is_shard_dup"),
+      out(id).getAs[Boolean]("is_near_dup"))
+    assert(out.keySet === Set(100L, 101L, 102L, 103L, 104L))
+    assert(flags(100L) === ((true, false, false)))
+    assert(flags(101L) === ((false, false, false)))
+    assert(flags(102L) === ((false, true, false))) // non-keepers skip pairing
+    assert(flags(103L) === ((false, false, true)))
+    assert(flags(104L) === ((false, false, false)))
+    // admit is exactly the conjunction, whatever the classifier said
+    for ((_, r) <- out)
+      assert(r.getAs[Boolean]("admit") ===
+        (!r.getAs[Boolean]("is_known_content") &&
+          !r.getAs[Boolean]("is_shard_dup") &&
+          !r.getAs[Boolean]("is_near_dup") &&
+          r.getAs[Boolean]("pred_keep")))
+  }
+
   test("contamination report counts distinct leaking train docs per benchmark item") {
     // bench 100 is leaked verbatim into trains 1 AND 2 (distinct docs,
     // multiple shared shingles each — the report counts DOCS, not
