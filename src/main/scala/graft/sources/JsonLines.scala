@@ -72,8 +72,18 @@ object JsonLines {
   def quarantine(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
 
-  /** Write a documents relation as JSONL. */
+  /** Write a documents relation as JSONL. `compression` accepts the
+    * text-source codecs ("gzip", "bzip2", "none", …). Splittability
+    * caveat for the 100 TB case: a gzip member is ONE split — a single
+    * giant .jsonl.gz file serializes its scan on one task, so compressed
+    * corpora must be written as many files (this writer already emits
+    * one per partition, which is why the read path stays parallel).
+    * [[readDocuments]] needs no flag — the text source decompresses by
+    * extension transparently. */
   def writeDocuments(df: DataFrame, path: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).json(path)
+      mode: SaveMode = SaveMode.Overwrite,
+      compression: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
 }

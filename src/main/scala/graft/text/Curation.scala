@@ -575,6 +575,11 @@ object Curation {
     * — the same pre-collapse discipline as the sketch families). Both
     * versions pay one scan + one fingerprint map pass; nothing explodes,
     * nothing is quadratic.
+    *
+    * Precondition: `doc_id` is each snapshot's primary key (true of the
+    * fixture tables and of any sane corpus manifest). A duplicated id
+    * would cross-multiply in the id join — like every keyed diff, this
+    * operator diffs BY the key, it does not repair one.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fps(df: DataFrame, fpCol: String) =

@@ -22,6 +22,22 @@ class JsonLinesSpec extends AnyFunSuite {
     assert(JsonLines.quarantine(JsonLines.readDocuments(spark, path)).count() === 0L)
   }
 
+  test("gzip-compressed JSONL round-trips transparently (the shipped-corpus format)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    JsonLines.writeDocuments(docs, path, compression = Some("gzip"))
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    // read side needs no flag — the text source decodes by extension
+    val back = JsonLines.good(JsonLines.readDocuments(spark, path))
+    assert(back.count() === docs.count())
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
+    val orig = docs.collect().map(r => key(r) -> r.toSeq).toMap
+    val rt = back.select(docs.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    assert(rt === orig)
+  }
+
   test("malformed and mistyped lines quarantine with their raw text; blanks skip") {
     val path = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
     java.nio.file.Files.writeString(
