@@ -115,5 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } else 8
         graft.functions.BlocksOfHashes(children.head, window)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("fold_marks"),
+      new ExpressionInfo(classOf[graft.functions.FoldMarks].getName,
+        "fold_marks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"fold_marks takes exactly 1 argument, got ${children.size}")
+        graft.functions.FoldMarks(children.head)
+      }))
   }
 }

@@ -174,6 +174,10 @@ object SparkEntry {
     // cleaned text out (the count+mask pairing pii_scrub ships).
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(graft.Tables.documents(s, dir))),
+    // Accent-folding normalization (lower -> NFD -> strip marks -> NFC),
+    // the canonical pre-dedup text scrub; native codegen, ASCII fast path.
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.textNormalize(graft.Tables.documents(s, dir))),
     // Per-language token-count distribution over fixed power-of-two
     // bands — one partial-agg shuffle of <= |langs|*|bands| rows.
     "corpus_histogram" -> ((s, dir) =>
@@ -411,6 +415,7 @@ object SparkEntry {
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
     "boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql(),
+    "text_normalize" -> TextAnalysis.textNormalizeSql,
     "corpus_histogram" -> TextAnalysis.corpusHistogramSql,
     "source_quality" -> TextAnalysis.sourceQualitySql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,

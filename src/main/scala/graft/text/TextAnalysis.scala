@@ -874,6 +874,48 @@ object TextAnalysis {
        |ORDER BY doc_id, n_tokens, n_removed_tokens, clean_text""".stripMargin
   }
 
+  /** Canonical accent-folded text — the normalization pass a
+    * multilingual pipeline runs before fingerprinting/deduping so that
+    * "café" and "cafe" (and a matra-stripped Indic token, a
+    * mark-stripped Kana) hash alike: lowercase, NFD-decompose, drop all
+    * combining marks (Mn/Mc/Me), recompose NFC. The fold itself is the
+    * native [[graft.functions.FoldMarks]] expression (ASCII fast path —
+    * the common case pays one byte-scan); sessions without
+    * GraftExtensions fall back to a UDF wrapping the same static fold
+    * (no Spark builtin expresses UAX #15 — the one fallback in the
+    * engine that cannot be builtin-HOF, documented rather than faked).
+    * `changed` marks docs the fold actually touched (beyond
+    * lowercasing), so the scrub can be audited and the untouched bulk
+    * short-circuits downstream. NULL text stays NULL, changed=false.
+    *
+    * Scale shape: pure per-row map work, zero shuffle.
+    */
+  def textNormalize(docs: DataFrame): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val lowered = lower(col("text"))
+    val folded =
+      if (wide.sparkSession.catalog.functionExists("fold_marks"))
+        call_function("fold_marks", lowered)
+      else TextAnalysis.foldMarksUdf(lowered)
+    wide.select(col("doc_id"), lowered.as("lowered"), folded.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        coalesce(col("norm_text") =!= col("lowered"), lit(false)).as("changed"))
+  }
+
+  /** Fallback-only UDF around the same static fold (see [[textNormalize]]). */
+  private val foldMarksUdf =
+    udf((s: String) => if (s == null) null
+      else graft.functions.FoldMarks
+        .fold(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+
+  def textNormalizeSql: String =
+    s"""SELECT doc_id,
+       |  strip_accents(nfc_normalize(lower(text))) AS norm_text,
+       |  coalesce(strip_accents(nfc_normalize(lower(text))) <> lower(text), false)
+       |    AS changed
+       |FROM documents
+       |ORDER BY doc_id, norm_text, changed""".stripMargin
+
   /** Power-of-two token-count bands for [[corpusHistogram]]: `band_lo` =
     * the largest band ≤ the doc's token count, 0 for empty/NULL-text
     * docs, capped at the last band (4096 — past the packing budget, one
