@@ -304,6 +304,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.size === 6)
   }
 
+  test("corpusDiff invariants: self-diff is all-same; disjoint ids are pure churn") {
+    val snap = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val self = Curation.corpusDiff(snap, snap).collect()
+    assert(self.length === 3)
+    assert(self.forall(r => r.getAs[String]("status") == "same" &&
+      !r.getAs[Boolean]("content_moved")))
+    // fully re-keyed snapshot: every id churns, but every CONTENT moved
+    val rekeyed = docs((11L, base), (12L, nearDup), (13L, unrelated))
+    val churn = Curation.corpusDiff(snap, rekeyed).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Boolean]("content_moved")))).toMap
+    assert(churn.size === 6)
+    for (id <- Seq(1L, 2L, 3L)) assert(churn(id) === (("removed", true)))
+    for (id <- Seq(11L, 12L, 13L)) assert(churn(id) === (("added", true)))
+  }
+
   test("corpusDiff: NULL text diffs as content, not as an absent row") {
     val old = Seq((1L, "some words here", "en"), (2L, null, "en"))
       .toDF("doc_id", "text", "lang")

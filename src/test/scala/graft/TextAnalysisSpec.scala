@@ -330,6 +330,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.size === 6)
   }
 
+  test("corpusHistogram conserves mass: band doc counts and token totals sum to the corpus") {
+    val docsDf = graft.Tables.documents(SparkTestSession.spark, "/root/testdata/sf0.001")
+    val hist = TextAnalysis.corpusHistogram(docsDf).collect()
+    val nDocs = hist.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === docsDf.count())
+    val tokTotal = TextAnalysis.classifierScore(docsDf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    assert(hist.map(_.getAs[Long]("total_tokens")).sum === tokTotal)
+    // every row sits on a real band edge
+    val bands = (0L +: TextAnalysis.HistogramBands).toSet
+    assert(hist.forall(r => bands.contains(r.getAs[Long]("band_lo"))))
+  }
+
   test("sourceQuality: per-source rollup agrees with per-doc classifier margins") {
     val fixture = Seq(
       (1L, "the cat and the hat", "en", "webA"),
