@@ -157,6 +157,11 @@ object SparkEntry {
     // frequency; partial-agg shuffle + TakeOrdered, no global sort.
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(graft.Tables.documents(s, dir))),
+    // Byte-level BPE merge induction over the word-frequency relation:
+    // the corpus pays one tokenize+count shuffle, the 8 merge rounds run
+    // on the <=|vocab| table (TakeOrdered top pair, broadcast rewrite).
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(graft.Tables.documents(s, dir))),
     // Corpus-frequency rarity signals: raw occurrences shuffle once into
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
@@ -411,6 +416,7 @@ object SparkEntry {
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),

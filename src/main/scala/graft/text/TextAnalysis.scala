@@ -379,6 +379,117 @@ object TextAnalysis {
        |SELECT token, n_occurrences, n_docs FROM topk
        |ORDER BY token, n_occurrences, n_docs""".stripMargin
 
+  /** Number of BPE merge rounds for the [[bpeMerges]] query entry —
+    * fixture-scaled; real tokenizer builds run 30k+ rounds, which
+    * changes nothing about any round's plan shape. */
+  val BpeRounds: Int = 8
+  /** Symbol-boundary sentinel inside a word's symbol string: U+001F
+    * cannot occur, because symbols are HEX DIGITS only. */
+  private val US = "\u001F"
+
+  /** Byte-level BPE merge induction — the step after [[vocabTopK]] in
+    * building a tokenizer: learn the `n` highest-count adjacent-symbol
+    * merges (GPT-2-style byte BPE). The classic formulation (Sennrich et
+    * al.) runs on the WORD-FREQUENCY table, not the corpus: the corpus
+    * pays exactly one tokenize + count shuffle (the [[vocabTopK]]
+    * relation), and every merge round runs over the ≤|distinct words|
+    * relation — at 100 TB the rounds cost the same as at 100 MB, which
+    * is the whole trick. Symbols are UTF-8 bytes as hex pairs (merged
+    * symbols concatenate), so both engines agree byte-for-byte with no
+    * unicode-segmentation seam, and a word's symbol string (each symbol
+    * `US`-bracketed: `␟68␟␟69␟`) makes merge application a plain
+    * non-overlapping left-to-right `replace` — identical semantics in
+    * Spark and DuckDB, and exactly greedy BPE merge order. Ties at the
+    * top pair break (count desc, lhs asc, rhs asc), so the learned
+    * merge table is a pure function of the corpus.
+    *
+    * Per round: adjacency pairs from the symbol arrays (weighted by word
+    * count, partial-agg shuffle on the pair key), TakeOrdered top-1,
+    * then the 1-row winner BROADCASTS back via a constant equi-key (a
+    * broadcast hash join — never a nested-loop) to rewrite every word.
+    * Both the word relation and each round's winner are checkpointed —
+    * rounds × (agg + top-1 + map) driver-scheduled jobs, the same
+    * iterative discipline as the IVF Lloyd rounds and the
+    * star-contraction, with the oracle unrolling the SAME rounds as
+    * CTEs. Output: one row per learned merge.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    var cur = wide.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wt"))
+      .select(regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", s"$US$$1$US")
+        .as("seq"), col("wt"))
+      .localCheckpoint()
+    val rounds = (0 until nMerges).map { r =>
+      val ss = transform(split(col("seq"), s"$US$US"),
+        s => translate(s, US, ""))
+      // CaseWhen evaluates lazily: sequence() never sees a 1-symbol word
+      val adj = when(size(ss) >= 2,
+          transform(sequence(lit(1), size(ss) - 1), i =>
+            struct(element_at(ss, i).as("lhs"), element_at(ss, i + 1).as("rhs"))))
+        .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+      val top = cur.select(col("wt"), explode(adj).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("wt").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .withColumn("k", lit(1))
+        .localCheckpoint() // feeds BOTH the rewrite join and the output row
+      cur = cur.withColumn("k", lit(1))
+        .join(broadcast(top), Seq("k"))
+        .select(call_function("replace", col("seq"),
+            concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
+            concat(lit(US), col("lhs"), col("rhs"), lit(US))).as("seq"),
+          col("wt"))
+        .localCheckpoint()
+      top.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    }
+    rounds.reduce(_ union _)
+  }
+
+  /** Oracle twin — the rounds unrolled as CTEs (the IVF-Lloyd pattern);
+    * `\\1` is RE2's backreference spelling where Spark's is `$1`. */
+  def bpeMergesSql(nMerges: Int = BpeRounds): String = {
+    val us = "chr(31)"
+    val w0 =
+      s"""w0 AS (
+         |  SELECT regexp_replace(hex(w), '(..)', $us || '\\1' || $us, 'g') AS seq,
+         |    CAST(count(*) AS BIGINT) AS wt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS w
+         |        FROM documents) t
+         |  GROUP BY w
+         |)""".stripMargin
+    val rounds = (0 until nMerges).map { r =>
+      s"""s$r AS (
+         |  SELECT wt, list_transform(string_split(seq, $us || $us),
+         |    x -> replace(x, chr(31), '')) AS ss
+         |  FROM w$r
+         |), p$r AS (
+         |  SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(wt) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT wt, unnest(list_transform(range(1, len(ss)),
+         |      i -> {'lhs': ss[i], 'rhs': ss[i+1]})) AS pr
+         |    FROM s$r
+         |  ) GROUP BY pr.lhs, pr.rhs
+         |), t$r AS (
+         |  SELECT lhs, rhs, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+         |), w${r + 1} AS (
+         |  SELECT replace(seq, $us || lhs || $us || $us || rhs || $us,
+         |    $us || lhs || rhs || $us) AS seq, wt
+         |  FROM w$r, t$r
+         |)""".stripMargin
+    }
+    val out = (0 until nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, pair_count FROM t$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $w0,
+       |${rounds.mkString(",\n")}
+       |$out
+       |ORDER BY round, lhs, rhs, merged, pair_count""".stripMargin
+  }
+
   /** Per-document corpus-frequency rarity signals — the two-pass
     * "compare each document against corpus statistics" operator family
     * (the shape TF-IDF, unigram-LM perplexity proxies, and rare-token

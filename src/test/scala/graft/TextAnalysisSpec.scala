@@ -311,6 +311,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(scrub(id) === nb * TextAnalysis.BoilerWindow)
   }
 
+  test("bpeMerges golden: weighted top pair per round, greedy rewrite, early exhaustion") {
+    // words: "aa"x3, "ab"x1, "b"x1 (hex: a=61, b=62)
+    // r0: pair (61,61) weight 3 wins -> "aa" becomes one symbol 6161
+    // r1: only (61,62) weight 1 remains
+    // r2: no adjacent pairs left anywhere -> round absent (BPE exhausts)
+    val out = TextAnalysis.bpeMerges(docs(
+      (1L, "aa aa ab", "en"), (2L, "aa b", "en")), nMerges = 3)
+      .collect().map(r => r.getAs[Long]("round") ->
+        ((r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+          r.getAs[String]("merged"), r.getAs[Long]("pair_count")))).toMap
+    assert(out === Map(
+      0L -> (("61", "61", "6161", 3L)),
+      1L -> (("61", "62", "6162", 1L))))
+  }
+
+  test("bpeMerges: ties break by symbol text; hex symbols are uppercase") {
+    // (61,62) and (63,64) both weigh 2 -> lexicographic lhs wins round 0
+    val tied = TextAnalysis.bpeMerges(docs(
+      (1L, "ab cd", "en"), (2L, "ab cd", "en")), nMerges = 1).first()
+    assert(tied.getAs[String]("lhs") === "61")
+    assert(tied.getAs[String]("rhs") === "62")
+    // 'z' = 0x7A: the alpha hex digit must be uppercase on both engines
+    val z = TextAnalysis.bpeMerges(docs((1L, "zz", "en")), nMerges = 1).first()
+    assert(z.getAs[String]("merged") === "7A7A")
+  }
+
   test("corpusHistogram bands by the largest power of two <= token count") {
     val out = TextAnalysis.corpusHistogram(docs(
       (1L, "", "en"),                       // 0 tokens → band 0
