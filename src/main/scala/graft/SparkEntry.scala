@@ -162,6 +162,10 @@ object SparkEntry {
     // on the <=|vocab| table (TakeOrdered top pair, broadcast rewrite).
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(graft.Tables.documents(s, dir))),
+    // Encode under the learned merges: per-doc token counts the packer
+    // would consume; the corpus re-enters as the (doc, word) relation.
+    "bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(graft.Tables.documents(s, dir))),
     // Corpus-frequency rarity signals: raw occurrences shuffle once into
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
@@ -417,6 +421,7 @@ object SparkEntry {
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
+    "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),

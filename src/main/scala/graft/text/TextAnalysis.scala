@@ -413,12 +413,20 @@ object TextAnalysis {
     * star-contraction, with the oracle unrolling the SAME rounds as
     * CTEs. Output: one row per learned merge.
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+  /** Shared merge-learning loop: returns the per-round winner frames
+    * (empty frames past BPE exhaustion) and the FINAL word relation
+    * `(w, seq, wt)` after all rewrites — [[bpeMerges]] unions the
+    * former, [[bpeEncode]] consumes the latter. Exhaustion-safe: the
+    * rewrite joins the 1-row winner LEFT, so running out of pairs stops
+    * producing merges without emptying the word relation. */
+  private def bpeRoundsAndWords(docs: DataFrame,
+      nMerges: Int): (Seq[DataFrame], DataFrame) = {
     val wide = graft.Tables.widen(docs)
     var cur = wide.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wt"))
-      .select(regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", s"$US$$1$US")
-        .as("seq"), col("wt"))
+      .select(col("w"),
+        regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", s"$US$$1$US")
+          .as("seq"), col("wt"))
       .localCheckpoint()
     val rounds = (0 until nMerges).map { r =>
       val ss = transform(split(col("seq"), s"$US$US"),
@@ -436,25 +444,57 @@ object TextAnalysis {
         .withColumn("k", lit(1))
         .localCheckpoint() // feeds BOTH the rewrite join and the output row
       cur = cur.withColumn("k", lit(1))
-        .join(broadcast(top), Seq("k"))
-        .select(call_function("replace", col("seq"),
-            concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
-            concat(lit(US), col("lhs"), col("rhs"), lit(US))).as("seq"),
+        .join(broadcast(top), Seq("k"), "left")
+        .select(col("w"),
+          when(col("lhs").isNotNull,
+            call_function("replace", col("seq"),
+              concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
+              concat(lit(US), col("lhs"), col("rhs"), lit(US))))
+            .otherwise(col("seq")).as("seq"),
           col("wt"))
         .localCheckpoint()
       top.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
     }
-    rounds.reduce(_ union _)
+    (rounds, cur)
   }
 
-  /** Oracle twin — the rounds unrolled as CTEs (the IVF-Lloyd pattern);
-    * `\\1` is RE2's backreference spelling where Spark's is `$1`. */
-  def bpeMergesSql(nMerges: Int = BpeRounds): String = {
+  def bpeMerges(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame =
+    bpeRoundsAndWords(docs, nMerges)._1.reduce(_ union _)
+
+  /** Encode the corpus under the learned merges — the per-document
+    * token count the packer ([[Curation.packSequences]]) would consume
+    * in a BPE-tokenized pipeline: after [[bpeRoundsAndWords]]'s rewrites
+    * the ≤|vocab| word relation maps each word to its final symbol
+    * count, the corpus re-enters as the (doc, word) multiplicity
+    * relation ([[tokenRarity]]'s one-shuffle shape), and the rollup
+    * rides doc_id. Empty/NULL-text docs report 0.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val (_, words) = bpeRoundsAndWords(docs, nMerges)
+    val wordSyms = words.select(col("w"),
+      size(split(col("seq"), s"$US$US")).cast("long").as("n_syms"))
+    val wide = graft.Tables.widen(docs)
+    val occ = wide.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n_occ"))
+    val rolled = occ.join(wordSyms, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("n_syms")).as("nb"))
+    docs.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nb"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The unrolled merge-round CTE chain (the IVF-Lloyd pattern), shared
+    * by [[bpeMergesSql]] and [[bpeEncodeSql]]: w0..w`n` word relations,
+    * per-round pair counts p`r` and winners t`r`. The rewrite LEFT JOINs
+    * the (possibly empty) 1-row winner, mirroring the Spark loop's
+    * exhaustion safety. `\\1` is RE2's backreference spelling where
+    * Spark's is `$1`. */
+  private def bpeCtesSql(nMerges: Int): String = {
     val us = "chr(31)"
     val w0 =
       s"""w0 AS (
-         |  SELECT regexp_replace(hex(w), '(..)', $us || '\\1' || $us, 'g') AS seq,
+         |  SELECT w, regexp_replace(hex(w), '(..)', $us || '\\1' || $us, 'g') AS seq,
          |    CAST(count(*) AS BIGINT) AS wt
          |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS w
          |        FROM documents) t
@@ -476,19 +516,47 @@ object TextAnalysis {
          |  SELECT lhs, rhs, pair_count FROM p$r
          |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
          |), w${r + 1} AS (
-         |  SELECT replace(seq, $us || lhs || $us || $us || rhs || $us,
-         |    $us || lhs || rhs || $us) AS seq, wt
-         |  FROM w$r, t$r
+         |  SELECT w,
+         |    CASE WHEN lhs IS NULL THEN seq
+         |         ELSE replace(seq, $us || lhs || $us || $us || rhs || $us,
+         |           $us || lhs || rhs || $us) END AS seq, wt
+         |  FROM w$r LEFT JOIN t$r ON TRUE
          |)""".stripMargin
     }
+    if (rounds.isEmpty) w0
+    else s"""$w0,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  def bpeMergesSql(nMerges: Int = BpeRounds): String = {
     val out = (0 until nMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, pair_count FROM t$r")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $w0,
-       |${rounds.mkString(",\n")}
+    s"""WITH ${bpeCtesSql(nMerges)}
        |$out
        |ORDER BY round, lhs, rhs, merged, pair_count""".stripMargin
   }
+
+  def bpeEncodeSql(nMerges: Int = BpeRounds): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+       |wsyms AS (
+       |  SELECT w, CAST(len(string_split(seq, chr(31) || chr(31))) AS BIGINT)
+       |    AS n_syms
+       |  FROM w$nMerges
+       |),
+       |occ AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS w
+       |        FROM documents) t
+       |  GROUP BY doc_id, w
+       |),
+       |rolled AS (
+       |  SELECT doc_id, CAST(sum(n_occ * n_syms) AS BIGINT) AS nb
+       |  FROM occ JOIN wsyms USING (w) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id AS doc_id, coalesce(nb, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN rolled ON d.doc_id = rolled.doc_id
+       |ORDER BY doc_id, n_bpe_tokens""".stripMargin
 
   /** Per-document corpus-frequency rarity signals — the two-pass
     * "compare each document against corpus statistics" operator family

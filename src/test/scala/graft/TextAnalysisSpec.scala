@@ -326,6 +326,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       1L -> (("61", "62", "6162", 1L))))
   }
 
+  test("bpeEncode golden: symbol counts shrink with merges, exhaustion leaves counts intact") {
+    // same corpus as the merges golden: after r0 (61,61) and r1 (61,62),
+    // "aa" is 1 symbol, "ab" is 1, "b" is 1
+    val fixture = docs((1L, "aa aa ab", "en"), (2L, "aa b", "en"),
+      (3L, "", "en"), (4L, null, "en"))
+    val out = TextAnalysis.bpeEncode(fixture, nMerges = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+    // zero merges = raw byte counts: "aa aa ab" = 6 bytes, "aa b" = 3
+    val raw = TextAnalysis.bpeEncode(fixture, nMerges = 0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(raw === Map(1L -> 6L, 2L -> 3L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("bpeMerges: ties break by symbol text; hex symbols are uppercase") {
     // (61,62) and (63,64) both weigh 2 -> lexicographic lhs wins round 0
     val tied = TextAnalysis.bpeMerges(docs(
