@@ -342,6 +342,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(raw === Map(1L -> 6L, 2L -> 3L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("bpeEncode invariants on the fixture: counts fall monotonically with merges") {
+    val fixture = graft.Tables.documents(SparkTestSession.spark, "/root/testdata/sf0.001")
+    def counts(n: Int) = TextAnalysis.bpeEncode(fixture, nMerges = n)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    val c0 = counts(0)
+    val c4 = counts(4)
+    val c8 = counts(8)
+    assert(c0.keySet === c4.keySet && c4.keySet === c8.keySet)
+    for (id <- c0.keys) {
+      assert(c0(id) >= c4(id), s"doc $id grew under 4 merges")
+      assert(c4(id) >= c8(id), s"doc $id grew under 8 merges")
+    }
+    // zero merges = UTF-8 byte count of the tokens (fixture is ASCII)
+    import org.apache.spark.sql.functions._
+    val bytes = fixture.select(col("doc_id"),
+        coalesce(aggregate(TextAnalysis.tokens(col("text")),
+          lit(0L), (acc, t) => acc + length(t)), lit(0L)).as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    assert(c0 === bytes)
+    // 8 merges genuinely compress something on real text
+    assert(c8.values.sum < c0.values.sum)
+  }
+
   test("bpeMerges: ties break by symbol text; hex symbols are uppercase") {
     // (61,62) and (63,64) both weigh 2 -> lexicographic lhs wins round 0
     val tied = TextAnalysis.bpeMerges(docs(
