@@ -157,6 +157,11 @@ object SparkEntry {
     // frequency; partial-agg shuffle + TakeOrdered, no global sort.
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(graft.Tables.documents(s, dir))),
+    // Tokenizer-scale sibling: selection by count threshold — the same
+    // one-shuffle agg followed by a distributed filter, so nothing
+    // (not even a k-row merge) ever lands on the driver.
+    "vocab_mincount" -> ((s, dir) =>
+      TextAnalysis.vocabByMinCount(graft.Tables.documents(s, dir))),
     // Byte-level BPE merge induction over the word-frequency relation:
     // the corpus pays one tokenize+count shuffle, the 8 merge rounds run
     // on the <=|vocab| table (TakeOrdered top pair, broadcast rewrite).
@@ -198,6 +203,10 @@ object SparkEntry {
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
+    // Accent-folded fingerprint variant: café/cafe copies share a
+    // cluster — the fold_marks pass threaded into the dedup key.
+    "exact_dup_clusters_norm" -> ((s, dir) =>
+      Dedup.exactDupClustersNorm(graft.Tables.documents(s, dir))),
     "minhash_bands" -> ((s, dir) =>
       Dedup.minhashBands(graft.Tables.documents(s, dir))),
     "near_dup_pairs" -> ((s, dir) =>
@@ -210,6 +219,13 @@ object SparkEntry {
     // the deep-component path; same oracle as dedup_clusters by design.
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.dedupClustersStar(graft.Tables.documents(s, dir))),
+    // Quality-aware survivor policy: same components, but the kept copy
+    // is the highest-classifier-margin member, not the smallest id.
+    "dedup_clusters_best" -> ((s, dir) =>
+      Dedup.dedupClustersBest(graft.Tables.documents(s, dir))),
+    // The exact-cluster face of the same knob (margin-ordered keeper).
+    "exact_dup_clusters_best" -> ((s, dir) =>
+      Dedup.exactDupClustersBest(graft.Tables.documents(s, dir))),
     // Nightly-ingest twin: shard = doc_id % 10 = 9 (scale-invariant 10%
     // split); corpus fingerprints/bands recomputed here from the other
     // 90% — in production they'd be parquet reads of the persisted
@@ -249,6 +265,11 @@ object SparkEntry {
     // thresholds from integer weights; corpus pass stays map-only.
     "corpus_mix" -> ((s, dir) =>
       graft.text.Curation.corpusMix(graft.Tables.documents(s, dir))),
+    // Oversampling twin: rebalance to the weights at constant total size,
+    // emitting per-doc repeat counts (epochs) — overweight sources get
+    // n_repeats > 1, underweight ones hash-threshold down, map-only.
+    "corpus_mix_epochs" -> ((s, dir) =>
+      graft.text.Curation.corpusMixEpochs(graft.Tables.documents(s, dir))),
     // Corpus version diff: old = docs minus the %10=0 ids ("new in v2"),
     // new = docs minus the %10=9 ids with %10=5 texts edited — per id:
     // same/changed/added/removed + moved-content flag via the distinct
@@ -278,6 +299,12 @@ object SparkEntry {
     // fixed-context trainer consumes (no bin ever exceeds the budget).
     "pipeline_manifest_chunked" -> ((s, dir) =>
       graft.text.Curation.pipelineManifestChunked(graft.Tables.documents(s, dir))),
+    // The closed tokenizer loop: learn BPE merges on the kept corpus,
+    // encode every kept doc, chunk-pack on the BPE token counts — bins
+    // hold exactly `budget` TOKENIZER tokens, which is what a trainer
+    // actually consumes. One tokenize pass feeds keep/learn/encode/split.
+    "pipeline_manifest_bpe" -> ((s, dir) =>
+      graft.text.Curation.pipelineManifestBpe(graft.Tables.documents(s, dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -420,6 +447,7 @@ object SparkEntry {
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "vocab_mincount" -> TextAnalysis.vocabByMinCountSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
@@ -430,21 +458,26 @@ object SparkEntry {
     "corpus_histogram" -> TextAnalysis.corpusHistogramSql,
     "source_quality" -> TextAnalysis.sourceQualitySql,
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
+    "exact_dup_clusters_norm" -> Dedup.exactDupClustersNormSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
+    "dedup_clusters_best" -> Dedup.dedupClustersBestSql(),
+    "exact_dup_clusters_best" -> Dedup.exactDupClustersBestSql,
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),
+    "corpus_mix_epochs" -> graft.text.Curation.corpusMixEpochsSql(),
     "corpus_diff" -> graft.text.Curation.corpusDiffSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
+    "pipeline_manifest_bpe" -> graft.text.Curation.pipelineManifestBpeSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),

@@ -217,6 +217,91 @@ object Curation {
        |ORDER BY doc_id, source, bucket""".stripMargin
   }
 
+  /** The oversampling face of [[corpusMix]] — real mixture tuning does
+    * not only downsample junk sources, it UPsamples high-value ones
+    * (repeat factors / "epochs per source" in every published pre-train
+    * mix): rebalance the corpus to the weight proportions AT CONSTANT
+    * TOTAL SIZE (target total = corpus doc count), emitting a per-doc
+    * `n_repeats ≥ 1` — a trainer materializes each doc that many times.
+    * A source above its natural share gets rate > 1 (every doc kept,
+    * some repeated); a source below it gets rate < 1 ([[corpusMix]]'s
+    * downsample, same hash-threshold selection).
+    *
+    * Exact int64 arithmetic throughout: the per-source rate in
+    * millionths is `R_s = (N·w_s·1e6) div (w_total·n_s)`; every doc
+    * gets `R_s div 1e6` repeats plus one more iff its mix-hash bucket
+    * clears `R_s mod 1e6` — so realized totals hit the targets exactly
+    * at [[MixResolution]] granularity given uniform buckets, and the
+    * verdict per doc is a pure function of (doc_id, corpus counts),
+    * rerun- and engine-stable. Overflow bound: N·w_s·1e6 < 2^63 ⇒
+    * N·w_s < 9.2e12 — a 1e11-doc corpus under weight 20 is in bound.
+    *
+    * Scale shape: identical to [[corpusMix]] — the per-source rate
+    * relation derives from one column-pruned count agg (few hundred
+    * rows), broadcast back; the corpus pass is map-only. Docs with
+    * n_repeats = 0 are dropped (that IS the downsample).
+    */
+  def corpusMixEpochs(docs: DataFrame, weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L): DataFrame = {
+    require(defaultWeight >= 1L && weights.values.forall(_ >= 1L),
+      "mixture weights must be >= 1")
+    val (a, b) = mixPerm
+    val wt = coalesce(
+      element_at(typedLit(weights), col("source")), lit(defaultWeight))
+    // same few-hundred-row scalar windows as corpusMix (see its note on
+    // why not crossJoin/constant-key equi-join)
+    val scalarW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs")).withColumn("wt", wt)
+      .withColumn("w_total", sum("wt").over(scalarW))
+      .withColumn("n_total", sum("n_docs").over(scalarW))
+      .withColumn("rate",
+        expr(s"(n_total * wt * ${MixResolution}L) div (w_total * n_docs)"))
+      .select(col("source"),
+        expr(s"rate div ${MixResolution}L").as("base"),
+        expr(s"rate % ${MixResolution}L").as("rem"))
+    docs.select(col("doc_id"), col("source"),
+        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b),
+          lit(MixResolution)).as("bucket"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("n_repeats",
+        col("base") + when(col("bucket") < col("rem"), 1L).otherwise(0L))
+      .filter(col("n_repeats") >= 1L)
+      .select(col("doc_id"), col("source"), col("bucket"), col("n_repeats"))
+  }
+
+  def corpusMixEpochsSql(weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L): String = {
+    val (a, b) = mixPerm
+    val caseW = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", s" ELSE $defaultWeight END")
+    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
+    s"""WITH w AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST($caseW AS BIGINT) AS wt
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(wt) AS BIGINT) AS w_total,
+       |    CAST(sum(n_docs) AS BIGINT) AS n_total FROM w
+       |), rates AS (
+       |  SELECT source,
+       |    ((n_total * wt * $MixResolution) // (w_total * n_docs)) // $MixResolution AS base,
+       |    ((n_total * wt * $MixResolution) // (w_total * n_docs)) % $MixResolution AS rem
+       |  FROM w, tot
+       |), fin AS (
+       |  SELECT doc_id, source,
+       |    ((($h) % $MixResolution) + $MixResolution) % $MixResolution AS bucket
+       |  FROM documents
+       |)
+       |SELECT fin.doc_id AS doc_id, fin.source AS source, fin.bucket AS bucket,
+       |  CAST(base + CASE WHEN bucket < rem THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       |FROM fin JOIN rates ON fin.source = rates.source
+       |WHERE base + CASE WHEN bucket < rem THEN 1 ELSE 0 END >= 1
+       |ORDER BY doc_id, source, bucket, n_repeats""".stripMargin
+  }
+
   /** Hash parameters for the packing shard assignment (seed-split, like
     * [[splitPerm]]). */
   val packPerm: (Long, Long) =
@@ -330,12 +415,21 @@ object Curation {
     * columns (doc_id, shard, chunk_id, chunk_tok, seq_id). */
   private def chunkCtesSql(src: String, budget: Long, nShards: Int): String = {
     val (a, b) = packPerm
-    s"""t AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
-       |    (((${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) + $nShards) % $nShards) AS shard
-       |  FROM $src
-       |),
+    chunkCtesFromTSql(
+      s"""t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count,
+         |    (((${graft.functions.PortableHash.permHashSql("doc_id", a, b)} % $nShards) + $nShards) % $nShards) AS shard
+         |  FROM $src
+         |)""".stripMargin, budget)
+  }
+
+  /** The chunk chain over a caller-supplied `t` CTE (any relation with
+    * (doc_id, tok_count, shard)) — shared by the whitespace-count
+    * [[chunkCtesSql]] and the BPE-count manifest oracle, so the
+    * boundary-split arithmetic exists in exactly one SQL spelling. */
+  private def chunkCtesFromTSql(tCte: String, budget: Long): String = {
+    s"""$tCte,
        |c AS (
        |  SELECT doc_id, shard, tok_count,
        |    CAST(sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id
@@ -364,6 +458,95 @@ object Curation {
        |    seq_id
        |  FROM exploded
        |)""".stripMargin
+  }
+
+  /** [[pipelineManifestChunked]] with the packer fed BPE token counts —
+    * the closed tokenizer loop (round-6 verdict's top ask): a trainer
+    * consumes sequences measured in TOKENIZER tokens, not whitespace
+    * tokens, so the composed manifest learns the merges
+    * ([[TextAnalysis.bpeRoundsAndWordsFromToks]]) on the KEPT corpus
+    * (the data the tokenizer would actually be trained on), encodes
+    * every kept doc to its `n_bpe_tokens`, and chunk-packs on THOSE
+    * counts — every non-final bin of every shard holds exactly `budget`
+    * BPE tokens (property-tested).
+    *
+    * Scale shape: the curation base's ONE tokenize pass feeds the keep
+    * verdict, the merge learner's word-frequency relation, the encode
+    * multiplicity relation, and the split — no second text pass
+    * anywhere. The merge rounds run on the ≤|distinct words| relation
+    * (the [[TextAnalysis.bpeMerges]] trick), the encode is
+    * [[TextAnalysis.tokenRarity]]'s one-shuffle (doc, word) shape, and
+    * the packer is the same sharded window + map-side posexplode as
+    * [[packSequencesChunked]] — nothing new shuffles at 100 TB beyond
+    * what the composed operators already paid.
+    */
+  def pipelineManifestBpe(docs: DataFrame, minQuality: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): DataFrame = {
+    val base = curatedBase(docs)
+    // kept ids are consumed three times (merge learner, encode, split) —
+    // checkpoint the 8-byte rows once; base is already checkpointed.
+    val kept = corpusKeepFromBase(base, minQuality)
+      .filter(col("keep")).select("doc_id").localCheckpoint()
+    val keptBase = base.join(kept, "doc_id")
+    val counts = TextAnalysis.bpeEncodeFromToks(
+      keptBase.select(col("doc_id"), col("toks")), nMerges)
+    val packed = chunkFromCounts(
+      counts.select(col("doc_id"), col("n_bpe_tokens").as("tok_count")),
+      budget, nShards)
+    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+  }
+
+  def pipelineManifestBpeSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (pa, pb) = packPerm
+    val (spa, spb) = splitPerm
+    val shard = s"(((${graft.functions.PortableHash.permHashSql("doc_id", pa, pb)} % $nShards) + $nShards) % $nShards)"
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    val keptSrc = "documents JOIN kept USING (doc_id)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS MATERIALIZED (
+       |  -- MATERIALIZED: kept is referenced 4× (merge learner, encode,
+       |  -- doc list, split) and carries the whole recursive component
+       |  -- chain — inlined per reference, DuckDB re-evaluates that chain
+       |  -- inside the unrolled BPE rounds (probed: >15 min at sf0.01;
+       |  -- materialized: ~4 s)
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |${TextAnalysis.bpeCtesSql(nMerges, keptSrc)},
+       |${TextAnalysis.bpeEncodeCtesSql(nMerges, keptSrc)},
+       |${chunkCtesFromTSql(
+        s"""t AS (
+           |  SELECT doc_id, n_bpe_tokens AS tok_count,
+           |    $shard AS shard
+           |  FROM enc
+           |)""".stripMargin, budget)},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents JOIN kept USING (doc_id)
+       |)
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split
+       |FROM chunks JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split""".stripMargin
   }
 
   def packSequencesChunkedSql(budget: Long = 2048L, nShards: Int = 8): String =

@@ -320,6 +320,93 @@ class CurationSpec extends AnyFunSuite {
     for (id <- Seq(11L, 12L, 13L)) assert(churn(id) === (("added", true)))
   }
 
+  test("pipelineManifestBpe: bins hold exactly the budget in BPE tokens, chunks tile the encode counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(200)).mkString(" ")
+    // doc 5 is overlong in BPE terms; doc 100 duplicates doc 0 → dropped
+    val texts = (0L until 30L).map(i =>
+      i -> words(if (i == 5L) 120 else 15 + rnd.nextInt(15)))
+    val d = (texts ++ Seq(100L -> texts.head._2))
+      .map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val budget = 64L
+    val rows = Curation.pipelineManifestBpe(d, budget = budget, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_tok"),
+        r.getAs[Long]("seq_id"), r.getAs[String]("split")))
+    assert(!rows.exists(_._1 == 100L), "dropped docs must not reach the manifest")
+    // the packed counts are the TOKENIZER's, not whitespace's: per kept
+    // doc, chunk_tok sums to bpeEncode's n_bpe_tokens over the SAME kept
+    // corpus (merges learned on kept docs, as the operator composes it)
+    val kept = Curation.corpusKeep(d).filter(col("keep")).select("doc_id")
+    val keptDocs = d.join(kept, "doc_id")
+    val bpe = graft.text.TextAnalysis.bpeEncode(keptDocs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet === bpe.keySet)
+    for ((id, chunks) <- byDoc)
+      assert(chunks.map(_._4).sum === bpe(id), s"doc $id chunks don't tile its BPE count")
+    // whitespace counts would be very different — the loop is really closed
+    val ws = keptDocs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keys.forall(id => bpe(id) > ws(id)), "BPE counts must exceed whitespace counts here")
+    // bin invariant in BPE tokens: every non-final bin of every shard
+    // holds exactly `budget`; no bin ever exceeds it
+    val byBin = rows.groupBy(r => (r._2, r._5)).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = rows.groupBy(_._2).view.mapValues(_.map(_._5).max).toMap
+    for (((shard, seq), tot) <- byBin) {
+      assert(tot <= budget, s"bin ($shard,$seq) overflows: $tot > $budget")
+      if (seq < lastBin(shard))
+        assert(tot === budget, s"non-final bin ($shard,$seq) underfilled: $tot")
+    }
+    assert(rows.count(_._1 == 5L) > 1, "the BPE-overlong doc must chunk")
+  }
+
+  test("corpusMixEpochs: overweight sources repeat, verdicts follow the exact integer rates") {
+    import spark.implicits._
+    // A: 100 docs weight 6, B: 300 docs weight 1 → w_total 7, N 400;
+    // rate_A = 400·6·1e6 // (7·100) = 3428571 (base 3, rem 428571);
+    // rate_B = 400·1e6 // (7·300) = 190476 (base 0, rem 190476)
+    val d = ((0L until 100L).map(i => (i, "A")) ++
+      (100L until 400L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val out = Curation.corpusMixEpochs(d, weights = Map("A" -> 6L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("n_repeats")))
+    val rates = Map("A" -> (400L * 6L * 1000000L / (7L * 100L)),
+      "B" -> (400L * 1000000L / (7L * 300L)))
+    // every emitted verdict is exactly base + [bucket < rem]
+    for ((_, src, bucket, nRep) <- out) {
+      val (base, rem) = (rates(src) / 1000000L, rates(src) % 1000000L)
+      assert(nRep === base + (if (bucket < rem) 1L else 0L),
+        s"$src bucket=$bucket")
+    }
+    // the upsampled source keeps EVERY doc (base ≥ 1)
+    assert(out.count(_._2 == "A") === 100)
+    assert(out.filter(_._2 == "A").forall(_._4 >= 3L))
+    // the downsampled source keeps a subset, all at exactly 1 repeat
+    val bCount = out.count(_._2 == "B")
+    assert(bCount > 0 && bCount < 300)
+    assert(out.filter(_._2 == "B").forall(_._4 === 1L))
+    // realized totals track the exact-rate targets closely (hash noise only)
+    val realizedA = out.filter(_._2 == "A").map(_._4).sum
+    assert(math.abs(realizedA - 100L * rates("A") / 1000000L) <= 15L,
+      s"A realized $realizedA")
+  }
+
+  test("corpusMixEpochs: uniform weights are the identity mix (every doc once)") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = Curation.corpusMixEpochs(d, weights = Map.empty)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats"))
+    assert(out.length === 300)
+    assert(out.forall(_._2 === 1L))
+  }
+
   test("corpusDiff: NULL text diffs as content, not as an absent row") {
     val old = Seq((1L, "some words here", "en"), (2L, null, "en"))
       .toDF("doc_id", "text", "lang")

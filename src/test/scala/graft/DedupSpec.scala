@@ -520,4 +520,59 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(got === expected)
   }
+
+  test("exactDupClustersNorm unites accent variants that the plain key keeps apart") {
+    val d = docs(
+      (1L, "café au lait"), (2L, "cafe au lait"), (3L, "unrelated words here"))
+    def keepers(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("keeper_doc_id") ->
+        r.getAs[Long]("cluster_size")).toMap
+    // plain normMd5: café ≠ cafe — three singleton clusters
+    val plain = keepers(Dedup.exactDupClusters(d))
+    assert(plain === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // folded key: café/cafe share a fingerprint; keeper = min id
+    val folded = keepers(Dedup.exactDupClustersNorm(d))
+    assert(folded === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("exactDupClustersFromFpBy: the survivor policy is the caller's ordering") {
+    import org.apache.spark.sql.functions.col
+    val fp = Seq((1L, "X", 10L), (2L, "X", 99L), (3L, "X", 50L), (4L, "Y", 1L))
+      .toDF("doc_id", "fp_md5", "score")
+    val out = Dedup.exactDupClustersFromFpBy(fp, -col("score"))
+      .collect().map(r => r.getAs[String]("fp_md5") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper_doc_id"))).toMap
+    // keeper = highest score (doc 2), NOT min doc_id
+    assert(out("X") === (3L, 2L))
+    assert(out("Y") === (1L, 4L))
+  }
+
+  test("dedupClustersBest: the highest-margin member survives, not the smallest id") {
+    import org.apache.spark.sql.functions.col
+    // plant an appended token with strictly positive classifier margin, so
+    // the LARGER doc_id copy outscores the smaller one; the weight table is
+    // seeded-opaque here, so probe candidates through classifierScore (the
+    // margins the operator itself uses, bit-identical)
+    val cands = Seq("amber", "basil", "cedar", "dalia", "ember", "flint")
+    val probe = graft.text.TextAnalysis.classifierScore(
+      docs(cands.zipWithIndex.map { case (w, i) => (i.toLong, w) }: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    val winner = cands(probe.filter(_._2 > 0L).keys.min.toInt)
+    val d = docs((1L, base), (2L, base + " " + winner), (3L, unrelated))
+    // sanity: 1↔2 must actually be a confirmed near-dup pair
+    val pair = Dedup.nearDupPairs(d)
+      .filter(col("n_match") >= 8L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pair.toList === List((1L, 2L)), "fixture must near-dup")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Boolean]("is_survivor"))).toSet
+    // keep-first default: rep 1 survives
+    assert(survivors(Dedup.dedupClusters(d)) ===
+      Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+    // quality policy: same components (rep_id unchanged), doc 2 survives —
+    // its margin is base's plus the planted positive-weight token
+    assert(survivors(Dedup.dedupClustersBest(d)) ===
+      Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, true)))
+  }
 }
