@@ -41,6 +41,46 @@ class PiiSpec extends AnyFunSuite {
     assert(r.getAs[String]("redacted") === "mail <EMAIL> ok")
   }
 
+  test("piiScrub cards: Luhn-valid numbers mask, the near-miss must NOT flag") {
+    val out = Pii.piiScrub(docs(
+      (1L, "pay 4111 1111 1111 1111 now"),            // visa, spaces, valid
+      (2L, "pay 4111-1111-1111-1111 now"),            // dashes, valid
+      (3L, "pay 4111111111111111 now"),               // bare 16, valid
+      (4L, "bad 4111111111111112 now"),               // Luhn-failing near-miss
+      (5L, "amex 378282246310005 ok"),                // 15 digits, valid
+      (6L, "run 12345678901234567890 long"),          // 20 digits: no candidate
+      (7L, "x4111111111111111 glued")))               // letter-glued: no \b
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L, 3L, 5L)) {
+      assert(out(id).getAs[Long]("n_cards") === 1L, s"doc $id")
+      assert(out(id).getAs[String]("redacted").contains("<CARD>"), s"doc $id")
+    }
+    assert(out(1L).getAs[String]("redacted") === "pay <CARD> now")
+    // the near-miss is a regex candidate but fails the checksum — kept
+    assert(out(4L).getAs[Long]("n_cards") === 0L)
+    assert(out(4L).getAs[String]("redacted") === "bad 4111111111111112 now")
+    assert(out(6L).getAs[Long]("n_cards") === 0L)
+    assert(out(7L).getAs[Long]("n_cards") === 0L)
+  }
+
+  test("piiScrub SSNs: dashed 3-2-4 masks; card segments never re-match as SSN") {
+    val out = Pii.piiScrub(docs(
+      (1L, "ssn 078-05-1120 on file"),
+      (2L, "card 5555 5555 5555 4444 and ssn 078-05-1120"),
+      // Luhn-INVALID dashed card: stays in the text, and its 4-digit
+      // segments must not be re-masked by the 3-2-4 SSN pattern
+      (3L, "bad 1234-5678-9012-3456 kept")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_ssns") === 1L)
+    assert(out(1L).getAs[String]("redacted") === "ssn <SSN> on file")
+    assert(out(2L).getAs[Long]("n_cards") === 1L)
+    assert(out(2L).getAs[Long]("n_ssns") === 1L)
+    assert(out(2L).getAs[String]("redacted") === "card <CARD> and ssn <SSN>")
+    assert(out(3L).getAs[Long]("n_cards") === 0L)
+    assert(out(3L).getAs[Long]("n_ssns") === 0L)
+    assert(out(3L).getAs[String]("redacted") === "bad 1234-5678-9012-3456 kept")
+  }
+
   test("piiScrub edges: word boundaries, over-long phones, NULL text") {
     val out = Pii.piiScrub(docs(
       (1L, "version 1.2.3.4.5 and build 1.2.3"),    // quad matches, .5 tail doesn't re-match
