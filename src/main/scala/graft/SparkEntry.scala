@@ -223,6 +223,10 @@ object SparkEntry {
     // is the highest-classifier-margin member, not the smallest id.
     "dedup_clusters_best" -> ((s, dir) =>
       Dedup.dedupClustersBest(graft.Tables.documents(s, dir))),
+    // The full chain on accent-folded text: fingerprints AND sketches
+    // see café==cafe, so accent variants unite end to end.
+    "dedup_clusters_norm" -> ((s, dir) =>
+      Dedup.dedupClustersNorm(graft.Tables.documents(s, dir))),
     // The exact-cluster face of the same knob (margin-ordered keeper).
     "exact_dup_clusters_best" -> ((s, dir) =>
       Dedup.exactDupClustersBest(graft.Tables.documents(s, dir))),
@@ -465,6 +469,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "dedup_clusters_best" -> Dedup.dedupClustersBestSql(),
+    "dedup_clusters_norm" -> Dedup.dedupClustersNormSql(),
     "exact_dup_clusters_best" -> Dedup.exactDupClustersBestSql,
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),

@@ -197,14 +197,16 @@ object Dedup {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
         lit(0L), _ + _)
 
-  /** fp → keepers → repdocs CTE chain, the oracle twin of the collapse. */
-  private def keepersCte: String =
+  /** fp → keepers → repdocs CTE chain, the oracle twin of the collapse;
+    * `docSrc` is any relation with (doc_id, text) — "documents", or the
+    * fold-normalized projection for [[dedupClustersNorm]]. */
+  private def keepersCte(docSrc: String): String =
     s"""fp AS (
-       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM $docSrc
        |), keepers AS (
        |  SELECT fp_md5, min(doc_id) AS keeper_id FROM fp GROUP BY fp_md5
        |), repdocs AS (
-       |  SELECT d.doc_id, d.text FROM documents d
+       |  SELECT d.doc_id, d.text FROM $docSrc d
        |  JOIN keepers k ON d.doc_id = k.keeper_id
        |)""".stripMargin
 
@@ -845,9 +847,10 @@ object Dedup {
     * confirmed edges → `reach` (transitive closure) → `rep(doc_id,
     * rep_id)`, one row per document. Shared by [[dedupClustersSql]] and
     * the curation oracle ([[Curation.corpusKeepSql]]). */
-  private[text] def componentCtes(minMatch: Long): String = {
+  private[text] def componentCtes(minMatch: Long,
+      docSrc: String = "documents"): String = {
     val bandSelects = bandSelectsSql
-    s"""$keepersCte,
+    s"""${keepersCte(docSrc)},
        |${sigCteFrom("repdocs")},
        |bands AS (
        |  $bandSelects
@@ -886,7 +889,7 @@ object Dedup {
        |rep AS (
        |  SELECT d.doc_id AS doc_id,
        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep_id
-       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  FROM $docSrc d LEFT JOIN reach r ON r.src = d.doc_id
        |  GROUP BY d.doc_id
        |)""".stripMargin
   }
@@ -895,6 +898,34 @@ object Dedup {
     * doc_id (or self) is the component representative. */
   def dedupClustersSql(minMatch: Long = 8L): String =
     s"""WITH RECURSIVE ${componentCtes(minMatch)}
+       |SELECT doc_id, rep_id, rep_id = doc_id AS is_survivor
+       |FROM rep
+       |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
+
+  /** The FULL dedup chain on accent-folded text — fingerprints, shingles,
+    * signatures, candidate pairs, and components all operate on the
+    * normalized form, so "café au lait" and "cafe au lait" unite even
+    * when they are too short (or too different elsewhere) for sketch
+    * tolerance to absorb the accent difference. Composition, not new
+    * machinery: fold once ([[TextAnalysis.textNormalize]] — per-row map
+    * work on the one corpus scan every operator already pays), then run
+    * the UNCHANGED operators on the folded text; the oracle re-enters
+    * the shared component chain over the same folded projection. The
+    * plain chain stays the default for the same policy reason as
+    * [[exactDupClustersNorm]]. */
+  def dedupClustersNorm(docs: DataFrame, minMatch: Long = 8L,
+      maxIters: Int = 25): DataFrame = {
+    val folded = TextAnalysis.textNormalize(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    dedupClusters(folded, minMatch, maxIters)
+  }
+
+  /** Folded (doc_id, text) projection — the `docSrc` of the norm chain. */
+  private def foldedDocSrc: String =
+    "(SELECT doc_id, strip_accents(nfc_normalize(lower(text))) AS text FROM documents)"
+
+  def dedupClustersNormSql(minMatch: Long = 8L): String =
+    s"""WITH RECURSIVE ${componentCtes(minMatch, foldedDocSrc)}
        |SELECT doc_id, rep_id, rep_id = doc_id AS is_survivor
        |FROM rep
        |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
@@ -998,7 +1029,7 @@ object Dedup {
 
   def nearDupJaccardSql: String = {
     val bandSelects = bandSelectsSql
-    s"""WITH $keepersCte,
+    s"""WITH ${keepersCte("documents")},
        |${sigCteFrom("repdocs")},
        |shsets AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
@@ -1442,7 +1473,7 @@ object Dedup {
 
   def simhashPairsSql(maxHamming: Int = 3): String = {
     val nibbleSelects = simhashNibbleSelectsSql
-    s"""WITH $keepersCte,
+    s"""WITH ${keepersCte("documents")},
        |s AS (${docSimhashBodySql("repdocs")}),
        |bands AS (
        |  $nibbleSelects
@@ -1460,7 +1491,7 @@ object Dedup {
 
   def nearDupPairsSql: String = {
     val bandSelects = bandSelectsSql
-    s"""WITH $keepersCte,
+    s"""WITH ${keepersCte("documents")},
        |${sigCteFrom("repdocs")},
        |bands AS (
        |  $bandSelects

@@ -535,6 +535,22 @@ class DedupSpec extends AnyFunSuite {
     assert(folded === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("dedupClustersNorm: accent variants too short for sketch tolerance unite") {
+    // 3-token docs have exactly ONE 3-shingle: café vs cafe makes the
+    // shingle (and so all 16 signature slots) disagree completely, and
+    // the fingerprints differ too — the PLAIN chain cannot unite them by
+    // construction. The folded chain sees identical text.
+    val d = docs(
+      (1L, "café au lait"), (2L, "cafe au lait"), (3L, "unrelated words here"))
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    val plain = clusters(Dedup.dedupClusters(d))
+    assert(plain === Map(1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, true)))
+    val folded = clusters(Dedup.dedupClustersNorm(d))
+    assert(folded === Map(1L -> (1L, true), 2L -> (1L, false), 3L -> (3L, true)))
+  }
+
   test("exactDupClustersFromFpBy: the survivor policy is the caller's ordering") {
     import org.apache.spark.sql.functions.col
     val fp = Seq((1L, "X", 10L), (2L, "X", 99L), (3L, "X", 50L), (4L, "Y", 1L))

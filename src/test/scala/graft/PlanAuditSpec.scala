@@ -202,6 +202,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(dom.getLong(0) < (1L << Similarity.PlanesPerTable) && dom.getLong(1) >= 0L)
   }
 
+  test("corpus_mix_epochs broadcasts per-source rates into a map-only corpus pass") {
+    // same contract as corpus_mix: the corpus side never shuffles — the
+    // rate relation derives from the tiny source-stats agg and broadcasts
+    val p = plan("corpus_mix_epochs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus_mix_epochs does not broadcast the rate relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus_mix_epochs shuffles the corpus for the rate join:\n$p")
+  }
+
+  test("pii_scrub stays shuffle-free (regex + Luhn fold are per-row map work)") {
+    val p = plan("pii_scrub")
+    assert(!p.contains("hashpartitioning"), s"pii_scrub shuffles the corpus:\n$p")
+    assert(!p.contains("HashAggregate"), s"pii_scrub grew an aggregate:\n$p")
+  }
+
+  test("vocab_mincount plans a distributed filter — no TakeOrdered, no sort, no window") {
+    // the tokenizer-scale vocab spelling must keep selection distributed:
+    // the same partial-agg shuffle as vocab_topk, then a plain Filter —
+    // nothing ordered ever lands on the driver
+    val p = plan("vocab_mincount")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"vocab_mincount still drains an ordered merge to the driver:\n$p")
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      s"vocab_mincount plans a sort/window:\n$p")
+    assert(p.contains("partial_"), s"vocab_mincount lost map-side combine:\n$p")
+  }
+
+  test("pipeline_manifest_bpe scans the documents parquet once (shared tokenized base)") {
+    // keep verdict, merge learning, encode, and split all derive from the
+    // one checkpointed curation base — the final plan re-scans nothing
+    assert(!plan("pipeline_manifest_bpe").contains("documents.parquet"),
+      "pipeline_manifest_bpe re-scans documents parquet instead of the shared base")
+  }
+
   test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
     // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
     // LessThan cannot be pushed into the parquet reader — only IsNotNull
