@@ -116,6 +116,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BlocksOfHashes(children.head, window)
       }))
     ext.injectFunction((
+      FunctionIdentifier("luhn_valid"),
+      new ExpressionInfo(classOf[graft.functions.LuhnValidOfText].getName,
+        "luhn_valid"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"luhn_valid takes exactly 1 argument, got ${children.size}")
+        graft.functions.LuhnValidOfText(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("fold_marks"),
       new ExpressionInfo(classOf[graft.functions.FoldMarks].getName,
         "fold_marks"),

@@ -209,6 +209,10 @@ object SparkEntry {
       Dedup.exactDupClustersNorm(graft.Tables.documents(s, dir))),
     "minhash_bands" -> ((s, dir) =>
       Dedup.minhashBands(graft.Tables.documents(s, dir))),
+    // Bucket-occupancy report over the pairing population: the size
+    // distribution + exact pair bound that predicts the LSH join's cost.
+    "band_occupancy" -> ((s, dir) =>
+      Dedup.bandOccupancy(graft.Tables.documents(s, dir))),
     "near_dup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
     "near_dup_jaccard" -> ((s, dir) =>
@@ -265,6 +269,10 @@ object SparkEntry {
     // doc's split never changes as the corpus grows).
     "corpus_split" -> ((s, dir) =>
       graft.text.Curation.splitAssign(graft.Tables.documents(s, dir))),
+    // Leakage audit: duplicated content whose copies span >= 2 splits
+    // (train memorizes what val measures); healthy corpus => empty.
+    "split_leak_report" -> ((s, dir) =>
+      graft.text.Curation.splitLeakReport(graft.Tables.documents(s, dir))),
     // Deterministic source-mixture downsampling: per-source hash
     // thresholds from integer weights; corpus pass stays map-only.
     "corpus_mix" -> ((s, dir) =>
@@ -464,6 +472,7 @@ object SparkEntry {
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "exact_dup_clusters_norm" -> Dedup.exactDupClustersNormSql,
     "minhash_bands" -> Dedup.minhashBandsSql,
+    "band_occupancy" -> Dedup.bandOccupancySql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
@@ -475,6 +484,7 @@ object SparkEntry {
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
+    "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),
     "corpus_mix_epochs" -> graft.text.Curation.corpusMixEpochsSql(),
     "corpus_diff" -> graft.text.Curation.corpusDiffSql(),

@@ -105,6 +105,62 @@ object Curation {
        |ORDER BY doc_id, bucket, split""".stripMargin
   }
 
+  /** Train/val/test leakage audit — the check [[splitAssign]]'s own
+    * anti-leakage guarantee cannot make for free: the split is keyed on
+    * doc_id, so two COPIES of the same content under different ids can
+    * land in different splits (train memorizes what val measures). Per
+    * duplicated content whose copies span ≥ 2 splits: the copy count and
+    * the per-split breakdown. A healthy deduped corpus yields an EMPTY
+    * report (run it AFTER exact dedup, or on ingest manifests before
+    * admission); NULL-text rows carry no content and never leak.
+    *
+    * Scale shape: the fingerprint map pass + the map-only split
+    * assignment, one 32-byte-key partial-agg shuffle (counts per split
+    * ride the same shuffle as conditional sums), and the ≥2-splits
+    * filter — exact dedup's own cost, reused as an audit.
+    */
+  def splitLeakReport(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val fp = graft.Tables.widen(docs).select(col("doc_id"),
+      TextAnalysis.normMd5(col("text")).as("fp_md5"))
+    fp.filter(col("fp_md5").isNotNull)
+      .join(splitAssign(docs, valPct, testPct).select("doc_id", "split"), "doc_id")
+      .groupBy("fp_md5")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("split").as("n_splits"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_splits") >= 2L)
+  }
+
+  def splitLeakReportSql(valPct: Int = 5, testPct: Int = 5): String = {
+    val (a, b) = splitPerm
+    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
+    val bucket = s"((($h % 100) + 100) % 100)"
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents
+       |), g AS (
+       |  SELECT fp_md5,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM fp JOIN sp USING (doc_id)
+       |  WHERE fp_md5 IS NOT NULL
+       |  GROUP BY fp_md5
+       |)
+       |SELECT fp_md5, n_docs, n_splits, n_train, n_val, n_test FROM g
+       |WHERE n_splits >= 2
+       |ORDER BY fp_md5, n_docs, n_splits, n_train, n_val, n_test""".stripMargin
+  }
+
   /** Hash parameters for the mixture-sampling bucket (seed-split, like
     * [[splitPerm]] — the mix stream must be independent of the split
     * stream, or downsampling would correlate with train/val/test). */

@@ -300,6 +300,55 @@ object Dedup {
   def minhashBands(docs: DataFrame): DataFrame =
     signatureBands(docs).select("doc_id", "band", "band_hash")
 
+  /** LSH bucket-occupancy report — the ops dashboard that PREDICTS the
+    * pairing stage's cost before anyone pays it: every sketch-pairing
+    * operator is Θ(Σ bucket²), so the bucket-size distribution (over the
+    * exact-dup-collapsed population the join actually buckets) is the
+    * number that says whether tonight's `near_dup_pairs` is cheap,
+    * skew-split territory, or a template-family blow-up needing a wider
+    * band. Per (band, power-of-two size band): bucket count, resident
+    * docs, and the exact pair count those buckets will expand to
+    * (Σ sz·(sz−1)/2 — the join's output bound, computed from counts,
+    * never by expanding pairs).
+    *
+    * Scale shape: the signature/banding map pass the pairing family
+    * already pays, one (band, band_hash) partial-agg shuffle (the same
+    * key the pairing join uses), then a ≤ |bands|·|size bands| rollup.
+    * Strictly cheaper than the pairing it predicts.
+    */
+  def bandOccupancy(docs: DataFrame): DataFrame = {
+    val sz = bandedFrom(minhashSignatures(docs)
+        .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi"))
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("sz"))
+    val band = TextAnalysis.HistogramBands.foldLeft(lit(0L)) {
+      (acc, b) => when(col("sz") >= b, lit(b)).otherwise(acc)
+    }
+    sz.select(col("band"), band.as("size_band"), col("sz"))
+      .groupBy("band", "size_band")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"),
+        sum(expr("sz * (sz - 1) div 2")).as("n_pairs"))
+  }
+
+  def bandOccupancySql: String = {
+    val ladder = TextAnalysis.HistogramBands.reverse
+      .map(b => s"WHEN sz >= $b THEN $b").mkString(" ")
+    s"""WITH ${keepersCte("documents")},
+       |${sigCteFrom("repdocs")},
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |occ AS (
+       |  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, band_hash
+       |)
+       |SELECT band, CAST(CASE $ladder ELSE 0 END AS BIGINT) AS size_band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
+       |FROM occ GROUP BY band, size_band
+       |ORDER BY band, size_band, n_buckets, n_docs, n_pairs""".stripMargin
+  }
+
   /** The 4-way band UNION over `sig`, shared by every oracle that buckets. */
   private def bandSelectsSql: String =
     (0 until Bands).map(m =>

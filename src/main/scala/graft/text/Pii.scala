@@ -59,8 +59,13 @@ object Pii {
   /** Luhn checksum over a candidate's digit string: from the RIGHT,
     * double every second digit, subtract 9 when the double exceeds 9,
     * valid iff the sum is ≡ 0 (mod 10). Exact integer fold, identical
-    * expression shape in the DuckDB twin. */
-  private def luhnValid(cand: Column): Column = {
+    * expression shape in the DuckDB twin. The HOF fallback for sessions
+    * without GraftExtensions — [[piiScrub]] prefers the native
+    * [[graft.functions.LuhnValidOfText]] (one allocation-free byte walk
+    * with the separator skip folded in, vs a regexp_replace + an
+    * interpreted substring/ascii fold per candidate); PiiSpec pins the
+    * two equal on valid/invalid/separator/digit-less inputs. */
+  private[graft] def luhnValidHof(cand: Column): Column = {
     val d = regexp_replace(cand, lit("[^0-9]"), lit(""))
     val n = length(d)
     val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
@@ -73,11 +78,17 @@ object Pii {
 
   /** The Luhn-validated card candidates of `text`, in match order
     * (duplicates preserved — each occurrence counts). */
-  private def validCards(text: Column): Column =
-    filter(regexp_extract_all(text, lit(CardRe), lit(0)), luhnValid(_))
+  private def validCards(df: DataFrame, text: Column): Column = {
+    val luhn: Column => Column =
+      if (df.sparkSession.catalog.functionExists("luhn_valid"))
+        c => call_function("luhn_valid", c)
+      else luhnValidHof
+    filter(regexp_extract_all(text, lit(CardRe), lit(0)), luhn(_))
+  }
 
   def piiScrub(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"), validCards(col("text")).as("vc"))
+    docs.select(col("doc_id"), col("text"),
+        validCards(docs, col("text")).as("vc"))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
         // explicit NULL-text branch: size(NULL) is NULL under ANSI but -1

@@ -407,6 +407,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 1L))
   }
 
+  test("splitLeakReport flags only cross-split duplicated content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // find ids in different splits deterministically from the assignment
+    val asg = Curation.splitAssign((0L until 1000L).toDF("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainIds = asg.collect { case (id, "train") => id }.toSeq.sorted
+    val testId = asg.collect { case (id, "test") => id }.min
+    val d = Seq(
+      (trainIds(0), "leaked content here", "en"),   // train copy
+      (testId, "leaked content here", "en"),        // test copy → LEAK
+      (trainIds(1), "same split twice", "en"),      // train copy
+      (trainIds(2), "same  split\ttwice", "en"),    // train copy (ws variant) → no leak
+      (trainIds(3), "unique harmless doc", "en"),
+      (trainIds(4), null, "en"), (testId + 1000L, null, "en")) // NULL carries no content
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.splitLeakReport(d).collect()
+    assert(out.length === 1, s"exactly the cross-split dup: ${out.toList}")
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 2L && r.getAs[Long]("n_splits") === 2L)
+    assert(r.getAs[Long]("n_train") === 1L && r.getAs[Long]("n_test") === 1L
+      && r.getAs[Long]("n_val") === 0L)
+  }
+
   test("corpusDiff: NULL text diffs as content, not as an absent row") {
     val old = Seq((1L, "some words here", "en"), (2L, null, "en"))
       .toDF("doc_id", "text", "lang")

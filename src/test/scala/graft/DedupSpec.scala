@@ -521,6 +521,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("bandOccupancy counts the pairing population (reps only) and bounds its pairs") {
+    // docs 1-3 are identical: ONE representative buckets, so the report
+    // must see 3 residents (reps 1, 4, 5) per band, never 5
+    val d = docs((1L, base), (2L, base), (3L, base), (4L, nearDup), (5L, unrelated))
+    val report = Dedup.bandOccupancy(d).collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("size_band")) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs")))
+    assert(report.map(_._2._2).sum === 4L * 3L, "4 bands x 3 reps")
+    // the pair bound equals the brute-force bucket pair count over reps
+    val repBands = Dedup.minhashBands(docs((1L, base), (4L, nearDup), (5L, unrelated)))
+      .collect().map(r => (r.getAs[Long]("band"), r.getAs[Long]("band_hash")))
+    val expectPairs = repBands.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(report.map(_._2._3).sum === expectPairs)
+    assert(expectPairs > 0L, "fixture must actually collide somewhere")
+  }
+
   test("exactDupClustersNorm unites accent variants that the plain key keeps apart") {
     val d = docs(
       (1L, "café au lait"), (2L, "cafe au lait"), (3L, "unrelated words here"))

@@ -81,6 +81,37 @@ class PiiSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("redacted") === "bad 1234-5678-9012-3456 kept")
   }
 
+  test("native luhn_valid = the HOF fold on candidate-shaped inputs; digit-less is false") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    // candidate-shaped inputs (≥1 digit, optional separators) — the only
+    // shape CardRe can hand either implementation; includes valid cards,
+    // near-misses, every separator mix, and odd/even digit counts
+    val cands = Seq(
+      "4111111111111111", "4111 1111 1111 1111", "4111-1111-1111-1111",
+      "4111111111111112", "378282246310005", "5555 5555 5555 4444",
+      "1234-5678-9012-3456", "0", "00", "059", "59", "1234567",
+      "9 9 9 9", "42-42", "79927398713", "79927398710")
+    val df = cands.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "cand")
+    val native = df.select(col("id"), call_function("luhn_valid", col("cand")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val hof = df.select(col("id"), graft.text.Pii.luhnValidHof(col("cand")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(native === hof)
+    // reference anchors: 79927398713 is the canonical Luhn-valid test
+    // number, its 0-suffix twin is not; "0" alone is valid (sum 0)
+    assert(native(cands.indexOf("79927398713").toLong) === true)
+    assert(native(cands.indexOf("79927398710").toLong) === false)
+    assert(native(cands.indexOf("0").toLong) === true)
+    // digit-less input: nothing to validate is NOT valid (native only —
+    // CardRe never hands a digit-less candidate to either path)
+    val edge = Seq((1L, "no digits at all"), (2L, ""), (3L, "- -"))
+      .toDF("id", "cand")
+      .select(col("id"), call_function("luhn_valid", col("cand")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(edge === Map(1L -> false, 2L -> false, 3L -> false))
+  }
+
   test("piiScrub edges: word boundaries, over-long phones, NULL text") {
     val out = Pii.piiScrub(docs(
       (1L, "version 1.2.3.4.5 and build 1.2.3"),    // quad matches, .5 tail doesn't re-match
