@@ -53,6 +53,31 @@ object DocStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp_md5")
 
+  /** Streaming NEAR-dup detection against the persisted corpus — the
+    * stream face of [[graft.text.Dedup.incrementalNearDupPairs]]'s
+    * corpus direction: each incoming doc runs the batch
+    * tokenize→shingle→signature→band chain (same expressions, so a doc
+    * sketched here and re-sketched in batch produces the bit-identical
+    * signature), probes the PERSISTED band relation with a STATELESS
+    * stream-static equi-join on the bucket key, and emits its ≥
+    * `minMatch`/16 corpus matches. Corpus history never enters
+    * streaming state (the [[dedupAgainstCorpus]] discipline, applied to
+    * the sketch family); the only stateful piece is collapsing
+    * multi-band collisions of the same (doc, corpus doc) pair —
+    * watermark-bounded, ≤ 4 rows per emitted pair. Stream-vs-stream
+    * pairs stay the batch sweep's job ([[graft.streaming.EmbedStream]]'s
+    * contract, applied to text). */
+  def nearDupAgainstCorpus(docs: DataFrame, corpusBands: DataFrame,
+      minMatch: Long = 8L, watermarkDelay: String = "1 hour"): DataFrame = {
+    val banded = graft.text.Dedup.signatureBandsKeeping(
+      docs.select(col("doc_id"), col("text"), eventTime.as("event_time")),
+      Seq("event_time"))
+    graft.text.Dedup.corpusMatches(banded, corpusBands, minMatch)
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+      .select("doc_id", "corpus_doc_id", "n_match", "event_time")
+  }
+
   /** Streaming admission gate — the stream face of
     * [[TextAnalysis.classifierScore]], literally the same operator (the
     * batch code runs unchanged on a stream: the weight table is a

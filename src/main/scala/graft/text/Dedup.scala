@@ -277,12 +277,19 @@ object Dedup {
     * longs = 128 bytes) rides along so downstream consumers never have to
     * re-derive it from the raw text. */
   /** Explode a `(doc_id, mh)` signature relation into its 4 band rows. */
-  private def bandedFrom(sig: DataFrame): DataFrame = {
+  private def bandedFrom(sig: DataFrame): DataFrame =
+    bandedFromKeeping(sig, Nil)
+
+  /** Same, preserving caller passthrough columns (streaming consumers
+    * need `event_time` to ride along for the watermark). */
+  private def bandedFromKeeping(sig: DataFrame, keep: Seq[String]): DataFrame = {
+    val kc = keep.map(col)
     val bandStructs = array((0 until Bands).map(m =>
       struct(lit(m.toLong).as("band"), bandHash(col("mh"), m).as("band_hash"))): _*)
-    sig.select(col("doc_id"), col("mh"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("mh"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    sig.select(Seq(col("doc_id")) ++ kc ++ Seq(col("mh"),
+        explode(bandStructs).as("b")): _*)
+      .select(Seq(col("doc_id")) ++ kc ++ Seq(col("mh"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash")): _*)
   }
 
   /** `(doc_id, mh, band, band_hash)` — signature + LSH bucket keys, 4
@@ -292,6 +299,46 @@ object Dedup {
     * recomputing the corpus, then appends the shard's rows to it. */
   def signatureBands(docs: DataFrame): DataFrame =
     bandedFrom(minhashSignatures(docs))
+
+  /** [[signatureBands]] with caller passthrough columns — the
+    * STREAM-SAFE spelling ([[graft.streaming.DocStream]] carries
+    * `event_time` through the sketch pipeline for its watermark): the
+    * same tokenize→shingle→signature→band chain, no checkpoint, no
+    * self-join, no keeper collapse (intra-stream work belongs to
+    * [[graft.streaming.DocStream.dedupDocs]] and the batch sweep). */
+  def signatureBandsKeeping(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val kc = keep.map(col)
+    val t = wide.select(Seq(col("doc_id")) ++ kc :+
+        TextAnalysis.tokenHashes(wide, col("text")).as("th"): _*)
+      .filter(size(col("th")) >= 3)
+    val shs = shingleSetsOf(t)
+    val sig = shs.select(Seq(col("doc_id")) ++ kc :+
+      signatureOf(docs, col("sh_set")).as("mh"): _*)
+    bandedFromKeeping(sig, keep)
+  }
+
+  /** Per new-doc corpus matches: banded rows (from
+    * [[signatureBandsKeeping]], batch or stream) joined against the
+    * PERSISTED corpus band relation on the bucket key, scored by
+    * signature agreement, ≥ `minMatch` survivors only. STREAM-SAFE by
+    * construction — a stream-static equi-join plus per-row scoring, no
+    * state, no self-join; multi-band collisions of the same (doc,
+    * corpus doc) pair are the CALLER's to collapse (batch: distinct;
+    * stream: dropDuplicatesWithinWatermark), because the right dedup
+    * discipline differs by execution mode. */
+  def corpusMatches(newBanded: DataFrame, corpusBands: DataFrame,
+      minMatch: Long = 8L): DataFrame = {
+    val passthrough = newBanded.columns
+      .filterNot(Set("mh", "band", "band_hash")).map(col).toSeq
+    newBanded.join(
+        corpusBands.select(col("doc_id").as("corpus_doc_id"),
+          col("mh").as("corpus_mh"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(passthrough ++ Seq(col("corpus_doc_id"),
+        agreeCount(newBanded, col("mh"), col("corpus_mh")).as("n_match")): _*)
+      .filter(col("n_match") >= minMatch)
+  }
 
   /** `(doc_id, band, band_hash)` — the LSH bucket keys alone, 4 rows per
     * doc (the queryable projection of [[signatureBands]], which is the
@@ -438,10 +485,24 @@ object Dedup {
     * violating id would put two band rows under one key and duplicate
     * that document's pair output rather than fail loudly.
     */
-  def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
+  def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    incrementalNearDupPairsOverKeepers(newDocs,
+      keeperIds(fingerprintsOf(newDocs)), corpusBands)
+
+  /** [[incrementalNearDupPairs]] with a caller-supplied keeper-id
+    * relation (one `doc_id` column) — the composed-operator path
+    * ([[ingestManifest]]) already derived the within-shard keepers from
+    * its checkpointed fingerprint pass, and passing them in here is what
+    * makes "ONE shard fingerprint pass" literally true (round-6 advice:
+    * the standalone entry recomputed fingerprints from the shard text a
+    * second time). CONTRACT: `keepers` must be exactly the
+    * [[keeperIds]] policy over `newDocs` — a wrong relation silently
+    * changes which copies pair. */
+  private[text] def incrementalNearDupPairsOverKeepers(newDocs: DataFrame,
+      keepers: DataFrame, corpusBands: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "mh", "band", "band_hash").map(col)
     val newBands = bandedFrom(minhashSignatures(newDocs)
-        .join(keeperIds(fingerprintsOf(newDocs)), Seq("doc_id"), "left_semi"))
+        .join(keepers, Seq("doc_id"), "left_semi"))
       .select(cols: _*).localCheckpoint()
     val all = corpusBands.select(cols: _*).union(newBands)
     newBands.as("x").join(all.as("y"),
@@ -540,17 +601,15 @@ object Dedup {
     *  - `pred_keep`: the [[TextAnalysis.classifierScore]] gate,
     *  - `admit` = none of the drop reasons and the gate passes.
     *
-    * Scale shape: everything is the composed operators' own — one
-    * checkpointed shard fingerprint pass feeds the known-content flag and
-    * the keeper collapse, and SELECTS the near-dup stage's input rows
-    * (the pair stage is [[incrementalNearDupPairs]] verbatim, which
-    * re-derives fingerprints + signatures from the surviving shard text —
-    * the fingerprint/tokenize pass runs a second time there, the price of
-    * composing the pair operator unmodified; a count-sensitive deployment
-    * would thread the checkpointed relation through a precomputed-keeper
-    * variant instead). The pair equi-join is bucket-keyed and
-    * AQE-splittable, folded to a per-doc flag over ≤2 rows per surviving
-    * pair; the classifier is map-only.
+    * Scale shape: everything is the composed operators' own — ONE
+    * checkpointed shard fingerprint pass feeds the known-content flag,
+    * the keeper collapse, AND the pair stage (its keepers thread into
+    * [[incrementalNearDupPairsOverKeepers]], so the shard text is
+    * fingerprinted exactly once; only the signature map pass still reads
+    * the surviving rows' text, which no precomputation can avoid). The
+    * pair equi-join is bucket-keyed and AQE-splittable, folded to a
+    * per-doc flag over ≤2 rows per surviving pair; the classifier is
+    * map-only.
     * Corpus and shard doc_ids must be disjoint (the composition's
     * standing precondition, see [[incrementalNearDupPairs]]).
     */
@@ -566,8 +625,11 @@ object Dedup {
     val keepers = newRows.groupBy("fp_md5").agg(min("doc_id").as("keeper_id"))
     val shardDup = newRows.join(keepers, Seq("fp_md5"))
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_shard_dup"))
-    val pairs = incrementalNearDupPairs(
+    // the pair stage consumes the checkpointed pass's OWN keepers — the
+    // shard text is fingerprinted exactly once in this composition
+    val pairs = incrementalNearDupPairsOverKeepers(
         shard.join(newRows.select("doc_id"), Seq("doc_id"), "left_semi"),
+        keepers.select(col("keeper_id").as("doc_id")),
         corpusBands)
       .filter(col("n_match") >= minMatch)
     // fold pairs to a per-doc flag: each pair contributes both
@@ -1008,7 +1070,9 @@ object Dedup {
           sequence(lit(1), size(col("th")) - (window - 1)),
           i => PortableHash.shingleK(
             (0 until window).map(j => element_at(col("th"), i + j)))))
-    t.select(col("doc_id"), shSet.as("sh_set"))
+    // non-th columns pass through: the batch callers hand (doc_id, th),
+    // signatureBandsKeeping also threads its passthrough columns
+    t.select(t.columns.filterNot(_ == "th").map(col).toSeq :+ shSet.as("sh_set"): _*)
   }
 
   /** `(doc_id, sh_set)` — the distinct 3-shingle set per (≥3-token) doc. */

@@ -244,6 +244,46 @@ class EventStreamSpec extends AnyFunSuite {
       "PII scrub grew streaming state")
   }
 
+  test("streaming near-dup vs persisted corpus bands = the batch pairs, corpus direction") {
+    implicit val ctx = spark.sqlContext
+    val baseTxt = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six")
+    val unrel = "red green blue cyan magenta yellow black white " +
+      "purple orange pink brown gray silver gold bronze copper iron lead zinc"
+    val corpus = Seq((100L, baseTxt, "en"), (101L, unrel, "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpusBands = graft.text.Dedup.signatureBands(corpus)
+    // three DISTINCT-content stream docs: two near corpus content, one new
+    val streamRows = Seq(
+      (1L, T, baseTxt.replace("oscar", "OSCARX")),
+      (2L, T + 1, unrel + " coda"),
+      (3L, T + 2, "entirely novel content with many fresh words here today"))
+    val src = MemoryStream[(Long, Long, String)]
+    src.addData(streamRows: _*)
+    val name = s"neardup_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.nearDupAgainstCorpus(
+        src.toDF().toDF("doc_id", "ts", "text"), corpusBands)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc_id"),
+        r.getAs[Long]("n_match"))).toSet
+    // batch ground truth: the incremental pairing on the same rows,
+    // restricted to its corpus-direction pairs (stream-vs-stream pairs
+    // are out of this operator's contract)
+    val batch = graft.text.Dedup.incrementalNearDupPairs(
+        streamRows.map { case (id, _, t) => (id, t, "en") }
+          .toDF("doc_id", "text", "lang"), corpusBands)
+      .filter($"n_match" >= 8L && $"doc_b" >= 100L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_match"))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set(1L, 2L), s"docs 1,2 match; 3 must not: $streamed")
+    // multi-band collisions collapsed: one row per (doc, corpus doc)
+    assert(streamed.size === spark.table(name).count())
+  }
+
   test("throughput evidence: the stateless gate accounts every row at a bounded nonzero rate") {
     // Round-6 verdict gap #6: semantics and state-size were pinned but no
     // rows/sec ever landed in an artifact. Stream a non-trivial batch
