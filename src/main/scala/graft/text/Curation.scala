@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The curation decision — the composite a training-data pipeline
@@ -78,20 +78,27 @@ object Curation {
     * exact-count stratification being precisely the total-order shuffle
     * this operator exists to avoid.
     */
-  def splitAssign(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+  /** The split bucket of a doc_id — pmod, not %: permHash inherits the
+    * dividend's sign, and a corpus with negative doc_ids would land
+    * ~half its buckets in (-100, 0) — all routed to 'test' by the CASE,
+    * a silent eval leak both engines would agree on (so the oracle could
+    * never catch it). */
+  private def splitBucket: Column = {
     val (a, b) = splitPerm
-    // pmod, not %: permHash inherits the dividend's sign, and a corpus
-    // with negative doc_ids would land ~half its buckets in (-100, 0) —
-    // all routed to 'test' by the CASE, a silent eval leak both engines
-    // would agree on (so the oracle could never catch it)
-    docs.select(col("doc_id"),
-        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(100L))
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < testPct, lit("test"))
-          .when(col("bucket") < testPct + valPct, lit("val"))
-          .otherwise(lit("train")))
+    pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(100L))
   }
+
+  /** The split verdict as one expression over a `bucket` column — shared
+    * by [[splitAssign]] and [[splitLeakReport]] so the assignment exists
+    * in exactly one spelling. */
+  private def splitOf(bucket: Column, valPct: Int, testPct: Int): Column =
+    when(bucket < testPct, lit("test"))
+      .when(bucket < testPct + valPct, lit("val"))
+      .otherwise(lit("train"))
+
+  def splitAssign(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame =
+    docs.select(col("doc_id"), splitBucket.as("bucket"))
+      .withColumn("split", splitOf(col("bucket"), valPct, testPct))
 
   def splitAssignSql(valPct: Int = 5, testPct: Int = 5): String = {
     val (a, b) = splitPerm
@@ -114,16 +121,19 @@ object Curation {
     * report (run it AFTER exact dedup, or on ingest manifests before
     * admission); NULL-text rows carry no content and never leak.
     *
-    * Scale shape: the fingerprint map pass + the map-only split
-    * assignment, one 32-byte-key partial-agg shuffle (counts per split
-    * ride the same shuffle as conditional sums), and the ≥2-splits
-    * filter — exact dedup's own cost, reused as an audit.
+    * Scale shape: fingerprint AND split verdict are both per-row
+    * functions of the same row, so they compute in ONE projection over
+    * ONE scan (a fp-side join with splitAssign would self-join the
+    * corpus on doc_id for two map columns), then one 32-byte-key
+    * partial-agg shuffle (counts per split ride it as conditional sums)
+    * and the ≥2-splits filter — exact dedup's own cost, reused as an
+    * audit.
     */
   def splitLeakReport(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    val fp = graft.Tables.widen(docs).select(col("doc_id"),
-      TextAnalysis.normMd5(col("text")).as("fp_md5"))
-    fp.filter(col("fp_md5").isNotNull)
-      .join(splitAssign(docs, valPct, testPct).select("doc_id", "split"), "doc_id")
+    graft.Tables.widen(docs).select(col("doc_id"),
+        TextAnalysis.normMd5(col("text")).as("fp_md5"),
+        splitOf(splitBucket, valPct, testPct).as("split"))
+      .filter(col("fp_md5").isNotNull)
       .groupBy("fp_md5")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("split").as("n_splits"),
@@ -137,10 +147,8 @@ object Curation {
     val (a, b) = splitPerm
     val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
     val bucket = s"((($h % 100) + 100) % 100)"
-    s"""WITH fp AS (
-       |  SELECT doc_id, ${TextAnalysis.normMd5Sql("text")} AS fp_md5 FROM documents
-       |), sp AS (
-       |  SELECT doc_id,
+    s"""WITH j AS (
+       |  SELECT ${TextAnalysis.normMd5Sql("text")} AS fp_md5,
        |    CASE WHEN $bucket < $testPct THEN 'test'
        |         WHEN $bucket < ${testPct + valPct} THEN 'val'
        |         ELSE 'train' END AS split
@@ -152,7 +160,7 @@ object Curation {
        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-       |  FROM fp JOIN sp USING (doc_id)
+       |  FROM j
        |  WHERE fp_md5 IS NOT NULL
        |  GROUP BY fp_md5
        |)

@@ -237,6 +237,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "pipeline_manifest_bpe re-scans documents parquet instead of the shared base")
   }
 
+  test("split_leak_report computes fingerprint and split in ONE scan, no self-join") {
+    // both verdicts are per-row functions of the same row — joining a
+    // fingerprint side with a splitAssign side would self-join the
+    // corpus on doc_id for two map columns
+    val p = plan("split_leak_report")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1,
+      s"split_leak_report scans documents more than once:\n$p")
+    assert(!p.contains("Join"), s"split_leak_report plans a join:\n$p")
+  }
+
   test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
     // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
     // LessThan cannot be pushed into the parquet reader — only IsNotNull
