@@ -303,6 +303,11 @@ object SparkEntry {
     // boundaries they cross, so no bin ever exceeds the token budget.
     "pack_sequences_chunked" -> ((s, dir) =>
       graft.text.Curation.packSequencesChunked(graft.Tables.documents(s, dir))),
+    // Oversampled packing: each doc's corpus_mix_epochs repeat copies
+    // materialized (map-side explode) and packed, copies scattered
+    // across shards by the (doc_id, epoch) hash key.
+    "pack_sequences_epochs" -> ((s, dir) =>
+      graft.text.Curation.packSequencesEpochs(graft.Tables.documents(s, dir))),
     // The whole pipeline in one DAG: curate → keep → split → pack,
     // one scan + one tokenize pass end to end.
     "pipeline_manifest" -> ((s, dir) =>
@@ -490,6 +495,7 @@ object SparkEntry {
     "corpus_diff" -> graft.text.Curation.corpusDiffSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),
     "pack_sequences_chunked" -> graft.text.Curation.packSequencesChunkedSql(),
+    "pack_sequences_epochs" -> graft.text.Curation.packSequencesEpochsSql(),
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
     "pipeline_manifest_bpe" -> graft.text.Curation.pipelineManifestBpeSql(),

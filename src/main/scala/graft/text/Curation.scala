@@ -216,7 +216,6 @@ object Curation {
       defaultWeight: Long = 1L): DataFrame = {
     require(defaultWeight >= 1L && weights.values.forall(_ >= 1L),
       "mixture weights must be >= 1")
-    val (a, b) = mixPerm
     val wt = coalesce(
       element_at(typedLit(weights), col("source")), lit(defaultWeight))
     // the scalar reductions (total weight, feasible total) are
@@ -239,9 +238,7 @@ object Curation {
       .select(col("source"),
         expr(s"(t_total * wt * ${MixResolution}L) div (w_total * n_docs)")
           .as("thr"))
-    docs.select(col("doc_id"), col("source"),
-        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b),
-          lit(MixResolution)).as("bucket"))
+    docs.select(col("doc_id"), col("source"), mixBucket.as("bucket"))
       .join(broadcast(thr), Seq("source"))
       .filter(col("bucket") < col("thr"))
       .select(col("doc_id"), col("source"), col("bucket"))
@@ -306,17 +303,44 @@ object Curation {
     * n_repeats = 0 are dropped (that IS the downsample).
     */
   def corpusMixEpochs(docs: DataFrame, weights: Map[String, Long] = MixWeights,
-      defaultWeight: Long = 1L): DataFrame = {
+      defaultWeight: Long = 1L): DataFrame =
+    docs.select(col("doc_id"), col("source"), mixBucket.as("bucket"))
+      .join(broadcast(epochRates(docs, weights, defaultWeight)), Seq("source"))
+      .withColumn("n_repeats", epochRepeats)
+      .filter(col("n_repeats") >= 1L)
+      .select(col("doc_id"), col("source"), col("bucket"), col("n_repeats"))
+
+  /** The mix-hash bucket of a doc_id in [0, [[MixResolution]]) — shared
+    * by [[corpusMix]]'s threshold test, [[corpusMixEpochs]]' remainder
+    * test, and [[packSequencesEpochs]]' fused corpus pass. */
+  private def mixBucket: Column = {
+    val (a, b) = mixPerm
+    pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b),
+      lit(MixResolution))
+  }
+
+  /** `n_repeats` over (bucket, base, rem) columns — ONE spelling of the
+    * floor-plus-remainder verdict for both epoch consumers. */
+  private def epochRepeats: Column =
+    col("base") + when(col("bucket") < col("rem"), 1L).otherwise(0L)
+
+  /** The tiny per-source repeat-rate relation `(source, base, rem)` —
+    * [[corpusMixEpochs]]' arithmetic factored out so the packed variant
+    * ([[packSequencesEpochs]]) can broadcast the SAME rates into its own
+    * fused corpus pass instead of joining two corpus-sized relations on
+    * doc_id. One column-pruned count agg (few hundred rows at any corpus
+    * size); see [[corpusMixEpochs]] for the exact-int64 derivation. */
+  private def epochRates(docs: DataFrame, weights: Map[String, Long],
+      defaultWeight: Long): DataFrame = {
     require(defaultWeight >= 1L && weights.values.forall(_ >= 1L),
       "mixture weights must be >= 1")
-    val (a, b) = mixPerm
     val wt = coalesce(
       element_at(typedLit(weights), col("source")), lit(defaultWeight))
     // same few-hundred-row scalar windows as corpusMix (see its note on
     // why not crossJoin/constant-key equi-join)
     val scalarW = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val rates = docs.groupBy("source")
+    docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs")).withColumn("wt", wt)
       .withColumn("w_total", sum("wt").over(scalarW))
       .withColumn("n_total", sum("n_docs").over(scalarW))
@@ -325,24 +349,16 @@ object Curation {
       .select(col("source"),
         expr(s"rate div ${MixResolution}L").as("base"),
         expr(s"rate % ${MixResolution}L").as("rem"))
-    docs.select(col("doc_id"), col("source"),
-        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b),
-          lit(MixResolution)).as("bucket"))
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("n_repeats",
-        col("base") + when(col("bucket") < col("rem"), 1L).otherwise(0L))
-      .filter(col("n_repeats") >= 1L)
-      .select(col("doc_id"), col("source"), col("bucket"), col("n_repeats"))
   }
 
-  def corpusMixEpochsSql(weights: Map[String, Long] = MixWeights,
-      defaultWeight: Long = 1L): String = {
-    val (a, b) = mixPerm
+  /** w → tot → rates CTE chain — the oracle twin of [[epochRates]],
+    * shared by [[corpusMixEpochsSql]] and [[packSequencesEpochsSql]]. */
+  private def epochRatesCtesSql(weights: Map[String, Long],
+      defaultWeight: Long): String = {
     val caseW = weights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"WHEN '$s' THEN $w" }
       .mkString("CASE source ", " ", s" ELSE $defaultWeight END")
-    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST($caseW AS BIGINT) AS wt
        |  FROM documents GROUP BY source
@@ -354,7 +370,14 @@ object Curation {
        |    ((n_total * wt * $MixResolution) // (w_total * n_docs)) // $MixResolution AS base,
        |    ((n_total * wt * $MixResolution) // (w_total * n_docs)) % $MixResolution AS rem
        |  FROM w, tot
-       |), fin AS (
+       |)""".stripMargin
+  }
+
+  def corpusMixEpochsSql(weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L): String = {
+    val (a, b) = mixPerm
+    val h = graft.functions.PortableHash.permHashSql("doc_id", a, b)
+    s"""WITH ${epochRatesCtesSql(weights, defaultWeight)}, fin AS (
        |  SELECT doc_id, source,
        |    ((($h) % $MixResolution) + $MixResolution) % $MixResolution AS bucket
        |  FROM documents
@@ -364,6 +387,102 @@ object Curation {
        |FROM fin JOIN rates ON fin.source = rates.source
        |WHERE base + CASE WHEN bucket < rem THEN 1 ELSE 0 END >= 1
        |ORDER BY doc_id, source, bucket, n_repeats""".stripMargin
+  }
+
+  /** Shard-key stride for repeated docs: copy `epoch` of doc `d` enters
+    * the pack shard hash as `d · stride + epoch`, so each copy lands in
+    * its own (deterministic) shard. Bounds, documented like the other
+    * exact-int64 budgets: |doc_id| must stay below 2^63/stride ≈ 4.4e12,
+    * and an epoch ≥ stride aliases into a neighboring doc's key space —
+    * still deterministic and engine-identical (the hash doesn't care),
+    * it only degrades shard mixing; a repeat factor of a million means
+    * the mixture weights, not this constant, are wrong. */
+  val EpochKeyStride: Long = 1L << 20
+
+  /** The composition [[corpusMixEpochs]] exists for: PACK the
+    * oversampled corpus. `corpus_mix_epochs` emits per-doc repeat counts
+    * but a trainer consumes packed sequences, so this operator
+    * materializes each doc's `n_repeats` copies as (doc_id, epoch) rows
+    * — a pure map-side `sequence` explode, no corpus shuffle — and runs
+    * the same sharded running-sum packer over them. Repeat copies do NOT
+    * pack adjacently: the shard hash keys on (doc_id, epoch) via
+    * [[EpochKeyStride]], so a doc's epochs scatter across shards exactly
+    * like distinct docs (adjacent repeats of the same content in one
+    * training sequence teach the model the repetition, not the data).
+    *
+    * Scale shape: [[corpusMix]]'s own — the rate relation derives from
+    * one column-pruned count agg and broadcasts back; the corpus pass is
+    * map-only (tokenize + bucket + repeat verdict fused into ONE
+    * projection over ONE scan — joining `corpusMixEpochs` output against
+    * a separate token-count pass would shuffle two corpus-sized
+    * relations on doc_id); then the explode (rows × mean repeat rate ≈
+    * constant total, by construction of the rates) and the nShards
+    * independent window partitions. Whole-doc bins, like
+    * [[packSequences]]; chunk-at-boundaries composes the same way via
+    * [[packSequencesChunked]]'s explode if a fixed-context trainer needs
+    * it.
+    */
+  def packSequencesEpochs(docs: DataFrame, weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L, budget: Long = 2048L, nShards: Int = 8): DataFrame = {
+    val (a, b) = packPerm
+    val t = graft.Tables.widen(docs).select(col("doc_id"), col("source"),
+        mixBucket.as("bucket"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_count"))
+      .filter(col("tok_count") >= 0) // same NULL/ANSI guard as packFromCounts
+      .join(broadcast(epochRates(docs, weights, defaultWeight)), Seq("source"))
+      .withColumn("n_repeats", epochRepeats)
+      .filter(col("n_repeats") >= 1L)
+      .select(col("doc_id"), col("tok_count"),
+        explode(sequence(lit(0L), col("n_repeats") - 1L)).as("epoch"))
+      .withColumn("shard",
+        pmod(graft.functions.PortableHash.permHash(
+            col("doc_id") * lit(EpochKeyStride) + col("epoch"), a, b),
+          lit(nShards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "epoch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.withColumn("prev_cum", sum(col("tok_count")).over(w) - col("tok_count"))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("tok_count"),
+        floor(col("prev_cum").cast("double") / budget).cast("long").as("seq_id"))
+  }
+
+  def packSequencesEpochsSql(weights: Map[String, Long] = MixWeights,
+      defaultWeight: Long = 1L, budget: Long = 2048L, nShards: Int = 8): String = {
+    val (ma, mb) = mixPerm
+    val (pa, pb) = packPerm
+    val mh = graft.functions.PortableHash.permHashSql("doc_id", ma, mb)
+    val sh = graft.functions.PortableHash.permHashSql(
+      s"(doc_id * $EpochKeyStride + epoch)", pa, pb)
+    s"""WITH ${epochRatesCtesSql(weights, defaultWeight)}, fin AS (
+       |  SELECT doc_id, source,
+       |    ((($mh) % $MixResolution) + $MixResolution) % $MixResolution AS bucket,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS BIGINT) AS tok_count
+       |  FROM documents
+       |), rep AS (
+       |  SELECT doc_id, tok_count,
+       |    CAST(base + CASE WHEN bucket < rem THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       |  FROM fin JOIN rates ON fin.source = rates.source
+       |  WHERE tok_count IS NOT NULL
+       |    AND base + CASE WHEN bucket < rem THEN 1 ELSE 0 END >= 1
+       |), e AS (
+       |  SELECT doc_id, tok_count,
+       |    unnest(generate_series(0, n_repeats - 1)) AS epoch
+       |  FROM rep
+       |), t AS (
+       |  SELECT doc_id, epoch, tok_count,
+       |    ((($sh) % $nShards) + $nShards) % $nShards AS shard
+       |  FROM e
+       |), c AS (
+       |  SELECT doc_id, epoch, shard, tok_count,
+       |    CAST(sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id, epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_count
+       |      AS BIGINT) AS prev_cum
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, shard, tok_count,
+       |  CAST(floor(CAST(prev_cum AS DOUBLE) / $budget) AS BIGINT) AS seq_id
+       |FROM c
+       |ORDER BY doc_id, epoch, shard, tok_count, seq_id""".stripMargin
   }
 
   /** Hash parameters for the packing shard assignment (seed-split, like

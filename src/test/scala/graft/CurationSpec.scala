@@ -407,6 +407,47 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 1L))
   }
 
+  test("packSequencesEpochs: n_repeats copies materialize, scatter, and pack by (doc_id, epoch)") {
+    import spark.implicits._
+    // same A/B fixture as the corpusMixEpochs test (A upsamples to 3-4
+    // repeats, B downsamples), plus a NULL-text doc that must pack nowhere
+    val d = ((0L until 100L).map(i => (i, "A")) ++
+      (100L until 400L).map(i => (i, "B")))
+      .map { case (i, s) => (i, s, s"alpha beta tok$i") } // 3 tokens each
+      .toDF("doc_id", "source", "text")
+      .union(Seq((400L, "A", null: String)).toDF("doc_id", "source", "text"))
+    val reps = Curation.corpusMixEpochs(d.select("doc_id", "source"),
+        weights = Map("A" -> 6L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats"))
+      .toMap
+    val budget = 7L
+    val out = Curation.packSequencesEpochs(d, weights = Map("A" -> 6L),
+        budget = budget, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("shard"), r.getAs[Long]("tok_count"), r.getAs[Long]("seq_id")))
+    // exactly n_repeats rows per kept doc, epochs tiling 0..n-1; the
+    // NULL-text doc (funny rates aside) contributes nothing
+    assert(!out.exists(_._1 === 400L), "NULL-text doc must pack nowhere")
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet === reps.keySet - 400L)
+    for ((id, rows) <- byDoc)
+      assert(rows.map(_._2).sorted.toSeq === (0L until reps(id)),
+        s"doc $id epochs")
+    // repeat copies scatter: the upsampled source's copies must not all
+    // share one shard (3+ copies over 4 hash shards — collisions happen
+    // per doc, but not for every doc)
+    assert(byDoc.filter(_._2.length >= 3).exists(_._2.map(_._3).distinct.length >= 2),
+      "no doc's repeat copies ever left one shard — the epoch key is dead")
+    // seq assignment is the sharded running sum over (doc_id, epoch) order
+    for ((shard, rows) <- out.groupBy(_._3)) {
+      var cum = 0L
+      for ((_, _, _, tok, seq) <- rows.sortBy(r => (r._1, r._2))) {
+        assert(seq === cum / budget, s"shard $shard seq at cum=$cum")
+        cum += tok
+      }
+    }
+  }
+
   test("splitLeakReport flags only cross-split duplicated content") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -133,6 +133,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus_mix does not broadcast the threshold relation:\n$p")
   }
 
+  test("pack_sequences_epochs broadcasts rates into a fused map-side corpus pass") {
+    // the corpus pass computes tokenize + mix bucket + repeat verdict in
+    // ONE projection and joins only the broadcast per-source rates — a
+    // doc_id join of corpusMixEpochs output against a separate token
+    // count pass would shuffle two corpus-sized relations
+    val p = plan("pack_sequences_epochs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pack_sequences_epochs does not broadcast the rates relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pack_sequences_epochs shuffles a join side:\n$p")
+  }
+
   test("decontaminate broadcasts the benchmark shingle set into a semi join") {
     // the corpus side must stay map-only up to the per-doc count: the
     // benchmark's distinct shingle relation broadcasts and the match is
