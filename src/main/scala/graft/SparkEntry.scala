@@ -271,6 +271,11 @@ object SparkEntry {
       graft.text.Curation.splitAssign(graft.Tables.documents(s, dir))),
     // Leakage audit: duplicated content whose copies span >= 2 splits
     // (train memorizes what val measures); healthy corpus => empty.
+    // The near-dup face of the leak audit: candidate pairs whose
+    // endpoints land in different splits (both splits computed map-side
+    // from the ids on the pair row — no corpus join).
+    "split_leak_fuzzy" -> ((s, dir) =>
+      graft.text.Curation.splitLeakFuzzy(graft.Tables.documents(s, dir))),
     "split_leak_report" -> ((s, dir) =>
       graft.text.Curation.splitLeakReport(graft.Tables.documents(s, dir))),
     // Deterministic source-mixture downsampling: per-source hash
@@ -489,6 +494,7 @@ object SparkEntry {
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
+    "split_leak_fuzzy" -> graft.text.Curation.splitLeakFuzzySql(),
     "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),
     "corpus_mix_epochs" -> graft.text.Curation.corpusMixEpochsSql(),

@@ -83,9 +83,15 @@ object Curation {
     * ~half its buckets in (-100, 0) — all routed to 'test' by the CASE,
     * a silent eval leak both engines would agree on (so the oracle could
     * never catch it). */
-  private def splitBucket: Column = {
+  private def splitBucket: Column = splitBucketOf(col("doc_id"))
+
+  /** The same bucket over ANY id column — [[splitLeakFuzzy]] computes
+    * both endpoints' splits directly on the pair relation (the split is
+    * a pure function of the id; joining the corpus-sized assignment in
+    * would shuffle it for two derivable columns). */
+  private def splitBucketOf(id: Column): Column = {
     val (a, b) = splitPerm
-    pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(100L))
+    pmod(graft.functions.PortableHash.permHash(id, a, b), lit(100L))
   }
 
   /** The split verdict as one expression over a `bucket` column — shared
@@ -167,6 +173,58 @@ object Curation {
        |SELECT fp_md5, n_docs, n_splits, n_train, n_val, n_test FROM g
        |WHERE n_splits >= 2
        |ORDER BY fp_md5, n_docs, n_splits, n_train, n_val, n_test""".stripMargin
+  }
+
+  /** The NEAR-dup face of [[splitLeakReport]] — exact-fingerprint
+    * auditing misses the leak eval suites actually suffer: a lightly
+    * edited copy (same page re-crawled with a new timestamp, a
+    * paraphrase, boilerplate churn) carries the answer across the split
+    * boundary with a different md5. Per MinHash near-dup candidate pair
+    * whose endpoints land in DIFFERENT splits: the pair, its signature
+    * agreement (`n_match`/16 estimates Jaccard), and both splits.
+    *
+    * Composes with, not replaces, the exact report: [[Dedup.nearDupPairs]]
+    * collapses exact copies to per-fingerprint keepers before pairing
+    * (its own contract), so an exact copy-pair spanning splits shows up
+    * in [[splitLeakReport]] and only there — run both.
+    *
+    * Scale shape: the pair relation's own cost (checkpointed banded
+    * self-equi-join, per-bucket quadratic over collapsed contents — see
+    * [[Dedup.nearDupPairs]]) plus PURE MAP WORK over the pairs: both
+    * splits are functions of the ids already in the row
+    * ([[splitBucketOf]]), so no corpus-sized assignment ever joins in.
+    */
+  def splitLeakFuzzy(docs: DataFrame, valPct: Int = 5, testPct: Int = 5,
+      minMatch: Long = 8L): DataFrame = {
+    def splitOfId(id: Column) = splitOf(splitBucketOf(id), valPct, testPct)
+    graft.text.Dedup.nearDupPairs(docs)
+      .filter(col("n_match") >= minMatch)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        splitOfId(col("doc_a")).as("split_a"),
+        splitOfId(col("doc_b")).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  def splitLeakFuzzySql(valPct: Int = 5, testPct: Int = 5,
+      minMatch: Long = 8L): String = {
+    val (a, b) = splitPerm
+    def splitSql(idExpr: String): String = {
+      val h = graft.functions.PortableHash.permHashSql(idExpr, a, b)
+      val bucket = s"((($h % 100) + 100) % 100)"
+      s"""CASE WHEN $bucket < $testPct THEN 'test'
+         |      WHEN $bucket < ${testPct + valPct} THEN 'val'
+         |      ELSE 'train' END""".stripMargin
+    }
+    s"""WITH ${Dedup.nearDupPairCtesSql},
+       |sp AS (
+       |  SELECT doc_a, doc_b, n_match,
+       |    ${splitSql("doc_a")} AS split_a,
+       |    ${splitSql("doc_b")} AS split_b
+       |  FROM scored WHERE n_match >= $minMatch
+       |)
+       |SELECT doc_a, doc_b, n_match, split_a, split_b FROM sp
+       |WHERE split_a <> split_b
+       |ORDER BY doc_a, doc_b, n_match, split_a, split_b""".stripMargin
   }
 
   /** Hash parameters for the mixture-sampling bucket (seed-split, like

@@ -1602,9 +1602,14 @@ object Dedup {
        |ORDER BY doc_a, doc_b, hamming""".stripMargin
   }
 
-  def nearDupPairsSql: String = {
+  /** fp → keepers → repdocs → sig → bands → cand → scored CTE chain —
+    * the oracle twin of [[nearDupPairs]] up to the scored pair relation
+    * (doc_a, doc_b, n_match); shared with
+    * [[graft.text.Curation.splitLeakFuzzySql]] so the candidate/scoring
+    * spelling exists once. */
+  private[text] def nearDupPairCtesSql: String = {
     val bandSelects = bandSelectsSql
-    s"""WITH ${keepersCte("documents")},
+    s"""${keepersCte("documents")},
        |${sigCteFrom("repdocs")},
        |bands AS (
        |  $bandSelects
@@ -1621,9 +1626,12 @@ object Dedup {
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = cand.doc_a
        |  JOIN sig sb ON sb.doc_id = cand.doc_b
-       |)
+       |)""".stripMargin
+  }
+
+  def nearDupPairsSql: String =
+    s"""WITH $nearDupPairCtesSql
        |SELECT doc_a, doc_b, n_match, n_match / ${NumHashes}e0 AS est_jaccard
        |FROM scored
        |ORDER BY doc_a, doc_b, n_match, est_jaccard""".stripMargin
-  }
 }

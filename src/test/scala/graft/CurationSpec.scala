@@ -472,6 +472,35 @@ class CurationSpec extends AnyFunSuite {
       && r.getAs[Long]("n_val") === 0L)
   }
 
+  test("splitLeakFuzzy flags near-dup pairs spanning splits; exact copies stay the exact report's job") {
+    import spark.implicits._
+    val asg = Curation.splitAssign((0L until 1000L).toDF("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainIds = asg.collect { case (id, "train") => id }.toSeq.sorted
+    val testIds = asg.collect { case (id, "test") => id }.toSeq.sorted
+    // three content families on disjoint token universes (no cross-family
+    // shingle overlap): X = near-dup pair ACROSS splits (the leak), Y =
+    // near-dup pair within train (not a leak), Z = exact copies across
+    // splits (collapsed to one keeper before pairing — the EXACT report's
+    // finding, asserted absent here)
+    def fam(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val d = Seq(
+      (trainIds(0), fam("x")),
+      (testIds(0), fam("x").replace("x30", "x31")),
+      (trainIds(1), fam("y")),
+      (trainIds(2), fam("y").replace("y30", "y31")),
+      (trainIds(3), fam("z")),
+      (testIds(1), fam("z")))
+      .toDF("doc_id", "text")
+    val out = Curation.splitLeakFuzzy(d)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_match"), r.getAs[String]("split_a"), r.getAs[String]("split_b")))
+    assert(out.length === 1, s"exactly the cross-split near-dup: ${out.toList}")
+    val (a, b, nMatch, sa, sb) = out.head
+    assert(Set(a, b) === Set(trainIds(0), testIds(0)))
+    assert(nMatch >= 8L && Set(sa, sb) === Set("train", "test"))
+  }
+
   test("corpusDiff: NULL text diffs as content, not as an absent row") {
     val old = Seq((1L, "some words here", "en"), (2L, null, "en"))
       .toDF("doc_id", "text", "lang")
