@@ -160,6 +160,10 @@ object SparkEntry {
     // Tokenizer-scale sibling: selection by count threshold — the same
     // one-shuffle agg followed by a distributed filter, so nothing
     // (not even a k-row merge) ever lands on the driver.
+    // Coverage acceptance check for an induced vocab: per doc, the
+    // occurrence/type counts the vocabulary fails to cover.
+    "vocab_coverage" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabCoverage(graft.Tables.documents(s, dir))),
     "vocab_mincount" -> ((s, dir) =>
       TextAnalysis.vocabByMinCount(graft.Tables.documents(s, dir))),
     // Byte-level BPE merge induction over the word-frequency relation:
@@ -469,6 +473,7 @@ object SparkEntry {
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "vocab_mincount" -> TextAnalysis.vocabByMinCountSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),

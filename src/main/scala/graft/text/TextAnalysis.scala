@@ -446,6 +446,82 @@ object TextAnalysis {
        |WHERE n_occurrences >= $minCount
        |ORDER BY token, n_occurrences, n_docs""".stripMargin
 
+  /** Vocabulary coverage / OOV report — the acceptance check between
+    * inducing a vocabulary ([[vocabTopK]] / [[vocabByMinCount]]) and
+    * committing to it: per document, how much of the text the vocab
+    * actually covers. Tokenizer builds are judged on exactly this number
+    * (an OOV occurrence becomes UNK or byte-fallback splinters — either
+    * way the model pays), and the per-doc resolution is what locates the
+    * damage: a corpus-level 1% OOV rate hiding a fully-uncovered
+    * minority-language slice is the failure mode a scalar would mask.
+    * Columns: `n_tokens`/`n_oov` (occurrences), `n_types`/`n_oov_types`
+    * (distinct tokens), `oov_frac` = n_oov/n_tokens (NULL for
+    * empty/NULL-text docs, like the other ratios; exact-int division,
+    * engine-bit-identical). The vocabulary is [[vocabByMinCount]]'s
+    * threshold selection over the SAME corpus — the tokenizer-scale
+    * spelling (a caller-supplied external vocab joins the same way).
+    *
+    * Scale shape: [[tokenRarity]]'s two-pass skeleton verbatim — raw
+    * occurrences shuffle ONCE into the checkpointed (doc, token)
+    * multiplicity relation, the vocab derives from THAT collapsed
+    * relation, and the coverage join BROADCASTS the ≤|vocab|-row
+    * selection back into it (a left join marking membership — the
+    * corpus side never reshuffles on the token key); the per-doc rollup
+    * rides doc_id. */
+  def vocabCoverage(docs: DataFrame, minCount: Long = VocabMinCount): DataFrame = {
+    val pairs = graft.Tables.widen(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val vocab = pairs.groupBy("token").agg(sum("n_occ").as("corpus_freq"))
+      .filter(col("corpus_freq") >= minCount)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val scored = pairs.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_tok"),
+        sum(when(col("in_vocab").isNull, col("n_occ")).otherwise(0L)).as("oov_occ"),
+        count(lit(1)).as("n_typ"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_typ"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_occ"), lit(0L)).as("n_oov"),
+        coalesce(col("n_typ"), lit(0L)).as("n_types"),
+        coalesce(col("oov_typ"), lit(0L)).as("n_oov_types"),
+        (col("oov_occ") / col("n_tok")).as("oov_frac"))
+  }
+
+  def vocabCoverageSql(minCount: Long = VocabMinCount): String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token
+       |    FROM documents
+       |  ) GROUP BY doc_id, token
+       |), voc AS (
+       |  SELECT token FROM (
+       |    SELECT token, CAST(sum(n_occ) AS BIGINT) AS corpus_freq
+       |    FROM pairs GROUP BY token
+       |  ) WHERE corpus_freq >= $minCount
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_occ) AS BIGINT) AS n_tok,
+       |    CAST(sum(CASE WHEN voc.token IS NULL THEN n_occ ELSE 0 END) AS BIGINT) AS oov_occ,
+       |    CAST(count(*) AS BIGINT) AS n_typ,
+       |    CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_typ
+       |  FROM pairs LEFT JOIN voc ON pairs.token = voc.token GROUP BY doc_id
+       |), fin AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    coalesce(n_tok, 0) AS n_tokens,
+       |    coalesce(oov_occ, 0) AS n_oov,
+       |    coalesce(n_typ, 0) AS n_types,
+       |    coalesce(oov_typ, 0) AS n_oov_types,
+       |    oov_occ / n_tok AS oov_frac
+       |  FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_oov, n_types, n_oov_types, oov_frac FROM fin
+       |ORDER BY doc_id, n_tokens, n_oov, n_types, n_oov_types, oov_frac""".stripMargin
+
   /** Number of BPE merge rounds for the [[bpeMerges]] query entry —
     * fixture-scaled; real tokenizer builds run 30k+ rounds, which
     * changes nothing about any round's plan shape. */

@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // plans we assert the aggregate-node pair instead.
     val distinctOnly =
       Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs",
-        "near_dup_pairs", "near_dup_jaccard",
+        "near_dup_pairs", "near_dup_jaccard", "split_leak_fuzzy",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
         "corpus_diff")
@@ -131,6 +131,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("corpus_mix")
     assert(p.contains("BroadcastHashJoin"),
       s"corpus_mix does not broadcast the threshold relation:\n$p")
+  }
+
+  test("vocab_coverage broadcasts the vocab selection into the pair relation") {
+    // the ≤|vocab|-row threshold selection must broadcast into the
+    // (doc, token) multiplicity relation — a shuffled token-key join
+    // would re-partition the corpus-sized pair relation for a lookup
+    val p = plan("vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab_coverage does not broadcast the vocab selection:\n$p")
   }
 
   test("pack_sequences_epochs broadcasts rates into a fused map-side corpus pass") {

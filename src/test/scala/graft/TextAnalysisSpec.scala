@@ -98,6 +98,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("cherry", 1L, 1L)))
   }
 
+  test("vocabCoverage reports per-doc OOV occurrences and types against the induced vocab") {
+    // minCount=3 vocab over this corpus = {apple (4 occ), banana (3)};
+    // everything else is OOV
+    val out = TextAnalysis.vocabCoverage(docs(
+      (1L, "apple apple banana cherry", "en"),  // 4 occ, 1 oov; 3 types, 1 oov
+      (2L, "apple banana banana date", "en"),   // 4 occ, 1 oov; 3 types, 1 oov
+      (3L, "apple elder elder", "en"),          // 3 occ, 2 oov; 2 types, 1 oov
+      (4L, null, "en")), minCount = 3L)         // empty: zeros, NULL frac
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_oov") === 1L)
+    assert(out(1L).getAs[Long]("n_types") === 3L)
+    assert(out(1L).getAs[Long]("n_oov_types") === 1L)
+    assert(out(1L).getAs[Double]("oov_frac") === 0.25)
+    assert(out(3L).getAs[Long]("n_oov") === 2L)
+    assert(out(3L).getAs[Long]("n_oov_types") === 1L)
+    assert(out(3L).getAs[Double]("oov_frac") === 2.0 / 3.0)
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("oov_frac")))
+  }
+
   test("docRepetition flags pasted-loop text, passes varied text") {
     // doc 1: "spam ham eggs" pasted 50× — 150 tokens, 148 3-grams but
     // only 3 distinct (the cycle's rotations); top gram covers 50/148
