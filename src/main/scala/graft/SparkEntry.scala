@@ -160,6 +160,10 @@ object SparkEntry {
     // Tokenizer-scale sibling: selection by count threshold — the same
     // one-shuffle agg followed by a distributed filter, so nothing
     // (not even a k-row merge) ever lands on the driver.
+    // The published Gopher document-shape rules: seven boolean verdicts
+    // + signals per doc, gopher_keep as the conjunction. Pure map work.
+    "quality_rules" -> ((s, dir) =>
+      graft.text.TextAnalysis.qualityRules(graft.Tables.documents(s, dir))),
     // Coverage acceptance check for an induced vocab: per doc, the
     // occurrence/type counts the vocabulary fails to cover.
     "vocab_coverage" -> ((s, dir) =>
@@ -473,6 +477,7 @@ object SparkEntry {
     "doc_repetition" -> TextAnalysis.docRepetitionSql(),
     "pii_scrub" -> graft.text.Pii.piiScrubSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "quality_rules" -> TextAnalysis.qualityRulesSql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "vocab_mincount" -> TextAnalysis.vocabByMinCountSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),

@@ -446,6 +446,143 @@ object TextAnalysis {
        |WHERE n_occurrences >= $minCount
        |ORDER BY token, n_occurrences, n_docs""".stripMargin
 
+  /** Thresholds for [[qualityRules]] — the published Gopher repetition-
+    * free quality heuristics (Rae et al. 2021, appendix A1.1), which
+    * every open pre-train pipeline since has shipped a variant of. */
+  val GopherMinWords: Long = 50L
+  val GopherMaxWords: Long = 100000L
+  val GopherMinMeanLen: Double = 3.0
+  val GopherMaxMeanLen: Double = 10.0
+  val GopherMaxSymbolRatio: Double = 0.1
+  val GopherMaxBulletFrac: Double = 0.9
+  val GopherMaxEllipsisFrac: Double = 0.3
+  val GopherMinAlphaFrac: Double = 0.8
+  val GopherMinStopTypes: Long = 2L
+
+  /** The Gopher quality-rule bundle — the document-shape filters
+    * (distinct from [[textStats]]' composite score and
+    * [[classifierScore]]'s learned gate): per doc, the seven published
+    * rule verdicts plus the signals they fire on, and `gopher_keep` as
+    * the conjunction. Kept as SEPARATE boolean columns for the same
+    * reason [[Curation.corpusKeep]] keeps reasons — threshold re-tunes
+    * re-filter this relation instead of re-scanning 100 TB.
+    *
+    * Rules: word count in [50, 100k]; mean word length in [3, 10];
+    * symbol-to-word ratio (# / … / ...) ≤ 0.1; ≤90% of lines
+    * bullet-started; ≤30% of lines ellipsis-ended; ≥80% of words contain
+    * a letter; ≥2 distinct stopwords present. Line fractions are
+    * vacuously TRUE for line-less docs (the word-count rule carries the
+    * kill); word-denominated rules are FALSE for empty docs — both
+    * spelled as the same CASE in both engines. All ratios are exact-int
+    * counts divided once ([[PortableHash]] doc), so the doubles and
+    * every verdict agree bit-for-bit.
+    *
+    * Scale shape: per-row map work, ZERO shuffle (plan-audited) — every
+    * signal folds over the row's own token/line arrays; symbol counts
+    * are length-difference arithmetic, never a regex scan per symbol.
+    */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val toks = tokens(txt)
+    val lines = filter(transform(split(txt, "\n"), l => trim(l)), l => l =!= lit(""))
+    // occurrence counts by length difference: remove every copy of the
+    // needle, divide the shrinkage by its width (exact multiples)
+    def occ(removed: Column, width: Int): Column =
+      ((length(txt) - length(removed)) / lit(width)).cast("long")
+    val s = graft.Tables.widen(docs).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      size(array_intersect(array_distinct(toks),
+        typedLit(stopwordsEn))).cast("long").as("stop_types"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+        .cast("long").as("bullet_lines"),
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("long").as("ellipsis_lines"),
+      (occ(translate(txt, "#", ""), 1) + occ(translate(txt, "…", ""), 1) +
+        occ(regexp_replace(txt, "\\.\\.\\.", ""), 3)).as("n_symbols"))
+    val withFracs = s.select(col("doc_id"), col("n_words"), col("stop_types"),
+      when(col("n_words") > 0L, col("sum_word_len") / col("n_words")).as("mean_word_len"),
+      when(col("n_words") > 0L, col("n_symbols") / col("n_words")).as("symbol_ratio"),
+      when(col("n_lines") > 0L, col("bullet_lines") / col("n_lines")).as("bullet_frac"),
+      when(col("n_lines") > 0L, col("ellipsis_lines") / col("n_lines")).as("ellipsis_frac"),
+      when(col("n_words") > 0L, col("alpha_words") / col("n_words")).as("alpha_frac"))
+    val rules = withFracs
+      .withColumn("r_word_count",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("r_mean_len", coalesce(
+        col("mean_word_len") >= GopherMinMeanLen &&
+          col("mean_word_len") <= GopherMaxMeanLen, lit(false)))
+      .withColumn("r_symbol",
+        coalesce(col("symbol_ratio") <= GopherMaxSymbolRatio, lit(false)))
+      .withColumn("r_bullet",
+        coalesce(col("bullet_frac") <= GopherMaxBulletFrac, lit(true)))
+      .withColumn("r_ellipsis",
+        coalesce(col("ellipsis_frac") <= GopherMaxEllipsisFrac, lit(true)))
+      .withColumn("r_alpha",
+        coalesce(col("alpha_frac") >= GopherMinAlphaFrac, lit(false)))
+      .withColumn("r_stopwords", col("stop_types") >= GopherMinStopTypes)
+    rules.withColumn("gopher_keep",
+      col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+  }
+
+  def qualityRulesSql: String = {
+    val txt = "coalesce(text, '')"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower($txt), '$TokenRe') AS toks,
+       |    list_filter(list_transform(string_split($txt, chr(10)), l -> trim(l)),
+       |      l -> l <> '') AS lines,
+       |    $txt AS txt
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_word_len,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_intersect(list_distinct(toks), ${sqlList(stopwordsEn)})) AS BIGINT) AS stop_types,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> list_contains(['-', '*', '•'], substr(l, 1, 1)))) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
+       |    CAST((length(txt) - length(replace(txt, '#', '')))
+       |      + (length(txt) - length(replace(txt, '…', '')))
+       |      + (length(txt) - length(replace(txt, '...', ''))) / 3 AS BIGINT) AS n_symbols
+       |  FROM t
+       |), f AS (
+       |  SELECT doc_id, n_words, stop_types,
+       |    CASE WHEN n_words > 0 THEN sum_word_len / n_words END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN n_symbols / n_words END AS symbol_ratio,
+       |    CASE WHEN n_lines > 0 THEN bullet_lines / n_lines END AS bullet_frac,
+       |    CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines END AS ellipsis_frac,
+       |    CASE WHEN n_words > 0 THEN alpha_words / n_words END AS alpha_frac
+       |  FROM s
+       |), r AS (
+       |  SELECT *,
+       |    n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS r_word_count,
+       |    coalesce(mean_word_len >= ${GopherMinMeanLen}e0
+       |      AND mean_word_len <= ${GopherMaxMeanLen}e0, false) AS r_mean_len,
+       |    coalesce(symbol_ratio <= ${GopherMaxSymbolRatio}e0, false) AS r_symbol,
+       |    coalesce(bullet_frac <= ${GopherMaxBulletFrac}e0, true) AS r_bullet,
+       |    coalesce(ellipsis_frac <= ${GopherMaxEllipsisFrac}e0, true) AS r_ellipsis,
+       |    coalesce(alpha_frac >= ${GopherMinAlphaFrac}e0, false) AS r_alpha,
+       |    stop_types >= $GopherMinStopTypes AS r_stopwords
+       |  FROM f
+       |)
+       |SELECT doc_id, n_words, stop_types, mean_word_len, symbol_ratio,
+       |  bullet_frac, ellipsis_frac, alpha_frac,
+       |  r_word_count, r_mean_len, r_symbol, r_bullet, r_ellipsis, r_alpha,
+       |  r_stopwords,
+       |  r_word_count AND r_mean_len AND r_symbol AND r_bullet AND r_ellipsis
+       |    AND r_alpha AND r_stopwords AS gopher_keep
+       |FROM r
+       |ORDER BY doc_id, n_words, stop_types, mean_word_len, symbol_ratio,
+       |  bullet_frac, ellipsis_frac, alpha_frac, r_word_count, r_mean_len,
+       |  r_symbol, r_bullet, r_ellipsis, r_alpha, r_stopwords, gopher_keep""".stripMargin
+  }
+
   /** Vocabulary coverage / OOV report — the acceptance check between
     * inducing a vocabulary ([[vocabTopK]] / [[vocabByMinCount]]) and
     * committing to it: per document, how much of the text the vocab

@@ -133,6 +133,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus_mix does not broadcast the threshold relation:\n$p")
   }
 
+  test("quality_rules stays shuffle-free (every rule folds over the row's own arrays)") {
+    // seven published document-shape rules, all per-row map work — the
+    // only exchange is widen()'s repartition of the small local scan
+    val p = plan("quality_rules")
+    assert(!p.contains("hashpartitioning"),
+      s"quality_rules shuffles:\n$p")
+  }
+
   test("vocab_coverage broadcasts the vocab selection into the pair relation") {
     // the ≤|vocab|-row threshold selection must broadcast into the
     // (doc, token) multiplicity relation — a shuffled token-key join

@@ -98,6 +98,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("cherry", 1L, 1L)))
   }
 
+  test("qualityRules: each Gopher rule fires on its planted violation") {
+    import org.apache.spark.sql.Row
+    // a healthy doc: 60 plain words incl. stopwords, no symbols/bullets
+    val healthy = ("the quick brown fox and the lazy dog ran to town " * 6).trim
+    val out = TextAnalysis.qualityRules(docs(
+      (1L, healthy, "en"),
+      (2L, "too short of a doc", "en"),                      // word count
+      (3L, healthy + " " + Seq.fill(12)("#").mkString(" "), "en"), // symbols
+      (4L, (1 to 60).map(i => s"line$i...").mkString("\n"), "en"), // ellipsis lines
+      (5L, (1 to 60).map(i => s"- item$i").mkString("\n"), "en"),  // bullets
+      (6L, healthy.replaceAll("[a-z]", "7"), "en"),          // no alpha words
+      (7L, ("zz " * 60).trim, "en"),                         // no stopwords
+      (8L, null, "en")))                                     // empty
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def keep(id: Long) = out(id).getAs[Boolean]("gopher_keep")
+    assert(keep(1L), s"healthy doc must pass: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("r_word_count") && !keep(2L))
+    assert(!out(3L).getAs[Boolean]("r_symbol") && !keep(3L))
+    assert(!out(4L).getAs[Boolean]("r_ellipsis") && !keep(4L))
+    assert(!out(5L).getAs[Boolean]("r_bullet") && !keep(5L))
+    assert(!out(6L).getAs[Boolean]("r_alpha") && !keep(6L))
+    assert(!out(7L).getAs[Boolean]("r_stopwords") && !keep(7L))
+    // empty doc: word-count rule carries the kill; line rules vacuous-true
+    assert(!out(8L).getAs[Boolean]("r_word_count"))
+    assert(out(8L).getAs[Boolean]("r_bullet") && out(8L).getAs[Boolean]("r_ellipsis"))
+    assert(!keep(8L))
+  }
+
   test("vocabCoverage reports per-doc OOV occurrences and types against the induced vocab") {
     // minCount=3 vocab over this corpus = {apple (4 occ), banana (3)};
     // everything else is OOV
