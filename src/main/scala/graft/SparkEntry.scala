@@ -221,6 +221,10 @@ object SparkEntry {
     // distribution + exact pair bound that predicts the LSH join's cost.
     "band_occupancy" -> ((s, dir) =>
       Dedup.bandOccupancy(graft.Tables.documents(s, dir))),
+    // The SimHash twin of the occupancy report: same Σ sz·(sz−1)/2
+    // pair bound over the Hamming-band (band, nibble) buckets.
+    "simhash_occupancy" -> ((s, dir) =>
+      Dedup.simhashOccupancy(graft.Tables.documents(s, dir))),
     "near_dup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
     "near_dup_jaccard" -> ((s, dir) =>
@@ -242,6 +246,14 @@ object SparkEntry {
     // The exact-cluster face of the same knob (margin-ordered keeper).
     "exact_dup_clusters_best" -> ((s, dir) =>
       Dedup.exactDupClustersBest(graft.Tables.documents(s, dir))),
+    // Policy × identity composed: accent-folded clusters keep the
+    // highest-margin copy (margin scored on the ORIGINAL text).
+    "exact_dup_clusters_best_norm" -> ((s, dir) =>
+      Dedup.exactDupClustersBestNorm(graft.Tables.documents(s, dir))),
+    // The near-dup face of the same composition: the full folded chain
+    // with the margin-ordered survivor on top.
+    "dedup_clusters_best_norm" -> ((s, dir) =>
+      Dedup.dedupClustersBestNorm(graft.Tables.documents(s, dir))),
     // Nightly-ingest twin: shard = doc_id % 10 = 9 (scale-invariant 10%
     // split); corpus fingerprints/bands recomputed here from the other
     // 90% — in production they'd be parquet reads of the persisted
@@ -401,6 +413,10 @@ object SparkEntry {
     // vote on the ≤ nQueries·k winner rows.
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(graft.Tables.embeddings(s, dir))),
+    // The ANN face of the occupancy report: the (table, bucket) space's
+    // size distribution + exact pair bound, from counts only.
+    "ann_occupancy" -> ((s, dir) =>
+      Similarity.annOccupancy(graft.Tables.embeddings(s, dir))),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
     // corpus vector/band sketches are parquet reads of persisted
     // relations in production — here they're derived, so checkpoint them
@@ -500,6 +516,10 @@ object SparkEntry {
     "dedup_clusters_best" -> Dedup.dedupClustersBestSql(),
     "dedup_clusters_norm" -> Dedup.dedupClustersNormSql(),
     "exact_dup_clusters_best" -> Dedup.exactDupClustersBestSql,
+    "exact_dup_clusters_best_norm" -> Dedup.exactDupClustersBestNormSql,
+    "dedup_clusters_best_norm" -> Dedup.dedupClustersBestNormSql(),
+    "simhash_occupancy" -> Dedup.simhashOccupancySql,
+    "ann_occupancy" -> Similarity.annOccupancySql,
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),

@@ -378,6 +378,40 @@ object Similarity {
     v.select(col("vec_id"), posexplode(bucketsExpr(v, col("qv"))).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
 
+  /** [[graft.text.Dedup.bandOccupancy]]'s ANN twin (round-7 verdict gap
+    * #5): the (table, bucket) space [[embedAnnPairs]] /
+    * [[semanticDedup]] / [[incrementalAnnPairs]] pair over has the same
+    * Θ(Σ bucket²) economics as the text sketch families, so it gets the
+    * same cost-prediction report — per (tbl, power-of-two size band):
+    * bucket count, resident vectors, and the exact pair bound
+    * Σ sz·(sz−1)/2 the bucket self-join would expand to, computed from
+    * counts, never by expanding pairs. One quantize+bucket map pass (the
+    * sketch the pairing family already pays) + one (tbl, bucket)
+    * partial-agg shuffle — strictly cheaper than the pairing it
+    * predicts, which is the operator's point. */
+  def annOccupancy(embeds: DataFrame): DataFrame =
+    graft.text.Dedup.occupancyRollup(
+      annBands(vectors(embeds))
+        .groupBy("tbl", "bucket").agg(count(lit(1)).as("sz")),
+      "tbl")
+
+  def annOccupancySql: String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vectorsCte,
+       |bands AS (
+       |  $tableSelects
+       |),
+       |occ AS (
+       |  SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY tbl, bucket
+       |)
+       |${graft.text.Dedup.occupancySelectSql("tbl")}""".stripMargin
+  }
+
   def embedAnnPairs(embeds: DataFrame, simThreshold: Double = 0.1): DataFrame = {
     val v = vectors(embeds).localCheckpoint()
     val bands = annBands(v).localCheckpoint()

@@ -137,6 +137,42 @@ object Dedup {
        |GROUP BY fp_md5
        |ORDER BY fp_md5, cluster_size, keeper_doc_id, n_dups""".stripMargin
 
+  /** POLICY × IDENTITY composed (round-7 verdict gap #4: `_best` and
+    * `_norm` shipped as parallel entries with no composed spelling):
+    * clusters form under the ACCENT-FOLDED fingerprint — "café" and
+    * "cafe" copies are one cluster — and the keeper is the
+    * HIGHEST-CLASSIFIER-MARGIN member (doc_id asc tie-break), not the
+    * first. The margin is scored on the ORIGINAL text, not the folded
+    * form: the survivor is the copy a trainer would actually consume,
+    * so its quality must be judged as stored (fold-then-score would let
+    * two accent variants tie artificially). One call into
+    * [[exactDupClustersFromFpBy]] — same single 32-byte-key shuffle,
+    * both knobs riding the same aggregate. */
+  def exactDupClustersBestNorm(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.normFoldedMd5(docs, col("text")).as("fp_md5"),
+      TextAnalysis.marginOf(docs).as("margin"))
+    exactDupClustersFromFpBy(fp, -col("margin"))
+  }
+
+  def exactDupClustersBestNormSql: String = {
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${PortableHash.tokHashSql("tk")})"
+    s"""WITH f AS (
+       |  SELECT doc_id, ${TextAnalysis.normFoldedMd5Sql("text")} AS fp_md5,
+       |    ${TextAnalysis.marginSqlOf(th)} AS margin
+       |  FROM documents
+       |), r AS (
+       |  SELECT fp_md5, doc_id,
+       |    row_number() OVER (PARTITION BY fp_md5 ORDER BY margin DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY fp_md5) AS csize
+       |  FROM f
+       |)
+       |SELECT fp_md5, CAST(csize AS BIGINT) AS cluster_size,
+       |  doc_id AS keeper_doc_id, CAST(csize - 1 AS BIGINT) AS n_dups
+       |FROM r WHERE rn = 1
+       |ORDER BY fp_md5, cluster_size, keeper_doc_id, n_dups""".stripMargin
+  }
+
   // ---- exact-dup pre-collapse (shared by the pairing operators) -----------
 
   /** `(doc_id, fp_md5)` — the exact-dup key per document; one map-only
@@ -363,22 +399,44 @@ object Dedup {
     * key the pairing join uses), then a ≤ |bands|·|size bands| rollup.
     * Strictly cheaper than the pairing it predicts.
     */
-  def bandOccupancy(docs: DataFrame): DataFrame = {
-    val sz = bandedFrom(minhashSignatures(docs)
-        .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi"))
-      .groupBy("band", "band_hash").agg(count(lit(1)).as("sz"))
+  def bandOccupancy(docs: DataFrame): DataFrame =
+    occupancyRollup(
+      bandedFrom(minhashSignatures(docs)
+          .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi"))
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("sz")),
+      "band")
+
+  /** The size-band ladder + Σ sz·(sz−1)/2 rollup over a per-bucket count
+    * relation `(bandCol, ..., sz)` — the occupancy-report body shared by
+    * ALL THREE bucket families (MinHash [[bandOccupancy]], SimHash
+    * [[simhashOccupancy]], ANN [[graft.ml.Similarity.annOccupancy]]):
+    * every one of them pays Θ(Σ bucket²) to pair, so they share one
+    * cost-prediction spelling. The pair bound is exact arithmetic over
+    * counts — pairs are never expanded. */
+  private[graft] def occupancyRollup(sz: DataFrame, bandCol: String): DataFrame = {
     val band = TextAnalysis.HistogramBands.foldLeft(lit(0L)) {
       (acc, b) => when(col("sz") >= b, lit(b)).otherwise(acc)
     }
-    sz.select(col("band"), band.as("size_band"), col("sz"))
-      .groupBy("band", "size_band")
+    sz.select(col(bandCol), band.as("size_band"), col("sz"))
+      .groupBy(bandCol, "size_band")
       .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"),
         sum(expr("sz * (sz - 1) div 2")).as("n_pairs"))
   }
 
-  def bandOccupancySql: String = {
+  /** The final SELECT of every occupancy oracle (requires an `occ` CTE
+    * with (`bandCol`, sz)) — one SQL spelling of [[occupancyRollup]]. */
+  private[graft] def occupancySelectSql(bandCol: String): String = {
     val ladder = TextAnalysis.HistogramBands.reverse
       .map(b => s"WHEN sz >= $b THEN $b").mkString(" ")
+    s"""SELECT $bandCol, CAST(CASE $ladder ELSE 0 END AS BIGINT) AS size_band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
+       |FROM occ GROUP BY $bandCol, size_band
+       |ORDER BY $bandCol, size_band, n_buckets, n_docs, n_pairs""".stripMargin
+  }
+
+  def bandOccupancySql: String =
     s"""WITH ${keepersCte("documents")},
        |${sigCteFrom("repdocs")},
        |bands AS (
@@ -388,13 +446,32 @@ object Dedup {
        |  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS sz
        |  FROM bands GROUP BY band, band_hash
        |)
-       |SELECT band, CAST(CASE $ladder ELSE 0 END AS BIGINT) AS size_band,
-       |  CAST(count(*) AS BIGINT) AS n_buckets,
-       |  CAST(sum(sz) AS BIGINT) AS n_docs,
-       |  CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
-       |FROM occ GROUP BY band, size_band
-       |ORDER BY band, size_band, n_buckets, n_docs, n_pairs""".stripMargin
-  }
+       |${occupancySelectSql("band")}""".stripMargin
+
+  /** [[bandOccupancy]]'s SimHash twin (round-7 verdict gap #5: only the
+    * MinHash band family had a cost report, but [[simhashPairs]] pays the
+    * same Θ(Σ bucket²) over its (band, nibble) buckets): per (band,
+    * power-of-two size band) of the Hamming-band space, bucket count,
+    * resident docs, and the exact pair bound the nibble self-join would
+    * expand to. Same population the pairing actually buckets (the
+    * keeper-collapsed [[simhashSketch]]), same one partial-agg shuffle. */
+  def simhashOccupancy(docs: DataFrame): DataFrame =
+    occupancyRollup(
+      simhashBands(simhashSketch(docs))
+        .groupBy("band", "nibble").agg(count(lit(1)).as("sz")),
+      "band")
+
+  def simhashOccupancySql: String =
+    s"""WITH ${keepersCte("documents")},
+       |s AS (${docSimhashBodySql("repdocs")}),
+       |bands AS (
+       |  $simhashNibbleSelectsSql
+       |),
+       |occ AS (
+       |  SELECT band, nibble, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, nibble
+       |)
+       |${occupancySelectSql("band")}""".stripMargin
 
   /** The 4-way band UNION over `sig`, shared by every oracle that buckets. */
   private def bandSelectsSql: String =
@@ -793,8 +870,16 @@ object Dedup {
     * corpus plus a rep_id-keyed agg + equi-join on the labeled relation
     * — nothing new touches text or shuffles more than 16 bytes/doc. */
   def dedupClustersBest(docs: DataFrame, minMatch: Long = 8L,
-      maxIters: Int = 25): DataFrame = {
-    val clusters = dedupClusters(docs, minMatch, maxIters)
+      maxIters: Int = 25): DataFrame =
+    bestSurvivor(dedupClusters(docs, minMatch, maxIters), docs)
+
+  /** Re-mark `is_survivor` on a `(doc_id, rep_id)` cluster relation so the
+    * kept copy is the highest-margin member (doc_id asc tie-break) — the
+    * survivor-policy half shared by [[dedupClustersBest]] and
+    * [[dedupClustersBestNorm]]. Margins come from the ORIGINAL docs
+    * relation (see [[exactDupClustersBestNorm]] for why policy scores the
+    * stored text even when identity folded it). */
+  private def bestSurvivor(clusters: DataFrame, docs: DataFrame): DataFrame = {
     val margins = docs.select(col("doc_id"),
       TextAnalysis.marginOf(docs).as("margin"))
     val best = clusters.join(margins, "doc_id")
@@ -805,6 +890,33 @@ object Dedup {
       .join(best, "rep_id")
       .select(col("doc_id"), col("rep_id"),
         (col("doc_id") === col("best_doc_id")).as("is_survivor"))
+  }
+
+  /** The near-dup face of [[exactDupClustersBestNorm]] — the FULL folded
+    * chain ([[dedupClustersNorm]]: fingerprints, shingles, signatures,
+    * components all on accent-folded text) with the highest-margin
+    * survivor policy on top. Components and rep_ids are identical to
+    * `dedup_clusters_norm` (rep_id stays the component minimum — the
+    * stable cluster identifier); only `is_survivor` moves. */
+  def dedupClustersBestNorm(docs: DataFrame, minMatch: Long = 8L,
+      maxIters: Int = 25): DataFrame =
+    bestSurvivor(dedupClustersNorm(docs, minMatch, maxIters), docs)
+
+  def dedupClustersBestNormSql(minMatch: Long = 8L): String = {
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${PortableHash.tokHashSql("tk")})"
+    s"""WITH RECURSIVE ${componentCtes(minMatch, foldedDocSrc)},
+       |m AS (
+       |  SELECT doc_id, ${TextAnalysis.marginSqlOf(th)} AS margin
+       |  FROM documents
+       |),
+       |rb AS (
+       |  SELECT rep.doc_id AS doc_id, rep.rep_id AS rep_id,
+       |    row_number() OVER (PARTITION BY rep_id
+       |      ORDER BY margin DESC, rep.doc_id) AS rn
+       |  FROM rep JOIN m USING (doc_id)
+       |)
+       |SELECT doc_id, rep_id, rn = 1 AS is_survivor FROM rb
+       |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
   }
 
   def dedupClustersBestSql(minMatch: Long = 8L): String = {

@@ -608,4 +608,70 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors(Dedup.dedupClustersBest(d)) ===
       Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, true)))
   }
+
+  /** An accent pair whose two spellings get DIFFERENT classifier margins
+    * (the folded key unites them; the margin — scored on the ORIGINAL
+    * text — separates them). Probed through classifierScore because the
+    * weight table is seeded-opaque; returns (lowerMarginText,
+    * higherMarginText). */
+  private def accentPairWithMarginGap(): (String, String) = {
+    val pairs = Seq(
+      ("café au lait", "cafe au lait"),
+      ("résumé writing now", "resume writing now"),
+      ("naïve approach taken", "naive approach taken"))
+    val flat = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i + 1, b)) }
+    val margins = graft.text.TextAnalysis.classifierScore(docs(flat: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    val hit = pairs.zipWithIndex.find { case (_, i) =>
+      margins(2L * i) != margins(2L * i + 1) }
+    assert(hit.isDefined, "no probe pair separates margins — extend the list")
+    val ((a, b), i) = hit.get
+    if (margins(2L * i) < margins(2L * i + 1)) (a, b) else (b, a)
+  }
+
+  test("exactDupClustersBestNorm: folded cluster keeps the higher-margin variant") {
+    val (lo, hi) = accentPairWithMarginGap()
+    // the HIGHER-margin variant gets the LARGER id, so min-id and
+    // best-margin policies disagree and the test separates them
+    val d = docs((1L, lo), (2L, hi), (3L, unrelated))
+    def keepers(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("keeper_doc_id") ->
+        r.getAs[Long]("cluster_size")).toMap
+    // identity: the folded key unites the pair (norm behavior preserved)
+    assert(keepers(Dedup.exactDupClustersNorm(d)) === Map(1L -> 2L, 3L -> 1L))
+    // policy × identity: same cluster, but the keeper is the margin winner
+    assert(keepers(Dedup.exactDupClustersBestNorm(d)) === Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("dedupClustersBestNorm: folded components, margin-ordered survivor") {
+    val (lo, hi) = accentPairWithMarginGap()
+    val d = docs((1L, lo), (2L, hi), (3L, unrelated))
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    // rep_id stays the component minimum (stable cluster identifier);
+    // is_survivor moves to the higher-margin larger-id variant
+    assert(clusters(Dedup.dedupClustersBestNorm(d)) ===
+      Map(1L -> (1L, false), 2L -> (1L, true), 3L -> (3L, true)))
+  }
+
+  test("simhashOccupancy counts the sketch population (reps only) and bounds its pairs") {
+    // same contract as bandOccupancy, over the Hamming-band space: docs
+    // 1-3 identical → ONE representative buckets; the pair bound equals
+    // the brute-force (band, nibble) bucket pair count over reps
+    val d = docs((1L, base), (2L, base), (3L, base), (4L, nearDup), (5L, unrelated))
+    val report = Dedup.simhashOccupancy(d).collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("size_band")) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs")))
+    assert(report.map(_._2._2).sum === 4L * 3L, "4 bands x 3 reps")
+    val repSim = Dedup.docSimhash(docs((1L, base), (4L, nearDup), (5L, unrelated)))
+      .collect().map(r => r.getAs[Long]("simhash"))
+    val expectPairs = (0 until Dedup.SimBands).map { m =>
+      repSim.groupBy(s => (s >> (m * 16)) & 0xFFFFL).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    }.sum
+    assert(report.map(_._2._3).sum === expectPairs)
+    assert(expectPairs > 0L, "fixture must actually collide somewhere")
+  }
 }

@@ -489,6 +489,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tie.getAs[Long]("votes") === 1L)
   }
 
+  test("annOccupancy bounds the bucket self-join's pair count from counts alone") {
+    // vectors 1 and 2 are near-identical (they co-bucket in every table),
+    // 3 points the other way; the report's Σ n_pairs must equal the
+    // brute-force per-(tbl, bucket) pair count from the Scala bucket twin
+    val vs = Seq(
+      1L -> Seq(1.0f, 0.2f, 0.1f, 0.4f),
+      2L -> Seq(1.0f, 0.2f, 0.1f, 0.401f),
+      3L -> Seq(-1.0f, -0.3f, 0.2f, -0.4f))
+    val report = Similarity.annOccupancy(embeds(vs: _*)).collect()
+      .map(r => (r.getAs[Long]("tbl"), r.getAs[Long]("size_band")) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs")))
+    assert(report.map(_._2._2).sum === Similarity.NumTables.toLong * vs.size)
+    val expectPairs = (0 until Similarity.NumTables).map { t =>
+      vs.map { case (_, v) => bucket(v, t) }.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    }.sum
+    assert(report.map(_._2._3).sum === expectPairs)
+    assert(expectPairs > 0L, "fixture must co-bucket somewhere")
+  }
+
   test("property: kNN classification equals brute-force vote over exact top-k") {
     val rnd = new scala.util.Random(41)
     val nQ = 4L
