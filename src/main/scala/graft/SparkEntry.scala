@@ -179,6 +179,11 @@ object SparkEntry {
     // would consume; the corpus re-enters as the (doc, word) relation.
     "bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(graft.Tables.documents(s, dir))),
+    // The token-ID sequences themselves — (doc_id, pos, token_id) per
+    // token position under the learned merges; ids are a pure function
+    // of the merge table (byte value, or 256 + first producing round).
+    "bpe_tokenize" -> ((s, dir) =>
+      TextAnalysis.bpeTokenize(graft.Tables.documents(s, dir))),
     // Corpus-frequency rarity signals: raw occurrences shuffle once into
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
@@ -347,6 +352,15 @@ object SparkEntry {
     // actually consumes. One tokenize pass feeds keep/learn/encode/split.
     "pipeline_manifest_bpe" -> ((s, dir) =>
       graft.text.Curation.pipelineManifestBpe(graft.Tables.documents(s, dir))),
+    // The written training artifact end-to-end through the driver gate:
+    // curate → learn merges → encode to token ids → chunk-pack → write
+    // partitionBy(split, shard) → re-read, each chunk's id slice
+    // summarized to (n_ids, ids_sum) for the oracle compare. Like
+    // edge_count_csv, the write happens eagerly at construction (the
+    // round-trip IS the operator); bench time includes the sink+scan.
+    "training_shards" -> ((s, dir) =>
+      graft.text.Curation.trainingShardsReport(graft.Tables.documents(s, dir),
+        scratch("train_shards", dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -498,6 +512,7 @@ object SparkEntry {
     "vocab_mincount" -> TextAnalysis.vocabByMinCountSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
+    "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
@@ -535,6 +550,7 @@ object SparkEntry {
     "pipeline_manifest" -> graft.text.Curation.pipelineManifestSql(),
     "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
     "pipeline_manifest_bpe" -> graft.text.Curation.pipelineManifestBpeSql(),
+    "training_shards" -> graft.text.Curation.trainingShardsSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),

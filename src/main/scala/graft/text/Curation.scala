@@ -790,6 +790,154 @@ object Curation {
        |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split""".stripMargin
   }
 
+  /** The LAST edge between manifest and training run (round-7 verdict's
+    * top ask): write the TRAINING SHARDS THEMSELVES — the
+    * [[pipelineManifestBpe]] bins with each chunk's BPE TOKEN-ID slice
+    * inline — as parquet partitioned by (split, shard), and return the
+    * re-read relation. This is the artifact a trainer mounts: a reader
+    * filtering `split = 'train' AND shard = k` partition-prunes to its
+    * slice (PartitionFilters, pinned in CurationSpec), and the ids of a
+    * bin's chunks, concatenated in (doc_id, chunk_id) order, tile each
+    * document's [[TextAnalysis.bpeTokenize]] encoding exactly
+    * (property-tested).
+    *
+    * Composition: ONE curation base scan and ONE merge-learning loop
+    * feed everything — keep verdict, per-doc id arrays
+    * ([[TextAnalysis.bpeDocIdsFromToks]] — counts for the packer are
+    * `size(ids)`, so the pack and the slices can never disagree), the
+    * chunk spans, and the split. The id relation is checkpointed once
+    * (consumed by the packer AND the slice join); the chunk-local start
+    * of each slice is a per-doc window over the ≤chunks-per-doc rows;
+    * the slice itself is map work over the joined array. `Overwrite`
+    * semantics (and the append-a-shard caveat) are
+    * [[graft.sources.Sinks.writePartitioned]]'s.
+    */
+  def trainingShards(docs: DataFrame, path: String, minQuality: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): DataFrame = {
+    val base = curatedBase(docs)
+    val kept = corpusKeepFromBase(base, minQuality)
+      .filter(col("keep")).select("doc_id").localCheckpoint()
+    val keptToks = base.join(kept, "doc_id").select(col("doc_id"), col("toks"))
+    // consumed twice (pack counts + slice join): checkpoint the id arrays
+    val docIds = TextAnalysis.bpeDocIdsFromToks(keptToks, nMerges)
+      .localCheckpoint()
+    val packed = chunkFromCounts(
+      docIds.select(col("doc_id"), size(col("ids")).cast("long").as("tok_count")),
+      budget, nShards)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rows = packed
+      .withColumn("cstart", sum(col("chunk_tok")).over(wDoc) - col("chunk_tok"))
+      .join(docIds, "doc_id")
+      .join(splitAssign(kept, valPct, testPct).select("doc_id", "split"), "doc_id")
+      .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_tok"),
+        col("seq_id"), col("split"),
+        slice(col("ids"), (col("cstart") + 1L).cast("int"),
+          col("chunk_tok").cast("int")).as("ids"))
+    graft.sources.Sinks.writePartitioned(rows, path, Seq("split", "shard"))
+    // partition-column types come back inferred (shard as INT): re-cast so
+    // the re-read relation matches what was written
+    docs.sparkSession.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("chunk_id"), col("chunk_tok"), col("seq_id"),
+        col("split"), col("ids"))
+  }
+
+  /** The oracle-gated face of [[trainingShards]]: the re-read relation
+    * with each chunk's id slice summarized to SQL-comparable scalars —
+    * `n_ids` (must equal `chunk_tok`: the slice is exactly as long as
+    * the bin says) and `ids_sum` (the slice's token-id sum, which pins
+    * the VALUES against the oracle's reconstruction from the unrolled
+    * merge rounds — a wrong slice boundary or a wrong id assignment
+    * both break it). */
+  def trainingShardsReport(docs: DataFrame, path: String,
+      minQuality: Double = 0.5, budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): DataFrame =
+    trainingShards(docs, path, minQuality, budget, nShards,
+        valPct, testPct, nMerges)
+      .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_tok"),
+        col("seq_id"), col("split"),
+        size(col("ids")).cast("long").as("n_ids"),
+        coalesce(aggregate(col("ids"), lit(0L), _ + _), lit(0L)).as("ids_sum"))
+
+  def trainingShardsSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (pa, pb) = packPerm
+    val (spa, spb) = splitPerm
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    val keptSrc = "documents JOIN kept USING (doc_id)"
+    // shard hashes kept.doc_id QUALIFIED: it lands inside a join where a
+    // bare doc_id is ambiguous between kept and the count subquery
+    val shardQ = s"(((${graft.functions.PortableHash.permHashSql("kept.doc_id", pa, pb)} % $nShards) + $nShards) % $nShards)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS MATERIALIZED (
+       |  -- MATERIALIZED for the same reason as pipelineManifestBpeSql's
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |${TextAnalysis.bpeCtesSql(nMerges, keptSrc)},
+       |${TextAnalysis.bpeTokenizeCtesSql(nMerges, keptSrc)},
+       |tokm AS MATERIALIZED (
+       |  -- toksout is consumed twice (pack counts + slice sums) and sits
+       |  -- on the whole unrolled merge chain — materialize it once
+       |  SELECT * FROM toksout
+       |),
+       |${chunkCtesFromTSql(
+        s"""t AS (
+           |  SELECT kept.doc_id AS doc_id,
+           |    CAST(coalesce(cnt, 0) AS BIGINT) AS tok_count,
+           |    $shardQ AS shard
+           |  FROM kept LEFT JOIN (
+           |    SELECT doc_id, count(*) AS cnt FROM tokm GROUP BY doc_id
+           |  ) c ON kept.doc_id = c.doc_id
+           |)""".stripMargin, budget)},
+       |cst AS (
+       |  SELECT doc_id, shard, chunk_id, chunk_tok, seq_id,
+       |    CAST(sum(chunk_tok) OVER (PARTITION BY doc_id ORDER BY chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tok
+       |      AS BIGINT) AS cstart
+       |  FROM chunks
+       |),
+       |sums AS (
+       |  SELECT c.doc_id AS doc_id, c.shard AS shard, c.chunk_id AS chunk_id,
+       |    c.chunk_tok AS chunk_tok, c.seq_id AS seq_id,
+       |    CAST(count(t.token_id) AS BIGINT) AS n_ids,
+       |    CAST(coalesce(sum(t.token_id), 0) AS BIGINT) AS ids_sum
+       |  FROM cst c LEFT JOIN tokm t
+       |    ON t.doc_id = c.doc_id AND t.pos >= c.cstart
+       |      AND t.pos < c.cstart + c.chunk_tok
+       |  GROUP BY c.doc_id, c.shard, c.chunk_id, c.chunk_tok, c.seq_id
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM kept
+       |)
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum
+       |FROM sums JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum""".stripMargin
+  }
+
   def packSequencesChunkedSql(budget: Long = 2048L, nShards: Int = 8): String =
     s"""WITH ${chunkCtesSql("documents", budget, nShards)}
        |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id

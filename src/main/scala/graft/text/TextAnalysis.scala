@@ -802,6 +802,175 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("nb"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Per-word BPE symbol-ID arrays under the learned merges — the
+    * symbol→id assignment is a PURE FUNCTION of the merge table, so both
+    * engines (and any later re-run) agree without shipping a vocab file:
+    * a base byte symbol (2 hex chars) gets its byte value (0..255); a
+    * merged symbol gets `256 + r` where `r` is the FIRST round that
+    * produced its string (two rounds CAN produce the same string — e.g.
+    * (ab,c) and (a,bc) both yield "abc" — and the rewrite identifies
+    * symbols by string, so the id must too). The ≤nMerges-row merge
+    * table collapses to a one-row map literal and BROADCASTS back via
+    * the constant-key hash join [[bpeRoundsAndWordsFromToks]] already
+    * uses — per word, id assignment is then one map lookup per symbol,
+    * no per-symbol join. `try_element_at`, not `element_at`: base
+    * symbols are NOT in the map, and ANSI mode (Spark 4 default) makes
+    * a missing map key an error rather than a NULL. */
+  private[text] def bpeWordIds(words: DataFrame,
+      rounds: Seq[DataFrame]): DataFrame = {
+    val ss = transform(split(col("seq"), s"$US$US"), s => translate(s, US, ""))
+    val baseId = (s: Column) => conv(s, 16, 10).cast("long")
+    if (rounds.isEmpty)
+      words.select(col("w"), transform(ss, s => baseId(s)).as("ids"))
+    else {
+      val idMap = rounds.reduce(_ union _)
+        .groupBy("merged").agg((min("round") + 256L).as("mid"))
+        .agg(map_from_entries(collect_list(struct(col("merged"), col("mid"))))
+          .as("idmap"))
+        .withColumn("k", lit(1))
+      words.withColumn("k", lit(1))
+        .join(broadcast(idMap), Seq("k"), "left")
+        .select(col("w"), transform(ss,
+          s => coalesce(try_element_at(col("idmap"), s), baseId(s))).as("ids"))
+    }
+  }
+
+  /** Encode the corpus to its BPE TOKEN-ID SEQUENCES — the artifact a
+    * trainer actually consumes, where [[bpeEncode]] stops at counts
+    * (round-7 verdict's top gap): one row per token position,
+    * `(doc_id, pos, token_id)`, `pos` the doc's 0-based position in its
+    * encoded stream, ids from [[bpeWordIds]]' deterministic assignment.
+    * Empty/NULL-text docs emit no rows (their sequence has no
+    * elements; `bpe_encode` is the per-doc-count face that reports 0).
+    *
+    * Scale shape: the merge loop and the word→ids mapping run on the
+    * ≤|distinct words| relation exactly as [[bpeMerges]]; the corpus
+    * pays its tokenize pass plus ONE (token-occurrence → word) equi-join
+    * on `w` (the inherent cost of materializing ids per occurrence —
+    * AQE's skew handling covers the Zipf head) and one per-doc window
+    * (partitioned by doc_id, bounded by doc length) that converts
+    * per-word symbol counts into running positions before the map-side
+    * posexplode of each word's id array. Unlike [[bpeEncode]] the
+    * (doc, word) relation cannot pre-collapse to multiplicities — each
+    * occurrence needs its own position — so this operator's shuffle is
+    * occurrence-sized by construction; run it once per tokenizer
+    * version, write the result, and let every consumer read the ids.
+    */
+  def bpeTokenize(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    bpeTokenizeFromToks(
+      wide.select(col("doc_id"), tokens(col("text")).as("toks")), nMerges)
+  }
+
+  /** [[bpeTokenize]] over a relation already carrying `(doc_id, toks)` —
+    * the shared-tokenize path ([[Curation.trainingShards]]). */
+  def bpeTokenizeFromToks(t: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val (rounds, words) = bpeRoundsAndWordsFromToks(t, nMerges)
+    val occ = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("word_pos", "w")))
+    val j = occ.join(bpeWordIds(words, rounds), "w")
+      .withColumn("n_syms", size(col("ids")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("word_pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    j.withColumn("prev_cum", sum(col("n_syms")).over(w) - col("n_syms"))
+      .select(col("doc_id"), col("prev_cum"),
+        posexplode(col("ids")).as(Seq("sym_off", "token_id")))
+      .select(col("doc_id"),
+        (col("prev_cum") + col("sym_off")).as("pos"), col("token_id"))
+  }
+
+  /** Per-doc assembled id ARRAYS `(doc_id, ids)` over a `(doc_id, toks)`
+    * relation — the [[Curation.trainingShards]] spelling, where a bin's
+    * ids are a SLICE of its doc's array and the array is the natural
+    * written artifact. Assembly is one doc_id-keyed aggregation whose
+    * buffer holds a single document's encoding (bounded by doc length —
+    * the same per-doc-bounded state as the packer windows); docs with no
+    * tokens get an empty array, so every input doc has exactly one row. */
+  def bpeDocIdsFromToks(t: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val (rounds, words) = bpeRoundsAndWordsFromToks(t, nMerges)
+    val occ = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("word_pos", "w")))
+    val assembled = occ.join(bpeWordIds(words, rounds), "w")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("word_pos").as("p"), col("ids").as("ids")))
+        .as("chunks"))
+      .select(col("doc_id"),
+        flatten(transform(array_sort(col("chunks")), c => c.getField("ids")))
+          .as("ids"))
+    t.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
+  }
+
+  /** mids → wsym → docw → jw → toksout CTE chain — the oracle twin of
+    * [[bpeTokenizeFromToks]] over `src` (any relation with (doc_id,
+    * text)); requires [[bpeCtesSql]]'s t`r`/w`nMerges` CTEs in scope.
+    * `toksout` ends with (doc_id, pos, token_id), one row per token
+    * position. The hex→byte parse is strpos arithmetic (both engines'
+    * `hex()` is uppercase); the per-word id list is never assembled —
+    * the positioned symbol relation joins the positioned word relation
+    * directly, which yields the same rows as Spark's array path. */
+  private[text] def bpeTokenizeCtesSql(nMerges: Int,
+      src: String = "documents"): String = {
+    val us = "chr(31)"
+    val midsBody =
+      if (nMerges == 0) "SELECT NULL AS merged, CAST(NULL AS BIGINT) AS mid WHERE false"
+      else (0 until nMerges)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs || rhs AS merged FROM t$r")
+        .mkString("SELECT merged, CAST(256 + min(round) AS BIGINT) AS mid FROM (\n    ",
+          "\n    UNION ALL\n    ", "\n  ) GROUP BY merged")
+    val hexByte = "CAST((strpos('0123456789ABCDEF', substr(sym, 1, 1)) - 1) * 16" +
+      " + strpos('0123456789ABCDEF', substr(sym, 2, 1)) - 1 AS BIGINT)"
+    s"""mids AS (
+       |  $midsBody
+       |),
+       |wsym AS (
+       |  SELECT w, sym_pos, coalesce(mid, $hexByte) AS sym_id
+       |  FROM (
+       |    SELECT w, pr.i AS sym_pos, pr.s AS sym
+       |    FROM (
+       |      SELECT w, unnest(list_transform(range(1, len(ss) + 1),
+       |        i -> {'i': i, 's': ss[i]})) AS pr
+       |      FROM (SELECT w, list_transform(string_split(seq, $us || $us),
+       |        x -> replace(x, chr(31), '')) AS ss FROM w$nMerges)
+       |    )
+       |  ) s
+       |  LEFT JOIN mids ON s.sym = mids.merged
+       |),
+       |wn AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_syms FROM wsym GROUP BY w
+       |),
+       |docw AS (
+       |  SELECT doc_id, pr.i AS word_pos, pr.w AS w
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'i': i, 'w': toks[i]})) AS pr
+       |    FROM (SELECT doc_id,
+       |      regexp_extract_all(lower(text), '$TokenRe') AS toks FROM $src)
+       |  )
+       |),
+       |jw AS (
+       |  SELECT doc_id, word_pos, w,
+       |    CAST(sum(n_syms) OVER (PARTITION BY doc_id ORDER BY word_pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_syms
+       |      AS BIGINT) AS prev_cum
+       |  FROM docw JOIN wn USING (w)
+       |),
+       |toksout AS (
+       |  SELECT doc_id,
+       |    CAST(prev_cum + sym_pos - 1 AS BIGINT) AS pos,
+       |    sym_id AS token_id
+       |  FROM jw JOIN wsym USING (w)
+       |)""".stripMargin
+  }
+
+  def bpeTokenizeSql(nMerges: Int = BpeRounds): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+       |${bpeTokenizeCtesSql(nMerges)}
+       |SELECT doc_id, pos, token_id FROM toksout
+       |ORDER BY doc_id, pos, token_id""".stripMargin
+
   /** The unrolled merge-round CTE chain (the IVF-Lloyd pattern), shared
     * by [[bpeMergesSql]] and [[bpeEncodeSql]]: w0..w`n` word relations,
     * per-round pair counts p`r` and winners t`r`. The rewrite LEFT JOINs

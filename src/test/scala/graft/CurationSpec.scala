@@ -238,6 +238,54 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
   }
 
+  test("trainingShards: written id slices tile each doc's encoding; bins fill exactly; re-read prunes") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val reread = Curation.trainingShards(d, path)
+    val rows = reread.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("shard"), r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_tok"),
+      r.getAs[Long]("seq_id"), r.getAs[String]("split"), r.getAs[scala.collection.Seq[Long]]("ids").toList))
+    assert(rows.nonEmpty)
+    // (1) every chunk's slice is exactly as long as the bin says
+    for ((id, _, cid, ct, _, _, ids) <- rows)
+      assert(ids.size.toLong === ct, s"doc $id chunk $cid slice length")
+    // (2) concatenated ids per doc (chunk_id order) == the doc's encoding
+    // under the merges learned on the KEPT corpus (the population the
+    // operator actually trains the tokenizer on)
+    val keptIds = rows.map(_._1).toSet
+    val keptToks = d.filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    val expected = graft.text.TextAnalysis.bpeDocIdsFromToks(keptToks)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("ids").toList).toMap
+    val assembled = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._3).flatMap(_._7).toList).toMap
+    assert(assembled.keySet === expected.keySet, "one or more kept docs missing")
+    for ((id, ids) <- assembled)
+      assert(ids === expected(id), s"doc $id: written slices do not tile its encoding")
+    // (3) every non-final bin of every shard holds exactly the budget
+    val binFill = rows.groupBy(r => (r._2, r._5)).view.mapValues(_.map(_._4).sum)
+    val lastBin = binFill.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for (((shard, seq), fill) <- binFill if seq != lastBin(shard))
+      assert(fill === 2048L, s"shard $shard bin $seq holds $fill tokens")
+    // (4) a (split, shard) read of the written artifact partition-prunes
+    val pick = rows.head
+    val read = spark.read.parquet(path)
+      .filter(col("split") === pick._6 && col("shard") === pick._2)
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*split[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"split/shard filter not applied as a partition filter:\n$plan")
+    // collect() executes THIS Dataset's own QueryExecution (count() would
+    // build a new one whose scan metrics we could not read after)
+    assert(read.collect().nonEmpty)
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pruned = scan.metrics("numFiles").value
+    assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))

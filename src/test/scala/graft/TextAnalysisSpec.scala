@@ -425,6 +425,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(z.getAs[String]("merged") === "7A7A")
   }
 
+  test("bpeTokenize golden: byte ids at zero merges, 256+round ids after merges") {
+    // zero merges: the sequence is the raw UTF-8 bytes of the tokens in
+    // document order ("ab"=0x61,0x62; "ba"=0x62,0x61)
+    val raw = TextAnalysis.bpeTokenize(docs((1L, "ab ba", "en")), nMerges = 0)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("token_id"))).sorted
+    assert(raw.toList === List((0L, 0x61L), (1L, 0x62L), (2L, 0x62L), (3L, 0x61L)))
+    // merges golden corpus: r0 merges (61,61)→6161 (id 256), r1 merges
+    // (61,62)→6162 (id 257); "aa aa ab" encodes to [256, 256, 257],
+    // "aa b" to [256, 62]; empty/NULL docs emit no rows
+    val out = TextAnalysis.bpeTokenize(docs(
+      (1L, "aa aa ab", "en"), (2L, "aa b", "en"),
+      (3L, "", "en"), (4L, null, "en")), nMerges = 3)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("pos"), r.getAs[Long]("token_id"))).sorted.toList).toMap
+    assert(out === Map(
+      1L -> List((0L, 256L), (1L, 256L), (2L, 257L)),
+      2L -> List((0L, 256L), (1L, 0x62L))))
+  }
+
+  test("bpeTokenize tiles bpeEncode: dense positions, per-doc counts agree") {
+    // the sequences ARE the counts' expansion: for every doc,
+    // bpe_tokenize's rows number exactly n_bpe_tokens and positions are
+    // 0..n-1 with no gap (the written-artifact contract training_shards
+    // slices against)
+    val fixture = graft.Tables.documents(SparkTestSession.spark, "/root/testdata/sf0.001")
+    val enc = TextAnalysis.bpeEncode(fixture)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    val seqs = TextAnalysis.bpeTokenize(fixture)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("pos")).sorted.toSeq).toMap
+    for ((id, n) <- enc) {
+      val ps = seqs.getOrElse(id, Seq.empty)
+      assert(ps.size.toLong === n, s"doc $id: ${ps.size} rows vs n_bpe_tokens $n")
+      assert(ps === (0L until n), s"doc $id: positions not dense")
+    }
+  }
+
+  test("bpeDocIdsFromToks assembles exactly bpeTokenize's sequence per doc") {
+    import org.apache.spark.sql.functions._
+    val fixture = docs((1L, "aa aa ab", "en"), (2L, "aa b", "en"),
+      (3L, "", "en"), (4L, null, "en"), (5L, "zz aa zz", "en"))
+    val t = fixture.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val arrays = TextAnalysis.bpeDocIdsFromToks(t, nMerges = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Long]]("ids").toList).toMap
+    val exploded = TextAnalysis.bpeTokenizeFromToks(t, nMerges = 3)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Long]("token_id")).toList).toMap
+    assert(arrays.keySet === Set(1L, 2L, 3L, 4L, 5L), "one row per input doc")
+    for ((id, ids) <- arrays)
+      assert(ids === exploded.getOrElse(id, Nil), s"doc $id arrays diverge")
+  }
+
   test("corpusHistogram bands by the largest power of two <= token count") {
     val out = TextAnalysis.corpusHistogram(docs(
       (1L, "", "en"),                       // 0 tokens → band 0
