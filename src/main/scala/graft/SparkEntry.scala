@@ -290,6 +290,15 @@ object SparkEntry {
     }),
     "corpus_keep" -> ((s, dir) =>
       graft.text.Curation.corpusKeep(graft.Tables.documents(s, dir))),
+    // All five gate families in one verdict (dup ×2, quality score,
+    // Gopher rules, classifier gate, decontamination), same benchmark
+    // split as the decontaminate queries: bench = doc_id % 50 = 0.
+    "corpus_keep_full" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.text.Curation.corpusKeepFull(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // Deterministic hash-based train/val/test assignment (map-only; a
     // doc's split never changes as the corpus grows).
     "corpus_split" -> ((s, dir) =>
@@ -538,6 +547,7 @@ object SparkEntry {
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
+    "corpus_keep_full" -> graft.text.Curation.corpusKeepFullSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "split_leak_fuzzy" -> graft.text.Curation.splitLeakFuzzySql(),
     "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),

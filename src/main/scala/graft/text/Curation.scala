@@ -57,6 +57,102 @@ object Curation {
         (!col("is_exact_dup") && !col("is_near_dup") && col("quality_ok")).as("keep"))
   }
 
+  /** ALL FIVE gate families threaded into ONE curation verdict (round-7
+    * verdict gap #2: the Gopher bundle, the learned classifier gate, and
+    * decontamination existed as green standalone relations but no
+    * manifest composed them): per corpus document, the reason columns
+    *
+    *  - `is_exact_dup` / `is_near_dup` / `quality_ok` — [[corpusKeep]]'s
+    *    three gates, same definitions, same plan;
+    *  - `gopher_keep` — the published document-shape rule bundle
+    *    ([[TextAnalysis.qualityRules]]' conjunction);
+    *  - `classifier_keep` — the learned gate (margin > 0, bit-identical
+    *    to `classifier_score`'s);
+    *  - `is_contaminated` — shares ≥1 distinct
+    *    [[Dedup.DecontaminationWindow]]-token shingle with the benchmark
+    *    relation ([[Dedup.contamination]]'s flag);
+    *
+    * and `keep` as the production conjunction: none of the drops, all of
+    * the keeps. Reasons stay separate for the same re-tune audit economics
+    * as [[corpusKeep]].
+    *
+    * Scale shape: every corpus-side gate derives from the ONE
+    * checkpointed curation base — the Gopher bundle and the classifier
+    * margin read the base's `toks` (zero extra tokenize), the
+    * decontamination shingles come from the same arrays, and the dup
+    * gates are [[corpusKeepFromBase]] verbatim; the only new input scan
+    * is the BENCHMARK relation (small by definition, broadcast into the
+    * shingle semi-join). Joins after the verdicts are doc_id equi-joins;
+    * the contamination flag left-joins its (sparse) flagged set.
+    */
+  def corpusKeepFull(docs: DataFrame, bench: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val base = curatedBase(docs)
+    val three = corpusKeepFromBase(base, minQuality).drop("keep")
+    val toksSafe = coalesce(col("toks"), array().cast("array<string>"))
+    val gopher = TextAnalysis.qualityRulesOver(base,
+        coalesce(col("text"), lit("")), toksSafe)
+      .select(col("doc_id"), col("gopher_keep"))
+    val classifier = base.select(col("doc_id"),
+      (TextAnalysis.marginOfToks(base, col("toks")) > 0L).as("classifier_keep"))
+    val flagged = Dedup.contaminationFromToks(
+        base.select(col("doc_id"), col("toks")), bench)
+      .select(col("doc_id"), lit(true).as("hit"))
+    three.join(gopher, "doc_id").join(classifier, "doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("quality_ok"), col("gopher_keep"), col("classifier_keep"),
+        coalesce(col("hit"), lit(false)).as("is_contaminated"),
+        (!col("is_exact_dup") && !col("is_near_dup") && col("quality_ok") &&
+          col("gopher_keep") && col("classifier_keep") &&
+          coalesce(!col("hit"), lit(true))).as("keep"))
+  }
+
+  /** Oracle twin over the driver fixture's decontamination split
+    * (benchmark = doc_id % 50 = 0, corpus = the rest). The per-row gate
+    * bodies (stats, Gopher, margin) run over ALL documents and join down
+    * to the corpus population — each is a pure per-row function, so the
+    * restriction commutes with the computation. */
+  def corpusKeepFullSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      benchPred: String = "doc_id % 50 = 0"): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val gopherBody = TextAnalysis.qualityRulesSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
+    val corpusSrc = s"(SELECT doc_id, text FROM documents WHERE NOT ($benchPred))"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch, corpusSrc)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |g AS (
+       |  SELECT doc_id, gopher_keep FROM ($gopherBody)
+       |),
+       |cls AS (
+       |  SELECT doc_id, ${TextAnalysis.marginSqlOf(th)} > 0 AS classifier_keep
+       |  FROM documents
+       |),
+       |${Dedup.contaminationCtesSql(benchPred = benchPred)}
+       |SELECT exd.doc_id AS doc_id, is_exact_dup,
+       |  rep.rep_id <> exd.doc_id AS is_near_dup, quality_ok, gopher_keep,
+       |  classifier_keep, hits.doc_id IS NOT NULL AS is_contaminated,
+       |  NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |    AND gopher_keep AND classifier_keep AND hits.doc_id IS NULL AS keep
+       |FROM exd
+       |JOIN rep ON rep.doc_id = exd.doc_id
+       |JOIN q ON q.doc_id = exd.doc_id
+       |JOIN g ON g.doc_id = exd.doc_id
+       |JOIN cls ON cls.doc_id = exd.doc_id
+       |LEFT JOIN hits ON hits.doc_id = exd.doc_id
+       |ORDER BY doc_id, is_exact_dup, is_near_dup, quality_ok, gopher_keep,
+       |  classifier_keep, is_contaminated, keep""".stripMargin
+  }
+
   /** The split hash parameters — seed-split from the shared family so the
     * split stream is independent of every dedup/LSH hash stream, and
     * embedded as literals in both engines (they cannot drift). */

@@ -1319,10 +1319,25 @@ object Dedup {
     * leakage by design — that is [[contaminationFuzzy]]'s job.
     */
   def contamination(docs: DataFrame, bench: DataFrame, minHits: Long = 1L,
-      window: Int = DecontaminationWindow): DataFrame = {
+      window: Int = DecontaminationWindow): DataFrame =
+    contaminationOverSets(shingleSetsK(docs, window), bench, minHits, window)
+
+  /** [[contamination]] with the corpus side's shingles built from a
+    * prepared `(doc_id, toks)` relation — the shared-tokenize path
+    * ([[Curation.corpusKeepFull]] hands the curation base's `toks` so
+    * the decontamination gate costs no second tokenize pass). The bench
+    * side still pays its own (small, bench-sized) chain. */
+  private[text] def contaminationFromToks(t: DataFrame, bench: DataFrame,
+      minHits: Long = 1L, window: Int = DecontaminationWindow): DataFrame =
+    contaminationOverSets(
+      shingleSetsOf(hashedTokens(t, col("toks"), window), window),
+      bench, minHits, window)
+
+  private def contaminationOverSets(docSh: DataFrame, bench: DataFrame,
+      minHits: Long, window: Int): DataFrame = {
     val benchSh = shingleSetsK(bench, window)
       .select(explode(col("sh_set")).as("sh")).distinct()
-    shingleSetsK(docs, window)
+    docSh
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -1332,7 +1347,12 @@ object Dedup {
   /** Oracle twin for the driver's fixture split (benchmark = doc_id %
     * 50 = 0, train = the rest): both sides rebuild the tokenize→shingle
     * chain under distinct CTE names, at the same window. */
-  def contaminationSql(minHits: Long = 1L,
+  /** btoks → bsh → dtoks → dsh → bdistinct → hits CTE chain — the oracle
+    * twin of [[contamination]] up to the flagged-doc relation `hits`
+    * (doc_id, n_hits ≥ minHits); shared with
+    * [[graft.text.Curation.corpusKeepFullSql]] so the decontamination
+    * spelling exists once. */
+  private[text] def contaminationCtesSql(minHits: Long = 1L,
       benchPred: String = "doc_id % 50 = 0",
       window: Int = DecontaminationWindow): String = {
     val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
@@ -1347,20 +1367,27 @@ object Dedup {
          |    i -> $shK)) AS sh
          |  FROM ${prefix}toks WHERE len(th) >= $window
          |)""".stripMargin
-    s"""WITH ${shingleChain("b", benchPred)},
+    s"""${shingleChain("b", benchPred)},
        |${shingleChain("d", s"NOT ($benchPred)")},
        |bdistinct AS (
        |  SELECT DISTINCT unnest(sh) AS s FROM bsh
        |),
        |hits AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-       |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) t
-       |  JOIN bdistinct USING (s)
-       |  GROUP BY doc_id
-       |)
-       |SELECT doc_id, n_hits FROM hits WHERE n_hits >= $minHits
-       |ORDER BY doc_id, n_hits""".stripMargin
+       |  SELECT doc_id, n_hits FROM (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |    FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) t
+       |    JOIN bdistinct USING (s)
+       |    GROUP BY doc_id
+       |  ) WHERE n_hits >= $minHits
+       |)""".stripMargin
   }
+
+  def contaminationSql(minHits: Long = 1L,
+      benchPred: String = "doc_id % 50 = 0",
+      window: Int = DecontaminationWindow): String =
+    s"""WITH ${contaminationCtesSql(minHits, benchPred, window)}
+       |SELECT doc_id, n_hits FROM hits
+       |ORDER BY doc_id, n_hits""".stripMargin
 
   /** Fuzzy benchmark decontamination — the paraphrase case exact-window
     * matching misses BY DESIGN (round-5 verdict #5/"missing" #4): an eval

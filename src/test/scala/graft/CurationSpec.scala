@@ -286,6 +286,45 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
   }
 
+  test("corpusKeepFull: five gate families agree with their standalone operators") {
+    // a 16-token benchmark doc quoted verbatim inside doc 6 → the
+    // 13-window decontamination gate must flag exactly doc 6
+    val benchText = "zebra yak xylophone wombat vulture tiger snake rhino " +
+      "quail panda otter newt mole lemur koala jackal"
+    val leak = "intro words then " + benchText + " trailing words here"
+    val corpus = docs((1L, base), (2L, base), (3L, nearDup),
+      (4L, unrelated), (5L, lowQuality), (6L, leak))
+    val bench = docs((100L, benchText))
+    val out = Curation.corpusKeepFull(corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // dup/quality gates = corpusKeep's verbatim
+    val three = Curation.corpusKeep(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- out.keys; c <- Seq("is_exact_dup", "is_near_dup", "quality_ok"))
+      assert(out(id).getAs[Boolean](c) === three(id).getAs[Boolean](c), s"doc $id $c")
+    // gopher gate = qualityRules' conjunction
+    val gopher = graft.text.TextAnalysis.qualityRules(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("gopher_keep")).toMap
+    // classifier gate = classifierScore's pred_keep
+    val cls = graft.text.TextAnalysis.classifierScore(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pred_keep")).toMap
+    // contamination flag = contamination's flagged set
+    val cont = graft.text.Dedup.contamination(corpus, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cont === Set(6L), "only the planted quote may flag")
+    for (id <- out.keys) {
+      assert(out(id).getAs[Boolean]("gopher_keep") === gopher(id), s"doc $id gopher")
+      assert(out(id).getAs[Boolean]("classifier_keep") === cls(id), s"doc $id classifier")
+      assert(out(id).getAs[Boolean]("is_contaminated") === cont(id), s"doc $id contamination")
+      val r = out(id)
+      assert(r.getAs[Boolean]("keep") === (!r.getAs[Boolean]("is_exact_dup") &&
+        !r.getAs[Boolean]("is_near_dup") && r.getAs[Boolean]("quality_ok") &&
+        r.getAs[Boolean]("gopher_keep") && r.getAs[Boolean]("classifier_keep") &&
+        !r.getAs[Boolean]("is_contaminated")), s"doc $id keep conjunction")
+    }
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))
