@@ -168,6 +168,17 @@ object SparkEntry {
     // occurrence/type counts the vocabulary fails to cover.
     "vocab_coverage" -> ((s, dir) =>
       graft.text.TextAnalysis.vocabCoverage(graft.Tables.documents(s, dir))),
+    // Coverage against an EXTERNAL vocabulary — judge corpus B under
+    // tokenizer A's vocab. The vocab is induced over the benchmark
+    // slice (doc_id % 50 = 0), coverage judged over the rest.
+    "vocab_coverage_ext" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      TextAnalysis.vocabCoverageExt(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        TextAnalysis.vocabByMinCount(docs.filter(col("doc_id") % 50 === 0),
+          TextAnalysis.VocabMinCountExt))
+    }),
     "vocab_mincount" -> ((s, dir) =>
       TextAnalysis.vocabByMinCount(graft.Tables.documents(s, dir))),
     // Byte-level BPE merge induction over the word-frequency relation:
@@ -518,6 +529,7 @@ object SparkEntry {
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "quality_rules" -> TextAnalysis.qualityRulesSql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
+    "vocab_coverage_ext" -> TextAnalysis.vocabCoverageExtSql(),
     "vocab_mincount" -> TextAnalysis.vocabByMinCountSql(),
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),

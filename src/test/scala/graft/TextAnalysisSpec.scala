@@ -147,6 +147,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L).isNullAt(out(4L).fieldIndex("oov_frac")))
   }
 
+  test("vocabCoverageExt: per-doc OOV exposes the minority slice the corpus scalar hides") {
+    // external vocab = the English tokenizer's training corpus; the
+    // judged corpus is mostly English plus ONE fully-uncovered
+    // minority-language doc. Corpus-level OOV ≈ 11% reads as healthy;
+    // the per-doc rows locate the 100%-OOV slice a scalar would mask.
+    val trainers = docs(
+      (100L, "the cat sat on the mat with the hat", "en"),
+      (101L, "the cat and the mat and the hat", "en"))
+    val vocab = TextAnalysis.vocabByMinCount(trainers, minCount = 2L)
+    // vocab = {the, cat, mat, hat, and} (each >= 2 occurrences)
+    val out = TextAnalysis.vocabCoverageExt(docs(
+      (1L, "the cat and the hat", "en"),      // fully covered
+      (2L, "the mat the cat the hat", "en"),  // fully covered
+      (3L, "koira juoksi nopeasti metsässä", "en"), // minority slice: 100% OOV
+      (4L, null, "en")), vocab)               // empty: zeros, NULL frac
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_oov") === 0L)
+    assert(out(1L).getAs[Double]("oov_frac") === 0.0)
+    assert(out(2L).getAs[Long]("n_oov") === 0L)
+    assert(out(3L).getAs[Long]("n_tokens") === 4L)
+    assert(out(3L).getAs[Long]("n_oov") === 4L)
+    assert(out(3L).getAs[Long]("n_oov_types") === 4L)
+    assert(out(3L).getAs[Double]("oov_frac") === 1.0)
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("oov_frac")))
+    // the scalar the per-doc rows refute: 4 OOV of 15 total ≈ 27%... at
+    // realistic corpus sizes this dilutes arbitrarily while doc 3 stays 100%
+    val totalOov = out.values.map(_.getAs[Long]("n_oov")).sum
+    val totalTok = out.values.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalOov.toDouble / totalTok < 0.3)
+  }
+
   test("docRepetition flags pasted-loop text, passes varied text") {
     // doc 1: "spam ham eggs" pasted 50× — 150 tokens, 148 3-grams but
     // only 3 distinct (the cycle's rotations); top gram covers 50/148
