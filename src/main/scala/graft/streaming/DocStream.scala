@@ -65,8 +65,9 @@ object DocStream {
     * the sketch family); the only stateful piece is collapsing
     * multi-band collisions of the same (doc, corpus doc) pair —
     * watermark-bounded, ≤ 4 rows per emitted pair. Stream-vs-stream
-    * pairs stay the batch sweep's job ([[graft.streaming.EmbedStream]]'s
-    * contract, applied to text). */
+    * pairs within the watermark horizon are [[nearDupIntraStream]]'s
+    * job; the full-history sweep stays batch
+    * ([[graft.streaming.EmbedStream]]'s contract, applied to text). */
   def nearDupAgainstCorpus(docs: DataFrame, corpusBands: DataFrame,
       minMatch: Long = 8L, watermarkDelay: String = "1 hour"): DataFrame = {
     val banded = graft.text.Dedup.signatureBandsKeeping(
@@ -76,6 +77,66 @@ object DocStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
       .select("doc_id", "corpus_doc_id", "n_match", "event_time")
+  }
+
+  /** Intra-stream near-dup pairs WITHIN the watermark horizon — the
+    * stream-vs-stream complement [[nearDupAgainstCorpus]]'s contract
+    * deferred (round-7 verdict gap #6): two documents arriving within
+    * `horizon` of each other that the batch sweep would pair are paired
+    * HERE, at ingest, by a band-keyed stream-stream self-join. Same
+    * sketch chain as batch (bit-identical signatures), so a pair found
+    * here scores the same `n_match` the nightly [[graft.text.Dedup
+    * .nearDupPairs]] sweep would compute.
+    *
+    * State discipline: a stream-stream inner self-join on the LSH bucket
+    * key with an event-time range predicate — Spark evicts join state
+    * once the watermark passes the horizon, so state holds ONLY the last
+    * `horizon` of banded rows (4 × 136 bytes per doc), never the stream's
+    * history. Pairs outside the horizon are by-contract the batch
+    * sweep's job (they cannot be found with bounded state; this is the
+    * same "full history belongs to batch" line every dedup twin here
+    * draws). Multi-band collisions of the same pair collapse via
+    * `dropDuplicatesWithinWatermark` downstream of the join — bounded by
+    * the same watermark, ≤ 4 rows per pair. Both directions are cut to
+    * one by the `doc_a < doc_b` predicate, exactly as in batch. */
+  def nearDupIntraStream(docs: DataFrame, minMatch: Long = 8L,
+      horizon: String = "1 hour"): DataFrame = {
+    val banded = graft.text.Dedup.signatureBandsKeeping(
+      docs.select(col("doc_id"), col("text"), eventTime.as("event_time")),
+      Seq("event_time"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"),
+        col("band").as("band_a"), col("band_hash").as("hash_a"),
+        col("event_time").as("t_a"))
+      .withWatermark("t_a", horizon)
+    val b = banded.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"),
+        col("band").as("band_b"), col("band_hash").as("hash_b"),
+        col("event_time").as("t_b"))
+      .withWatermark("t_b", horizon)
+    // Join condition discipline: equi-keys + the event-time range + a
+    // null-safe-free `=!=` self-pair guard ONLY. Order predicates on
+    // non-time columns (doc_a < doc_b, n_match >= k) must stay OUT of a
+    // stream-stream join condition — the state-watermark extractor
+    // walks every </>= predicate expecting watermarked-column
+    // arithmetic. Direction collapse happens structurally instead
+    // (least/greatest), and the score filter sits downstream of the
+    // dedup so predicate pushdown cannot fold it back into the join.
+    val paired = a.join(b,
+      col("band_a") === col("band_b") && col("hash_a") === col("hash_b") &&
+        col("doc_a") =!= col("doc_b") &&
+        col("t_b") >= col("t_a") - expr(s"INTERVAL '$horizon'") &&
+        col("t_b") <= col("t_a") + expr(s"INTERVAL '$horizon'"))
+    // t_b rides through AS the event-time column (an alias keeps the
+    // watermark metadata the join already propagated; re-declaring a
+    // watermark downstream of a stateful operator is disallowed)
+    paired.select(
+        least(col("doc_a"), col("doc_b")).as("pair_a"),
+        greatest(col("doc_a"), col("doc_b")).as("pair_b"),
+        graft.text.Dedup.agreeCount(paired, col("mh_a"), col("mh_b")).as("n_match"),
+        col("t_b").as("event_time"))
+      .dropDuplicatesWithinWatermark("pair_a", "pair_b")
+      .filter(col("n_match") >= minMatch)
+      .select(col("pair_a").as("doc_a"), col("pair_b").as("doc_b"),
+        col("n_match"), col("event_time"))
   }
 
   /** Streaming admission gate — the stream face of

@@ -226,7 +226,7 @@ object Dedup {
     * otherwise; DedupSpec pins parity incl. the null-element and
     * ragged-length edges. Scored once per LSH candidate pair, which is
     * the verification hot path of every MinHash pairing operator. */
-  private def agreeCount(df: DataFrame, a: Column, b: Column): Column =
+  private[graft] def agreeCount(df: DataFrame, a: Column, b: Column): Column =
     if (df.sparkSession.catalog.functionExists("agree_count_of_hashes"))
       call_function("agree_count_of_hashes", a, b)
     else

@@ -284,6 +284,55 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.size === spark.table(name).count())
   }
 
+  test("intra-stream near-dup within the watermark horizon = the batch pairs") {
+    implicit val ctx = spark.sqlContext
+    val baseTxt = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six")
+    val unrel = "red green blue cyan magenta yellow black white " +
+      "purple orange pink brown gray silver gold bronze copper iron lead zinc"
+    // docs 1 and 2 are near-dups of each other arriving 1 s apart (well
+    // inside the horizon); docs 3 and 4 are unrelated to them and to
+    // each other — the only expected pair is (1, 2)
+    val streamRows = Seq(
+      (1L, T, baseTxt),
+      (2L, T + 1000000000L, baseTxt.replace("oscar", "OSCARX")),
+      (3L, T + 2000000000L, unrel),
+      (4L, T + 3000000000L, "entirely novel content with many fresh words here today"))
+    val src = MemoryStream[(Long, Long, String)]
+    src.addData(streamRows: _*)
+    val name = s"intradup_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.nearDupIntraStream(
+        src.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val progress = try {
+      q.processAllAvailable()
+      // advance the watermark past the horizon so the dedup state emits
+      src.addData((100L, T + 3600L * 3 * 1000000000L, "watermark advancer row"))
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_match"))).toSet
+    // batch ground truth on the same rows (distinct contents, so the
+    // keeper collapse is the identity and the pairings must agree)
+    val batch = graft.text.Dedup.nearDupPairs(
+        streamRows.map { case (id, _, t) => (id, t, "en") }
+          .toDF("doc_id", "text", "lang"))
+      .filter($"n_match" >= 8L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_match"))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L)),
+      s"only the planted pair may emit: $streamed")
+    // one row per pair: the multi-band collapse really collapsed
+    assert(spark.table(name).count() === streamed.size)
+    // the join really ran stateful and its state is watermark-bounded
+    assert(progress.exists(_.stateOperators.nonEmpty),
+      "intra-stream pairing grew no streaming state")
+  }
+
   test("throughput evidence: the stateless gate accounts every row at a bounded nonzero rate") {
     // Round-6 verdict gap #6: semantics and state-size were pinned but no
     // rows/sec ever landed in an artifact. Stream a non-trivial batch
