@@ -130,7 +130,29 @@ object Bench {
     val dirty = maxSpread > DirtySpread
     val maxSpreadStr =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(maxSpread))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"max_spread":$maxSpreadStr,"dirty":$dirty,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"max_spread":$maxSpreadStr,"dirty":$dirty,"sf":"$sfDir"}"""
+    println(line)
+    // The full per-query table also lands in a FILE (round-7 verdict
+    // item #8: the committed artifacts only tail-capture stdout, and two
+    // rounds running lost most of the per-query numbers to truncation).
+    // Same JSON object, one query per line for diffability; stdout keeps
+    // the one-line driver contract unchanged.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try {
+      val pretty = results.map { case (k, v, s) =>
+        val ss = String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
+        s"""  "$k": {"sec": $v, "spread": $ss}"""
+      }.mkString(",\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+           |"max_spread":$maxSpreadStr,"dirty":$dirty,
+           |"queries_detail":{
+           |$pretty
+           |}}
+           |""".stripMargin)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
