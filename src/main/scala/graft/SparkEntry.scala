@@ -119,6 +119,17 @@ object SparkEntry {
     "repjoin_triangles" -> ((s, dir) =>
       GraphPatterns.triangleCounter(edges(s, dir), Some(PathMax),
         broadcastClosing = true)),
+    // ---- graph extensions beyond the reference's counters ----
+    // Exact-millionths PageRank, 5 unrolled rounds; one join + one
+    // partial-agg shuffle per round over the checkpointed weighted edges.
+    "pagerank" -> ((s, dir) =>
+      GraphPatterns.pageRank(edges(s, dir))),
+    // Weakly connected components via the dedup star-contraction.
+    "graph_components" -> ((s, dir) =>
+      GraphPatterns.connectedComponents(edges(s, dir))),
+    // Per-node in/out degree + distinct-neighbor report.
+    "degree_report" -> ((s, dir) =>
+      GraphPatterns.degreeReport(edges(s, dir))),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
@@ -517,6 +528,9 @@ object SparkEntry {
          |ORDER BY x, y, z, path_count""".stripMargin,
     "rsjoin_triangles" -> triangleOracle,
     "repjoin_triangles" -> triangleOracle,
+    "pagerank" -> GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql),
+    "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
+    "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "lang_id_ngram" -> TextAnalysis.langIdNgramSql,

@@ -114,6 +114,193 @@ object GraphPatterns {
     * is often small enough to broadcast even when the raw edge list is
     * not.
     */
+  /** Fixed-point resolution for [[pageRank]] — ranks are exact int64
+    * MILLIONTHS (the [[graft.text.Curation.MixResolution]] discipline):
+    * every engine computes the identical integer, so the oracle compare
+    * is a hash match, not an epsilon. */
+  val RankResolution: Long = 1000000L
+
+  /** Damping factor 0.85 in millionths. */
+  val RankDamping: Long = 850000L
+
+  /** Iteration count for the query entry — fixed and deterministic (no
+    * convergence test; the oracle unrolls exactly this many rounds). */
+  val RankIters: Int = 5
+
+  /** PageRank over the directed multigraph — the canonical "who matters
+    * in the follower graph" extension of the reference's 2-hop/triangle
+    * counters, and the shape every iterative graph algorithm takes on
+    * Spark. Per node, the unnormalized rank after [[RankIters]] rounds of
+    *
+    *   r'(v) = (1-d) + d · Σ_{u→v} r(u)·w(u,v) / outdeg(u)
+    *
+    * in EXACT int64 millionths: rank mass moves by integer `div` (SQL
+    * IntegralDivide — a double `/`+floor would round differently at the
+    * boundary and break the cross-engine hash), parallel edges carry
+    * mass in proportion to multiplicity (the multigraph semantics every
+    * operator here shares), and dangling-node mass is dropped (the
+    * simplest published variant; the teleport term keeps every node ≥
+    * (1-d)). Overflow headroom: r·w needs r·w < 2⁶³/d ≈ 1e13·1e6 — per-
+    * node inbound mass beyond that would need a single node holding a
+    * million units of rank, far past any real graph's skew.
+    *
+    * Scale shape: the per-round work is ONE equi-join of the rank
+    * relation against the checkpointed (src, dst, w, od) contribution
+    * edges on `src` plus ONE partial-aggregated shuffle on `dst` —
+    * identical to the canonical Pregel-on-dataframes round. The edge
+    * relation is weighted-distinct (|distinct pairs| rows, not |edges|)
+    * and checkpointed ONCE; at cluster scale it would be bucketed by
+    * `src` so every round's join is co-located and only the (small)
+    * rank relation moves. Rounds are driver-scheduled (the BPE/Lloyd
+    * scheduling shape, same documented crossover); each round's rank
+    * relation is checkpointed so plans stay round-deep, never
+    * iters-deep. */
+  def pageRank(edges: DataFrame, iters: Int = RankIters,
+      max: Option[Long] = None): DataFrame = {
+    val w = weightedEdges(maxFilter(edges, max))
+    val ce = w.join(w.groupBy(col("src")).agg(sum("w").as("od")), "src")
+      .localCheckpoint()
+    val nodes = ce.select(col("src").as("node"))
+      .union(ce.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(RankResolution).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(ce, ranks("node") === ce("src"))
+        .select(col("dst").as("node"), expr("(r * w) div od").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(RankResolution - RankDamping) +
+            expr(s"($RankDamping * coalesce(contrib, 0L)) div $RankResolution"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_millionths"))
+  }
+
+  /** Weakly connected components of the follower graph — the
+    * [[graft.text.Dedup.dedupClustersFromPairsStar]] star-contraction
+    * machinery (Kiveris et al.) applied to the graph's own edge
+    * relation: O(log² n) rounds on ANY topology, per-round cost on the
+    * edge set. Per node: its component's minimum node id as
+    * `component_id`, and `is_root` for the minimum itself. Direction is
+    * ignored (weak connectivity), self-loops drop out in the canonical
+    * edge form, exactly as in the dedup CC. */
+  def connectedComponents(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    val nodes = f.select(col("src").as("doc_id"))
+      .union(f.select(col("dst").as("doc_id"))).distinct()
+    graft.text.Dedup.dedupClustersFromPairsStar(nodes,
+        f.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("node"), col("rep_id").as("component_id"),
+        col("is_survivor").as("is_root"))
+  }
+
+  /** Per-node degree report — in/out multiplicities and distinct
+    * neighbor counts in ONE pass each side (two partial-aggregated
+    * shuffles joined on the node domain; a node missing from a side
+    * reports 0). The degree histogram every graph-shape audit starts
+    * from, and the identity Σ in·out = two_hop_count ties it to
+    * [[twoHopCountDegrees]]. */
+  def degreeReport(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    val outd = f.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), countDistinct("dst").as("out_nbrs"))
+    val ind = f.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), countDistinct("src").as("in_nbrs"))
+    outd.join(ind, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"),
+        coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"))
+  }
+
+  /** Oracle twin of [[pageRank]] — the rounds UNROLLED as chained CTEs
+    * (the BPE-merge oracle discipline: a fixed iteration count is just a
+    * fixed CTE chain; every round's arithmetic is the same integer `//`
+    * as Spark's `div`, so the final ranks hash-match). `edgeSql` is the
+    * shared edge-view body so the two engines read the same relation. */
+  def pageRankSql(edgeSql: String, iters: Int = RankIters,
+      max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    val d = RankDamping
+    val mres = RankResolution
+    val rounds = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node AS node,
+         |    CAST(${mres - d} + ($d * coalesce(c.contrib, 0)) // $mres AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ce.dst AS node, CAST(sum((p.r * ce.w) // ce.od) AS BIGINT) AS contrib
+         |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
+         |    GROUP BY ce.dst
+         |  ) c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges$pred GROUP BY src, dst),
+       |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM w GROUP BY src),
+       |ce AS (SELECT w.src AS src, w.dst AS dst, w.w AS w, o.od AS od
+       |       FROM w JOIN outd o ON o.src = w.src),
+       |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+       |pr0 AS (SELECT node, CAST($mres AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS rank_millionths FROM pr$iters
+       |ORDER BY node, rank_millionths""".stripMargin
+  }
+
+  /** Oracle twin of [[connectedComponents]]: transitive closure over the
+    * undirected edge relation as a recursive CTE (the dedup-CC oracle's
+    * `reach` pattern on the graph's own edges), component id = min of
+    * the closed reachable set. */
+  def connectedComponentsSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH RECURSIVE edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |und AS (
+       |  SELECT src, dst FROM f
+       |  UNION
+       |  SELECT dst, src FROM f
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |nodes AS (SELECT src AS node FROM f UNION SELECT dst FROM f),
+       |comp AS (
+       |  SELECT n.node AS node,
+       |    least(n.node, coalesce(min(r.dst), n.node)) AS component_id
+       |  FROM nodes n LEFT JOIN reach r ON r.src = n.node
+       |  GROUP BY n.node
+       |)
+       |SELECT node, component_id, node = component_id AS is_root FROM comp
+       |ORDER BY node, component_id, is_root""".stripMargin
+  }
+
+  /** Oracle twin of [[degreeReport]]. */
+  def degreeReportSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |outd AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+       |    CAST(count(DISTINCT dst) AS BIGINT) AS out_nbrs
+       |  FROM f GROUP BY src
+       |),
+       |ind AS (
+       |  SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+       |    CAST(count(DISTINCT src) AS BIGINT) AS in_nbrs
+       |  FROM f GROUP BY dst
+       |)
+       |SELECT coalesce(o.node, i.node) AS node,
+       |  coalesce(in_deg, 0) AS in_deg,
+       |  coalesce(out_deg, 0) AS out_deg,
+       |  coalesce(in_nbrs, 0) AS in_nbrs,
+       |  coalesce(out_nbrs, 0) AS out_nbrs
+       |FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+       |ORDER BY node, in_deg, out_deg, in_nbrs, out_nbrs""".stripMargin
+  }
+
   def triangleCounter(edges: DataFrame, max: Option[Long] = None,
       broadcastClosing: Boolean = false): DataFrame = {
     val f = maxFilter(edges, max)

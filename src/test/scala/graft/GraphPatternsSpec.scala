@@ -125,4 +125,62 @@ class GraphPatternsSpec extends AnyFunSuite {
       GraphPatterns.edgeCount(df(g), Some(m)).first().getLong(0))
     assert(counts === counts.sorted)
   }
+
+  // ---- graph extensions ---------------------------------------------------
+
+  def ranksOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphPatterns.pageRank(df(edges)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths")).toMap
+
+  test("pageRank: a 2-cycle is a fixpoint at exactly 1.0 per node") {
+    // each node hands its whole rank to the other; 150000 + 850000·1.0
+    // = 1000000 every round, in exact millionths
+    assert(ranksOf(Seq((1L, 2L), (2L, 1L))) === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: star sinks converge to hand-computed millionths") {
+    // 1→2 and 3→2; nodes 1,3 are pure sources (rank = teleport 150000
+    // from round 1 on), node 2 settles at 150000 + 0.85·(2·150000) =
+    // 405000 from round 2 on — all integer-exact
+    assert(ranksOf(Seq((1L, 2L), (3L, 2L))) ===
+      Map(1L -> 150000L, 2L -> 405000L, 3L -> 150000L))
+  }
+
+  test("pageRank: parallel edges carry mass in proportion to multiplicity") {
+    // 1 sends 2/3 of its mass to 2 and 1/3 to 3 (integer div on the
+    // weighted relation): round 1 contribs 666666 and 333333
+    val r = ranksOf(Seq((1L, 2L), (1L, 2L), (1L, 3L)))
+    assert(r(2L) > r(3L), s"multiplicity must rank 2 above 3: $r")
+    assert(r(1L) === 150000L)
+    // total mass never exceeds the initial endowment (dangling drops)
+    assert(r.values.sum <= 3L * 1000000L)
+  }
+
+  test("connectedComponents: two components and direction-blindness") {
+    val out = GraphPatterns.connectedComponents(
+        df(Seq((2L, 1L), (2L, 3L), (11L, 10L))))
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("is_root"))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false)))
+  }
+
+  test("degreeReport: multiplicities vs distinct neighbors, zero-filled sides") {
+    val out = GraphPatterns.degreeReport(
+        df(Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))))
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("in_deg"), r.getAs[Long]("out_deg"),
+          r.getAs[Long]("in_nbrs"), r.getAs[Long]("out_nbrs"))).toMap
+    assert(out(1L) === ((0L, 3L, 0L, 2L)))
+    assert(out(2L) === ((2L, 1L, 1L, 1L)))
+    assert(out(3L) === ((2L, 0L, 2L, 0L)))
+  }
+
+  test("degreeReport ties to the 2-hop degree identity on the golden graph") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val viaReport = GraphPatterns.degreeReport(df(sample))
+      .agg(sum(col("in_deg") * col("out_deg"))).first().getLong(0)
+    assert(viaReport === 16L)
+  }
 }

@@ -66,7 +66,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "near_dup_pairs", "near_dup_jaccard", "split_leak_fuzzy",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
-        "corpus_diff")
+        "corpus_diff",
+        // graph_components' returned plan is the node-domain distinct
+        // joined to the (checkpointed) star-contraction labels — the
+        // iteration's own aggs ran at construction, behind checkpoints
+        "graph_components")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       if (distinctOnly(name)) {
