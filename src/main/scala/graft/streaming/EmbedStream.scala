@@ -21,11 +21,12 @@ import graft.ml.Similarity
   * scale: bucketed by (tbl, bucket) / vec_id, so the probe prunes), and
   * corpus history never enters streaming state. The only stateful
   * operator is the multi-table collision dedup, bounded by the
-  * watermark horizon. Stream-vs-stream pairs are deliberately OUT of
-  * scope — that's the batch operator's job on the accumulated shard
-  * (a stream-stream self-join would hold the stream in state forever);
-  * the composition mirrors how [[DocStream]] leaves near-dup pairing to
-  * batch.
+  * watermark horizon. Stream-vs-stream pairs WITHIN that horizon are
+  * [[annMatchesIntraStream]]'s job (a bucket-keyed stream-stream
+  * self-join whose state the event-time range predicate bounds);
+  * pairs across a longer span stay the batch operator's job on the
+  * accumulated shard — the same history-belongs-to-batch line
+  * [[DocStream]] draws.
   */
 object EmbedStream {
 
@@ -73,5 +74,59 @@ object EmbedStream {
         col("event_time"))
       .filter(col("cos_sim") >= lit(simThreshold))
       .dropDuplicatesWithinWatermark("vec_id", "neighbor_id")
+  }
+
+  /** Intra-stream ANN pairs WITHIN the watermark horizon — the embedding
+    * face of [[DocStream.nearDupIntraStream]], completing the
+    * stream-vs-stream contract this file used to defer wholesale: two
+    * embeddings arriving within `horizon` of each other that the batch
+    * [[graft.ml.Similarity.embedAnnPairs]] sweep would pair are paired
+    * at ingest, with bit-identical quantization/buckets/cosine (same
+    * expressions), so the emitted `cos_sim` equals batch's.
+    *
+    * Same join-condition discipline as the text twin (learned there the
+    * hard way): ONLY the (tbl, bucket) equi-keys, the event-time range,
+    * a `=!=` self-pair guard, and the ragged-dimension `===` guard may
+    * sit in the condition — order predicates on non-time columns crash
+    * the state-watermark extractor, so direction collapses structurally
+    * (least/greatest) and the threshold filter sits downstream of the
+    * multi-bucket pair dedup, out of pushdown's reach. Join state =
+    * the last `horizon` of banded rows, evicted by the range predicate;
+    * older pairs are batch's job by contract. */
+  def annMatchesIntraStream(embeds: DataFrame, simThreshold: Double = 0.1,
+      horizon: String = "1 hour"): DataFrame = {
+    val v = embeds
+      .select(col("vec_id"), Similarity.quantizeExpr(col("embedding")).as("qv"),
+        eventTime.as("event_time"))
+    val vn = v.withColumn("nrm",
+        sqrt(Similarity.dotExpr(v, col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0.0)
+    val banded = vn.select(col("vec_id"), col("qv"), col("nrm"), col("event_time"),
+        posexplode(Similarity.bucketsExpr(vn, col("qv"))).as(Seq("tbl", "bucket")))
+    val a = banded.select(col("vec_id").as("vid_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("tbl").as("tbl_a"), col("bucket").as("bkt_a"),
+        col("event_time").as("t_a"))
+      .withWatermark("t_a", horizon)
+    val b = banded.select(col("vec_id").as("vid_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("tbl").as("tbl_b"), col("bucket").as("bkt_b"),
+        col("event_time").as("t_b"))
+      .withWatermark("t_b", horizon)
+    val paired = a.join(b,
+      col("tbl_a") === col("tbl_b") && col("bkt_a") === col("bkt_b") &&
+        col("vid_a") =!= col("vid_b") &&
+        size(col("qa")) === size(col("qb")) &&
+        col("t_b") >= col("t_a") - expr(s"INTERVAL '$horizon'") &&
+        col("t_b") <= col("t_a") + expr(s"INTERVAL '$horizon'"))
+    // cos_sim is symmetric in (a, b), so scoring before the structural
+    // direction collapse is order-independent; t_b rides through as the
+    // event-time column (alias keeps the propagated watermark)
+    paired.select(
+        least(col("vid_a"), col("vid_b")).as("vec_a"),
+        greatest(col("vid_a"), col("vid_b")).as("vec_b"),
+        (Similarity.dotExpr(paired, col("qa"), col("qb")).cast("double")
+          / (col("na") * col("nb"))).as("cos_sim"),
+        col("t_b").as("event_time"))
+      .dropDuplicatesWithinWatermark("vec_a", "vec_b")
+      .filter(col("cos_sim") >= lit(simThreshold))
   }
 }

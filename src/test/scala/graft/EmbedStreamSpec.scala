@@ -101,4 +101,40 @@ class EmbedStreamSpec extends AnyFunSuite {
       assert(spark.table(name).count() === 22L)
     } finally q.stop()
   }
+
+  test("intra-stream ANN pairs within the horizon = the batch pairing") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val v0 = Seq.fill(12)(rnd.nextFloat() - 0.5f)
+    val nearCopy = v0.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val unrelated = Seq.fill(12)(rnd.nextFloat() - 0.5f)
+    // vectors 1 and 2 are near-copies arriving 1 s apart; 3 is unrelated;
+    // 4 is a zero vector (norm-filtered, must not crash the self-join)
+    val streamRows = Seq(
+      (1L, T, v0),
+      (2L, T + 1000000000L, nearCopy),
+      (3L, T + 2000000000L, unrelated),
+      (4L, T + 3000000000L, Seq.fill(12)(0f)))
+    val src = MemoryStream[(Long, Long, Seq[Float])]
+    src.addData(streamRows: _*)
+    val name = s"embed_intra_${System.nanoTime()}"
+    val q = EmbedStream.annMatchesIntraStream(
+        src.toDF().toDF("vec_id", "ts", "embedding"), simThreshold = 0.9)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    // batch ground truth on the same rows, same threshold
+    val batch = Similarity.embedAnnPairs(
+        corpusDf(streamRows.map { case (id, _, e) => (id, e) }: _*),
+        simThreshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set((1L, 2L)),
+      s"only the planted near-copy pair may emit: $streamed")
+    assert(streamed((1L, 2L)) > 0.99)
+  }
 }
