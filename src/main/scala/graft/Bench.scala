@@ -48,7 +48,10 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         true
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: a query that dies of OutOfMemoryError must kill
+        // the run — recording it as a -1 and benchmarking the survivors
+        // in a damaged JVM would fake a mostly-green artifact
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
 
@@ -150,7 +153,9 @@ object Bench {
            |$pretty
            |}}
            |""".stripMargin)
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not Throwable: an OutOfMemoryError here must crash the
+      // run, not let it report success after a fatal VM error
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()

@@ -140,9 +140,16 @@ object GraphPatterns {
     * mass in proportion to multiplicity (the multigraph semantics every
     * operator here shares), and dangling-node mass is dropped (the
     * simplest published variant; the teleport term keeps every node ≥
-    * (1-d)). Overflow headroom: r·w needs r·w < 2⁶³/d ≈ 1e13·1e6 — per-
-    * node inbound mass beyond that would need a single node holding a
-    * million units of rank, far past any real graph's skew.
+    * (1-d); [[pageRankConserving]] is the mass-conserving spelling).
+    * Overflow headroom: the two mass multiplies (r·w and d·contrib) run
+    * in decimal(38,0) — int64 would wrap once a node's inbound mass
+    * passes 2⁶³/d ≈ 1.08e13 millionths (~1e7 rank units), which a star
+    * hub with ~1e8 followers reaches after ONE round at the 100 TB
+    * design point. Decimal headroom is ~1e38 millionths, more rank mass
+    * than a graph of every atom on earth could hold; the oracle widens
+    * the same two multiplies to int128 (HUGEINT), and the `div` result
+    * re-enters int64 where the per-node bound (total mass / 1) keeps it
+    * exact.
     *
     * Scale shape: the per-round work is ONE equi-join of the rank
     * relation against the checkpointed (src, dst, w, od) contribution
@@ -157,6 +164,9 @@ object GraphPatterns {
     * iters-deep. */
   def pageRank(edges: DataFrame, iters: Int = RankIters,
       max: Option[Long] = None): DataFrame = {
+    // iters = 0 would silently return the uniform init while the SQL twin
+    // generates invalid SQL — fail both the same way (the bpeMerges rule)
+    require(iters >= 1, s"pageRank needs iters >= 1 (got $iters)")
     val w = weightedEdges(maxFilter(edges, max))
     val ce = w.join(w.groupBy(col("src")).agg(sum("w").as("od")), "src")
       .localCheckpoint()
@@ -165,12 +175,13 @@ object GraphPatterns {
     var ranks = nodes.select(col("node"), lit(RankResolution).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ranks.join(ce, ranks("node") === ce("src"))
-        .select(col("dst").as("node"), expr("(r * w) div od").as("c"))
+        .select(col("dst").as("node"),
+          expr("(cast(r as decimal(38,0)) * w) div od").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(RankResolution - RankDamping) +
-            expr(s"($RankDamping * coalesce(contrib, 0L)) div $RankResolution"))
+            expr(s"($RankDamping * cast(coalesce(contrib, 0L) as decimal(38,0))) div $RankResolution"))
             .as("r"))
         .localCheckpoint()
     }
@@ -222,15 +233,21 @@ object GraphPatterns {
     * shared edge-view body so the two engines read the same relation. */
   def pageRankSql(edgeSql: String, iters: Int = RankIters,
       max: Option[Long] = None): String = {
+    // iters = 0 would leave a dangling comma after pr0 — same guard as
+    // the Spark spelling so the degenerate case fails identically
+    require(iters >= 1, s"pageRankSql needs iters >= 1 (got $iters)")
     val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
     val d = RankDamping
     val mres = RankResolution
+    // HUGEINT (int128) on the same two multiplies the Spark plan widens
+    // to decimal(38,0); `//` on non-negative operands is the same
+    // truncation as Spark's `div`, and the result re-enters BIGINT
     val rounds = (1 to iters).map { k =>
       s"""pr$k AS (
          |  SELECT n.node AS node,
-         |    CAST(${mres - d} + ($d * coalesce(c.contrib, 0)) // $mres AS BIGINT) AS r
+         |    CAST(${mres - d} + ($d * CAST(coalesce(c.contrib, 0) AS HUGEINT)) // $mres AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT ce.dst AS node, CAST(sum((p.r * ce.w) // ce.od) AS BIGINT) AS contrib
+         |    SELECT ce.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * ce.w) // ce.od) AS BIGINT) AS contrib
          |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
          |    GROUP BY ce.dst
          |  ) c ON c.node = n.node

@@ -120,10 +120,17 @@ object DocStream {
     // arithmetic. Direction collapse happens structurally instead
     // (least/greatest), and the score filter sits downstream of the
     // dedup so predicate pushdown cannot fold it back into the join.
+    // The range is ONE-SIDED (t_b >= t_a): each pair joins with the
+    // LATER arrival on the b side, so the emitted event_time below is
+    // deterministically max(arrival_a, arrival_b) — a symmetric range
+    // let both directions race into the pair dedup with different t_b
+    // values, and whichever micro-batch ordering won stamped the pair
+    // (round-8 advice). Exact ties join both ways but produce
+    // bit-identical rows, which the dedup collapses.
     val paired = a.join(b,
       col("band_a") === col("band_b") && col("hash_a") === col("hash_b") &&
         col("doc_a") =!= col("doc_b") &&
-        col("t_b") >= col("t_a") - expr(s"INTERVAL '$horizon'") &&
+        col("t_b") >= col("t_a") &&
         col("t_b") <= col("t_a") + expr(s"INTERVAL '$horizon'"))
     // t_b rides through AS the event-time column (an alias keeps the
     // watermark metadata the join already propagated; re-declaring a

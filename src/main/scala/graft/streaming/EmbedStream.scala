@@ -111,11 +111,15 @@ object EmbedStream {
         col("nrm").as("nb"), col("tbl").as("tbl_b"), col("bucket").as("bkt_b"),
         col("event_time").as("t_b"))
       .withWatermark("t_b", horizon)
+    // one-sided range (t_b >= t_a): the later arrival always sits on the
+    // b side, so event_time below is deterministically max(arrivals) —
+    // see DocStream.nearDupIntraStream for the race the symmetric
+    // spelling had (round-8 advice)
     val paired = a.join(b,
       col("tbl_a") === col("tbl_b") && col("bkt_a") === col("bkt_b") &&
         col("vid_a") =!= col("vid_b") &&
         size(col("qa")) === size(col("qb")) &&
-        col("t_b") >= col("t_a") - expr(s"INTERVAL '$horizon'") &&
+        col("t_b") >= col("t_a") &&
         col("t_b") <= col("t_a") + expr(s"INTERVAL '$horizon'"))
     // cos_sim is symmetric in (a, b), so scoring before the structural
     // direction collapse is order-independent; t_b rides through as the
