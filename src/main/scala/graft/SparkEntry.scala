@@ -124,6 +124,10 @@ object SparkEntry {
     // partial-agg shuffle per round over the checkpointed weighted edges.
     "pagerank" -> ((s, dir) =>
       GraphPatterns.pageRank(edges(s, dir))),
+    // Mass-conserving variant: dangling-node rank mass redistributed
+    // uniformly each round (one extra 1-row scalar agg per round).
+    "pagerank_conserving" -> ((s, dir) =>
+      GraphPatterns.pageRankConserving(edges(s, dir))),
     // Weakly connected components via the dedup star-contraction.
     "graph_components" -> ((s, dir) =>
       GraphPatterns.connectedComponents(edges(s, dir))),
@@ -529,6 +533,8 @@ object SparkEntry {
     "rsjoin_triangles" -> triangleOracle,
     "repjoin_triangles" -> triangleOracle,
     "pagerank" -> GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql),
+    "pagerank_conserving" ->
+      GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql, conserve = true),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,

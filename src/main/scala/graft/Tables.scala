@@ -17,12 +17,21 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS); Spark has no
-    * nanosecond timestamp type and rejects the file outright
-    * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
-    * reads it as epoch-nanos BIGINT. The conf belongs to the SESSION
-    * BUILDER (Bench, Verify, the test session, and the dev tools all set
-    * it) — a library read path mutating session-global SQLConf behind the
+  /** `events.parquet` has shipped `ts` as both INT64 TIMESTAMP(NANOS)
+    * (rounds ≤ 8) and TIMESTAMP(MICROS) (round 9 regeneration) — this
+    * reader NORMALIZES both to epoch-NANOS BIGINT so every downstream
+    * operator (and the streaming twins sharing [[graft.events.Events]]'
+    * column expressions) sees one representation. µs→ns is an exact
+    * ×1000 (int64 epoch-ns reaches year 2262 — any fixture fits);
+    * downstream ns→µs floor-division then restores the original µs
+    * bit-for-bit, which is also what DuckDB's `epoch_us(ts)` reads from
+    * either file, so the oracles need no per-representation spelling.
+    *
+    * NANOS files additionally need `spark.sql.legacy.parquet.nanosAsLong`
+    * (Spark has no ns timestamp type and rejects the file outright,
+    * [PARQUET_TYPE_ILLEGAL]). The conf belongs to the SESSION BUILDER
+    * (Bench, Verify, the test session, and the dev tools all set it) — a
+    * library read path mutating session-global SQLConf behind the
     * caller's back surprises host sessions (round-5 verdict nit #1), and
     * restoring it after `spark.read` wouldn't be safe anyway (the conf is
     * consulted again at plan time, which is lazy). The require turns the
@@ -32,10 +41,30 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     require(
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+      "events.parquet may store TIMESTAMP(NANOS): build the session with " +
         ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") " +
         "(see graft.Tables.events)")
-    table(spark, sfDir, "events")
+    val raw = table(spark, sfDir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw // TIMESTAMP(NANOS) read as epoch-ns under the conf
+      case TimestampType => // µs, instant semantics: epoch extraction is tz-free
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) * 1000L"))
+      case TimestampNTZType =>
+        // µs, local semantics: the NTZ→instant cast reads the SESSION
+        // timezone, so pin it — every entry point here runs UTC, and a
+        // non-UTC host session would silently shift epoch arithmetic
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.parquet stores TIMESTAMP_NTZ: set " +
+            "spark.sql.session.timeZone=UTC for deterministic epoch-µs " +
+            "(see graft.Tables.events)")
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected BIGINT epoch-ns, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract is the 2-arg form; extra args are a dev-loop filter
+    // (run only the named queries) and never passed by the driver
+    val (sfDir, outDir, only) = (args(0), args(1),
+      if (args.length > 2) Some(args.drop(2).toSet) else None)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +29,9 @@ object Verify {
     // order — no uniqueness assumption on any key column is needed. This
     // is a verify-only artifact — Bench and library callers get the
     // unsorted distributed plan.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // asc_nulls_last: Spark's bare asc sorts NULLS FIRST, DuckDB's

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Event-stream operators over
   * `events(event_id, ts, user_id, event_type, value, props)`.
   *
-  * The fixture's `ts` is parquet INT64 TIMESTAMP(NANOS), which Spark has no
-  * timestamp type for — [[graft.Tables.events]] reads it as epoch-nanos
-  * BIGINT (`spark.sql.legacy.parquet.nanosAsLong`). All time arithmetic here
+  * The fixture's `ts` arrives as epoch-nanos BIGINT — [[graft.Tables.events]]
+  * normalizes every parquet representation it has shipped as (INT64
+  * TIMESTAMP(NANOS) via `spark.sql.legacy.parquet.nanosAsLong`, or
+  * TIMESTAMP(MICROS) ×1000) to that one type. All time arithmetic here
   * is integer epoch-microseconds (`ts div 1000`, matching DuckDB's
   * µs-truncating parquet read bit-for-bit), deliberately: timestamps never
   * round-trip through timezone-dependent types, so the results are

@@ -163,7 +163,36 @@ object GraphPatterns {
     * relation is checkpointed so plans stay round-deep, never
     * iters-deep. */
   def pageRank(edges: DataFrame, iters: Int = RankIters,
-      max: Option[Long] = None): DataFrame = {
+      max: Option[Long] = None): DataFrame =
+    pageRankImpl(edges, iters, max, conserve = false)
+
+  /** Mass-conserving PageRank — the variant most PageRank consumers
+    * expect: each round, the rank mass sitting on DANGLING nodes (no
+    * outgoing edge — in [[pageRank]] it simply vanishes) is
+    * redistributed uniformly to every node before damping:
+    *
+    *   r'(v) = (1-d) + d · (Σ_{u→v} r(u)·w(u,v)/outdeg(u) + D/N)
+    *
+    * with D = Σ_{dangling u} r(u) and N = |nodes|, all in the same exact
+    * int64 millionths (`div` floors, so a few millionths per round can
+    * still leak to rounding — conservation is exact up to the floor
+    * remainders, and total mass stays ≤ N·10⁶ + N, keeping the dangling
+    * sum inside int64 for any graph under ~9e12 nodes). On a
+    * dangling-free graph D = 0 every round, so this equals [[pageRank]]
+    * exactly (spec property).
+    *
+    * Cost over the drop variant: per round, ONE extra scalar aggregate
+    * (the left-semi rank∩dangling sum — partial-aggregated, one row
+    * out) attached back via the constant-key BROADCAST hash join the
+    * BPE merge loop uses (a 1-row build side; never a nested-loop —
+    * the plan audit forbids those engine-wide). The dangling node set
+    * and node count are computed once and checkpointed. */
+  def pageRankConserving(edges: DataFrame, iters: Int = RankIters,
+      max: Option[Long] = None): DataFrame =
+    pageRankImpl(edges, iters, max, conserve = true)
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, max: Option[Long],
+      conserve: Boolean): DataFrame = {
     // iters = 0 would silently return the uniform init while the SQL twin
     // generates invalid SQL — fail both the same way (the bpeMerges rule)
     require(iters >= 1, s"pageRank needs iters >= 1 (got $iters)")
@@ -172,18 +201,44 @@ object GraphPatterns {
       .localCheckpoint()
     val nodes = ce.select(col("src").as("node"))
       .union(ce.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // conserving only: nodes with no out-edge, and the node count as a
+    // 1-row keyed relation (k=1 is the constant broadcast-attach key)
+    lazy val dangling = nodes.join(ce.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint()
+    lazy val nCnt = nodes.agg(count(lit(1)).as("n"))
+      .withColumn("k", lit(1)).localCheckpoint()
     var ranks = nodes.select(col("node"), lit(RankResolution).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ranks.join(ce, ranks("node") === ce("src"))
         .select(col("dst").as("node"),
           expr("(cast(r as decimal(38,0)) * w) div od").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(RankResolution - RankDamping) +
-            expr(s"($RankDamping * cast(coalesce(contrib, 0L) as decimal(38,0))) div $RankResolution"))
-            .as("r"))
-        .localCheckpoint()
+      ranks = if (!conserve) {
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(RankResolution - RankDamping) +
+              expr(s"($RankDamping * cast(coalesce(contrib, 0L) as decimal(38,0))) div $RankResolution"))
+              .as("r"))
+          .localCheckpoint()
+      } else {
+        // this round's dangling mass, split per node (floor); greatest(n,1)
+        // only guards the empty graph, where the output is empty anyway
+        // (ANSI mode makes 0 div 0 an error, not a NULL)
+        val dsh = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
+          .withColumn("k", lit(1))
+          .join(broadcast(nCnt), Seq("k"))
+          .select(col("k"), expr("dmass div greatest(n, 1L)").as("dshare"))
+          .localCheckpoint()
+        nodes.join(contrib, Seq("node"), "left")
+          .withColumn("k", lit(1))
+          .join(broadcast(dsh), Seq("k"))
+          .select(col("node"),
+            (lit(RankResolution - RankDamping) +
+              expr(s"($RankDamping * cast(coalesce(contrib, 0L) + dshare as decimal(38,0))) div $RankResolution"))
+              .as("r"))
+          .localCheckpoint()
+      }
     }
     ranks.select(col("node"), col("r").as("rank_millionths"))
   }
@@ -232,7 +287,7 @@ object GraphPatterns {
     * as Spark's `div`, so the final ranks hash-match). `edgeSql` is the
     * shared edge-view body so the two engines read the same relation. */
   def pageRankSql(edgeSql: String, iters: Int = RankIters,
-      max: Option[Long] = None): String = {
+      max: Option[Long] = None, conserve: Boolean = false): String = {
     // iters = 0 would leave a dangling comma after pr0 — same guard as
     // the Spark spelling so the degenerate case fails identically
     require(iters >= 1, s"pageRankSql needs iters >= 1 (got $iters)")
@@ -243,23 +298,44 @@ object GraphPatterns {
     // to decimal(38,0); `//` on non-negative operands is the same
     // truncation as Spark's `div`, and the result re-enters BIGINT
     val rounds = (1 to iters).map { k =>
-      s"""pr$k AS (
-         |  SELECT n.node AS node,
-         |    CAST(${mres - d} + ($d * CAST(coalesce(c.contrib, 0) AS HUGEINT)) // $mres AS BIGINT) AS r
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT ce.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * ce.w) // ce.od) AS BIGINT) AS contrib
-         |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
-         |    GROUP BY ce.dst
-         |  ) c ON c.node = n.node
-         |)""".stripMargin
+      if (!conserve)
+        s"""pr$k AS (
+           |  SELECT n.node AS node,
+           |    CAST(${mres - d} + ($d * CAST(coalesce(c.contrib, 0) AS HUGEINT)) // $mres AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ce.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * ce.w) // ce.od) AS BIGINT) AS contrib
+           |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
+           |    GROUP BY ce.dst
+           |  ) c ON c.node = n.node
+           |)""".stripMargin
+      else
+        // dangling mass of the PREVIOUS round's ranks, floor-split per
+        // node — the 1-row ds CTE mirrors the Spark broadcast attach
+        s"""ds$k AS (
+           |  SELECT CAST(coalesce(sum(p.r), 0) // greatest((SELECT n FROM ncnt), 1) AS BIGINT) AS dshare
+           |  FROM pr${k - 1} p WHERE EXISTS (SELECT 1 FROM dang d WHERE d.node = p.node)
+           |),
+           |pr$k AS (
+           |  SELECT n.node AS node,
+           |    CAST(${mres - d} + ($d * CAST(coalesce(c.contrib, 0) + ds.dshare AS HUGEINT)) // $mres AS BIGINT) AS r
+           |  FROM nodes n CROSS JOIN ds$k ds LEFT JOIN (
+           |    SELECT ce.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * ce.w) // ce.od) AS BIGINT) AS contrib
+           |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
+           |    GROUP BY ce.dst
+           |  ) c ON c.node = n.node
+           |)""".stripMargin
     }.mkString(",\n")
+    val conserveCtes = if (!conserve) "" else
+      s"""dang AS (SELECT node FROM nodes WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.src = node)),
+         |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |""".stripMargin
     s"""WITH edges AS ($edgeSql),
        |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges$pred GROUP BY src, dst),
        |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM w GROUP BY src),
        |ce AS (SELECT w.src AS src, w.dst AS dst, w.w AS w, o.od AS od
        |       FROM w JOIN outd o ON o.src = w.src),
        |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
-       |pr0 AS (SELECT node, CAST($mres AS BIGINT) AS r FROM nodes),
+       |${conserveCtes}pr0 AS (SELECT node, CAST($mres AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT node, r AS rank_millionths FROM pr$iters
        |ORDER BY node, rank_millionths""".stripMargin

@@ -156,6 +156,50 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(r.values.sum <= 3L * 1000000L)
   }
 
+  test("pageRankConserving: equals the drop variant on dangling-free graphs") {
+    // the golden sample graph has an out-edge on every node, so the
+    // dangling mass D is 0 every round and the two spellings must agree
+    // bit-for-bit; same for random graphs closed so every node emits
+    val drop = ranksOf(sample)
+    val cons = GraphPatterns.pageRankConserving(df(sample)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths")).toMap
+    assert(cons === drop)
+    for (seed <- 1 to 3) {
+      val g0 = randomGraph(seed, n = 8, m = 30, allowDup = true)
+      val nodes = (g0.map(_._1) ++ g0.map(_._2)).distinct
+      val srcs = g0.map(_._1).toSet
+      // close the graph: every sink gets one out-edge back to the min node
+      val g = g0 ++ nodes.filterNot(srcs).filterNot(_ == nodes.min)
+        .map(v => (v, nodes.min))
+      val d = ranksOf(g)
+      val c = GraphPatterns.pageRankConserving(df(g)).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths")).toMap
+      assert(c === d, s"seed=$seed")
+    }
+  }
+
+  test("pageRankConserving: golden 2-round hand computation on 1→2") {
+    // node 2 is dangling (N=2). Round 1: contrib(2)=10⁶, D=10⁶,
+    // dshare=500000 → r=(575000, 1425000). Round 2: contrib(2)=575000,
+    // D=1425000, dshare=712500 → r=(755625, 1244375). Mass is exactly
+    // conserved (2·10⁶) both rounds — no floor remainder on this fixture.
+    val out = GraphPatterns.pageRankConserving(df(Seq((1L, 2L))), iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(out === Map(1L -> 755625L, 2L -> 1244375L))
+    // the drop variant loses the dangling mass: strictly less total rank
+    val dropTotal = GraphPatterns.pageRank(df(Seq((1L, 2L))), iters = 2)
+      .agg(org.apache.spark.sql.functions.sum("rank_millionths"))
+      .first().getLong(0)
+    assert(dropTotal < 2000000L)
+    // 5 rounds (the query-entry depth), verified against the DuckDB
+    // oracle CTE chain AND an independent integer simulation
+    val out5 = GraphPatterns.pageRankConserving(df(Seq((1L, 2L))))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(out5 === Map(1L -> 697617L, 2L -> 1302379L))
+  }
+
   test("connectedComponents: two components and direction-blindness") {
     val out = GraphPatterns.connectedComponents(
         df(Seq((2L, 1L), (2L, 3L), (11L, 10L))))
