@@ -396,6 +396,22 @@ object SparkEntry {
     "training_shards" -> ((s, dir) =>
       graft.text.Curation.trainingShardsReport(graft.Tables.documents(s, dir),
         scratch("train_shards", dir))),
+    // The nightly-append composition: base artifact written (8 hash
+    // shards), then a synthesized nightly batch (doc_id + 1e6, suffixed
+    // text — unseen words included) appended as shard 8 encoded under
+    // the FROZEN base merges via dynamic partition overwrite; result is
+    // the appended delta's per-chunk report. Batch admission (dedup /
+    // quality vs the corpus) is ingest_manifest's job — this is the
+    // write that follows it.
+    "training_shards_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = graft.Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" nightly batch")).as("text"))
+      graft.text.Curation.trainingShardsIncr(docs, batch,
+        scratch("train_shards_incr", dir))
+    }),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -593,6 +609,7 @@ object SparkEntry {
     "pipeline_manifest_chunked" -> graft.text.Curation.pipelineManifestChunkedSql(),
     "pipeline_manifest_bpe" -> graft.text.Curation.pipelineManifestBpeSql(),
     "training_shards" -> graft.text.Curation.trainingShardsSql(),
+    "training_shards_incr" -> graft.text.Curation.trainingShardsIncrSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),

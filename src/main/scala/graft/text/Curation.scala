@@ -719,10 +719,18 @@ object Curation {
 
   private def chunkFromCounts(t0: DataFrame, budget: Long, nShards: Int): DataFrame = {
     val (a, b) = packPerm
-    val t = t0
+    chunkFromShardedCounts(t0
       .filter(col("tok_count") >= 0) // same guard as packFromCounts
       .withColumn("shard",
-        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(nShards.toLong)))
+        pmod(graft.functions.PortableHash.permHash(col("doc_id"), a, b), lit(nShards.toLong))),
+      budget)
+  }
+
+  /** The window + boundary-split half of [[chunkFromCounts]] over a
+    * relation that already carries its `shard` — shared with the
+    * constant-shard nightly append ([[trainingShardsAppend]]), where the
+    * whole batch IS one shard. */
+  private def chunkFromShardedCounts(t: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -911,35 +919,125 @@ object Curation {
   def trainingShards(docs: DataFrame, path: String, minQuality: Double = 0.5,
       budget: Long = 2048L, nShards: Int = 8,
       valPct: Int = 5, testPct: Int = 5,
-      nMerges: Int = TextAnalysis.BpeRounds): DataFrame = {
+      nMerges: Int = TextAnalysis.BpeRounds): DataFrame =
+    trainingShardsLearn(docs, path, minQuality, budget, nShards,
+      valPct, testPct, nMerges)._1
+
+  /** [[trainingShards]] that also hands back the learned merge rounds —
+    * the frozen tokenizer [[trainingShardsAppend]] encodes later batches
+    * under. */
+  private[text] def trainingShardsLearn(docs: DataFrame, path: String,
+      minQuality: Double, budget: Long, nShards: Int,
+      valPct: Int, testPct: Int,
+      nMerges: Int): (DataFrame, Seq[DataFrame]) = {
     val base = curatedBase(docs)
     val kept = corpusKeepFromBase(base, minQuality)
       .filter(col("keep")).select("doc_id").localCheckpoint()
     val keptToks = base.join(kept, "doc_id").select(col("doc_id"), col("toks"))
     // consumed twice (pack counts + slice join): checkpoint the id arrays
-    val docIds = TextAnalysis.bpeDocIdsFromToks(keptToks, nMerges)
-      .localCheckpoint()
+    val (rounds, docIds0) =
+      TextAnalysis.bpeDocIdsAndRoundsFromToks(keptToks, nMerges)
+    val docIds = docIds0.localCheckpoint()
     val packed = chunkFromCounts(
       docIds.select(col("doc_id"), size(col("ids")).cast("long").as("tok_count")),
       budget, nShards)
+    val rows = shardRows(packed, docIds,
+      splitAssign(kept, valPct, testPct).select("doc_id", "split"))
+    graft.sources.Sinks.writePartitioned(rows, path, Seq("split", "shard"))
+    (readShards(docs.sparkSession, path), rounds)
+  }
+
+  /** Slice-assembly half shared by the base write and the nightly
+    * append: chunk-local starts (a per-doc window over ≤chunks-per-doc
+    * rows), the id-array join, and the slice projection. */
+  private def shardRows(packed: DataFrame, docIds: DataFrame,
+      splits: DataFrame): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("chunk_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val rows = packed
+    packed
       .withColumn("cstart", sum(col("chunk_tok")).over(wDoc) - col("chunk_tok"))
       .join(docIds, "doc_id")
-      .join(splitAssign(kept, valPct, testPct).select("doc_id", "split"), "doc_id")
+      .join(splits, "doc_id")
       .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_tok"),
         col("seq_id"), col("split"),
         slice(col("ids"), (col("cstart") + 1L).cast("int"),
           col("chunk_tok").cast("int")).as("ids"))
-    graft.sources.Sinks.writePartitioned(rows, path, Seq("split", "shard"))
-    // partition-column types come back inferred (shard as INT): re-cast so
-    // the re-read relation matches what was written
-    docs.sparkSession.read.parquet(path)
+  }
+
+  /** The artifact re-read. Partition-column types come back inferred
+    * (shard as INT): re-cast so the relation matches what was written. */
+  private def readShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
       .select(col("doc_id"), col("shard").cast("long").as("shard"),
         col("chunk_id"), col("chunk_tok"), col("seq_id"),
         col("split"), col("ids"))
+
+  /** Append ONE nightly batch to an existing [[trainingShards]] artifact
+    * without rewriting it (round-8 verdict's top gap — the write was
+    * `Overwrite`-only, so nightly ingest re-paid the world). The batch:
+    *
+    *  - is encoded under the FROZEN base merge table (`rounds` — learn
+    *    once, persist, apply per batch; relearning would shift every id
+    *    in the existing shards). Unseen words stay byte symbols exactly
+    *    as a frozen BPE tokenizer treats them
+    *    ([[TextAnalysis.bpeDocIdsFromToksUnderRounds]]).
+    *  - lands WHOLE in shard `shardId` (batch-scoped shard ids — the
+    *    base write's hash sharding spreads every batch over every shard,
+    *    which is exactly what an append must not do). One running-sum
+    *    window partition over the batch: a nightly batch ≪ corpus, the
+    *    same bounded-state story as the per-shard packer windows.
+    *  - writes via DYNAMIC partition overwrite
+    *    ([[graft.sources.Sinks.overwritePartitionsDynamic]]): only the
+    *    `(split=*, shard=shardId)` directories are replaced — base
+    *    shards' files are untouched (spec-pinned by mtime+length), and
+    *    re-running the same batch is idempotent where `SaveMode.Append`
+    *    would double it.
+    *
+    * Admission (dedup vs the corpus, quality, contamination) is the
+    * caller's step — compose [[graft.text.Dedup.ingestManifest]] in
+    * front, exactly as a production nightly does; this operator is the
+    * write that follows. Returns the appended delta's re-read rows (the
+    * relation a nightly run audits). */
+  def trainingShardsAppend(batchDocs: DataFrame, rounds: Seq[DataFrame],
+      path: String, shardId: Long, budget: Long = 2048L,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val t = graft.Tables.widen(batchDocs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val docIds = TextAnalysis.bpeDocIdsFromToksUnderRounds(t, rounds)
+      .localCheckpoint()
+    val packed = chunkFromShardedCounts(
+      docIds.select(col("doc_id"), size(col("ids")).cast("long").as("tok_count"))
+        .filter(col("tok_count") >= 0)
+        .withColumn("shard", lit(shardId)),
+      budget)
+    val rows = shardRows(packed, docIds,
+      splitAssign(batchDocs, valPct, testPct).select("doc_id", "split"))
+    graft.sources.Sinks.overwritePartitionsDynamic(rows, path,
+      Seq("split", "shard"))
+    readShards(batchDocs.sparkSession, path).filter(col("shard") === shardId)
+  }
+
+  /** The oracle-gated nightly-append composition: base artifact written
+    * ([[trainingShards]], shards `0..nShards-1`), then `batchDocs`
+    * appended as shard `nShards` under the base-learned merges; result
+    * is the APPENDED DELTA summarized like [[trainingShardsReport]] —
+    * the per-chunk (n_ids, ids_sum) a nightly run audits. The
+    * cross-engine seam this gates is the frozen-merge encoding of a
+    * batch whose words the base may never have seen. */
+  def trainingShardsIncr(corpusDocs: DataFrame, batchDocs: DataFrame,
+      path: String, minQuality: Double = 0.5, budget: Long = 2048L,
+      nShards: Int = 8, valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): DataFrame = {
+    val (_, rounds) = trainingShardsLearn(corpusDocs, path, minQuality,
+      budget, nShards, valPct, testPct, nMerges)
+    trainingShardsAppend(batchDocs, rounds, path, nShards.toLong, budget,
+        valPct, testPct)
+      .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_tok"),
+        col("seq_id"), col("split"),
+        size(col("ids")).cast("long").as("n_ids"),
+        coalesce(aggregate(col("ids"), lit(0L), _ + _), lit(0L)).as("ids_sum"))
   }
 
   /** The oracle-gated face of [[trainingShards]]: the re-read relation
@@ -1028,6 +1126,86 @@ object Curation {
        |         WHEN $bucket < ${testPct + valPct} THEN 'val'
        |         ELSE 'train' END AS split
        |  FROM kept
+       |)
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum
+       |FROM sums JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum""".stripMargin
+  }
+
+  /** Oracle twin of [[trainingShardsIncr]]'s DELTA: the base chain
+    * learns t0..t(n-1) on the kept corpus exactly as
+    * [[trainingShardsSql]], then the batch (`nb` — the same synthesized
+    * nightly rows as the query entry) is rewritten under those winners
+    * ([[TextAnalysis.bpeApplyCtesSql]]'s v-chain), tokenized against its
+    * OWN word relation, constant-sharded at `nShards`, and summarized
+    * with the identical cst/sums arithmetic. */
+  def trainingShardsIncrSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5,
+      nMerges: Int = TextAnalysis.BpeRounds): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (spa, spb) = splitPerm
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    val keptSrc = "documents JOIN kept USING (doc_id)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS MATERIALIZED (
+       |  -- MATERIALIZED for the same reason as pipelineManifestBpeSql's
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |${TextAnalysis.bpeCtesSql(nMerges, keptSrc)},
+       |nb AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' nightly batch' AS text
+       |  FROM documents WHERE doc_id % 10 = 9
+       |),
+       |${TextAnalysis.bpeApplyCtesSql(nMerges, "nb")},
+       |${TextAnalysis.bpeTokenizeCtesSql(nMerges, "nb", s"v$nMerges")},
+       |tokm AS MATERIALIZED (
+       |  SELECT * FROM toksout
+       |),
+       |${chunkCtesFromTSql(
+        s"""t AS (
+           |  SELECT nb.doc_id AS doc_id,
+           |    CAST(coalesce(cnt, 0) AS BIGINT) AS tok_count,
+           |    CAST($nShards AS BIGINT) AS shard
+           |  FROM nb LEFT JOIN (
+           |    SELECT doc_id, count(*) AS cnt FROM tokm GROUP BY doc_id
+           |  ) c ON nb.doc_id = c.doc_id
+           |)""".stripMargin, budget)},
+       |cst AS (
+       |  SELECT doc_id, shard, chunk_id, chunk_tok, seq_id,
+       |    CAST(sum(chunk_tok) OVER (PARTITION BY doc_id ORDER BY chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tok
+       |      AS BIGINT) AS cstart
+       |  FROM chunks
+       |),
+       |sums AS (
+       |  SELECT c.doc_id AS doc_id, c.shard AS shard, c.chunk_id AS chunk_id,
+       |    c.chunk_tok AS chunk_tok, c.seq_id AS seq_id,
+       |    CAST(count(t.token_id) AS BIGINT) AS n_ids,
+       |    CAST(coalesce(sum(t.token_id), 0) AS BIGINT) AS ids_sum
+       |  FROM cst c LEFT JOIN tokm t
+       |    ON t.doc_id = c.doc_id AND t.pos >= c.cstart
+       |      AND t.pos < c.cstart + c.chunk_tok
+       |  GROUP BY c.doc_id, c.shard, c.chunk_id, c.chunk_tok, c.seq_id
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM nb
        |)
        |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum
        |FROM sums JOIN sp USING (doc_id)

@@ -806,13 +806,17 @@ object TextAnalysis {
     * none of the per-round scheduling floor. The distributed rounds
     * below are the right shape for the oracle-matched fixture scale and
     * for moderate nMerges; they are not the 30k-round spelling. */
+  /** A word's initial BPE symbol string: UTF-8 bytes as `US`-bracketed
+    * uppercase hex pairs (`␟68␟␟69␟`) — shared by the learner and the
+    * frozen-merge apply path so the two can never drift. */
+  private def hexSeq(w: Column): Column =
+    regexp_replace(hex(encode(w, "UTF-8")), "(..)", s"$US$$1$US")
+
   private[text] def bpeRoundsAndWordsFromToks(t: DataFrame,
       nMerges: Int): (Seq[DataFrame], DataFrame) = {
     var cur = t.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wt"))
-      .select(col("w"),
-        regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", s"$US$$1$US")
-          .as("seq"), col("wt"))
+      .select(col("w"), hexSeq(col("w")).as("seq"), col("wt"))
       .localCheckpoint()
     val rounds = (0 until nMerges).map { r =>
       val ss = transform(split(col("seq"), s"$US$US"),
@@ -977,11 +981,83 @@ object TextAnalysis {
     * buffer holds a single document's encoding (bounded by doc length —
     * the same per-doc-bounded state as the packer windows); docs with no
     * tokens get an empty array, so every input doc has exactly one row. */
-  def bpeDocIdsFromToks(t: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+  def bpeDocIdsFromToks(t: DataFrame, nMerges: Int = BpeRounds): DataFrame =
+    bpeDocIdsAndRoundsFromToks(t, nMerges)._2
+
+  /** [[bpeDocIdsFromToks]] that ALSO hands back the learned per-round
+    * winner frames — the nightly-append composition
+    * ([[Curation.trainingShardsIncr]]) learns once on the base corpus
+    * and encodes both the base docs and the appended batch under the
+    * same rounds. */
+  private[text] def bpeDocIdsAndRoundsFromToks(t: DataFrame,
+      nMerges: Int): (Seq[DataFrame], DataFrame) = {
     val (rounds, words) = bpeRoundsAndWordsFromToks(t, nMerges)
+    (rounds, docIdsFromWordIds(t, bpeWordIds(words, rounds)))
+  }
+
+  /** [[bpeDocIdsFromToks]] under an EXTERNAL merge table — the
+    * frozen-tokenizer path a nightly ingest needs
+    * ([[Curation.trainingShardsAppend]]): a batch appended to an
+    * existing training artifact must be encoded under the merges the
+    * BASE corpus learned (relearning would shift every id), and the
+    * batch's words — including ones the base never saw — get the same
+    * deterministic treatment: hex byte symbols, then each round's
+    * winner applied as the identical non-overlapping left-to-right
+    * rewrite. A word the merges never touch stays byte symbols, which
+    * is exactly what a frozen BPE tokenizer does with unseen text.
+    *
+    * Property (spec-pinned): for the corpus the rounds were learned ON,
+    * this equals [[bpeDocIdsFromToks]] — apply-after-learn is the same
+    * rewrite chain the learner ran.
+    *
+    * Scale shape: the rewrite loop runs on the batch's ≤|distinct
+    * words| relation (map work per round, the learner's shape minus the
+    * pair-count shuffles); the corpus never re-enters. */
+  def bpeDocIdsFromToksUnderRounds(t: DataFrame,
+      rounds: Seq[DataFrame]): DataFrame = {
+    val words0 = t.select(explode(col("toks")).as("w")).distinct()
+      .select(col("w"), hexSeq(col("w")).as("seq"))
+      .localCheckpoint()
+    docIdsFromWordIds(t, bpeWordIds(bpeApplyRounds(words0, rounds), rounds))
+  }
+
+  /** Reconstitute the per-round winner frames from a persisted
+    * [[bpeMerges]] table — the production spelling of the frozen
+    * tokenizer: the merge table is a ≤`nMerges`-row parquet artifact,
+    * and each round's (possibly empty past exhaustion) winner is its
+    * `round = r` slice. Feed the result to
+    * [[bpeDocIdsFromToksUnderRounds]] /
+    * [[Curation.trainingShardsAppend]]. */
+  def bpeRoundsFromMergeTable(merges: DataFrame,
+      nMerges: Int = BpeRounds): Seq[DataFrame] =
+    (0 until nMerges).map(r => merges.filter(col("round") === r.toLong))
+
+  /** Rewrite-only merge application: each round's (possibly empty past
+    * exhaustion) 1-row winner broadcast back via the constant-key hash
+    * join and applied with the learner's exact replace spelling — no
+    * pair counting, no winner selection. */
+  private[text] def bpeApplyRounds(words0: DataFrame,
+      rounds: Seq[DataFrame]): DataFrame =
+    rounds.foldLeft(words0) { (cur, top) =>
+      cur.withColumn("k", lit(1))
+        .join(broadcast(top.select(col("lhs"), col("rhs"))
+          .withColumn("k", lit(1))), Seq("k"), "left")
+        .select(col("w"),
+          when(col("lhs").isNotNull,
+            call_function("replace", col("seq"),
+              concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
+              concat(lit(US), col("lhs"), col("rhs"), lit(US))))
+            .otherwise(col("seq")).as("seq"))
+        .localCheckpoint()
+    }
+
+  /** Shared assembly half of the doc-id-array spellings: per doc, the
+    * word-position-ordered concatenation of each occurrence's id array;
+    * docs with no tokens keep an empty array. */
+  private def docIdsFromWordIds(t: DataFrame, wordIds: DataFrame): DataFrame = {
     val occ = t.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("word_pos", "w")))
-    val assembled = occ.join(bpeWordIds(words, rounds), "w")
+    val assembled = occ.join(wordIds, "w")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("word_pos").as("p"), col("ids").as("ids")))
         .as("chunks"))
@@ -1002,8 +1078,11 @@ object TextAnalysis {
     * the positioned symbol relation joins the positioned word relation
     * directly, which yields the same rows as Spark's array path. */
   private[text] def bpeTokenizeCtesSql(nMerges: Int,
-      src: String = "documents"): String = {
+      src: String = "documents", wordsRel: String = ""): String = {
     val us = "chr(31)"
+    // default: the learner's final word relation; the frozen-merge apply
+    // path passes its own rewritten relation (bpeApplyCtesSql's last CTE)
+    val wrel = if (wordsRel.isEmpty) s"w$nMerges" else wordsRel
     val midsBody =
       if (nMerges == 0) "SELECT NULL AS merged, CAST(NULL AS BIGINT) AS mid WHERE false"
       else (0 until nMerges)
@@ -1023,7 +1102,7 @@ object TextAnalysis {
        |      SELECT w, unnest(list_transform(range(1, len(ss) + 1),
        |        i -> {'i': i, 's': ss[i]})) AS pr
        |      FROM (SELECT w, list_transform(string_split(seq, $us || $us),
-       |        x -> replace(x, chr(31), '')) AS ss FROM w$nMerges)
+       |        x -> replace(x, chr(31), '')) AS ss FROM $wrel)
        |    )
        |  ) s
        |  LEFT JOIN mids ON s.sym = mids.merged
@@ -1104,6 +1183,31 @@ object TextAnalysis {
     if (rounds.isEmpty) w0
     else s"""$w0,
        |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Rewrite-only CTE chain `v0..v\`nMerges\`` — the oracle twin of
+    * [[bpeApplyRounds]]: `src`'s distinct words start as hex byte
+    * symbols and each round applies [[bpeCtesSql]]'s learned winner
+    * t`r` (which must be in scope) with the learner's exact replace
+    * spelling. No pair counting — the frozen-tokenizer path. */
+  private[text] def bpeApplyCtesSql(nMerges: Int, src: String): String = {
+    val us = "chr(31)"
+    val v0 =
+      s"""v0 AS (
+         |  SELECT w, regexp_replace(hex(w), '(..)', $us || '\\1' || $us, 'g') AS seq
+         |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS w
+         |        FROM $src) t
+         |)""".stripMargin
+    val rounds = (0 until nMerges).map { r =>
+      s"""v${r + 1} AS (
+         |  SELECT w,
+         |    CASE WHEN lhs IS NULL THEN seq
+         |         ELSE replace(seq, $us || lhs || $us || $us || rhs || $us,
+         |           $us || lhs || rhs || $us) END AS seq
+         |  FROM v$r LEFT JOIN t$r ON TRUE
+         |)""".stripMargin
+    }
+    (v0 +: rounds).mkString(",\n")
   }
 
   def bpeMergesSql(nMerges: Int = BpeRounds): String = {

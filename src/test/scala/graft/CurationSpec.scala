@@ -286,6 +286,72 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
   }
 
+  test("trainingShardsAppend: base files untouched, delta isolated, idempotent, frozen-merge slices") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards_app").toString
+    val baseCount = Curation.trainingShards(d, path).count()
+    // snapshot every base file: the append must not touch a byte of them
+    def snapshot(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally s.close()
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // frozen tokenizer via the production reconstitute path: the merge
+    // table learned on the SAME kept corpus trainingShards trained on
+    val kept = Curation.corpusKeep(d).filter(col("keep")).select("doc_id")
+    val rounds = graft.text.TextAnalysis.bpeRoundsFromMergeTable(
+      graft.text.TextAnalysis.bpeMerges(d.join(kept, "doc_id")))
+    val batch = d.filter(col("doc_id") % 10 === 9)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" zzzappendonly")).as("text"))
+    val delta = Curation.trainingShardsAppend(batch, rounds, path, 8L)
+      .localCheckpoint()
+    val deltaRows = delta.collect()
+    assert(deltaRows.nonEmpty)
+    assert(deltaRows.forall(_.getAs[Long]("shard") === 8L), "delta must land in its shard")
+    // (1) every pre-append file survives byte-identical (size + mtime)
+    val after = snapshot()
+    for ((p, meta) <- before)
+      assert(after.get(p).contains(meta), s"base file rewritten by append: $p")
+    // (2) the combined artifact is base ∪ delta
+    assert(spark.read.parquet(path).count() === baseCount + deltaRows.length)
+    // (3) delta slices tile each batch doc's frozen-merge encoding
+    val expected = graft.text.TextAnalysis.bpeDocIdsFromToksUnderRounds(
+        batch.select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks")), rounds)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("ids").toList).toMap
+    val assembled = deltaRows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+      _.sortBy(_.getAs[Long]("chunk_id"))
+        .flatMap(_.getAs[scala.collection.Seq[Long]]("ids")).toList).toMap
+    assert(assembled.keySet === expected.keySet)
+    for ((id, ids) <- assembled)
+      assert(ids === expected(id), s"doc $id: delta slices do not tile its encoding")
+    // (4) re-running the same batch is idempotent (dynamic overwrite
+    // replaces the shard's partitions; Append would double them)
+    Curation.trainingShardsAppend(batch, rounds, path, 8L).count()
+    assert(spark.read.parquet(path).count() === baseCount + deltaRows.length)
+    // (5) a shard-8 read partition-prunes the base shards away
+    val read = spark.read.parquet(path).filter(col("shard") === 8L)
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"shard filter not applied as a partition filter:\n$plan")
+    assert(read.collect().nonEmpty)
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pruned = scan.metrics("numFiles").value
+    assert(pruned > 0 && pruned < allFiles, s"no files pruned ($pruned of $allFiles)")
+  }
+
   test("corpusKeepFull: five gate families agree with their standalone operators") {
     // a 16-token benchmark doc quoted verbatim inside doc 6 → the
     // 13-window decontamination gate must flag exactly doc 6

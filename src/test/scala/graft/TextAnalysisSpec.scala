@@ -446,6 +446,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(c8.values.sum < c0.values.sum)
   }
 
+  test("bpeDocIdsFromToksUnderRounds: frozen merges equal the learn path; unseen words fall back to bytes") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs((1L, "aa aa ab", "en"), (2L, "aa b", "en"))
+    val toks = corpus.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    // the production reconstitute path: persisted merge table → rounds
+    val rounds = TextAnalysis.bpeRoundsFromMergeTable(
+      TextAnalysis.bpeMerges(corpus, nMerges = 3), nMerges = 3)
+    def idsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("ids").toList).toMap
+    // apply-after-learn == the learn path on the corpus the rounds came
+    // from (the rewrite chains are the same chain)
+    assert(idsOf(TextAnalysis.bpeDocIdsFromToksUnderRounds(toks, rounds)) ===
+      idsOf(TextAnalysis.bpeDocIdsFromToks(toks, nMerges = 3)))
+    // a batch with words the corpus never saw: "aab" = 61 61 62 — r0's
+    // (61,61) merge applies inside it (→ id 256), r1's (61,62) no longer
+    // matches; "cd" is fully unseen → raw byte ids, exactly a frozen BPE
+    // tokenizer's treatment of novel text
+    val batch = docs((10L, "aab cd", "en"), (11L, "", "en"))
+    val out = idsOf(TextAnalysis.bpeDocIdsFromToksUnderRounds(
+      batch.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")),
+      rounds))
+    assert(out(10L) === List(256L, 0x62L, 0x63L, 0x64L))
+    assert(out(11L) === Nil) // empty doc keeps its empty array
+  }
+
   test("bpeMerges: ties break by symbol text; hex symbols are uppercase") {
     // (61,62) and (63,64) both weigh 2 -> lexicographic lhs wins round 0
     val tied = TextAnalysis.bpeMerges(docs(
