@@ -6,35 +6,54 @@ import org.apache.spark.sql.functions._
 /** One media record as the typed batch-processing surface sees it. */
 case class MediaRow(media_id: Long, payload: Array[Byte], fmt: String)
 
-/** Extracted features — what a real decoder would emit per record. */
-case class MediaFeatures(media_id: Long, fmt: String, n_bytes: Long,
-    header_hex: String, byte_sum: Long, n_hi_bytes: Long)
+/** Per-record decode output: generic byte statistics plus the REAL
+  * container parse — `kind` is the sniffed container, the dimension /
+  * sample fields are decoded from the header (NULL when the container
+  * doesn't carry them or the payload is neither). */
+case class MediaDecoded(media_id: Long, fmt: String,
+    n_bytes: Option[Long], header_hex: Option[String],
+    byte_sum: Option[Long], n_hi_bytes: Option[Long],
+    kind: Option[String], width: Option[Long], height: Option[Long],
+    bpp: Option[Long], channels: Option[Long], sample_rate: Option[Long],
+    bits: Option[Long])
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, plus per-record feature
-  * extraction.
+  * `binary` columns with typed metadata, plus per-record decode and
+  * feature extraction.
   *
-  * The container has no media codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE — byte-level statistics stand in for "decode the
-  * JPEG and measure it" (see [[Media.fakeDecode]], the single function a
-  * real pipeline would swap for a codec call). Everything AROUND the
-  * decode is the real production shape and is what's tested:
+  * The decode is a REAL parse of two public fixed-layout containers
+  * (no codec library needed — the layouts are bytes at documented
+  * offsets): BMP (BITMAPINFOHEADER: width/height int32 LE at byte
+  * 18/22, bpp uint16 LE at 28) and canonical 44-byte WAV (channels
+  * uint16 LE at 22, sample rate uint32 LE at 24, bits uint16 LE at
+  * 34, with the `data` chunk at 36). Container sniffing is by magic
+  * bytes exactly as production ingest does — a payload that happens to
+  * start with a magic is parsed as that container, deterministically
+  * in both engines. Payloads that are neither report `kind = raw` with
+  * NULL decode fields; pixel/sample DATA decoding beyond the header
+  * (the part that genuinely needs a codec) stays out of scope.
+  *
+  * The plumbing around the decode is the production shape:
   *
   *  - ingestion normalizes to `(media_id, payload BINARY, fmt, meta)` —
   *    the schema a 100 TB media lake stores (payload column prunes away
   *    for metadata-only queries; parquet keeps binaries row-group-local);
-  *  - [[Media.mediaFeatures]] runs the fake decode as pure built-in
-  *    expressions over the hex encoding (codegen-friendly, oracle-checkable
-  *    in DuckDB byte-for-byte);
+  *  - [[Media.mediaFeatures]] runs the decode as pure built-in
+  *    expressions over the hex encoding (codegen-friendly,
+  *    oracle-checkable in DuckDB byte-for-byte);
   *  - [[Media.mediaFeaturesPartitioned]] runs the SAME decode through
-  *    `Dataset.mapPartitions` — the Scala twin of Python's `mapInPandas`
-  *    batch-UDF surface: one iterator per partition, arbitrary JVM code
-  *    (JNI codec, model inference) per record, typed output schema.
-  *    A spec asserts the two plans agree row-for-row, so the imperative
-  *    boundary is pinned to the declarative semantics.
+  *    `Dataset.mapPartitions` ([[Media.realDecode]] on actual bytes) —
+  *    the Scala twin of Python's `mapInPandas` batch-UDF surface: one
+  *    iterator per partition, arbitrary JVM code (JNI codec, model
+  *    inference) per record, typed output schema. A spec asserts the
+  *    two plans agree row-for-row, so the imperative boundary is pinned
+  *    to the declarative semantics.
   *
-  * The fixtures ship no binary table, so ingestion derives payloads from
-  * `documents.text` (UTF-8 bytes) — deterministic and schema-faithful.
+  * The fixtures ship no binary table, so ingestion derives payloads
+  * from `documents.text` (UTF-8 bytes), and
+  * [[Media.asContainerTable]] WRAPS a deterministic subset in real BMP
+  * / WAV headers (dimensions derived from doc_id) so the decode path
+  * round-trips honest container bytes end to end.
   */
 object Media {
 
@@ -47,15 +66,36 @@ object Media {
       col("source").as("fmt"),
       struct(col("n_chars"), col("lang")).as("meta"))
 
-  /** The deterministic fake decoder (WHERE A REAL CODEC WOULD GO): byte
-    * count, 8-byte header as hex, unsigned byte sum, count of high bytes
-    * (≥ 0x80 — multi-byte UTF-8 sequences in the faked payloads). */
-  def fakeDecode(m: MediaRow): MediaFeatures = {
+  /** The REAL per-record decoder: generic byte statistics plus the
+    * BMP / canonical-WAV header parse, on actual payload bytes. This is
+    * the function running inside the [[mediaFeaturesPartitioned]] batch
+    * boundary — a pipeline adding a true pixel/sample codec extends it
+    * here. NULL payloads report NULL stats (the declarative twin's
+    * semantics). */
+  def realDecode(m: MediaRow): MediaDecoded = {
+    if (m.payload == null)
+      return MediaDecoded(m.media_id, m.fmt, None, None, None, None,
+        None, None, None, None, None, None, None)
     val bytes = m.payload
     val header = bytes.take(8).map(b => f"${b & 0xff}%02X").mkString
     var sum = 0L; var hi = 0L
     bytes.foreach { b => sum += (b & 0xff); if ((b & 0xff) >= 0x80) hi += 1 }
-    MediaFeatures(m.media_id, m.fmt, bytes.length.toLong, header, sum, hi)
+    def le(off: Int, n: Int): Long =
+      (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * k)).sum
+    def ascii(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+    val base = MediaDecoded(m.media_id, m.fmt, Some(bytes.length.toLong),
+      Some(header), Some(sum), Some(hi), Some("raw"),
+      None, None, None, None, None, None)
+    if (bytes.length >= 54 && ascii(0, "BM"))
+      base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
+        height = Some(le(22, 4)), bpp = Some(le(28, 2)))
+    else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        ascii(12, "fmt ") && ascii(36, "data"))
+      base.copy(kind = Some("wav"), channels = Some(le(22, 2)),
+        sample_rate = Some(le(24, 4)), bits = Some(le(34, 2)))
+    else base
   }
 
   /** Feature extraction as declarative expressions: the payload's hex
@@ -67,18 +107,105 @@ object Media {
     (instr(lit("0123456789ABCDEF"), substring(p, 1, 1)) - 1) * 16L +
       (instr(lit("0123456789ABCDEF"), substring(p, 2, 1)) - 1)
 
+  /** Little-endian unsigned integer at BYTE offset `byteOff` of hex
+    * column `h` — the header-field read both engines share. */
+  private def leVal(h: org.apache.spark.sql.Column, byteOff: Int,
+      nBytes: Int): org.apache.spark.sql.Column =
+    (0 until nBytes).map(k =>
+      byteVal(substring(h, (byteOff + k) * 2 + 1, 2)) * lit(1L << (8 * k)))
+      .reduce(_ + _).cast("long")
+
+  /** DuckDB spelling of [[leVal]]. */
+  private def leValSql(h: String, byteOff: Int, nBytes: Int): String =
+    (0 until nBytes).map { k =>
+      val p = (byteOff + k) * 2 + 1
+      s"((strpos('0123456789ABCDEF', substring($h, $p, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789ABCDEF', substring($h, ${p + 1}, 1)) - 1)) * ${1L << (8 * k)}"
+    }.mkString("(", " + ", ")")
+
+  /** Hex spelling of `v`'s little-endian `nBytes` bytes — SQL shared by
+    * both engines modulo the integer-divide token (`div` / `//`). */
+  private def leHexSql(v: String, nBytes: Int, idiv: String): String =
+    (0 until nBytes).map { k =>
+      val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
+      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+
+  /** The synthesized-container payload as a hex expression over a
+    * documents row: doc_id % 5 = 0 → a real 54-byte BMP header
+    * (width = 1 + doc_id % 640, height = 1 + doc_id % 480, 24 bpp)
+    * with the text bytes as pixel data; doc_id % 5 = 1 → a real
+    * canonical 44-byte WAV header (channels = 1 + doc_id % 2, rate =
+    * 8000·(1 + doc_id % 6), bits = 8·(1 + doc_id % 2)) with the text
+    * bytes as samples; else the raw text bytes. NULL text stays NULL
+    * (`||` propagates). One SQL body for both engines — `textHex` /
+    * `textBytes` / the divide token are the per-engine seams. */
+  private def containerHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    val w = "(1 + doc_id % 640)"
+    val hgt = "(1 + doc_id % 480)"
+    val ch = "(1 + doc_id % 2)"
+    val bits = "(8 * (1 + doc_id % 2))"
+    val rate = "(8000 * (1 + doc_id % 6))"
+    val byteRate = s"(($rate * $ch * $bits) $idiv 8)"
+    val blockAlign = s"(($ch * $bits) $idiv 8)"
+    val bmp = s"'424D' || ${leHexSql(s"54 + $textBytes", 4, idiv)} || " +
+      s"'0000000036000000' || '28000000' || ${leHexSql(w, 4, idiv)} || " +
+      s"${leHexSql(hgt, 4, idiv)} || '01001800' || repeat('00', 24) || $textHex"
+    val wav = s"'52494646' || ${leHexSql(s"36 + $textBytes", 4, idiv)} || " +
+      s"'57415645' || '666D7420' || '10000000' || '0100' || " +
+      s"${leHexSql(ch, 2, idiv)} || ${leHexSql(rate, 4, idiv)} || " +
+      s"${leHexSql(byteRate, 4, idiv)} || ${leHexSql(blockAlign, 2, idiv)} || " +
+      s"${leHexSql(bits, 2, idiv)} || '64617461' || ${leHexSql(textBytes, 4, idiv)} || $textHex"
+    s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
+       |     WHEN doc_id % 5 = 1 THEN $wav
+       |     ELSE $textHex END""".stripMargin
+  }
+
+  /** Ingestion with synthesized containers: the media-lake schema where
+    * a deterministic subset of payloads carries REAL BMP / WAV headers
+    * (see [[containerHexSql]]) — what lets the decode path round-trip
+    * honest container bytes on a text-only fixture. */
+  def asContainerTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      unhex(expr(containerHexSql("hex(encode(text, 'utf-8'))",
+        "octet_length(text)", "div"))).as("payload"),
+      col("source").as("fmt"),
+      struct(col("n_chars"), col("lang")).as("meta"))
+
   def mediaFeatures(docs: DataFrame): DataFrame = {
-    val media = asMediaTable(graft.Tables.widen(docs))
+    val media = asContainerTable(graft.Tables.widen(docs))
     val h = hex(col("payload"))
     val bytes = regexp_extract_all(h, lit(".."), lit(0))
-    media.select(
+    val withKind = media.select(
       col("media_id"),
       col("fmt"),
       length(col("payload")).cast("long").as("n_bytes"),
       substring(h, 1, 16).as("header_hex"),
       aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
       size(filter(bytes, p =>
-        instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"))
+        instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"),
+      h.as("h"))
+      .withColumn("kind",
+        when(col("h").isNull, lit(null).cast("string"))
+          .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
+            lit("bmp"))
+          .when(col("n_bytes") >= 44L && substring(col("h"), 1, 8) === "52494646" &&
+            substring(col("h"), 17, 8) === "57415645" &&
+            substring(col("h"), 25, 8) === "666D7420" &&
+            substring(col("h"), 73, 8) === "64617461", lit("wav"))
+          .otherwise(lit("raw")))
+    withKind.select(
+      col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
+      col("byte_sum"), col("n_hi_bytes"), col("kind"),
+      when(col("kind") === "bmp", leVal(col("h"), 18, 4)).as("width"),
+      when(col("kind") === "bmp", leVal(col("h"), 22, 4)).as("height"),
+      when(col("kind") === "bmp", leVal(col("h"), 28, 2)).as("bpp"),
+      when(col("kind") === "wav", leVal(col("h"), 22, 2)).as("channels"),
+      when(col("kind") === "wav", leVal(col("h"), 24, 4)).as("sample_rate"),
+      when(col("kind") === "wav", leVal(col("h"), 34, 2)).as("bits"))
   }
 
   /** Frame sampling: every `stride`-th complete `frameBytes`-byte block
@@ -161,10 +288,18 @@ object Media {
 
   def mediaFeaturesSql: String =
     s"""WITH media AS (
-       |  SELECT doc_id AS media_id, encode(text) AS payload, source AS fmt
+       |  SELECT doc_id AS media_id, source AS fmt,
+       |    ${containerHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
        |  FROM documents
        |), hexed AS (
-       |  SELECT media_id, fmt, octet_length(payload) AS n_bytes, hex(payload) AS h
+       |  SELECT media_id, fmt, len(h) // 2 AS n_bytes, h,
+       |    CASE WHEN h IS NULL THEN NULL
+       |         WHEN len(h) // 2 >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
+       |         WHEN len(h) // 2 >= 44 AND substring(h, 1, 8) = '52494646'
+       |           AND substring(h, 17, 8) = '57415645'
+       |           AND substring(h, 25, 8) = '666D7420'
+       |           AND substring(h, 73, 8) = '64617461' THEN 'wav'
+       |         ELSE 'raw' END AS kind
        |  FROM media
        |)
        |SELECT media_id, fmt,
@@ -176,9 +311,17 @@ object Media {
        |         + (strpos('0123456789ABCDEF', substring(p, 2, 1)) - 1))), 0)
        |    END AS BIGINT) AS byte_sum,
        |  CAST(len(list_filter(regexp_extract_all(h, '..'),
-       |    p -> strpos('89ABCDEF', substring(p, 1, 1)) > 0)) AS BIGINT) AS n_hi_bytes
+       |    p -> strpos('89ABCDEF', substring(p, 1, 1)) > 0)) AS BIGINT) AS n_hi_bytes,
+       |  kind,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)} END AS BIGINT) AS width,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)} END AS BIGINT) AS height,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)} END AS BIGINT) AS bpp,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 22, 2)} END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 24, 4)} END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 34, 2)} END AS BIGINT) AS bits
        |FROM hexed
-       |ORDER BY media_id, fmt, n_bytes, header_hex, byte_sum, n_hi_bytes""".stripMargin
+       |ORDER BY media_id, fmt, n_bytes, header_hex, byte_sum, n_hi_bytes,
+       |  kind, width, height, bpp, channels, sample_rate, bits""".stripMargin
 
   /** The same features through the typed per-partition batch surface —
     * the seam where a real pipeline hangs JNI codecs or model inference.
@@ -187,12 +330,12 @@ object Media {
     * partition never materializes in memory.
     */
   def mediaFeaturesPartitioned(docs: DataFrame): DataFrame = {
-    val media: Dataset[MediaRow] = asMediaTable(docs)
+    val media: Dataset[MediaRow] = asContainerTable(docs)
       .select("media_id", "payload", "fmt")
       .as(Encoders.product[MediaRow])
     media.mapPartitions { rows =>
       // real pipeline: initialize the codec/model HERE, once per task
-      rows.map(fakeDecode)
-    }(Encoders.product[MediaFeatures]).toDF()
+      rows.map(realDecode)
+    }(Encoders.product[MediaDecoded]).toDF()
   }
 }

@@ -12,27 +12,82 @@ class MediaSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
   val sample = Seq(
-    (1L, "hello", "en", "src0", 5L),
-    (2L, "héllo", "fr", "src1", 5L),   // é = 2 UTF-8 bytes, both ≥ 0x80
-    (3L, "", "en", "src2", 0L))
+    // ids 2..4: doc_id % 5 ∉ {0, 1} → payloads stay raw text bytes
+    (2L, "hello", "en", "src0", 5L),
+    (3L, "héllo", "fr", "src1", 5L),   // é = 2 UTF-8 bytes, both ≥ 0x80
+    (4L, "", "en", "src2", 0L))
 
-  test("golden: byte features of known payloads") {
+  test("golden: byte features of known raw payloads") {
     val out = Media.mediaFeatures(docs(sample: _*))
       .collect().map(r => r.getAs[Long]("media_id") ->
         (r.getAs[Long]("n_bytes"), r.getAs[String]("header_hex"),
-          r.getAs[Long]("byte_sum"), r.getAs[Long]("n_hi_bytes"))).toMap
+          r.getAs[Long]("byte_sum"), r.getAs[Long]("n_hi_bytes"),
+          r.getAs[String]("kind"))).toMap
     // "hello" = 68 65 6C 6C 6F
-    assert(out(1L) === (5L, "68656C6C6F", 0x68L + 0x65 + 0x6c + 0x6c + 0x6f, 0L))
+    assert(out(2L) === (5L, "68656C6C6F", 0x68L + 0x65 + 0x6c + 0x6c + 0x6f, 0L, "raw"))
     // "héllo" = 68 C3 A9 6C 6C 6F (6 bytes, é → C3 A9)
-    assert(out(2L) === (6L, "68C3A96C6C6F",
-      0x68L + 0xc3 + 0xa9 + 0x6c + 0x6c + 0x6f, 2L))
-    assert(out(3L) === (0L, "", 0L, 0L))
+    assert(out(3L) === (6L, "68C3A96C6C6F",
+      0x68L + 0xc3 + 0xa9 + 0x6c + 0x6c + 0x6f, 2L, "raw"))
+    assert(out(4L) === (0L, "", 0L, 0L, "raw"))
+  }
+
+  test("golden: realDecode parses hand-built BMP and WAV headers") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    // 54-byte BITMAPINFOHEADER BMP, 640×480 @ 24 bpp, 3 pixel bytes
+    val bmp = "BM".getBytes("US-ASCII") ++ le(57, 4) ++ le(0, 4) ++
+      le(54, 4) ++ le(40, 4) ++ le(640, 4) ++ le(480, 4) ++ le(1, 2) ++
+      le(24, 2) ++ Array.fill[Byte](24)(0) ++ Array[Byte](1, 2, 3)
+    assert(bmp.length === 57)
+    val db = Media.realDecode(graft.multimodal.MediaRow(1L, bmp, "f"))
+    assert(db.kind === Some("bmp"))
+    assert((db.width, db.height, db.bpp) ===
+      ((Some(640L), Some(480L), Some(24L))))
+    assert(db.n_bytes === Some(57L))
+    assert(db.header_hex === Some("424D390000000000"))
+    // canonical 44-byte WAV: stereo, 44100 Hz, 16-bit, 2 sample bytes
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(38, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(44100L * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes("US-ASCII") ++ le(2, 4) ++ Array[Byte](9, 9)
+    assert(wav.length === 46)
+    val dw = Media.realDecode(graft.multimodal.MediaRow(2L, wav, "f"))
+    assert(dw.kind === Some("wav"))
+    assert((dw.channels, dw.sample_rate, dw.bits) ===
+      ((Some(2L), Some(44100L), Some(16L))))
+    // neither magic → raw with NULL decode fields
+    val dr = Media.realDecode(graft.multimodal.MediaRow(3L, Array[Byte](1, 2), "f"))
+    assert(dr.kind === Some("raw") && dr.width.isEmpty && dr.channels.isEmpty)
+  }
+
+  test("container round-trip: synthesized BMP/WAV payloads decode to their doc-derived fields") {
+    // doc 10 (% 5 = 0) → BMP: width = 1 + 10 % 640 = 11, height = 11,
+    // bpp 24; doc 6 (% 5 = 1) → WAV: channels = 1 + 6 % 2 = 1, rate =
+    // 8000·(1 + 6 % 6) = 8000, bits = 8·(1 + 6 % 2) = 8
+    val out = Media.mediaFeatures(docs(
+      (10L, "pixels", "en", "s", 6L), (6L, "samples", "en", "s", 7L)))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val b = out(10L)
+    assert(b.getAs[String]("kind") === "bmp")
+    assert(b.getAs[Long]("width") === 11L)
+    assert(b.getAs[Long]("height") === 11L)
+    assert(b.getAs[Long]("bpp") === 24L)
+    assert(b.getAs[Long]("n_bytes") === 54L + 6L)
+    val w = out(6L)
+    assert(w.getAs[String]("kind") === "wav")
+    assert(w.getAs[Long]("channels") === 1L)
+    assert(w.getAs[Long]("sample_rate") === 8000L)
+    assert(w.getAs[Long]("bits") === 8L)
+    assert(w.getAs[Long]("n_bytes") === 44L + 7L)
   }
 
   test("typed mapPartitions decoder agrees with the expression plan row-for-row") {
-    val a = Media.mediaFeatures(docs(sample: _*))
+    // ids 5, 6, 7 cover one of each: BMP-wrapped, WAV-wrapped, raw
+    val mixed = sample ++ Seq((5L, "pix", "en", "s", 3L), (6L, "snd", "en", "s", 3L))
+    val a = Media.mediaFeatures(docs(mixed: _*))
       .orderBy("media_id").collect().map(_.toSeq).toSeq
-    val b = Media.mediaFeaturesPartitioned(docs(sample: _*))
+    val b = Media.mediaFeaturesPartitioned(docs(mixed: _*))
       .orderBy("media_id").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
