@@ -158,7 +158,8 @@ object GraphPatterns {
     * relation is weighted-distinct (|distinct pairs| rows, not |edges|)
     * and checkpointed ONCE; at cluster scale it would be bucketed by
     * `src` so every round's join is co-located and only the (small)
-    * rank relation moves. Rounds are driver-scheduled (the BPE/Lloyd
+    * rank relation moves — proven in GraphSkewSpec's bucketed-edge
+    * test: zero shuffles on the edge side of a round's join. Rounds are driver-scheduled (the BPE/Lloyd
     * scheduling shape, same documented crossover); each round's rank
     * relation is checkpointed so plans stay round-deep, never
     * iters-deep. */

@@ -76,6 +76,65 @@ class GraphSkewSpec extends AnyFunSuite {
     assert(rs.getLong(0) > 0L, "background graph must actually close triangles")
   }
 
+  test("bucketed edge relation: a rank round's join shuffles NOTHING on the edge side") {
+    // The claim in pageRank's docstring: at cluster scale the
+    // checkpointed (src, dst, w, od) contribution relation is written
+    // bucketed by `src`, so every round's rank join is co-located on the
+    // edge side and only the (small) rank relation moves. Proven the
+    // SinksSpec way, on the celebrity fixture: write it bucketed, run
+    // one round's join, walk the plan — the bucketed scan's subtree must
+    // hold ZERO shuffles while the rank side carries the round's one
+    // exchange. AQE off so the plan tree is walkable; broadcast off so
+    // the corpus-sized join shape is the one planned.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val w = GraphPatterns.weightedEdges(edgesDf(s2))
+    val ce = w.join(w.groupBy(col("src")).agg(sum("w").as("od")), "src")
+    try {
+      ce.write.bucketBy(8, "src").sortBy("src")
+        .mode("overwrite").saveAsTable("ce_bkt")
+      val ceB = s2.table("ce_bkt")
+      // the rank relation as a round sees it: checkpointed (lineage cut,
+      // exactly as pageRank's per-round localCheckpoint), NOT a bucketed
+      // scan — so the side attribution below is unambiguous
+      val ranks = ceB.select(col("src").as("node"))
+        .union(ceB.select(col("dst").as("node"))).distinct()
+        .select(col("node"), lit(1000000L).as("r"))
+        .localCheckpoint()
+      val round = ranks.join(ceB.hint("merge"), ranks("node") === ceB("src"))
+        .select(col("dst").as("node"),
+          expr("(cast(r as decimal(38,0)) * w) div od").as("c"))
+      val plan = round.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected a sort-merge join:\n$plan")
+      def shuffles(p: SparkPlan): Int =
+        p.collect { case _: ShuffleExchangeExec => 1 }.sum
+      def isEdgeSide(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      val (edgeSide, rankSide) =
+        if (isEdgeSide(smj.get.left)) (smj.get.left, smj.get.right)
+        else (smj.get.right, smj.get.left)
+      assert(isEdgeSide(edgeSide), s"no bucketed scan under either side:\n$plan")
+      assert(shuffles(edgeSide) === 0,
+        s"bucketed edge side still shuffles:\n$edgeSide")
+      assert(shuffles(rankSide) >= 1,
+        s"rank side should carry the round's exchange:\n$rankSide")
+      // the co-located round really computes (contribution rows exist
+      // for every edge of the celebrity fixture)
+      assert(round.count() > 0L)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS ce_bkt")
+    }
+  }
+
   test("AQE splits the celebrity's skewed join partition at scale-realistic thresholds") {
     // A dedicated session tunes AQE's skew thresholds down to fixture
     // scale (at 100 TB the DEFAULT 256 MB threshold plays this role),
