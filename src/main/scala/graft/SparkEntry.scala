@@ -210,6 +210,17 @@ object SparkEntry {
     // of the merge table (byte value, or 256 + first producing round).
     "bpe_tokenize" -> ((s, dir) =>
       TextAnalysis.bpeTokenize(graft.Tables.documents(s, dir))),
+    // BPE acceptance check under an EXTERNAL tokenizer: merges learned
+    // on the doc_id % 50 = 0 slice, byte-fallback rate judged on the
+    // rest — unseen text encodes to raw byte ids, so byte_frac ≈ 1 marks
+    // the docs the tokenizer compresses not at all.
+    "bpe_coverage_ext" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      val rounds = TextAnalysis.bpeRoundsFromMergeTable(
+        TextAnalysis.bpeMerges(docs.filter(col("doc_id") % 50 === 0)))
+      TextAnalysis.bpeCoverageExt(docs.filter(col("doc_id") % 50 =!= 0), rounds)
+    }),
     // Corpus-frequency rarity signals: raw occurrences shuffle once into
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
@@ -570,6 +581,7 @@ object SparkEntry {
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
+    "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),

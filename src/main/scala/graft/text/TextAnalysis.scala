@@ -1069,6 +1069,66 @@ object TextAnalysis {
         coalesce(col("ids"), array().cast("array<long>")).as("ids"))
   }
 
+  /** BPE coverage — the acceptance check a TOKENIZER build runs before
+    * committing to a merge table, judged on a corpus the tokenizer was
+    * NOT trained on (the [[vocabCoverageExt]] discipline, lifted to the
+    * BPE id space). A byte-level BPE never has literal OOV — unseen
+    * text falls back to byte symbols — so the acceptance metric is the
+    * BYTE-FALLBACK rate: per judged doc, how much of its encoded stream
+    * is raw byte ids (< 256) versus learned merged symbols (≥ 256). A
+    * doc in a language the tokenizer never saw encodes near
+    * `byte_frac = 1.0` (no compression — the damage a corpus-level
+    * scalar dilutes away, exactly vocabCoverageExt's per-doc argument).
+    * Columns: `n_ids` (encoded length), `n_byte_ids`, `n_merged_ids`,
+    * `byte_frac` (NULL for empty docs); the one division is
+    * exact-int-derived, so the doubles agree across engines.
+    *
+    * Scale shape: [[bpeDocIdsFromToksUnderRounds]]' — the frozen merge
+    * table replays on the judged corpus's ≤|distinct words| relation,
+    * the corpus pays one tokenize pass + the occurrence join; the
+    * rollup here is map work over the id arrays (no extra shuffle). */
+  def bpeCoverageExt(docs: DataFrame, rounds: Seq[DataFrame]): DataFrame = {
+    val t = graft.Tables.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    bpeDocIdsFromToksUnderRounds(t, rounds)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        size(filter(col("ids"), i => i < 256L)).cast("long").as("n_byte_ids"))
+      .select(col("doc_id"), col("n_ids"), col("n_byte_ids"),
+        (col("n_ids") - col("n_byte_ids")).as("n_merged_ids"),
+        when(col("n_ids") > 0L,
+          col("n_byte_ids").cast("double") / col("n_ids")).as("byte_frac"))
+  }
+
+  /** Oracle twin of [[bpeCoverageExt]] with the query entry's split:
+    * merges learned on the `doc_id % 50 = 0` slice, coverage judged on
+    * the rest — [[bpeCtesSql]] learns, [[bpeApplyCtesSql]] replays the
+    * winners over the judged docs' own word relation, and
+    * [[bpeTokenizeCtesSql]] positions the ids. */
+  def bpeCoverageExtSql(nMerges: Int = BpeRounds): String =
+    s"""WITH trainslice AS (
+       |  SELECT * FROM documents WHERE doc_id % 50 = 0
+       |),
+       |${bpeCtesSql(nMerges, "trainslice")},
+       |jd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |),
+       |${bpeApplyCtesSql(nMerges, "jd")},
+       |${bpeTokenizeCtesSql(nMerges, "jd", s"v$nMerges")},
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |    CAST(sum(CASE WHEN token_id < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_ids
+       |  FROM toksout GROUP BY doc_id
+       |)
+       |SELECT d.doc_id AS doc_id,
+       |  coalesce(n_ids, 0) AS n_ids,
+       |  coalesce(n_byte_ids, 0) AS n_byte_ids,
+       |  coalesce(n_ids, 0) - coalesce(n_byte_ids, 0) AS n_merged_ids,
+       |  CASE WHEN coalesce(n_ids, 0) > 0
+       |    THEN CAST(n_byte_ids AS DOUBLE) / n_ids END AS byte_frac
+       |FROM jd d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY doc_id, n_ids, n_byte_ids, n_merged_ids, byte_frac""".stripMargin
+
   /** mids → wsym → docw → jw → toksout CTE chain — the oracle twin of
     * [[bpeTokenizeFromToks]] over `src` (any relation with (doc_id,
     * text)); requires [[bpeCtesSql]]'s t`r`/w`nMerges` CTEs in scope.

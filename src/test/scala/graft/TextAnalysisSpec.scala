@@ -472,6 +472,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(11L) === Nil) // empty doc keeps its empty array
   }
 
+  test("bpeCoverageExt golden: byte-fallback rate under a frozen out-of-domain tokenizer") {
+    import org.apache.spark.sql.functions.col
+    // tokenizer trained on the aa/ab corpus: r0 merges (61,61)→256,
+    // r1 merges (61,62)→257
+    val rounds = TextAnalysis.bpeRoundsFromMergeTable(
+      TextAnalysis.bpeMerges(docs((1L, "aa aa ab", "en"), (2L, "aa b", "en")),
+        nMerges = 3), nMerges = 3)
+    // judged docs: "aa cc" → [256, 63, 63] (1 merged, 2 byte-fallback);
+    // "zz zz" → all byte ids (fully out of domain); empty → NULL frac
+    val out = TextAnalysis.bpeCoverageExt(docs(
+        (10L, "aa cc", "en"), (11L, "zz zz", "en"), (12L, "", "en")), rounds)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ids"), r.getAs[Long]("n_byte_ids"),
+          r.getAs[Long]("n_merged_ids"), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(10L) === ((3L, 2L, 1L, Some(2.0 / 3.0))))
+    assert(out(11L) === ((4L, 4L, 0L, Some(1.0))))
+    assert(out(12L) === ((0L, 0L, 0L, None)))
+  }
+
   test("bpeMerges: ties break by symbol text; hex symbols are uppercase") {
     // (61,62) and (63,64) both weigh 2 -> lexicographic lhs wins round 0
     val tied = TextAnalysis.bpeMerges(docs(
