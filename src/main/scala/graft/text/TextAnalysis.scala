@@ -617,10 +617,12 @@ object TextAnalysis {
     * rides doc_id. NOTE the checkpoint is corpus-vocabulary-sized
     * (every distinct (doc, token) pair) — at 100 TB it is this job's
     * dominant artifact, the price of reading the pair relation twice;
-    * the external-vocab spelling [[vocabCoverageExt]] needs no second
-    * read and therefore no checkpoint at all. */
+    * it is SHARED with [[tokenRarity]] through the session-scoped cache
+    * (built once when both run — spec-metered), and the external-vocab
+    * spelling [[vocabCoverageExt]] needs no second read and therefore
+    * no checkpoint at all. */
   def vocabCoverage(docs: DataFrame, minCount: Long = VocabMinCount): DataFrame = {
-    val pairs = tokenPairCounts(docs).localCheckpoint()
+    val pairs = checkpointedPairCounts(docs)
     val vocab = pairs.groupBy("token").agg(sum("n_occ").as("corpus_freq"))
       .filter(col("corpus_freq") >= minCount)
     coverageFromPairs(docs, pairs, vocab)
@@ -653,6 +655,36 @@ object TextAnalysis {
     graft.Tables.widen(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("n_occ"))
+
+  /** Session-scoped reuse of the CHECKPOINTED pair relation (round-8
+    * verdict nit #2): [[tokenRarity]] and [[vocabCoverage]] each need
+    * the corpus-vocabulary-sized checkpoint — when both run in one
+    * session over the same docs relation (the Verify/Bench shape, and
+    * any analysis session computing several per-doc reports), the
+    * relation is built ONCE and shared. One entry per session, keyed
+    * like `Tables.widen`'s memo (session identity + semantic hash of
+    * the ANALYZED docs plan — two spellings of the same scan share);
+    * replacing the entry on a different docs relation drops the
+    * previous checkpoint's reference for the ContextCleaner, so the
+    * cache never holds more than the latest corpus per session.
+    * [[pairBuilds]] counts actual builds — the spec's evidence that the
+    * second query reuses instead of rebuilding. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, DataFrame)]()
+  private[graft] val pairBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private def checkpointedPairCounts(docs: DataFrame): DataFrame = {
+    val sess = System.identityHashCode(docs.sparkSession)
+    val h = docs.queryExecution.analyzed.semanticHash()
+    val cached = pairCache.get(sess)
+    if (cached != null && cached._1 == h) cached._2
+    else {
+      pairBuilds.incrementAndGet()
+      val built = tokenPairCounts(docs).localCheckpoint()
+      pairCache.put(sess, (h, built))
+      built
+    }
+  }
 
   private def coverageFromPairs(docs: DataFrame, pairs: DataFrame,
       vocab: DataFrame): DataFrame = {
@@ -1343,10 +1375,9 @@ object TextAnalysis {
     * + explode + first shuffle would run twice.
     */
   def tokenRarity(docs: DataFrame): DataFrame = {
-    val pairs = graft.Tables.widen(docs)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_occ"))
-      .localCheckpoint()
+    // the same (doc, token) relation vocabCoverage reads — shared via the
+    // session-scoped checkpoint cache, built once when both run
+    val pairs = checkpointedPairCounts(docs)
     val tf = pairs.groupBy("token").agg(sum("n_occ").as("corpus_freq"))
     val scored = pairs.join(tf, "token")
       .groupBy("doc_id")

@@ -472,6 +472,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(11L) === Nil) // empty doc keeps its empty array
   }
 
+  test("tokenRarity and vocabCoverage share one checkpointed pair relation per session") {
+    import org.apache.spark.sql.functions.col
+    // a docs relation no other test uses, so the first build is a miss
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 7 === 1)
+    val b0 = TextAnalysis.pairBuilds.get()
+    TextAnalysis.tokenRarity(d).count()
+    TextAnalysis.vocabCoverage(d).count()
+    assert(TextAnalysis.pairBuilds.get() - b0 === 1L,
+      "second query rebuilt the pair relation instead of reusing it")
+    // a different corpus replaces the entry (bounded cache, no stale hit)
+    TextAnalysis.tokenRarity(d.filter(col("doc_id") > 100)).count()
+    assert(TextAnalysis.pairBuilds.get() - b0 === 2L)
+  }
+
   test("bpeCoverageExt golden: byte-fallback rate under a frozen out-of-domain tokenizer") {
     import org.apache.spark.sql.functions.col
     // tokenizer trained on the aa/ab corpus: r0 merges (61,61)→256,
