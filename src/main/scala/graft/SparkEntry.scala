@@ -523,6 +523,28 @@ object SparkEntry {
       Events.topEventsPerUser(graft.Tables.events(s, dir))),
   )
 
+  /** The reference five as SPARK SQL text (round-8 directive #8) — the
+    * spellings a SQL-first user runs over the registered `edges` view,
+    * keyed by the same names as [[queries]]. Each is pinned to its
+    * DataFrame twin by GraphSqlSpec: canonicalized physical-plan
+    * EQUALITY plus result agreement, so the SQL surface inherits the
+    * weighted-rewrite/semi-join/broadcast plans unchanged. */
+  def sqlQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.graph.GraphSql
+    def over(sql: String): (SparkSession, String) => DataFrame = (s, dir) => {
+      GraphSql.registerEdges(edges(s, dir))
+      s.sql(sql)
+    }
+    Map(
+      "edge_count" -> over(GraphSql.edgeCountSql(Some(CensusMax))),
+      "exact_2hop" -> over(GraphSql.twoHopCountSql(None)),
+      "approx_2hop" -> over(GraphSql.twoHopCountSql(Some(PathMax))),
+      "rsjoin_triangles" -> over(GraphSql.triangleCounterSql(Some(PathMax))),
+      "repjoin_triangles" -> over(
+        GraphSql.triangleCounterSql(Some(PathMax), broadcastClosing = true)),
+    )
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
