@@ -134,6 +134,13 @@ object SparkEntry {
     // Per-node in/out degree + distinct-neighbor report.
     "degree_report" -> ((s, dir) =>
       GraphPatterns.degreeReport(edges(s, dir))),
+    // Reciprocated-follow census: unordered pairs with both directions.
+    "mutual_follows" -> ((s, dir) =>
+      GraphPatterns.mutualFollows(edges(s, dir))),
+    // Triangle-closure suggestions: >= 2 common middlemen, no direct
+    // edge — the LEFT ANTI complement of the triangle counter's closure.
+    "follow_suggestions" -> ((s, dir) =>
+      GraphPatterns.followSuggestions(edges(s, dir))),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
@@ -586,6 +593,9 @@ object SparkEntry {
       GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql, conserve = true),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
+    "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),
+    "follow_suggestions" ->
+      GraphPatterns.followSuggestionsSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "lang_id_ngram" -> TextAnalysis.langIdNgramSql,

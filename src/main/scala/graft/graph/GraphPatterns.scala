@@ -282,6 +282,77 @@ object GraphPatterns {
         coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"))
   }
 
+  /** Mutual-follow census — the reciprocity count every follower-graph
+    * report leads with: unordered node pairs {a, b} with BOTH directed
+    * edges a→b and b→a present. Computed on the DISTINCT edge relation
+    * (multiplicity cannot make a pair "more mutual"), as a LEFT SEMI
+    * self-join against the reversed relation + the `src < dst`
+    * canonicalization (each pair counted once, self-loops excluded).
+    * One distinct-collapse shuffle + one equi-join on the pair key. */
+  def mutualFollows(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val e = maxFilter(edges, max).select(col("src"), col("dst")).distinct()
+    e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("mutual_pairs"))
+  }
+
+  def mutualFollowsSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges$pred)
+       |SELECT CAST(count(*) AS BIGINT) AS mutual_pairs
+       |FROM f WHERE src < dst
+       |  AND EXISTS (SELECT 1 FROM f r WHERE r.src = f.dst AND r.dst = f.src)""".stripMargin
+  }
+
+  /** Triangle-closure follow suggestions — "people you may know" over
+    * the reference's own graph: ordered pairs (x, z), x ≠ z, connected
+    * by at least `minCommon` DISTINCT middlemen (x→y and y→z both
+    * present) but with NO direct x→z edge. This is the reference's
+    * 2-hop path relation minus its triangle-closing edges — the LEFT
+    * ANTI complement of the semi-join the triangle counter applies
+    * (SURVEY §2.5 lists anti joins as absent from the reference; this
+    * is where the category earns its place). Common counts are over
+    * the DISTINCT edge relation: parallel follows cannot inflate a
+    * friend count.
+    *
+    * Scale shape: identical to [[triangleCounter]] — the self-join runs
+    * on |distinct pairs| rows, the path grouping partial-aggregates on
+    * (x, z), and the anti join is the same pair-keyed equi-join shape
+    * as the semi closure (broadcastable exactly when the closing
+    * relation is). The `minCommon` filter sits on the aggregated
+    * relation, pruning the suggestion set before the anti join's probe. */
+  def followSuggestions(edges: DataFrame, max: Option[Long] = None,
+      minCommon: Long = 2L): DataFrame = {
+    val e = maxFilter(edges, max).select(col("src"), col("dst")).distinct()
+    val e1 = e.as("e1")
+    val e2 = e.as("e2")
+    val pairs = e1
+      .join(e2, col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+      .groupBy(col("e1.src").as("x"), col("e2.dst").as("z"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs.join(e.select(col("src").as("x"), col("dst").as("z")),
+      Seq("x", "z"), "left_anti")
+  }
+
+  def followSuggestionsSql(edgeSql: String, max: Option[Long] = None,
+      minCommon: Long = 2L): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT DISTINCT src, dst FROM edges$pred),
+       |p AS (
+       |  SELECT e1.src AS x, e2.dst AS z, CAST(count(*) AS BIGINT) AS common
+       |  FROM f e1 JOIN f e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+       |  GROUP BY e1.src, e2.dst
+       |)
+       |SELECT x, z, common FROM p
+       |WHERE common >= $minCommon
+       |  AND NOT EXISTS (SELECT 1 FROM f WHERE f.src = p.x AND f.dst = p.z)
+       |ORDER BY x, z, common""".stripMargin
+  }
+
   /** Oracle twin of [[pageRank]] — the rounds UNROLLED as chained CTEs
     * (the BPE-merge oracle discipline: a fixed iteration count is just a
     * fixed CTE chain; every round's arithmetic is the same integer `//`

@@ -200,6 +200,28 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(out5 === Map(1L -> 697617L, 2L -> 1302379L))
   }
 
+  test("mutualFollows: none in the sample; planted pair counted once; self-loop excluded") {
+    assert(GraphPatterns.mutualFollows(df(sample)).first().getLong(0) === 0L)
+    // (1,2)+(2,1) is ONE mutual pair (duplicate edge collapsed); the
+    // (7,7) self-loop is its own reverse but never a pair
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 1L), (7L, 7L), (3L, 4L))
+    assert(GraphPatterns.mutualFollows(df(g)).first().getLong(0) === 1L)
+  }
+
+  test("followSuggestions golden: common-middlemen pairs without a direct edge") {
+    // hand-derived on the sample graph: (1,5) via {2,4}, (2,6) via
+    // {3,5}, (3,4) via {1,6} are the only >= 2-middlemen open pairs
+    val out = GraphPatterns.followSuggestions(df(sample))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("z")) ->
+        r.getAs[Long]("common")).toMap
+    assert(out === Map((1L, 5L) -> 2L, (2L, 6L) -> 2L, (3L, 4L) -> 2L))
+    // minCommon = 1 widens the set but existing edges never suggest
+    val all = GraphPatterns.followSuggestions(df(sample), minCommon = 1L)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("z"))).toSet
+    assert(!all.contains((2L, 3L)) && !all.contains((5L, 6L)), "direct edges leaked")
+    assert(all.contains((4L, 6L)) && all.contains((5L, 1L)))
+  }
+
   test("connectedComponents: two components and direction-blindness") {
     val out = GraphPatterns.connectedComponents(
         df(Seq((2L, 1L), (2L, 3L), (11L, 10L))))

@@ -17,7 +17,8 @@ class OracleContractSpec extends AnyFunSuite {
   /** Queries whose result is a single aggregate row — ordering irrelevant. */
   val scalarQueries: Set[String] = Set(
     "edge_count", "edge_count_csv", "exact_2hop", "exact_2hop_join",
-    "approx_2hop", "rsjoin_triangles", "repjoin_triangles")
+    "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
+    "mutual_follows")
 
   test("every query has an oracle entry") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
