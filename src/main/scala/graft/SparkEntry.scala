@@ -128,6 +128,18 @@ object SparkEntry {
     // uniformly each round (one extra 1-row scalar agg per round).
     "pagerank_conserving" -> ((s, dir) =>
       GraphPatterns.pageRankConserving(edges(s, dir))),
+    // Personalized variant: teleport restricted to the node % 10 = 0
+    // seed set — rank radiates from the seeds through follow edges.
+    "pagerank_personalized" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = edges(s, dir)
+      // seeds over BOTH endpoints (a dst-only node can be a seed too —
+      // the oracle's predicate ranges over the whole node domain)
+      GraphPatterns.pageRankPersonalized(e,
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .filter(col("node") % 10 === 0))
+    }),
     // Weakly connected components via the dedup star-contraction.
     "graph_components" -> ((s, dir) =>
       GraphPatterns.connectedComponents(edges(s, dir))),
@@ -591,6 +603,8 @@ object SparkEntry {
     "pagerank" -> GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql),
     "pagerank_conserving" ->
       GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql, conserve = true),
+    "pagerank_personalized" ->
+      GraphPatterns.pageRankPersonalizedSql(EdgeLists.lineitemEdgeSql, 10L),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),

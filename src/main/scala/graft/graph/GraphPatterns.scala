@@ -192,6 +192,94 @@ object GraphPatterns {
       max: Option[Long] = None): DataFrame =
     pageRankImpl(edges, iters, max, conserve = true)
 
+  /** Personalized PageRank — rank restricted to a SEED set's
+    * perspective ("who matters to these accounts"): the teleport term
+    * lands ONLY on seed nodes, so rank mass radiates from the seeds
+    * through the follow edges instead of being endowed uniformly.
+    * Initial rank is [[RankResolution]] on seeds and 0 elsewhere; per
+    * round
+    *
+    *   r'(v) = [v ∈ S]·(1-d) + d · Σ_{u→v} r(u)·w(u,v) / outdeg(u)
+    *
+    * in the same exact int64 millionths (damping multiply widened to
+    * decimal(38,0) — see [[pageRank]]'s headroom note); dangling mass
+    * drops as in the base variant. `seeds` is any relation with a
+    * `node` column; it is restricted to the graph's node domain, so
+    * off-graph seeds are ignored. With S = all nodes this IS
+    * [[pageRank]] (spec property).
+    *
+    * Scale shape: [[pageRank]]'s round plus one node-keyed LEFT join
+    * against the checkpointed seed flag per round — the seed relation
+    * is seed-sized, and at cluster scale broadcastable. */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = RankIters, max: Option[Long] = None): DataFrame = {
+    require(iters >= 1, s"pageRankPersonalized needs iters >= 1 (got $iters)")
+    val w = weightedEdges(maxFilter(edges, max))
+    val ce = w.join(w.groupBy(col("src")).agg(sum("w").as("od")), "src")
+      .localCheckpoint()
+    val nodes = ce.select(col("src").as("node"))
+      .union(ce.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val seedFlag = nodes.join(seeds.select(col("node")).distinct(),
+        Seq("node"), "left_semi")
+      .select(col("node"), lit(true).as("is_seed")).localCheckpoint()
+    def withSeed(df: DataFrame): DataFrame =
+      df.join(seedFlag, Seq("node"), "left")
+    var ranks = withSeed(nodes)
+      .select(col("node"),
+        when(col("is_seed"), lit(RankResolution)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(ce, ranks("node") === ce("src"))
+        .select(col("dst").as("node"),
+          expr("(cast(r as decimal(38,0)) * w) div od").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      ranks = withSeed(nodes.join(contrib, Seq("node"), "left"))
+        .select(col("node"),
+          (when(col("is_seed"), lit(RankResolution - RankDamping))
+            .otherwise(lit(0L)) +
+            expr(s"($RankDamping * cast(coalesce(contrib, 0L) as decimal(38,0))) div $RankResolution"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_millionths"))
+  }
+
+  /** Oracle twin of [[pageRankPersonalized]] with the query entry's
+    * modular seed set (`node % seedMod = 0`) — the same unrolled CTE
+    * chain as [[pageRankSql]] with the teleport term gated on seed
+    * membership. */
+  def pageRankPersonalizedSql(edgeSql: String, seedMod: Long,
+      iters: Int = RankIters, max: Option[Long] = None): String = {
+    require(iters >= 1, s"pageRankPersonalizedSql needs iters >= 1 (got $iters)")
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    val d = RankDamping
+    val mres = RankResolution
+    val rounds = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node AS node,
+         |    CAST(CASE WHEN n.node % $seedMod = 0 THEN ${mres - d} ELSE 0 END
+         |      + ($d * CAST(coalesce(c.contrib, 0) AS HUGEINT)) // $mres AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ce.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * ce.w) // ce.od) AS BIGINT) AS contrib
+         |    FROM pr${k - 1} p JOIN ce ON ce.src = p.node
+         |    GROUP BY ce.dst
+         |  ) c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges$pred GROUP BY src, dst),
+       |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM w GROUP BY src),
+       |ce AS (SELECT w.src AS src, w.dst AS dst, w.w AS w, o.od AS od
+       |       FROM w JOIN outd o ON o.src = w.src),
+       |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+       |pr0 AS (SELECT node,
+       |  CAST(CASE WHEN node % $seedMod = 0 THEN $mres ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, r AS rank_millionths FROM pr$iters
+       |ORDER BY node, rank_millionths""".stripMargin
+  }
+
   private def pageRankImpl(edges: DataFrame, iters: Int, max: Option[Long],
       conserve: Boolean): DataFrame = {
     // iters = 0 would silently return the uniform init while the SQL twin

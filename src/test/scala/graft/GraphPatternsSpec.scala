@@ -200,6 +200,35 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(out5 === Map(1L -> 697617L, 2L -> 1302379L))
   }
 
+  test("pageRankPersonalized: seeded 2-cycle golden; all-seeds equals base pageRank") {
+    import org.apache.spark.sql.functions.col
+    // 1⇄2 with seed {1}: mass oscillates from the seed — hand-unrolled
+    // 5 rounds of r'(v) = [seed]·150000 + (850000·contrib) div 10⁶:
+    // (150000, 850000) → (872500, 127500) → (258375, 741625)
+    // → (780381, 219618) → (336675, 663323)
+    val cyc = df(Seq((1L, 2L), (2L, 1L)))
+    val seeds1 = cyc.select(col("src").as("node")).filter(col("node") === 1L)
+    val out = GraphPatterns.pageRankPersonalized(cyc, seeds1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(out === Map(1L -> 336675L, 2L -> 663323L))
+    // off-graph seeds are ignored: adding seed 99 changes nothing
+    val seedsExtra = seeds1.union(
+      cyc.sparkSession.range(99, 100).select(col("id").as("node")))
+    val out2 = GraphPatterns.pageRankPersonalized(cyc, seedsExtra)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(out2 === out)
+    // with S = every node, the formula IS the base drop-variant pageRank
+    val e = df(sample)
+    val allSeeds = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+    val ppr = GraphPatterns.pageRankPersonalized(e, allSeeds)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(ppr === ranksOf(sample))
+  }
+
   test("mutualFollows: none in the sample; planted pair counted once; self-loop excluded") {
     assert(GraphPatterns.mutualFollows(df(sample)).first().getLong(0) === 0L)
     // (1,2)+(2,1) is ONE mutual pair (duplicate edge collapsed); the
