@@ -149,6 +149,13 @@ object SparkEntry {
     // Reciprocated-follow census: unordered pairs with both directions.
     "mutual_follows" -> ((s, dir) =>
       GraphPatterns.mutualFollows(edges(s, dir))),
+    // The raw triangle counter resolved per middle node (Σ = counter).
+    "triangle_participation" -> ((s, dir) =>
+      GraphPatterns.triangleParticipation(edges(s, dir), Some(PathMax))),
+    // One-row graph-shape dashboard (nodes/edges/loops/reciprocity/
+    // degree maxima) — five scalar aggs composed on a constant key.
+    "graph_summary" -> ((s, dir) =>
+      GraphPatterns.graphSummary(edges(s, dir))),
     // Triangle-closure suggestions: >= 2 common middlemen, no direct
     // edge — the LEFT ANTI complement of the triangle counter's closure.
     "follow_suggestions" -> ((s, dir) =>
@@ -608,6 +615,9 @@ object SparkEntry {
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),
+    "triangle_participation" -> GraphPatterns.triangleParticipationSql(
+      EdgeLists.lineitemEdgeSql, Some(PathMax)),
+    "graph_summary" -> GraphPatterns.graphSummarySql(EdgeLists.lineitemEdgeSql),
     "follow_suggestions" ->
       GraphPatterns.followSuggestionsSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -441,6 +441,117 @@ object GraphPatterns {
        |ORDER BY x, z, common""".stripMargin
   }
 
+  /** Per-node triangle participation — the reference's raw triangle
+    * counter ([[triangleCounter]]) resolved to WHERE the triangles sit:
+    * per node y, the number of closed paths x→y→z (z→x present, x ≠ z,
+    * weighted by edge multiplicities exactly as the counter counts
+    * them) with y in the MIDDLE. Every closed path has exactly one
+    * middle, so Σ participation = the raw ×3 `triangle_counter`
+    * (spec-pinned identity) — this is the counter's per-node histogram,
+    * the "which accounts sit inside cliques" report. Nodes on no
+    * triangle are absent (the report is triangle-supported by
+    * construction; LEFT-join against a node domain to zero-fill).
+    *
+    * Plan: [[triangleCounter]]'s weighted self-join and LEFT SEMI
+    * closure with the path grouping keyed (x, y, z)→(y) instead of
+    * collapsing to (x, z) — same shuffles, same skew story. */
+  def triangleParticipation(edges: DataFrame,
+      max: Option[Long] = None): DataFrame = {
+    val w = weightedEdges(maxFilter(edges, max))
+    val e1 = w.as("e1")
+    val e2 = w.as("e2")
+    val paths = e1
+      .join(e2, col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"),
+        (col("e1.w") * col("e2.w")).as("pc"))
+    val f = maxFilter(edges, max)
+    val closed = paths.join(
+      f.select(col("dst").as("x"), col("src").as("z")).distinct(),
+      Seq("x", "z"), "left_semi")
+    closed.groupBy(col("y").as("node"))
+      .agg(sum(col("pc")).as("triangle_count"))
+  }
+
+  def triangleParticipationSql(edgeSql: String,
+      max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM f GROUP BY src, dst),
+       |p AS (
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z, e1.w * e2.w AS pc
+       |  FROM w e1 JOIN w e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+       |)
+       |SELECT y AS node, CAST(sum(pc) AS BIGINT) AS triangle_count
+       |FROM p
+       |WHERE EXISTS (SELECT 1 FROM f WHERE f.src = p.z AND f.dst = p.x)
+       |GROUP BY y
+       |ORDER BY node, triangle_count""".stripMargin
+  }
+
+  /** One-row graph-shape summary — the dashboard a graph audit leads
+    * with, each scalar an exact aggregate the other operators' specs
+    * tie back to: edge multiset and distinct-pair sizes, node count,
+    * self-loops, reciprocated pairs, and the maximum in/out
+    * multiplicity degrees. Two partial-agg shuffles (distinct collapse
+    * + degree maxima) and the [[mutualFollows]] semi join — every
+    * column zero-filled on an empty graph. */
+  def graphSummary(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    val e = f.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nNodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
+      .agg(countDistinct("n").as("n_nodes"))
+    val nEdges = f.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum(when(col("src") === col("dst"), 1L).otherwise(0L)), lit(0L))
+        .as("n_self_loops"))
+    val nDistinct = e.agg(count(lit(1)).as("n_distinct_edges"))
+    val mutual = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("mutual_pairs"))
+    // functions.max spelled fully: the `max` param shadows the aggregate
+    val maxOut = f.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(org.apache.spark.sql.functions.max(col("d")), lit(0L))
+        .as("max_out_deg"))
+    val maxIn = f.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(coalesce(org.apache.spark.sql.functions.max(col("d")), lit(0L))
+        .as("max_in_deg"))
+    // five 1-row relations composed on a constant key: every side is
+    // CHECKPOINTED so `k` is a materialized column, not a foldable
+    // literal — Catalyst folding the key away would leave no equi-keys
+    // and plan the BroadcastNestedLoopJoin the audit forbids (the
+    // bpeMerges attach idiom)
+    Seq(nEdges, nDistinct, mutual, maxOut, maxIn)
+      .map(df => broadcast(df.withColumn("k", lit(1)).localCheckpoint()))
+      .foldLeft(nNodes.withColumn("k", lit(1)).localCheckpoint()) {
+        (acc, one) => acc.join(one, Seq("k"))
+      }
+      .select(col("n_nodes"), col("n_edges"), col("n_distinct_edges"),
+        col("n_self_loops"), col("mutual_pairs"),
+        col("max_in_deg"), col("max_out_deg"))
+  }
+
+  def graphSummarySql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |e AS (SELECT DISTINCT src, dst FROM f)
+       |SELECT
+       |  (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM (
+       |     SELECT src AS n FROM e UNION ALL SELECT dst FROM e)) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_distinct_edges,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |     FROM f) AS n_self_loops,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e
+       |     WHERE src < dst AND EXISTS (
+       |       SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)) AS mutual_pairs,
+       |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM (
+       |     SELECT count(*) AS d FROM f GROUP BY dst)) AS max_in_deg,
+       |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM (
+       |     SELECT count(*) AS d FROM f GROUP BY src)) AS max_out_deg""".stripMargin
+  }
+
   /** Oracle twin of [[pageRank]] — the rounds UNROLLED as chained CTEs
     * (the BPE-merge oracle discipline: a fixed iteration count is just a
     * fixed CTE chain; every round's arithmetic is the same integer `//`

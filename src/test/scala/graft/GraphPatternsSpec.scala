@@ -251,6 +251,36 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(all.contains((4L, 6L)) && all.contains((5L, 1L)))
   }
 
+  test("triangleParticipation: per-middle histogram sums to the raw counter") {
+    import org.apache.spark.sql.functions.sum
+    // sample graph: triangles 1→2→3→1 and 4→5→6→4, one rotation per
+    // middle — every node sits in the middle of exactly one closed path
+    val out = GraphPatterns.triangleParticipation(df(sample))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangle_count"))
+      .toMap
+    assert(out === (1L to 6L).map(_ -> 1L).toMap)
+    // identity on random multigraphs: Σ participation = raw ×3 counter
+    for (seed <- 1 to 3) {
+      val g = randomGraph(seed, n = 8, m = 40, allowDup = true)
+      val total = GraphPatterns.triangleParticipation(df(g))
+        .agg(sum("triangle_count")).first().getLong(0)
+      assert(total === GraphPatterns.triangleCounter(df(g)).first().getLong(0),
+        s"seed=$seed")
+    }
+  }
+
+  test("graphSummary golden: counts, loops, reciprocity, degree maxima") {
+    val row = GraphPatterns.graphSummary(
+      df(Seq((1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L)))).first()
+    assert(row.getAs[Long]("n_nodes") === 3L)
+    assert(row.getAs[Long]("n_edges") === 4L)
+    assert(row.getAs[Long]("n_distinct_edges") === 3L)
+    assert(row.getAs[Long]("n_self_loops") === 1L)
+    assert(row.getAs[Long]("mutual_pairs") === 1L)
+    assert(row.getAs[Long]("max_in_deg") === 2L)  // node 2 via the dup edge
+    assert(row.getAs[Long]("max_out_deg") === 2L) // node 1 via the dup edge
+  }
+
   test("connectedComponents: two components and direction-blindness") {
     val out = GraphPatterns.connectedComponents(
         df(Seq((2L, 1L), (2L, 3L), (11L, 10L))))
