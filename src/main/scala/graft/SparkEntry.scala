@@ -519,6 +519,10 @@ object SparkEntry {
     // size distribution + exact pair bound, from counts only.
     "ann_occupancy" -> ((s, dir) =>
       Similarity.annOccupancy(graft.Tables.embeddings(s, dir))),
+    // The IVF face: per inverted list, member count + exact-int corpus
+    // share — the probe-cost model and quantizer-health check.
+    "ivf_occupancy" -> ((s, dir) =>
+      Similarity.ivfOccupancy(graft.Tables.embeddings(s, dir))),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
     // corpus vector/band sketches are parquet reads of persisted
     // relations in production — here they're derived, so checkpoint them
@@ -660,6 +664,7 @@ object SparkEntry {
     "dedup_clusters_best_norm" -> Dedup.dedupClustersBestNormSql(),
     "simhash_occupancy" -> Dedup.simhashOccupancySql,
     "ann_occupancy" -> Similarity.annOccupancySql,
+    "ivf_occupancy" -> Similarity.ivfOccupancySql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),

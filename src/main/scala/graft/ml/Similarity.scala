@@ -731,6 +731,48 @@ object Similarity {
   def ivfAssign(v: DataFrame, cent: DataFrame): DataFrame =
     argmaxAssign(scoreAgainst(v, cent))
 
+  /** IVF inverted-list occupancy — the quantizer-health / probe-cost
+    * report completing the occupancy family ([[annOccupancy]] and the
+    * Dedup band/SimHash twins predict pairing cost; THIS predicts
+    * probe cost): a query probing list `cid` pays exactly `n_vecs`
+    * exact rescores, so the list-size distribution IS the IVF index's
+    * cost model, and a skewed distribution means the k-means quantizer
+    * collapsed (most of the corpus in one list ⇒ probes degrade toward
+    * brute force). Per surviving centroid: member count and the
+    * exact-int corpus share in millionths (`n_vecs·10⁶ div total` —
+    * engine-bit-identical; shares sum ≤ 10⁶, floors absorb the rest).
+    *
+    * Scale shape: the quantizer train + ONE broadcast-join assignment
+    * scan + a cid-keyed partial agg of ≤ numCentroids rows; the share
+    * attaches via the checkpointed constant-key broadcast (the
+    * bpeMerges idiom). Strictly cheaper than any probe it predicts. */
+  def ivfOccupancy(embeds: DataFrame, numCentroids: Int = 16,
+      kmeansIters: Int = 5): DataFrame = {
+    val v = vectors(embeds).localCheckpoint()
+    val counts = ivfAssign(v, kmeansCentroids(v, numCentroids, kmeansIters))
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum("n_vecs").as("tot"))
+      .withColumn("k", lit(1)).localCheckpoint()
+    counts.withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 1000000L) div tot").as("share_millionths"))
+  }
+
+  /** Oracle twin of [[ivfOccupancy]] — the shared [[ivfChainCtes]]
+    * quantizer + a cid rollup with the same integer share. */
+  def ivfOccupancySql(numCentroids: Int = 16, kmeansIters: Int = 5): String =
+    s"""WITH $vectorsCte,
+       |${ivfChainCtes(numCentroids, kmeansIters)},
+       |counts AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid
+       |)
+       |SELECT cid, n_vecs,
+       |  CAST((n_vecs * 1000000) // (SELECT sum(n_vecs) FROM counts) AS BIGINT)
+       |    AS share_millionths
+       |FROM counts
+       |ORDER BY cid, n_vecs, share_millionths""".stripMargin
+
   /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
     * sign-LSH: a coarse quantizer partitions the corpus into inverted
     * lists (each vector assigned to its max-cosine centroid), queries
@@ -773,8 +815,11 @@ object Similarity {
     * posexplode, `list(c ORDER BY d)` mirrors the array_sort
     * re-assembly, and floor(sum/count) is the same one-divide quantized
     * mean), which is exactly why the iteration count is FIXED. */
-  def embedIvfKnnSql(nQueries: Long = 10L, k: Int = 5,
-      numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): String = {
+  /** cent0 → (sc_i → asg_i → ex_i → sums_i → cent_{i+1})* →
+    * scored_vc → asg CTE chain — the unrolled Lloyd quantizer + final
+    * assignment shared by [[embedIvfKnnSql]] and [[ivfOccupancySql]],
+    * so the two oracles can never train different centroids. */
+  private def ivfChainCtes(numCentroids: Int, kmeansIters: Int): String = {
     val iterCtes = (0 until kmeansIters).map { i =>
       s"""sc$i AS (
          |  SELECT v.vec_id, c.cid,
@@ -805,8 +850,7 @@ object Similarity {
          |  ) WHERE cnrm > 0
          |),""".stripMargin
     }.mkString("\n")
-    s"""WITH $vectorsCte,
-       |cent0 AS (
+    s"""cent0 AS (
        |  SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM vecs WHERE vec_id < $numCentroids
        |),
        |$iterCtes
@@ -822,7 +866,13 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosvc DESC, cid) AS rn
        |    FROM scored_vc
        |  ) WHERE rn = 1
-       |),
+       |)""".stripMargin
+  }
+
+  def embedIvfKnnSql(nQueries: Long = 10L, k: Int = 5,
+      numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): String = {
+    s"""WITH $vectorsCte,
+       |${ivfChainCtes(numCentroids, kmeansIters)},
        |probe AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid,

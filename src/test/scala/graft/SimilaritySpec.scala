@@ -509,6 +509,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expectPairs > 0L, "fixture must co-bucket somewhere")
   }
 
+  test("ivfOccupancy: list sizes partition the corpus and shares floor-sum to ≤ 1e6") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nVecs = Similarity.vectors(e).count()
+    val rows = Similarity.ivfOccupancy(e).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("share_millionths")))
+    // every non-degenerate vector sits in exactly one inverted list
+    assert(rows.map(_._2).sum === nVecs)
+    assert(rows.nonEmpty && rows.forall(_._2 > 0L))
+    // integer floor shares: each in (0, 1e6], total within one floor
+    // per list of the full million
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 1000000L))
+    val total = rows.map(_._3).sum
+    assert(total <= 1000000L && total > 1000000L - rows.length,
+      s"shares sum $total outside the floor band")
+    // the report's lists are the IVF assignment's lists, size for size
+    val asg = Similarity.ivfAssign(
+      Similarity.vectors(e).localCheckpoint(),
+      Similarity.kmeansCentroids(Similarity.vectors(e).localCheckpoint(), 16, 5))
+      .groupBy("cid").count().collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === asg)
+  }
+
   test("property: kNN classification equals brute-force vote over exact top-k") {
     val rnd = new scala.util.Random(41)
     val nQ = 4L
