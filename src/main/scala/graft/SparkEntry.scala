@@ -523,6 +523,16 @@ object SparkEntry {
     // share — the probe-cost model and quantizer-health check.
     "ivf_occupancy" -> ((s, dir) =>
       Similarity.ivfOccupancy(graft.Tables.embeddings(s, dir))),
+    // Nightly-shard IVF: only the shard assigns, centroids FROZEN from
+    // the corpus (vec_id % 10 split — the incremental-family shape).
+    "incremental_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.Tables.embeddings(s, dir)
+      Similarity.incrementalIvfAssign(e.filter(col("vec_id") % 10 === 9),
+        Similarity.kmeansCentroids(
+          Similarity.vectors(e.filter(col("vec_id") % 10 =!= 9))
+            .localCheckpoint(), 16, 5))
+    }),
     // Nightly-ingest twin for embeddings: shard = vec_id % 10 = 9; the
     // corpus vector/band sketches are parquet reads of persisted
     // relations in production — here they're derived, so checkpoint them
@@ -665,6 +675,7 @@ object SparkEntry {
     "simhash_occupancy" -> Dedup.simhashOccupancySql,
     "ann_occupancy" -> Similarity.annOccupancySql,
     "ivf_occupancy" -> Similarity.ivfOccupancySql(),
+    "incremental_ivf" -> Similarity.incrementalIvfAssignSql(),
     "incremental_dedup" -> Dedup.incrementalNearDupPairsSql(),
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),

@@ -178,16 +178,23 @@ object Similarity {
     * SKIP the NULL and keep the vector with a partial norm — the WHERE
     * below makes the oracle drop exactly the same vectors. */
   private def vectorsCte: String =
-    s"""qvecs AS (
+    vectorsCteOver("embeddings", "qvecs", "vecs")
+
+  /** [[vectorsCte]] over an arbitrary source with caller-chosen CTE
+    * names — the incremental spellings need BOTH a corpus and a shard
+    * vector relation in one query. */
+  private def vectorsCteOver(src: String, qname: String,
+      vname: String): String =
+    s"""$qname AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0) AS BIGINT)) AS qv
-       |  FROM embeddings
+       |  FROM $src
        |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
-       |), vecs AS (
+       |), $vname AS (
        |  SELECT * FROM (
        |    SELECT vec_id, qv,
        |      sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
-       |    FROM qvecs
+       |    FROM $qname
        |  ) WHERE nrm > 0
        |)""".stripMargin
 
@@ -773,6 +780,35 @@ object Similarity {
        |FROM counts
        |ORDER BY cid, n_vecs, share_millionths""".stripMargin
 
+  /** Nightly-shard IVF assignment under FROZEN centroids — the IVF
+    * member of the incremental family ([[incrementalAnnPairs]],
+    * `incremental_dedup`/`_simhash` for the token sketches): a
+    * persisted IVF index grows by assigning ONLY the new shard's
+    * vectors against the corpus-trained quantizer (re-training per
+    * shard would reshuffle every existing list — centroids refresh on
+    * their own cadence, exactly like the frozen BPE merges in
+    * [[graft.text.Curation.trainingShardsAppend]]). Output
+    * `(vec_id, cid)` is the shard's slice of the inverted-list index,
+    * appendable to the cid-partitioned artifact.
+    *
+    * Scale shape: only the shard pays quantize + score; the centroid
+    * relation broadcasts; one map-side argmax partial agg — no corpus
+    * scan anywhere. */
+  def incrementalIvfAssign(shardEmbeds: DataFrame,
+      cent: DataFrame): DataFrame =
+    ivfAssign(vectors(shardEmbeds).localCheckpoint(), cent)
+
+  /** Oracle twin of [[incrementalIvfAssign]] with the query entry's
+    * shard split: centroids train on `vec_id % 10 <> 9`, the shard
+    * (`% 10 = 9`) is scored against the final centroids only. */
+  def incrementalIvfAssignSql(numCentroids: Int = 16,
+      kmeansIters: Int = 5): String =
+    s"""WITH ${vectorsCteOver("(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)", "qvecs", "vecs")},
+       |${vectorsCteOver("(SELECT * FROM embeddings WHERE vec_id % 10 = 9)", "sqvecs", "svecs")},
+       |${ivfChainCtes(numCentroids, kmeansIters, assignRel = "svecs")}
+       |SELECT vec_id, cid FROM asg
+       |ORDER BY vec_id, cid""".stripMargin
+
   /** IVF-style k-NN search — the OTHER canonical ANN scale path next to
     * sign-LSH: a coarse quantizer partitions the corpus into inverted
     * lists (each vector assigned to its max-cosine centroid), queries
@@ -819,7 +855,8 @@ object Similarity {
     * scored_vc → asg CTE chain — the unrolled Lloyd quantizer + final
     * assignment shared by [[embedIvfKnnSql]] and [[ivfOccupancySql]],
     * so the two oracles can never train different centroids. */
-  private def ivfChainCtes(numCentroids: Int, kmeansIters: Int): String = {
+  private def ivfChainCtes(numCentroids: Int, kmeansIters: Int,
+      assignRel: String = "vecs"): String = {
     val iterCtes = (0 until kmeansIters).map { i =>
       s"""sc$i AS (
          |  SELECT v.vec_id, c.cid,
@@ -858,7 +895,7 @@ object Similarity {
        |  SELECT v.vec_id, c.cid,
        |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] * c.cqv[i])) AS DOUBLE)
        |      / (v.nrm * c.cnrm) AS cosvc
-       |  FROM vecs v JOIN cent$kmeansIters c ON len(v.qv) = len(c.cqv)
+       |  FROM $assignRel v JOIN cent$kmeansIters c ON len(v.qv) = len(c.cqv)
        |),
        |asg AS (
        |  SELECT vec_id, cid FROM (

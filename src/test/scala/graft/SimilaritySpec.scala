@@ -534,6 +534,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap === asg)
   }
 
+  test("incremental IVF: frozen-centroid shard assignment = the full assignment's shard slice") {
+    import org.apache.spark.sql.functions.col
+    // assignment is per-vector under a fixed quantizer, so scoring ONLY
+    // the shard must give exactly what a full re-assignment would give
+    // those vectors — the property that makes the incremental spelling
+    // sound (only the shard pays)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = Similarity.kmeansCentroids(
+      Similarity.vectors(e.filter(col("vec_id") % 10 =!= 9)).localCheckpoint(),
+      16, 5)
+    val incr = Similarity.incrementalIvfAssign(
+        e.filter(col("vec_id") % 10 === 9), cent)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val full = Similarity.ivfAssign(Similarity.vectors(e).localCheckpoint(), cent)
+      .filter(col("vec_id") % 10 === 9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(incr.nonEmpty)
+    assert(incr === full)
+  }
+
   test("property: kNN classification equals brute-force vote over exact top-k") {
     val rnd = new scala.util.Random(41)
     val nQ = 4L
