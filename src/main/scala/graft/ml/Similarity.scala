@@ -756,12 +756,16 @@ object Similarity {
   def ivfOccupancy(embeds: DataFrame, numCentroids: Int = 16,
       kmeansIters: Int = 5): DataFrame = {
     val v = vectors(embeds).localCheckpoint()
+    // BOTH sides of the constant-key attach are checkpointed so `k` is a
+    // materialized column — a foldable literal key would collapse the
+    // equi-join to the nested-loop join the plan audit forbids (the
+    // graphSummary / bpeMerges idiom)
     val counts = ivfAssign(v, kmeansCentroids(v, numCentroids, kmeansIters))
       .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("k", lit(1)).localCheckpoint()
     val total = counts.agg(sum("n_vecs").as("tot"))
       .withColumn("k", lit(1)).localCheckpoint()
-    counts.withColumn("k", lit(1))
-      .join(broadcast(total), Seq("k"))
+    counts.join(broadcast(total), Seq("k"))
       .select(col("cid"), col("n_vecs"),
         expr("(n_vecs * 1000000L) div tot").as("share_millionths"))
   }
