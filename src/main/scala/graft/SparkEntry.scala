@@ -160,6 +160,21 @@ object SparkEntry {
     // edge — the LEFT ANTI complement of the triangle counter's closure.
     "follow_suggestions" -> ((s, dir) =>
       GraphPatterns.followSuggestions(edges(s, dir))),
+    // HITS hubs/authorities: 3 rounds, exact int64 millionths with
+    // per-round max normalization (L2 isn't cross-engine exact).
+    "hits_scores" -> ((s, dir) =>
+      GraphPatterns.hitsScores(edges(s, dir))),
+    // k-core peel (k=3, 8 fixed rounds — converged on the fixture):
+    // surviving nodes with their in-core degree.
+    "kcore" -> ((s, dir) =>
+      GraphPatterns.kCore(edges(s, dir))),
+    // Audience-overlap similarity: follower-set Jaccard in millionths
+    // for account pairs sharing >= 2 distinct followers.
+    "follower_jaccard" -> ((s, dir) =>
+      GraphPatterns.followerJaccard(edges(s, dir))),
+    // Power-of-two degree-distribution histogram — the skew audit.
+    "degree_histogram" -> ((s, dir) =>
+      GraphPatterns.degreeHistogram(edges(s, dir))),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
@@ -634,6 +649,12 @@ object SparkEntry {
     "graph_summary" -> GraphPatterns.graphSummarySql(EdgeLists.lineitemEdgeSql),
     "follow_suggestions" ->
       GraphPatterns.followSuggestionsSql(EdgeLists.lineitemEdgeSql),
+    "hits_scores" -> GraphPatterns.hitsScoresSql(EdgeLists.lineitemEdgeSql),
+    "kcore" -> GraphPatterns.kCoreSql(EdgeLists.lineitemEdgeSql),
+    "follower_jaccard" ->
+      GraphPatterns.followerJaccardSql(EdgeLists.lineitemEdgeSql),
+    "degree_histogram" ->
+      GraphPatterns.degreeHistogramSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "lang_id_ngram" -> TextAnalysis.langIdNgramSql,

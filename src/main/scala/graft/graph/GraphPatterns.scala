@@ -665,6 +665,312 @@ object GraphPatterns {
        |ORDER BY node, in_deg, out_deg, in_nbrs, out_nbrs""".stripMargin
   }
 
+  /** Iteration count for [[hitsScores]] — fixed and deterministic (the
+    * [[RankIters]] discipline: the oracle unrolls exactly this many
+    * rounds). Three rounds separate hubs from authorities decisively on
+    * every fixture; more rounds only sharpen the ordering. */
+  val HitsIters: Int = 3
+
+  /** HITS hubs-and-authorities over the directed multigraph — the other
+    * classic link-analysis scoring next to [[pageRank]], and the one
+    * that separates the two ROLES a follower graph mixes: authorities
+    * (followed by good hubs) vs hubs (following good authorities). Per
+    * round, in exact int64 millionths:
+    *
+    *   a_raw(v) = Σ_{u→v} w(u,v)·h(u)      a(v) = a_raw(v)·10⁶ div max_a
+    *   h_raw(u) = Σ_{u→v} w(u,v)·a(v)      h(u) = h_raw(u)·10⁶ div max_h
+    *
+    * i.e. the standard a = Aᵀh / h = Aa alternation with max-
+    * normalization instead of the L2 norm — L2 needs a square root,
+    * which no two engines floor identically; dividing by the round's
+    * MAXIMUM keeps every value in [0, 10⁶], is scale-equivalent (HITS
+    * is defined up to normalization), and stays in exact integer
+    * arithmetic both engines compute bit-identically. Parallel edges
+    * carry weight by multiplicity, the multigraph semantics every
+    * operator here shares. Sums and the ·10⁶ widen through
+    * decimal(38,0) (HUGEINT in the oracle) — the [[pageRank]] headroom
+    * discipline: a 1e8-follower hub overflows int64 in one round.
+    *
+    * Scale shape: each half-round is ONE equi-join of the (node, score)
+    * relation against the once-checkpointed weighted edges plus ONE
+    * partial-aggregated shuffle — [[pageRank]]'s round run in both
+    * directions — and the max attaches back as a 1-row broadcast on a
+    * checkpointed constant key (the [[graphSummary]] idiom; a foldable
+    * key would plan the nested-loop join the audit forbids). Scores are
+    * checkpointed per half-round so plans stay round-deep. */
+  def hitsScores(edges: DataFrame, iters: Int = HitsIters,
+      max: Option[Long] = None): DataFrame = {
+    require(iters >= 1, s"hitsScores needs iters >= 1 (got $iters)")
+    val w = weightedEdges(maxFilter(edges, max)).localCheckpoint()
+    val nodes = w.select(col("src").as("node"))
+      .union(w.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // raw → normalized half-round: sum score·w over `joinOn` edges into
+    // the opposite endpoint, divide by the round max (≥1 guards the
+    // all-zero degenerate round; scores are non-negative so div = floor)
+    def halfRound(scores: DataFrame, scoreCol: String, from: String,
+        to: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+          scores.join(w, scores("node") === w(from))
+            .select(col(to).as("node"),
+              expr(s"cast($scoreCol as decimal(38,0)) * w").as("c"))
+            .groupBy("node").agg(sum("c").as("raw")),
+          Seq("node"), "left")
+        .select(col("node"),
+          expr("cast(coalesce(raw, 0) as decimal(38,0))").as("raw"))
+      // functions.max spelled fully: the `max` param shadows it
+      val mx = raw.agg(org.apache.spark.sql.functions.max(col("raw")).as("m"))
+        .select(greatest(col("m"), lit(1)).as("m"))
+        .withColumn("k", lit(1)).localCheckpoint()
+      raw.withColumn("k", lit(1))
+        .join(broadcast(mx), Seq("k"))
+        .select(col("node"), expr(s"(raw * 1000000) div m").as(outCol))
+        .localCheckpoint()
+    }
+    var hubs = nodes.select(col("node"), lit(RankResolution).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = halfRound(hubs, "h", "src", "dst", "a")
+      hubs = halfRound(auths, "a", "dst", "src", "h")
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"), col("a").as("auth_millionths"),
+        col("h").as("hub_millionths"))
+  }
+
+  /** Oracle twin of [[hitsScores]] — rounds unrolled as chained CTEs
+    * (the [[pageRankSql]] discipline), HUGEINT on the sums Spark widens
+    * to decimal(38,0), the per-round max attached by CROSS JOIN against
+    * a 1-row CTE. */
+  def hitsScoresSql(edgeSql: String, iters: Int = HitsIters,
+      max: Option[Long] = None): String = {
+    require(iters >= 1, s"hitsScoresSql needs iters >= 1 (got $iters)")
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    // MATERIALIZED: DuckDB inlines CTEs by default and each half-round
+    // body is referenced twice (raw + its max) — inlined, the chain
+    // re-evaluates ~4× per round (the kCoreSql / pipeline_manifest_bpe
+    // lesson, milder here but free to avoid)
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT n.node AS node, CAST(coalesce(c.s, 0) AS HUGEINT) AS raw
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT w.dst AS node, sum(CAST(h.h AS HUGEINT) * w.w) AS s
+         |    FROM h${k - 1} h JOIN w ON w.src = h.node GROUP BY w.dst
+         |  ) c ON c.node = n.node
+         |),
+         |am$k AS (SELECT greatest(max(raw), 1) AS m FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT node, CAST((raw * 1000000) // m AS BIGINT) AS a
+         |  FROM ar$k CROSS JOIN am$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT n.node AS node, CAST(coalesce(c.s, 0) AS HUGEINT) AS raw
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT w.src AS node, sum(CAST(a.a AS HUGEINT) * w.w) AS s
+         |    FROM a$k a JOIN w ON w.dst = a.node GROUP BY w.src
+         |  ) c ON c.node = n.node
+         |),
+         |hm$k AS (SELECT greatest(max(raw), 1) AS m FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT node, CAST((raw * 1000000) // m AS BIGINT) AS h
+         |  FROM hr$k CROSS JOIN hm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges$pred GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT a.node AS node, a.a AS auth_millionths, h.h AS hub_millionths
+       |FROM a$iters a JOIN h$iters h ON h.node = a.node
+       |ORDER BY node, auth_millionths, hub_millionths""".stripMargin
+  }
+
+  /** Core threshold for the [[kCore]] query entry. */
+  val KCoreK: Long = 3L
+
+  /** Peel-round budget for [[kCore]] — each round strictly shrinks the
+    * graph or is a fixpoint, so 8 rounds converge on every fixture
+    * (spec-pinned: round 9 changes nothing); at cluster scale the
+    * budget is the familiar fixed-round contract every iterative
+    * operator here ships (BPE/Lloyd/PageRank). */
+  val KCoreRounds: Int = 8
+
+  /** k-core decomposition (fixed-round peel) — the standard "dense
+    * cohesive subgraph" extraction: repeatedly delete every node with
+    * fewer than k distinct neighbors until none remains, over the
+    * UNDIRECTED simple graph (canonical distinct pairs, self-loops
+    * out — "cohesion" is direction-blind and multiplicity cannot make
+    * a node better-connected). Output: the surviving nodes with their
+    * degree inside the surviving subgraph (`core_deg ≥ k` once
+    * converged).
+    *
+    * Scale shape: per round, ONE partial-aggregated degree count over
+    * the current edge relation + TWO left-semi joins filtering edges to
+    * live endpoints (both on the 8-byte node key, AQE-splittable); the
+    * edge relation is checkpointed per round so plans stay round-deep,
+    * and it only ever SHRINKS — round cost is monotonically
+    * non-increasing, the nice property peel algorithms have at scale. */
+  def kCore(edges: DataFrame, k: Long = KCoreK, rounds: Int = KCoreRounds,
+      max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"kCore needs rounds >= 1 (got $rounds)")
+    var und = maxFilter(edges, max)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val alive = degrees(und).filter(col("deg") >= k)
+        .select("node").localCheckpoint()
+      und = und
+        .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    degrees(und).select(col("node"), col("deg").as("core_deg"))
+  }
+
+  /** Oracle twin of [[kCore]] — peel rounds unrolled as chained CTEs. */
+  def kCoreSql(edgeSql: String, k: Long = KCoreK, rounds: Int = KCoreRounds,
+      max: Option[Long] = None): String = {
+    require(rounds >= 1, s"kCoreSql needs rounds >= 1 (got $rounds)")
+    val andPred = max.fold("")(m => s" AND src < $m AND dst < $m")
+    def degSql(rel: String) =
+      s"""SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM $rel UNION ALL SELECT b FROM $rel
+         |  ) t GROUP BY node""".stripMargin
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    // each round references the previous one FIVE times (twice in the
+    // degree union, twice via the two degree joins, once directly) —
+    // inlined, round 8 re-evaluates round 0 ~5⁸ times (the
+    // pipeline_manifest_bpe `kept` lesson: probed minutes vs instant)
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  ${degSql(s"u${r - 1}")}
+         |),
+         |u$r AS MATERIALIZED (
+         |  SELECT u.a, u.b FROM u${r - 1} u
+         |  JOIN d$r da ON da.node = u.a JOIN d$r db ON db.node = u.b
+         |  WHERE da.deg >= $k AND db.deg >= $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |u0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst$andPred
+       |),
+       |$rs
+       |SELECT node, deg AS core_deg FROM (
+       |  ${degSql(s"u$rounds")}
+       |) ORDER BY node, core_deg""".stripMargin
+  }
+
+  /** Minimum shared-follower count for the [[followerJaccard]] query
+    * entry — pairs below it are noise and would dominate the output. */
+  val JaccardMinCommon: Long = 2L
+
+  /** Audience-overlap similarity — "accounts with the same followers":
+    * for every pair of accounts sharing ≥ `minCommon` DISTINCT
+    * followers, the exact Jaccard of their follower sets in millionths
+    * (|A∩B|·10⁶ div |A∪B|, the inclusion–exclusion denominator — no
+    * set materialization). The classic common-neighbor self-join on the
+    * DISTINCT edge relation (a double follow cannot make two accounts
+    * more similar), `e1.dst < e2.dst` canonicalization so each unordered
+    * pair appears once.
+    *
+    * Scale shape: the self-join runs keyed on the FOLLOWER id, so a
+    * follower of F accounts contributes F·(F-1)/2 pair rows — the
+    * common-neighbor quadratic every similarity engine meets. It is
+    * per-follower quadratic, never corpus-quadratic (the LSH-bucket
+    * economics of the dedup family, with follow-lists as buckets), the
+    * pair stream partial-aggregates map-side into (a, b) counts, and
+    * AQE skew-splits the celebrity followers; `minCommon` prunes before
+    * the degree joins. At 100 TB the production refinement is capping
+    * or sampling super-spreader followers (a follower of 10⁷ accounts
+    * carries ~10¹⁴ pairs and near-zero signal per pair) — a documented
+    * knob, not applied here because the oracle compare is exact. */
+  def followerJaccard(edges: DataFrame, max: Option[Long] = None,
+      minCommon: Long = JaccardMinCommon): DataFrame = {
+    val e = maxFilter(edges, max).select(col("src"), col("dst"))
+      .distinct().localCheckpoint()
+    val indeg = e.groupBy(col("dst").as("x")).agg(count(lit(1)).as("deg"))
+    val e1 = e.as("e1")
+    val e2 = e.as("e2")
+    e1.join(e2, col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(indeg.select(col("x").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(indeg.select(col("x").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("(common * 1000000L) div (deg_a + deg_b - common)")
+          .as("jaccard_millionths"))
+  }
+
+  /** Oracle twin of [[followerJaccard]]. */
+  def followerJaccardSql(edgeSql: String, max: Option[Long] = None,
+      minCommon: Long = JaccardMinCommon): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges$pred),
+       |d AS (SELECT dst AS x, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst),
+       |c AS (
+       |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY e1.dst, e2.dst HAVING count(*) >= $minCommon
+       |)
+       |SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT)
+       |    AS jaccard_millionths
+       |FROM c JOIN d da ON da.x = c.a JOIN d db ON db.x = c.b
+       |ORDER BY a, b, common, deg_a, deg_b, jaccard_millionths""".stripMargin
+  }
+
+  /** Power-of-two band ladder for [[degreeHistogram]] — the same SQL
+    * text compiles in both engines (the corpus_histogram discipline:
+    * exact integer CASE, never quantiles — approx sketches aren't
+    * oracle-matchable and exact percentiles need per-group sorts).
+    * Bands [2^i, 2^(i+1)) for i ∈ 0..40; degrees are ≥ 1 by
+    * construction (a node exists only via an incident edge) and the
+    * else arm catches > 2^41 (no real graph's multiplicity degree). */
+  private def degreeBandSql(c: String): String = {
+    val whens = (0 to 40)
+      .map(i => s"WHEN $c < ${1L << (i + 1)} THEN ${1L << i}")
+      .mkString(" ")
+    s"CAST(CASE $whens ELSE ${1L << 41} END AS BIGINT)"
+  }
+
+  /** Degree-distribution histogram — the one-glance skew audit (a
+    * follower graph is power-law; THIS is the report that says how
+    * hard): nodes bucketed by total multiplicity degree (in + out) into
+    * power-of-two bands, `band_lo` = the band's inclusive lower edge.
+    * One partial-aggregated degree shuffle + a ≤42-row rollup — the
+    * [[degreeReport]] relation collapsed to the shape a human (or an
+    * AQE-threshold decision) actually reads. */
+  def degreeHistogram(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    f.select(col("src").as("node")).union(f.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(expr(degreeBandSql("deg")).as("band_lo"))
+      .groupBy("band_lo").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Oracle twin of [[degreeHistogram]] — the identical CASE ladder. */
+  def degreeHistogramSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT src AS node FROM f UNION ALL SELECT dst FROM f
+       |  ) t GROUP BY node
+       |)
+       |SELECT ${degreeBandSql("deg")} AS band_lo,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY band_lo
+       |ORDER BY band_lo, n_nodes""".stripMargin
+  }
+
   def triangleCounter(edges: DataFrame, max: Option[Long] = None,
       broadcastClosing: Boolean = false): DataFrame = {
     val f = maxFilter(edges, max)

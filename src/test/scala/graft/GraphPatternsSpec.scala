@@ -308,4 +308,104 @@ class GraphPatternsSpec extends AnyFunSuite {
       .agg(sum(col("in_deg") * col("out_deg"))).first().getLong(0)
     assert(viaReport === 16L)
   }
+
+  def hitsOf(edges: Seq[(Long, Long)], iters: Int = GraphPatterns.HitsIters)
+      : Map[Long, (Long, Long)] =
+    GraphPatterns.hitsScores(df(edges), iters).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("auth_millionths"), r.getAs[Long]("hub_millionths"))).toMap
+
+  test("hitsScores: star separates the hub from the authorities exactly") {
+    // 0→1,0→2,0→3: leaves are pure authorities (a=10⁶ after max-norm),
+    // 0 the pure hub (h=10⁶); cross-scores are exactly 0 — a fixpoint
+    // from round 1, so any iteration depth gives the same answer
+    val out = hitsOf(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(out(0L) === ((0L, 1000000L)))
+    assert(out(1L) === ((1000000L, 0L)))
+    assert(out(2L) === ((1000000L, 0L)))
+    assert(out(3L) === ((1000000L, 0L)))
+  }
+
+  test("hitsScores: a 2-cycle is uniform at the max (both roles)") {
+    // each node is the other's only hub and only authority; max-norm
+    // pins every score to exactly 10⁶ every round
+    val out = hitsOf(Seq((1L, 2L), (2L, 1L)))
+    assert(out === Map(1L -> ((1000000L, 1000000L)),
+      2L -> ((1000000L, 1000000L))))
+  }
+
+  test("hitsScores: parallel edges weight authority by multiplicity") {
+    // 0→1 twice, 0→2 once: a_raw = (2·10⁶, 10⁶) → after max-norm
+    // a(1)=10⁶, a(2)=500000, stable across rounds; 0 is the only hub
+    val out = hitsOf(Seq((0L, 1L), (0L, 1L), (0L, 2L)))
+    assert(out(1L) === ((1000000L, 0L)))
+    assert(out(2L) === ((500000L, 0L)))
+    assert(out(0L) === ((0L, 1000000L)))
+  }
+
+  test("kCore golden: the sample graph IS its own 3-core; 4-core is empty") {
+    // undirected distinct degrees on the sample: 1,2,4,6 → 3; 3,5 → 4 —
+    // nothing peels at k=3 and the in-core degrees are the degrees
+    val out = GraphPatterns.kCore(df(sample)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 4L, 6L -> 3L))
+    // k=4: only 3 and 5 survive round 1, their mutual degree-1 edge dies
+    // in round 2, and the core is empty
+    assert(GraphPatterns.kCore(df(sample), k = 4L).count() === 0L)
+  }
+
+  test("kCore: the round budget has converged (one more round is a no-op)") {
+    for (seed <- 1 to 3) {
+      val g = randomGraph(seed, n = 20, m = 60, allowDup = true)
+      val at8 = GraphPatterns.kCore(df(g)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val at9 = GraphPatterns.kCore(df(g), rounds = 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(at8 === at9, s"seed=$seed")
+    }
+  }
+
+  test("followerJaccard golden: shared-follower pairs on the sample graph") {
+    // follower sets: 1←{3} 2←{1} 3←{2,5} 4←{1,6} 5←{4,2} 6←{5,3};
+    // single-follower overlaps only, so minCommon=1 exposes them and the
+    // default (2) returns nothing
+    val out = GraphPatterns.followerJaccard(df(sample), minCommon = 1L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("deg_a"),
+          r.getAs[Long]("deg_b"), r.getAs[Long]("jaccard_millionths"))).toMap
+    assert(out === Map(
+      (2L, 4L) -> ((1L, 1L, 2L, 500000L)),
+      (1L, 6L) -> ((1L, 1L, 2L, 500000L)),
+      (3L, 5L) -> ((1L, 2L, 2L, 333333L)),
+      (3L, 6L) -> ((1L, 2L, 2L, 333333L))))
+    assert(GraphPatterns.followerJaccard(df(sample)).count() === 0L)
+  }
+
+  test("followerJaccard: duplicate follows don't inflate overlap") {
+    val once = GraphPatterns.followerJaccard(
+      df(Seq((1L, 2L), (1L, 3L))), minCommon = 1L).collect()
+    val duped = GraphPatterns.followerJaccard(
+      df(Seq((1L, 2L), (1L, 2L), (1L, 3L), (1L, 3L))), minCommon = 1L).collect()
+    assert(once.map(_.toSeq).toSet === duped.map(_.toSeq).toSet)
+    assert(once.head.getAs[Long]("jaccard_millionths") === 1000000L)
+  }
+
+  test("degreeHistogram golden: power-of-two bands on the sample graph") {
+    // total multiplicity degrees: nodes 1,2,4,6 → 3 (band 2); 3,5 → 4
+    // (band 4)
+    val out = GraphPatterns.degreeHistogram(df(sample)).collect()
+      .map(r => r.getAs[Long]("band_lo") -> r.getAs[Long]("n_nodes")).toMap
+    assert(out === Map(2L -> 4L, 4L -> 2L))
+  }
+
+  test("degreeHistogram: band totals cover every node exactly once") {
+    import org.apache.spark.sql.functions.sum
+    for (seed <- 1 to 3) {
+      val g = randomGraph(seed, n = 30, m = 120, allowDup = true)
+      val total = GraphPatterns.degreeHistogram(df(g))
+        .agg(sum("n_nodes")).first().getLong(0)
+      val nodes = (g.map(_._1) ++ g.map(_._2)).distinct.size.toLong
+      assert(total === nodes, s"seed=$seed")
+    }
+  }
 }
