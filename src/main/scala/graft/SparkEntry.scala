@@ -576,6 +576,14 @@ object SparkEntry {
       Events.hourlyRollup(graft.Tables.events(s, dir))),
     "top_events_per_user" -> ((s, dir) =>
       Events.topEventsPerUser(graft.Tables.events(s, dir))),
+    // Ordered view→click→purchase funnel: sequential first-times per
+    // user (a purchase before the first view doesn't count).
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(graft.Tables.events(s, dir))),
+    // Day-cohort retention matrix: first-activity-day cohorts counted
+    // at each active day offset.
+    "events_retention" -> ((s, dir) =>
+      Events.retention(graft.Tables.events(s, dir))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -734,6 +742,8 @@ object SparkEntry {
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),
+    "events_funnel" -> Events.funnelSql(),
+    "events_retention" -> Events.retentionSql,
   )
 
   private def triangleOracle: String =

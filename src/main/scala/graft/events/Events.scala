@@ -159,6 +159,129 @@ object Events {
         col("ts_us"), col("value_cents"))
   }
 
+  /** Default funnel for the query entry: the fixture's browse → engage
+    * → convert ordering. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered three-stage funnel — the product-analytics staple "who
+    * viewed, then clicked, then purchased": per user, the timestamp of
+    * the FIRST stage-1 event, the first stage-2 event STRICTLY AFTER
+    * it, and the first stage-3 event strictly after that, plus the
+    * stage index reached (0..3). Sequential minima, not per-type minima
+    * — a purchase before the first view must not count, which is what
+    * makes a funnel a funnel (and what a single groupBy with three
+    * conditional mins gets wrong).
+    *
+    * Scale shape: three filtered partial-aggregated minima chained by
+    * user_id equi-joins plus the per-user assembly joins — every join
+    * and every aggregate in the plan keys on user_id, so Catalyst
+    * reuses ONE hash partitioning across the whole chain (the
+    * sessionize discipline); each stage relation only SHRINKS (stage k
+    * rows ⊆ stage k-1 users), so the later joins are the cheap ones.
+    * Per-user event lists are never collected — state per stage is one
+    * (user, min) row. */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.length == 3, s"funnel wants exactly 3 stages (got $stages)")
+    val e = events.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    val users = e.select("user_id").distinct()
+    val s1 = e.filter(col("event_type") === stages(0))
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val s2 = e.filter(col("event_type") === stages(1))
+      .join(s1, "user_id").filter(col("ts_us") > col("t1_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+    val s3 = e.filter(col("event_type") === stages(2))
+      .join(s2, "user_id").filter(col("ts_us") > col("t2_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+    users.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3L)
+          .when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+  }
+
+  def funnelSql(stages: Seq[String] = FunnelStages): String = {
+    require(stages.length == 3, s"funnelSql wants exactly 3 stages (got $stages)")
+    val Seq(a, b, c) = stages
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+       |), u AS (
+       |  SELECT DISTINCT user_id FROM e
+       |), s1 AS (
+       |  SELECT user_id, min(ts_us) AS t1_us FROM e
+       |  WHERE event_type = '$a' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(ts_us) AS t2_us
+       |  FROM e JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE event_type = '$b' AND ts_us > t1_us GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(ts_us) AS t3_us
+       |  FROM e JOIN s2 ON s2.user_id = e.user_id
+       |  WHERE event_type = '$c' AND ts_us > t2_us GROUP BY e.user_id
+       |)
+       |SELECT u.user_id, t1_us, t2_us, t3_us,
+       |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+       |            WHEN t2_us IS NOT NULL THEN 2
+       |            WHEN t1_us IS NOT NULL THEN 1
+       |            ELSE 0 END AS BIGINT) AS stage
+       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |  LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id, t1_us, t2_us, t3_us, stage""".stripMargin
+  }
+
+  /** Epoch-µs per day. */
+  private val DayUs = 86400000000L
+
+  /** Floor-division day index from epoch-µs — the [[tsUs]] pmod
+    * discipline (`%` truncates toward zero in both engines, so the
+    * double-pmod makes the subtraction exactly divisible and the
+    * truncating integer division a true floor for pre-epoch
+    * timestamps). `divOp` is the engine's integer-divide spelling
+    * (Spark `DIV`, DuckDB `//`). */
+  private def dayOf(c: String, divOp: String): String =
+    s"($c - (($c % $DayUs + $DayUs) % $DayUs)) $divOp $DayUs"
+
+  /** Cohort retention — the "do users come back" matrix every activity
+    * dashboard leads with: users cohorted by the DAY of their first
+    * event, counted on each later day-offset they were active.
+    * `n_users` at offset 0 is the cohort size (everyone is active on
+    * their first day); a user active twice in one day counts once.
+    *
+    * Scale shape: the (user, day) distinct collapse is the one shuffle
+    * proportional to input; the first-day minimum and the cohort join
+    * reuse the same user_id partitioning (no second full shuffle —
+    * the funnel discipline), and the final rollup aggregates the
+    * ≤|user-days| relation partial-aggregated on (cohort_day, offset).
+    * Exactly one row per (user, offset) survives the join, so the
+    * count is exact without a distinct. */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), tsUs.as("ts_us"))
+      .select(col("user_id"), expr(dayOf("ts_us", "DIV")).as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, "user_id")
+      .withColumn("offset_days", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def retentionSql: String = {
+    val day = dayOf("epoch_us(ts)", "//")
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, $day AS day FROM events
+       |), first AS (
+       |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+       |)
+       |SELECT cohort_day, day - cohort_day AS offset_days,
+       |  CAST(count(*) AS BIGINT) AS n_users
+       |FROM days JOIN first USING (user_id)
+       |GROUP BY cohort_day, offset_days
+       |ORDER BY cohort_day, offset_days, n_users""".stripMargin
+  }
+
   def topEventsPerUserSql(k: Int = 3): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

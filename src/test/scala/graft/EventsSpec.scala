@@ -83,4 +83,88 @@ class EventsSpec extends AnyFunSuite {
     assert(out((2L, 1L)) === 5L)
     assert(out.size === 4) // user 1 capped at 3, user 2 has 1
   }
+
+  def funnelOf(rows: (Long, Long, Long, String, Double, String)*)
+      : Map[Long, (Option[Long], Option[Long], Option[Long], Long)] =
+    Events.funnel(events(rows: _*)).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getAs[Long]("user_id") -> ((opt(1), opt(2), opt(3), r.getAs[Long]("stage")))
+    }.toMap
+
+  test("funnel golden: sequential stages, with each partial depth") {
+    val out = funnelOf(
+      // user 1 completes in order
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "purchase", 0.0, "{}"),
+      // user 2 stalls after the click
+      (3L, T, 2L, "view", 0.0, "{}"),
+      (4L, T + H, 2L, "click", 0.0, "{}"),
+      // user 3 only views
+      (5L, T, 3L, "view", 0.0, "{}"),
+      // user 4 never views
+      (6L, T, 4L, "click", 0.0, "{}"))
+    val t = T / 1000; val h = H / 1000
+    assert(out(1L) === ((Some(t), Some(t + h), Some(t + 2 * h), 3L)))
+    assert(out(2L) === ((Some(t), Some(t + h), None, 2L)))
+    assert(out(3L) === ((Some(t), None, None, 1L)))
+    assert(out(4L) === ((None, None, None, 0L)))
+  }
+
+  test("funnel: out-of-order events don't count (a purchase before the view)") {
+    // purchase, THEN view, THEN click: the purchase precedes t2, so the
+    // funnel stops at stage 2 — the property a per-type min gets wrong
+    val out = funnelOf(
+      (0L, T, 1L, "purchase", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "click", 0.0, "{}"))
+    assert(out(1L) === ((Some((T + H) / 1000), Some((T + 2 * H) / 1000), None, 2L)))
+    // and a second purchase after the click completes it
+    val done = funnelOf(
+      (0L, T, 1L, "purchase", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "click", 0.0, "{}"),
+      (3L, T + 3 * H, 1L, "purchase", 0.0, "{}"))
+    assert(done(1L)._4 === 3L)
+  }
+
+  test("funnel: stage-2 min is the first qualifying event, not the global min") {
+    // two clicks: one before the first view (disqualified), one after
+    val out = funnelOf(
+      (0L, T, 1L, "click", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 5 * H, 1L, "click", 0.0, "{}"))
+    assert(out(1L)._2 === Some((T + 5 * H) / 1000))
+  }
+
+  val D: Long = 24L * H // one day in ns
+
+  test("retention golden: day-zero cohort sizes and comeback offsets") {
+    val out = Events.retention(events(
+      // user 1: active day 0 and day 2; twice on day 0 (counts once)
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * D, 1L, "view", 0.0, "{}"),
+      // user 2: same cohort day, never returns
+      (3L, T + 2 * H, 2L, "view", 0.0, "{}"),
+      // user 3: cohort day 1, returns day 2 (offset 1)
+      (4L, T + D, 3L, "view", 0.0, "{}"),
+      (5L, T + 2 * D, 3L, "view", 0.0, "{}")))
+      .collect().map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("offset_days"))
+        -> r.getAs[Long]("n_users")).toMap
+    val d0 = T / 1000 / 86400000000L
+    assert(out === Map(
+      (d0, 0L) -> 2L, (d0, 2L) -> 1L,
+      (d0 + 1, 0L) -> 1L, (d0 + 1, 1L) -> 1L))
+  }
+
+  test("retention: offset 0 counts every user exactly once") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = (0 until 40).map(i =>
+      (i.toLong, T + (i % 7) * D + (i % 5) * H, (i % 11).toLong, "view", 0.0, "{}"))
+    val total = Events.retention(events(rows: _*))
+      .filter(col("offset_days") === 0L)
+      .agg(sum("n_users")).first().getLong(0)
+    assert(total === rows.map(_._3).distinct.size.toLong)
+  }
 }
