@@ -475,6 +475,14 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // Contamination severity (same split): per train doc, the FRACTION
+    // of its shingles the benchmark contains — clean docs present at 0.
+    "decontaminate_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.contaminationOverlap(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // The reverse rollup (same split): per benchmark item, how many
     // distinct train docs leak it — the eval owner's burn report.
     "decontaminate_report" -> ((s, dir) => {
@@ -724,6 +732,7 @@ object SparkEntry {
     "training_shards" -> graft.text.Curation.trainingShardsSql(),
     "training_shards_incr" -> graft.text.Curation.trainingShardsIncrSql(),
     "decontaminate" -> Dedup.contaminationSql(),
+    "decontaminate_overlap" -> Dedup.contaminationOverlapSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),
     "decontaminate_fuzzy" -> Dedup.contaminationFuzzySql(),
     "doc_simhash" -> Dedup.docSimhashSql,

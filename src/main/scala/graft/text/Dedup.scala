@@ -1352,9 +1352,12 @@ object Dedup {
     * (doc_id, n_hits ≥ minHits); shared with
     * [[graft.text.Curation.corpusKeepFullSql]] so the decontamination
     * spelling exists once. */
-  private[text] def contaminationCtesSql(minHits: Long = 1L,
-      benchPred: String = "doc_id % 50 = 0",
-      window: Int = DecontaminationWindow): String = {
+  /** btoks → bsh → dtoks → dsh → bdistinct CTE chain — both sides'
+    * tokenize→shingle rebuild plus the benchmark's distinct-shingle
+    * relation, shared by [[contaminationCtesSql]] (the ≥minHits flag
+    * set) and [[contaminationOverlapSql]] (the per-doc fraction). */
+  private def contaminationChainSql(benchPred: String,
+      window: Int): String = {
     val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
     // i runs over 1..len-window+1 (DuckDB range() is end-exclusive)
     val shK = PortableHash.shingleKSql((0 until window).map(j =>
@@ -1371,7 +1374,13 @@ object Dedup {
        |${shingleChain("d", s"NOT ($benchPred)")},
        |bdistinct AS (
        |  SELECT DISTINCT unnest(sh) AS s FROM bsh
-       |),
+       |)""".stripMargin
+  }
+
+  private[text] def contaminationCtesSql(minHits: Long = 1L,
+      benchPred: String = "doc_id % 50 = 0",
+      window: Int = DecontaminationWindow): String =
+    s"""${contaminationChainSql(benchPred, window)},
        |hits AS (
        |  SELECT doc_id, n_hits FROM (
        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
@@ -1380,7 +1389,6 @@ object Dedup {
        |    GROUP BY doc_id
        |  ) WHERE n_hits >= $minHits
        |)""".stripMargin
-  }
 
   def contaminationSql(minHits: Long = 1L,
       benchPred: String = "doc_id % 50 = 0",
@@ -1388,6 +1396,55 @@ object Dedup {
     s"""WITH ${contaminationCtesSql(minHits, benchPred, window)}
        |SELECT doc_id, n_hits FROM hits
        |ORDER BY doc_id, n_hits""".stripMargin
+
+  /** Contamination SEVERITY — [[contamination]] resolved from a flag to
+    * a fraction: per (≥window-token) train doc, its distinct-shingle
+    * count, how many of those shingles any benchmark document contains,
+    * and the overlapped fraction in exact millionths. The flag set
+    * answers "which docs must I drop at this threshold"; this answers
+    * the triage question behind choosing the threshold — a doc 95%
+    * covered by benchmark text IS the eval item (drop, always), a doc
+    * sharing one boilerplate 13-gram is a judgement call, and the
+    * fraction is what that judgement reads. Docs sharing nothing report
+    * 0 (they're in the denominator population — a severity report whose
+    * healthy rows are absent can't be averaged).
+    *
+    * Scale shape: identical to [[contamination]] — the benchmark's
+    * distinct-shingle relation broadcasts, the corpus side is one
+    * map-side explode feeding a broadcast LEFT join (membership flag
+    * instead of semi — the miss rows must survive to count the
+    * denominator) and a partial-aggregated (doc_id)-keyed count; the
+    * per-doc shingle total rides the SAME aggregation (it's functionally
+    * dependent on doc_id), so the fraction costs no second pass. */
+  def contaminationOverlap(docs: DataFrame, bench: DataFrame,
+      window: Int = DecontaminationWindow): DataFrame = {
+    val benchSh = shingleSetsK(bench, window)
+      .select(explode(col("sh_set")).as("sh")).distinct()
+      .withColumn("hit", lit(1L))
+    shingleSetsK(docs, window)
+      .select(col("doc_id"),
+        size(col("sh_set")).cast("long").as("n_shingles"),
+        explode(col("sh_set")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        expr("(n_hits * 1000000L) div n_shingles").as("overlap_millionths"))
+  }
+
+  /** Oracle twin of [[contaminationOverlap]] over the driver's fixture
+    * split — the [[contaminationChainSql]] rebuild with the per-doc
+    * shingle total carried through the count. */
+  def contaminationOverlapSql(benchPred: String = "doc_id % 50 = 0",
+      window: Int = DecontaminationWindow): String =
+    s"""WITH ${contaminationChainSql(benchPred, window)},
+       |ex AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM dsh)
+       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(count(b.s) AS BIGINT) AS n_hits,
+       |  CAST((count(b.s) * 1000000) // n_shingles AS BIGINT) AS overlap_millionths
+       |FROM ex LEFT JOIN bdistinct b ON b.s = ex.s
+       |GROUP BY doc_id, n_shingles
+       |ORDER BY doc_id, n_shingles, n_hits, overlap_millionths""".stripMargin
 
   /** Fuzzy benchmark decontamination — the paraphrase case exact-window
     * matching misses BY DESIGN (round-5 verdict #5/"missing" #4): an eval

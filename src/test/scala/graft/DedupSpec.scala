@@ -284,6 +284,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) === 42L - W + 1L) // the copy shares base's full shingle set
   }
 
+  test("contaminationOverlap reports the shared fraction, clean docs included at 0") {
+    // same fixture as the flag test: the exact copy overlaps 100%, the
+    // one-token near-dup loses exactly W of its 30 shingles, and the
+    // unrelated doc — absent from contamination() by design — is PRESENT
+    // here at 0 (a severity report must carry its denominator population)
+    val W = Dedup.DecontaminationWindow
+    val bench = docs((100L, base))
+    val train = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val out = Dedup.contaminationOverlap(train, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("overlap_millionths"))).toMap
+    val nSh = 42L - W + 1L // 30 shingles in the 42-token base
+    assert(out(1L) === ((nSh, nSh, 1000000L)))
+    assert(out(2L) === ((nSh, nSh - W, (nSh - W) * 1000000L / nSh)))
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === 0L)
+    assert(out.keySet === Set(1L, 2L, 3L))
+  }
+
   test("window 13 flags only a verbatim >=13-token quote where window 3 flags everything") {
     // The round-5 failure mode, reproduced and retired: trainA embeds one
     // 13-token VERBATIM benchmark run (real leakage — must flag, n_hits
