@@ -175,6 +175,10 @@ object SparkEntry {
     // Power-of-two degree-distribution histogram — the skew audit.
     "degree_histogram" -> ((s, dir) =>
       GraphPatterns.degreeHistogram(edges(s, dir))),
+    // Popularity mixing matrix: per follow, follower out-band ×
+    // followed in-band — the exact-integer assortativity audit.
+    "degree_mixing" -> ((s, dir) =>
+      GraphPatterns.degreeMixing(edges(s, dir))),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
@@ -592,6 +596,10 @@ object SparkEntry {
     // at each active day offset.
     "events_retention" -> ((s, dir) =>
       Events.retention(graft.Tables.events(s, dir))),
+    // Rolling 7-day distinct actives per day (WAU) — the sliding
+    // distinct count via bounded map-side coverage explode.
+    "events_wau" -> ((s, dir) =>
+      Events.rollingActiveUsers(graft.Tables.events(s, dir))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -671,6 +679,8 @@ object SparkEntry {
       GraphPatterns.followerJaccardSql(EdgeLists.lineitemEdgeSql),
     "degree_histogram" ->
       GraphPatterns.degreeHistogramSql(EdgeLists.lineitemEdgeSql),
+    "degree_mixing" ->
+      GraphPatterns.degreeMixingSql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "lang_id_ngram" -> TextAnalysis.langIdNgramSql,
@@ -753,6 +763,7 @@ object SparkEntry {
     "top_events_per_user" -> Events.topEventsPerUserSql(),
     "events_funnel" -> Events.funnelSql(),
     "events_retention" -> Events.retentionSql,
+    "events_wau" -> Events.rollingActiveUsersSql(),
   )
 
   private def triangleOracle: String =

@@ -282,6 +282,56 @@ object Events {
        |ORDER BY cohort_day, offset_days, n_users""".stripMargin
   }
 
+  /** Rolling 7-day active users ("WAU per day") — for every day in the
+    * observed span, the count of DISTINCT users with ≥1 event in the
+    * trailing `windowDays` window. The sliding-window DISTINCT
+    * aggregate no plain groupBy expresses: a distinct count is not
+    * subtractable, so the production spelling materializes coverage —
+    * each (user, active-day) row covers the `windowDays` report days it
+    * is visible to, exploded MAP-SIDE from a bounded literal range
+    * (never a range join), distinct-collapsed, counted per report day.
+    *
+    * Scale shape: the (user, day) collapse is one input-sized shuffle
+    * (shared spelling with [[retention]]); the coverage explode
+    * multiplies it by the CONSTANT window factor — the standard
+    * space-for-associativity trade of sliding distinct counts — and the
+    * final partial-agg count runs on the collapsed coverage. The span
+    * cap (report days past the last observed day are trailing ghosts)
+    * attaches as a 1-row broadcast on a checkpointed constant key. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"rollingActiveUsers needs windowDays >= 1")
+    val days = events.select(tsUs.as("ts_us"), col("user_id"))
+      .select(col("user_id"), expr(dayOf("ts_us", "DIV")).as("day"))
+      .distinct().localCheckpoint()
+    val span = days.agg(max("day").as("hi"))
+      .withColumn("k", lit(1)).localCheckpoint()
+    days
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .distinct()
+      .withColumn("k", lit(1))
+      .join(broadcast(span), Seq("k"))
+      .filter(col("day") <= col("hi"))
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+  }
+
+  def rollingActiveUsersSql(windowDays: Int = 7): String = {
+    val day = dayOf("epoch_us(ts)", "//")
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, $day AS day FROM events
+       |), span AS (
+       |  SELECT max(day) AS hi FROM days
+       |), cover AS (
+       |  SELECT DISTINCT user_id, day + t.off AS day
+       |  FROM days, range(0, $windowDays) t(off)
+       |)
+       |SELECT c.day AS day, CAST(count(*) AS BIGINT) AS n_active
+       |FROM cover c, span WHERE c.day <= span.hi
+       |GROUP BY c.day
+       |ORDER BY day, n_active""".stripMargin
+  }
+
   def topEventsPerUserSql(k: Int = 3): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -971,6 +971,50 @@ object GraphPatterns {
        |ORDER BY band_lo, n_nodes""".stripMargin
   }
 
+  /** Degree-mixing matrix — "who follows whom, by popularity band": per
+    * directed edge (multiplicity counted — each follow is an
+    * observation), the follower's OUT-degree band × the followed
+    * account's IN-degree band, over the [[degreeBandSql]] power-of-two
+    * ladder. The assortativity audit in exact-integer form: a
+    * celebrity-heavy graph concentrates mass in the (low, high) cells,
+    * a mutual-clique community on the diagonal — and unlike the
+    * textbook assortativity coefficient (a correlation — needs a sqrt
+    * no two engines floor identically) the matrix is oracle-exact and
+    * carries MORE information.
+    *
+    * Scale shape: the [[graft.text.TextAnalysis]] token_rarity two-pass
+    * skeleton on edges — two partial-aggregated degree relations derive
+    * from the edge scan, join back on the 8-byte node keys (AQE covers
+    * the celebrity dst key), and the band projection collapses to a
+    * ≤42² row matrix in one more partial-agg shuffle. */
+  def degreeMixing(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    val outd = f.groupBy(col("src").as("node")).agg(count(lit(1)).as("od"))
+    val ind = f.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind"))
+    f.join(outd.withColumnRenamed("node", "src"), Seq("src"))
+      .join(ind.withColumnRenamed("node", "dst"), Seq("dst"))
+      .select(expr(degreeBandSql("od")).as("src_out_band"),
+        expr(degreeBandSql("ind")).as("dst_in_band"))
+      .groupBy("src_out_band", "dst_in_band")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** Oracle twin of [[degreeMixing]] — the identical CASE ladder on
+    * both degree columns. */
+  def degreeMixingSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |f AS (SELECT src, dst FROM edges$pred),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od FROM f GROUP BY src),
+       |ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS ind FROM f GROUP BY dst)
+       |SELECT ${degreeBandSql("od.od")} AS src_out_band,
+       |  ${degreeBandSql("ind.ind")} AS dst_in_band,
+       |  CAST(count(*) AS BIGINT) AS n_edges
+       |FROM f JOIN od ON od.node = f.src JOIN ind ON ind.node = f.dst
+       |GROUP BY src_out_band, dst_in_band
+       |ORDER BY src_out_band, dst_in_band, n_edges""".stripMargin
+  }
+
   def triangleCounter(edges: DataFrame, max: Option[Long] = None,
       broadcastClosing: Boolean = false): DataFrame = {
     val f = maxFilter(edges, max)

@@ -158,6 +158,38 @@ class EventsSpec extends AnyFunSuite {
       (d0 + 1, 0L) -> 1L, (d0 + 1, 1L) -> 1L))
   }
 
+  test("rollingActiveUsers golden: trailing window, distinct users, span cap") {
+    val out = Events.rollingActiveUsers(events(
+      // user 1 active day 0 (twice — counts once) and day 8
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 8 * D, 1L, "view", 0.0, "{}"),
+      // user 2 active day 1 only
+      (3L, T + D, 2L, "view", 0.0, "{}")))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active")).toMap
+    val d0 = T / 1000 / 86400000000L
+    // days 0..6 see user 1 (day-0 activity); days 1..7 see user 2;
+    // day 8 sees user 1 again; days past the last observed day (8) are
+    // capped out
+    assert(out === Map(
+      d0 -> 1L, (d0 + 1) -> 2L, (d0 + 2) -> 2L, (d0 + 3) -> 2L,
+      (d0 + 4) -> 2L, (d0 + 5) -> 2L, (d0 + 6) -> 2L, (d0 + 7) -> 1L,
+      (d0 + 8) -> 1L))
+  }
+
+  test("rollingActiveUsers: window 1 is exactly the daily-active count") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, T + (i % 5) * D + (i % 7) * H, (i % 4).toLong, "view", 0.0, "{}"))
+    val wau1 = Events.rollingActiveUsers(events(rows: _*), windowDays = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val daily = Events.retention(events(rows: _*)) // reuse: days relation twin
+    // independent recomputation from the raw rows
+    val expect = rows.groupBy { case (_, ts, _, _, _, _) => ts / 1000 / 86400000000L }
+      .map { case (d, rs) => (d, rs.map(_._3).distinct.size.toLong) }.toSet
+    assert(wau1 === expect)
+    assert(daily.count() > 0) // retention sanity on the same fixture
+  }
+
   test("retention: offset 0 counts every user exactly once") {
     import org.apache.spark.sql.functions.{col, sum}
     val rows = (0 until 40).map(i =>

@@ -408,4 +408,23 @@ class GraphPatternsSpec extends AnyFunSuite {
       assert(total === nodes, s"seed=$seed")
     }
   }
+
+  test("degreeMixing golden: star puts every follow in the (hub-out, leaf-in) cell") {
+    // 0→1,0→2,0→3: follower out-deg 3 (band 2) on every edge, followed
+    // in-deg 1 (band 1) — one cell, three observations
+    val out = GraphPatterns.degreeMixing(df(Seq((0L, 1L), (0L, 2L), (0L, 3L))))
+      .collect().map(r => (r.getAs[Long]("src_out_band"),
+        r.getAs[Long]("dst_in_band")) -> r.getAs[Long]("n_edges")).toMap
+    assert(out === Map((2L, 1L) -> 3L))
+  }
+
+  test("degreeMixing: cell totals cover every edge exactly once") {
+    import org.apache.spark.sql.functions.sum
+    for (seed <- 1 to 3) {
+      val g = randomGraph(seed, n = 20, m = 80, allowDup = true)
+      val total = GraphPatterns.degreeMixing(df(g))
+        .agg(sum("n_edges")).first().getLong(0)
+      assert(total === g.size.toLong, s"seed=$seed")
+    }
+  }
 }
