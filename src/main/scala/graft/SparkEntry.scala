@@ -521,6 +521,10 @@ object SparkEntry {
         Dedup.simhashSketch(corpus))
     }),
     // ---- LLM-data-pipeline extensions: embedding similarity ----
+    // Corpus health report: per (dims, norm² band) counts with -1/0
+    // sentinel bands for un-scorable and zero vectors.
+    "embed_norm_stats" -> ((s, dir) =>
+      Similarity.embedNormStats(graft.Tables.embeddings(s, dir))),
     "embed_knn" -> ((s, dir) =>
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
     "embed_ann_pairs" -> ((s, dir) =>
@@ -748,6 +752,7 @@ object SparkEntry {
     "doc_simhash" -> Dedup.docSimhashSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "incremental_simhash" -> Dedup.incrementalSimhashPairsSql(),
+    "embed_norm_stats" -> Similarity.embedNormStatsSql,
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),

@@ -300,17 +300,21 @@ object Events {
     * attaches as a 1-row broadcast on a checkpointed constant key. */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"rollingActiveUsers needs windowDays >= 1")
+    // `k` is attached BEFORE the checkpoint so it reaches the span join
+    // as a real (non-foldable) column on BOTH sides — a lit(1) added on
+    // the probe side post-hoc folds, leaving no equi-key, and Catalyst
+    // plans the BroadcastNestedLoopJoin the plan audit forbids (the
+    // graphSummary constant-key discipline)
     val days = events.select(tsUs.as("ts_us"), col("user_id"))
       .select(col("user_id"), expr(dayOf("ts_us", "DIV")).as("day"))
-      .distinct().localCheckpoint()
+      .distinct().withColumn("k", lit(1)).localCheckpoint()
     val span = days.agg(max("day").as("hi"))
       .withColumn("k", lit(1)).localCheckpoint()
     days
-      .select(col("user_id"),
+      .select(col("user_id"), col("k"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
-      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .select(col("user_id"), col("k"), (col("day") + col("off")).as("day"))
       .distinct()
-      .withColumn("k", lit(1))
       .join(broadcast(span), Seq("k"))
       .filter(col("day") <= col("hi"))
       .groupBy("day").agg(count(lit(1)).as("n_active"))

@@ -702,8 +702,14 @@ object GraphPatterns {
       max: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"hitsScores needs iters >= 1 (got $iters)")
     val w = weightedEdges(maxFilter(edges, max)).localCheckpoint()
+    // `k` rides the checkpointed node domain so the per-round max
+    // attaches as a real-column equi-join on BOTH sides — a lit(1)
+    // added post-hoc on the probe side folds away and leaves the
+    // nested-loop join the plan audit forbids (the graphSummary
+    // constant-key discipline)
     val nodes = w.select(col("src").as("node"))
-      .union(w.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(w.select(col("dst").as("node"))).distinct()
+      .withColumn("k", lit(1)).localCheckpoint()
     // raw → normalized half-round: sum score·w over `joinOn` edges into
     // the opposite endpoint, divide by the round max (≥1 guards the
     // all-zero degenerate round; scores are non-negative so div = floor)
@@ -715,14 +721,13 @@ object GraphPatterns {
               expr(s"cast($scoreCol as decimal(38,0)) * w").as("c"))
             .groupBy("node").agg(sum("c").as("raw")),
           Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("k"),
           expr("cast(coalesce(raw, 0) as decimal(38,0))").as("raw"))
       // functions.max spelled fully: the `max` param shadows it
       val mx = raw.agg(org.apache.spark.sql.functions.max(col("raw")).as("m"))
         .select(greatest(col("m"), lit(1)).as("m"))
         .withColumn("k", lit(1)).localCheckpoint()
-      raw.withColumn("k", lit(1))
-        .join(broadcast(mx), Seq("k"))
+      raw.join(broadcast(mx), Seq("k"))
         .select(col("node"), expr(s"(raw * 1000000) div m").as(outCol))
         .localCheckpoint()
     }

@@ -198,6 +198,69 @@ object Similarity {
        |  ) WHERE nrm > 0
        |)""".stripMargin
 
+  /** Power-of-two band of the exact int64 squared norm, with the two
+    * pathologies as sentinel bands: -1 = un-scorable (NULL vector or a
+    * NULL coordinate — norm arithmetic NULL-propagates), 0 = zero
+    * vector (no direction; cosine is 0/0). The same SQL text compiles
+    * in both engines (the degree_histogram CASE-ladder discipline);
+    * 62 tiers cover the full int64 range. */
+  private def normBandSql(c: String): String = {
+    val whens = (0 to 61)
+      .map(i => s"WHEN $c < ${1L << (i + 1)} THEN ${1L << i}")
+      .mkString(" ")
+    s"CAST(CASE WHEN $c IS NULL THEN -1 WHEN $c = 0 THEN 0 $whens ELSE ${1L << 62} END AS BIGINT)"
+  }
+
+  /** Embedding-corpus health report — the audit every similarity
+    * operator here silently depends on: [[vectors]] EXCLUDES zero-norm
+    * and NULL-coordinate vectors (documented, oracle-mirrored), and
+    * this is the report that says how much of the corpus that exclusion
+    * eats and whether the rest is sane. Per (dimensionality, squared-
+    * norm band): vector count — mixed `n_dims` rows expose a corrupted
+    * ingest (ragged embedding batches dot as NULL against every query),
+    * the -1/0 bands count the un-scorable and direction-less vectors,
+    * and a norm distribution collapsed into one band is the "forgot to
+    * normalize per-row" signature. Quantization (floor(x·10⁶), int64
+    * squares) is bit-identical to the scoring path, so a vector banded
+    * healthy here is exactly one [[embedKnn]] can score.
+    *
+    * Scale shape: pure map work (quantize + one codegen dot per row)
+    * into a ≤|dims|·64-row partial-aggregated rollup — strictly cheaper
+    * than any scoring pass it predicts. */
+  def embedNormStats(embeds: DataFrame): DataFrame = {
+    val base = graft.Tables.widen(embeds)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    base
+      .select(size(col("qv")).cast("long").as("n_dims"),
+        dot(base, col("qv"), col("qv")).as("nrm2"))
+      .select(col("n_dims"), expr(normBandSql("nrm2")).as("norm2_band"))
+      .groupBy("n_dims", "norm2_band").agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** Oracle twin of [[embedNormStats]]. NULL discipline mirrored from
+    * Spark explicitly: Spark's dot NULL-propagates on a NULL coordinate
+    * and a NULL vector, and folds an EMPTY vector to 0, where DuckDB's
+    * list_sum would skip NULLs and return NULL on [] — the CASE arms
+    * pin both divergences to Spark's behavior. */
+  def embedNormStatsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN embedding IS NULL THEN NULL
+       |         WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+       |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0) AS BIGINT)) END AS qv,
+       |    CAST(len(embedding) AS BIGINT) AS n_dims
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT n_dims,
+       |    CASE WHEN qv IS NULL THEN NULL
+       |         ELSE CAST(coalesce(list_sum(list_transform(qv, x -> x * x)), 0) AS BIGINT) END AS nrm2
+       |  FROM q
+       |)
+       |SELECT n_dims, ${normBandSql("nrm2")} AS norm2_band,
+       |  CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM n GROUP BY n_dims, norm2_band
+       |ORDER BY n_dims, norm2_band, n_vecs""".stripMargin
+
   /** Exact k-nearest-neighbors by cosine for the query set
     * `vec_id < nQueries`: broadcast the (small) query side, score every
     * corpus vector against every query in one scan, reduce with the

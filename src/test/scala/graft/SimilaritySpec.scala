@@ -573,4 +573,26 @@ class SimilaritySpec extends AnyFunSuite {
         (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
     assert(got === expected)
   }
+
+  test("embedNormStats: healthy band plus the -1/0 pathology sentinels") {
+    // (0.6, 0.8) quantizes to (600000, 800000): nrm² = 10¹² exactly,
+    // whose band floor is 2³⁹; the zero vector lands in band 0; a NULL
+    // coordinate and a NULL vector both land in band -1 (with n_dims
+    // kept for the former — the ragged-ingest signal — and NULL for the
+    // latter)
+    val rows = Seq(
+      (1L, Some(Seq(Some(0.6f), Some(0.8f))), 0),
+      (2L, Some(Seq(Some(0.0f), Some(0.0f))), 0),
+      (3L, Some(Seq(Some(0.5f), None)), 0),
+      (4L, (None: Option[Seq[Option[Float]]]), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedNormStats(df).collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0),
+        r.getAs[Long]("norm2_band")) -> r.getAs[Long]("n_vecs")).toMap
+    assert(out === Map(
+      (2L, 1L << 39) -> 1L,
+      (2L, 0L) -> 1L,
+      (2L, -1L) -> 1L,
+      (-99L, -1L) -> 1L))
+  }
 }
