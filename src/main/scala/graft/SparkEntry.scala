@@ -314,10 +314,19 @@ object SparkEntry {
       Dedup.simhashOccupancy(graft.Tables.documents(s, dir))),
     "near_dup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(graft.Tables.documents(s, dir))),
+    // Threshold calibration: candidate-pair counts per agreement level
+    // (the S-curve read off the corpus; every minMatch's yield is a
+    // prefix sum of these 17 rows).
+    "near_dup_score_hist" -> ((s, dir) =>
+      Dedup.nearDupScoreHist(graft.Tables.documents(s, dir))),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(graft.Tables.documents(s, dir))),
+    // Duplication profile: cluster-size histogram (singletons at 1);
+    // sum(size * n_clusters) = corpus size.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.dedupClusterSizes(graft.Tables.documents(s, dir))),
     // Same clusters through the O(log² n) star-contraction iterator —
     // the deep-component path; same oracle as dedup_clusters by design.
     "dedup_clusters_star" -> ((s, dir) =>
@@ -379,6 +388,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(s, dir)
       graft.text.Curation.corpusKeepFull(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // The five-gate verdict collapsed to the curation yield table: per
+    // reason-combination document counts (<= 2^7 rows).
+    "corpus_keep_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.text.Curation.corpusKeepStats(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
     // Deterministic hash-based train/val/test assignment (map-only; a
@@ -715,8 +732,10 @@ object SparkEntry {
     "minhash_bands" -> Dedup.minhashBandsSql,
     "band_occupancy" -> Dedup.bandOccupancySql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
+    "near_dup_score_hist" -> Dedup.nearDupScoreHistSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql(),
     "dedup_clusters_star" -> Dedup.dedupClustersSql(),
     "dedup_clusters_best" -> Dedup.dedupClustersBestSql(),
     "dedup_clusters_norm" -> Dedup.dedupClustersNormSql(),
@@ -731,6 +750,7 @@ object SparkEntry {
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_keep_full" -> graft.text.Curation.corpusKeepFullSql(),
+    "corpus_keep_stats" -> graft.text.Curation.corpusKeepStatsSql(),
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "split_leak_fuzzy" -> graft.text.Curation.splitLeakFuzzySql(),
     "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),

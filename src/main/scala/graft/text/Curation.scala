@@ -153,6 +153,41 @@ object Curation {
        |  classifier_keep, is_contaminated, keep""".stripMargin
   }
 
+  /** Curation yield report — [[corpusKeepFull]]'s verdict relation
+    * collapsed to the numbers a curation review meeting actually reads:
+    * per distinct reason-combination (all six gates × the composed
+    * `keep`), the document count. One glance answers "what is each gate
+    * costing us" and "which gates overlap" — the 2⁷-bounded combination
+    * table IS the full inclusion-exclusion structure, which no set of
+    * per-gate scalar counts can reconstruct. Re-tunes read this first:
+    * a gate dropping 40% alone (its combination rows) reads very
+    * differently from one whose drops are all already-dropped dups.
+    *
+    * Scale shape: the five-gate verdict's own (audited, single-scan)
+    * cost + one partial-aggregated rollup into ≤2⁷ rows. */
+  def corpusKeepStats(docs: DataFrame, bench: DataFrame,
+      minQuality: Double = 0.5): DataFrame =
+    corpusKeepFull(docs, bench, minQuality)
+      .groupBy("is_exact_dup", "is_near_dup", "quality_ok", "gopher_keep",
+        "classifier_keep", "is_contaminated", "keep")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Oracle twin of [[corpusKeepStats]] — [[corpusKeepFullSql]] as a
+    * subquery under the combination rollup. */
+  def corpusKeepStatsSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      benchPred: String = "doc_id % 50 = 0"): String = {
+    val body = corpusKeepFullSql(minQuality, minMatch, benchPred)
+      .replaceAll("(?s)ORDER BY.*$", "")
+    s"""SELECT is_exact_dup, is_near_dup, quality_ok, gopher_keep,
+       |  classifier_keep, is_contaminated, keep,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM ($body)
+       |GROUP BY is_exact_dup, is_near_dup, quality_ok, gopher_keep,
+       |  classifier_keep, is_contaminated, keep
+       |ORDER BY is_exact_dup, is_near_dup, quality_ok, gopher_keep,
+       |  classifier_keep, is_contaminated, keep, n_docs""".stripMargin
+  }
+
   /** The split hash parameters — seed-split from the shared family so the
     * split stream is independent of every dedup/LSH hash stream, and
     * embedded as literals in both engines (they cannot drift). */

@@ -1125,6 +1125,34 @@ object Dedup {
        |FROM rep
        |ORDER BY doc_id, rep_id, is_survivor""".stripMargin
 
+  /** Duplication-profile histogram — "HOW duplicated is this corpus",
+    * the one-line answer [[dedupClusters]]' per-doc relation buries: per
+    * cluster size (exact+near dup components, singletons included at
+    * size 1), the number of clusters of that size. n_clusters at size 1
+    * is the unique mass; Σ size·n_clusters = corpus size (spec
+    * property); a fat tail here is the template-family signal that says
+    * the survivor policy is about to discard most of the corpus.
+    *
+    * Scale shape: the clustering's own cost + two partial-aggregated
+    * rollups (rep_id → size, size → count), both on relations bounded
+    * by |docs| and |distinct sizes|. */
+  def dedupClusterSizes(docs: DataFrame, minMatch: Long = 8L): DataFrame =
+    dedupClusters(docs, minMatch)
+      .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** Oracle twin of [[dedupClusterSizes]] — the component closure
+    * re-rolled to the size histogram. */
+  def dedupClusterSizesSql(minMatch: Long = 8L): String =
+    s"""WITH RECURSIVE ${componentCtes(minMatch)},
+       |cs AS (
+       |  SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM rep GROUP BY rep_id
+       |)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY cluster_size
+       |ORDER BY cluster_size, n_clusters""".stripMargin
+
   /** The FULL dedup chain on accent-folded text — fingerprints, shingles,
     * signatures, candidate pairs, and components all operate on the
     * normalized form, so "café au lait" and "cafe au lait" unite even
@@ -1830,4 +1858,27 @@ object Dedup {
        |SELECT doc_a, doc_b, n_match, n_match / ${NumHashes}e0 AS est_jaccard
        |FROM scored
        |ORDER BY doc_a, doc_b, n_match, est_jaccard""".stripMargin
+
+  /** Near-dup threshold calibration — the S-curve read off the corpus
+    * itself: per signature-agreement level (0..16), how many candidate
+    * pairs scored it. THE report behind choosing `minMatch`: the banded
+    * candidate set is fixed, so every possible threshold's yield is one
+    * prefix sum of this histogram — tune the knob from 17 rows instead
+    * of re-running the pairing per candidate value. A healthy corpus
+    * shows the bimodal shape (band-collision noise piled at low
+    * agreement, true near-dups at high); mass in the middle is the
+    * boilerplate/template gray zone the threshold is actually deciding.
+    *
+    * Scale shape: [[nearDupPairs]]' exact plan (checkpointed bands,
+    * codegen bucket self-join, pair dedup) with the pair stream
+    * collapsed map-side into ≤17 rows — strictly cheaper than
+    * materializing the pairs it summarizes. */
+  def nearDupScoreHist(docs: DataFrame): DataFrame =
+    nearDupPairs(docs).groupBy("n_match").agg(count(lit(1)).as("n_pairs"))
+
+  def nearDupScoreHistSql: String =
+    s"""WITH $nearDupPairCtesSql
+       |SELECT n_match, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM scored GROUP BY n_match
+       |ORDER BY n_match, n_pairs""".stripMargin
 }

@@ -391,6 +391,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusKeepStats is exactly the verdict relation's combination rollup") {
+    val benchText = "zebra yak xylophone wombat vulture tiger snake rhino " +
+      "quail panda otter newt mole lemur koala jackal"
+    val leak = "intro words then " + benchText + " trailing words here"
+    val corpus = docs((1L, base), (2L, base), (3L, nearDup),
+      (4L, unrelated), (5L, lowQuality), (6L, leak))
+    val bench = docs((100L, benchText))
+    val cols = Seq("is_exact_dup", "is_near_dup", "quality_ok",
+      "gopher_keep", "classifier_keep", "is_contaminated", "keep")
+    val expect = Curation.corpusKeepFull(corpus, bench).collect()
+      .map(r => cols.map(r.getAs[Boolean]))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = Curation.corpusKeepStats(corpus, bench).collect()
+      .map(r => cols.map(r.getAs[Boolean]) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === expect)
+    assert(got.values.sum === 6L) // every doc in exactly one combination
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))

@@ -284,6 +284,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) === 42L - W + 1L) // the copy shares base's full shingle set
   }
 
+  test("nearDupScoreHist is exactly the pair relation's agreement histogram") {
+    val fixture = docs((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " trailing extra tokens here"), (5L, "tiny doc of words"))
+    val pairs = Dedup.nearDupPairs(fixture).collect()
+      .map(_.getAs[Long]("n_match"))
+    val hist = Dedup.nearDupScoreHist(fixture).collect()
+      .map(r => r.getAs[Long]("n_match") -> r.getAs[Long]("n_pairs")).toMap
+    val expect = pairs.groupBy(identity).map { case (m, xs) => m -> xs.size.toLong }
+    assert(hist === expect)
+    assert(hist.values.sum === pairs.length.toLong)
+  }
+
+  test("dedupClusterSizes: planted sizes, and sizes tile the corpus") {
+    // 1,2 exact copies; 3 near-dups them (one component of 3); 4, 5
+    // unrelated singletons
+    val fixture = docs((1L, base), (2L, base), (3L, nearDup),
+      (4L, unrelated), (5L, "another completely different text body"))
+    val out = Dedup.dedupClusterSizes(fixture).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(out === Map(3L -> 1L, 1L -> 2L))
+    val mass = out.map { case (sz, n) => sz * n }.sum
+    assert(mass === 5L)
+  }
+
   test("contaminationOverlap reports the shared fraction, clean docs included at 0") {
     // same fixture as the flag test: the exact copy overlaps 100%, the
     // one-token near-dup loses exactly W of its 30 shingles, and the
