@@ -140,6 +140,16 @@ object SparkEntry {
           .union(e.select(col("dst").as("node")))
           .filter(col("node") % 10 === 0))
     }),
+    // Multi-source BFS: min hop count from the modular seed set within
+    // 6 directed hops; unreached nodes absent.
+    "graph_distances" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = edges(s, dir)
+      GraphPatterns.graphDistances(e,
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .filter(col("node") % 10 === 0))
+    }),
     // Weakly connected components via the dedup star-contraction.
     "graph_components" -> ((s, dir) =>
       GraphPatterns.connectedComponents(edges(s, dir))),
@@ -686,6 +696,8 @@ object SparkEntry {
       GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql, conserve = true),
     "pagerank_personalized" ->
       GraphPatterns.pageRankPersonalizedSql(EdgeLists.lineitemEdgeSql, 10L),
+    "graph_distances" ->
+      GraphPatterns.graphDistancesSql(EdgeLists.lineitemEdgeSql, 10L),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),

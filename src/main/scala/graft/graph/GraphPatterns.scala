@@ -976,6 +976,76 @@ object GraphPatterns {
        |ORDER BY band_lo, n_nodes""".stripMargin
   }
 
+  /** Hop budget for [[graphDistances]] — six degrees of separation; the
+    * fixed-round contract every iterative operator here ships. */
+  val BfsRounds: Int = 6
+
+  /** Multi-source BFS hop distance — "how many follows away is every
+    * account from THESE accounts": per node reachable from the seed set
+    * within [[BfsRounds]] directed hops, the exact minimum hop count.
+    * The frontier-expansion shape [[pageRank]]'s mass-flow rounds don't
+    * cover (min-plus semiring instead of sum-times): per round
+    * d(v) = min(d(v), min over u→v of d(u)+1), seeds start at 0,
+    * unreached nodes are ABSENT (not ∞ — the report is
+    * reachability-supported, left-join a node domain to flag the rest).
+    * Distances travel edge DIRECTION (who you can reach by following),
+    * over the distinct edge relation — multiplicity cannot shorten a
+    * path. Off-graph seeds are ignored via the node-domain semi join
+    * (the [[pageRankPersonalized]] discipline).
+    *
+    * Scale shape: per round ONE equi-join of the distance relation
+    * against the once-checkpointed distinct edges + ONE partial-agg min
+    * (both on the 8-byte node key, AQE-splittable), checkpointed so
+    * plans stay round-deep; the distance relation only GROWS toward the
+    * reachable set, and converged nodes are carried (not re-expanded —
+    * the min folds duplicates map-side). */
+  def graphDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = BfsRounds, max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"graphDistances needs rounds >= 1 (got $rounds)")
+    val e = maxFilter(edges, max).select(col("src"), col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes
+      .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.select(col("node"), col("dist")).union(next)
+        .groupBy("node").agg(min("dist").as("dist")).localCheckpoint()
+    }
+    dist
+  }
+
+  /** Oracle twin of [[graphDistances]] with the query entry's modular
+    * seed set (`node % seedMod = 0`) — relaxation rounds unrolled as
+    * MATERIALIZED CTEs (each round is referenced twice: carry + expand;
+    * the kCoreSql inlining lesson). */
+  def graphDistancesSql(edgeSql: String, seedMod: Long,
+      rounds: Int = BfsRounds, max: Option[Long] = None): String = {
+    require(rounds >= 1, s"graphDistancesSql needs rounds >= 1 (got $rounds)")
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    val rs = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${k - 1} d JOIN e ON e.src = d.node
+         |  ) t GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges$pred),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       |       WHERE node % $seedMod = 0),
+       |$rs
+       |SELECT node, dist FROM d$rounds
+       |ORDER BY node, dist""".stripMargin
+  }
+
   /** Degree-mixing matrix — "who follows whom, by popularity band": per
     * directed edge (multiplicity counted — each follow is an
     * observation), the follower's OUT-degree band × the followed

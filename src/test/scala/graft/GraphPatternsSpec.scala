@@ -409,6 +409,38 @@ class GraphPatternsSpec extends AnyFunSuite {
     }
   }
 
+  def distancesOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      rounds: Int = GraphPatterns.BfsRounds): Map[Long, Long] = {
+    import spark.implicits._
+    GraphPatterns.graphDistances(df(edges), seeds.toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("graphDistances golden: directed chain, unreached absent") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L))
+    // from {1}: forward hops only — 9 is upstream and must be absent
+    assert(distancesOf(chain, Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // from the sink {4}: nothing reachable but itself
+    assert(distancesOf(chain, Seq(4L)) === Map(4L -> 0L))
+    // multi-source: the min over seeds wins per node
+    assert(distancesOf(chain, Seq(9L, 3L)) ===
+      Map(9L -> 0L, 3L -> 0L, 1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("graphDistances: multiplicity can't shorten paths; off-graph seeds ignored") {
+    val g = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 3L))
+    assert(distancesOf(g, Seq(1L, 777L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("graphDistances: the hop budget has converged on the sample graph") {
+    // sample diameter < 6, so round 7 changes nothing
+    val at6 = distancesOf(sample, Seq(1L))
+    val at7 = distancesOf(sample, Seq(1L), rounds = 7)
+    assert(at6 === at7)
+    assert(at6.values.max <= 6L)
+  }
+
   test("degreeMixing golden: star puts every follow in the (hub-out, leaf-in) cell") {
     // 0→1,0→2,0→3: follower out-deg 3 (band 2) on every edge, followed
     // in-deg 1 (band 1) — one cell, three observations
