@@ -167,6 +167,65 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, (T + 2 * H) / 1000, (T + 2 * H) / 1000, 400L, false)))
   }
 
+  /** Runs the funnel stream over `chunks` (one trigger each, via
+    * processAllAvailable between addData calls) and returns the LAST
+    * emitted row per user — the forward-only state makes "last" well
+    * defined as the max-stage row (within a stage the times are frozen,
+    * so any max-stage row is THE row). */
+  def runFunnel(chunks: Seq[Ev]*): Map[Long, (Option[Long], Option[Long], Option[Long], Long)] = {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val events = src.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"funnel_out_${System.nanoTime()}"
+    val q = graft.streaming.FunnelStream.progress(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      for (c <- chunks) { src.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def opt(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    spark.table(name).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) =>
+        val r = rows.maxBy(_.getAs[Long]("stage"))
+        u -> ((opt(r, 1), opt(r, 2), opt(r, 3), r.getAs[Long]("stage")))
+      }
+  }
+
+  test("streaming funnel = batch funnel on ordered delivery, one and many triggers") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "purchase", 0.0, "{}"),
+      (3L, T, 2L, "view", 0.0, "{}"),
+      (4L, T + H, 2L, "click", 0.0, "{}"),
+      (5L, T, 3L, "view", 0.0, "{}"),
+      (6L, T, 4L, "click", 0.0, "{}"))
+    val batch = graft.events.Events.funnel(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getAs[Long]("user_id") -> ((opt(1), opt(2), opt(3), r.getAs[Long]("stage")))
+      }.toMap
+    // one trigger, deliberately shuffled inside it (the in-trigger
+    // re-sort must absorb the disorder)
+    assert(runFunnel(scala.util.Random.shuffle(rows)) === batch)
+    // event-time-ordered split across three triggers
+    val byTime = rows.sortBy(e => (e._2, e._1))
+    assert(runFunnel(byTime.take(3), byTime.slice(3, 5), byTime.drop(5)) === batch)
+  }
+
+  test("streaming funnel: purchase before the first view doesn't count (ordered)") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "purchase", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "click", 0.0, "{}"))
+    val out = runFunnel(rows)
+    assert(out(1L) === ((Some((T + H) / 1000), Some((T + 2 * H) / 1000), None, 2L)))
+  }
+
   test("streaming session_window splits on the same 4h gap as batch sessionize") {
     val rows: Seq[Ev] = Seq(
       (0L, T, 1L, "view", 1.00, "{}"),
