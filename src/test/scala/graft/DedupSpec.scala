@@ -284,6 +284,58 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) === 42L - W + 1L) // the copy shares base's full shingle set
   }
 
+  test("persisted bands bucketed by (band, band_hash): the corpus probe is co-located") {
+    // The incremental/streaming docstring claim (incrementalNearDupPairs,
+    // corpusMatches: "bucketed by (band, band_hash) at scale, so the join
+    // is co-located") proven the GraphSkewSpec way: write the persisted
+    // band relation bucketed on the join key, probe it with a shard's
+    // banded rows, walk the plan — the bucketed corpus subtree must hold
+    // ZERO shuffles; the (small) shard side carries the join's exchange.
+    // AQE off so the tree is walkable, broadcast off so the corpus-sized
+    // join shape is the one planned.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val corpus = Seq((1L, base, "en"), (2L, unrelated, "en"))
+      .toDF("doc_id", "text", "lang")
+    val shard = Seq((100L, nearDup, "en")).toDF("doc_id", "text", "lang")
+    try {
+      Dedup.signatureBands(corpus).write
+        .bucketBy(8, "band", "band_hash").sortBy("band", "band_hash")
+        .mode("overwrite").saveAsTable("bands_bkt")
+      val probe = Dedup.corpusMatches(
+        Dedup.signatureBandsKeeping(shard).localCheckpoint(),
+        s2.table("bands_bkt"), minMatch = 0L)
+      val plan = probe.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected a sort-merge join:\n$plan")
+      def shuffles(p: SparkPlan): Int =
+        p.collect { case _: ShuffleExchangeExec => 1 }.sum
+      def isCorpusSide(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      val (corpusSide, shardSide) =
+        if (isCorpusSide(smj.get.left)) (smj.get.left, smj.get.right)
+        else (smj.get.right, smj.get.left)
+      assert(isCorpusSide(corpusSide), s"no bucketed scan under either side:\n$plan")
+      assert(shuffles(corpusSide) === 0,
+        s"bucketed corpus side still shuffles:\n$corpusSide")
+      assert(shuffles(shardSide) >= 1,
+        s"shard side should carry the join's exchange:\n$shardSide")
+      // the co-located probe really matches: the near-dup shard doc
+      // band-collides with its corpus original
+      assert(probe.collect().map(_.getAs[Long]("corpus_doc_id")).contains(1L))
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS bands_bkt")
+    }
+  }
+
   test("nearDupScoreHist is exactly the pair relation's agreement histogram") {
     val fixture = docs((1L, base), (2L, nearDup), (3L, unrelated),
       (4L, base + " trailing extra tokens here"), (5L, "tiny doc of words"))
