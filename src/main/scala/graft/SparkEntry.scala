@@ -150,6 +150,10 @@ object SparkEntry {
           .union(e.select(col("dst").as("node")))
           .filter(col("node") % 10 === 0))
     }),
+    // Label-propagation communities (deterministic min-tie-break LPA):
+    // the dense-region clustering one giant weak component hides.
+    "graph_communities" -> ((s, dir) =>
+      GraphPatterns.labelCommunities(edges(s, dir))),
     // Weakly connected components via the dedup star-contraction.
     "graph_components" -> ((s, dir) =>
       GraphPatterns.connectedComponents(edges(s, dir))),
@@ -698,6 +702,8 @@ object SparkEntry {
       GraphPatterns.pageRankPersonalizedSql(EdgeLists.lineitemEdgeSql, 10L),
     "graph_distances" ->
       GraphPatterns.graphDistancesSql(EdgeLists.lineitemEdgeSql, 10L),
+    "graph_communities" ->
+      GraphPatterns.labelCommunitiesSql(EdgeLists.lineitemEdgeSql),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),

@@ -976,6 +976,98 @@ object GraphPatterns {
        |ORDER BY band_lo, n_nodes""".stripMargin
   }
 
+  /** Round budget for [[labelCommunities]] — LPA converges in a handful
+    * of rounds on social graphs (the published behavior); fixed and
+    * oracle-unrolled like every iterative operator here. */
+  val LpaRounds: Int = 4
+
+  /** Community detection via synchronous label propagation (LPA,
+    * Raghavan et al. 2007) with DETERMINISTIC min-tie-break — the
+    * "which accounts cluster together" operator connected components
+    * cannot express (a social graph is usually ONE giant weak
+    * component; communities are its dense interior regions). Labels
+    * start as node ids; each round every node adopts the label with the
+    * greatest total edge multiplicity among its undirected neighbors,
+    * ties broken by the SMALLEST label — the published algorithm's
+    * random tie-break replaced by an exact total order, because a
+    * deterministic engine (and a hash-matching oracle) cannot flip
+    * coins. Output after [[LpaRounds]] rounds: (node, community_id),
+    * the label itself (a member's node id).
+    *
+    * Scale shape: the symmetric weighted adjacency is checkpointed
+    * ONCE; per round, ONE equi-join of the label relation against it +
+    * one (node, label) partial-agg vote count + the argmax resolved as
+    * max-count join + min-label agg (two more node-keyed partial aggs)
+    * — every shuffle on the 8-byte node key, AQE-splittable, plans
+    * round-deep via per-round checkpoints. The vote relation is
+    * bounded by the adjacency size, never nodes × labels. */
+  def labelCommunities(edges: DataFrame, rounds: Int = LpaRounds,
+      max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"labelCommunities needs rounds >= 1 (got $rounds)")
+    val w = weightedEdges(
+      maxFilter(edges, max).filter(col("src") =!= col("dst")))
+    // symmetric adjacency with multiplicity weights: a double follow
+    // votes twice, direction doesn't (community is direction-blind)
+    val adj = w.select(col("src").as("node"), col("dst").as("nbr"), col("w"))
+      .union(w.select(col("dst").as("node"), col("src").as("nbr"), col("w")))
+      .groupBy("node", "nbr").agg(sum("w").as("wt"))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(
+          labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy("node", "label").agg(sum("wt").as("cnt"))
+      val maxc = votes.groupBy("node")
+        .agg(org.apache.spark.sql.functions.max(col("cnt")).as("m"))
+      labels = votes.join(maxc, Seq("node"))
+        .filter(col("cnt") === col("m"))
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community_id"))
+  }
+
+  /** Oracle twin of [[labelCommunities]] — vote/argmax rounds unrolled
+    * as MATERIALIZED CTEs (each round's vote relation is referenced
+    * twice: the count and its max — the kCoreSql inlining lesson). */
+  def labelCommunitiesSql(edgeSql: String, rounds: Int = LpaRounds,
+      max: Option[Long] = None): String = {
+    require(rounds >= 1, s"labelCommunitiesSql needs rounds >= 1 (got $rounds)")
+    val andPred = max.fold("")(m => s" AND src < $m AND dst < $m")
+    val rs = (1 to rounds).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT a.node AS node, l.label AS label, CAST(sum(a.wt) AS BIGINT) AS cnt
+         |  FROM adj a JOIN l${k - 1} l ON l.node = a.nbr
+         |  GROUP BY a.node, l.label
+         |),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.node AS node, min(v.label) AS label
+         |  FROM v$k v JOIN (
+         |    SELECT node, max(cnt) AS m FROM v$k GROUP BY node
+         |  ) mx ON mx.node = v.node AND v.cnt = mx.m
+         |  GROUP BY v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |w AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges
+       |  WHERE src <> dst$andPred GROUP BY src, dst
+       |),
+       |adj AS (
+       |  SELECT node, nbr, CAST(sum(w) AS BIGINT) AS wt FROM (
+       |    SELECT src AS node, dst AS nbr, w FROM w
+       |    UNION ALL
+       |    SELECT dst AS node, src AS nbr, w FROM w
+       |  ) t GROUP BY node, nbr
+       |),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       |$rs
+       |SELECT node, label AS community_id FROM l$rounds
+       |ORDER BY node, community_id""".stripMargin
+  }
+
   /** Hop budget for [[graphDistances]] — six degrees of separation; the
     * fixed-round contract every iterative operator here ships. */
   val BfsRounds: Int = 6

@@ -409,6 +409,44 @@ class GraphPatternsSpec extends AnyFunSuite {
     }
   }
 
+  def communitiesOf(edges: Seq[(Long, Long)],
+      rounds: Int = GraphPatterns.LpaRounds): Map[Long, Long] =
+    GraphPatterns.labelCommunities(df(edges), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** All directed edges of a clique over `ids` (one direction per pair —
+    * LPA is direction-blind, so one suffices). */
+  def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b)
+
+  test("labelCommunities golden: two bridged 4-cliques split at the bridge") {
+    // hand-unrolled: clique {1..4} converges to label 1 by round 2;
+    // clique {5..8} flirts with the bridge label (node 5 ties to 4 in
+    // round 1) but its triangle majority pulls it back to 5 by round 2;
+    // both stable thereafter — one community per clique, bridge intact
+    val g = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+
+      ((4L, 5L))
+    val out = communitiesOf(g)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+
+  test("labelCommunities: multiplicity outvotes degree; self-loops ignored") {
+    // node 3's single neighbor-by-distinct-edge count ties 1 vs 2, but
+    // the doubled edge to 2 carries weight 2 — multiplicity decides
+    val g = Seq((1L, 3L), (2L, 3L), (2L, 3L), (3L, 3L))
+    val out = communitiesOf(g, rounds = 1)
+    assert(out(3L) === 2L)
+  }
+
+  test("labelCommunities: disconnected cliques never share a label") {
+    val g = clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L))
+    val out = communitiesOf(g)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(Set(out(10L), out(11L), out(12L)).size === 1)
+    assert(out(1L) !== out(10L))
+  }
+
   def distancesOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
       rounds: Int = GraphPatterns.BfsRounds): Map[Long, Long] = {
     import spark.implicits._
