@@ -631,6 +631,10 @@ object SparkEntry {
     // at each active day offset.
     "events_retention" -> ((s, dir) =>
       Events.retention(graft.Tables.events(s, dir))),
+    // Funnel with a 48h conversion window: stages 2/3 only count within
+    // the window of the user's first stage-1 event.
+    "events_funnel_windowed" -> ((s, dir) =>
+      Events.funnelWindowed(graft.Tables.events(s, dir))),
     // Rolling 7-day distinct actives per day (WAU) — the sliding
     // distinct count via bounded map-side coverage explode.
     "events_wau" -> ((s, dir) =>
@@ -805,6 +809,7 @@ object SparkEntry {
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),
     "events_funnel" -> Events.funnelSql(),
+    "events_funnel_windowed" -> Events.funnelWindowedSql(),
     "events_retention" -> Events.retentionSql,
     "events_wau" -> Events.rollingActiveUsersSql(),
   )

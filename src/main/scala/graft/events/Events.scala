@@ -232,6 +232,84 @@ object Events {
        |ORDER BY user_id, t1_us, t2_us, t3_us, stage""".stripMargin
   }
 
+  /** Conversion window for the [[funnelWindowed]] query entry: 48 h. */
+  val FunnelWindowSeconds: Long = 172800L
+
+  /** [[funnel]] with a CONVERSION WINDOW — the semantics attribution
+    * actually uses: stages 2 and 3 only count within `windowSeconds` of
+    * the user's stage-1 time (a purchase three months after the first
+    * view is not this campaign's conversion). Same sequential-minimum
+    * chain with the window bound added to each qualifying filter; the
+    * unbounded [[funnel]] is the windowSeconds → ∞ limit. Stage times
+    * keep [[funnel]]'s strict ordering (t1 < t2 < t3 ≤ t1 + window).
+    *
+    * Scale shape: identical to [[funnel]] — the window bound is a
+    * per-row predicate on the already-joined (ts, t1) pair, free. */
+  def funnelWindowed(events: DataFrame,
+      windowSeconds: Long = FunnelWindowSeconds,
+      stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.length == 3, s"funnel wants exactly 3 stages (got $stages)")
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1 (got $windowSeconds)")
+    val windowUs = windowSeconds * 1000000L
+    val e = events.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    val users = e.select("user_id").distinct()
+    val s1 = e.filter(col("event_type") === stages(0))
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val s2 = e.filter(col("event_type") === stages(1))
+      .join(s1, "user_id")
+      .filter(col("ts_us") > col("t1_us") &&
+        col("ts_us") <= col("t1_us") + windowUs)
+      .groupBy("user_id").agg(min("ts_us").as("t2_us"), min("t1_us").as("t1w_us"))
+    val s3 = e.filter(col("event_type") === stages(2))
+      .join(s2, "user_id")
+      .filter(col("ts_us") > col("t2_us") &&
+        col("ts_us") <= col("t1w_us") + windowUs)
+      .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+    users.join(s1, Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("t2_us")), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3L)
+          .when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+  }
+
+  def funnelWindowedSql(windowSeconds: Long = FunnelWindowSeconds,
+      stages: Seq[String] = FunnelStages): String = {
+    require(stages.length == 3, s"funnelSql wants exactly 3 stages (got $stages)")
+    val windowUs = windowSeconds * 1000000L
+    val Seq(a, b, c) = stages
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+       |), u AS (
+       |  SELECT DISTINCT user_id FROM e
+       |), s1 AS (
+       |  SELECT user_id, min(ts_us) AS t1_us FROM e
+       |  WHERE event_type = '$a' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(ts_us) AS t2_us, min(t1_us) AS t1w_us
+       |  FROM e JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE event_type = '$b' AND ts_us > t1_us
+       |    AND ts_us <= t1_us + $windowUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(ts_us) AS t3_us
+       |  FROM e JOIN s2 ON s2.user_id = e.user_id
+       |  WHERE event_type = '$c' AND ts_us > t2_us
+       |    AND ts_us <= t1w_us + $windowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT u.user_id, t1_us, t2_us, t3_us,
+       |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+       |            WHEN t2_us IS NOT NULL THEN 2
+       |            WHEN t1_us IS NOT NULL THEN 1
+       |            ELSE 0 END AS BIGINT) AS stage
+       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |  LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id, t1_us, t2_us, t3_us, stage""".stripMargin
+  }
+
   /** Epoch-µs per day. */
   private val DayUs = 86400000000L
 

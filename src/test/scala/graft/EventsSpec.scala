@@ -137,6 +137,42 @@ class EventsSpec extends AnyFunSuite {
     assert(out(1L)._2 === Some((T + 5 * H) / 1000))
   }
 
+  test("funnelWindowed: the window truncates stages; wide window equals funnel") {
+    val rows = Seq(
+      // user 1: click at +1h (inside a 2h window), purchase at +3h (outside)
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 3 * H, 1L, "purchase", 0.0, "{}"),
+      // user 2: click only at +3h — outside the window entirely
+      (3L, T, 2L, "view", 0.0, "{}"),
+      (4L, T + 3 * H, 2L, "click", 0.0, "{}"))
+    val out = Events.funnelWindowed(events(rows: _*), windowSeconds = 7200L)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getAs[Long]("user_id") -> ((opt(1), opt(2), opt(3), r.getAs[Long]("stage")))
+      }.toMap
+    val t = T / 1000; val h = H / 1000
+    assert(out(1L) === ((Some(t), Some(t + h), None, 2L)))
+    assert(out(2L) === ((Some(t), None, None, 1L)))
+    // a window wider than the data span reproduces the unbounded funnel
+    val wide = Events.funnelWindowed(events(rows: _*), windowSeconds = 864000L)
+      .collect().map(_.toSeq).toSet
+    val unbounded = Events.funnel(events(rows: _*)).collect().map(_.toSeq).toSet
+    assert(wide === unbounded)
+  }
+
+  test("funnelWindowed: the window anchors at t1, not at t2") {
+    // click at +1h, purchase at +2.5h: inside 2h of the CLICK but
+    // outside 2h of the first view — must not count
+    val rows = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 5 * H / 2, 1L, "purchase", 0.0, "{}"))
+    val out = Events.funnelWindowed(events(rows: _*), windowSeconds = 7200L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+    assert(out(1L) === 2L)
+  }
+
   val D: Long = 24L * H // one day in ns
 
   test("retention golden: day-zero cohort sizes and comeback offsets") {
