@@ -660,6 +660,16 @@ object SparkEntry {
       "rsjoin_triangles" -> over(GraphSql.triangleCounterSql(Some(PathMax))),
       "repjoin_triangles" -> over(
         GraphSql.triangleCounterSql(Some(PathMax), broadcastClosing = true)),
+      // the non-iterative graph extensions (plan-equality holds for the
+      // checkpoint-free operators; the iterative family's eager
+      // localCheckpoint rounds have no SQL twin by construction)
+      "mutual_follows" -> over(GraphSql.mutualFollowsSql()),
+      "degree_report" -> over(GraphSql.degreeReportSql()),
+      "degree_histogram" -> over(GraphSql.degreeHistogramSql()),
+      "degree_mixing" -> over(GraphSql.degreeMixingSql()),
+      "triangle_participation" -> over(
+        GraphSql.triangleParticipationSql(Some(PathMax))),
+      "follow_suggestions" -> over(GraphSql.followSuggestionsSql()),
     )
   }
 

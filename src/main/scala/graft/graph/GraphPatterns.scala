@@ -938,7 +938,7 @@ object GraphPatterns {
     * Bands [2^i, 2^(i+1)) for i ∈ 0..40; degrees are ≥ 1 by
     * construction (a node exists only via an incident edge) and the
     * else arm catches > 2^41 (no real graph's multiplicity degree). */
-  private def degreeBandSql(c: String): String = {
+  private[graph] def degreeBandSql(c: String): String = {
     val whens = (0 to 40)
       .map(i => s"WHEN $c < ${1L << (i + 1)} THEN ${1L << i}")
       .mkString(" ")

@@ -27,6 +27,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"token_profile reads more than it uses: $readSchema")
   }
 
+  test("events_wau attaches the span cap as a broadcast HASH join") {
+    // the regression this session's audit caught: a lit(1) key added on
+    // the probe side folds away, leaving no equi-key and a nested-loop
+    // join; the key must originate on the checkpointed days relation.
+    // The global no-nested-loop sweep forbids the failure mode; this
+    // pins the intended shape so the fix can't silently degrade.
+    val p = plan("events_wau")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast span attach in:\n$p")
+  }
+
+  test("events_funnel joins and aggregates only on user_id (one partitioning)") {
+    // every hashpartitioning in the funnel plan must key on user_id —
+    // the chain is designed so ONE partitioning serves all three stage
+    // minima and the assembly joins
+    val p = plan("events_funnel")
+    val parts = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, s"expected hash partitionings in:\n$p")
+    assert(parts.forall(_.startsWith("user_id")),
+      s"funnel shuffles on non-user keys: $parts")
+  }
+
   test("embed_knn broadcasts the filtered query side as a hash join") {
     // The scoring join is vec_id =!= query_id (non-equi) AND
     // size(qqv) === size(qv) — the dimensionality guard doubles as an
