@@ -556,6 +556,10 @@ object SparkEntry {
     // sentinel bands for un-scorable and zero vectors.
     "embed_norm_stats" -> ((s, dir) =>
       Similarity.embedNormStats(graft.Tables.embeddings(s, dir))),
+    // Similarity-structure report: all-pairs cosine over a bounded
+    // sample prefix, banded to 1/20ths.
+    "embed_sim_hist" -> ((s, dir) =>
+      Similarity.embedSimHist(graft.Tables.embeddings(s, dir))),
     "embed_knn" -> ((s, dir) =>
       Similarity.embedKnn(graft.Tables.embeddings(s, dir))),
     "embed_ann_pairs" -> ((s, dir) =>
@@ -805,6 +809,7 @@ object SparkEntry {
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "incremental_simhash" -> Dedup.incrementalSimhashPairsSql(),
     "embed_norm_stats" -> Similarity.embedNormStatsSql,
+    "embed_sim_hist" -> Similarity.embedSimHistSql(),
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),

@@ -261,6 +261,57 @@ object Similarity {
        |FROM n GROUP BY n_dims, norm2_band
        |ORDER BY n_dims, norm2_band, n_vecs""".stripMargin
 
+  /** Sample-prefix size for [[embedSimHist]] — ≤ nSample·(nSample−1)/2
+    * pairs regardless of corpus size. */
+  val SimHistSample: Long = 200L
+
+  /** Cosine-similarity histogram over a deterministic sample — the
+    * similarity-STRUCTURE report next to [[embedNormStats]]' per-vector
+    * health: all-pairs cosine over the `vec_id < nSample` prefix,
+    * banded to 1/20ths (`cos_band = floor(cos·20)` ∈ −20..20). What it
+    * reads off: a post-dedup corpus piles near 0 (semantically
+    * diverse), a mode creeping toward 20 is the semantic-collapse /
+    * template signal [[semanticDedup]] exists to cut, and a shifted
+    * mode is the unnormalized-embedding signature. Quantized cosine is
+    * bit-identical to the scoring path, so the bands are exactly the
+    * similarities [[embedKnn]] would report.
+    *
+    * Scale shape: the sample prefix is absolute (≤ nSample·(nSample−1)/2
+    * pairs at ANY corpus size), broadcast on one side with the
+    * dimensionality guard as the equi-key (the [[embedKnn]] trick — a
+    * BroadcastHashJoin, never a cartesian); the corpus pays one pruned
+    * scan (`vec_id < nSample` reaches the parquet scan). A production
+    * deployment swaps the prefix for a hash-threshold sample sized to
+    * budget — the prefix keeps the oracle trivial and the bench stable. */
+  def embedSimHist(embeds: DataFrame,
+      nSample: Long = SimHistSample): DataFrame = {
+    val v = vectors(embeds).filter(col("vec_id") < nSample).localCheckpoint()
+    val a = v.select(col("vec_id").as("ida"), col("qv").as("qa"),
+      col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("idb"), col("qv").as("qb"),
+      col("nrm").as("nb"))
+    broadcast(a)
+      .join(b, col("ida") < col("idb") && size(col("qa")) === size(col("qb")))
+      .select(floor(dot(v, col("qa"), col("qb")).cast("double")
+          / (col("na") * col("nb")) * lit(20.0)).cast("long").as("cos_band"))
+      .groupBy("cos_band").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Oracle twin of [[embedSimHist]] — same quantize/dot/sqrt/divide
+    * IEEE chain (double arithmetic is bit-identical across the two
+    * engines, the embed_knn precedent), same left-associative
+    * `(dot / (na·nb)) · 20` order before the floor. */
+  def embedSimHistSql(nSample: Long = SimHistSample): String =
+    s"""WITH $vectorsCte,
+       |s AS (SELECT vec_id, qv, nrm FROM vecs WHERE vec_id < $nSample)
+       |SELECT cos_band, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+       |  SELECT CAST(floor((CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+       |      i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm)) * 20.0)
+       |    AS BIGINT) AS cos_band
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND len(a.qv) = len(b.qv)
+       |) GROUP BY cos_band
+       |ORDER BY cos_band, n_pairs""".stripMargin
+
   /** Exact k-nearest-neighbors by cosine for the query set
     * `vec_id < nQueries`: broadcast the (small) query side, score every
     * corpus vector against every query in one scan, reduce with the

@@ -574,6 +574,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("embedSimHist golden: orthogonal, 0.6 and 0.8 cosines band exactly") {
+    // pairs: (1,2) cos 0 → band 0; (1,3) cos 0.6 → 12; (2,3) cos 0.8 → 16
+    val out = Similarity.embedSimHist(embeds(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.6f, 0.8f))))
+      .collect().map(r => r.getAs[Long]("cos_band") -> r.getAs[Long]("n_pairs")).toMap
+    assert(out === Map(0L -> 1L, 12L -> 1L, 16L -> 1L))
+  }
+
+  test("embedSimHist: pair totals are the sample's n·(n−1)/2") {
+    import org.apache.spark.sql.functions.sum
+    val vecs = (1L to 20L).map(i =>
+      (i, Seq((i % 7).toFloat / 7f + 0.1f, (i % 5).toFloat / 5f + 0.1f, 0.3f)))
+    val total = Similarity.embedSimHist(embeds(vecs: _*))
+      .agg(sum("n_pairs")).first().getLong(0)
+    assert(total === 20L * 19L / 2L)
+  }
+
   test("embedNormStats: healthy band plus the -1/0 pathology sentinels") {
     // (0.6, 0.8) quantizes to (600000, 800000): nrm² = 10¹² exactly,
     // whose band floor is 2³⁹; the zero vector lands in band 0; a NULL
