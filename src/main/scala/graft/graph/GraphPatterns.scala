@@ -994,6 +994,16 @@ object GraphPatterns {
     * coins. Output after [[LpaRounds]] rounds: (node, community_id),
     * the label itself (a member's node id).
     *
+    * Known artifact, inherited from SYNCHRONOUS updates (Raghavan et
+    * al. §3 discuss it): on bipartite-symmetric regions labels can
+    * OSCILLATE — an isolated edge {a, b} swaps labels every round and
+    * an even round count hands each node its own label back
+    * (spec-pinned). Real community structure (any triangle) breaks the
+    * symmetry; the published fix is semi-synchronous coloring, which
+    * would trade the fixed-round oracle contract for order dependence —
+    * documented-not-taken. Dense cores converge in 2-3 rounds
+    * regardless, which is what [[LpaRounds]] is sized for.
+    *
     * Scale shape: the symmetric weighted adjacency is checkpointed
     * ONCE; per round, ONE equi-join of the label relation against it +
     * one (node, label) partial-agg vote count + the argmax resolved as

@@ -55,6 +55,34 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
         col("n_events"), col("n_users_approx"), col("sum_value_cents"), col("sum_k"))
 
+  /** Epoch-µs per day (the batch retention/WAU day arithmetic). */
+  private val DayUs = 86400000000L
+
+  /** Streaming EXACT daily active users — the dedup-then-count spelling
+    * that recovers an exact distinct where the naive aggregate cannot
+    * stream (this file's header note: `count(DISTINCT)` is not
+    * incrementally executable; `approx_count_distinct` is the one-shot
+    * workaround the hourly rollup uses). Here the distinct is made
+    * MERGEABLE instead of approximated: `dropDuplicatesWithinWatermark`
+    * on (user, day) evicts each key once the watermark passes, so every
+    * (user, day) survives exactly once into a plain streamable count —
+    * exact, with state bounded by one 16-byte key per active (user,
+    * day) inside the horizon. The 1-day tumbling window aligns to UTC
+    * epoch days, which is bit-identical to the batch family's
+    * floor-division day index ([[graft.events.Events.retention]]).
+    * The batch [[graft.events.Events.rollingActiveUsers]] at window 1
+    * is the nightly-sweep twin (spec-pinned equality). */
+  def dailyActives(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.select(eventTime.as("event_time"), col("user_id"))
+      .withWatermark("event_time", watermarkDelay)
+      .withColumn("day", expr(s"unix_micros(event_time) DIV $DayUs"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(expr(s"unix_micros(window.start) DIV $DayUs").as("day"),
+        col("n_active"))
+
   /** Streaming gap sessionization — [[graft.events.Events.sessionize]]
     * through the `session_window` state operator: per-user windows merge
     * while events arrive within `gap`, close when the watermark passes

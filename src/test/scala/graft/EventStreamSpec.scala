@@ -226,6 +226,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(1L) === ((Some((T + H) / 1000), Some((T + 2 * H) / 1000), None, 2L)))
   }
 
+  test("streaming dailyActives: exact distinct via dedup-then-count = batch WAU(1)") {
+    implicit val ctx = spark.sqlContext
+    val D = 24L * H
+    // day 0: users 1 (twice) and 2; day 1: user 1 — and a SECOND batch
+    // repeats user 2 on day 0 (inside the watermark) which must not
+    // re-count
+    val batch1: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * H, 2L, "view", 0.0, "{}"),
+      (3L, T + D, 1L, "view", 0.0, "{}"))
+    val batch2: Seq[Ev] = Seq(
+      (4L, T + D + H, 2L, "view", 0.0, "{}"),
+      (5L, T + 2 * H + 1, 2L, "view", 0.0, "{}")) // day-0 repeat, dropped
+    val src = MemoryStream[Ev]
+    val events = src.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"daily_out_${System.nanoTime()}"
+    val q = EventStream.dailyActives(events, watermarkDelay = "10 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      src.addData(batch1: _*); q.processAllAvailable()
+      src.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a day when its count grows; the final value
+    // per day is the max emitted
+    val out = spark.table(name).collect()
+      .groupBy(_.getAs[Long]("day"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("n_active")).max }
+    val expect = graft.events.Events.rollingActiveUsers(
+        (batch1 ++ batch2)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        windowDays = 1)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active")).toMap
+    assert(out === expect)
+    val d0 = T / 1000 / 86400000000L
+    assert(out === Map(d0 -> 2L, (d0 + 1) -> 2L))
+  }
+
   test("streaming session_window splits on the same 4h gap as batch sessionize") {
     val rows: Seq[Ev] = Seq(
       (0L, T, 1L, "view", 1.00, "{}"),

@@ -439,6 +439,17 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(out(3L) === 2L)
   }
 
+  test("labelCommunities: the documented synchronous oscillation on a bare edge") {
+    // an isolated edge swaps labels every round (the synchronous-LPA
+    // artifact the docstring documents): even rounds return identity,
+    // odd rounds the swap — deterministic either way, which is the
+    // contract; any triangle breaks the symmetry
+    assert(communitiesOf(Seq((1L, 2L)), rounds = 4) === Map(1L -> 1L, 2L -> 2L))
+    assert(communitiesOf(Seq((1L, 2L)), rounds = 3) === Map(1L -> 2L, 2L -> 1L))
+    assert(communitiesOf(clique(Seq(1L, 2L, 3L)), rounds = 4) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("labelCommunities: disconnected cliques never share a label") {
     val g = clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L))
     val out = communitiesOf(g)
