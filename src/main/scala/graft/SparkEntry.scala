@@ -657,6 +657,11 @@ object SparkEntry {
       GraphSql.registerEdges(edges(s, dir))
       s.sql(sql)
     }
+    def overEvents(sql: String): (SparkSession, String) => DataFrame =
+      (s, dir) => {
+        graft.events.EventsSql.registerEvents(graft.Tables.events(s, dir))
+        s.sql(sql)
+      }
     Map(
       "edge_count" -> over(GraphSql.edgeCountSql(Some(CensusMax))),
       "exact_2hop" -> over(GraphSql.twoHopCountSql(None)),
@@ -674,6 +679,14 @@ object SparkEntry {
       "triangle_participation" -> over(
         GraphSql.triangleParticipationSql(Some(PathMax))),
       "follow_suggestions" -> over(GraphSql.followSuggestionsSql()),
+      // the event-analytics family over a registered events view (the
+      // second SQL domain; events_wau stays DataFrame-only — its span
+      // cap rides a localCheckpoint no SQL text expresses)
+      "events_hourly" -> overEvents(graft.events.EventsSql.hourlyRollupSql()),
+      "events_sessions" -> overEvents(graft.events.EventsSql.sessionizeSql()),
+      "top_events_per_user" -> overEvents(
+        graft.events.EventsSql.topEventsPerUserSql()),
+      "events_retention" -> overEvents(graft.events.EventsSql.retentionSql()),
     )
   }
 

@@ -311,7 +311,7 @@ object Events {
   }
 
   /** Epoch-µs per day. */
-  private val DayUs = 86400000000L
+  private[graft] val DayUs = 86400000000L
 
   /** Floor-division day index from epoch-µs — the [[tsUs]] pmod
     * discipline (`%` truncates toward zero in both engines, so the
@@ -319,7 +319,7 @@ object Events {
     * truncating integer division a true floor for pre-epoch
     * timestamps). `divOp` is the engine's integer-divide spelling
     * (Spark `DIV`, DuckDB `//`). */
-  private def dayOf(c: String, divOp: String): String =
+  private[graft] def dayOf(c: String, divOp: String): String =
     s"($c - (($c % $DayUs + $DayUs) % $DayUs)) $divOp $DayUs"
 
   /** Cohort retention — the "do users come back" matrix every activity

@@ -19,8 +19,12 @@ class GraphSqlSpec extends AnyFunSuite {
     for ((name, fn) <- SparkEntry.sqlQueries.toSeq.sortBy(_._1)) {
       val sqlDf = fn(spark, sfDir)
       val dfDf = SparkEntry.queries(name)(spark, sfDir)
-      val sp = sqlDf.queryExecution.executedPlan.canonicalized
-      val dp = dfDf.queryExecution.executedPlan.canonicalized
+      // compare the canonicalized plans as STRINGS: structurally equal
+      // trees print identically (exprIds normalized), and on a mismatch
+      // scalatest can diff strings where its reflective object differ
+      // crashes invoking lazy plan internals
+      val sp = sqlDf.queryExecution.executedPlan.canonicalized.toString
+      val dp = dfDf.queryExecution.executedPlan.canonicalized.toString
       assert(sp === dp,
         s"$name: SQL plan differs from the DataFrame plan\n--- sql ---\n$sp\n--- df ---\n$dp")
       assert(sqlDf.collect().toSeq === dfDf.collect().toSeq,
