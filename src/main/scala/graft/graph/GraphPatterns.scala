@@ -1095,12 +1095,15 @@ object GraphPatterns {
     * path. Off-graph seeds are ignored via the node-domain semi join
     * (the [[pageRankPersonalized]] discipline).
     *
-    * Scale shape: per round ONE equi-join of the distance relation
-    * against the once-checkpointed distinct edges + ONE partial-agg min
-    * (both on the 8-byte node key, AQE-splittable), checkpointed so
-    * plans stay round-deep; the distance relation only GROWS toward the
-    * reachable set, and converged nodes are carried (not re-expanded —
-    * the min folds duplicates map-side). */
+    * Scale shape: TRUE frontier expansion — in unweighted BFS a node's
+    * first-reached round IS its min hop, so only the nodes first
+    * reached LAST round expand this round: one equi-join of the
+    * (shrinking-then-empty) frontier against the once-checkpointed
+    * distinct edges, one partial-agg min over the candidates, one
+    * anti-join against the settled set (all on the 8-byte node key,
+    * AQE-splittable), checkpointed so plans stay round-deep. Settled
+    * nodes are never re-expanded; once the frontier empties the
+    * remaining rounds are no-ops on empty relations. */
   def graphDistances(edges: DataFrame, seeds: DataFrame,
       rounds: Int = BfsRounds, max: Option[Long] = None): DataFrame = {
     require(rounds >= 1, s"graphDistances needs rounds >= 1 (got $rounds)")
@@ -1111,11 +1114,13 @@ object GraphPatterns {
     var dist = nodes
       .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
     for (_ <- 1 to rounds) {
-      val next = dist.join(e, dist("node") === e("src"))
+      val reached = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.select(col("node"), col("dist")).union(next)
-        .groupBy("node").agg(min("dist").as("dist")).localCheckpoint()
+        .groupBy("node").agg(min("dist").as("dist"))
+      frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
     }
     dist
   }

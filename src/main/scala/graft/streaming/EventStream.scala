@@ -68,15 +68,26 @@ object EventStream {
     * (user, day) survives exactly once into a plain streamable count —
     * exact, with state bounded by one 16-byte key per active (user,
     * day) inside the horizon. The 1-day tumbling window aligns to UTC
-    * epoch days, which is bit-identical to the batch family's
-    * floor-division day index ([[graft.events.Events.retention]]).
-    * The batch [[graft.events.Events.rollingActiveUsers]] at window 1
-    * is the nightly-sweep twin (spec-pinned equality). */
+    * epoch days, bit-identical to the batch family's pmod
+    * floor-division day index ([[graft.events.Events.retention]] —
+    * same spelling, so pre-epoch days floor the same way). The batch
+    * [[graft.events.Events.rollingActiveUsers]] at window 1 is the
+    * nightly-sweep twin (spec-pinned equality).
+    *
+    * EXACTNESS PRECONDITION on the delay: WithinWatermark only dedups
+    * occurrences arriving within the delay of each other, and a (user,
+    * day) key legitimately spans 24 h of event time — a delay under a
+    * day lets a morning and an evening visit of the SAME user count
+    * twice once other traffic advances the watermark between them. The
+    * default is therefore one day PLUS the late-arrival tolerance
+    * (25 h), and callers lowering it are trading exactness away
+    * knowingly. */
   def dailyActives(events: DataFrame,
-      watermarkDelay: String = "2 hours"): DataFrame =
+      watermarkDelay: String = "25 hours"): DataFrame =
     events.select(eventTime.as("event_time"), col("user_id"))
       .withWatermark("event_time", watermarkDelay)
-      .withColumn("day", expr(s"unix_micros(event_time) DIV $DayUs"))
+      .withColumn("day",
+        expr(graft.events.Events.dayOf("unix_micros(event_time)", "DIV")))
       .dropDuplicatesWithinWatermark("user_id", "day")
       .groupBy(window(col("event_time"), "1 day"))
       .agg(count(lit(1)).as("n_active"))

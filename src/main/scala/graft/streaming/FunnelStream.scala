@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
 case class FunnelEvent(user_id: Long, ts_us: Long, event_id: Long,
     event_type: String)
 
-/** Per-user funnel state: the three sequential first-times, -1 = unset.
-  * 24 bytes per user, FIXED — the state can only move forward (unset →
-  * set, values never change once set), which is what makes the funnel
+/** Per-user funnel state: the three sequential first-times,
+  * [[FunnelStream.Unset]] (Long.MinValue — no representable event time;
+  * -1 would collide with 1969-12-31T23:59:59.999999Z) = unset. 24 bytes
+  * per user, FIXED — the state can only move forward (unset → set,
+  * values never change once set), which is what makes the funnel
   * state-machine streamable at all. */
 case class FunnelState(t1_us: Long, t2_us: Long, t3_us: Long)
 
@@ -46,7 +48,11 @@ case class FunnelProgress(user_id: Long, t1_us: Option[Long],
   * timeout — the eviction policy is orthogonal to the funnel logic. */
 object FunnelStream {
 
-  private val Unset = -1L
+  /** Long.MinValue, not -1: epoch-µs -1 is a legitimate pre-epoch event
+    * time the batch funnel handles, and a sentinel colliding with it
+    * would silently re-open a decided stage. MinValue is ~292 million
+    * years before the epoch — no representable input reaches it. */
+  private[streaming] val Unset = Long.MinValue
 
   /** `events(event_id, ts epoch-ns, user_id, event_type, value, props)`
     * stream → per-user funnel progress rows. Use `OutputMode.Update`. */

@@ -1372,14 +1372,6 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
-  /** Oracle twin for the driver's fixture split (benchmark = doc_id %
-    * 50 = 0, train = the rest): both sides rebuild the tokenize→shingle
-    * chain under distinct CTE names, at the same window. */
-  /** btoks → bsh → dtoks → dsh → bdistinct → hits CTE chain — the oracle
-    * twin of [[contamination]] up to the flagged-doc relation `hits`
-    * (doc_id, n_hits ≥ minHits); shared with
-    * [[graft.text.Curation.corpusKeepFullSql]] so the decontamination
-    * spelling exists once. */
   /** btoks → bsh → dtoks → dsh → bdistinct CTE chain — both sides'
     * tokenize→shingle rebuild plus the benchmark's distinct-shingle
     * relation, shared by [[contaminationCtesSql]] (the ≥minHits flag
@@ -1405,6 +1397,11 @@ object Dedup {
        |)""".stripMargin
   }
 
+  /** [[contaminationChainSql]] extended with the `hits` CTE (doc_id,
+    * n_hits ≥ minHits) — the oracle twin of [[contamination]] up to the
+    * flagged-doc relation; shared with
+    * [[graft.text.Curation.corpusKeepFullSql]] so the decontamination
+    * spelling exists once. */
   private[text] def contaminationCtesSql(minHits: Long = 1L,
       benchPred: String = "doc_id % 50 = 0",
       window: Int = DecontaminationWindow): String =
