@@ -404,6 +404,10 @@ object SparkEntry {
       graft.text.Curation.corpusKeepFull(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // One-row dataset card: docs/langs/sources, content-derived char and
+    // token totals, distinct content, exact-dup rate in millionths.
+    "corpus_card" -> ((s, dir) =>
+      graft.text.Curation.corpusCard(graft.Tables.documents(s, dir))),
     // The five-gate verdict collapsed to the curation yield table: per
     // reason-combination document counts (<= 2^7 rows).
     "corpus_keep_stats" -> ((s, dir) => {
@@ -800,6 +804,7 @@ object SparkEntry {
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_keep_full" -> graft.text.Curation.corpusKeepFullSql(),
     "corpus_keep_stats" -> graft.text.Curation.corpusKeepStatsSql(),
+    "corpus_card" -> graft.text.Curation.corpusCardSql,
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
     "split_leak_fuzzy" -> graft.text.Curation.splitLeakFuzzySql(),
     "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),

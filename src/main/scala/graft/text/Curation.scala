@@ -188,6 +188,67 @@ object Curation {
        |  classifier_keep, is_contaminated, keep, n_docs""".stripMargin
   }
 
+  /** One-row dataset card — the header block every corpus release ships
+    * (docs/langs/sources, exact char and whitespace-token totals,
+    * distinct-content count, exact-dup rate in millionths): the summary
+    * a consumer reads before any per-doc relation, and the headline
+    * numbers a release diff compares. Counts are content-derived on the
+    * shared chains (the `tokens`/`normMd5` every operator uses — NOT
+    * the fixture's precomputed `n_chars` column, which a card must not
+    * trust), so the card cannot disagree with the operators it
+    * summarizes. NULL-text docs count in `n_docs` but contribute
+    * nothing to char/token totals and no fingerprint (both engines skip
+    * NULLs identically).
+    *
+    * Scale shape: three column-pruned corpus scans (plain aggregates,
+    * the tokenize pass, the fingerprint distinct) composed on a
+    * CHECKPOINTED constant key (the graph_summary idiom — a foldable
+    * literal key would plan the nested-loop join the audit forbids);
+    * every aggregate partial-combines map-side. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val counts = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))
+        .as("n_chars_total"))
+    val toks = docs.select(
+        greatest(coalesce(size(TextAnalysis.tokens(col("text"))), lit(0)),
+          lit(0)).cast("long").as("nt"))
+      .agg(coalesce(sum("nt"), lit(0L)).as("n_ws_tokens_total"))
+    val uniq = Dedup.contentFingerprints(docs)
+      .agg(countDistinct("fp_md5").as("n_unique_content"))
+    Seq(toks, uniq)
+      .map(df => broadcast(df.withColumn("k", lit(1)).localCheckpoint()))
+      .foldLeft(counts.withColumn("k", lit(1)).localCheckpoint()) {
+        (acc, one) => acc.join(one, Seq("k"))
+      }
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_chars_total"), col("n_ws_tokens_total"),
+        col("n_unique_content"),
+        expr("((n_docs - n_unique_content) * 1000000L) div greatest(n_docs, 1L)")
+          .as("exact_dup_millionths"))
+  }
+
+  /** Oracle twin of [[corpusCard]] — scalar subqueries over the shared
+    * token/fingerprint spellings. */
+  def corpusCardSql: String =
+    s"""SELECT *,
+       |  CAST(((n_docs - n_unique_content) * 1000000) // greatest(n_docs, 1)
+       |    AS BIGINT) AS exact_dup_millionths
+       |FROM (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       |    (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+       |    (SELECT CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM documents)
+       |      AS n_chars_total,
+       |    (SELECT CAST(coalesce(sum(len(regexp_extract_all(lower(text),
+       |        '${TextAnalysis.TokenRe}'))), 0) AS BIGINT) FROM documents)
+       |      AS n_ws_tokens_total,
+       |    (SELECT CAST(count(DISTINCT ${TextAnalysis.normMd5Sql("text")}) AS BIGINT)
+       |       FROM documents) AS n_unique_content
+       |)""".stripMargin
+
   /** The split hash parameters — seed-split from the shared family so the
     * split stream is independent of every dedup/LSH hash stream, and
     * embedded as literals in both engines (they cannot drift). */

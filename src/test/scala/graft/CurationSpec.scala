@@ -391,6 +391,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusCard golden: counts, totals, dup rate; NULL text in n_docs only") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "alpha beta gamma", "en", "web"),    // exact copy
+      (3L, "alpha  beta gamma", "en", "books"), // ws-collapse copy (same fp)
+      (4L, "delta epsilon", "fr", "web"),
+      (5L, null.asInstanceOf[String], "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.corpusCard(fixture).first()
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("n_chars_total") === (16L + 16L + 17L + 13L))
+    assert(r.getAs[Long]("n_ws_tokens_total") === (3L + 3L + 3L + 2L))
+    // distinct content: the alpha trio collapses to ONE fingerprint
+    // (whitespace-normalized md5), NULL text has none
+    assert(r.getAs[Long]("n_unique_content") === 2L)
+    assert(r.getAs[Long]("exact_dup_millionths") === (3L * 1000000L) / 5L)
+  }
+
   test("corpusKeepStats is exactly the verdict relation's combination rollup") {
     val benchText = "zebra yak xylophone wombat vulture tiger snake rhino " +
       "quail panda otter newt mole lemur koala jackal"
