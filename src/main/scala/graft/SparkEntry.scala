@@ -193,6 +193,10 @@ object SparkEntry {
     // followed in-band — the exact-integer assortativity audit.
     "degree_mixing" -> ((s, dir) =>
       GraphPatterns.degreeMixing(edges(s, dir))),
+    // Per-node reciprocity: followees, follow-backs, fraction in
+    // millionths — the mutual census resolved to WHO reciprocates.
+    "node_reciprocity" -> ((s, dir) =>
+      GraphPatterns.nodeReciprocity(edges(s, dir))),
     // ---- LLM-data-pipeline extensions: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(graft.Tables.documents(s, dir))),
@@ -647,6 +651,9 @@ object SparkEntry {
     // distinct count via bounded map-side coverage explode.
     "events_wau" -> ((s, dir) =>
       Events.rollingActiveUsers(graft.Tables.events(s, dir))),
+    // DAU / trailing-30 MAU ratio per day in exact millionths.
+    "events_stickiness" -> ((s, dir) =>
+      Events.stickiness(graft.Tables.events(s, dir))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -755,6 +762,8 @@ object SparkEntry {
       GraphPatterns.degreeHistogramSql(EdgeLists.lineitemEdgeSql),
     "degree_mixing" ->
       GraphPatterns.degreeMixingSql(EdgeLists.lineitemEdgeSql),
+    "node_reciprocity" ->
+      GraphPatterns.nodeReciprocitySql(EdgeLists.lineitemEdgeSql),
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "lang_id_ngram" -> TextAnalysis.langIdNgramSql,
@@ -845,6 +854,7 @@ object SparkEntry {
     "events_funnel_windowed" -> Events.funnelWindowedSql(),
     "events_retention" -> Events.retentionSql,
     "events_wau" -> Events.rollingActiveUsersSql(),
+    "events_stickiness" -> Events.stickinessSql(),
   )
 
   private def triangleOracle: String =

@@ -414,6 +414,68 @@ object Events {
        |ORDER BY day, n_active""".stripMargin
   }
 
+  /** DAU/MAU stickiness — the product-health ratio every growth report
+    * leads with: per day in the observed span, the daily actives, the
+    * trailing-`windowDays` actives (default 30), and their ratio in
+    * exact millionths ("what fraction of the monthly audience showed up
+    * today"). DAU comes straight off the distinct (user, day) relation;
+    * MAU is [[rollingActiveUsers]]' bounded coverage explode at the
+    * wider window; the two join on the day key. Days with window
+    * coverage but no same-day activity report dau = 0 (the denominator
+    * population — a ratio whose zero days are absent can't be
+    * averaged).
+    *
+    * Scale shape: [[rollingActiveUsers]]' cost at the wider window plus
+    * one extra partial-agg count over the already-collapsed day
+    * relation and a day-keyed join of two ≤|days|-row relations. */
+  def stickiness(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1, s"stickiness needs windowDays >= 1")
+    // `k` attached BEFORE the checkpoint (the rollingActiveUsers
+    // foldable-key lesson: a lit(1) added on the probe side folds away
+    // and the span attach degenerates to a nested-loop join)
+    val days = events.select(tsUs.as("ts_us"), col("user_id"))
+      .select(col("user_id"), expr(dayOf("ts_us", "DIV")).as("day"))
+      .distinct().withColumn("k", lit(1)).localCheckpoint()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val span = days.agg(max("day").as("hi"))
+      .withColumn("k", lit(1)).localCheckpoint()
+    val mau = days
+      .select(col("user_id"), col("k"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
+      .select(col("user_id"), col("k"), (col("day") + col("off")).as("day"))
+      .distinct()
+      .join(broadcast(span), Seq("k"))
+      .filter(col("day") <= col("hi"))
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    mau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+        expr("(coalesce(dau, 0L) * 1000000L) div mau")
+          .as("stickiness_millionths"))
+  }
+
+  def stickinessSql(windowDays: Int = 30): String = {
+    val day = dayOf("epoch_us(ts)", "//")
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, $day AS day FROM events
+       |), dau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day
+       |), span AS (
+       |  SELECT max(day) AS hi FROM days
+       |), cover AS (
+       |  SELECT DISTINCT user_id, day + t.off AS day
+       |  FROM days, range(0, $windowDays) t(off)
+       |), mau AS (
+       |  SELECT c.day AS day, CAST(count(*) AS BIGINT) AS mau
+       |  FROM cover c, span WHERE c.day <= span.hi
+       |  GROUP BY c.day
+       |)
+       |SELECT m.day AS day, coalesce(dau, 0) AS dau, mau,
+       |  CAST((coalesce(dau, 0) * 1000000) // mau AS BIGINT)
+       |    AS stickiness_millionths
+       |FROM mau m LEFT JOIN dau d ON d.day = m.day
+       |ORDER BY day, dau, mau, stickiness_millionths""".stripMargin
+  }
+
   def topEventsPerUserSql(k: Int = 3): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

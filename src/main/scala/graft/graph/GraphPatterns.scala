@@ -1153,6 +1153,57 @@ object GraphPatterns {
        |ORDER BY node, dist""".stripMargin
   }
 
+  /** Per-node reciprocity — [[mutualFollows]]' census resolved to WHO
+    * reciprocates: per account with ≥1 outgoing follow, its distinct
+    * followees, how many follow back, and the reciprocated fraction in
+    * exact millionths. The per-node face of the graph-level
+    * `mutual_pairs` scalar (Σ mutual_nbrs = 2·mutual_pairs + 2·mutual
+    * self-loop-free identity — spec-pinned), and the standard
+    * "community member vs broadcaster" account classifier. Self-loops
+    * are excluded (following yourself reciprocates nothing).
+    *
+    * Scale shape: one distinct collapse + one LEFT SEMI self-join
+    * against the reversed relation (the [[mutualFollows]] join
+    * verbatim, kept per-src instead of collapsed) + two partial-agg
+    * counts full-outer-merged on the node key. */
+  def nodeReciprocity(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val e = maxFilter(edges, max).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outn = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_nbrs"))
+    val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("mutual_nbrs"))
+    outn.join(mutual, Seq("node"), "left")
+      .select(col("node"), col("out_nbrs"),
+        coalesce(col("mutual_nbrs"), lit(0L)).as("mutual_nbrs"),
+        expr("(coalesce(mutual_nbrs, 0L) * 1000000L) div out_nbrs")
+          .as("reciprocity_millionths"))
+  }
+
+  /** Oracle twin of [[nodeReciprocity]]. */
+  def nodeReciprocitySql(edgeSql: String, max: Option[Long] = None): String = {
+    val andPred = max.fold("")(m => s" AND src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst$andPred),
+       |outn AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_nbrs
+       |  FROM e GROUP BY src
+       |),
+       |m AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS mutual_nbrs
+       |  FROM e WHERE EXISTS (
+       |    SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+       |  GROUP BY src
+       |)
+       |SELECT o.node AS node, out_nbrs,
+       |  coalesce(mutual_nbrs, 0) AS mutual_nbrs,
+       |  CAST((coalesce(mutual_nbrs, 0) * 1000000) // out_nbrs AS BIGINT)
+       |    AS reciprocity_millionths
+       |FROM outn o LEFT JOIN m ON m.node = o.node
+       |ORDER BY node, out_nbrs, mutual_nbrs, reciprocity_millionths""".stripMargin
+  }
+
   /** Degree-mixing matrix — "who follows whom, by popularity band": per
     * directed edge (multiplicity counted — each follow is an
     * observation), the follower's OUT-degree band × the followed

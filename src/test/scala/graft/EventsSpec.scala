@@ -226,6 +226,31 @@ class EventsSpec extends AnyFunSuite {
     assert(daily.count() > 0) // retention sanity on the same fixture
   }
 
+  test("stickiness golden: dau over trailing window; zero-dau days present") {
+    // day 0: users 1, 2; day 2: user 1 — window 3 covers days 0..4
+    // (capped at 2): mau(0)=2, mau(1)=2, mau(2)=2; dau(1)=0
+    val out = Events.stickiness(events(
+        (0L, T, 1L, "view", 0.0, "{}"),
+        (1L, T + H, 2L, "view", 0.0, "{}"),
+        (2L, T + 2 * D, 1L, "view", 0.0, "{}")), windowDays = 3)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("stickiness_millionths"))).toMap
+    val d0 = T / 1000 / 86400000000L
+    assert(out === Map(
+      d0 -> ((2L, 2L, 1000000L)),
+      (d0 + 1) -> ((0L, 2L, 0L)),
+      (d0 + 2) -> ((1L, 2L, 500000L))))
+  }
+
+  test("stickiness at window 1 is identically 1.0 on active days") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 25).map(i =>
+      (i.toLong, T + (i % 6) * D + (i % 4) * H, (i % 5).toLong, "view", 0.0, "{}"))
+    val out = Events.stickiness(events(rows: _*), windowDays = 1)
+    assert(out.filter(col("stickiness_millionths") =!= 1000000L).count() === 0L)
+  }
+
   test("retention: offset 0 counts every user exactly once") {
     import org.apache.spark.sql.functions.{col, sum}
     val rows = (0 until 40).map(i =>

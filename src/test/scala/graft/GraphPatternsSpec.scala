@@ -490,6 +490,31 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(at6.values.max <= 6L)
   }
 
+  test("nodeReciprocity golden: rates, zero-fill, and the mutual-census identity") {
+    // 1↔2 mutual; 1→3 unreturned; 3→3 self-loop (excluded); 4→1
+    // unreturned: out_nbrs (1: {2,3}, 2: {1}, 3: ∅ after loop drop,
+    // 4: {1})
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (4L, 1L))
+    val out = GraphPatterns.nodeReciprocity(df(g)).collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("out_nbrs"),
+        r.getAs[Long]("mutual_nbrs"), r.getAs[Long]("reciprocity_millionths")))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((1L, 1L, 1000000L)),
+      4L -> ((1L, 0L, 0L))))
+    // Σ mutual_nbrs = 2 · mutual_pairs (each unordered pair counted
+    // from both ends), on the golden and on random multigraphs
+    for (seed <- 1 to 3) {
+      val rg = randomGraph(seed, n = 12, m = 60, allowDup = true)
+      val sumMutual = GraphPatterns.nodeReciprocity(df(rg))
+        .agg(org.apache.spark.sql.functions.sum("mutual_nbrs"))
+        .first().getLong(0)
+      val pairs = GraphPatterns.mutualFollows(df(rg)).first().getLong(0)
+      assert(sumMutual === 2L * pairs, s"seed=$seed")
+    }
+  }
+
   test("degreeMixing golden: star puts every follow in the (hub-out, leaf-in) cell") {
     // 0→1,0→2,0→3: follower out-deg 3 (band 2) on every edge, followed
     // in-deg 1 (band 1) — one cell, three observations
