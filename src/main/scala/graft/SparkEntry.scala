@@ -288,6 +288,15 @@ object SparkEntry {
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(graft.Tables.documents(s, dir))),
+    // Per-source distinctive terms (exact tf/df lift, no float log):
+    // shares token_rarity's checkpointed pair relation; rank window is
+    // vocab-bounded per source.
+    "tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTerms(graft.Tables.documents(s, dir))),
+    // Exact per-lang length quartiles via value-histogram + prefix sums
+    // — the scalable spelling of a distributed exact percentile.
+    "length_quartiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuartiles(graft.Tables.documents(s, dir))),
     // Hashed-feature linear classifier inference: literal weight table,
     // per-row codegen map over the fused tokenize+hash — zero shuffle.
     "classifier_score" -> ((s, dir) =>
@@ -442,6 +451,10 @@ object SparkEntry {
     // n_repeats > 1, underweight ones hash-threshold down, map-only.
     "corpus_mix_epochs" -> ((s, dir) =>
       graft.text.Curation.corpusMixEpochs(graft.Tables.documents(s, dir))),
+    // Absolute per-source cap (the anti-domination guard next to the
+    // mix's proportional weights): best-N by quality, total ordering.
+    "source_quota" -> ((s, dir) =>
+      graft.text.Curation.sourceQuota(graft.Tables.documents(s, dir))),
     // Corpus version diff: old = docs minus the %10=0 ids ("new in v2"),
     // new = docs minus the %10=9 ids with %10=5 texts edited — per id:
     // same/changed/added/removed + moved-content flag via the distinct
@@ -783,6 +796,8 @@ object SparkEntry {
     "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
+    "tfidf_terms" -> TextAnalysis.tfidfTermsSql(),
+    "length_quartiles" -> TextAnalysis.lengthQuartilesSql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
     "boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql(),
@@ -818,6 +833,7 @@ object SparkEntry {
     "split_leak_fuzzy" -> graft.text.Curation.splitLeakFuzzySql(),
     "split_leak_report" -> graft.text.Curation.splitLeakReportSql(),
     "corpus_mix" -> graft.text.Curation.corpusMixSql(),
+    "source_quota" -> graft.text.Curation.sourceQuotaSql(),
     "corpus_mix_epochs" -> graft.text.Curation.corpusMixEpochsSql(),
     "corpus_diff" -> graft.text.Curation.corpusDiffSql(),
     "pack_sequences" -> graft.text.Curation.packSequencesSql(),

@@ -1580,4 +1580,78 @@ object Curation {
        |LEFT JOIN inw ON j.fp_old = inw.fp
        |ORDER BY doc_id, status, content_moved""".stripMargin
   }
+
+  /** Default per-source cap for [[sourceQuota]] — below the fixture's
+    * per-source doc count at the correctness gate's SF (25 docs/source
+    * at sf0.01), so the cut is observable where it is verified. */
+  val SourceQuotaN: Int = 15
+
+  /** Per-source quality quota — the ABSOLUTE cap next to [[corpusMix]]'s
+    * proportional weights: keep at most `quota` documents per source,
+    * preferring the highest [[TextAnalysis.textStats]] quality score
+    * (tie-broken by doc_id, so the ranking is total and both engines
+    * agree row-for-row). This is the "no single domain may contribute
+    * more than N documents" guard every crawl-derived corpus ships —
+    * distinct from the mix, which is relative (rebalances proportions)
+    * and from the split, which is leakage-stable; a quota is a hard
+    * ceiling that holds regardless of how big a source grows.
+    *
+    * Quality ranks on the exact same `quality_score` expression the
+    * gates use (bit-identical doubles cross-engine — see
+    * [[TextAnalysis.textStatsFromToks]]), so a document's quota rank
+    * never disagrees with its quality gate.
+    *
+    * Scale shape: quality is per-row map work over one pruned scan;
+    * `source` attaches by a doc_id equi-join of two TEXT-FREE narrow
+    * relations (joining before tokenizing would carry `text` through
+    * the shuffle). The rank window partitions by source — per-partition
+    * sort state is the per-source DOC COUNT (not corpus: the relation
+    * entering the window is one slim row per doc), spilling on a
+    * mega-source rather than failing; at a fixed small quota the
+    * two-pass refinement (per-source rank-k score threshold via the
+    * [[lengthQuartiles]]-style value-histogram, then a map-only filter)
+    * drops even that sort — documented as the 1000×-source escape
+    * hatch, not built until a caller needs it. Output is ≤ quota rows
+    * per source. */
+  def sourceQuota(docs: DataFrame, quota: Int = SourceQuotaN): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val withSrc = scored.join(docs.select(col("doc_id"), col("source")),
+      Seq("doc_id"))
+    // desc_nulls_last SPELLED OUT (and NULLS LAST in the oracle): an
+    // empty-token doc has NULL quality_score; default null ordering
+    // under DESC is an engine-config detail neither side should trust.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)
+    withSrc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality_score"))
+  }
+
+  def sourceQuotaSql(quota: Int = SourceQuotaN): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(list_filter(toks, x -> list_contains(${TextAnalysis.sqlList(TextAnalysis.stopwordsEn)}, x))) AS BIGINT) AS stop_hits
+       |  FROM t
+       |), q AS (
+       |  SELECT doc_id, source,
+       |    0.5e0 * least(1e0, n_tokens / 200e0)
+       |      + 0.25e0 * (n_distinct_tokens / n_tokens)
+       |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
+       |  FROM s
+       |), ranked AS (
+       |  SELECT source, doc_id, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM q
+       |)
+       |SELECT source, rnk, doc_id, quality_score
+       |FROM ranked WHERE rnk <= $quota
+       |ORDER BY source, rnk, doc_id, quality_score""".stripMargin
 }

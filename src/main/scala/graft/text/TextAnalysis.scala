@@ -117,11 +117,18 @@ object TextAnalysis {
       size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
       aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sum_tok_len"),
       hits.as("stop_hits"))
+    // Zero-token guard: a corpus WILL contain empty/whitespace-only docs,
+    // and under ANSI (Spark 4 default) a bare x/0 fails the whole job
+    // while the DuckDB oracle quietly yields NULL (probed) — so the NULL
+    // is spelled out here and the engines agree by construction. CaseWhen
+    // evaluates branches lazily, so the division never runs at n=0.
+    def ratio(c: Column): Column =
+      when(col("n_tokens") === 0L, lit(null)).otherwise(c)
     s.select(
       col("doc_id"), col("char_count"), col("n_tokens"), col("n_distinct_tokens"),
-      (col("sum_tok_len") / col("n_tokens")).as("avg_token_len"),
-      (col("stop_hits") / col("n_tokens")).as("stopword_ratio"),
-      (lit(0.5) * least(lit(1.0), col("n_tokens") / lit(200.0))
+      ratio(col("sum_tok_len") / col("n_tokens")).as("avg_token_len"),
+      ratio(col("stop_hits") / col("n_tokens")).as("stopword_ratio"),
+      ratio(lit(0.5) * least(lit(1.0), col("n_tokens") / lit(200.0))
         + lit(0.25) * (col("n_distinct_tokens") / col("n_tokens"))
         + lit(0.25) * (lit(1.0) - col("stop_hits") / col("n_tokens")))
         .as("quality_score"))
@@ -322,7 +329,7 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id, fp_md5, fp_rolling""".stripMargin
   }
 
-  private def sqlList(xs: Seq[String]): String =
+  private[text] def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Corpus rollup per (lang, source): doc counts, token/char totals, and
@@ -1975,4 +1982,140 @@ object TextAnalysis {
        |FROM agg
        |ORDER BY source, n_docs, n_keep, keep_frac, mean_margin""".stripMargin
   }
+
+  /** Top-k per source in [[tfidfTerms]]. */
+  val TfidfTopK: Int = 15
+  /** Fixed-point resolution of the tf/df lift score. */
+  val TfidfResolution: Long = 1000000L
+
+  /** Per-source distinctive terms — the "what does this source talk
+    * about" report a mixture tuner reads next to [[corpusStats]]: for
+    * every (source, token), tf = occurrences of the token inside the
+    * source, df = corpus-wide document frequency, and the lift score
+    * `(tf·1e6) div df` — occurrences per containing-document, localized
+    * to the source. A token every document contains (df ≈ corpus) needs
+    * enormous in-source mass to rank; a source-specific term with small
+    * df surfaces immediately. This is the tf/df member of the TF-IDF
+    * family kept EXACT: int64 fixed-point, no log — a logarithm has no
+    * bit-reproducible cross-engine spelling, and within one source the
+    * log only reshuffles ties the (score, tf, token) total order already
+    * breaks deterministically. Overflow bound: tf·1e6 < 2^63 holds to
+    * ~9.2e12 occurrences of one token in one source (a 100 TB corpus is
+    * ~2e13 tokens total; a single (source, token) cell above 9e12 means
+    * the corpus is ~half one token — degenerate input, not headroom).
+    *
+    * Scale shape: the (doc, token) pair relation is the shared
+    * session-scoped checkpoint ([[tokenRarity]]/[[vocabCoverage]]'s —
+    * built once across all three when they run in one session). df is
+    * one partial-agg shuffle of that collapsed relation; the per-source
+    * tf re-keys it by (source, token) after a doc_id-equi-join that
+    * attaches `source` (docs is read text-less there: two pruned
+    * columns). The rank window partitions by source over the
+    * (source × vocab) relation — per-partition sort state is bounded by
+    * VOCABULARY size, never corpus size, and `rnk <= k` cuts each
+    * partition to k rows on output. */
+  def tfidfTerms(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    val pairs = checkpointedPairCounts(docs)
+    val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = pairs.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "token").agg(sum("n_occ").as("tf"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("score_millionths", expr(s"(tf * ${TfidfResolution}L) div df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("score_millionths").desc, col("tf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score_millionths"))
+  }
+
+  def tfidfTermsSql(k: Int = TfidfTopK): String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token
+       |    FROM documents
+       |  ) GROUP BY doc_id, token
+       |), dfreq AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY token
+       |), tf AS (
+       |  SELECT d.source AS source, p.token AS token,
+       |    CAST(sum(p.n_occ) AS BIGINT) AS tf
+       |  FROM pairs p JOIN documents d USING (doc_id)
+       |  GROUP BY d.source, p.token
+       |), scored AS (
+       |  SELECT source, token, tf, df,
+       |    CAST((tf * $TfidfResolution) // df AS BIGINT) AS score_millionths
+       |  FROM tf JOIN dfreq USING (token)
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY score_millionths DESC, tf DESC, token ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT source, rnk, token, tf, df, score_millionths
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY source, rnk, token, tf, df, score_millionths""".stripMargin
+
+  /** Exact per-language length quartiles — the corpus-shape report
+    * (min / q1 / median / q3 / max of `n_chars`) with percentile-disc
+    * "lower" semantics spelled out as rank arithmetic, NOT an engine
+    * percentile function: Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate in doubles with engine-specific
+    * rounding, so the oracle could flake on the boundary; "smallest
+    * value v with 4·cum(v) ≥ q·total" is pure int64 and both engines
+    * agree exactly. (cum ≥ ceil(q·total/4) ⟺ 4·cum ≥ q·total for
+    * integer cum — the ceiling never needs floats.)
+    *
+    * Scale shape: the corpus collapses FIRST — one partial-agg shuffle
+    * to (lang, n_chars)-cell counts, a relation bounded by
+    * |langs| × |distinct lengths|, corpus-size-independent. The
+    * cumulative window and the quartile picks run over that bounded
+    * relation only; nothing corpus-sized is ever sorted. This is the
+    * one scalable spelling of an exact (non-sketched) distributed
+    * percentile: value-histogram + prefix sums; a t-digest answers the
+    * same question approximately when the value domain itself is huge,
+    * but `n_chars` has at most ~1e6 distinct values at any corpus
+    * size, so exactness here is free. */
+  def lengthQuartiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    cells
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(wAll))
+      .groupBy("lang").agg(
+        max("total").as("n_docs"),
+        min("v").as("min_chars"),
+        min(when(col("cum") * 4 >= col("total"), col("v"))).as("q1_chars"),
+        min(when(col("cum") * 2 >= col("total"), col("v"))).as("median_chars"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("v"))).as("q3_chars"),
+        max("v").as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("min_chars"), col("q1_chars"),
+        col("median_chars"), col("q3_chars"), col("max_chars"))
+  }
+
+  def lengthQuartilesSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang, n_chars
+       |), c AS (
+       |  SELECT lang, v, n,
+       |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+       |  FROM cells
+       |)
+       |SELECT lang,
+       |  max(total) AS n_docs,
+       |  min(v) AS min_chars,
+       |  min(CASE WHEN cum * 4 >= total THEN v END) AS q1_chars,
+       |  min(CASE WHEN cum * 2 >= total THEN v END) AS median_chars,
+       |  min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS q3_chars,
+       |  max(v) AS max_chars
+       |FROM c GROUP BY lang
+       |ORDER BY lang, n_docs, min_chars, q1_chars, median_chars, q3_chars,
+       |  max_chars""".stripMargin
 }

@@ -704,4 +704,45 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) === "changed") // text → NULL is a content change
     assert(out(2L) === "same")    // NULL on both sides is stable
   }
+
+  test("sourceQuota: top-N per source by quality, tie-broken by doc_id") {
+    val fixture = Seq(
+      (1L, base, "en", "srcA"),
+      (2L, lowQuality, "en", "srcA"),
+      (3L, unrelated, "en", "srcA"),
+      (4L, base, "en", "srcB"),
+      (5L, lowQuality, "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.sourceQuota(fixture, quota = 2).collect()
+    // exactly 2 srcA rows and 2 srcB rows, ranks 1..2 in each
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("srcA").map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L))
+    assert(bySrc("srcB").map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L))
+    // the selected set per source is the top-2 of the directly-computed
+    // quality ordering (desc score, asc doc_id) — the window agrees with
+    // the standalone textStats expression
+    val q = graft.text.TextAnalysis.textStats(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    for ((src, ids) <- Map("srcA" -> Seq(1L, 2L, 3L), "srcB" -> Seq(4L, 5L))) {
+      val expected = ids.sortBy(id => (-q(id), id)).take(2)
+      val got = bySrc(src).sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+      assert(got === expected, src)
+    }
+    // quota >= per-source count keeps everything
+    assert(Curation.sourceQuota(fixture, quota = 10).count() === 5L)
+  }
+
+  test("sourceQuota: NULL-quality (empty-token) docs rank strictly last") {
+    val fixture = Seq(
+      (1L, base, "en", "srcA"),
+      (2L, "", "en", "srcA"),        // zero tokens → NULL quality_score
+      (3L, unrelated, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ranks = Curation.sourceQuota(fixture, quota = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rnk")).toMap
+    assert(ranks(2L) === 3L) // nulls last, after both scored docs
+    // and a quota of 2 cuts the NULL-quality doc first
+    assert(Curation.sourceQuota(fixture, quota = 2).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+  }
 }

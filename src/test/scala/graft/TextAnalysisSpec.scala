@@ -626,4 +626,85 @@ class TextAnalysisSpec extends AnyFunSuite {
       === bMargins.count(_ > 0L).toDouble / 2)
     assert(perDoc(4L) === 0L) // NULL text contributes margin 0, still counted
   }
+
+  test("tfidfTerms golden: lift score, per-source rank, top-k cut") {
+    val fixture = Seq(
+      (1L, "zebra zebra common", "en", "srcA"),
+      (2L, "zebra common", "en", "srcA"),
+      (3L, "yak common", "en", "srcB"),
+      (4L, "common common", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    // corpus df: zebra 2 docs, yak 1, common 4
+    val all = TextAnalysis.tfidfTerms(fixture, k = 10).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) -> r).toMap
+    val za = all(("srcA", "zebra"))
+    assert(za.getAs[Long]("tf") === 3L)
+    assert(za.getAs[Long]("df") === 2L)
+    assert(za.getAs[Long]("score_millionths") === 1500000L)
+    assert(za.getAs[Long]("rnk") === 1L)
+    assert(all(("srcA", "common")).getAs[Long]("score_millionths") === 500000L)
+    assert(all(("srcB", "yak")).getAs[Long]("score_millionths") === 1000000L)
+    assert(all(("srcB", "yak")).getAs[Long]("rnk") === 1L)
+    assert(all(("srcB", "common")).getAs[Long]("score_millionths") === 750000L)
+    // k = 1 keeps exactly the per-source winner
+    val top = TextAnalysis.tfidfTerms(fixture, k = 1).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("token")).toMap
+    assert(top === Map("srcA" -> "zebra", "srcB" -> "yak"))
+  }
+
+  test("tfidfTerms ranks a source-specific term above a universal one regardless of raw tf") {
+    // 'noise' has more raw occurrences in srcA than 'signal', but appears
+    // in every doc corpus-wide; 'signal' is srcA-only.
+    val fixture = Seq(
+      (1L, "noise noise noise signal", "en", "srcA"),
+      (2L, "noise signal", "en", "srcA"),
+      (3L, "noise", "en", "srcB"),
+      (4L, "noise", "en", "srcB"),
+      (5L, "noise", "en", "srcB"),
+      (6L, "noise", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    // srcA: tf(noise)=4, df(noise)=6 → 666666; tf(signal)=2, df=2 → 1000000
+    val a = TextAnalysis.tfidfTerms(fixture, k = 2).collect()
+      .filter(_.getAs[String]("source") == "srcA")
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(a.map(_.getAs[String]("token")).toSeq === Seq("signal", "noise"))
+    assert(a.head.getAs[Long]("score_millionths") === 1000000L)
+    assert(a(1).getAs[Long]("score_millionths") === 666666L)
+  }
+
+  test("lengthQuartiles golden: disc-lower picks on even, odd, and tied value sets") {
+    val fixture = Seq(
+      // en: values 1,2,3,4 → q1=1, med=2, q3=3
+      (1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L), (4L, "en", 4L),
+      // fr: values 5,10,20 → q1=5, med=10, q3=20
+      (5L, "fr", 5L), (6L, "fr", 10L), (7L, "fr", 20L),
+      // de: 7,7,7,9 → q1=med=q3=7
+      (8L, "de", 7L), (9L, "de", 7L), (10L, "de", 7L), (11L, "de", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.lengthQuartiles(fixture).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    def quart(l: String) = {
+      val r = out(l)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("min_chars"),
+        r.getAs[Long]("q1_chars"), r.getAs[Long]("median_chars"),
+        r.getAs[Long]("q3_chars"), r.getAs[Long]("max_chars"))
+    }
+    assert(quart("en") === ((4L, 1L, 1L, 2L, 3L, 4L)))
+    assert(quart("fr") === ((3L, 5L, 5L, 10L, 20L, 20L)))
+    assert(quart("de") === ((4L, 7L, 7L, 7L, 7L, 9L)))
+  }
+
+  test("lengthQuartiles property: ordered and bounded on the fixture corpus") {
+    val docsDf = graft.Tables.documents(SparkTestSession.spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.lengthQuartiles(docsDf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (mn, q1, md, q3, mx) = (r.getAs[Long]("min_chars"),
+        r.getAs[Long]("q1_chars"), r.getAs[Long]("median_chars"),
+        r.getAs[Long]("q3_chars"), r.getAs[Long]("max_chars"))
+      assert(mn <= q1 && q1 <= md && md <= q3 && q3 <= mx,
+        s"${r.getAs[String]("lang")}: $mn $q1 $md $q3 $mx out of order")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docsDf.count())
+  }
 }
