@@ -667,6 +667,16 @@ object SparkEntry {
     // DAU / trailing-30 MAU ratio per day in exact millionths.
     "events_stickiness" -> ((s, dir) =>
       Events.stickiness(graft.Tables.events(s, dir))),
+    // As-of join: each purchase attributed to the same user's most
+    // recent at-or-before view (union-tag + one running window — never
+    // the quadratic inequality join).
+    "events_asof" -> ((s, dir) =>
+      Events.asofAttribution(graft.Tables.events(s, dir))),
+    // Range join: errors anywhere in the trailing 5 min of each
+    // purchase, via the bucketed equi-join rewrite (never a
+    // nested-loop range predicate).
+    "events_nearby" -> ((s, dir) =>
+      Events.nearbyEventCounts(graft.Tables.events(s, dir))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -871,6 +881,8 @@ object SparkEntry {
     "events_retention" -> Events.retentionSql,
     "events_wau" -> Events.rollingActiveUsersSql(),
     "events_stickiness" -> Events.stickinessSql(),
+    "events_asof" -> Events.asofAttributionSql(),
+    "events_nearby" -> Events.nearbyEventCountsSql(),
   )
 
   private def triangleOracle: String =

@@ -476,6 +476,171 @@ object Events {
        |ORDER BY day, dau, mau, stickiness_millionths""".stripMargin
   }
 
+  /** As-of join — attribute each `anchorType` event to the SAME user's
+    * most recent `matchType` event at-or-before it (last-touch
+    * attribution: "which view led to this purchase"). This is the
+    * operator family Spark has no built-in for (ASOF JOIN in DuckDB/
+    * QuestDB terms), spelled the scale-safe way: UNION the two sides
+    * tagged, ONE running `last(..., ignoreNulls)` window per user in
+    * event-time order, keep the anchor rows. Composition over a custom
+    * SparkStrategy deliberately (the brief's preference order (a)): the
+    * union-window spelling is a single user_id shuffle + one
+    * in-partition sort — the same plan a hand-built sort-merge as-of
+    * physical operator would produce — with zero operator-maintenance
+    * surface.
+    *
+    * Never the naive spelling (anchor ⋈ match ON same user AND
+    * m.ts ≤ a.ts, then argmax): that inequality join expands every
+    * (anchor, prior-match) pair — quadratic per user before the argmax
+    * collapses it. Here nothing expands: each input row is ONE row in
+    * the window.
+    *
+    * Tie semantics, deterministic by construction: a match at the SAME
+    * µs as the anchor counts as prior (matches sort before anchors at
+    * equal ts via the tag key); among equal-ts matches the largest
+    * event_id wins. Anchors with no prior match keep NULL match
+    * columns (the "unattributed" rows a funnel report needs).
+    *
+    * Scale shape: one hash shuffle on user_id + one sort — per-user
+    * state in the window frame is TWO scalars (last match id/ts), so a
+    * celebrity user with 10⁸ events streams through its sort group
+    * without memory growth. At 100 TB the same plan rides a
+    * user_id-bucketed event store with zero Exchange (the
+    * [[graft.sources.Sinks]] bucketed-write discipline). */
+  def asofAttribution(events: DataFrame, anchorType: String = "purchase",
+      matchType: String = "view"): DataFrame = {
+    require(anchorType != matchType,
+      s"asofAttribution needs distinct event types (got '$anchorType' twice)")
+    val e = events
+      .filter(col("event_type").isin(anchorType, matchType))
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        when(col("event_type") === anchorType, lit(1L)).otherwise(lit(0L))
+          .as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("match_id",
+        last(when(col("tag") === 0L, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("match_ts_us",
+        last(when(col("tag") === 0L, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1L)
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        col("ts_us").as("anchor_ts_us"), col("match_id"), col("match_ts_us"),
+        (col("ts_us") - col("match_ts_us")).as("lag_us"))
+  }
+
+  /** Oracle twin of [[asofAttribution]] — the identical union-window
+    * spelling (DuckDB's own ASOF JOIN keyword is avoided on purpose:
+    * its tie-breaking among equal-ts matches is unspecified, and the
+    * gate needs bit-identical rows). */
+  def asofAttributionSql(anchorType: String = "purchase",
+      matchType: String = "view"): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CASE WHEN event_type = '$anchorType' THEN 1 ELSE 0 END AS tag
+       |  FROM events WHERE event_type IN ('$anchorType', '$matchType')
+       |), w AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+       |      OVER win AS match_id,
+       |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+       |      OVER win AS match_ts_us
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_id AS anchor_id, user_id, ts_us AS anchor_ts_us,
+       |  match_id, match_ts_us, ts_us - match_ts_us AS lag_us
+       |FROM w WHERE tag = 1
+       |ORDER BY anchor_id, user_id, anchor_ts_us, match_id, match_ts_us,
+       |  lag_us""".stripMargin
+
+  /** Floor-division bucket of an epoch-µs NAMED column — FLOOR, not
+    * `DIV` alone (the [[tsUs]] pre-epoch lesson: truncation toward zero
+    * puts −1 µs and +1 µs in the same bucket). The pmod subtraction
+    * makes the numerator exactly divisible, so the `DIV` afterwards is
+    * exact — pure int64 arithmetic, the [[dayOf]] spelling at an
+    * arbitrary width. */
+  private def bucketOf(c: String, widthUs: Long): Column =
+    expr(s"($c - (($c % ${widthUs}L + ${widthUs}L) % ${widthUs}L))" +
+      s" DIV ${widthUs}L")
+
+  /** Range join — for each `anchorType` event, the count of
+    * `nearType` events ANYWHERE in the system in the trailing
+    * `(anchor_ts − window, anchor_ts]` interval ("purchases during an
+    * error storm"), plus the latest such timestamp. This is the other
+    * operator family Spark lacks (interval/range join), spelled the
+    * bucketed way every large engine uses underneath:
+    *
+    *  - near rows land in ONE time bucket of width = the window;
+    *  - each anchor probes exactly TWO buckets (its own and the
+    *    previous — a trailing window of width w can only intersect
+    *    them), exploded map-side from a 2-element literal array;
+    *  - an EQUI-join on the bucket key + the residual range predicate.
+    *
+    * A near row in range sits in exactly one of the two probed buckets,
+    * so each (anchor, near) pair matches ONCE — no post-join dedup.
+    * Never the naive spelling (a pure `ON near_ts BETWEEN …` inequality
+    * join): with no equi-key Catalyst can only plan a
+    * BroadcastNestedLoopJoin — the plan audit forbids it, and at 100 TB
+    * it is a cross product. A wider window generalizes by probing
+    * ⌈w/bucket⌉+1 buckets; the 2-probe constant here is the w = bucket
+    * special case.
+    *
+    * Scale shape: one equi-shuffle on the bucket key (probe side 2×
+    * anchors, build side = near rows); a hot bucket (error storm) is a
+    * skewed EQUI-join key, which AQE splits — exactly what it cannot do
+    * for a nested-loop range predicate. LEFT join keeps quiet-period
+    * anchors with n_near = 0. */
+  def nearbyEventCounts(events: DataFrame, anchorType: String = "purchase",
+      nearType: String = "error", windowSeconds: Long = 300L): DataFrame = {
+    require(windowSeconds >= 1,
+      s"nearbyEventCounts needs windowSeconds >= 1 (got $windowSeconds)")
+    val winUs = windowSeconds * 1000000L
+    val near = events.filter(col("event_type") === nearType)
+      .select(col("event_id").as("near_id"), tsUs.as("near_ts_us"))
+      .withColumn("bucket", bucketOf("near_ts_us", winUs))
+    val probes = events.filter(col("event_type") === anchorType)
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        tsUs.as("anchor_ts_us"))
+      .withColumn("bucket", explode(array(
+        bucketOf("anchor_ts_us", winUs) - 1L,
+        bucketOf("anchor_ts_us", winUs))))
+    probes.join(near,
+        probes("bucket") === near("bucket") &&
+          col("near_ts_us") > col("anchor_ts_us") - winUs &&
+          col("near_ts_us") <= col("anchor_ts_us"),
+        "left")
+      .groupBy("anchor_id", "user_id", "anchor_ts_us")
+      .agg(count(col("near_id")).as("n_near"),
+        max(col("near_ts_us")).as("latest_near_ts_us"))
+  }
+
+  /** Oracle twin of [[nearbyEventCounts]] — DuckDB gets the DIRECT
+    * inequality join (its IEJoin handles it at oracle scale); the
+    * bucketed rewrite is the Spark side's scale spelling, and the gate
+    * proves them row-identical. */
+  def nearbyEventCountsSql(anchorType: String = "purchase",
+      nearType: String = "error", windowSeconds: Long = 300L): String = {
+    val winUs = windowSeconds * 1000000L
+    s"""WITH a AS (
+       |  SELECT event_id AS anchor_id, user_id, epoch_us(ts) AS anchor_ts_us
+       |  FROM events WHERE event_type = '$anchorType'
+       |), n AS (
+       |  SELECT event_id AS near_id, epoch_us(ts) AS near_ts_us
+       |  FROM events WHERE event_type = '$nearType'
+       |)
+       |SELECT anchor_id, user_id, anchor_ts_us,
+       |  CAST(count(near_id) AS BIGINT) AS n_near,
+       |  max(near_ts_us) AS latest_near_ts_us
+       |FROM a LEFT JOIN n ON near_ts_us > anchor_ts_us - $winUs
+       |  AND near_ts_us <= anchor_ts_us
+       |GROUP BY anchor_id, user_id, anchor_ts_us
+       |ORDER BY anchor_id, user_id, anchor_ts_us, n_near,
+       |  latest_near_ts_us""".stripMargin
+  }
+
   def topEventsPerUserSql(k: Int = 3): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

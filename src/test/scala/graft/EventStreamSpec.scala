@@ -432,6 +432,58 @@ class EventStreamSpec extends AnyFunSuite {
       "intra-stream pairing grew no streaming state")
   }
 
+  def runAttrib(chunks: Seq[Ev]*): Map[Long, (Option[Long], Option[Long])] = {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val events = src.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"attrib_out_${System.nanoTime()}"
+    val q = graft.streaming.AttribStream.attributions(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (c <- chunks) { src.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def opt(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    spark.table(name).collect()
+      .map(r => r.getAs[Long]("anchor_id") -> ((opt(r, 3), opt(r, 5)))).toMap
+  }
+
+  test("streaming attribution = batch asofAttribution, one shuffled and many ordered triggers") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "purchase", 9.0, "{}"),
+      (3L, T + 3 * H, 1L, "view", 0.0, "{}"),
+      (4L, T + 3 * H, 1L, "purchase", 9.0, "{}"), // equal-ts view counts as prior
+      (5L, T, 2L, "purchase", 9.0, "{}"),         // never any view → NULLs
+      (6L, T + 4 * H, 1L, "click", 0.0, "{}"),    // irrelevant type, filtered
+      (7L, T + 5 * H, 1L, "purchase", 9.0, "{}")) // view 3 attributes twice
+    val batch = graft.events.Events.asofAttribution(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getAs[Long]("anchor_id") -> ((opt(3), opt(5)))
+      }.toMap
+    // one trigger, shuffled inside it (the in-trigger re-sort must
+    // reproduce the batch window's (ts, tag, event_id) total order)
+    assert(runAttrib(scala.util.Random.shuffle(rows)) === batch)
+    // event-time-ordered split across three triggers: the 16-byte
+    // last-view state carries attribution across trigger boundaries
+    val byTime = rows.sortBy(e => (e._2, e._1))
+    assert(runAttrib(byTime.take(3), byTime.slice(3, 6), byTime.drop(6)) === batch)
+  }
+
+  test("streaming attribution tie: largest event_id among equal-ts views wins") {
+    val rows: Seq[Ev] = Seq(
+      (10L, T, 1L, "view", 0.0, "{}"),
+      (11L, T, 1L, "view", 0.0, "{}"),
+      (12L, T + 1, 1L, "purchase", 9.0, "{}"))
+    // +1 ns floors to the same µs, so the lag is exactly 0
+    assert(runAttrib(rows) === Map(12L -> ((Some(11L), Some(0L)))))
+  }
+
   test("throughput evidence: the stateless gate accounts every row at a bounded nonzero rate") {
     // Round-6 verdict gap #6: semantics and state-size were pinned but no
     // rows/sec ever landed in an artifact. Stream a non-trivial batch

@@ -260,4 +260,93 @@ class EventsSpec extends AnyFunSuite {
       .agg(sum("n_users")).first().getLong(0)
     assert(total === rows.map(_._3).distinct.size.toLong)
   }
+
+  test("asof golden: last prior view wins; equal-ts view counts; no-match keeps NULLs") {
+    val out = Events.asofAttribution(events(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "view", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "purchase", 9.0, "{}"),   // → view 1
+      (3L, T + 3 * H, 1L, "view", 0.0, "{}"),       // AFTER purchase 2 — must not attach to it
+      (4L, T + 3 * H, 1L, "purchase", 9.0, "{}"),   // equal-ts view 3 counts as prior
+      (5L, T, 2L, "purchase", 9.0, "{}"),           // user 2 has no view at all
+      (6L, T + H, 3L, "view", 0.0, "{}"),
+      (7L, T, 3L, "purchase", 9.0, "{}")))          // view is strictly later → NULL
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        (Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("lag_us")).map(_.toLong))).toMap
+    assert(out.size === 4)
+    assert(out(2L) === (Some(1L), Some(H / 1000)))
+    assert(out(4L) === (Some(3L), Some(0L)))
+    assert(out(5L) === (None, None))
+    assert(out(7L) === (None, None))
+  }
+
+  test("asof tie among equal-ts views: the largest event_id wins") {
+    val out = Events.asofAttribution(events(
+      (10L, T, 1L, "view", 0.0, "{}"),
+      (11L, T, 1L, "view", 0.0, "{}"),
+      (12L, T + 1, 1L, "purchase", 9.0, "{}")))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("match_id") === 11L)
+  }
+
+  test("asof equals the naive per-anchor argmax on mixed traffic") {
+    val rows = (0 until 120).map { i =>
+      val typ = (i % 4) match {
+        case 0 => "purchase"; case 3 => "click"; case _ => "view"
+      }
+      (i.toLong, T + ((i * 37) % 50) * H, (i % 5).toLong, typ, 1.0, "{}")
+    }
+    val df = events(rows: _*)
+    val got = Events.asofAttribution(df).collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)).toMap
+    // naive: for each purchase, among views of the same user with
+    // ts <= purchase ts, the (ts, event_id)-max
+    val views = rows.filter(_._4 == "view")
+    val expected = rows.filter(_._4 == "purchase").map { p =>
+      val prior = views.filter(v => v._3 == p._3 && v._2 <= p._2)
+      p._1 -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(v => (v._2, v._1))._1))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("nearby golden: trailing window boundaries are (t-w, t]") {
+    val S: Long = 1000000000L // one second in ns
+    val w = 300L              // default 5-minute window
+    val out = Events.nearbyEventCounts(events(
+      (0L, T + 1000 * S, 1L, "purchase", 9.0, "{}"),
+      (1L, T + 1000 * S, 9L, "error", 0.0, "{}"),          // == anchor ts → IN
+      (2L, T + (1000 - w) * S, 9L, "error", 0.0, "{}"),    // == t - w exactly → OUT
+      (3L, T + (1000 - w + 1) * S, 9L, "error", 0.0, "{}"),// just inside → IN
+      (4L, T + 1001 * S, 9L, "error", 0.0, "{}"),          // after anchor → OUT
+      (5L, T + 5000 * S, 2L, "purchase", 9.0, "{}")))      // quiet period → 0
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        (r.getAs[Long]("n_near"),
+          Option(r.getAs[java.lang.Long]("latest_near_ts_us")).map(_.toLong)))
+      .toMap
+    assert(out.size === 2)
+    assert(out(0L) === (2L, Some((T + 1000 * S) / 1000)))
+    assert(out(5L) === (0L, None))
+  }
+
+  test("nearby equals the naive inequality join regardless of bucket alignment") {
+    val S: Long = 1000000000L
+    // timestamps scattered across bucket boundaries (300 s buckets)
+    val rows = (0 until 150).map { i =>
+      val typ = if (i % 3 == 0) "purchase" else "error"
+      (i.toLong, T + ((i * 97) % 1800).toLong * S, (i % 4).toLong, typ, 0.0, "{}")
+    }
+    val winUs = 300L * 1000000L
+    val got = Events.nearbyEventCounts(events(rows: _*)).collect()
+      .map(r => r.getAs[Long]("anchor_id") -> r.getAs[Long]("n_near")).toMap
+    val errors = rows.filter(_._4 == "error").map(_._2 / 1000)
+    val expected = rows.filter(_._4 == "purchase").map { p =>
+      val t = p._2 / 1000
+      p._1 -> errors.count(e => e > t - winUs && e <= t).toLong
+    }.toMap
+    assert(got === expected)
+  }
 }
