@@ -721,6 +721,9 @@ object SparkEntry {
       "top_events_per_user" -> overEvents(
         graft.events.EventsSql.topEventsPerUserSql()),
       "events_retention" -> overEvents(graft.events.EventsSql.retentionSql()),
+      "events_asof" -> overEvents(graft.events.EventsSql.asofAttributionSql()),
+      "events_nearby" -> overEvents(
+        graft.events.EventsSql.nearbyEventCountsSql()),
     )
   }
 

@@ -518,12 +518,15 @@ object Events {
           .as("tag"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("match_id",
+    // both window expressions in ONE select → ONE Window node (two
+    // chained withColumn calls would stack two Window operators over the
+    // same spec; Catalyst does not collapse them, and the SQL spelling's
+    // single WINDOW clause — the plan-equality twin — plans fused)
+    e.select(col("user_id"), col("event_id"), col("ts_us"), col("tag"),
         last(when(col("tag") === 0L, col("event_id")), ignoreNulls = true)
-          .over(w))
-      .withColumn("match_ts_us",
+          .over(w).as("match_id"),
         last(when(col("tag") === 0L, col("ts_us")), ignoreNulls = true)
-          .over(w))
+          .over(w).as("match_ts_us"))
       .filter(col("tag") === 1L)
       .select(col("event_id").as("anchor_id"), col("user_id"),
         col("ts_us").as("anchor_ts_us"), col("match_id"), col("match_ts_us"),

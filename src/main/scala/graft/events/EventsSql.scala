@@ -113,4 +113,57 @@ object EventsSql {
        |)
        |GROUP BY cohort_day, offset_days""".stripMargin
   }
+
+  /** [[Events.asofAttribution]] as SQL — the identical union-tag +
+    * running `last(..., true)` window pair (ignoreNulls as the boolean
+    * second argument, Spark's spelling). */
+  def asofAttributionSql(anchorType: String = "purchase",
+      matchType: String = "view", view: String = "events"): String =
+    s"""SELECT event_id AS anchor_id, user_id, ts_us AS anchor_ts_us,
+       |  match_id, match_ts_us, ts_us - match_ts_us AS lag_us
+       |FROM (
+       |  SELECT *,
+       |    last(CASE WHEN tag = 0L THEN event_id END, true) OVER win
+       |      AS match_id,
+       |    last(CASE WHEN tag = 0L THEN ts_us END, true) OVER win
+       |      AS match_ts_us
+       |  FROM (
+       |    SELECT user_id, event_id, $tsUs AS ts_us,
+       |      CASE WHEN event_type = '$anchorType' THEN 1L ELSE 0L END AS tag
+       |    FROM $view WHERE event_type IN ('$anchorType', '$matchType')
+       |  )
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |WHERE tag = 1L""".stripMargin
+
+  /** [[Events.nearbyEventCounts]] as SQL — the same two-bucket probe
+    * explode + equi-join with the residual range predicate. */
+  def nearbyEventCountsSql(anchorType: String = "purchase",
+      nearType: String = "error", windowSeconds: Long = 300L,
+      view: String = "events"): String = {
+    val winUs = windowSeconds * 1000000L
+    def bucketOf(c: String) =
+      s"($c - (($c % ${winUs}L + ${winUs}L) % ${winUs}L)) DIV ${winUs}L"
+    s"""SELECT anchor_id, user_id, anchor_ts_us,
+       |  count(near_id) AS n_near, max(near_ts_us) AS latest_near_ts_us
+       |FROM (
+       |  SELECT p.*, explode(array(${bucketOf("anchor_ts_us")} - 1L,
+       |    ${bucketOf("anchor_ts_us")})) AS bucket
+       |  FROM (
+       |    SELECT event_id AS anchor_id, user_id, $tsUs AS anchor_ts_us
+       |    FROM $view WHERE event_type = '$anchorType'
+       |  ) p
+       |) probes
+       |LEFT JOIN (
+       |  SELECT *, ${bucketOf("near_ts_us")} AS bucket FROM (
+       |    SELECT event_id AS near_id, $tsUs AS near_ts_us
+       |    FROM $view WHERE event_type = '$nearType'
+       |  )
+       |) near
+       |ON probes.bucket = near.bucket
+       |  AND near_ts_us > anchor_ts_us - ${winUs}L
+       |  AND near_ts_us <= anchor_ts_us
+       |GROUP BY anchor_id, user_id, anchor_ts_us""".stripMargin
+  }
 }
