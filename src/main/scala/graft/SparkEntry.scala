@@ -288,6 +288,11 @@ object SparkEntry {
     // (doc, token) multiplicities; tf derives from that relation.
     "token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(graft.Tables.documents(s, dir))),
+    // Corpus-bigram LM fluency score (the CCNet-style LM filter,
+    // log-free): map-side bigram explode, one pair shuffle, model
+    // derived from the same checkpointed relation it scores.
+    "lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(graft.Tables.documents(s, dir))),
     // Per-source distinctive terms (exact tf/df lift, no float log):
     // shares token_rarity's checkpointed pair relation; rank window is
     // vocab-bounded per source.
@@ -809,6 +814,7 @@ object SparkEntry {
     "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
+    "lm_score" -> TextAnalysis.lmScoreSql,
     "tfidf_terms" -> TextAnalysis.tfidfTermsSql(),
     "length_quartiles" -> TextAnalysis.lengthQuartilesSql,
     "classifier_score" -> TextAnalysis.classifierScoreSql,

@@ -1428,6 +1428,110 @@ object TextAnalysis {
        |SELECT doc_id, n_tokens, min_tok_freq, avg_tok_freq, hapax_frac FROM fin
        |ORDER BY doc_id, n_tokens, min_tok_freq, avg_tok_freq, hapax_frac""".stripMargin
 
+  /** Corpus-bigram language-model fluency score — the integer-exact
+    * member of the LM-filter family (the CCNet/KenLM shape: score every
+    * document under a language model trained on the corpus itself and
+    * gate on the score). The model is the maximum-likelihood bigram LM
+    * over whitespace tokens; per document:
+    *
+    *  - `n_bigrams`: adjacent-pair occurrence count (0 for docs with
+    *    < 2 tokens),
+    *  - `mean_prob_millionths`: mean transition probability
+    *    P(b|a) = count(a,b)/count(a,·) over the doc's bigram
+    *    occurrences, in exact millionths — templated/repetitive prose
+    *    scores high, incoherent token soup scores low (the
+    *    perplexity-rank signal without a single transcendental:
+    *    log-free, so no libm divergence between engines),
+    *  - `min_prob_millionths`: the doc's most surprising transition —
+    *    the "one garbage splice in an otherwise clean page" signal a
+    *    mean alone hides.
+    *
+    * Every probability is `(count·10⁶) div prefix_count` with the
+    * multiply widened to decimal(38,0) (the pageRank headroom rule:
+    * int64 would wrap once a single bigram occurs > ~9.2·10¹² times,
+    * reachable for "of the" at the 100 TB design point; Spark's `div`
+    * returns the BIGINT quotient, ≤ 10⁶ by construction).
+    *
+    * Scale shape: bigrams explode MAP-SIDE from the token array (the
+    * array zipped with its own tail — no window, no self-join, no
+    * shuffle to form pairs); the (doc, bigram) multiplicity relation is
+    * the ONE input-sized shuffle ([[tokenRarity]]'s skeleton) and is
+    * localCheckpoint'd because the model derives from it AND scores
+    * against it. Corpus bigram counts collapse from THAT relation, the
+    * prefix counts from the already-collapsed bigram table (two
+    * strictly-shrinking partial aggs). The score join is a
+    * (bigram)-key equi-join whose Zipf head AQE skew-splits, and the
+    * final rollup rides the doc_id key. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = graft.Tables.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val docBi = bi.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val bg = docBi.groupBy("a", "b").agg(sum("n_occ").as("n_bg"))
+    val pre = bg.groupBy("a").agg(sum("n_bg").as("n_pre"))
+    val scored = docBi.join(bg, Seq("a", "b")).join(pre, Seq("a"))
+      .select(col("doc_id"), col("n_occ"),
+        expr("(cast(n_bg as decimal(38,0)) * 1000000L) div n_pre").as("p"))
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_bigrams"),
+        sum(col("p") * col("n_occ")).as("sum_prob"),
+        min("p").as("min_prob_millionths"))
+    graft.Tables.widen(docs).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // NULL div NULL is NULL in every mode — short docs keep NULL
+        // scores, like the other ratio reports
+        expr("sum_prob div n_bigrams").as("mean_prob_millionths"),
+        col("min_prob_millionths"))
+  }
+
+  /** Oracle twin of [[lmScore]] — DuckDB forms bigrams by indexing the
+    * token list (`unnest(list_transform(range(...)))`; a correlated
+    * lateral `range` is unsupported there), widens through HUGEINT
+    * where Spark widens through decimal(38,0). */
+  def lmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenRe') AS toks
+       |  FROM documents
+       |), bi AS (
+       |  SELECT doc_id, bg.a AS a, bg.b AS b FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS bg
+       |    FROM toks
+       |  )
+       |), docbi AS (
+       |  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM bi GROUP BY doc_id, a, b
+       |), bg AS (
+       |  SELECT a, b, CAST(sum(n_occ) AS BIGINT) AS n_bg
+       |  FROM docbi GROUP BY a, b
+       |), pre AS (
+       |  SELECT a, CAST(sum(n_bg) AS BIGINT) AS n_pre FROM bg GROUP BY a
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CAST(CAST(n_bg AS HUGEINT) * 1000000 // n_pre AS BIGINT)
+       |      * n_occ) AS BIGINT) AS sum_prob,
+       |    CAST(min(CAST(n_bg AS HUGEINT) * 1000000 // n_pre) AS BIGINT)
+       |      AS min_prob_millionths
+       |  FROM docbi JOIN bg USING (a, b) JOIN pre USING (a)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id AS doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  CAST(sum_prob // n_bigrams AS BIGINT) AS mean_prob_millionths,
+       |  min_prob_millionths
+       |FROM documents d LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id, n_bigrams, mean_prob_millionths,
+       |  min_prob_millionths""".stripMargin
+
   /** Feature-hash width and weight range of [[classifierScore]]. */
   val ClassifierFeatures: Int = 64
   /** Deterministic integer weight table, one per hashed feature bucket —

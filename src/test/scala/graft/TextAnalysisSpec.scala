@@ -707,4 +707,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docsDf.count())
   }
+
+  test("lmScore golden: hand-computed bigram transition probabilities") {
+    // corpus bigrams: (a,b)×2 from d1, (b,a)×1 from d1, (a,c)×1 from d2
+    // prefix counts: a·=3, b·=1
+    // P(b|a) = 2e6 div 3 = 666666;  P(a|b) = 1e6;  P(c|a) = 1e6 div 3
+    val out = TextAnalysis.lmScore(docs(
+      (1L, "a b a b", "en"),
+      (2L, "a c", "en"),
+      (3L, "solo", "en"),
+      (4L, "", "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Long]("mean_prob_millionths")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("min_prob_millionths")).map(_.toLong)))
+      .toMap
+    assert(out.size === 4)
+    // d1: occurrences ab, ba, ab → sum = 666666·2 + 1000000 = 2333332
+    assert(out(1L) === (3L, Some(2333332L / 3L), Some(666666L)))
+    assert(out(2L) === (1L, Some(333333L), Some(333333L)))
+    assert(out(3L) === (0L, None, None))
+    assert(out(4L) === (0L, None, None))
+  }
+
+  test("lmScore: n_bigrams mass equals sum of per-doc max(len-1, 0)") {
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill((i % 5).toInt)(s"w${i % 7}").mkString(" "), "en"))
+    val out = TextAnalysis.lmScore(docs(rows: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams"))
+      .toMap
+    for ((id, text, _) <- rows) {
+      val n = text.split("\\s+").count(_.nonEmpty)
+      assert(out(id) === math.max(n - 1, 0).toLong, s"doc $id '$text'")
+    }
+  }
+
+  test("lmScore ranks a formulaic doc above incoherent token soup") {
+    // ten copies of the same sentence vs one doc of corpus-unique
+    // transitions: the LM is trained on this corpus itself, so the
+    // repeated phrasing has high transition mass and the soup is all
+    // hapax transitions over a shared prefix vocabulary
+    val formula = (0L until 10L).map(i =>
+      (i, "the cat sat on the mat", "en"))
+    val soup = (10L, "the mat cat the sat on mat sat the on cat mat", "en")
+    val out = TextAnalysis.lmScore(docs((formula :+ soup): _*))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[java.lang.Long]("mean_prob_millionths")).toMap
+    assert(out(0L).toLong > out(10L).toLong)
+  }
 }
