@@ -644,6 +644,62 @@ object Events {
        |  latest_near_ts_us""".stripMargin
   }
 
+  /** Per-(hour, event_type) Datasketches-HLL user sketches — the
+    * MERGEABLE partial aggregate a 100 TB rollup pipeline persists
+    * instead of raw ids: exact distinct counts don't re-aggregate (a
+    * day's distinct is not the sum of its hours' distincts), so any
+    * coarser grain normally means a full rescan of the events store.
+    * The sketch column (lgK=12, ~1.6 KB worst case, rel. err ≈ 1.6 %)
+    * re-rolls to ANY coarser grain by [[dailyActiveFromSketches]]-style
+    * union without touching the raw events again — the standard
+    * sketch-cube pattern (Spark's own `hll_sketch_agg` family, public
+    * Apache Datasketches).
+    *
+    * Deliberately NOT an oracle-gated `queries` entry: a sketch
+    * estimate is a property of the sketch implementation, not of the
+    * data, so a DuckDB twin would pin DuckDB's (different) sketch — the
+    * gate that makes sense is behavioral and lives in EventsSpec:
+    * exactness in the sparse regime, bounded relative error dense, and
+    * union-vs-direct merge consistency. The estimate itself IS
+    * deterministic for a given input multiset (HLL registers are
+    * max-folds — order- and partitioning-independent), so runs don't
+    * flake.
+    *
+    * Scale shape: one partial-agg shuffle on (hour, type) — map-side
+    * sketches combine before the exchange, the whole point of a
+    * mergeable aggregate; `n_events` rides the same shuffle free. */
+  def hourlyUserSketches(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    events.select(
+        (tsUs - (tsUs % hourUs)).as("hour_us"),
+        col("event_type"), col("user_id"))
+      .groupBy("hour_us", "event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("users_hll"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** lgConfigK for the sketch family: 2¹² registers. */
+  val HllLgK: Int = 12
+
+  /** Re-roll persisted [[hourlyUserSketches]] to per-day distinct-user
+    * estimates WITHOUT rescanning events — union the hour sketches
+    * under each (day, type) and estimate. Input is the sketch relation
+    * (possibly re-read from parquet: the sketch is a plain binary
+    * column); cost is one partial-agg shuffle over the ≤ |hours ×
+    * types| relation — corpus-size-independent, which is the entire
+    * point. */
+  def dailyActiveFromSketches(sketches: DataFrame): DataFrame = {
+    val dayUs = DayUs
+    sketches.select(
+        (col("hour_us") - ((col("hour_us") % dayUs + dayUs) % dayUs) )
+          .as("day_start_us"),
+        col("event_type"), col("users_hll"), col("n_events"))
+      .groupBy("day_start_us", "event_type")
+      .agg(hll_sketch_estimate(
+          hll_union_agg(col("users_hll"), lit(false))).as("est_users"),
+        sum("n_events").as("n_events"))
+  }
+
   def topEventsPerUserSql(k: Int = 3): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

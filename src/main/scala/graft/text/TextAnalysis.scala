@@ -2222,4 +2222,37 @@ object TextAnalysis {
        |FROM c GROUP BY lang
        |ORDER BY lang, n_docs, min_chars, q1_chars, median_chars, q3_chars,
        |  max_chars""".stripMargin
+
+  /** [[lengthQuartiles]]' SKETCH twin — `percentile_approx`
+    * (Greenwald-Khanna) instead of the exact value-histogram + prefix
+    * sums. The exact spelling is the oracle-gated default and costs a
+    * per-group value shuffle + window sort; this one is a single
+    * partial-agg pass whose state is the GK summary (bounded by the
+    * accuracy parameter, NOT by the value cardinality) — the spelling
+    * to reach for when the value domain is unbounded (token counts on
+    * 100 TB, latencies) and a rank-error guarantee is acceptable.
+    *
+    * accuracy = 10⁴ bounds the rank error at n/10⁴ per group. The
+    * result is deterministic for a given input multiset (GK merge is
+    * order-insensitive in Spark's implementation at fixed parallelism —
+    * and every returned value is a real member of the input, a property
+    * the spec pins along with the rank-error bound against the exact
+    * operator). NOT an oracle-gated `queries` entry, deliberately: the
+    * summary is implementation-defined, so a DuckDB twin would pin
+    * DuckDB's different sketch — the behavioral gate lives in
+    * TextAnalysisSpec (the [[graft.events.Events.hourlyUserSketches]]
+    * rationale). */
+  def lengthQuartilesApprox(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      min("n_chars").as("min_chars"),
+      percentile_approx(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("q"),
+      max("n_chars").as("max_chars"))
+    .select(col("lang"), col("n_docs"), col("min_chars"),
+      col("q").getItem(0).as("q1_chars"),
+      col("q").getItem(1).as("median_chars"),
+      col("q").getItem(2).as("q3_chars"),
+      col("max_chars"))
 }

@@ -332,6 +332,62 @@ class EventsSpec extends AnyFunSuite {
     assert(out(5L) === (0L, None))
   }
 
+  test("HLL sketches: exact in the sparse regime, hour→day re-roll matches direct") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // 120 users × 3 hours across 2 days, overlapping user sets per hour
+    val rows = for (h <- 0 until 6; u <- 0 until 120; if (u + h) % 3 != 0)
+      yield ((h * 1000 + u).toLong, T + h * 8 * H, u.toLong, "view", 0.0, "{}")
+    val df = events(rows: _*)
+    val sk = Events.hourlyUserSketches(df)
+    // per-hour estimates: HLL is exact at this cardinality (sparse mode)
+    val perHour = sk.collect().map(r => r.getAs[Long]("hour_us") ->
+      r.getAs[Long]("n_events")).toMap
+    assert(perHour.size === 6)
+    // day re-roll from the persisted sketches — never touching raw events
+    val daily = Events.dailyActiveFromSketches(sk).collect()
+      .map(r => r.getAs[Long]("day_start_us") ->
+        (r.getAs[Long]("est_users"), r.getAs[Long]("n_events"))).toMap
+    val exact = df.select(col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)").as("ts_us"))
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          "(ts_us - ((ts_us % 86400000000 + 86400000000) % 86400000000)) AS day_start_us"))
+      .groupBy("day_start_us").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[Long]("day_start_us") -> r.getAs[Long]("n")).toMap
+    assert(daily.keySet === exact.keySet)
+    for ((day, (est, _)) <- daily)
+      assert(est === exact(day), s"day $day: sparse-regime estimate must be exact")
+    // event counts ride the sketch shuffle unchanged
+    assert(daily.values.map(_._2).sum === rows.size.toLong)
+  }
+
+  test("HLL sketches: bounded error dense, and union ≈ direct on the same rows") {
+    import org.apache.spark.sql.functions.lit
+    // 50k distinct users in one day, spread over 10 hours — well past
+    // the sparse→dense promotion for lgK=12
+    val rows = (0 until 50000).map(u =>
+      (u.toLong, T + (u % 10) * H, u.toLong, "view", 0.0, "{}"))
+    val df = events(rows: _*)
+    val daily = Events.dailyActiveFromSketches(Events.hourlyUserSketches(df))
+      .collect()
+    assert(daily.length === 1)
+    val est = daily.head.getAs[Long]("est_users")
+    // lgK=12 → rel std err ≈ 1.04/√4096 ≈ 1.6%; 4σ bound
+    assert(math.abs(est - 50000L) <= 50000L * 65 / 1000,
+      s"dense estimate $est drifted > 6.5% from 50000")
+    // direct one-shot daily sketch agrees with the hour-union path
+    // (registers are max-folds; tolerance covers sketch-mode artifacts)
+    val direct = df.groupBy()
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(
+          org.apache.spark.sql.functions.col("user_id"),
+          lit(Events.HllLgK))).as("est"))
+      .first().getAs[Long]("est")
+    assert(math.abs(est - direct) <= math.max(direct / 100L, 1L),
+      s"union path $est vs direct $direct diverged > 1%")
+  }
+
   test("nearby equals the naive inequality join regardless of bucket alignment") {
     val S: Long = 1000000000L
     // timestamps scattered across bucket boundaries (300 s buckets)

@@ -708,6 +708,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docsDf.count())
   }
 
+  test("approx length quartiles: members of the input with bounded rank error") {
+    val rows = (1 to 5000).map(i => (i.toLong, "x", "en", i.toLong)) ++
+      (1 to 100).map(i => (5000L + i, "y", "de", (i * 7).toLong))
+    val df = rows.toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.lengthQuartilesApprox(df).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val byLang = rows.groupBy(_._3).view.mapValues(_.map(_._4).sorted).toMap
+    for ((lang, r) <- out) {
+      val vs = byLang(lang); val n = vs.size
+      val qs = Seq(r.getAs[Long]("q1_chars"), r.getAs[Long]("median_chars"),
+        r.getAs[Long]("q3_chars"))
+      assert(r.getAs[Long]("n_docs") === n.toLong)
+      assert(r.getAs[Long]("min_chars") === vs.head)
+      assert(r.getAs[Long]("max_chars") === vs.last)
+      // ordered, and every quartile is a REAL member of the input
+      assert(qs == qs.sorted && qs.forall(vs.contains), s"$lang: $qs")
+      // rank error ≤ n/accuracy + 1 around the target rank
+      for ((q, p) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
+        val lo = vs.count(_ < q); val hi = vs.count(_ <= q)
+        val target = p * n; val slack = n / 10000.0 + 1
+        assert(lo - slack <= target && target <= hi + slack,
+          s"$lang p=$p: value $q has rank [$lo,$hi], target $target")
+      }
+    }
+  }
+
   test("lmScore golden: hand-computed bigram transition probabilities") {
     // corpus bigrams: (a,b)×2 from d1, (b,a)×1 from d1, (a,c)×1 from d2
     // prefix counts: a·=3, b·=1
