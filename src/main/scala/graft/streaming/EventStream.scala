@@ -94,6 +94,32 @@ object EventStream {
       .select(expr(s"unix_micros(window.start) DIV $DayUs").as("day"),
         col("n_active"))
 
+  /** Streaming producer of the mergeable sketch artifact — the stream
+    * face of [[graft.events.Events.hourlyUserSketches]]: per closed
+    * (hour, event_type) window, the Datasketches-HLL user sketch as a
+    * plain binary column plus the event count. This is the stream→batch
+    * handoff the sketch family exists for: the stream persists ~KB-sized
+    * hour sketches as they close (state = open windows only, evicted by
+    * the watermark), and the nightly batch re-rolls them to any coarser
+    * grain with [[graft.events.Events.dailyActiveFromSketches]] WITHOUT
+    * ever rescanning raw events — the continuous version of the
+    * sketch-cube pattern. Same lgK as batch, so stream- and
+    * batch-produced sketches union freely (the spec pins the composed
+    * stream→union path against exact distincts). Unlike the rollup's
+    * scalar `approx_count_distinct`, the emitted SKETCH keeps the
+    * estimate mergeable downstream — a scalar estimate is a dead end. */
+  def hourlyUserSketches(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.select(eventTime.as("event_time"), col("event_type"),
+        col("user_id"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"),
+          lit(graft.events.Events.HllLgK)).as("users_hll"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("users_hll"), col("n_events"))
+
   /** Streaming gap sessionization — [[graft.events.Events.sessionize]]
     * through the `session_window` state operator: per-user windows merge
     * while events arrive within `gap`, close when the watermark passes

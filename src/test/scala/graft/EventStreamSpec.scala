@@ -432,6 +432,27 @@ class EventStreamSpec extends AnyFunSuite {
       "intra-stream pairing grew no streaming state")
   }
 
+  test("stream-produced hour sketches re-roll to exact daily actives in batch") {
+    // the stream→batch handoff: the stream emits per-hour HLL sketches;
+    // the BATCH re-roll unions them per day — raw events never rescanned
+    val rows: Seq[Ev] = for (h <- 0 until 6; u <- 0 until 80; if (u + h) % 4 != 0)
+      yield ((h * 1000 + u).toLong, T + h * 8 * H, u.toLong, "view", 0.0, "{}")
+    val sketchRows = runStream(rows)(EventStream.hourlyUserSketches(_))
+    assert(sketchRows.length === 6)
+    val daily = graft.events.Events.dailyActiveFromSketches(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(sketchRows.toSeq),
+          sketchRows.head.schema))
+      .collect().map(r => r.getAs[Long]("day_start_us") ->
+        (r.getAs[Long]("est_users"), r.getAs[Long]("n_events"))).toMap
+    // exact per-day distincts (sparse regime → the estimate is exact)
+    val exact = rows.groupBy(e => (e._2 / 1000) / 86400000000L * 86400000000L)
+      .map { case (d, es) => d -> es.map(_._3).distinct.size.toLong }
+    assert(daily.keySet === exact.keySet)
+    for ((d, (est, _)) <- daily) assert(est === exact(d), s"day $d")
+    assert(daily.values.map(_._2).sum === rows.size.toLong)
+  }
+
   def runAttrib(chunks: Seq[Ev]*): Map[Long, (Option[Long], Option[Long])] = {
     implicit val ctx = spark.sqlContext
     val src = MemoryStream[Ev]
