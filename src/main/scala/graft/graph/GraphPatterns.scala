@@ -1166,6 +1166,63 @@ object GraphPatterns {
     * against the reversed relation (the [[mutualFollows]] join
     * verbatim, kept per-src instead of collapsed) + two partial-agg
     * counts full-outer-merged on the node key. */
+  /** lgConfigK of the reach sketches: 2¹² registers, ≈1.6 % rel. err —
+    * the [[graft.events.Events.HllLgK]] setting, restated locally so the
+    * graph family has no events-package dependency. */
+  val ReachLgK: Int = 12
+
+  /** Default hop horizon of the `graph_reach` query entry. */
+  val ReachRounds: Int = 3
+
+  /** Per-node r-hop reach ESTIMATES — the HyperBall/ANF algorithm
+    * (Boldi & Vigna's HyperBall; Palmer et al.'s ANF before it) on
+    * DataFrames: every node carries a Datasketches-HLL sketch of the
+    * node set it can reach following edge direction in ≤ r hops, and
+    * each round unions every node's sketch with its out-neighbors'
+    * sketches — `sk_r(v) = sk_{r-1}(v) ∪ ⋃_{v→w} sk_{r-1}(w)`, a
+    * max-fold on registers, so the iteration converges monotonically
+    * and duplicate paths cost nothing.
+    *
+    * This is the operator that makes "how big is each account's 3-hop
+    * audience" answerable at all at 100 TB: the EXACT per-node reach
+    * set is worst-case quadratic to even write down (every node reaches
+    * most of a connected graph within small r — the materialized
+    * `twohop_paths` relation is already the r = 2 warning), while here
+    * per-node state is one ≤1.6 KB sketch regardless of reach size, and
+    * a round is ONE equi-join of the sketch relation against the
+    * once-checkpointed distinct edges + ONE mergeable partial agg —
+    * [[pageRank]]'s exact plan shape with sketches in place of ranks
+    * (same per-round `localCheckpoint` keeping plans round-deep, same
+    * src-bucketed zero-Exchange story at cluster scale).
+    *
+    * Returned `est_reach` INCLUDES the node itself (round-0 sketch =
+    * {v}, the ANF convention: the neighborhood function N(v, 0) = 1).
+    * Estimates are deterministic per graph (register max-folds are
+    * order- and partitioning-independent) and EXACT below the sparse→
+    * dense promotion (thousands of nodes) — the spec pins golden
+    * path/cycle/star graphs and random-graph agreement against an
+    * exact BFS closure. No DuckDB oracle BY DESIGN (the sketch-family
+    * rationale: an estimate pins the implementation, not the data). */
+  def reachEstimate(edges: DataFrame, rounds: Int = ReachRounds,
+      max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"reachEstimate needs rounds >= 1 (got $rounds)")
+    val e = maxFilter(edges, max).select(col("src"), col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var sk = nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(ReachLgK)).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val fromNbrs = e.join(sk, e("dst") === sk("node"))
+        .select(e("src").as("node"), col("sk"))
+      sk = sk.union(fromNbrs)
+        .groupBy("node").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .localCheckpoint()
+    }
+    sk.select(col("node"), hll_sketch_estimate(col("sk")).as("est_reach"))
+  }
+
   def nodeReciprocity(edges: DataFrame, max: Option[Long] = None): DataFrame = {
     val e = maxFilter(edges, max).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct().localCheckpoint()

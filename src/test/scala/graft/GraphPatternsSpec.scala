@@ -533,4 +533,45 @@ class GraphPatternsSpec extends AnyFunSuite {
       assert(total === g.size.toLong, s"seed=$seed")
     }
   }
+
+  /** Exact r-hop reach closure (self included) by repeated squaring-free
+    * BFS — the brute-force twin of [[GraphPatterns.reachEstimate]]. */
+  def exactReach(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map { v =>
+      var reach = Set(v)
+      for (_ <- 1 to rounds)
+        reach = reach ++ reach.flatMap(w => adj.getOrElse(w, Set.empty))
+      v -> reach.size.toLong
+    }.toMap
+  }
+
+  def reachMap(g: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    GraphPatterns.reachEstimate(df(g), rounds).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("est_reach")).toMap
+
+  test("reachEstimate golden: path, cycle, star (sparse regime is exact)") {
+    // path a→b→c→d at r=3: 4,3,2,1
+    assert(reachMap(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 3) ===
+      Map(1L -> 4L, 2L -> 3L, 3L -> 2L, 4L -> 1L))
+    // same path at r=1: 2,2,2,1
+    assert(reachMap(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // 3-cycle saturates at the whole cycle by r=2
+    assert(reachMap(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 2) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star hub → 5 leaves, duplicate edges don't inflate the estimate
+    val star = (2L to 6L).map(l => (1L, l)) ++ Seq((1L, 2L), (1L, 2L))
+    assert(reachMap(star, 2) ===
+      ((2L to 6L).map(_ -> 1L).toMap + (1L -> 6L)))
+  }
+
+  test("property: reachEstimate = exact BFS closure on random digraphs (sparse)") {
+    for (seed <- 1 to 3; rounds <- Seq(1, 3)) {
+      val g = randomGraph(seed, n = 25, m = 100, allowDup = true)
+      assert(reachMap(g, rounds) === exactReach(g, rounds),
+        s"seed=$seed rounds=$rounds")
+    }
+  }
 }
