@@ -646,6 +646,13 @@ object SparkEntry {
       graft.multimodal.Media.frameSample(graft.Tables.documents(s, dir))),
     "media_resize" -> ((s, dir) =>
       graft.multimodal.Media.mediaResize(graft.Tables.documents(s, dir))),
+    // Format-AWARE twins: WAV sample frames at their true layout with
+    // sample-accurate timestamps; BMP scanline downscale at the real
+    // 4-byte-aligned row stride.
+    "media_frames_wav" -> ((s, dir) =>
+      graft.multimodal.Media.audioFrames(graft.Tables.documents(s, dir))),
+    "media_resize_bmp" -> ((s, dir) =>
+      graft.multimodal.Media.imageRows(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -882,6 +889,8 @@ object SparkEntry {
     "media_features" -> graft.multimodal.Media.mediaFeaturesSql,
     "media_frames" -> graft.multimodal.Media.frameSampleSql(),
     "media_resize" -> graft.multimodal.Media.mediaResizeSql(),
+    "media_frames_wav" -> graft.multimodal.Media.audioFramesSql(),
+    "media_resize_bmp" -> graft.multimodal.Media.imageRowsSql(),
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),

@@ -277,14 +277,182 @@ object Media {
        |), resized AS (
        |  SELECT media_id, fmt,
        |    CAST(len(h) // 2 AS BIGINT) AS n_bytes,
-       |    array_to_string(list_transform(range(0, len(h) // 2, $stride),
-       |      k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), '') AS resized_hex
+       |    CASE WHEN h IS NULL THEN NULL ELSE
+       |      coalesce(array_to_string(list_transform(range(0, len(h) // 2, $stride),
+       |        k -> substring(h, CAST(k * 2 + 1 AS INT), 2)), ''), '') END AS resized_hex
        |  FROM media
        |)
        |SELECT media_id, fmt, n_bytes, resized_hex,
        |  CAST(len(resized_hex) // 2 AS BIGINT) AS n_resized_bytes
        |FROM resized
        |ORDER BY media_id, fmt, n_bytes, resized_hex, n_resized_bytes""".stripMargin
+
+  /** FORMAT-AWARE audio frame extraction — [[frameSample]] with the
+    * container actually decoded: for WAV payloads (and only those), the
+    * sample frames of the `data` chunk at their true layout — frame
+    * size = channels·bits/8 read from the `fmt ` chunk, data at byte
+    * 44, every `stride`-th frame emitted with its SAMPLE-ACCURATE
+    * timestamp `t_us = frame_idx·10⁶ div sample_rate`. This retires
+    * the "sampling arithmetic is real, the format is not" caveat on
+    * [[frameSample]]: here a frame boundary is where the codec says it
+    * is, not every 16 bytes. Truncated payloads clamp honestly
+    * (`least(declared data length, bytes actually present)`), so a cut
+    * upload yields its complete frames and nothing invented.
+    *
+    * Scale shape: identical to [[frameSample]] — header parse and frame
+    * slicing are per-row hex arithmetic inside codegen, the explode is
+    * bounded by payload size, no shuffle at all. */
+  def audioFrames(docs: DataFrame, stride: Int = 4): DataFrame = {
+    val media = asContainerTable(graft.Tables.widen(docs))
+      .select(col("media_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val isWav = col("n_bytes") >= 44L &&
+      substring(col("h"), 1, 8) === "52494646" &&
+      substring(col("h"), 17, 8) === "57415645" &&
+      substring(col("h"), 25, 8) === "666D7420" &&
+      substring(col("h"), 73, 8) === "64617461"
+    val counted = media.filter(isWav)
+      .select(col("media_id"), col("h"),
+        leVal(col("h"), 22, 2).as("channels"),
+        leVal(col("h"), 24, 4).as("sample_rate"),
+        leVal(col("h"), 34, 2).as("bits"),
+        leVal(col("h"), 40, 4).as("declared_len"),
+        (col("n_bytes") - 44L).as("avail_len"))
+      .withColumn("frame_bytes", expr("(channels * bits) div 8L"))
+      .filter(col("frame_bytes") >= 1L)
+      .withColumn("n_frames",
+        expr("least(declared_len, avail_len) div frame_bytes"))
+      .filter(col("n_frames") >= 1L)
+    counted
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("bits"), col("frame_bytes"), col("h"),
+        explode(sequence(lit(0L), col("n_frames") - 1L,
+          lit(stride.toLong))).as("frame_idx"))
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("bits"), col("frame_idx"),
+        // greatest(·, 1): a zero-rate fmt chunk is malformed input, not
+        // a reason to kill the job in ANSI mode
+        expr("(frame_idx * 1000000L) div greatest(sample_rate, 1L)")
+          .as("t_us"),
+        col("h").substr(
+          (lit(89L) + col("frame_idx") * col("frame_bytes") * 2L)
+            .cast("int"),
+          (col("frame_bytes") * 2L).cast("int")).as("frame_hex"))
+  }
+
+  /** Oracle twin of [[audioFrames]] — same header reads, same clamp,
+    * same frame slicing over the hex payload. */
+  def audioFramesSql(stride: Int = 4): String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    ${containerHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
+       |), wav AS (
+       |  SELECT media_id, h,
+       |    CAST(${leValSql("h", 22, 2)} AS BIGINT) AS channels,
+       |    CAST(${leValSql("h", 24, 4)} AS BIGINT) AS sample_rate,
+       |    CAST(${leValSql("h", 34, 2)} AS BIGINT) AS bits,
+       |    CAST(${leValSql("h", 40, 4)} AS BIGINT) AS declared_len,
+       |    CAST(n_bytes - 44 AS BIGINT) AS avail_len
+       |  FROM sized
+       |  WHERE n_bytes >= 44 AND substring(h, 1, 8) = '52494646'
+       |    AND substring(h, 17, 8) = '57415645'
+       |    AND substring(h, 25, 8) = '666D7420'
+       |    AND substring(h, 73, 8) = '64617461'
+       |), counted AS (
+       |  SELECT *, least(declared_len, avail_len) // frame_bytes AS n_frames
+       |  FROM (SELECT *, (channels * bits) // 8 AS frame_bytes FROM wav)
+       |  WHERE (channels * bits) // 8 >= 1
+       |)
+       |SELECT media_id, channels, sample_rate, bits,
+       |  CAST(u.f AS BIGINT) AS frame_idx,
+       |  CAST((u.f * 1000000) // greatest(sample_rate, 1) AS BIGINT) AS t_us,
+       |  substring(h, CAST(89 + u.f * frame_bytes * 2 AS INT),
+       |    CAST(frame_bytes * 2 AS INT)) AS frame_hex
+       |FROM counted, UNNEST(range(0, n_frames, $stride)) AS u(f)
+       |ORDER BY media_id, channels, sample_rate, bits, frame_idx, t_us,
+       |  frame_hex""".stripMargin
+
+  /** FORMAT-AWARE image downscale — [[mediaResize]] with the container
+    * actually decoded: for BMP payloads (and only those), every
+    * `stride`-th PIXEL ROW of the bitmap at its true layout — row size
+    * = ((bpp·width + 31) div 32)·4 (the 4-byte-aligned BMP row stride,
+    * padding included), pixel data at byte 54. A vertical
+    * nearest-neighbor resample whose slices are real scanlines, not the
+    * format-blind every-4th-byte of [[mediaResize]]. Truncated payloads
+    * clamp to the complete rows actually present (`n_rows_avail` ≤
+    * declared height), and the output accounts for the clamp
+    * explicitly — nothing invented past the last full scanline.
+    *
+    * Scale shape: per-row hex arithmetic + a bounded array transform
+    * inside codegen; no explode (one output row per image), no
+    * shuffle. */
+  def imageRows(docs: DataFrame, stride: Int = 4): DataFrame = {
+    val media = asContainerTable(graft.Tables.widen(docs))
+      .select(col("media_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val isBmp = col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D"
+    val bmp = media.filter(isBmp)
+      .select(col("media_id"), col("h"),
+        leVal(col("h"), 18, 4).as("width"),
+        leVal(col("h"), 22, 4).as("height"),
+        leVal(col("h"), 28, 2).as("bpp"),
+        (col("n_bytes") - 54L).as("avail"))
+      .withColumn("row_bytes", expr("((bpp * width + 31L) div 32L) * 4L"))
+      .filter(col("row_bytes") >= 1L)
+      .withColumn("n_rows_avail",
+        least(col("height"), expr("avail div row_bytes")))
+    bmp.select(col("media_id"), col("width"), col("height"), col("bpp"),
+        col("row_bytes"), col("n_rows_avail"),
+        // sequence(0, n-1, stride) needs n >= 1 (a negative stop flips
+        // Spark's inferred step); DuckDB's range(0, 0) is just empty
+        when(col("n_rows_avail") >= 1L, concat_ws("",
+          transform(
+            sequence(lit(0L), col("n_rows_avail") - 1L, lit(stride.toLong)),
+            r => col("h").substr(
+              (lit(109L) + r * col("row_bytes") * 2L).cast("int"),
+              (col("row_bytes") * 2L).cast("int")))))
+          .otherwise(lit("")).as("resized_hex"))
+      .withColumn("n_rows_out",
+        expr("(CAST(length(resized_hex) AS BIGINT) DIV 2L) DIV row_bytes"))
+  }
+
+  /** Oracle twin of [[imageRows]] — same header reads, same aligned row
+    * stride, same scanline slicing. */
+  def imageRowsSql(stride: Int = 4): String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    ${containerHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
+       |), bmp AS (
+       |  SELECT media_id, h,
+       |    CAST(${leValSql("h", 18, 4)} AS BIGINT) AS width,
+       |    CAST(${leValSql("h", 22, 4)} AS BIGINT) AS height,
+       |    CAST(${leValSql("h", 28, 2)} AS BIGINT) AS bpp,
+       |    CAST(n_bytes - 54 AS BIGINT) AS avail
+       |  FROM sized
+       |  WHERE n_bytes >= 54 AND substring(h, 1, 4) = '424D'
+       |), rowed AS (
+       |  SELECT *, least(height, avail // row_bytes) AS n_rows_avail
+       |  FROM (SELECT *, ((bpp * width + 31) // 32) * 4 AS row_bytes FROM bmp)
+       |  WHERE ((bpp * width + 31) // 32) * 4 >= 1
+       |), sliced AS (
+       |  SELECT media_id, width, height, bpp, row_bytes, n_rows_avail,
+       |    coalesce(array_to_string(list_transform(range(0, n_rows_avail, $stride),
+       |      r -> substring(h, CAST(109 + r * row_bytes * 2 AS INT),
+       |        CAST(row_bytes * 2 AS INT))), ''), '') AS resized_hex
+       |  FROM rowed
+       |)
+       |SELECT media_id, width, height, bpp, row_bytes, n_rows_avail,
+       |  resized_hex,
+       |  CAST((len(resized_hex) // 2) // row_bytes AS BIGINT) AS n_rows_out
+       |FROM sliced
+       |ORDER BY media_id, width, height, bpp, row_bytes, n_rows_avail,
+       |  resized_hex, n_rows_out""".stripMargin
 
   def mediaFeaturesSql: String =
     s"""WITH media AS (

@@ -125,4 +125,62 @@ class MediaSpec extends AnyFunSuite {
     assert(schema("payload").dataType.typeName === "binary")
     assert(schema("meta").dataType.typeName === "struct")
   }
+
+  def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+
+  test("audioFrames golden: true frame size, stride sampling, sample-accurate t_us") {
+    // doc_id 6 → WAV, channels 1, bits 8, rate 8000 → frame_bytes 1;
+    // 10 data bytes → frames 0..9, stride 4 keeps 0, 4, 8
+    // doc_id 11 → WAV, channels 2, bits 16, rate 48000 → frame_bytes 4;
+    // 10 data bytes → 2 complete frames, stride 4 keeps only frame 0
+    // doc_id 2 → raw payload: no rows; doc_id 5 → BMP: no rows
+    val out = Media.audioFrames(docs(
+      (6L, "abcdefghij", "en", "src0", 10L),
+      (11L, "abcdefghij", "en", "src0", 10L),
+      (2L, "abcdefghij", "en", "src0", 10L),
+      (5L, "abcdefghij", "en", "src0", 10L)))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("channels"), r.getAs[Long]("sample_rate"),
+          r.getAs[Long]("bits"), r.getAs[Long]("t_us"),
+          r.getAs[String]("frame_hex"))).toMap
+    assert(out.keySet === Set((6L, 0L), (6L, 4L), (6L, 8L), (11L, 0L)))
+    assert(out((6L, 0L)) === (1L, 8000L, 8L, 0L, hexOf("a")))
+    assert(out((6L, 4L)) === (1L, 8000L, 8L, 500L, hexOf("e")))
+    assert(out((6L, 8L)) === (1L, 8000L, 8L, 1000L, hexOf("i")))
+    assert(out((11L, 0L)) === (2L, 48000L, 16L, 0L, hexOf("abcd")))
+  }
+
+  test("imageRows golden: aligned row stride, truncation clamp, scanline slices") {
+    // doc_id 5 → BMP 6×6 @ 24 bpp → row stride ((24·6+31) div 32)·4 = 20;
+    // 45 data bytes hold 2 complete rows of the declared 6 → clamp to 2,
+    // stride 4 keeps row 0 only → the first 20 payload bytes verbatim
+    val text45 = "0123456789" * 4 + "01234"
+    val out = Media.imageRows(docs(
+      (5L, text45, "en", "src0", 45L),
+      (6L, text45, "en", "src0", 45L),    // WAV → no rows
+      (2L, text45, "en", "src0", 45L)))   // raw → no rows
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("media_id") === 5L)
+    assert((r.getAs[Long]("width"), r.getAs[Long]("height"),
+      r.getAs[Long]("bpp"), r.getAs[Long]("row_bytes")) === (6L, 6L, 24L, 20L))
+    assert(r.getAs[Long]("n_rows_avail") === 2L)
+    assert(r.getAs[Long]("n_rows_out") === 1L)
+    assert(r.getAs[String]("resized_hex") === hexOf(text45.take(20)))
+  }
+
+  test("imageRows: a payload holding every declared row keeps ceil(h/stride) rows") {
+    // doc_id 10 → BMP 11×11 @ 24 bpp → row stride ((264+31) div 32)·4 = 36;
+    // 11 rows × 36 = 396 data bytes supplied exactly → rows 0,4,8
+    val full = "x" * 396
+    val r = Media.imageRows(docs((10L, full, "en", "src0", full.length.toLong)))
+      .collect().head
+    assert((r.getAs[Long]("width"), r.getAs[Long]("height"),
+      r.getAs[Long]("row_bytes")) === (11L, 11L, 36L))
+    assert(r.getAs[Long]("n_rows_avail") === 11L)
+    assert(r.getAs[Long]("n_rows_out") === 3L)
+    assert(r.getAs[String]("resized_hex").length === 3 * 36 * 2)
+  }
 }
