@@ -689,6 +689,10 @@ object SparkEntry {
     // nested-loop range predicate).
     "events_nearby" -> ((s, dir) =>
       Events.nearbyEventCounts(graft.Tables.events(s, dir))),
+    // User-journey Markov matrix: immediate type→type transitions per
+    // user sequence, conditional probabilities in exact millionths.
+    "events_transitions" -> ((s, dir) =>
+      Events.eventTransitions(graft.Tables.events(s, dir))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -901,6 +905,7 @@ object SparkEntry {
     "events_stickiness" -> Events.stickinessSql(),
     "events_asof" -> Events.asofAttributionSql(),
     "events_nearby" -> Events.nearbyEventCountsSql(),
+    "events_transitions" -> Events.eventTransitionsSql,
   )
 
   private def triangleOracle: String =

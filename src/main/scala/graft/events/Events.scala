@@ -644,6 +644,63 @@ object Events {
        |  latest_near_ts_us""".stripMargin
   }
 
+  /** Event-type transition matrix — the user-journey Markov model every
+    * product-analytics suite fits: for each ordered pair of event types,
+    * how often type B IMMEDIATELY follows type A in some user's
+    * event-time sequence, with the conditional transition probability
+    * P(B|A) in exact millionths (the [[graft.text.TextAnalysis.lmScore]]
+    * integer discipline — no float division until nothing is left to
+    * compare across engines). "view mostly leads to click, error leads
+    * to error" reads straight off the result; a funnel hypothesis comes
+    * FROM this matrix before anyone hard-codes stages into [[funnel]].
+    *
+    * Adjacency is per user in (ts, event_id) order — the sessionize
+    * total order — via ONE lag window on the same user_id partitioning
+    * every other per-user operator shares. Each event contributes
+    * exactly one transition (from its predecessor); each user's first
+    * event contributes none.
+    *
+    * Scale shape: one user_id shuffle + sort for the lag (the
+    * sessionize plan), one partial-agg shuffle collapsing to the
+    * ≤ |types|² matrix, then the probability normalization runs as a
+    * window over THAT tiny relation — corpus-size-independent. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val counts = events
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_from",
+        sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div n_from").as("p_millionths"))
+  }
+
+  /** Oracle twin of [[eventTransitions]] — same lag/count/window
+    * normalization chain. */
+  def eventTransitionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events
+       |), p AS (
+       |  SELECT lag(event_type) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), c AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+       |)
+       |SELECT from_type, to_type, n,
+       |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+       |    AS BIGINT) AS p_millionths
+       |FROM c
+       |ORDER BY from_type, to_type, n, p_millionths""".stripMargin
+
   /** Per-(hour, event_type) Datasketches-HLL user sketches — the
     * MERGEABLE partial aggregate a 100 TB rollup pipeline persists
     * instead of raw ids: exact distinct counts don't re-aggregate (a

@@ -1223,6 +1223,45 @@ object GraphPatterns {
     sk.select(col("node"), hll_sketch_estimate(col("sk")).as("est_reach"))
   }
 
+  /** The NEIGHBORHOOD FUNCTION N(r) — the curve [[reachEstimate]]'s
+    * per-node sketches exist to integrate (the original point of
+    * ANF/HyperBall): for each hop count r ∈ [0, rounds], the estimated
+    * total number of (source, reachable-node) pairs at distance ≤ r.
+    * Where the curve flattens is the graph's effective diameter
+    * ("within how many hops does a follow reach ~everyone it will ever
+    * reach"); N(0) = |nodes| by construction, and N is nondecreasing
+    * in r (register max-folds only grow — spec-pinned).
+    *
+    * Same loop and per-round cost as [[reachEstimate]], plus one tiny
+    * estimate-and-sum aggregate of the sketch relation per round (a
+    * one-row result each; the union of rounds+1 one-row frames is a
+    * plan union of aggregates, not a driver-side collect). */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = ReachRounds,
+      max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"neighborhoodFunction needs rounds >= 1 (got $rounds)")
+    val e = maxFilter(edges, max).select(col("src"), col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var sk = nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(ReachLgK)).as("sk"))
+      .localCheckpoint()
+    def curvePoint(r: Int) = sk
+      .select(hll_sketch_estimate(col("sk")).as("est"))
+      .agg(coalesce(sum("est"), lit(0L)).as("est_pairs"))
+      .select(lit(r.toLong).as("hops"), col("est_pairs"))
+    var curve = curvePoint(0)
+    for (r <- 1 to rounds) {
+      val fromNbrs = e.join(sk, e("dst") === sk("node"))
+        .select(e("src").as("node"), col("sk"))
+      sk = sk.union(fromNbrs)
+        .groupBy("node").agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .localCheckpoint()
+      curve = curve.union(curvePoint(r))
+    }
+    curve
+  }
+
   def nodeReciprocity(edges: DataFrame, max: Option[Long] = None): DataFrame = {
     val e = maxFilter(edges, max).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct().localCheckpoint()

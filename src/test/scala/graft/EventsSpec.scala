@@ -332,6 +332,34 @@ class EventsSpec extends AnyFunSuite {
     assert(out(5L) === (0L, None))
   }
 
+  test("eventTransitions golden: adjacency per user, conditional millionths") {
+    val out = Events.eventTransitions(events(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "view", 0.0, "{}"),
+      (3L, T + 3 * H, 1L, "click", 0.0, "{}"),
+      (4L, T, 2L, "view", 0.0, "{}"),
+      (5L, T + H, 2L, "error", 0.0, "{}"),
+      (6L, T, 3L, "view", 0.0, "{}")))   // singleton user: no transition
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p_millionths"))).toMap
+    // from view: click ×2, error ×1 → 666666 / 333333; from click: view ×1
+    assert(out.size === 3)
+    assert(out(("view", "click")) === (2L, 666666L))
+    assert(out(("view", "error")) === (1L, 333333L))
+    assert(out(("click", "view")) === (1L, 1000000L))
+  }
+
+  test("eventTransitions: transition mass = events minus one per active user") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rows = (0 until 90).map(i =>
+      (i.toLong, T + ((i * 13) % 40) * H,
+        (i % 7).toLong, Seq("view", "click", "purchase")(i % 3), 0.0, "{}"))
+    val total = Events.eventTransitions(events(rows: _*))
+      .agg(fsum("n")).first().getLong(0)
+    assert(total === (rows.size - rows.map(_._3).distinct.size).toLong)
+  }
+
   test("HLL sketches: exact in the sparse regime, hour→day re-roll matches direct") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     // 120 users × 3 hours across 2 days, overlapping user sets per hour

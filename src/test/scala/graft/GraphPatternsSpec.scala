@@ -574,4 +574,21 @@ class GraphPatternsSpec extends AnyFunSuite {
         s"seed=$seed rounds=$rounds")
     }
   }
+
+  test("neighborhoodFunction: exact ANF curve on the path graph, monotone everywhere") {
+    // path 1→2→3→4: N(0)=4, N(1)=4+3=7, N(2)=9, N(3)=10 (saturated)
+    val curve = GraphPatterns.neighborhoodFunction(
+        df(Seq((1L, 2L), (2L, 3L), (3L, 4L))), rounds = 3)
+      .collect().map(r => r.getAs[Long]("hops") -> r.getAs[Long]("est_pairs"))
+      .toMap
+    assert(curve === Map(0L -> 4L, 1L -> 7L, 2L -> 9L, 3L -> 10L))
+    // monotone nondecreasing on a random digraph (register max-folds)
+    for (seed <- 1 to 2) {
+      val c = GraphPatterns.neighborhoodFunction(
+          df(randomGraph(seed, n = 25, m = 100, allowDup = true)), rounds = 4)
+        .collect().map(r => (r.getAs[Long]("hops"), r.getAs[Long]("est_pairs")))
+        .sortBy(_._1).map(_._2)
+      assert(c.zip(c.tail).forall { case (a, b) => a <= b }, s"seed=$seed: $c")
+    }
+  }
 }
