@@ -351,6 +351,15 @@ object SparkEntry {
     // prefix sum of these 17 rows).
     "near_dup_score_hist" -> ((s, dir) =>
       Dedup.nearDupScoreHist(graft.Tables.documents(s, dir))),
+    // Exact-substring duplication (the ExactSubstr axis): maximal
+    // cross-doc verbatim token spans, their per-doc share, and the
+    // scrubbed text with the spans removed.
+    "dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(graft.Tables.documents(s, dir))),
+    "dup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(graft.Tables.documents(s, dir))),
+    "dup_span_scrub" -> ((s, dir) =>
+      Dedup.dupSpanScrub(graft.Tables.documents(s, dir))),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
@@ -840,6 +849,9 @@ object SparkEntry {
     "band_occupancy" -> Dedup.bandOccupancySql,
     "near_dup_pairs" -> Dedup.nearDupPairsSql,
     "near_dup_score_hist" -> Dedup.nearDupScoreHistSql,
+    "dup_spans" -> Dedup.dupSpansSql(),
+    "dup_span_stats" -> Dedup.dupSpanStatsSql(),
+    "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql(),

@@ -1878,4 +1878,273 @@ object Dedup {
        |SELECT n_match, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM scored GROUP BY n_match
        |ORDER BY n_match, n_pairs""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact-substring duplication (cross-document verbatim spans)
+  // --------------------------------------------------------------------
+
+  /** Window width (tokens) for exact-substring duplicate detection. The
+    * published spelling (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") uses 50-token windows over BPE ids;
+    * 8 whitespace tokens is the same knob scaled to the fixture corpus
+    * (long enough that natural-language collisions are rare, short
+    * enough that planted near-dup edits still leave shared runs). */
+  val DupSpanWindow: Int = 8
+
+  /** A window is "duplicated" when its token sequence occurs in at least
+    * this many DISTINCT documents. 2 = any cross-doc repeat; intra-doc
+    * repetition is deliberately excluded (that is
+    * [[TextAnalysis.docRepetition]]'s axis). */
+  val DupSpanMinDocs: Long = 2L
+
+  /** Every w-token window-start of a doc as (doc_id, pos, sh): 1-based
+    * start position and the window's shingle hash — the positional
+    * sibling of [[TextAnalysis.docRepetition]]'s multiset. Position is
+    * what turns "this doc contains duplicated material" into WHERE. */
+  private def windowStarts(t: DataFrame, w: Int): DataFrame =
+    t.select(col("doc_id"), posexplode(
+        when(size(col("th")) >= w,
+          transform(sequence(lit(1), size(col("th")) - (w - 1)),
+            i => PortableHash.shingleK(
+              (0 until w).map(j => element_at(col("th"), i + j)))))
+          .otherwise(array().cast("array<long>"))).as(Seq("off", "sh")))
+      .select(col("doc_id"), (col("off") + 1L).cast("long").as("pos"),
+        col("sh"))
+
+  /** Start positions whose window occurs in ≥ minDocs distinct docs.
+    * Scale shape: the starts relation is n_tokens-sized (one row per
+    * window start — the [[TextAnalysis.bpeTokenize]] row class, linear
+    * in the corpus); doc-frequency is the two-level partial aggregate
+    * ((doc, sh) distinct → sh count), and flagging is ONE sh-keyed
+    * equi-join back — never a pair expansion, so unlike the suffix-array
+    * formulation this is shuffle-linear in corpus size with no
+    * single-machine sort. */
+  private def dupStarts(t: DataFrame, w: Int, minDocs: Long): DataFrame = {
+    val starts = windowStarts(t, w)
+    val dupSh = starts.select(col("doc_id"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("sh")
+    starts.join(dupSh, "sh").select(col("doc_id"), col("pos"))
+  }
+
+  /** Shared oracle CTE chain: toks → window starts → cross-doc
+    * duplicated starts (`ds(doc_id, pos)`). */
+  private def dupStartCtesSql(w: Int, minDocs: Long): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    val shW = PortableHash.shingleKSql((0 until w).map(j =>
+      if (j == 0) "th[i]" else s"th[i+$j]"))
+    s"""t AS (
+       |  SELECT doc_id, $tok AS th FROM documents
+       |), starts AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $shW AS sh
+       |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - ${w - 2})) AS i
+       |        FROM t WHERE len(th) >= $w)
+       |), dupsh AS (
+       |  SELECT sh FROM (SELECT sh, doc_id FROM starts GROUP BY sh, doc_id)
+       |  GROUP BY sh HAVING count(*) >= $minDocs
+       |), ds AS (
+       |  SELECT doc_id, pos FROM starts JOIN dupsh USING (sh)
+       |)""".stripMargin
+  }
+
+  /** Cross-document EXACT-SUBSTRING duplicated spans — the span-level
+    * dedup the published suffix-array pipelines run (Lee et al. 2022),
+    * re-expressed as the Spark-native window sweep: a doc's token range
+    * [span_start, span_end] is reported when every token in it is
+    * covered by some w-token window whose exact token sequence also
+    * occurs in ≥ [[DupSpanMinDocs]] OTHER-or-same distinct documents,
+    * and spans are MAXIMAL (overlapping/adjacent duplicated windows
+    * merge via the gaps-and-islands pattern: a window chains onto the
+    * current span iff its start is ≤ running-max(end)+1, one
+    * running-max + one prefix-sum window over the per-doc ordered
+    * starts). Whole-doc duplicates show up as one doc-length span;
+    * quoted/boilerplate passages as interior islands — exactly the
+    * granularity [[exactDupClusters]] (whole doc) and [[nearDupPairs]]
+    * (whole-doc similarity) cannot see.
+    *
+    * Scale shape: [[dupStarts]]'s linear sweep (n_tokens-sized starts
+    * relation, two-level partial-agg doc-frequency, one sh-keyed join
+    * back), then the island merge runs per-doc over ONLY the duplicated
+    * starts (a user_id-window class shuffle on doc_id, bounded per doc
+    * by its own length). Nothing is corpus-quadratic; the suffix array
+    * a native pipeline builds is replaced by the sh-keyed shuffle,
+    * which is the scan-shaped cost Spark amortizes across 1000
+    * executors. */
+  def dupSpans(docs: DataFrame, w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"),
+      TextAnalysis.tokenHashes(wide, col("text")).as("th"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(w - 1).cast("long"))
+      .over(wdoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    dupStarts(t, w, minDocs)
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(wdoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Oracle twin of [[dupSpans]] — same starts/flag/island chain as
+    * window SQL. */
+  def dupSpansSql(w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): String =
+    s"""WITH ${dupStartCtesSql(w, minDocs)}, mk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |        OR pos > max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ds
+       |), isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    AS island
+       |  FROM mk
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${w - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${w - 1} - min(pos) + 1 AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start, span_end, span_len""".stripMargin
+
+  /** Per-document rollup of [[dupSpans]] over ALL docs (zero-filled) —
+    * the gate-shaped face: how much of each doc is verbatim-shared
+    * material. `dup_frac` is the span-token share (exact-int-derived
+    * double), the number a curation policy thresholds on ("drop docs
+    * that are >80% duplicated text", the ExactSubstr acceptance knob).
+    *
+    * Scale shape: [[dupSpans]] plus one doc_id partial-agg rollup and
+    * the zero-fill left join — both strictly smaller than the span
+    * relation they consume. */
+  def dupSpanStats(docs: DataFrame, w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val nTok = wide.select(col("doc_id"),
+      coalesce(size(TextAnalysis.tokenHashes(wide, col("text"))), lit(0))
+        .cast("long").as("n_tokens"))
+    val rolled = dupSpans(docs, w, minDocs).groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"), sum("span_len").as("dt"))
+    nTok.join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("ns"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dt"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0L,
+          coalesce(col("dt"), lit(0L)) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Oracle twin of [[dupSpanStats]]. */
+  def dupSpanStatsSql(w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): String =
+    s"""WITH ${dupStartCtesSql(w, minDocs)}, mk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |        OR pos > max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ds
+       |), isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    AS island
+       |  FROM mk
+       |), spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + ${w - 1} AS span_end
+       |  FROM isl GROUP BY doc_id, island
+       |), rolled AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dt
+       |  FROM spans GROUP BY doc_id
+       |), fin AS (
+       |  SELECT t.doc_id,
+       |    CAST(coalesce(len(th), 0) AS BIGINT) AS n_tokens,
+       |    coalesce(ns, 0) AS n_dup_spans,
+       |    coalesce(dt, 0) AS n_dup_tokens,
+       |    CASE WHEN coalesce(len(th), 0) > 0
+       |      THEN coalesce(dt, 0) / len(th) ELSE 0e0 END AS dup_frac
+       |  FROM t LEFT JOIN rolled ON t.doc_id = rolled.doc_id
+       |)
+       |SELECT * FROM fin
+       |ORDER BY doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac""".stripMargin
+
+  /** The transform counterpart of [[dupSpans]] — ExactSubstr's actual
+    * output artifact: each doc with its cross-document duplicated spans
+    * REMOVED, the same count+mask pairing as
+    * [[TextAnalysis.boilerplateScrub]] (normalized rebuild — lowercased
+    * tokens re-joined with single spaces, token-identical to every
+    * downstream [[TextAnalysis.tokens]] consumer; NULL text stays
+    * NULL). Unlike the tile scrub, coverage here is positionally exact:
+    * the removed set is the union of duplicated windows, so a doc keeps
+    * every token no duplicated window touches — including sub-window
+    * gaps between spans.
+    *
+    * Scale shape: the (doc, toks, th) base is checkpointed once and
+    * consumed by the flag side and the rebuild join. Covered positions
+    * explode ≤ w rows per duplicated start and collapse map-side into a
+    * per-doc set bounded by the doc's own length (the per-row-array
+    * class of state — same bound as the token array riding next to it,
+    * NOT a corpus-sized collect); the rebuild is one doc_id equi-join
+    * plus a per-row indexed filter. */
+  def dupSpanScrub(docs: DataFrame, w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        PortableHash.tokHashes(wide, col("toks")).as("th"))
+      .localCheckpoint() // consumed by the flag side AND the rebuild join
+    val covered = dupStarts(t, w, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1).cast("long")))
+          .as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+    t.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), array().cast("array<bigint>")).as("cov"))
+      .select(col("doc_id"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed_tokens"),
+        array_join(filter(col("toks"), (tok, i) =>
+          !array_contains(col("cov"), i.cast("long") + 1L)), " ")
+          .as("clean_text"))
+  }
+
+  /** Oracle twin — covered positions as a per-doc DISTINCT list,
+    * indexed rebuild via range + list indexing (the
+    * [[TextAnalysis.boilerplateScrubSql]] idiom: DuckDB list_filter
+    * lambdas carry no index, and array_to_string([]) must coalesce to
+    * '' to match Spark's array_join). */
+  def dupSpanScrubSql(w: Int = DupSpanWindow,
+      minDocs: Long = DupSpanMinDocs): String =
+    s"""WITH ${dupStartCtesSql(w, minDocs)}, covered AS (
+       |  SELECT doc_id, list(DISTINCT cp) AS cov
+       |  FROM (SELECT doc_id, unnest(range(pos, pos + $w)) AS cp FROM ds)
+       |  GROUP BY doc_id
+       |), tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')
+       |    AS toks
+       |  FROM documents
+       |), fin AS (
+       |  SELECT tk.doc_id,
+       |    CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed_tokens,
+       |    CASE WHEN toks IS NULL THEN NULL ELSE
+       |      coalesce(array_to_string(
+       |        list_filter(list_transform(range(1, len(toks) + 1),
+       |          i -> CASE WHEN NOT list_contains(coalesce(cov, []),
+       |                              CAST(i AS BIGINT))
+       |               THEN toks[i] END),
+       |          x -> x IS NOT NULL), ' '), '')
+       |    END AS clean_text
+       |  FROM tk LEFT JOIN covered ON tk.doc_id = covered.doc_id
+       |)
+       |SELECT * FROM fin
+       |ORDER BY doc_id, n_tokens, n_removed_tokens, clean_text""".stripMargin
 }

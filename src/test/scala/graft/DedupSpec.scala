@@ -770,4 +770,81 @@ class DedupSpec extends AnyFunSuite {
     assert(report.map(_._2._3).sum === expectPairs)
     assert(expectPairs > 0L, "fixture must actually collide somewhere")
   }
+
+  // ---- exact-substring duplicated spans ------------------------------
+
+  // run1/run2: exactly 8 tokens each (= DupSpanWindow) so sharing the run
+  // shares exactly one window; all filler tokens are globally unique
+  private val run1 = "s1 s2 s3 s4 s5 s6 s7 s8"
+  private val run2 = "u1 u2 u3 u4 u5 u6 u7 u8"
+  private val docA = s"x1 x2 $run1 x3 x4 $run2 x5" // run1 @ 3-10, run2 @ 13-20
+  private val docB = s"$run1 y1 y2 y3"             // run1 @ 1-8
+  private val docC = s"z1 z2 z3 $run2"             // run2 @ 4-11
+
+  test("dupSpans golden: maximal cross-doc spans at exact positions") {
+    val out = Dedup.dupSpans(docs((1L, docA), (2L, docB), (3L, docC)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"))).toSet
+    assert(out === Set((1L, 3L, 10L, 8L), (1L, 13L, 20L, 8L),
+      (2L, 1L, 8L, 8L), (3L, 4L, 11L, 8L)))
+  }
+
+  test("dupSpans: adjacent coverage merges into ONE maximal span") {
+    // docD's 16 tokens are covered [1,8] by docE's run and [9,16] by
+    // docF's — contiguous token coverage, so the islands merge
+    val d = "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 b4 b5 b6 b7 b8"
+    val out = Dedup.dupSpans(docs(
+        (1L, d),
+        (2L, "a1 a2 a3 a4 a5 a6 a7 a8 q1 q2"),
+        (3L, "r1 r2 b1 b2 b3 b4 b5 b6 b7 b8")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(out.filter(_._1 == 1L) === Set((1L, 1L, 16L)))
+  }
+
+  test("dupSpans: intra-doc repetition alone is NOT a duplicated span") {
+    // the run occurs twice in ONE doc and nowhere else — distinct-doc
+    // count is 1, so nothing is flagged (that axis is docRepetition's)
+    val out = Dedup.dupSpans(docs(
+      (1L, s"$run1 w1 w2 $run1"), (2L, "v1 v2 v3 v4 v5 v6 v7 v8 v9")))
+    assert(out.count() === 0L)
+  }
+
+  test("dupSpanStats golden: zero-filled rollup with exact span share") {
+    val out = Dedup.dupSpanStats(docs(
+        (1L, docA), (2L, docB), (3L, docC), (4L, unrelated)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) === ((21L, 2L, 16L, 16.0 / 21.0)))
+    assert(out(2L) === ((11L, 1L, 8L, 8.0 / 11.0)))
+    assert(out(3L) === ((11L, 1L, 8L, 8.0 / 11.0)))
+    assert(out(4L)._2 === 0L)
+    assert(out(4L)._4 === 0.0)
+  }
+
+  test("dupSpanScrub golden: spans removed, gaps kept, NULL text stays NULL") {
+    val withNull = docs((1L, docA), (2L, docB), (3L, docC))
+      .union(Seq((4L, Option.empty[String], "en")).toDF("doc_id", "text", "lang"))
+    val out = Dedup.dupSpanScrub(withNull).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed_tokens"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((21L, 16L, "x1 x2 x3 x4 x5")))
+    assert(out(2L) === ((11L, 8L, "y1 y2 y3")))
+    assert(out(3L) === ((11L, 8L, "z1 z2 z3")))
+    assert(out(4L) === ((0L, 0L, null)))
+  }
+
+  test("dupSpanScrub: removed + kept tokens tile the doc") {
+    val out = Dedup.dupSpanScrub(docs((1L, docA), (2L, docB), (3L, docC),
+        (4L, unrelated), (5L, base))).collect()
+    out.foreach { r =>
+      val kept = Option(r.getAs[String]("clean_text"))
+        .map(t => if (t.isEmpty) 0 else t.split(" ").length).getOrElse(0)
+      assert(kept.toLong ===
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("n_removed_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }
