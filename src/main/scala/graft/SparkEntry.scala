@@ -273,6 +273,10 @@ object SparkEntry {
     // of the merge table (byte value, or 256 + first producing round).
     "bpe_tokenize" -> ((s, dir) =>
       TextAnalysis.bpeTokenize(graft.Tables.documents(s, dir))),
+    // Tokenizer fertility per language: BPE ids spent per whitespace
+    // token in exact millionths — the per-lang acceptance number.
+    "bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(graft.Tables.documents(s, dir))),
     // BPE acceptance check under an EXTERNAL tokenizer: merges learned
     // on the doc_id % 50 = 0 slice, byte-fallback rate judged on the
     // rest — unseen text encodes to raw byte ids, so byte_frac ≈ 1 marks
@@ -300,6 +304,13 @@ object SparkEntry {
       TextAnalysis.tfidfTerms(graft.Tables.documents(s, dir))),
     // Exact per-lang length quartiles via value-histogram + prefix sums
     // — the scalable spelling of a distributed exact percentile.
+    // Count-min sketch of corpus token counts: the mergeable
+    // point-frequency summary (cell-wise-sum merge, spec-pinned), and
+    // its read path audited against exact counts (n_est >= n_exact).
+    "cms_token_counts" -> ((s, dir) =>
+      TextAnalysis.cmsTokenCounts(graft.Tables.documents(s, dir))),
+    "cms_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.cmsHeavyHitters(graft.Tables.documents(s, dir))),
     "length_quartiles" -> ((s, dir) =>
       TextAnalysis.lengthQuartiles(graft.Tables.documents(s, dir))),
     // Hashed-feature linear classifier inference: literal weight table,
@@ -832,11 +843,14 @@ object SparkEntry {
     "bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
+    "bpe_fertility" -> TextAnalysis.bpeFertilitySql(),
     "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "lm_score" -> TextAnalysis.lmScoreSql,
     "tfidf_terms" -> TextAnalysis.tfidfTermsSql(),
     "length_quartiles" -> TextAnalysis.lengthQuartilesSql,
+    "cms_token_counts" -> TextAnalysis.cmsTokenCountsSql,
+    "cms_heavy_hitters" -> TextAnalysis.cmsHeavyHittersSql(),
     "classifier_score" -> TextAnalysis.classifierScoreSql,
     "boilerplate_blocks" -> TextAnalysis.boilerplateBlocksSql(),
     "boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql(),

@@ -1239,6 +1239,67 @@ object TextAnalysis {
        |SELECT doc_id, pos, token_id FROM toksout
        |ORDER BY doc_id, pos, token_id""".stripMargin
 
+  /** Tokenizer FERTILITY report — the acceptance number a tokenizer
+    * build is judged by, per language: how many BPE ids the learned
+    * merges spend per whitespace token (`ids_per_token_millionths`,
+    * exact integer millionths — the engine-wide integer-ratio
+    * discipline). Fertility near 10⁶ means most words are a single id
+    * (the merges earned their keep); fertility far above it flags a
+    * language the vocabulary under-serves — the number that caught
+    * every under-tokenized-language incident in published multilingual
+    * pipelines, read per `lang` so the minority slice can't hide in
+    * the corpus average.
+    *
+    * Scale shape: ONE documents scan feeds a checkpointed
+    * `(doc_id, lang, toks)` base consumed by both sides
+    * ([[Curation.trainingShards]]' discipline); the id side is
+    * [[bpeTokenizeFromToks]]' occurrence-sized chain collapsed per doc
+    * by partial agg, the join is doc_id-keyed, and the final rollup is
+    * ≤|langs| rows. */
+  def bpeFertility(docs: DataFrame, nMerges: Int = BpeRounds): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val t = wide.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("toks")).localCheckpoint()
+    val perDoc = bpeTokenizeFromToks(t.select(col("doc_id"), col("toks")),
+        nMerges)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_ids"))
+    t.select(col("doc_id"), col("lang"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(coalesce(col("n_ids"), lit(0L))).as("n_ids"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_ids"),
+        when(col("n_tokens") > 0L, expr("(n_ids * 1000000L) div n_tokens"))
+          .otherwise(lit(0L)).as("ids_per_token_millionths"))
+  }
+
+  /** Oracle twin of [[bpeFertility]] — the tokenize chain rolled up per
+    * doc, joined to per-doc token counts, grouped per language. */
+  def bpeFertilitySql(nMerges: Int = BpeRounds): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+       |${bpeTokenizeCtesSql(nMerges)},
+       |ids AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids
+       |  FROM toksout GROUP BY doc_id
+       |), base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(coalesce(len(regexp_extract_all(lower(text), '$TokenRe')), 0)
+       |      AS BIGINT) AS n_toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(coalesce(n_ids, 0)) AS BIGINT) AS n_ids
+       |  FROM base LEFT JOIN ids USING (doc_id) GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_tokens, n_ids,
+       |  CAST(CASE WHEN n_tokens > 0 THEN (n_ids * 1000000) // n_tokens
+       |    ELSE 0 END AS BIGINT) AS ids_per_token_millionths
+       |FROM g
+       |ORDER BY lang, n_docs, n_tokens, n_ids, ids_per_token_millionths""".stripMargin
+
   /** The unrolled merge-round CTE chain (the IVF-Lloyd pattern), shared
     * by [[bpeMergesSql]] and [[bpeEncodeSql]]: w0..w`n` word relations,
     * per-round pair counts p`r` and winners t`r`. The rewrite LEFT JOINs
@@ -2255,4 +2316,152 @@ object TextAnalysis {
       col("q").getItem(1).as("median_chars"),
       col("q").getItem(2).as("q3_chars"),
       col("max_chars"))
+
+  // --------------------------------------------------------------------
+  // Count-min sketch over token occurrences
+  // --------------------------------------------------------------------
+
+  /** Count-min sketch depth (independent hash rows). */
+  val CmsDepth: Int = 4
+  /** Count-min sketch width (cells per row). Collision pressure is
+    * |distinct tokens| / width per row; estimates overcount by the
+    * colliding mass, never undercount. */
+  val CmsWidth: Int = 512
+  /** Per-row pairwise-independent hash parameters — the
+    * [[PortableHash.minhashPerms]] family at its own seed, embedded as
+    * literals in BOTH engines so they cannot drift. */
+  val CmsPerms: Seq[(Long, Long)] = PortableHash.minhashPerms(CmsDepth, seed = 7L)
+
+  private def cmsCell(h: Column, r: Int): Column = {
+    val (a, b) = CmsPerms(r)
+    ((h % PortableHash.P) * a + b) % PortableHash.P % CmsWidth
+  }
+  private def cmsCellSql(h: String, r: Int): String = {
+    val (a, b) = CmsPerms(r)
+    s"((($h) % ${PortableHash.P}) * $a + $b) % ${PortableHash.P} % $CmsWidth"
+  }
+
+  /** The corpus token-count COUNT-MIN SKETCH as a relation — the third
+    * mergeable sketch family next to the HLL user rollup
+    * ([[graft.events.Events.hourlyUserSketches]], distinct counts) and
+    * the GK quantile summary ([[lengthQuartilesApprox]], ranks): CMS
+    * answers POINT FREQUENCY ("how often does this token occur") in
+    * [[CmsDepth]]×[[CmsWidth]] cells of fixed size, where the exact
+    * answer ([[vocabTopk]]'s relation) is corpus-vocabulary-sized. A
+    * shard's sketch merges into the corpus sketch by CELL-WISE SUM —
+    * the property that lets 1000 executors each sketch their split and
+    * a 2048-row reduce finish the job, and lets a nightly shard update
+    * the stored sketch without touching the corpus (spec-pinned both
+    * ways). Unlike the HLL/GK families this sketch is pure [[PortableHash]]
+    * integer arithmetic, so the relation itself is oracle-gated
+    * bit-for-bit.
+    *
+    * Scale shape: one tokenize pass collapsed map-side to the
+    * vocabulary relation (the partial agg does the corpus-sized work),
+    * then ×[[CmsDepth]] cell rows over |vocab| and a ≤2048-group sum.
+    * Empty cells are absent (count 0). */
+  def cmsTokenCounts(docs: DataFrame): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val tokCounts = wide
+      .select(explode(tokenHashes(wide, col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    tokCounts
+      .select(explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r.toLong).as("row"), cmsCell(col("h"), r).as("cell"))): _*))
+          .as("rc"), col("n"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(sum("n").as("n"))
+  }
+
+  /** Oracle twin of [[cmsTokenCounts]]. */
+  def cmsTokenCountsSql: String = {
+    val tok = s"unnest(regexp_extract_all(lower(text), '$TokenRe'))"
+    val rows = (0 until CmsDepth).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS row, ${cmsCellSql("h", r)} AS cell, n FROM tc")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH occ AS (
+       |  SELECT ${PortableHash.tokHashSql("tok")} AS h
+       |  FROM (SELECT $tok AS tok FROM documents) t
+       |), tc AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY h
+       |), cells AS (
+       |    $rows
+       |)
+       |SELECT row, cell, CAST(sum(n) AS BIGINT) AS n
+       |FROM cells GROUP BY row, cell
+       |ORDER BY row, cell, n""".stripMargin
+  }
+
+  /** Exact-count floor for [[cmsHeavyHitters]]' report — tokens at or
+    * above it get an estimate row. */
+  val CmsHeavyMin: Long = 100L
+
+  /** The sketch READ path, audited against ground truth — for every
+    * token whose exact corpus count is ≥ [[CmsHeavyMin]], the CMS
+    * estimate (min over the [[CmsDepth]] cells) next to the exact
+    * count. `n_est ≥ n_exact` ALWAYS (count-min never undercounts —
+    * spec-pinned property); the gap is the colliding mass in the
+    * token's lightest cell, and the report is exactly what a pipeline
+    * publishes to decide whether [[CmsWidth]] is wide enough for its
+    * vocabulary before swapping exact counts out for the sketch.
+    *
+    * Scale shape: the exact side is [[vocabTopk]]'s vocabulary rollup
+    * (the thing being audited — you run this ONCE at full scale before
+    * trusting the sketch); the sketch side joins the ≤2048-row cell
+    * relation in by (row, cell) — a broadcast build side at any corpus
+    * scale — and the min collapses ×[[CmsDepth]] rows per heavy token. */
+  def cmsHeavyHitters(docs: DataFrame,
+      minCount: Long = CmsHeavyMin): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val sketch = cmsTokenCounts(docs)
+    val heavy = wide
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= minCount)
+    heavy
+      .select(col("token"), col("n_exact"),
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r.toLong).as("row"),
+            cmsCell(PortableHash.tokHash(col("token")), r).as("cell"))): _*))
+          .as("rc"))
+      .select(col("token"), col("n_exact"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy("token").agg(max("n_exact").as("n_exact"),
+        min("n").as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"))
+  }
+
+  /** Oracle twin of [[cmsHeavyHitters]]. */
+  def cmsHeavyHittersSql(minCount: Long = CmsHeavyMin): String = {
+    val tok = s"unnest(regexp_extract_all(lower(text), '$TokenRe'))"
+    val cellRows = (0 until CmsDepth).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS row, ${cmsCellSql("h", r)} AS cell, n FROM tc")
+      .mkString("\n    UNION ALL\n    ")
+    val probeRows = (0 until CmsDepth).map(r =>
+      s"SELECT token, n_exact, CAST($r AS BIGINT) AS row, ${cmsCellSql("h", r)} AS cell FROM heavy")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH occ AS (
+       |  SELECT tok AS token, ${PortableHash.tokHashSql("tok")} AS h
+       |  FROM (SELECT $tok AS tok FROM documents) t
+       |), tc AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY h
+       |), cells AS (
+       |    $cellRows
+       |), sketch AS (
+       |  SELECT row, cell, CAST(sum(n) AS BIGINT) AS n
+       |  FROM cells GROUP BY row, cell
+       |), heavy AS (
+       |  -- (token, h) is 1:1, so grouping both keys counts per token
+       |  SELECT token, h, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM occ GROUP BY token, h HAVING count(*) >= $minCount
+       |), probes AS (
+       |    $probeRows
+       |)
+       |SELECT token, CAST(max(n_exact) AS BIGINT) AS n_exact,
+       |  CAST(min(n) AS BIGINT) AS n_est
+       |FROM probes JOIN sketch USING (row, cell)
+       |GROUP BY token
+       |ORDER BY token, n_exact, n_est""".stripMargin
+  }
 }

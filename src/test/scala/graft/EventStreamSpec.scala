@@ -194,6 +194,49 @@ class EventStreamSpec extends AnyFunSuite {
       }
   }
 
+  private def runTransitions(chunks: Seq[Ev]*): Seq[(Long, String, String, Long)] = {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val events = src.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"trans_out_${System.nanoTime()}"
+    val q = graft.streaming.TransitionStream.transitions(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (c <- chunks) { src.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+      r.getAs[Long]("ts_us")))
+  }
+
+  test("streaming transitions: occurrence rows count up to the batch matrix") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H, 1L, "click", 0.0, "{}"),
+      (2L, T + 2 * H, 1L, "view", 0.0, "{}"),
+      (3L, T + 3 * H, 1L, "click", 0.0, "{}"),
+      (4L, T, 2L, "view", 0.0, "{}"),
+      (5L, T + H, 2L, "error", 0.0, "{}"),
+      (6L, T, 3L, "view", 0.0, "{}"))   // singleton: no transition
+    val batch = graft.events.Events.eventTransitions(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) -> r.getAs[Long]("n")).toMap
+    def counted(out: Seq[(Long, String, String, Long)]) =
+      out.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    // one trigger, shuffled inside it (in-trigger re-sort absorbs it)
+    val one = runTransitions(scala.util.Random.shuffle(rows))
+    assert(counted(one) === batch)
+    // chain must SURVIVE the trigger boundary: ordered split across 3
+    val byTime = rows.sortBy(e => (e._2, e._1))
+    val many = runTransitions(byTime.take(3), byTime.slice(3, 5), byTime.drop(5))
+    assert(counted(many) === batch)
+    // each transition carries the LATER event's time
+    assert(many.filter(t => t._1 == 2L).map(_._4) === Seq((T + H) / 1000))
+  }
+
   test("streaming funnel = batch funnel on ordered delivery, one and many triggers") {
     val rows: Seq[Ev] = Seq(
       (0L, T, 1L, "view", 0.0, "{}"),

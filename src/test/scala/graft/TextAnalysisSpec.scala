@@ -538,6 +538,83 @@ class TextAnalysisSpec extends AnyFunSuite {
       2L -> List((0L, 256L), (1L, 0x62L))))
   }
 
+  test("cmsTokenCounts: total cell mass per row = total occurrences; merge = cell-wise sum") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val a = docs((1L, "x x y z", "en"), (2L, "x y", "en"))
+    val b = docs((3L, "y z z q", "en"))
+    val whole = docs((1L, "x x y z", "en"), (2L, "x y", "en"),
+      (3L, "y z z q", "en"))
+    // every row of the sketch holds the full occurrence mass (10 tokens)
+    val perRow = TextAnalysis.cmsTokenCounts(whole)
+      .groupBy("row").agg(fsum("n").as("t")).collect()
+      .map(r => r.getAs[Long]("row") -> r.getAs[Long]("t")).toMap
+    assert(perRow === (0 until TextAnalysis.CmsDepth)
+      .map(r => r.toLong -> 10L).toMap)
+    // shard sketches merge by cell-wise sum into the whole-corpus sketch
+    val merged = TextAnalysis.cmsTokenCounts(a)
+      .union(TextAnalysis.cmsTokenCounts(b))
+      .groupBy("row", "cell").agg(fsum("n").as("n"))
+      .collect().map(r => (r.getAs[Long]("row"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("n")).toMap
+    val direct = TextAnalysis.cmsTokenCounts(whole)
+      .collect().map(r => (r.getAs[Long]("row"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("n")).toMap
+    assert(merged === direct)
+  }
+
+  test("cmsHeavyHitters: never undercounts, exact in the collision-free regime") {
+    // 12 distinct tokens « 512 cells — with no collisions every
+    // estimate is exact; the >= property must hold regardless
+    val rows = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(i + 1)(s"tok$i").mkString(" "), "en"))
+    val out = TextAnalysis.cmsHeavyHitters(docs(rows: _*), minCount = 5L)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_est")))).toMap
+    assert(out.keySet === (4 until 12).map(i => s"tok$i").toSet)
+    out.foreach { case (t, (exact, est)) =>
+      assert(est >= exact, s"$t undercounted: $est < $exact")
+    }
+    assert(out("tok7") === ((8L, 8L)))
+  }
+
+  test("bpeFertility golden: byte fertility at zero merges, unit fertility on a merged word") {
+    // zero merges: ids = UTF-8 bytes, so fertility = bytes per token in
+    // millionths ("ab cd" → 4 ids / 2 tokens = 2.0); per-lang split and
+    // NULL-text zero-fill both exercised
+    val raw = TextAnalysis.bpeFertility(docs(
+        (1L, "ab cd", "en"), (2L, "abc", "fr"), (3L, null, "fr")),
+        nMerges = 0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_ids"), r.getAs[Long]("ids_per_token_millionths"))))
+      .toMap
+    assert(raw("en") === ((1L, 2L, 4L, 2000000L)))
+    assert(raw("fr") === ((2L, 1L, 3L, 3000000L)))
+    // a 2-byte word fully merged by round 0 → exactly one id per token
+    val merged = TextAnalysis.bpeFertility(docs(
+        (1L, "aa aa aa", "en")), nMerges = 3)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("ids_per_token_millionths")).toMap
+    assert(merged("en") === 1000000L)
+  }
+
+  test("bpeFertility: per-lang id mass tiles bpeTokenize exactly") {
+    val fixture = docs(
+      (1L, "the cat sat on the mat", "en"), (2L, "le chat le chat", "fr"),
+      (3L, "the the the", "en"), (4L, "", "und"))
+    val fert = TextAnalysis.bpeFertility(fixture)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_ids"))
+      .toMap
+    val byLang = TextAnalysis.bpeTokenize(fixture)
+      .join(fixture.select($"doc_id", $"lang"), "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    assert(fert("en") === byLang("en"))
+    assert(fert("fr") === byLang("fr"))
+    assert(fert("und") === 0L)
+  }
+
   test("bpeTokenize tiles bpeEncode: dense positions, per-doc counts agree") {
     // the sequences ARE the counts' expansion: for every doc,
     // bpe_tokenize's rows number exactly n_bpe_tokens and positions are
