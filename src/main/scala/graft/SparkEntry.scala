@@ -713,6 +713,25 @@ object SparkEntry {
     // user sequence, conditional probabilities in exact millionths.
     "events_transitions" -> ((s, dir) =>
       Events.eventTransitions(graft.Tables.events(s, dir))),
+    // ---- relational star-schema surface (grouping sets, windowed
+    // top-k, semi-joins, star joins) over the TPC-H-ish tables ----
+    "sales_rollup" -> ((s, dir) =>
+      graft.relational.Sales.salesRollup(
+        graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "supplier"),
+        graft.Tables.table(s, dir, "nation"), graft.Tables.table(s, dir, "region"))),
+    "top_suppliers_per_region" -> ((s, dir) =>
+      graft.relational.Sales.topSuppliersPerRegion(
+        graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "supplier"),
+        graft.Tables.table(s, dir, "nation"), graft.Tables.table(s, dir, "region"))),
+    "pricing_summary" -> ((s, dir) =>
+      graft.relational.Sales.pricingSummary(graft.Tables.lineitem(s, dir))),
+    "late_order_priority" -> ((s, dir) =>
+      graft.relational.Sales.lateOrderPriority(
+        graft.Tables.table(s, dir, "orders"), graft.Tables.lineitem(s, dir))),
+    "segment_revenue" -> ((s, dir) =>
+      graft.relational.Sales.segmentRevenue(
+        graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "orders"),
+        graft.Tables.table(s, dir, "customer"))),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -932,6 +951,12 @@ object SparkEntry {
     "events_asof" -> Events.asofAttributionSql(),
     "events_nearby" -> Events.nearbyEventCountsSql(),
     "events_transitions" -> Events.eventTransitionsSql,
+    "sales_rollup" -> graft.relational.Sales.salesRollupSql,
+    "top_suppliers_per_region" ->
+      graft.relational.Sales.topSuppliersPerRegionSql(),
+    "pricing_summary" -> graft.relational.Sales.pricingSummarySql(),
+    "late_order_priority" -> graft.relational.Sales.lateOrderPrioritySql(),
+    "segment_revenue" -> graft.relational.Sales.segmentRevenueSql,
   )
 
   private def triangleOracle: String =

@@ -1,0 +1,250 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Star-schema analytics over the TPC-H-ish fixture tables — the
+  * relational query surface (grouping sets, windowed top-k, semi-joins,
+  * multi-way star joins) a warehouse user expects next to the
+  * graph/text/event operators. Everything follows the engine-wide exact
+  * discipline: money is integer CENTS via `floor(x·100 + 0.5)` (the
+  * [[graft.events.Events]] valueCents spelling — both engines run the
+  * identical IEEE ops, where `round()` half-even/half-away semantics
+  * diverge), quantities are integral doubles floored the same way, and
+  * averages are exact integer millionths.
+  *
+  * Scale shape, shared by all five: `nation`/`region` are constant-size
+  * dimensions and ALWAYS broadcast; `supplier` is broadcast here and
+  * stays broadcastable far up the scale curve (TPC-H sf10k has 100M
+  * suppliers ≈ a few GB — borderline; the spelling degrades to a
+  * shuffle join automatically if the broadcast threshold says no);
+  * `customer`/`orders` joins run as shuffle equi-joins on their keys —
+  * at 100 TB those dims are fact-sized and co-partitioning, not
+  * broadcast, is the plan. Aggregations are all partial-agg shuffles on
+  * low-cardinality keys.
+  */
+object Sales {
+
+  /** Exact integer cents of the discounted line price:
+    * floor(extprice·(1−disc)·100 + 0.5), the engine-wide money
+    * discipline. */
+  private val revCents: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+      + lit(0.5)).cast("long")
+
+  private val baseCents: Column =
+    floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+
+  /** SQL twin of [[revCents]] — identical op order. */
+  private val revCentsSql =
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+  private val baseCentsSql =
+    "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+  /** Revenue by region and nation with ROLLUP — the grouping-sets
+    * operator surface: one pass emits the (region, nation) cells, the
+    * per-region subtotals, and the grand total, tagged by
+    * `grouping_id` (`lvl` 0 = cell, 1 = region subtotal, 3 = grand
+    * total) so subtotal rows can't be confused with a NULL dimension
+    * value. Catalyst expands the rollup into a single Expand +
+    * partial-agg — one shuffle for all three granularities, vs three
+    * scans if a client issued the levels separately.
+    *
+    * Scale shape: lineitem → supplier is the only fact-side join and
+    * the supplier/nation/region chain broadcasts; the aggregate keys
+    * are ≤ |regions|·|nations| cells ×3 grouping levels. */
+  def salesRollup(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("lvl"),
+        count(lit(1)).as("n_items"),
+        sum(revCents).as("revenue_cents"))
+      .select(col("r_name"), col("n_name"), col("lvl"), col("n_items"),
+        col("revenue_cents"))
+
+  /** Oracle twin of [[salesRollup]]. */
+  def salesRollupSql: String =
+    s"""SELECT r_name, n_name,
+       |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name, n_name, lvl, n_items, revenue_cents""".stripMargin
+
+  /** Per-region revenue leaders — the windowed top-k every BI layer
+    * asks for: suppliers ranked by revenue within their region,
+    * top [[TopK]] kept. `row_number` over (revenue DESC, s_suppkey) —
+    * the key tie-break makes the cut deterministic, the engine-wide
+    * requirement for an oracle-gated ranking.
+    *
+    * Scale shape: one partial-agg shuffle to (region, supplier) cells
+    * (≤ |suppliers| rows — the window never sees raw lineitem), then
+    * the rank window partitions by region. At extreme supplier counts
+    * the top-k-per-group rewrite (partial top-k per partition before
+    * the window) applies; at any realistic |suppliers| the grouped
+    * relation is already small. */
+  def topSuppliersPerRegion(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, k: Int = TopK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r_name")
+      .orderBy(col("revenue_cents").desc, col("s_suppkey"))
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("s_suppkey"), col("s_name"))
+      .agg(sum(revCents).as("revenue_cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Rows kept per region by [[topSuppliersPerRegion]]. */
+  val TopK: Int = 3
+
+  /** Oracle twin of [[topSuppliersPerRegion]]. */
+  def topSuppliersPerRegionSql(k: Int = TopK): String =
+    s"""WITH cells AS (
+       |  SELECT r_name, s_suppkey, s_name,
+       |    CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, s_suppkey, s_name
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY r_name
+       |    ORDER BY revenue_cents DESC, s_suppkey) AS BIGINT) AS rk
+       |  FROM cells
+       |)
+       |SELECT r_name, s_suppkey, s_name, revenue_cents, rk
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY r_name, s_suppkey, s_name, revenue_cents, rk""".stripMargin
+
+  /** Ship-date cutoff for [[pricingSummary]] — a literal the planner
+    * pushes into the parquet scan (plan-audited). */
+  val PricingCutoff: String = "2000-01-01 00:00:00"
+
+  /** The TPC-H Q1 shape — per (returnflag, linestatus) over lines
+    * shipped before [[PricingCutoff]]: quantities, base and discounted
+    * cents, counts, and the exact-millionths average quantity. The
+    * workhorse scan-heavy aggregate every warehouse benches first; the
+    * cutoff exercises timestamp predicate pushdown into the scan.
+    *
+    * Scale shape: scan + filter-at-scan + one partial-agg shuffle to
+    * ≤ |flags|·|statuses| groups — the optimal plan for this query at
+    * any scale; nothing else to choose. */
+  def pricingSummary(lineitem: DataFrame,
+      cutoff: String = PricingCutoff): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(floor(col("l_quantity") + lit(0.5)).cast("long")).as("sum_qty"),
+        sum(baseCents).as("sum_base_cents"),
+        sum(revCents).as("sum_disc_cents"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_cents"), col("sum_disc_cents"), col("n_items"),
+        expr("(sum_qty * 1000000L) div n_items").as("avg_qty_millionths"))
+
+  /** Oracle twin of [[pricingSummary]]. */
+  def pricingSummarySql(cutoff: String = PricingCutoff): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(sum($baseCentsSql) AS BIGINT) AS sum_base_cents,
+       |  CAST(sum($revCentsSql) AS BIGINT) AS sum_disc_cents,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST((sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1000000)
+       |    // count(*) AS BIGINT) AS avg_qty_millionths
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+       |  sum_disc_cents, n_items, avg_qty_millionths""".stripMargin
+
+  /** Days after order date that makes a shipment "late" for
+    * [[lateOrderPriority]]. */
+  val LateDays: Int = 60
+
+  /** The TPC-H Q4 shape — orders with at least one line shipped more
+    * than [[LateDays]] days after the order date, counted per order
+    * priority: the EXISTS/semi-join operator surface, with a compound
+    * condition (key equality + a cross-table range predicate) that must
+    * stay a HASH semi-join on the key, never a nested loop (the range
+    * term rides as a join filter).
+    *
+    * Scale shape: one orderkey-keyed LEFT SEMI shuffle join (both
+    * sides hash-partition on the key; the semi stops each order at its
+    * first late line, so nothing fans out), then a ≤|priorities|
+    * partial agg. */
+  def lateOrderPriority(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = LateDays): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Oracle twin of [[lateOrderPriority]]. */
+  def lateOrderPrioritySql(lateDays: Int = LateDays): String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       |FROM orders
+       |WHERE EXISTS (
+       |  SELECT 1 FROM lineitem
+       |  WHERE l_orderkey = o_orderkey
+       |    AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority, n_orders""".stripMargin
+
+  /** Revenue by customer market segment — the three-table star join
+    * (lineitem → orders → customer) resolved to the segment rollup,
+    * with the exact distinct-order count per segment.
+    *
+    * Scale shape: both joins are shuffle equi-joins on their
+    * fact-sized keys (orders and customer grow with the corpus — at
+    * 100 TB neither broadcasts; co-partitioning on
+    * orderkey/custkey is the plan, and AQE handles the skewed
+    * customers). The distinct-order count collapses via the two-level
+    * (segment, orderkey) partial agg, never a full-row distinct. */
+  def segmentRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), revCents.as("cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderkey"))
+      .agg(sum(col("cents")).as("order_cents"),
+        count(lit(1)).as("order_items"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum("order_cents").as("revenue_cents"),
+        sum("order_items").as("n_items"),
+        count(lit(1)).as("n_orders"))
+
+  /** Oracle twin of [[segmentRevenue]]. */
+  def segmentRevenueSql: String =
+    s"""WITH per_order AS (
+       |  SELECT c_mktsegment, o_orderkey,
+       |    CAST(sum($revCentsSql) AS BIGINT) AS order_cents,
+       |    CAST(count(*) AS BIGINT) AS order_items
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_mktsegment, o_orderkey
+       |)
+       |SELECT c_mktsegment,
+       |  CAST(sum(order_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(sum(order_items) AS BIGINT) AS n_items,
+       |  CAST(count(*) AS BIGINT) AS n_orders
+       |FROM per_order GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment, revenue_cents, n_items, n_orders""".stripMargin
+}

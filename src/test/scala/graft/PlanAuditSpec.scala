@@ -68,6 +68,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast probe join in:\n$p")
   }
 
+  test("pricing_summary pushes the ship-date cutoff into the parquet scan") {
+    val p = plan("pricing_summary")
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate".r
+        .findFirstIn(p).isDefined,
+      s"ship-date cutoff not pushed to the lineitem scan:\n$p")
+  }
+
+  test("sales_rollup broadcasts all three dimension joins; one Expand serves every level") {
+    val p = plan("sales_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3,
+      s"dimension chain not fully broadcast:\n$p")
+    assert("Expand".r.findAllIn(p).size >= 1,
+      s"rollup did not compile to a single Expand pass:\n$p")
+  }
+
+  test("late_order_priority keeps the semi-join a HASH join on the order key") {
+    // the range predicate must ride as a join condition on the hash
+    // semi-join — if it degrades to a nested loop the global sweep also
+    // fails, but this pins the positive shape
+    val p = plan("late_order_priority")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"semi join degraded:\n$p")
+  }
+
   test("no query plans a cartesian product or a nested-loop join") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
