@@ -713,6 +713,9 @@ object SparkEntry {
     // user sequence, conditional probabilities in exact millionths.
     "events_transitions" -> ((s, dir) =>
       Events.eventTransitions(graft.Tables.events(s, dir))),
+    // PIVOT surface: hour × declared event-type counts, wide + zero-filled.
+    "events_pivot" -> ((s, dir) =>
+      Events.eventPivot(graft.Tables.events(s, dir))),
     // ---- relational star-schema surface (grouping sets, windowed
     // top-k, semi-joins, star joins) over the TPC-H-ish tables ----
     "sales_rollup" -> ((s, dir) =>
@@ -732,6 +735,18 @@ object SparkEntry {
       graft.relational.Sales.segmentRevenue(
         graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "orders"),
         graft.Tables.table(s, dir, "customer"))),
+    "brand_revenue" -> ((s, dir) =>
+      graft.relational.Sales.brandRevenue(
+        graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "part"))),
+    // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
+    // must hash-match the oracle's whole-corpus sketch.
+    "incremental_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      TextAnalysis.cmsTokenCountsMerged(
+        docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
   )
 
   /** The reference five as SPARK SQL text (round-8 directive #8) — the
@@ -951,12 +966,17 @@ object SparkEntry {
     "events_asof" -> Events.asofAttributionSql(),
     "events_nearby" -> Events.nearbyEventCountsSql(),
     "events_transitions" -> Events.eventTransitionsSql,
+    "events_pivot" -> Events.eventPivotSql,
     "sales_rollup" -> graft.relational.Sales.salesRollupSql,
     "top_suppliers_per_region" ->
       graft.relational.Sales.topSuppliersPerRegionSql(),
     "pricing_summary" -> graft.relational.Sales.pricingSummarySql(),
     "late_order_priority" -> graft.relational.Sales.lateOrderPrioritySql(),
     "segment_revenue" -> graft.relational.Sales.segmentRevenueSql,
+    "brand_revenue" -> graft.relational.Sales.brandRevenueSql,
+    // the incremental entry's oracle IS the whole-corpus sketch — the
+    // cell-wise-sum merge theorem is what the hash match proves
+    "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,
   )
 
   private def triangleOracle: String =

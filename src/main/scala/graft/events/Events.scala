@@ -644,6 +644,51 @@ object Events {
        |  latest_near_ts_us""".stripMargin
   }
 
+  /** The fixed event-type vocabulary [[eventPivot]] widens over —
+    * declared, not discovered: leaving `pivot` values unspecified makes
+    * Spark run a corpus-sized distinct+collect pre-pass at PLAN time to
+    * find the columns (and makes the output schema data-dependent,
+    * which no downstream table contract survives). A new event type is
+    * a schema change and should look like one. */
+  val PivotTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Hour × event-type PIVOT — the wide activity matrix (one column per
+    * type) a dashboard or feature store consumes, the relational PIVOT
+    * operator surface: `groupBy(hour).pivot(type, declared).count`,
+    * zero-filled. Compiles to ONE partial-aggregated shuffle on the
+    * hour key with the per-type counts as conditional aggregates — the
+    * same plan as hand-written `sum(when(...))` columns, which is
+    * exactly what the oracle twin spells.
+    *
+    * Scale shape: one shuffle keyed on hour (≤ hours-in-horizon groups,
+    * each holding |types| longs); the pivot never widens the shuffle
+    * because the column set is declared up front. */
+  def eventPivot(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    PivotTypes.foldLeft(
+      events.select((tsUs - (tsUs % hourUs)).as("hour_us"),
+          col("event_type"))
+        .groupBy("hour_us")
+        .pivot("event_type", PivotTypes)
+        .agg(count(lit(1)))
+    )((df, t) => df.withColumn(s"n_$t", coalesce(col(t), lit(0L))))
+      .select(col("hour_us") +: PivotTypes.map(t => col(s"n_$t")): _*)
+  }
+
+  /** Oracle twin of [[eventPivot]] — the conditional-aggregate
+    * spelling the pivot compiles to. */
+  def eventPivotSql: String = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+       |  $cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY hour_us, ${PivotTypes.map("n_" + _).mkString(", ")}""".stripMargin
+  }
+
   /** Event-type transition matrix — the user-journey Markov model every
     * product-analytics suite fits: for each ordered pair of event types,
     * how often type B IMMEDIATELY follows type A in some user's

@@ -230,6 +230,36 @@ object Sales {
         sum("order_items").as("n_items"),
         count(lit(1)).as("n_orders"))
 
+  /** Revenue and volume per part brand — the fact-to-growing-dimension
+    * join (`part` scales with the corpus, unlike nation/region): a
+    * SHUFFLE equi-join on the part key, deliberately not broadcast —
+    * at 100 TB `part` is hundreds of millions of rows, and the
+    * partkey hash partitioning (plus AQE for the popular-part skew) is
+    * the plan that survives. Both sides pre-project to the joined
+    * columns so the shuffle carries 3 columns, not the tables.
+    *
+    * Scale shape: one key-partitioned shuffle join + one ≤|brands|
+    * partial agg. */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), revCents.as("cents"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum("cents").as("revenue_cents"),
+        sum("qty").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  /** Oracle twin of [[brandRevenue]]. */
+  def brandRevenueSql: String =
+    s"""SELECT p_brand,
+       |  CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents,
+       |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand, revenue_cents, sum_qty, n_items""".stripMargin
+
   /** Oracle twin of [[segmentRevenue]]. */
   def segmentRevenueSql: String =
     s"""WITH per_order AS (

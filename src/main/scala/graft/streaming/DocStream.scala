@@ -157,6 +157,28 @@ object DocStream {
   def classifyDocs(docs: DataFrame): DataFrame =
     TextAnalysis.classifierScore(docs)
 
+  /** Streaming count-min sketch of the token stream — the stream face
+    * of [[TextAnalysis.cmsTokenCounts]]: the same
+    * [[TextAnalysis.CmsDepth]]×[[TextAnalysis.CmsWidth]] cells
+    * (identical [[graft.functions.PortableHash]] arithmetic, so a cell
+    * written at ingest and a cell from the batch sweep merge by plain
+    * sum). ONE structural difference, forced by streaming: the batch
+    * operator pre-collapses occurrences to the vocabulary relation
+    * before fanning out ×depth, but that would chain two stateful
+    * aggregations (unsupported); here each occurrence fans out to its
+    * [[TextAnalysis.CmsDepth]] cells map-side and the single aggregate
+    * does all the collapsing. Same result (sum is associative — the
+    * spec pins stream ≡ batch), state bounded by the sketch size
+    * (≤ depth×width rows) — the whole point of sketching a stream.
+    * Use `OutputMode.Complete` (the sketch is small) or Update. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokenHashes(docs, col("text"))).as("h"))
+      .select(explode(array((0 until TextAnalysis.CmsDepth).map(r =>
+          struct(lit(r.toLong).as("row"),
+            TextAnalysis.cmsCell(col("h"), r).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming ingest scrub — the stream face of
     * [[graft.text.Pii.piiScrub]], the batch operator unchanged (per-row
     * codegen'd regexp, STATELESS — the scrub a pipeline runs before

@@ -2332,7 +2332,7 @@ object TextAnalysis {
     * literals in BOTH engines so they cannot drift. */
   val CmsPerms: Seq[(Long, Long)] = PortableHash.minhashPerms(CmsDepth, seed = 7L)
 
-  private def cmsCell(h: Column, r: Int): Column = {
+  private[graft] def cmsCell(h: Column, r: Int): Column = {
     val (a, b) = CmsPerms(r)
     ((h % PortableHash.P) * a + b) % PortableHash.P % CmsWidth
   }
@@ -2391,6 +2391,23 @@ object TextAnalysis {
        |FROM cells GROUP BY row, cell
        |ORDER BY row, cell, n""".stripMargin
   }
+
+  /** The MERGE face of [[cmsTokenCounts]] — a stored corpus sketch and
+    * a new shard's sketch fold into the combined corpus sketch by
+    * cell-wise sum, WITHOUT re-reading the stored corpus's documents:
+    * the incremental spelling ([[graft.text.Dedup]]'s
+    * incremental-family contract — the nightly shard pays only for
+    * itself). At fixture scale the oracle gate is the merge theorem
+    * itself: the query entry splits the corpus, merges the halves, and
+    * hash-compares against the oracle's WHOLE-corpus sketch.
+    *
+    * Scale shape: each side is [[cmsTokenCounts]]' linear sweep over
+    * ITS OWN documents (in production the stored side is a ≤2048-row
+    * parquet read, not a recompute); the merge is a ≤2·2048-row union +
+    * one tiny sum. */
+  def cmsTokenCountsMerged(stored: DataFrame, shard: DataFrame): DataFrame =
+    cmsTokenCounts(stored).union(cmsTokenCounts(shard))
+      .groupBy("row", "cell").agg(sum("n").as("n"))
 
   /** Exact-count floor for [[cmsHeavyHitters]]' report — tokens at or
     * above it get an estimate row. */

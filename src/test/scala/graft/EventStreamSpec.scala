@@ -358,6 +358,32 @@ class EventStreamSpec extends AnyFunSuite {
       "classifier gate grew streaming state")
   }
 
+  test("streaming CMS sketch = batch sketch cell-for-cell, across triggers") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog"),
+      (3L, "the the the"), (4L, "quick quick"))
+    val src = MemoryStream[(Long, String)]
+    val name = s"cms_out_${System.nanoTime()}"
+    val q = graft.streaming.DocStream.cmsSketch(
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      src.addData(rows.take(2): _*); q.processAllAvailable()
+      src.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("row"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("n")).toMap
+    val batch = graft.text.TextAnalysis.cmsTokenCounts(
+        rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => (r.getAs[Long]("row"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming PII scrub = the batch operator, stateless, identical redaction") {
     implicit val ctx = spark.sqlContext
     val rows = Seq(

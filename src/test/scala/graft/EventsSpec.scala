@@ -332,6 +332,20 @@ class EventsSpec extends AnyFunSuite {
     assert(out(5L) === (0L, None))
   }
 
+  test("eventPivot golden: one wide zero-filled row per hour") {
+    val out = Events.eventPivot(events(
+        (0L, T, 1L, "view", 0.0, "{}"),
+        (1L, T + H / 2, 2L, "view", 0.0, "{}"),
+        (2L, T + H / 2, 1L, "click", 0.0, "{}"),
+        (3L, T + H, 3L, "purchase", 0.0, "{}")))
+      .collect().map(r => r.getAs[Long]("hour_us") ->
+        Events.PivotTypes.map(t => r.getAs[Long](s"n_$t"))).toMap
+    // hour 0: 2 views + 1 click; hour 1: 1 purchase; all else zero
+    assert(out(T / 1000) === Seq(1L, 0L, 0L, 0L, 2L))
+    assert(out(T / 1000 + 3600000000L) === Seq(0L, 0L, 1L, 0L, 0L))
+    assert(out.size === 2)
+  }
+
   test("eventTransitions golden: adjacency per user, conditional millionths") {
     val out = Events.eventTransitions(events(
       (0L, T, 1L, "view", 0.0, "{}"),

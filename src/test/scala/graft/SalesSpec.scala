@@ -88,6 +88,22 @@ class SalesSpec extends AnyFunSuite {
     assert(out === Map("1-URGENT" -> 1L, "5-LOW" -> 1L))
   }
 
+  test("brandRevenue golden: per-brand cents, quantities, item counts") {
+    val part = Seq((1000L, "Brand#11"), (1001L, "Brand#22"))
+      .toDF("p_partkey", "p_brand")
+    val lineitem = Seq(
+      (1L, 1000L, 2.0, 10.0, 0.0), (2L, 1000L, 3.0, 20.0, 0.5),
+      (3L, 1001L, 1.0, 7.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val out = Sales.brandRevenue(lineitem, part)
+      .collect().map(r => r.getAs[String]("p_brand") ->
+        ((r.getAs[Long]("revenue_cents"), r.getAs[Long]("sum_qty"),
+          r.getAs[Long]("n_items")))).toMap
+    assert(out("Brand#11") === ((2000L, 5L, 2L)))
+    assert(out("Brand#22") === ((700L, 1L, 1L)))
+  }
+
   test("segmentRevenue: per-segment cents, item and DISTINCT order counts") {
     val orders = Seq((1L, 100L), (2L, 100L), (3L, 200L))
       .toDF("o_orderkey", "o_custkey")
