@@ -150,6 +150,17 @@ object SparkEntry {
           .union(e.select(col("dst").as("node")))
           .filter(col("node") % 10 === 0))
     }),
+    // Widest-path (max-min bottleneck) capacities from the same seed
+    // set: the third semiring (greatest/least) next to BFS min-plus and
+    // PageRank sum-times; multiplicity as capacity.
+    "graph_widest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = edges(s, dir)
+      GraphPatterns.widestPaths(e,
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .filter(col("node") % 10 === 0))
+    }),
     // Label-propagation communities (deterministic min-tie-break LPA):
     // the dense-region clustering one giant weak component hides.
     "graph_communities" -> ((s, dir) =>
@@ -840,6 +851,8 @@ object SparkEntry {
       GraphPatterns.pageRankPersonalizedSql(EdgeLists.lineitemEdgeSql, 10L),
     "graph_distances" ->
       GraphPatterns.graphDistancesSql(EdgeLists.lineitemEdgeSql, 10L),
+    "graph_widest" ->
+      GraphPatterns.widestPathsSql(EdgeLists.lineitemEdgeSql, 10L),
     "graph_communities" ->
       GraphPatterns.labelCommunitiesSql(EdgeLists.lineitemEdgeSql),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),

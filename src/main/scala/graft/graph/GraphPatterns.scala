@@ -1125,6 +1125,95 @@ object GraphPatterns {
     dist
   }
 
+  /** Seed-capacity sentinel for [[widestPaths]] — a seed's "bottleneck
+    * to itself" is unbounded; 10¹⁵ exceeds any reachable capacity (an
+    * edge's multiplicity is bounded by the corpus row count) while
+    * staying far inside int64 for the least/greatest arithmetic. The
+    * sentinel never escapes: the output maps it to NULL. */
+  val CapInf: Long = 1000000000000000L
+
+  /** WIDEST-PATH (max-min bottleneck) distances — the third semiring
+    * next to [[pageRank]]'s sum-times and [[graphDistances]]'s
+    * min-plus: per node reachable from the seed set within `rounds`
+    * directed hops, the strongest connection strength, where a path's
+    * strength is the MINIMUM edge multiplicity along it and a node
+    * takes the MAXIMUM over paths:
+    *
+    *   cap(v) = max(cap(v), max over u→v of min(cap(u), w(u,v)))
+    *
+    * "How many interactions does the weakest link of the best route
+    * from these accounts carry" — the bottleneck/capacity question
+    * (maximum-capacity routing, percolation-style influence) that
+    * neither hop counts nor rank mass answer. Multiplicity IS the
+    * signal here, the one graph family where the parallel-edge count
+    * is a capacity rather than a mass weight. Seeds report NULL (no
+    * bottleneck to yourself); unreached nodes are absent (the
+    * [[graphDistances]] reachability-supported contract).
+    *
+    * Unlike BFS, settled values can IMPROVE in later rounds (a longer
+    * path can carry a wider bottleneck), so every round re-relaxes the
+    * full capacity relation — the textbook Bellman-Ford-style bound:
+    * after r rounds every ≤ r-hop path is accounted for (the fixed-
+    * round contract every iterative operator here ships).
+    *
+    * Scale shape: per round ONE equi-join of the capacity relation
+    * against the once-checkpointed weighted-distinct edges on `src`
+    * plus ONE partial-agg max shuffle on the node key — the
+    * [[pageRank]] round, on greatest/least instead of sum/div;
+    * checkpointed per round so plans stay round-deep. */
+  def widestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = BfsRounds, max: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"widestPaths needs rounds >= 1 (got $rounds)")
+    val e = weightedEdges(maxFilter(edges, max)).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var cap = nodes
+      .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+      .select(col("node"), lit(CapInf).as("cap")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = cap.join(e, cap("node") === e("src"))
+        .select(e("dst").as("node"), least(col("cap"), col("w")).as("cap"))
+      cap = cap.union(relaxed)
+        // functions.max spelled fully: the `max` param shadows it
+        .groupBy("node")
+        .agg(org.apache.spark.sql.functions.max(col("cap")).as("cap"))
+        .localCheckpoint()
+    }
+    cap.select(col("node"),
+      when(col("cap") === CapInf, lit(null).cast("long"))
+        .otherwise(col("cap")).as("bottleneck"))
+  }
+
+  /** Oracle twin of [[widestPaths]] with the query entry's modular seed
+    * set — the [[graphDistancesSql]] unrolled-CTE chain on the max-min
+    * semiring. */
+  def widestPathsSql(edgeSql: String, seedMod: Long,
+      rounds: Int = BfsRounds, max: Option[Long] = None): String = {
+    require(rounds >= 1, s"widestPathsSql needs rounds >= 1 (got $rounds)")
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    val rs = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT node, max(cap) AS cap FROM (
+         |    SELECT node, cap FROM c${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, least(c.cap, e.w) AS cap
+         |    FROM c${k - 1} c JOIN e ON e.src = c.node
+         |  ) t GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeSql),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |      FROM edges$pred GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |c0 AS (SELECT node, CAST($CapInf AS BIGINT) AS cap FROM nodes
+       |       WHERE node % $seedMod = 0),
+       |$rs
+       |SELECT node, CASE WHEN cap = $CapInf THEN NULL ELSE cap END
+       |  AS bottleneck
+       |FROM c$rounds
+       |ORDER BY node, bottleneck""".stripMargin
+  }
+
   /** Oracle twin of [[graphDistances]] with the query entry's modular
     * seed set (`node % seedMod = 0`) — relaxation rounds unrolled as
     * MATERIALIZED CTEs (each round is referenced twice: carry + expand;

@@ -120,6 +120,28 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("users_hll"), col("n_events"))
 
+  /** Streaming hour × event-type pivot — the stream face of
+    * [[graft.events.Events.eventPivot]]. `Dataset.pivot` itself is
+    * unsupported on streaming relations (RelationalGroupedDataset
+    * pivot needs the full child to resolve even declared values), so
+    * this is the conditional-aggregate spelling the batch pivot LOWERS
+    * TO — same declared [[graft.events.Events.PivotTypes]] columns,
+    * same zero-fill, bit-identical rows (spec-pinned vs batch). State
+    * is one row of |types| longs per open hour window, evicted as the
+    * watermark passes. */
+  def hourlyPivot(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val types = graft.events.Events.PivotTypes
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    events.select(eventTime.as("event_time"), col("event_type"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("hour_us") +:
+        types.map(t => col(s"n_$t")): _*)
+  }
+
   /** Streaming gap sessionization — [[graft.events.Events.sessionize]]
     * through the `session_window` state operator: per-user windows merge
     * while events arrive within `gap`, close when the watermark passes

@@ -53,6 +53,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("streaming hourly pivot = batch eventPivot row-for-row") {
+    val rows: Seq[Ev] = Seq(
+      (0L, T, 1L, "view", 0.0, "{}"),
+      (1L, T + H / 2, 2L, "view", 0.0, "{}"),
+      (2L, T + H / 2, 1L, "click", 0.0, "{}"),
+      (3L, T + H, 3L, "purchase", 0.0, "{}"))
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("hour_us") ->
+      graft.events.Events.PivotTypes.map(t => r.getAs[Long](s"n_$t"))
+    val streamed = runStream(rows)(EventStream.hourlyPivot(_)).map(key).toMap
+    val batch = graft.events.Events.eventPivot(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(key).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup keeps one doc per normalized-content hash") {
     implicit val ctx = spark.sqlContext
     val src = MemoryStream[(Long, Long, String)]

@@ -575,6 +575,40 @@ class GraphPatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("widestPaths golden: bottleneck narrows along the chain, seeds NULL, unreached absent") {
+    import org.apache.spark.sql.functions.col
+    // 1→2 ×3, 2→3 ×1, 3→4 ×5; seed {1} (plus isolated 10→11 unreached)
+    val edges = df(Seq.fill(3)((1L, 2L)) ++ Seq((2L, 3L)) ++
+      Seq.fill(5)((3L, 4L)) ++ Seq((10L, 11L)))
+    val m = GraphPatterns.widestPaths(edges,
+        df(Seq((1L, 1L))).select(col("src").as("node")))
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("bottleneck"))).toMap
+    assert(m(1L) === None)               // seed: no bottleneck to itself
+    assert(m(2L) === Some(3L))
+    assert(m(3L) === Some(1L))           // min(3, 1)
+    assert(m(4L) === Some(1L))           // min(1, 5)
+    assert(!m.contains(10L) && !m.contains(11L), "unreached must be absent")
+  }
+
+  test("widestPaths: a longer wider route beats a shorter narrow one (re-relaxation)") {
+    import org.apache.spark.sql.functions.col
+    // 1→4 direct ×1 vs 1→2→3→4 all ×7: the 3-hop route carries 7
+    val edges = df(Seq((1L, 4L)) ++
+      Seq.fill(7)((1L, 2L)) ++ Seq.fill(7)((2L, 3L)) ++ Seq.fill(7)((3L, 4L)))
+    val m = GraphPatterns.widestPaths(edges,
+        df(Seq((1L, 1L))).select(col("src").as("node")))
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("bottleneck"))).toMap
+    assert(m(4L) === Some(7L))
+    // with rounds = 1 only the direct edge is visible
+    val one = GraphPatterns.widestPaths(edges,
+        df(Seq((1L, 1L))).select(col("src").as("node")), rounds = 1)
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("bottleneck"))).toMap
+    assert(one(4L) === Some(1L))
+  }
+
   test("neighborhoodFunction: exact ANF curve on the path graph, monotone everywhere") {
     // path 1→2→3→4: N(0)=4, N(1)=4+3=7, N(2)=9, N(3)=10 (saturated)
     val curve = GraphPatterns.neighborhoodFunction(
