@@ -99,6 +99,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ShinglesOfHashes(children.head, window)
       }))
     ext.injectFunction((
+      FunctionIdentifier("win_shingles_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WinShinglesOfHashes].getName,
+        "win_shingles_of_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"win_shingles_of_hashes takes 1 or 2 arguments, got ${children.size}")
+        // optional 2nd arg: the window width, a literal int (same
+        // contract as shingles_of_hashes) — default 8, the
+        // exact-substring span family's width
+        val window = if (children.size == 2) children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"win_shingles_of_hashes window must be an integer literal, got $other")
+        } else 8
+        graft.functions.WinShinglesOfHashes(children.head, window)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("blocks_of_hashes"),
       new ExpressionInfo(classOf[graft.functions.BlocksOfHashes].getName,
         "blocks_of_hashes"),

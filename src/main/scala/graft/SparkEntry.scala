@@ -382,6 +382,15 @@ object SparkEntry {
       Dedup.dupSpanStats(graft.Tables.documents(s, dir))),
     "dup_span_scrub" -> ((s, dir) =>
       Dedup.dupSpanScrub(graft.Tables.documents(s, dir))),
+    // Span family's incremental entry: shard windows vs the persisted
+    // corpus window-hash relation; only the shard pays the sweep.
+    "incremental_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      Dedup.incrementalDupSpans(
+        docs.filter(col("doc_id") % 10 === 9),
+        Dedup.windowShingles(docs.filter(col("doc_id") % 10 =!= 9)))
+    }),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.nearDupJaccard(graft.Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
@@ -913,6 +922,7 @@ object SparkEntry {
     "dup_spans" -> Dedup.dupSpansSql(),
     "dup_span_stats" -> Dedup.dupSpanStatsSql(),
     "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
+    "incremental_dup_spans" -> Dedup.incrementalDupSpansSql(),
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql(),

@@ -1901,15 +1901,22 @@ object Dedup {
     * start position and the window's shingle hash — the positional
     * sibling of [[TextAnalysis.docRepetition]]'s multiset. Position is
     * what turns "this doc contains duplicated material" into WHERE. */
-  private def windowStarts(t: DataFrame, w: Int): DataFrame =
-    t.select(col("doc_id"), posexplode(
+  private def windowStarts(t: DataFrame, w: Int): DataFrame = {
+    // the native ordered-walk expression when registered (one codegen'd
+    // pass; the HOF chain pays w interpreted element_at probes/shingle)
+    val sh =
+      if (t.sparkSession.catalog.functionExists("win_shingles_of_hashes"))
+        call_function("win_shingles_of_hashes", col("th"), lit(w))
+      else
         when(size(col("th")) >= w,
           transform(sequence(lit(1), size(col("th")) - (w - 1)),
             i => PortableHash.shingleK(
               (0 until w).map(j => element_at(col("th"), i + j)))))
-          .otherwise(array().cast("array<long>"))).as(Seq("off", "sh")))
+          .otherwise(array().cast("array<long>"))
+    t.select(col("doc_id"), posexplode(sh).as(Seq("off", "sh")))
       .select(col("doc_id"), (col("off") + 1L).cast("long").as("pos"),
         col("sh"))
+  }
 
   /** Start positions whose window occurs in ≥ minDocs distinct docs.
     * Scale shape: the starts relation is n_tokens-sized (one row per
@@ -2074,6 +2081,96 @@ object Dedup {
        |)
        |SELECT * FROM fin
        |ORDER BY doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac""".stripMargin
+
+  /** The incremental face of [[dupSpans]] — the span family's entry in
+    * the shard-vs-corpus series (exact/MinHash/SimHash/ANN/IVF/CMS all
+    * have one): maximal spans in the NEW shard's docs whose windows
+    * already occur in the PERSISTED corpus window relation (any
+    * relation with an `sh` column — in production the materialized
+    * distinct window hashes of [[windowStarts]], a ≤ corpus-token-count
+    * parquet the nightly job reads, never recomputes). Only the shard
+    * pays the tokenize/shingle pass; the flag join is the same
+    * sh-keyed equi-join as the batch sweep. A shard doc repeating a
+    * window only WITHIN the shard is not flagged — cross-shard novelty
+    * is exactly what the nightly gate decides, and intra-shard dups are
+    * the batch sweep's job on the merged corpus (the engine-wide
+    * incremental contract).
+    *
+    * Scale shape: [[dupSpans]]' linear chain with the doc-frequency
+    * aggregate replaced by the persisted-set semi join; islands merge
+    * per shard doc only. */
+  def incrementalDupSpans(newDocs: DataFrame, corpusShingles: DataFrame,
+      w: Int = DupSpanWindow): DataFrame = {
+    val wide = graft.Tables.widen(newDocs)
+    val t = wide.select(col("doc_id"),
+      TextAnalysis.tokenHashes(wide, col("text")).as("th"))
+    val flagged = windowStarts(t, w)
+      .join(corpusShingles.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(w - 1).cast("long"))
+      .over(wdoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(wdoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** The persisted corpus window relation [[incrementalDupSpans]] joins
+    * against — distinct window hashes of the corpus (the artifact a
+    * nightly job materializes once per corpus version). */
+  def windowShingles(docs: DataFrame, w: Int = DupSpanWindow): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    windowStarts(wide.select(col("doc_id"),
+        TextAnalysis.tokenHashes(wide, col("text")).as("th")), w)
+      .select(col("sh")).distinct()
+  }
+
+  /** Oracle twin of the `incremental_dup_spans` query entry: corpus =
+    * `doc_id % 10 <> 9`, shard = `doc_id % 10 = 9`. */
+  def incrementalDupSpansSql(w: Int = DupSpanWindow): String = {
+    val tok = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), x -> ${PortableHash.tokHashSql("x")})"
+    val shW = PortableHash.shingleKSql((0 until w).map(j =>
+      if (j == 0) "th[i]" else s"th[i+$j]"))
+    s"""WITH tc AS (
+       |  SELECT doc_id, $tok AS th FROM documents WHERE doc_id % 10 <> 9
+       |), corpus_sh AS (
+       |  SELECT DISTINCT $shW AS sh
+       |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - ${w - 2})) AS i
+       |        FROM tc WHERE len(th) >= $w)
+       |), tn AS (
+       |  SELECT doc_id, $tok AS th FROM documents WHERE doc_id % 10 = 9
+       |), ds AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - ${w - 2})) AS i
+       |        FROM tn WHERE len(th) >= $w)
+       |  WHERE $shW IN (SELECT sh FROM corpus_sh)
+       |), mk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |        OR pos > max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ds
+       |), isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    AS island
+       |  FROM mk
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${w - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${w - 1} - min(pos) + 1 AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start, span_end, span_len""".stripMargin
+  }
 
   /** The transform counterpart of [[dupSpans]] — ExactSubstr's actual
     * output artifact: each doc with its cross-document duplicated spans

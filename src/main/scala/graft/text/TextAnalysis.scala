@@ -1715,14 +1715,16 @@ object TextAnalysis {
     val wide = graft.Tables.widen(docs)
     val t = wide.select(col("doc_id"),
       tokenHashes(wide, col("text")).as("th"))
-    // multiset of window-shingles (the native expression dedups — total
-    // count is arithmetic on the token count, so only the top
-    // multiplicity needs the full multiset walk)
-    val multi = when(size(col("th")) >= window,
-      transform(sequence(lit(1), size(col("th")) - (window - 1)),
-        i => PortableHash.shingleK(
-          (0 until window).map(j => element_at(col("th"), i + j)))))
-      .otherwise(array().cast("array<long>"))
+    // multiset of window-shingles — the native ordered walk when
+    // registered, the interpreted element_at chain otherwise
+    val multi =
+      if (wide.sparkSession.catalog.functionExists("win_shingles_of_hashes"))
+        call_function("win_shingles_of_hashes", col("th"), lit(window))
+      else when(size(col("th")) >= window,
+        transform(sequence(lit(1), size(col("th")) - (window - 1)),
+          i => PortableHash.shingleK(
+            (0 until window).map(j => element_at(col("th"), i + j)))))
+        .otherwise(array().cast("array<long>"))
     val distinctSh =
       if (wide.sparkSession.catalog.functionExists("shingles_of_hashes"))
         call_function("shingles_of_hashes", col("th"), lit(window))

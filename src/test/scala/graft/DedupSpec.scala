@@ -810,6 +810,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("incrementalDupSpans: shard spans flag only corpus-known windows") {
+    // corpus holds run1; the shard doc carries run1 (flagged) and run2
+    // (shard-only — NOT flagged: intra-shard novelty is the batch
+    // sweep's job), plus a second shard doc repeating run2 (still not
+    // flagged — cross-shard only)
+    val corpus = docs((1L, docB), (2L, "filler one two three"))
+    val shard = docs((10L, docA), (11L, s"$run2 zz1 zz2"))
+    val out = Dedup.incrementalDupSpans(shard, Dedup.windowShingles(corpus))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"))).toSet
+    assert(out === Set((10L, 3L, 10L, 8L)))
+  }
+
   test("dupSpanStats golden: zero-filled rollup with exact span share") {
     val out = Dedup.dupSpanStats(docs(
         (1L, docA), (2L, docB), (3L, docC), (4L, unrelated)))

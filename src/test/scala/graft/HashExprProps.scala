@@ -97,6 +97,23 @@ object HashExprProps extends Properties("HashExpressions") {
   property("window-3 shingles equal the legacy 3-shingle chain exactly") =
     forAll(arrGen) { hs => shingleModelK(hs, 3) == shingleModel(hs) }
 
+  // --- win_shingles_of_hashes vs the un-deduplicated sliding model -----
+  private def winShingleModelK(hs: Seq[Long], k: Int): Seq[Long] =
+    hs.sliding(k).filter(_.size == k).map(w =>
+      w.tail.foldLeft(w.head % P)((acc, h) => (acc * 131L + h) % P)).toSeq
+
+  property("window-k ordered shingles eval equals the sliding model for k in 1..13") =
+    forAll(arrGen, Gen.chooseNum(1, 13)) { (hs, k) =>
+      val out = evalExpr(graft.functions.WinShinglesOfHashes(litArr(hs), k))
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getLong) == winShingleModelK(hs, k)
+    }
+
+  property("ordered shingles dedup to shingles_of_hashes (one fold, two faces)") =
+    forAll(arrGen, Gen.chooseNum(1, 13)) { (hs, k) =>
+      winShingleModelK(hs, k).distinct == shingleModelK(hs, k)
+    }
+
   // --- blocks_of_hashes vs a grouped-fold model ------------------------
   // non-overlapping tiles: same fold as shingles, stride k, multiset in
   // tile order, trailing partial tile dropped
