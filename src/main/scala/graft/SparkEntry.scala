@@ -736,6 +736,10 @@ object SparkEntry {
     // PIVOT surface: hour × declared event-type counts, wide + zero-filled.
     "events_pivot" -> ((s, dir) =>
       Events.eventPivot(graft.Tables.events(s, dir))),
+    // Second-order journeys: consecutive 3-step type sequences with a
+    // distributed count-floor filter (never a global top-k sort).
+    "events_journeys" -> ((s, dir) =>
+      Events.eventJourneys(graft.Tables.events(s, dir))),
     // ---- relational star-schema surface (grouping sets, windowed
     // top-k, semi-joins, star joins) over the TPC-H-ish tables ----
     "sales_rollup" -> ((s, dir) =>
@@ -758,6 +762,10 @@ object SparkEntry {
     "brand_revenue" -> ((s, dir) =>
       graft.relational.Sales.brandRevenue(
         graft.Tables.lineitem(s, dir), graft.Tables.table(s, dir, "part"))),
+    "customers_without_orders" -> ((s, dir) =>
+      graft.relational.Sales.customersWithoutOrders(
+        graft.Tables.table(s, dir, "customer"),
+        graft.Tables.table(s, dir, "orders"))),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -990,6 +998,7 @@ object SparkEntry {
     "events_nearby" -> Events.nearbyEventCountsSql(),
     "events_transitions" -> Events.eventTransitionsSql,
     "events_pivot" -> Events.eventPivotSql,
+    "events_journeys" -> Events.eventJourneysSql(),
     "sales_rollup" -> graft.relational.Sales.salesRollupSql,
     "top_suppliers_per_region" ->
       graft.relational.Sales.topSuppliersPerRegionSql(),
@@ -997,6 +1006,8 @@ object SparkEntry {
     "late_order_priority" -> graft.relational.Sales.lateOrderPrioritySql(),
     "segment_revenue" -> graft.relational.Sales.segmentRevenueSql,
     "brand_revenue" -> graft.relational.Sales.brandRevenueSql,
+    "customers_without_orders" ->
+      graft.relational.Sales.customersWithoutOrdersSql,
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,

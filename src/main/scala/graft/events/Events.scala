@@ -746,6 +746,58 @@ object Events {
        |FROM c
        |ORDER BY from_type, to_type, n, p_millionths""".stripMargin
 
+  /** Count floor for [[eventJourneys]] — journeys below it are noise
+    * rows a dashboard never reads; the filter is DISTRIBUTED (the
+    * vocab_mincount lesson: a top-k spelling would be a global
+    * TakeOrdered — this is a partial-agg + filter, no total order). */
+  val MinJourneyCount: Long = 3L
+
+  /** Common 3-step user journeys — [[eventTransitions]] widened one
+    * step: how often the consecutive type sequence (t1 → t2 → t3)
+    * appears in some user's event-time order, kept when it appears at
+    * least `minCount` times. The "what do users actually do" report
+    * product analytics builds funnels FROM; second-order where the
+    * transition matrix is first-order, so it distinguishes
+    * view→click→purchase from error→click→purchase when the matrix
+    * cannot.
+    *
+    * Scale shape: TWO lag columns over the one shared (user_id, ts,
+    * event_id) window sort (one shuffle — both lags ride the same
+    * partitioning), then a partial-agg shuffle to ≤ \|types\|³ rows and
+    * a map filter. No global order anywhere. */
+  def eventJourneys(events: DataFrame,
+      minCount: Long = MinJourneyCount): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        col("event_type"))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Oracle twin of [[eventJourneys]]. */
+  def eventJourneysSql(minCount: Long = MinJourneyCount): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events
+       |), p AS (
+       |  SELECT
+       |    lag(event_type, 2) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS t1,
+       |    lag(event_type, 1) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS t2,
+       |    event_type AS t3
+       |  FROM e
+       |)
+       |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE t1 IS NOT NULL
+       |GROUP BY t1, t2, t3 HAVING count(*) >= $minCount
+       |ORDER BY t1, t2, t3, n""".stripMargin
+
   /** Per-(hour, event_type) Datasketches-HLL user sketches — the
     * MERGEABLE partial aggregate a 100 TB rollup pipeline persists
     * instead of raw ids: exact distinct counts don't re-aggregate (a

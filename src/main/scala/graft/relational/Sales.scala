@@ -250,6 +250,32 @@ object Sales {
         sum("qty").as("sum_qty"),
         count(lit(1)).as("n_items"))
 
+  /** Customers who never ordered, counted per market segment — the
+    * LEFT ANTI join surface (the NOT EXISTS every warehouse audit
+    * runs): `customer` minus the order-holding key set, rolled up to
+    * ≤\|segments\| rows. The anti join carries only the 8-byte custkey
+    * on its probe side.
+    *
+    * Scale shape: one custkey-keyed anti shuffle join (the orders side
+    * pre-projects to the bare key — a semi/anti build side never needs
+    * payload columns) + one tiny partial agg. */
+  def customersWithoutOrders(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Oracle twin of [[customersWithoutOrders]]. */
+  def customersWithoutOrdersSql: String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+       |FROM customer
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment, n_customers""".stripMargin
+
   /** Oracle twin of [[brandRevenue]]. */
   def brandRevenueSql: String =
     s"""SELECT p_brand,

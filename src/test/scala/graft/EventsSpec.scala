@@ -332,6 +332,28 @@ class EventsSpec extends AnyFunSuite {
     assert(out(5L) === (0L, None))
   }
 
+  test("eventJourneys golden: consecutive triples per user, count floor") {
+    // user 1: view,click,view,click → triples (v,c,v), (c,v,c)
+    // user 2: view,click,view      → triple  (v,c,v)
+    // user 3: two events: no triple
+    val rows = Seq(
+      (0L, T, 1L, "view"), (1L, T + H, 1L, "click"),
+      (2L, T + 2 * H, 1L, "view"), (3L, T + 3 * H, 1L, "click"),
+      (4L, T, 2L, "view"), (5L, T + H, 2L, "click"), (6L, T + 2 * H, 2L, "view"),
+      (7L, T, 3L, "view"), (8L, T + H, 3L, "click"))
+      .map { case (id, ts, u, t) => (id, ts, u, t, 0.0, "{}") }
+    val all = Events.eventJourneys(events(rows: _*), minCount = 1L)
+      .collect().map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[String]("t3")) -> r.getAs[Long]("n")).toMap
+    assert(all === Map(("view", "click", "view") -> 2L,
+      ("click", "view", "click") -> 1L))
+    // the floor drops the singleton journey
+    val floored = Events.eventJourneys(events(rows: _*), minCount = 2L)
+      .collect().map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[String]("t3"))).toSet
+    assert(floored === Set(("view", "click", "view")))
+  }
+
   test("eventPivot golden: one wide zero-filled row per hour") {
     val out = Events.eventPivot(events(
         (0L, T, 1L, "view", 0.0, "{}"),

@@ -104,6 +104,18 @@ class SalesSpec extends AnyFunSuite {
     assert(out("Brand#22") === ((700L, 1L, 1L)))
   }
 
+  test("customersWithoutOrders: anti join per segment; ordering customers drop out") {
+    val customer = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "MACHINERY"),
+        (4L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Sales.customersWithoutOrders(customer, orders)
+      .collect().map(r => r.getAs[String]("c_mktsegment") ->
+        r.getAs[Long]("n_customers")).toMap
+    assert(out === Map("BUILDING" -> 1L, "MACHINERY" -> 1L))
+  }
+
   test("segmentRevenue: per-segment cents, item and DISTINCT order counts") {
     val orders = Seq((1L, 100L), (2L, 100L), (3L, 200L))
       .toDF("o_orderkey", "o_custkey")
