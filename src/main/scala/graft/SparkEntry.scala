@@ -382,6 +382,9 @@ object SparkEntry {
       Dedup.dupSpanStats(graft.Tables.documents(s, dir))),
     "dup_span_scrub" -> ((s, dir) =>
       Dedup.dupSpanScrub(graft.Tables.documents(s, dir))),
+    // Per-source exact-duplication rate: which feed is reposting.
+    "dedup_by_source" -> ((s, dir) =>
+      Dedup.dedupBySource(graft.Tables.documents(s, dir))),
     // Span family's incremental entry: shard windows vs the persisted
     // corpus window-hash relation; only the shard pays the sweep.
     "incremental_dup_spans" -> ((s, dir) => {
@@ -766,6 +769,8 @@ object SparkEntry {
       graft.relational.Sales.customersWithoutOrders(
         graft.Tables.table(s, dir, "customer"),
         graft.Tables.table(s, dir, "orders"))),
+    "order_sizes" -> ((s, dir) =>
+      graft.relational.Sales.orderSizes(graft.Tables.lineitem(s, dir))),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -931,6 +936,7 @@ object SparkEntry {
     "dup_span_stats" -> Dedup.dupSpanStatsSql(),
     "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
     "incremental_dup_spans" -> Dedup.incrementalDupSpansSql(),
+    "dedup_by_source" -> Dedup.dedupBySourceSql,
     "near_dup_jaccard" -> Dedup.nearDupJaccardSql,
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql(),
@@ -1008,6 +1014,7 @@ object SparkEntry {
     "brand_revenue" -> graft.relational.Sales.brandRevenueSql,
     "customers_without_orders" ->
       graft.relational.Sales.customersWithoutOrdersSql,
+    "order_sizes" -> graft.relational.Sales.orderSizesSql,
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,

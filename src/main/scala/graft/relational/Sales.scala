@@ -250,6 +250,27 @@ object Sales {
         sum("qty").as("sum_qty"),
         count(lit(1)).as("n_items"))
 
+  /** Lines-per-order distribution — the order-size histogram (the
+    * [[graft.graph.GraphPatterns]] degree-histogram idiom on the fact
+    * table): how many orders carry n lines, the one-glance shape check
+    * before sizing any per-order window or pack.
+    *
+    * Scale shape: two chained partial-agg shuffles, the second over
+    * ≤ max-lines-per-order groups. */
+  def orderSizes(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Oracle twin of [[orderSizes]]. */
+  def orderSizesSql: String =
+    s"""SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+       |FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+       |      FROM lineitem GROUP BY l_orderkey)
+       |GROUP BY n_lines
+       |ORDER BY n_lines, n_orders""".stripMargin
+
   /** Customers who never ordered, counted per market segment — the
     * LEFT ANTI join surface (the NOT EXISTS every warehouse audit
     * runs): `customer` minus the order-holding key set, rolled up to

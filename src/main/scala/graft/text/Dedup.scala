@@ -1921,17 +1921,42 @@ object Dedup {
   /** Start positions whose window occurs in ≥ minDocs distinct docs.
     * Scale shape: the starts relation is n_tokens-sized (one row per
     * window start — the [[TextAnalysis.bpeTokenize]] row class, linear
-    * in the corpus); doc-frequency is the two-level partial aggregate
-    * ((doc, sh) distinct → sh count), and flagging is ONE sh-keyed
-    * equi-join back — never a pair expansion, so unlike the suffix-array
-    * formulation this is shuffle-linear in corpus size with no
-    * single-machine sort. */
+    * in the corpus) and CHECKPOINTED once (the signatureBands
+    * discipline): both its consumers — the doc-frequency aggregate and
+    * the flag join — read the materialized rows instead of re-running
+    * the scan+tokenize+shingle chain. Doc-frequency is the two-level
+    * partial aggregate ((doc, sh) distinct → sh count), and flagging is
+    * ONE sh-keyed equi-join back — never a pair expansion, so unlike
+    * the suffix-array formulation this is shuffle-linear in corpus size
+    * with no single-machine sort. */
   private def dupStarts(t: DataFrame, w: Int, minDocs: Long): DataFrame = {
-    val starts = windowStarts(t, w)
+    val starts = windowStarts(t, w).localCheckpoint()
     val dupSh = starts.select(col("doc_id"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs).select("sh")
     starts.join(dupSh, "sh").select(col("doc_id"), col("pos"))
+  }
+
+  /** Shared island merge: flagged (doc_id, pos) window starts → maximal
+    * [span_start, span_end] token ranges (gaps-and-islands: running-max
+    * of window ends over the per-doc pos order, prefix-sum island ids,
+    * one grouped min/max). Both window functions ride ONE doc_id
+    * Exchange+Sort. */
+  private def spanIslands(flagged: DataFrame, w: Int): DataFrame = {
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(w - 1).cast("long"))
+      .over(wdoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(wdoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
   /** Shared oracle CTE chain: toks → window starts → cross-doc
@@ -1982,20 +2007,7 @@ object Dedup {
     val wide = graft.Tables.widen(docs)
     val t = wide.select(col("doc_id"),
       TextAnalysis.tokenHashes(wide, col("text")).as("th"))
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val prevEnd = max(col("pos") + lit(w - 1).cast("long"))
-      .over(wdoc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    dupStarts(t, w, minDocs)
-      .withColumn("brk",
-        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
-      .withColumn("island", sum("brk").over(wdoc))
-      .groupBy("doc_id", "island")
-      .agg(min("pos").as("span_start"),
-        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_len"))
+    spanIslands(dupStarts(t, w, minDocs), w)
   }
 
   /** Oracle twin of [[dupSpans]] — same starts/flag/island chain as
@@ -2033,10 +2045,13 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, w: Int = DupSpanWindow,
       minDocs: Long = DupSpanMinDocs): DataFrame = {
     val wide = graft.Tables.widen(docs)
-    val nTok = wide.select(col("doc_id"),
-      coalesce(size(TextAnalysis.tokenHashes(wide, col("text"))), lit(0))
-        .cast("long").as("n_tokens"))
-    val rolled = dupSpans(docs, w, minDocs).groupBy("doc_id")
+    // one checkpointed (doc_id, th) base: consumed by the token counts
+    // AND the span chain — documents is scanned once
+    val t = wide.select(col("doc_id"),
+      TextAnalysis.tokenHashes(wide, col("text")).as("th")).localCheckpoint()
+    val nTok = t.select(col("doc_id"),
+      coalesce(size(col("th")), lit(0)).cast("long").as("n_tokens"))
+    val rolled = spanIslands(dupStarts(t, w, minDocs), w).groupBy("doc_id")
       .agg(count(lit(1)).as("ns"), sum("span_len").as("dt"))
     nTok.join(rolled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -2082,6 +2097,49 @@ object Dedup {
        |SELECT * FROM fin
        |ORDER BY doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac""".stripMargin
 
+  /** Per-SOURCE exact-duplication rate — the "which feed is reposting"
+    * attribution every curation review asks for once
+    * [[dedupClusterSizes]] says the corpus IS duplicated: per `source`,
+    * docs, non-keeper copies (the keep-first policy shared with
+    * [[exactDupClusters]] — keeper = cluster-min doc_id), and the dup
+    * rate in exact millionths. A crawl source near 10⁶ is re-fetching
+    * the same pages; near 0 it contributes fresh text.
+    *
+    * Scale shape: one md5 pass, the 32-byte-key cluster aggregate, one
+    * fp-keyed join back, and a ≤\|sources\| partial agg — strictly the
+    * [[exactDupClusters]] plan plus the tiny rollup. */
+  def dedupBySource(docs: DataFrame): DataFrame = {
+    val fp = graft.Tables.widen(docs).select(col("doc_id"), col("source"),
+      TextAnalysis.normMd5(col("text")).as("fp_md5"))
+    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_doc_id"))
+    fp.join(keepers, "fp_md5")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper_doc_id"), 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000L) div n_docs").as("dup_rate_millionths"))
+  }
+
+  /** Oracle twin of [[dedupBySource]]. */
+  def dedupBySourceSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, source, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents
+       |), keepers AS (
+       |  SELECT fp_md5, min(doc_id) AS keeper_doc_id FROM fp GROUP BY fp_md5
+       |), g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN doc_id <> keeper_doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_docs
+       |  FROM fp JOIN keepers USING (fp_md5) GROUP BY source
+       |)
+       |SELECT source, n_docs, n_dup_docs,
+       |  CAST((n_dup_docs * 1000000) // n_docs AS BIGINT)
+       |    AS dup_rate_millionths
+       |FROM g
+       |ORDER BY source, n_docs, n_dup_docs, dup_rate_millionths""".stripMargin
+
   /** The incremental face of [[dupSpans]] — the span family's entry in
     * the shard-vs-corpus series (exact/MinHash/SimHash/ANN/IVF/CMS all
     * have one): maximal spans in the NEW shard's docs whose windows
@@ -2107,20 +2165,7 @@ object Dedup {
     val flagged = windowStarts(t, w)
       .join(corpusShingles.select(col("sh")).distinct(), Seq("sh"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val prevEnd = max(col("pos") + lit(w - 1).cast("long"))
-      .over(wdoc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    flagged
-      .withColumn("brk",
-        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
-      .withColumn("island", sum("brk").over(wdoc))
-      .groupBy("doc_id", "island")
-      .agg(min("pos").as("span_start"),
-        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_len"))
+    spanIslands(flagged, w)
   }
 
   /** The persisted corpus window relation [[incrementalDupSpans]] joins

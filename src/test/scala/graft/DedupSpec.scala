@@ -771,6 +771,22 @@ class DedupSpec extends AnyFunSuite {
     assert(expectPairs > 0L, "fixture must actually collide somewhere")
   }
 
+  test("dedupBySource golden: non-keeper copies charged to their own source") {
+    // "alpha beta" exists in crawl (1, keeper) and in feed (2, 3): the
+    // two copies count against feed even though the keeper sits in crawl
+    val d = Seq(
+      (1L, "alpha beta", "crawl"), (2L, "alpha  beta", "feed"),
+      (3L, "alpha beta", "feed"), (4L, "fresh text", "feed"),
+      (5L, "other text", "crawl"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupBySource(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("dup_rate_millionths")))).toMap
+    assert(out("crawl") === ((2L, 0L, 0L)))
+    assert(out("feed") === ((3L, 2L, 666666L)))
+  }
+
   // ---- exact-substring duplicated spans ------------------------------
 
   // run1/run2: exactly 8 tokens each (= DupSpanWindow) so sharing the run
@@ -847,6 +863,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) === ((11L, 8L, "y1 y2 y3")))
     assert(out(3L) === ((11L, 8L, "z1 z2 z3")))
     assert(out(4L) === ((0L, 0L, null)))
+  }
+
+  test("dup-span cross-operator identity: stats' span tokens = scrub's removed tokens") {
+    val d = docs((1L, docA), (2L, docB), (3L, docC), (4L, unrelated), (5L, base))
+    val stats = Dedup.dupSpanStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens")).toMap
+    val scrub = Dedup.dupSpanScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed_tokens")).toMap
+    assert(stats === scrub)
   }
 
   test("dupSpanScrub: removed + kept tokens tile the doc") {

@@ -104,6 +104,17 @@ class SalesSpec extends AnyFunSuite {
     assert(out("Brand#22") === ((700L, 1L, 1L)))
   }
 
+  test("orderSizes golden: lines-per-order histogram covers every order once") {
+    val out = Sales.orderSizes(li(
+        (1L, 10L, 1.0, 1.0, 0.0, "N", "O", ts0),
+        (1L, 10L, 1.0, 1.0, 0.0, "N", "O", ts0),
+        (2L, 10L, 1.0, 1.0, 0.0, "N", "O", ts0),
+        (3L, 10L, 1.0, 1.0, 0.0, "N", "O", ts0)))
+      .collect().map(r => r.getAs[Long]("n_lines") ->
+        r.getAs[Long]("n_orders")).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("customersWithoutOrders: anti join per segment; ordering customers drop out") {
     val customer = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "MACHINERY"),
         (4L, "MACHINERY"))
