@@ -635,6 +635,10 @@ object SparkEntry {
       Similarity.embedAnnPairs(graft.Tables.embeddings(s, dir))),
     "embed_ann_knn" -> ((s, dir) =>
       Similarity.embedAnnKnn(graft.Tables.embeddings(s, dir))),
+    // ANN acceptance audit: per-query recall of the bucket-probe search
+    // against exact top-k ground truth, exact millionths.
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(graft.Tables.embeddings(s, dir))),
     "embed_ivf_knn" -> ((s, dir) =>
       Similarity.embedIvfKnn(graft.Tables.embeddings(s, dir))),
     // Semantic dedup (SemDeDup-style): connected components over the
@@ -983,6 +987,7 @@ object SparkEntry {
     "embed_knn" -> Similarity.embedKnnSql(),
     "embed_ann_pairs" -> Similarity.embedAnnPairsSql(),
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
+    "ann_recall" -> Similarity.annRecallSql(),
     "embed_ivf_knn" -> Similarity.embedIvfKnnSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),

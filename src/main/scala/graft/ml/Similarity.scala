@@ -1135,4 +1135,112 @@ object Similarity {
        |FROM rep
        |ORDER BY vec_id, rep_id, is_survivor""".stripMargin
   }
+
+  /** ANN RECALL against exact ground truth — the acceptance number an
+    * approximate index lives or dies by, as an oracle-gated per-query
+    * report: for each query vector, how many of the exact top-k cosine
+    * neighbors ([[embedKnn]]) the bucket-probe ANN search
+    * ([[embedAnnKnn]]) returned, with recall in exact integer
+    * millionths. The production loop: run ONCE at full scale on a query
+    * sample before trusting the index, re-run when tables/planes
+    * change; a recall dip localizes to specific queries (whose buckets
+    * are too sparse) instead of hiding in a corpus average. The spec's
+    * recall@1 property pinned the planted fixture; this is the same
+    * audit productized over the real tables.
+    *
+    * Scale shape: both sides already end ≤ nQueries·k rows — the
+    * overlap join and rollup are driver-trivial no matter the corpus;
+    * total cost = the two searches it audits. */
+  def annRecall(embeds: DataFrame, nQueries: Long = 10L,
+      k: Int = 5): DataFrame = {
+    val exact = embedKnn(embeds, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = embedAnnKnn(embeds, nQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val hits = exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0L) * 1000000L) div n_exact")
+          .as("recall_millionths"))
+  }
+
+  /** Oracle twin of [[annRecall]] — both search chains composed under
+    * one `vecs` CTE (the ANN side's CTEs renamed to dodge the shared
+    * `scored`/`ranked` names). */
+  def annRecallSql(nQueries: Long = 10L, k: Int = 5): String = {
+    val tableSelects = (0 until NumTables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
+         |  ${bucketSql(t)} AS bucket
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vectorsCte,
+       |queries AS (
+       |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs
+       |  WHERE vec_id < $nQueries
+       |),
+       |escored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qqv[i] * qv[i])) AS DOUBLE)
+       |      / (qnrm * nrm) AS cos_sim
+       |  FROM vecs CROSS JOIN queries
+       |  WHERE vec_id <> query_id AND len(qqv) = len(qv)
+       |),
+       |etop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM escored
+       |  ) WHERE rnk <= $k
+       |),
+       |bands AS (
+       |  $tableSelects
+       |),
+       |qb AS (
+       |  SELECT vec_id AS query_id, tbl, bucket FROM bands
+       |  WHERE vec_id < $nQueries
+       |),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+       |  FROM qb JOIN bands b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+       |  WHERE b.vec_id <> qb.query_id
+       |),
+       |ascored AS (
+       |  SELECT query_id, cand.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * vn.qv[i])) AS DOUBLE)
+       |      / (vq.nrm * vn.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN vecs vq ON vq.vec_id = cand.query_id
+       |  JOIN vecs vn ON vn.vec_id = cand.neighbor_id
+       |  WHERE len(vq.qv) = len(vn.qv)
+       |),
+       |atop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM ascored
+       |  ) WHERE rnk <= $k
+       |),
+       |hits AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM etop e JOIN atop a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id
+       |),
+       |base AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM etop GROUP BY query_id
+       |)
+       |SELECT query_id, n_exact,
+       |  coalesce(n_hits, 0) AS n_hits,
+       |  CAST((coalesce(n_hits, 0) * 1000000) // n_exact AS BIGINT)
+       |    AS recall_millionths
+       |FROM base LEFT JOIN hits USING (query_id)
+       |ORDER BY query_id, n_exact, n_hits, recall_millionths""".stripMargin
+  }
 }

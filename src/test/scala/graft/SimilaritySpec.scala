@@ -225,6 +225,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"ANN kNN recall@5 $recall5 outside the expected S-curve band")
   }
 
+  test("annRecall report agrees with the spec's own recall measurement") {
+    // same planted fixture as the recall property above; the REPORT must
+    // say what direct set comparison says, per query, in millionths
+    val rnd = new scala.util.Random(71)
+    val base = (0L until 60L).map(i => i -> Seq.fill(12)(rnd.nextFloat() - 0.5f))
+    val dups = (0L until 8L).map { i =>
+      (300L + i) -> base(i.toInt)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    }
+    val vecs = base ++ dups
+    val report = Similarity.annRecall(embeds(vecs: _*), nQueries = 8L, k = 5)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_millionths")))).toMap
+    val exact5 = topkSets(Similarity.embedKnn(embeds(vecs: _*), nQueries = 8L, k = 5))
+    val ann5 = topkSets(Similarity.embedAnnKnn(embeds(vecs: _*), nQueries = 8L, k = 5))
+    assert(report.keySet === (0L until 8L).toSet)
+    report.foreach { case (q, (nExact, nHits, mills)) =>
+      assert(nExact === exact5(q).size.toLong)
+      assert(nHits === (exact5(q) & ann5.getOrElse(q, Set())).size.toLong, s"q=$q")
+      assert(mills === nHits * 1000000L / nExact)
+      assert(nHits <= nExact)
+    }
+    // the planted top-1 near-dup is always recalled → every query ≥ 1 hit
+    assert(report.values.forall(_._2 >= 1L))
+  }
+
   test("property: k-means IVF recall ≥ raw prefix-seed recall vs exact kNN ground truth") {
     // 16 clusters quantized through 6 centroids, single-probe — the
     // regime where coarse-quantizer QUALITY is the whole game: with more
