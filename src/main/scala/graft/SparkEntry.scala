@@ -641,6 +641,17 @@ object SparkEntry {
       Similarity.annRecall(graft.Tables.embeddings(s, dir))),
     "embed_ivf_knn" -> ((s, dir) =>
       Similarity.embedIvfKnn(graft.Tables.embeddings(s, dir))),
+    // Product quantization (Jégou et al. 2011): the memory-bound ANN
+    // scale path — coded corpus, codebook-health report, ADC+rerank
+    // search, and its recall audit against exact ground truth.
+    "pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(graft.Tables.embeddings(s, dir))),
+    "pq_occupancy" -> ((s, dir) =>
+      Similarity.pqOccupancy(graft.Tables.embeddings(s, dir))),
+    "embed_pq_knn" -> ((s, dir) =>
+      Similarity.embedPqKnn(graft.Tables.embeddings(s, dir))),
+    "pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(graft.Tables.embeddings(s, dir))),
     // Semantic dedup (SemDeDup-style): connected components over the
     // cosine-similarity pair graph, star-contraction iterator. Threshold
     // 0.3 sits inside the fixture corpus's similarity range (its ANN
@@ -989,6 +1000,10 @@ object SparkEntry {
     "embed_ann_knn" -> Similarity.embedAnnKnnSql(),
     "ann_recall" -> Similarity.annRecallSql(),
     "embed_ivf_knn" -> Similarity.embedIvfKnnSql(),
+    "pq_codes" -> Similarity.pqCodesSql(),
+    "pq_occupancy" -> Similarity.pqOccupancySql(),
+    "embed_pq_knn" -> Similarity.embedPqKnnSql(),
+    "pq_recall" -> Similarity.pqRecallSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),

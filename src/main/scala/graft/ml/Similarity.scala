@@ -1152,21 +1152,10 @@ object Similarity {
     * overlap join and rollup are driver-trivial no matter the corpus;
     * total cost = the two searches it audits. */
   def annRecall(embeds: DataFrame, nQueries: Long = 10L,
-      k: Int = 5): DataFrame = {
-    val exact = embedKnn(embeds, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val ann = embedAnnKnn(embeds, nQueries, k)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-    val hits = exact.join(ann,
-        col("query_id") === col("aq") && col("neighbor_id") === col("an"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr("(coalesce(n_hits, 0L) * 1000000L) div n_exact")
-          .as("recall_millionths"))
-  }
+      k: Int = 5): DataFrame =
+    recallReport(
+      embedKnn(embeds, nQueries, k).select(col("query_id"), col("neighbor_id")),
+      embedAnnKnn(embeds, nQueries, k).select(col("query_id"), col("neighbor_id")))
 
   /** Oracle twin of [[annRecall]] — both search chains composed under
     * one `vecs` CTE (the ANN side's CTEs renamed to dodge the shared
@@ -1243,4 +1232,371 @@ object Similarity {
        |FROM base LEFT JOIN hits USING (query_id)
        |ORDER BY query_id, n_exact, n_hits, recall_millionths""".stripMargin
   }
+
+  // ----------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound ANN scale path
+  // ----------------------------------------------------------------------
+
+  /** PQ geometry (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each vector splits into
+    * [[PqSubspaces]] contiguous subvectors; each subspace gets its own
+    * [[PqCodebookSize]]-codeword k-means codebook; a vector's code is
+    * its per-subspace nearest codeword — M·log2(Ksub) bits per vector
+    * (here 4·3 = 12 bits) instead of dim·32. At the test dims (64) the
+    * compression is 170×; a 1e9-vector production index would run
+    * M 16-64, Ksub 256 — same operator, different constants. */
+  val PqSubspaces = 4
+  val PqCodebookSize = 8
+  val PqIters = 3
+
+  /** `(vec_id, m, sqv)` — the per-subspace slices of a [[vectors]]
+    * relation: subspace m of a d-dim vector is the contiguous slice
+    * [m·⌊d/M⌋, (m+1)·⌊d/M⌋); the ≤ M−1 remainder dimensions are not
+    * coded (they would make subspace m's length vector-dependent —
+    * standard PQ pads or truncates; truncation is the deterministic
+    * choice both engines spell identically). Vectors shorter than M
+    * dims slice to empty and drop out — they carry no code. One
+    * posexplode, map-side only. */
+  private def pqSubVectors(v: DataFrame): DataFrame = {
+    val ds = floor(size(col("qv")) / lit(PqSubspaces)).cast("int")
+    v.select(col("vec_id"), posexplode(array((0 until PqSubspaces).map(m =>
+        slice(col("qv"), lit(m) * ds + 1, ds)): _*)).as(Seq("m", "sqv")))
+      .filter(size(col("sqv")) > 0)
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("sqv"))
+  }
+
+  /** Exact int64 squared L2 distance via three [[dot]] products
+    * (‖a‖² − 2a·b + ‖b‖²) — integer algebra, so it equals the oracle's
+    * direct Σ(a_i−b_i)² spelling EXACTLY, while reusing the native
+    * codegen dot expression. Magnitude bound: |coord| ≤ 2·10⁶ ⇒ a
+    * 4096-dim squared distance ≤ 6.6e16 < 2⁶² — no overflow. */
+  private def sqDist(df: DataFrame, a: Column, b: Column): Column =
+    dot(df, a, a) - lit(2L) * dot(df, a, b) + dot(df, b, b)
+
+  /** `(vec_id, m, cid, sqd, sqv)` — every subvector scored against every
+    * codeword of ITS subspace through the broadcast join; the ragged
+    * guard keeps a subvector comparable only to codewords of its own
+    * length (the engine-wide discipline). */
+  private def pqScore(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("m"))
+      .filter(size(col("sqv")) === size(col("cqv")))
+      .select(col("vec_id"), col("m"), col("cid"),
+        sqDist(sv, col("sqv"), col("cqv")).as("sqd"), col("sqv"))
+
+  /** `(vec_id, m, cid, qerr[, sqv])` argmin-distance assignment, ties to
+    * the smaller cid: max of the (−sqd, −cid) struct = lexicographic
+    * min, mirrored by the oracle's row_number(ORDER BY sqd, cid).
+    * Map-side partial aggregate — one small row per (vector, subspace)
+    * reaches the shuffle, never the Ksub-wide scored relation. */
+  private def pqArgmin(scored: DataFrame, carrySqv: Boolean = false): DataFrame = {
+    val aggs = Seq(max(struct((-col("sqd")).as("nsqd"), (-col("cid")).as("ncid"))).as("mm")) ++
+      (if (carrySqv) Seq(first(col("sqv")).as("sqv")) else Nil)
+    val out = Seq(col("vec_id"), col("m"), (-col("mm.ncid")).as("cid"),
+      (-col("mm.nsqd")).as("qerr")) ++ (if (carrySqv) Seq(col("sqv")) else Nil)
+    scored.groupBy("vec_id", "m").agg(aggs.head, aggs.tail: _*).select(out: _*)
+  }
+
+  /** The M per-subspace codebooks as ONE `(m, cid, cqv)` relation,
+    * trained by a SINGLE joint Lloyd loop: subspace membership `m` rides
+    * as a grouping key, so every round is one broadcast-join scan of the
+    * (N·M)-row subvector relation + one bounded-state [[VecSumAgg]]
+    * update keyed (m, cid) — M separate k-means runs would pay M× the
+    * scans for identical results. Same determinism contract as
+    * [[kmeansCentroids]]: fixed iteration count, prefix-seeded
+    * (cid = vec_id < Ksub), floor-mean integer centroid update; but
+    * pure-integer L2 assignment — not even the cosine's final IEEE
+    * divide — so the whole quantizer is integer-exact end to end.
+    * A codebook cell that loses all members drops out (deterministic in
+    * both engines); no norm filter — the zero codeword is a valid L2
+    * centroid. */
+  def pqCodebooks(sv: DataFrame, ksub: Int = PqCodebookSize,
+      iters: Int = PqIters): DataFrame = {
+    var cb = sv.filter(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").as("cid"), col("sqv").as("cqv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val asg = pqArgmin(pqScore(sv, cb), carrySqv = true)
+      val vsum = udaf(new VecSumAgg, Encoders.product[QVec])
+      cb = asg.groupBy("m", "cid").agg(vsum(col("sqv")).as("s"))
+        .select(col("m"), col("cid"), zip_with(col("s.sums"), col("s.counts"),
+          (sd, cd) => floor(sd.cast("double") / cd).cast("long")).as("cqv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** `(vec_id, m, code, qerr)` — the PQ-encoded corpus: THIS is the
+    * artifact a 100 TB deployment persists in place of the raw vectors
+    * (12 bits/vector here vs 256 bytes of float32; the raw vectors stay
+    * only on the exact-rescore tier). `qerr` is the exact int64 squared
+    * quantization error — the per-vector fidelity number reconstruction
+    * audits aggregate ([[pqOccupancy]]).
+    *
+    * Scale shape: codebook train (iters bounded-state rounds) + ONE
+    * broadcast-join encode scan + a map-side argmin partial agg — no
+    * corpus×corpus anything; append-only for new shards under frozen
+    * codebooks, exactly like [[incrementalIvfAssign]]. */
+  def pqCodes(embeds: DataFrame): DataFrame = {
+    val sv = pqSubVectors(vectors(embeds)).localCheckpoint()
+    pqArgmin(pqScore(sv, pqCodebooks(sv)))
+      .select(col("vec_id"), col("m"), col("cid").as("code"), col("qerr"))
+  }
+
+  /** PQ codebook-cell occupancy + reconstruction fidelity — the
+    * codebook-health face of the occupancy family (band/SimHash/ANN
+    * predict pairing cost, IVF predicts probe cost; THIS predicts
+    * QUANTIZATION QUALITY): per (subspace, codeword), member count, the
+    * exact-int share of the subspace's population in millionths, and
+    * the floor-mean squared quantization error. A collapsed subspace
+    * (one cell holding everything) or an avg_qerr step-change after a
+    * corpus shift is the re-train signal — read from M·Ksub rows,
+    * without touching a query. */
+  def pqOccupancy(embeds: DataFrame): DataFrame = {
+    val counts = pqCodes(embeds)
+      .groupBy("m", "code").agg(count(lit(1)).as("n_vecs"), sum("qerr").as("serr"))
+      .localCheckpoint()
+    val totals = counts.groupBy("m").agg(sum("n_vecs").as("tot")).localCheckpoint()
+    counts.join(broadcast(totals), Seq("m"))
+      .select(col("m"), col("code"), col("n_vecs"),
+        expr("(n_vecs * 1000000L) div tot").as("share_millionths"),
+        expr("serr div n_vecs").as("avg_qerr"))
+  }
+
+  /** PQ k-NN search — asymmetric distance computation (ADC) over the
+    * coded corpus: the query keeps its EXACT subvectors, the corpus is
+    * its codes, and the approximate distance is Σ_m d²(q_m,
+    * codebook_m[code_m]) — M integer table lookups per neighbor instead
+    * of a d-dim scan. The distance TABLE (query subvectors × all M·Ksub
+    * codewords — nQueries·M·Ksub rows, broadcast) is what makes PQ fast:
+    * the corpus-side scan never touches a vector, only codes. The ADC
+    * shortlist (top 2k by exact-int ADC, ties to the smaller id, via the
+    * bounded-state [[TopKAgg]]) then pays exact rescore for the final
+    * top-k — the standard PQ + rerank pipeline. Neighbors must have all
+    * M subspaces scored against the query's table (the HAVING n = M
+    * guard) — a dimension-mismatched vector is incomparable, same rule
+    * as every len-guarded join here. ADC sums stay ≤ ~1e15 at 4096 dims
+    * — exact in the int64 agg AND in the double the top-k buffer keys
+    * on (< 2⁵³). */
+  def embedPqKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+    val v = vectors(embeds).localCheckpoint()
+    val sv = pqSubVectors(v).localCheckpoint()
+    val cb = pqCodebooks(sv)
+    val codes = pqArgmin(pqScore(sv, cb))
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val dt = pqScore(sv.filter(col("vec_id") < nQueries), cb)
+      .select(col("vec_id").as("query_id"), col("m"), col("cid").as("code"),
+        col("sqd"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("sqd").as("adc"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PqSubspaces)
+    val short = udaf(new TopKAgg(2 * k), Encoders.product[Scored])
+    val cand = adc.groupBy("query_id")
+      .agg(short(col("vec_id"), (-col("adc")).cast("double")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items.neighbor_id")).as("neighbor_id"))
+    rescoreTopK(cand, v, k)
+  }
+
+  /** PQ recall against exact ground truth — [[annRecall]]'s audit run
+    * over the ADC+rerank search instead of the bucket-probe one; with
+    * [[ann_recall]] and the IVF recall property in SimilaritySpec this
+    * completes the acceptance story for all three ANN paths. */
+  def pqRecall(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame =
+    recallReport(
+      embedKnn(embeds, nQueries, k).select(col("query_id"), col("neighbor_id")),
+      embedPqKnn(embeds, nQueries, k).select(col("query_id"), col("neighbor_id")))
+
+  /** Shared recall tail: per query, |exact ∩ approx| over |exact| in
+    * exact millionths. Both inputs are ≤ nQueries·k rows — the joins
+    * and rollups are trivial at any corpus size. */
+  private[graft] def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ann = approx.select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val hits = exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0L) * 1000000L) div n_exact")
+          .as("recall_millionths"))
+  }
+
+  /** subv → cb0 → (psc_i → pasg_i → pex_i → psums_i → cb_{i+1})* →
+    * codes CTE chain — the unrolled joint-Lloyd PQ quantizer + final
+    * encode shared by every PQ oracle, so they can never train
+    * different codebooks. Expects a `vecs` CTE in scope. */
+  private def pqChainCtes(ksub: Int, iters: Int): String = {
+    val subSelects = (0 until PqSubspaces).map(m =>
+      s"""SELECT vec_id, CAST($m AS BIGINT) AS m,
+         |    qv[($m * (len(qv) // $PqSubspaces) + 1):((${m + 1}) * (len(qv) // $PqSubspaces))] AS sqv
+         |  FROM vecs""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    def sqdSql(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val iterCtes = (0 until iters).map { i =>
+      s"""psc$i AS (
+         |  SELECT s.vec_id, s.m, c.cid, ${sqdSql("s.sqv", "c.cqv")} AS sqd
+         |  FROM subv s JOIN cb$i c ON s.m = c.m AND len(s.sqv) = len(c.cqv)
+         |),
+         |pasg$i AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn
+         |    FROM psc$i
+         |  ) WHERE rn = 1
+         |),
+         |pex$i AS (
+         |  SELECT a.m, a.cid, unnest(range(1, len(s.sqv) + 1)) AS d, unnest(s.sqv) AS x
+         |  FROM pasg$i a JOIN subv s ON a.vec_id = s.vec_id AND a.m = s.m
+         |),
+         |psums$i AS (
+         |  SELECT m, cid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM pex$i GROUP BY m, cid, d
+         |),
+         |cb${i + 1} AS (
+         |  SELECT m, cid, list(c ORDER BY d) AS cqv FROM psums$i GROUP BY m, cid
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""subv AS (
+       |  SELECT * FROM (
+       |  $subSelects
+       |  ) WHERE len(sqv) > 0
+       |),
+       |cb0 AS (
+       |  SELECT m, vec_id AS cid, sqv AS cqv FROM subv WHERE vec_id < $ksub
+       |),
+       |$iterCtes
+       |fsc AS (
+       |  SELECT s.vec_id, s.m, c.cid, ${sqdSql("s.sqv", "c.cqv")} AS sqd
+       |  FROM subv s JOIN cb$iters c ON s.m = c.m AND len(s.sqv) = len(c.cqv)
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code, sqd AS qerr FROM (
+       |    SELECT vec_id, m, cid, sqd,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn
+       |    FROM fsc
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** Oracle twin of [[pqCodes]]. */
+  def pqCodesSql(ksub: Int = PqCodebookSize, iters: Int = PqIters): String =
+    s"""WITH $vectorsCte,
+       |${pqChainCtes(ksub, iters)}
+       |SELECT vec_id, m, code, qerr FROM codes
+       |ORDER BY vec_id, m, code, qerr""".stripMargin
+
+  /** Oracle twin of [[pqOccupancy]]. */
+  def pqOccupancySql(ksub: Int = PqCodebookSize, iters: Int = PqIters): String =
+    s"""WITH $vectorsCte,
+       |${pqChainCtes(ksub, iters)},
+       |counts AS (
+       |  SELECT m, code, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(qerr) AS BIGINT) AS serr
+       |  FROM codes GROUP BY m, code
+       |),
+       |totals AS (
+       |  SELECT m, CAST(sum(n_vecs) AS BIGINT) AS tot FROM counts GROUP BY m
+       |)
+       |SELECT counts.m, code, n_vecs,
+       |  CAST((n_vecs * 1000000) // tot AS BIGINT) AS share_millionths,
+       |  CAST(serr // n_vecs AS BIGINT) AS avg_qerr
+       |FROM counts JOIN totals ON counts.m = totals.m
+       |ORDER BY counts.m, code, n_vecs, share_millionths, avg_qerr""".stripMargin
+
+  /** The ADC + rerank tail as CTEs (`pqtop`): distance table over the
+    * query prefix, code-join ADC sums with the all-M guard, 2k
+    * shortlist, exact cosine rerank to k. Expects `vecs` + the
+    * [[pqChainCtes]] chain in scope. */
+  private def pqKnnCtes(nQueries: Long, k: Int, iters: Int): String =
+    s"""qdt AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.cid AS code,
+       |    CAST(list_sum(list_transform(range(1, len(s.sqv) + 1), i -> (s.sqv[i] - c.cqv[i]) * (s.sqv[i] - c.cqv[i]))) AS BIGINT) AS sqd
+       |  FROM subv s JOIN cb$iters c ON s.m = c.m AND len(s.sqv) = len(c.cqv)
+       |  WHERE s.vec_id < $nQueries
+       |),
+       |adc AS (
+       |  SELECT d.query_id, co.vec_id, CAST(sum(d.sqd) AS BIGINT) AS adc
+       |  FROM codes co JOIN qdt d ON co.m = d.m AND co.code = d.code
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id
+       |  HAVING count(*) = $PqSubspaces
+       |),
+       |shortlist AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+       |    FROM adc
+       |  ) WHERE rn <= ${2 * k}
+       |),
+       |pqscored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * vn.qv[i])) AS DOUBLE)
+       |      / (vq.nrm * vn.nrm) AS cos_sim
+       |  FROM shortlist
+       |  JOIN vecs vq ON vq.vec_id = shortlist.query_id
+       |  JOIN vecs vn ON vn.vec_id = shortlist.neighbor_id
+       |  WHERE len(vq.qv) = len(vn.qv)
+       |),
+       |pqtop AS (
+       |  SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM pqscored
+       |  ) WHERE rnk <= $k
+       |)""".stripMargin
+
+  /** Oracle twin of [[embedPqKnn]]. */
+  def embedPqKnnSql(nQueries: Long = 10L, k: Int = 5,
+      ksub: Int = PqCodebookSize, iters: Int = PqIters): String =
+    s"""WITH $vectorsCte,
+       |${pqChainCtes(ksub, iters)},
+       |${pqKnnCtes(nQueries, k, iters)}
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM pqtop
+       |ORDER BY query_id, rank, neighbor_id, cos_sim""".stripMargin
+
+  /** Oracle twin of [[pqRecall]] — the exact-kNN chain and the PQ chain
+    * composed under one `vecs` CTE, recall tail as in [[annRecallSql]]. */
+  def pqRecallSql(nQueries: Long = 10L, k: Int = 5,
+      ksub: Int = PqCodebookSize, iters: Int = PqIters): String =
+    s"""WITH $vectorsCte,
+       |queries AS (
+       |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs
+       |  WHERE vec_id < $nQueries
+       |),
+       |escored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qqv[i] * qv[i])) AS DOUBLE)
+       |      / (qnrm * nrm) AS cos_sim
+       |  FROM vecs CROSS JOIN queries
+       |  WHERE vec_id <> query_id AND len(qqv) = len(qv)
+       |),
+       |etop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM escored
+       |  ) WHERE rnk <= $k
+       |),
+       |${pqChainCtes(ksub, iters)},
+       |${pqKnnCtes(nQueries, k, iters)},
+       |hits AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM etop e JOIN pqtop a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id
+       |),
+       |base AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM etop GROUP BY query_id
+       |)
+       |SELECT query_id, n_exact,
+       |  coalesce(n_hits, 0) AS n_hits,
+       |  CAST((coalesce(n_hits, 0) * 1000000) // n_exact AS BIGINT)
+       |    AS recall_millionths
+       |FROM base LEFT JOIN hits USING (query_id)
+       |ORDER BY query_id, n_exact, n_hits, recall_millionths""".stripMargin
 }

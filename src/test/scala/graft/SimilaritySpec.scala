@@ -638,4 +638,132 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, -1L) -> 1L,
       (-99L, -1L) -> 1L))
   }
+
+  /** Scala twin of the whole PQ train+encode chain (quantize → slice →
+    * joint Lloyd with floor-mean updates and (sqd, cid) argmin ties →
+    * final encode) — the property tests' ground truth. */
+  private def pqScalaCodes(vecs: Seq[(Long, Seq[Float])],
+      ksub: Int = Similarity.PqCodebookSize,
+      iters: Int = Similarity.PqIters): Map[(Long, Long), (Long, Long)] = {
+    val M = Similarity.PqSubspaces
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val subv: Seq[(Long, Int, Seq[Long])] = vecs
+      .filter { case (_, v) => q(v).map(x => x * x).sum > 0L }
+      .flatMap { case (id, v) =>
+        val qv = q(v); val ds = qv.length / M
+        (0 until M).map(m => (id, m, qv.slice(m * ds, (m + 1) * ds)))
+          .filter(_._3.nonEmpty)
+      }
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cb: Map[(Int, Long), Seq[Long]]) = subv.flatMap { case (id, m, s) =>
+      val cands = cb.toSeq.collect {
+        case ((mm, cid), c) if mm == m && c.length == s.length => (cid, c)
+      }
+      if (cands.isEmpty) None
+      else {
+        val (cid, c) = cands.minBy { case (cid, c) => (sqd(s, c), cid) }
+        Some((id, m, cid, sqd(s, c), s))
+      }
+    }
+    var cb: Map[(Int, Long), Seq[Long]] = subv.filter(_._1 < ksub)
+      .map { case (id, m, s) => ((m, id), s) }.toMap
+    for (_ <- 0 until iters) {
+      cb = assign(cb).groupBy(t => (t._2, t._3)).map { case (k, members) =>
+        val dims = members.map(_._5.length).max
+        k -> (0 until dims).map { d =>
+          val vals = members.map(_._5).filter(_.length > d).map(_(d))
+          math.floor(vals.sum.toDouble / vals.size).toLong
+        }
+      }
+    }
+    assign(cb).map { case (id, m, cid, e, _) => (id, m.toLong) -> (cid, e) }.toMap
+  }
+
+  test("property: pqCodes equals the Scala twin of the joint Lloyd chain") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val got = Similarity.pqCodes(embeds(vecs: _*)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    assert(got === pqScalaCodes(vecs))
+    // every surviving vector carries exactly M codes, all from the seed range
+    assert(got.keySet.map(_._1).forall(id =>
+      got.keySet.count(_._1 == id) === Similarity.PqSubspaces))
+    assert(got.values.forall { case (c, e) =>
+      c >= 0L && c < Similarity.PqCodebookSize && e >= 0L })
+  }
+
+  test("pqCodes: exact duplicates share the full code word") {
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val vecs = base ++ Seq(200L -> base(13)._2, 201L -> base(29)._2)
+    val got = Similarity.pqCodes(embeds(vecs: _*)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    for (m <- 0L until Similarity.PqSubspaces.toLong) {
+      assert(got((200L, m)) === got((13L, m)))
+      assert(got((201L, m)) === got((29L, m)))
+    }
+  }
+
+  test("pqOccupancy: per-subspace partition of the corpus; avg_qerr cross-checks pqCodes") {
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val codes = Similarity.pqCodes(embeds(vecs: _*)).collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("code"), r.getAs[Long]("qerr")))
+    val occ = Similarity.pqOccupancy(embeds(vecs: _*)).collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("code")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("share_millionths"),
+          r.getAs[Long]("avg_qerr")))).toMap
+    for (m <- 0L until Similarity.PqSubspaces.toLong) {
+      val cells = occ.filter(_._1._1 == m)
+      assert(cells.values.map(_._1).sum === 60L)        // counts partition
+      val shareSum = cells.values.map(_._2).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - cells.size)
+    }
+    occ.foreach { case ((m, c), (n, _, avg)) =>
+      val errs = codes.filter(t => t._1 == m && t._2 == c).map(_._3)
+      assert(errs.size.toLong === n)
+      assert(avg === errs.sum / n)                       // floor div
+    }
+  }
+
+  test("embedPqKnn: planted exact duplicates are recalled at rank 1") {
+    val rnd = new scala.util.Random(53)
+    val base = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val dups = (0L until 6L).map(i => (300L + i) -> base(i.toInt)._2)
+    val out = Similarity.embedPqKnn(embeds(base ++ dups: _*), nQueries = 6L, k = 3)
+      .collect()
+    val rank1 = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))).toMap
+    for (qid <- 0L until 6L) {
+      // the exact duplicate codes identically, so its ADC distance is the
+      // query's own quantization error — always in the shortlist; the
+      // exact rerank then puts cos ≈ 1 on top
+      assert(rank1(qid)._1 === 300L + qid)
+      assert(rank1(qid)._2 > 0.999)
+    }
+  }
+
+  test("pqRecall report agrees with direct set comparison") {
+    val rnd = new scala.util.Random(59)
+    val base = (0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val dups = (0L until 6L).map(i => (300L + i) -> base(i.toInt)._2)
+    val vecs = base ++ dups
+    val report = Similarity.pqRecall(embeds(vecs: _*), nQueries = 6L, k = 4)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_millionths")))).toMap
+    val exact4 = topkSets(Similarity.embedKnn(embeds(vecs: _*), nQueries = 6L, k = 4))
+    val pq4 = topkSets(Similarity.embedPqKnn(embeds(vecs: _*), nQueries = 6L, k = 4))
+    assert(report.keySet === (0L until 6L).toSet)
+    report.foreach { case (q, (nExact, nHits, mills)) =>
+      assert(nExact === exact4(q).size.toLong)
+      assert(nHits === (exact4(q) & pq4.getOrElse(q, Set())).size.toLong, s"q=$q")
+      assert(mills === nHits * 1000000L / nExact)
+    }
+    assert(report.values.forall(_._2 >= 1L)) // the exact dup is always recalled
+  }
 }
