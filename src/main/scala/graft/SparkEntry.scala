@@ -786,6 +786,13 @@ object SparkEntry {
         graft.Tables.table(s, dir, "orders"))),
     "order_sizes" -> ((s, dir) =>
       graft.relational.Sales.orderSizes(graft.Tables.lineitem(s, dir))),
+    // Bloom runtime-filter acceptance audit: probe rows / bloom passes /
+    // true matches / false positives, exact-int rates — hash-exact in
+    // both engines via the portable hash family.
+    "bloom_prefilter" -> ((s, dir) =>
+      graft.relational.RuntimeFilters.bloomAudit(
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.lineitem(s, dir))),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -1035,6 +1042,7 @@ object SparkEntry {
     "customers_without_orders" ->
       graft.relational.Sales.customersWithoutOrdersSql,
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
+    "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,

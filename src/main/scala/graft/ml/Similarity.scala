@@ -1500,11 +1500,11 @@ object Similarity {
        |totals AS (
        |  SELECT m, CAST(sum(n_vecs) AS BIGINT) AS tot FROM counts GROUP BY m
        |)
-       |SELECT counts.m, code, n_vecs,
+       |SELECT m, code, n_vecs,
        |  CAST((n_vecs * 1000000) // tot AS BIGINT) AS share_millionths,
        |  CAST(serr // n_vecs AS BIGINT) AS avg_qerr
-       |FROM counts JOIN totals ON counts.m = totals.m
-       |ORDER BY counts.m, code, n_vecs, share_millionths, avg_qerr""".stripMargin
+       |FROM counts JOIN totals USING (m)
+       |ORDER BY m, code, n_vecs, share_millionths, avg_qerr""".stripMargin
 
   /** The ADC + rerank tail as CTEs (`pqtop`): distance table over the
     * query prefix, code-join ADC sums with the all-M guard, 2k

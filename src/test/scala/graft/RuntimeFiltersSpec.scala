@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.RuntimeFilters
+import graft.functions.PortableHash
+
+class RuntimeFiltersSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // 200 orders, every 5th urgent; 1000 lineitem rows over 250 keys, so
+  // keys 200..249 match no order at all and most others match non-urgent
+  def ordersDf = (0L until 200L)
+    .map(k => (k, if (k % 5 == 0) "1-URGENT" else "5-LOW"))
+    .toDF("o_orderkey", "o_orderpriority")
+  def lineitemDf = (0L until 1000L).map(i => Tuple1(i % 250L))
+    .toDF("l_orderkey")
+
+  /** Scala twin of the engine's Bloom positions. */
+  def positions(key: Long): Seq[Long] =
+    RuntimeFilters.hashParams.map { case (a, b) =>
+      ((key % PortableHash.P) * a + b) % PortableHash.P % RuntimeFilters.NumBits
+    }
+
+  val urgentKeys: Set[Long] = (0L until 200L).filter(_ % 5 == 0).toSet
+  val bitsSet: Set[Long] = urgentKeys.flatMap(positions)
+
+  test("bloomPrefilter: no false negatives; pass set equals the Scala-twin bitmap test") {
+    val bits = RuntimeFilters.bloomBuild(
+      ordersDf.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey".as("bkey")), "bkey")
+    val passed = RuntimeFilters.bloomPrefilter(lineitemDf, "l_orderkey", bits)
+      .collect().map(_.getAs[Long]("l_orderkey")).sorted.toSeq
+    val expected = (0L until 1000L).map(_ % 250L)
+      .filter(k => positions(k).forall(bitsSet)).sorted
+    assert(passed === expected)
+    // the Bloom guarantee: every truly matching row survives
+    val matches = (0L until 1000L).map(_ % 250L).filter(urgentKeys)
+    assert(matches.toSet.subsetOf(passed.toSet))
+    // and the filter actually filters (non-members exist that fail)
+    assert(passed.size < 1000)
+  }
+
+  test("bloomAudit equals a Scala recount of pass/match/false-positive") {
+    val row = RuntimeFilters.bloomAudit(ordersDf, lineitemDf).collect().head
+    val keys = (0L until 1000L).map(_ % 250L)
+    val nPass = keys.count(k => positions(k).forall(bitsSet)).toLong
+    val nMatch = keys.count(urgentKeys).toLong
+    val nFp = keys.count(k => positions(k).forall(bitsSet) && !urgentKeys(k)).toLong
+    assert(row.getAs[Long]("n_probe") === 1000L)
+    assert(row.getAs[Long]("n_pass") === nPass)
+    assert(row.getAs[Long]("n_match") === nMatch)
+    assert(row.getAs[Long]("n_false_pos") === nFp)
+    assert(row.getAs[Long]("pass_millionths") === nPass * 1000000L / 1000L)
+    assert(row.getAs[Long]("fpr_millionths") === nFp * 1000000L / (1000L - nMatch))
+  }
+
+  test("bloomPrefilter adds ZERO shuffles to the probe side") {
+    // the whole point of a runtime filter: it prunes BEFORE any shuffle.
+    // With the (tiny) bits relation checkpointed — as a deployment would
+    // persist/broadcast it — the entire prefilter plan must be broadcast
+    // semi joins over the streaming probe scan: no ShuffleExchange
+    // anywhere, one BroadcastHashJoin per hash.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val li = (0L until 1000L).map(i => Tuple1(i % 250L)).toDF("l_orderkey")
+    val bits = RuntimeFilters.bloomBuild(
+      (0L until 200L).filter(_ % 5 == 0).map(Tuple1(_)).toDF("bkey"), "bkey")
+      .localCheckpoint()
+    val plan = RuntimeFilters.bloomPrefilter(li, "l_orderkey", bits)
+      .queryExecution.executedPlan
+    assert(plan.collect { case _: ShuffleExchangeExec => 1 }.sum === 0,
+      s"probe-side shuffle in:\n$plan")
+    assert(plan.collect { case _: BroadcastHashJoinExec => 1 }.sum
+      === RuntimeFilters.NumHashes, s"expected 3 broadcast semi joins:\n$plan")
+  }
+}
