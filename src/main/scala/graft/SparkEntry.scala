@@ -793,6 +793,12 @@ object SparkEntry {
       graft.relational.RuntimeFilters.bloomAudit(
         graft.Tables.table(s, dir, "orders"),
         graft.Tables.lineitem(s, dir))),
+    // Zone-map manifest (per fixed-width key zone: min/max/count) and
+    // the range-predicate skipping audit it prices.
+    "zone_map" -> ((s, dir) =>
+      graft.sources.ZoneMaps.zoneMap(graft.Tables.lineitem(s, dir), "l_orderkey")),
+    "zone_skip" -> ((s, dir) =>
+      graft.sources.ZoneMaps.zoneSkip(graft.Tables.lineitem(s, dir), "l_orderkey")),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -1043,6 +1049,8 @@ object SparkEntry {
       graft.relational.Sales.customersWithoutOrdersSql,
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
     "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
+    "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
+    "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,

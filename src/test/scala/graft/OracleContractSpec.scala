@@ -18,7 +18,8 @@ class OracleContractSpec extends AnyFunSuite {
   val scalarQueries: Set[String] = Set(
     "edge_count", "edge_count_csv", "exact_2hop", "exact_2hop_join",
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
-    "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter")
+    "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter",
+    "zone_skip")
 
   test("every query has an oracle entry") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
