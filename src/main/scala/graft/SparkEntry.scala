@@ -652,6 +652,14 @@ object SparkEntry {
       Similarity.embedPqKnn(graft.Tables.embeddings(s, dir))),
     "pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(graft.Tables.embeddings(s, dir))),
+    // nightly shard encoded under FROZEN corpus-trained codebooks — the
+    // PQ member of the incremental family.
+    "incremental_pq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.Tables.embeddings(s, dir)
+      Similarity.pqEncode(e.filter(col("vec_id") % 10 === 9),
+        Similarity.pqCodebooksOf(e.filter(col("vec_id") % 10 =!= 9)))
+    }),
     // Semantic dedup (SemDeDup-style): connected components over the
     // cosine-similarity pair graph, star-contraction iterator. Threshold
     // 0.3 sits inside the fixture corpus's similarity range (its ANN
@@ -1017,6 +1025,7 @@ object SparkEntry {
     "pq_occupancy" -> Similarity.pqOccupancySql(),
     "embed_pq_knn" -> Similarity.embedPqKnnSql(),
     "pq_recall" -> Similarity.pqRecallSql(),
+    "incremental_pq" -> Similarity.incrementalPqCodesSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),

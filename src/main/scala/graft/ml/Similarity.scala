@@ -1338,9 +1338,39 @@ object Similarity {
     * codebooks, exactly like [[incrementalIvfAssign]]. */
   def pqCodes(embeds: DataFrame): DataFrame = {
     val sv = pqSubVectors(vectors(embeds)).localCheckpoint()
-    pqArgmin(pqScore(sv, pqCodebooks(sv)))
-      .select(col("vec_id"), col("m"), col("cid").as("code"), col("qerr"))
+    pqEncodeSubv(sv, pqCodebooks(sv))
   }
+
+  /** Encode a shard's vectors under FROZEN codebooks — the PQ member of
+    * the incremental family ([[incrementalIvfAssign]] and friends): a
+    * persisted PQ index grows by encoding ONLY the new shard against the
+    * corpus-trained codebooks (re-training would re-code every existing
+    * vector); codebooks refresh on their own cadence, watched by
+    * [[pqOccupancy]]'s avg_qerr. Only the shard pays quantize + encode;
+    * the codebook relation broadcasts; no corpus scan anywhere. */
+  def pqEncode(shardEmbeds: DataFrame, cb: DataFrame): DataFrame =
+    pqEncodeSubv(pqSubVectors(vectors(shardEmbeds)).localCheckpoint(), cb)
+
+  /** Train the codebooks straight from an embeddings relation — the
+    * public entry the incremental spelling freezes and reuses. */
+  def pqCodebooksOf(embeds: DataFrame, ksub: Int = PqCodebookSize,
+      iters: Int = PqIters): DataFrame =
+    pqCodebooks(pqSubVectors(vectors(embeds)).localCheckpoint(), ksub, iters)
+
+  private def pqEncodeSubv(sv: DataFrame, cb: DataFrame): DataFrame =
+    pqArgmin(pqScore(sv, cb))
+      .select(col("vec_id"), col("m"), col("cid").as("code"), col("qerr"))
+
+  /** The per-subspace codebooks pre-aggregated for STREAM-side encoding:
+    * `(m, cands)` with `cands` the cid-sorted array of (cid, cqv)
+    * structs — [[graft.streaming.EmbedStream.pqEncodeStream]] joins this
+    * M-row static relation and folds each row's argmin INSIDE the row
+    * (stateless map work; a streaming groupBy-argmin would be a stateful
+    * aggregate). cid-sorted + strict-less fold = the same smallest-cid
+    * tie-break as [[pqArgmin]]. */
+  def pqCodebookArrays(cb: DataFrame): DataFrame =
+    cb.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cqv")))).as("cands"))
 
   /** PQ codebook-cell occupancy + reconstruction fidelity — the
     * codebook-health face of the occupancy family (band/SimHash/ANN
@@ -1427,12 +1457,18 @@ object Similarity {
     * codes CTE chain — the unrolled joint-Lloyd PQ quantizer + final
     * encode shared by every PQ oracle, so they can never train
     * different codebooks. Expects a `vecs` CTE in scope. */
-  private def pqChainCtes(ksub: Int, iters: Int): String = {
-    val subSelects = (0 until PqSubspaces).map(m =>
+  /** The per-subspace slice UNION ALL over a vector CTE — shared by the
+    * training `subv` and the incremental spelling's shard `ssubv`. */
+  private def pqSubvSelects(vecsRel: String): String =
+    (0 until PqSubspaces).map(m =>
       s"""SELECT vec_id, CAST($m AS BIGINT) AS m,
          |    qv[($m * (len(qv) // $PqSubspaces) + 1):((${m + 1}) * (len(qv) // $PqSubspaces))] AS sqv
-         |  FROM vecs""".stripMargin)
+         |  FROM $vecsRel""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
+
+  private def pqChainCtes(ksub: Int, iters: Int,
+      assignSubv: String = "subv"): String = {
+    val subSelects = pqSubvSelects("vecs")
     def sqdSql(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
     val iterCtes = (0 until iters).map { i =>
@@ -1470,7 +1506,7 @@ object Similarity {
        |$iterCtes
        |fsc AS (
        |  SELECT s.vec_id, s.m, c.cid, ${sqdSql("s.sqv", "c.cqv")} AS sqd
-       |  FROM subv s JOIN cb$iters c ON s.m = c.m AND len(s.sqv) = len(c.cqv)
+       |  FROM $assignSubv s JOIN cb$iters c ON s.m = c.m AND len(s.sqv) = len(c.cqv)
        |),
        |codes AS (
        |  SELECT vec_id, m, cid AS code, sqd AS qerr FROM (
@@ -1480,6 +1516,22 @@ object Similarity {
        |  ) WHERE rn = 1
        |)""".stripMargin
   }
+
+  /** Oracle twin of [[pqEncode]] with the query entry's shard split:
+    * codebooks train on `vec_id % 10 <> 9`, the shard (`% 10 = 9`) is
+    * encoded against the final codebooks only. */
+  def incrementalPqCodesSql(ksub: Int = PqCodebookSize,
+      iters: Int = PqIters): String =
+    s"""WITH ${vectorsCteOver("(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)", "qvecs", "vecs")},
+       |${vectorsCteOver("(SELECT * FROM embeddings WHERE vec_id % 10 = 9)", "sqvecs", "svecs")},
+       |ssubv AS (
+       |  SELECT * FROM (
+       |  ${pqSubvSelects("svecs")}
+       |  ) WHERE len(sqv) > 0
+       |),
+       |${pqChainCtes(ksub, iters, assignSubv = "ssubv")}
+       |SELECT vec_id, m, code, qerr FROM codes
+       |ORDER BY vec_id, m, code, qerr""".stripMargin
 
   /** Oracle twin of [[pqCodes]]. */
   def pqCodesSql(ksub: Int = PqCodebookSize, iters: Int = PqIters): String =

@@ -133,4 +133,50 @@ object EmbedStream {
       .dropDuplicatesWithinWatermark("vec_a", "vec_b")
       .filter(col("cos_sim") >= lit(simThreshold))
   }
+
+  /** Streaming PQ encode — the stream face of
+    * [[Similarity.pqEncode]]: each arriving embedding is sliced into
+    * subspaces and coded against the FROZEN corpus-trained codebooks
+    * ([[Similarity.pqCodebookArrays]] — an M-row static relation that
+    * broadcasts into the stream-static join). The argmin folds INSIDE
+    * the row over the cid-sorted candidate array (strict-less keeps the
+    * smallest cid on ties — the [[Similarity]] `pqArgmin` tie-break),
+    * so the whole query is STATELESS map work: no watermark, no state
+    * store, nothing to evict. A vector coded on ingest and re-coded in
+    * a batch sweep gets the bit-identical (code, qerr) — the
+    * persisted-sketch discipline every incremental twin here follows
+    * (EventStreamSpec pins parity against the batch encode). */
+  def pqEncodeStream(embeds: DataFrame, cbArr: DataFrame): DataFrame = {
+    val v = embeds
+      .select(col("vec_id"), Similarity.quantizeExpr(col("embedding")).as("qv"),
+        eventTime.as("event_time"))
+      .withColumn("nrm2", Similarity.dotExpr(embeds, col("qv"), col("qv")))
+      .filter(col("nrm2") > 0L)
+    // slice inline with event_time carried on the projection — joining
+    // the stream back to a projection of itself would be stateful
+    val sliced = v.select(col("vec_id"), col("event_time"),
+        posexplode(array((0 until Similarity.PqSubspaces).map { m =>
+          val ds = floor(size(col("qv")) / lit(Similarity.PqSubspaces)).cast("int")
+          slice(col("qv"), lit(m) * ds + 1, ds)
+        }: _*)).as(Seq("m", "sqv")))
+      .filter(size(col("sqv")) > 0)
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("sqv"),
+        col("event_time"))
+    val worst = Long.MaxValue
+    sliced.join(broadcast(cbArr), Seq("m"))
+      .select(col("vec_id"), col("m"), col("event_time"),
+        aggregate(
+          filter(col("cands"), c => size(c.getField("cqv")) === size(col("sqv"))),
+          struct(lit(worst).as("sqd"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d = aggregate(
+              zip_with(col("sqv"), c.getField("cqv"), (x, y) => (x - y) * (x - y)),
+              lit(0L), _ + _)
+            when(d < acc.getField("sqd"),
+              struct(d.as("sqd"), c.getField("cid").as("cid"))).otherwise(acc)
+          }).as("best"))
+      .filter(col("best.cid") >= 0L)
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"),
+        col("best.sqd").as("qerr"), col("event_time"))
+  }
 }

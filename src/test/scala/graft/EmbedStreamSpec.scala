@@ -137,4 +137,44 @@ class EmbedStreamSpec extends AnyFunSuite {
       s"only the planted near-copy pair may emit: $streamed")
     assert(streamed((1L, 2L)) > 0.99)
   }
+
+  test("streaming PQ encode is bit-identical to the batch encode (stateless, no watermark)") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    val corpus = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val cbArr = Similarity.pqCodebookArrays(
+      Similarity.pqCodebooksOf(corpusDf(corpus: _*))).localCheckpoint()
+
+    // shard: two fresh vectors, one exact corpus copy (must code like its
+    // original), and a zero vector (norm-filtered, not crashed)
+    val shard = Seq(
+      100L -> Seq.fill(8)(rnd.nextFloat() - 0.5f),
+      101L -> Seq.fill(8)(rnd.nextFloat() - 0.5f),
+      102L -> corpus(5)._2)
+    val src = MemoryStream[(Long, Long, Seq[Float])]
+    src.addData(shard.map { case (id, v) => (id, T, v) } :+
+      ((103L, T, Seq.fill(8)(0f))): _*)
+    val name = s"pq_stream_${System.nanoTime()}"
+    val q = EmbedStream.pqEncodeStream(
+        src.toDF().toDF("vec_id", "ts", "embedding"), cbArr)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+
+    val cb = Similarity.pqCodebooksOf(corpusDf(corpus: _*))
+    val batch = Similarity.pqEncode(corpusDf(shard: _*), cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    assert(got === batch)
+    val corpusCodes = Similarity.pqEncode(corpusDf(corpus: _*), cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    for (m <- 0L until Similarity.PqSubspaces.toLong)
+      assert(got((102L, m)) === corpusCodes((5L, m)))
+    assert(!got.keys.exists(_._1 == 103L), "zero vector must be norm-filtered")
+    // no state: the query plan carries no stateful operator
+    assert(q.lastProgress.stateOperators.isEmpty, "PQ encode must be stateless")
+  }
 }

@@ -747,6 +747,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental PQ: frozen-codebook shard encode = the full encode's shard slice") {
+    val rnd = new scala.util.Random(67)
+    val corpus = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val shard = (100L until 110L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val cb = Similarity.pqCodebooksOf(embeds(corpus: _*)).localCheckpoint()
+    val incr = Similarity.pqEncode(embeds(shard: _*), cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    val full = Similarity.pqEncode(embeds(corpus ++ shard: _*), cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("qerr")))).toMap
+    assert(incr === full.filter(_._1._1 >= 100L))
+    assert(incr.keySet.map(_._1) === (100L until 110L).toSet)
+  }
+
   test("pqRecall report agrees with direct set comparison") {
     val rnd = new scala.util.Random(59)
     val base = (0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
