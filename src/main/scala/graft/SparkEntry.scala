@@ -801,6 +801,21 @@ object SparkEntry {
       graft.relational.RuntimeFilters.bloomAudit(
         graft.Tables.table(s, dir, "orders"),
         graft.Tables.lineitem(s, dir))),
+    // The TPC-H Q3/Q5 star-join shapes: selective top-k unshipped
+    // revenue, and same-nation customer/supplier volume by region.
+    "shipping_priority" -> ((s, dir) =>
+      graft.relational.Sales.shippingPriority(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.table(s, dir, "customer"))),
+    "local_supplier_volume" -> ((s, dir) =>
+      graft.relational.Sales.localSupplierVolume(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.table(s, dir, "customer"),
+        graft.Tables.table(s, dir, "supplier"),
+        graft.Tables.table(s, dir, "nation"),
+        graft.Tables.table(s, dir, "region"))),
     // Zone-map manifest (per fixed-width key zone: min/max/count) and
     // the range-predicate skipping audit it prices.
     "zone_map" -> ((s, dir) =>
@@ -1058,6 +1073,8 @@ object SparkEntry {
       graft.relational.Sales.customersWithoutOrdersSql,
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
     "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
+    "shipping_priority" -> graft.relational.Sales.shippingPrioritySql(),
+    "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
     // the incremental entry's oracle IS the whole-corpus sketch — the

@@ -324,4 +324,110 @@ object Sales {
        |  CAST(count(*) AS BIGINT) AS n_orders
        |FROM per_order GROUP BY c_mktsegment
        |ORDER BY c_mktsegment, revenue_cents, n_items, n_orders""".stripMargin
+
+  /** Cutoff date for [[shippingPriority]]: orders placed before it,
+    * lines shipped after it — the "booked but not yet delivered" window,
+    * mid-range at every fixture SF. */
+  val PriorityDate: String = "1998-06-01 00:00:00"
+
+  /** Top unshipped orders kept by [[shippingPriority]]. */
+  val PriorityTopK: Int = 10
+
+  /** The TPC-H Q3 shape — the top-[[PriorityTopK]] highest-revenue
+    * orders from one market segment that were booked before
+    * [[PriorityDate]] but still shipping after it. The canonical
+    * 3-table selective star join: both date predicates and the segment
+    * equality push into their scans (plan-audited), the dimension side
+    * (customer, filtered) broadcasts, and the global top-k runs as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    * the driver, NEVER a single-partition global sort (the same reason
+    * [[graft.ml.TopKAgg]] exists; `orderBy.limit` is the built-in that
+    * already does it right). Ties break on o_orderkey for determinism.
+    *
+    * Scale shape: lineitem scan (filtered) ⋈ shuffle on orderkey with
+    * the filtered orders ⋈ broadcast customer, one partial-agg shuffle
+    * to ≤|qualifying orders| groups, then the k-row merge. At 100 TB
+    * the orders side co-partitions on the join key; nothing here sorts
+    * the corpus. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, k: Int = PriorityTopK): DataFrame =
+    lineitem.filter(col("l_shipdate") > to_timestamp(lit(PriorityDate)))
+      .select(col("l_orderkey"), revCents.as("cents"))
+      .join(orders.filter(col("o_orderdate") < to_timestamp(lit(PriorityDate)))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(k)
+
+  /** Oracle twin of [[shippingPriority]]. */
+  def shippingPrioritySql(k: Int = PriorityTopK): String =
+    s"""WITH top AS (
+       |  SELECT l_orderkey,
+       |    CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE l_shipdate > TIMESTAMP '$PriorityDate'
+       |    AND o_orderdate < TIMESTAMP '$PriorityDate'
+       |    AND c_mktsegment = 'BUILDING'
+       |  GROUP BY l_orderkey
+       |  ORDER BY revenue_cents DESC, l_orderkey
+       |  LIMIT $k
+       |)
+       |SELECT l_orderkey, revenue_cents FROM top
+       |ORDER BY l_orderkey, revenue_cents""".stripMargin
+
+  /** The TPC-H Q5 shape — revenue by nation from orders where the
+    * customer and the line's supplier sit in the SAME nation, for one
+    * region and a one-year order window. The canonical 6-table star:
+    * the c_nationkey = s_nationkey equality is the interesting join
+    * condition (locality, not a key-to-key edge), expressed here by
+    * routing both sides through their broadcast nation dims and
+    * equating the keys. Constant-size dims (nation, region) broadcast
+    * always; supplier broadcasts at fixture scale and degrades to a
+    * shuffle join on its key automatically when it outgrows the
+    * threshold.
+    *
+    * Scale shape: ONE shuffle each for lineitem⋈orders (orderkey) and
+    * the custkey attach; everything else broadcast; final partial-agg
+    * rollup to ≤|nations| rows. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), revCents.as("cents"))
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+
+  /** Oracle twin of [[localSupplierVolume]]. */
+  def localSupplierVolumeSql: String =
+    s"""SELECT n_name,
+       |  CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+       |  AND r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY n_name, revenue_cents""".stripMargin
 }

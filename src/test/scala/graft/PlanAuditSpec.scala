@@ -160,6 +160,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"classifier_score grew a grouping aggregate:\n$p")
   }
 
+  test("shipping_priority: both date predicates push to their scans; top-k is a merge, not a sort") {
+    // the Q3 shape's scale contract: lineitem's shipdate and orders'
+    // orderdate filters reach the parquet scans (GreaterThan/LessThan in
+    // PushedFilters), the filtered customer side broadcasts, and the
+    // global top-10 plans as TakeOrderedAndProject — per-partition top-k
+    // + a k-row merge, never an Exchange into one sort partition.
+    val p = plan("shipping_priority")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(p).isDefined,
+      s"shipdate not pushed to the lineitem scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r.findFirstIn(p).isDefined,
+      s"orderdate not pushed to the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k is not a k-row merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$p")
+  }
+
+  test("local_supplier_volume: constant dims broadcast; rollup is partial-aggregated") {
+    val p = plan("local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join in:\n$p")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(r_name,ASIA\\)".r.findFirstIn(p).isDefined,
+      s"region filter not pushed to the region scan:\n$p")
+    assert(p.contains("partial_sum"), s"revenue rollup not map-side combined:\n$p")
+  }
+
   test("knn_classify broadcasts queries, and the vote join never shuffles labels") {
     // same shape as embed_knn (queries broadcast into ONE corpus scan,
     // LessThan pushed to parquet); the label join must broadcast the

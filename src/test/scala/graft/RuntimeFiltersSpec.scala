@@ -56,6 +56,30 @@ class RuntimeFiltersSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fpr_millionths") === nFp * 1000000L / (1000L - nMatch))
   }
 
+  test("bloomPrefilter runs unchanged on a stream: stateless admission gate") {
+    // stream-static LEFT SEMI joins against the (static, tiny) bits
+    // relation are stateless map work — the batch operator IS the
+    // streaming admission gate, same rows pass, no state store.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bits = RuntimeFilters.bloomBuild(
+      (0L until 200L).filter(_ % 5 == 0).map(Tuple1(_)).toDF("bkey"), "bkey")
+      .localCheckpoint()
+    val src = MemoryStream[Long]
+    src.addData(0L until 1000L map (_ % 250L): _*)
+    val name = s"bloom_stream_${System.nanoTime()}"
+    val q = RuntimeFilters.bloomPrefilter(
+        src.toDF().toDF("l_orderkey"), "l_orderkey", bits)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(_.getAs[Long]("l_orderkey")).sorted.toSeq
+    val batch = RuntimeFilters.bloomPrefilter(lineitemDf, "l_orderkey", bits)
+      .collect().map(_.getAs[Long]("l_orderkey")).sorted.toSeq
+    assert(streamed === batch)
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("bloomPrefilter adds ZERO shuffles to the probe side") {
     // the whole point of a runtime filter: it prunes BEFORE any shuffle.
     // With the (tiny) bits relation checkpointed — as a deployment would

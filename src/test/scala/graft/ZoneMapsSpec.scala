@@ -54,6 +54,34 @@ class ZoneMapsSpec extends AnyFunSuite {
       (keys.size - hitZones.values.map(_.size).sum).toLong * 1000000L / keys.size)
   }
 
+  test("zoneMap runs unchanged on a stream (complete mode): live manifest = batch manifest") {
+    // the manifest-maintenance story for a streaming ingest: the BATCH
+    // operator is the streaming operator (the classifyDocs discipline) —
+    // a per-zone min/max/count aggregate whose state is bounded by the
+    // ZONE COUNT (keyspace/width), not the stream's history, in complete
+    // mode. The lake writer updates the persisted manifest from it.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = MemoryStream[Long]
+    src.addData(Seq.fill(50)(7L) ++ (0L until 200L): _*)
+    val name = s"zone_stream_${System.nanoTime()}"
+    val q = ZoneMaps.zoneMap(src.toDF().toDF("l_orderkey"), "l_orderkey")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      src.addData(600L, 700L)
+      src.addData(1536L until 1600L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(name).collect()
+      .map(r => r.getAs[Long]("zone") -> ((r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"), r.getAs[Long]("n_rows")))).toMap
+    val batch = ZoneMaps.zoneMap(keysDf, "l_orderkey").collect()
+      .map(r => r.getAs[Long]("zone") -> ((r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"), r.getAs[Long]("n_rows")))).toMap
+    assert(live === batch)
+  }
+
   test("zone-partitioned write: manifest-driven zone selection prunes the physical scan") {
     // the end-to-end layout claim: write partitioned by zone, consult the
     // manifest for the predicate's zones, read ONLY those partitions —
