@@ -168,6 +168,9 @@ object SparkEntry {
     // Weakly connected components via the dedup star-contraction.
     "graph_components" -> ((s, dir) =>
       GraphPatterns.connectedComponents(edges(s, dir))),
+    // Directed mutual-reachability classes (forward-backward coloring).
+    "graph_scc" -> ((s, dir) =>
+      GraphPatterns.stronglyConnectedComponents(edges(s, dir))),
     // Per-node in/out degree + distinct-neighbor report.
     "degree_report" -> ((s, dir) =>
       GraphPatterns.degreeReport(edges(s, dir))),
@@ -929,6 +932,7 @@ object SparkEntry {
     "graph_communities" ->
       GraphPatterns.labelCommunitiesSql(EdgeLists.lineitemEdgeSql),
     "graph_components" -> GraphPatterns.connectedComponentsSql(EdgeLists.lineitemEdgeSql),
+    "graph_scc" -> GraphPatterns.stronglyConnectedComponentsSql(EdgeLists.lineitemEdgeSql),
     "degree_report" -> GraphPatterns.degreeReportSql(EdgeLists.lineitemEdgeSql),
     "mutual_follows" -> GraphPatterns.mutualFollowsSql(EdgeLists.lineitemEdgeSql),
     "triangle_participation" -> GraphPatterns.triangleParticipationSql(

@@ -350,6 +350,120 @@ object GraphPatterns {
         col("is_survivor").as("is_root"))
   }
 
+  /** Strongly connected components — the DIRECTED completion of
+    * [[connectedComponents]] (which symmetrizes): mutual-reachability
+    * classes of the follow graph, `scc_id` = the smallest member. The
+    * forward-backward coloring algorithm (Fleischer, Hendrickson &
+    * Pınar, "On Identifying Strongly Connected Components in Parallel",
+    * IPDPS 2000 — the standard distributed SCC shape; Tarjan's stack is
+    * inherently sequential), driver-scheduled like every iterative
+    * operator here, with BOTH loops running to their deterministic
+    * fixpoints (unique regardless of evaluation order, so the oracle's
+    * closed-form mutual-reachability spelling must agree):
+    *
+    *  1. COLOR: propagate the min node id forward to fixpoint over the
+    *     remaining subgraph — c(v) = min remaining ancestor (incl. v).
+    *     Each round is one equi-join rank-against-edges + a min partial
+    *     agg, the Pregel round shape.
+    *  2. EXTRACT: a color class's pivot is its color node; members that
+    *     reach their pivot BACKWARD through same-color edges are exactly
+    *     the pivot's SCC (the class contains the SCC; strong
+    *     connectivity keeps the whole SCC same-colored, so extraction is
+    *     atomic — and the pivot, being an in-class ancestor of every
+    *     member, is the SCC's minimum, which is what makes `scc_id`
+    *     match the oracle's global min-mutual-reach).
+    *  3. Remove extracted nodes, restrict edges, repeat.
+    *
+    * Every class extracts its pivot each outer round, so rounds ≤ the
+    * longest pivot-chain (worst case a path — the algorithm's published
+    * bound; real follower graphs with their giant SCC finish in a few).
+    * Inner rounds ≤ the remaining diameter. Convergence tests are
+    * count-based driver actions on checkpointed relations (one tiny job
+    * per round — the dedup star-contraction discipline). Self-loops are
+    * dropped from propagation (they never change membership) but their
+    * nodes stay in the domain as singletons. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      max: Option[Long] = None): DataFrame = {
+    val f = maxFilter(edges, max)
+    val nodes0 = f.select(col("src").as("node"))
+      .union(f.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e0 = f.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    var remaining = nodes0
+    var e = e0
+    var result = nodes0.limit(0)
+      .select(col("node"), col("node").as("scc_id")).localCheckpoint()
+    while (!remaining.isEmpty) {
+      // 1. forward min-label fixpoint over the remaining subgraph
+      var c = remaining.select(col("node"), col("node").as("c"))
+        .localCheckpoint()
+      var changed = true
+      while (changed) {
+        val pushed = c.join(e, c("node") === e("src"))
+          .select(col("dst").as("node"), col("c"))
+          .groupBy("node").agg(min("c").as("nc"))
+        val c2 = c.join(pushed, Seq("node"), "left")
+          .select(col("node"),
+            least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+          .localCheckpoint()
+        changed = !c2.as("a").join(c.as("b"), "node")
+          .filter(col("a.c") =!= col("b.c")).isEmpty
+        c = c2
+      }
+      // 2. backward reachability to the pivot through same-color edges
+      val ec = e
+        .join(c.select(col("node").as("src"), col("c").as("cs")), Seq("src"))
+        .join(c.select(col("node").as("dst"), col("c").as("cd")), Seq("dst"))
+        .filter(col("cs") === col("cd"))
+        .select(col("src"), col("dst"), col("cs").as("c")).localCheckpoint()
+      var b = c.filter(col("node") === col("c")).localCheckpoint()
+      changed = true
+      while (changed) {
+        val nb = ec.join(b, ec("dst") === b("node") && ec("c") === b("c"))
+          .select(ec("src").as("node"), ec("c").as("c"))
+        val b2 = b.union(nb).distinct().localCheckpoint()
+        changed = b2.count() > b.count()
+        b = b2
+      }
+      // 3. extract, shrink, repeat
+      result = result.union(b.select(col("node"), col("c").as("scc_id")))
+        .localCheckpoint()
+      remaining = remaining.join(b, Seq("node"), "left_anti").localCheckpoint()
+      e = e.join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    result.select(col("node"), col("scc_id"),
+      (col("scc_id") === col("node")).as("is_root"))
+  }
+
+  /** Oracle twin of [[stronglyConnectedComponents]] — the closed-form
+    * spelling: scc_id(v) = min over {v} ∪ {u : v →* u ∧ u →* v} via the
+    * recursive reachability closure. */
+  def stronglyConnectedComponentsSql(edgeSql: String,
+      max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH RECURSIVE edges AS ($edgeSql),
+       |raw AS (SELECT src, dst FROM edges$pred),
+       |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+       |f AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM f
+       |  UNION
+       |  SELECT r.src, f.dst FROM reach r JOIN f ON f.src = r.dst
+       |),
+       |mut AS (
+       |  SELECT a.src AS node, a.dst AS u
+       |  FROM reach a JOIN reach b ON a.dst = b.src AND b.dst = a.src
+       |)
+       |SELECT n.node AS node,
+       |  least(n.node, coalesce(min(m.u), n.node)) AS scc_id,
+       |  least(n.node, coalesce(min(m.u), n.node)) = n.node AS is_root
+       |FROM nodes n LEFT JOIN mut m ON m.node = n.node
+       |GROUP BY n.node
+       |ORDER BY node, scc_id, is_root""".stripMargin
+  }
+
   /** Per-node degree report — in/out multiplicities and distinct
     * neighbor counts in ONE pass each side (two partial-aggregated
     * shuffles joined on the node domain; a node missing from a side

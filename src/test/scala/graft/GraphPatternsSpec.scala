@@ -291,6 +291,66 @@ class GraphPatternsSpec extends AnyFunSuite {
       10L -> (10L, true), 11L -> (10L, false)))
   }
 
+  test("SCC goldens: path, cycle, bridged cycles, self-loop, pivot-outside-SCC round") {
+    def scc(es: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] =
+      GraphPatterns.stronglyConnectedComponents(df(es))
+        .collect().map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("scc_id"), r.getAs[Boolean]("is_root")))).toMap
+    // a path is all singletons
+    assert(scc(Seq((1L, 2L), (2L, 3L))) ===
+      Map(1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((3L, true))))
+    // a cycle is one SCC rooted at its min
+    assert(scc(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ===
+      Map(1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false))))
+    // two 2-cycles joined by a one-way bridge stay separate SCCs
+    assert(scc(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))) ===
+      Map(1L -> ((1L, true)), 2L -> ((1L, false)),
+        3L -> ((3L, true)), 4L -> ((3L, false))))
+    // a self-loop node is a singleton; duplicate edges are harmless
+    assert(scc(Seq((7L, 7L), (7L, 7L))) === Map(7L -> ((7L, true))))
+    // pivot OUTSIDE the SCC: 0 colors {0,5,6} but only {0} extracts in
+    // round 1; {5,6} must still come out as one SCC in round 2
+    assert(scc(Seq((0L, 5L), (5L, 6L), (6L, 5L))) ===
+      Map(0L -> ((0L, true)), 5L -> ((5L, true)), 6L -> ((5L, false))))
+  }
+
+  test("property: SCCs refine the weak components; mutual follows share an SCC") {
+    val rnd = new scala.util.Random(83)
+    val es = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val scc = GraphPatterns.stronglyConnectedComponents(df(es))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
+    val cc = GraphPatterns.connectedComponents(df(es))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component_id")).toMap
+    // same SCC ⇒ same weak component (refinement)
+    for ((a, sa) <- scc; (b, sb) <- scc if sa == sb)
+      assert(cc(a) === cc(b), s"$a,$b share an SCC but not a component")
+    // scc_id is a member of its own class, and the class min
+    scc.groupBy(_._2).foreach { case (id, members) =>
+      assert(members.keySet.min === id)
+    }
+    // both directed edges present ⇒ same SCC
+    val eset = es.toSet
+    for ((a, b) <- eset if a != b && eset((b, a)))
+      assert(scc(a) === scc(b), s"mutual pair ($a,$b) split across SCCs")
+    // brute-force ground truth: mutual reachability closure
+    def closure(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      var r = edges
+      var grown = true
+      while (grown) {
+        val next = r ++ (for ((a, b) <- r; (c, d) <- r if b == c) yield (a, d))
+        grown = next.size > r.size; r = next
+      }
+      r
+    }
+    val reach = closure(eset.filter(e => e._1 != e._2))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+    val truth = nodes.map { v =>
+      val mutual = nodes.filter(u => reach(v -> u) && reach(u -> v))
+      v -> (mutual + v).min
+    }.toMap
+    assert(scc === truth)
+  }
+
   test("degreeReport: multiplicities vs distinct neighbors, zero-filled sides") {
     val out = GraphPatterns.degreeReport(
         df(Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))))
