@@ -825,6 +825,13 @@ object SparkEntry {
       graft.sources.ZoneMaps.zoneMap(graft.Tables.lineitem(s, dir), "l_orderkey")),
     "zone_skip" -> ((s, dir) =>
       graft.sources.ZoneMaps.zoneSkip(graft.Tables.lineitem(s, dir), "l_orderkey")),
+    // Equi-depth re-sharding plan computed from the manifest alone.
+    "compaction_plan" -> ((s, dir) =>
+      graft.sources.ZoneMaps.compactionPlan(graft.Tables.lineitem(s, dir), "l_orderkey")),
+    // Join-key skew audit: the pre-shuffle salting decision input.
+    "join_skew" -> ((s, dir) =>
+      graft.relational.RuntimeFilters.joinSkew(
+        graft.Tables.lineitem(s, dir), "l_orderkey")),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -1081,6 +1088,8 @@ object SparkEntry {
     "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
+    "compaction_plan" -> graft.sources.ZoneMaps.compactionPlanSql(),
+    "join_skew" -> graft.relational.RuntimeFilters.joinSkewSql(),
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,

@@ -108,6 +108,38 @@ object RuntimeFilters {
           .as("fpr_millionths"))
   }
 
+  /** Join-skew audit, one row — the SALTING decision input: before a
+    * 100 TB shuffle join on `key`, this prices how lopsided the key
+    * distribution is. `skew_ratio_millionths` = (heaviest key's rows /
+    * mean rows per key) in exact millionths — the factor by which the
+    * hottest reduce partition can exceed the average even under a
+    * perfect hash; `top1_share_millionths` bounds what one salt split
+    * must absorb. AQE's skew-join handles moderate cases at runtime;
+    * a ratio in the hundreds says pre-salt (the GraphSkewSpec celebrity
+    * recipe) or pre-aggregate instead. Cost: ONE scan + a key-partial
+    * agg + a scalar rollup — strictly cheaper than the join it guards.
+    * Exact-int discipline: both rates floor via `div`; multiplies stay
+    * under 2⁶² for any corpus below ~4.6e12 rows per key population. */
+  def joinSkew(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("cnt").as("max_key_rows"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        expr("(max_key_rows * 1000000L) div n_rows").as("top1_share_millionths"),
+        expr("(max_key_rows * 1000000L * n_keys) div n_rows").as("skew_ratio_millionths"))
+
+  /** Oracle twin of [[joinSkew]]. */
+  def joinSkewSql(table: String = "lineitem", key: String = "l_orderkey"): String =
+    s"""WITH per_key AS (
+       |  SELECT $key, CAST(count(*) AS BIGINT) AS cnt FROM $table GROUP BY $key
+       |)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       |  CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS top1_share_millionths,
+       |  CAST((max(cnt) * 1000000 * count(*)) // sum(cnt) AS BIGINT) AS skew_ratio_millionths
+       |FROM per_key""".stripMargin
+
   /** Oracle twin of [[bloomAudit]] — same hash arithmetic, same flag
     * joins, same integer rates. */
   def bloomAuditSql(): String = {

@@ -83,6 +83,61 @@ object ZoneMaps {
           .as("skip_millionths"))
   }
 
+  /** Target shard count for [[compactionPlan]]. */
+  val CompactShards = 8L
+
+  /** The compaction planner — equi-depth re-sharding FROM THE MANIFEST:
+    * fixed-width zones inherit the key distribution's skew in their row
+    * counts, and a lake compactor periodically rebins them into
+    * [[CompactShards]] contiguous, roughly equal-row shards. Assignment
+    * is closed-form from the manifest alone: shard(zone) =
+    * rows_before(zone)·S div total — a running-sum window over the
+    * ≤|keyspace/width|-row manifest (NEVER the data; the plan costs an
+    * index read), monotone in zone order so every shard is a contiguous
+    * key range and stays zone-map-prunable after the rewrite. The
+    * output is the instruction list a rewrite job executes with
+    * [[Sinks.overwritePartitionsDynamic]].
+    *
+    * Exact-int discipline: cum·S div total ∈ [0, S), floors absorb the
+    * remainder; a shard's row total deviates from ideal by at most one
+    * zone's rows (the bin-packing granularity the width choice sets). */
+  def compactionPlan(df: DataFrame, key: String,
+      nShards: Long = CompactShards): DataFrame = {
+    // running sum over the tiny manifest: an unpartitioned window is
+    // deliberate here — the manifest is zones-sized, not corpus-sized
+    // (the corpusMix scalar-window precedent)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("zone").rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    zoneMap(df, key)
+      .withColumn("cum", coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("total", sum("n_rows").over(wAll))
+      .select(col("zone"), col("min_key"), col("max_key"), col("n_rows"),
+        expr(s"(cum * ${nShards}L) div total").as("shard"))
+  }
+
+  /** Oracle twin of [[compactionPlan]]. */
+  def compactionPlanSql(table: String = "lineitem", key: String = "l_orderkey",
+      nShards: Long = CompactShards): String =
+    s"""WITH zm AS (
+       |  SELECT $key // $ZoneWidth AS zone,
+       |    min($key) AS min_key, max($key) AS max_key,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM $table GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT zone, min_key, max_key, n_rows,
+       |    CAST(coalesce(sum(n_rows) OVER (ORDER BY zone
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+       |    CAST(sum(n_rows) OVER () AS BIGINT) AS total
+       |  FROM zm
+       |)
+       |SELECT zone, min_key, max_key, n_rows,
+       |  CAST((cum * $nShards) // total AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY zone, min_key, max_key, n_rows, shard""".stripMargin
+
   /** Oracle twin of [[zoneMap]] over the lineitem key. */
   def zoneMapSql(table: String = "lineitem", key: String = "l_orderkey"): String =
     s"""SELECT $key // $ZoneWidth AS zone,

@@ -19,7 +19,7 @@ class OracleContractSpec extends AnyFunSuite {
     "edge_count", "edge_count_csv", "exact_2hop", "exact_2hop_join",
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
     "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter",
-    "zone_skip")
+    "zone_skip", "join_skew")
 
   test("every query has an oracle entry") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)

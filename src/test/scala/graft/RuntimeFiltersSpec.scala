@@ -56,6 +56,25 @@ class RuntimeFiltersSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fpr_millionths") === nFp * 1000000L / (1000L - nMatch))
   }
 
+  test("joinSkew: golden on a planted hot key; uniform data reports ratio ≈ 1") {
+    import spark.implicits._
+    // 90 rows on key 7, one row each on keys 0..9 except 7 → 99 rows,
+    // 10 keys, max 90
+    val hot = (Seq.fill(90)(7L) ++ (0L until 10L).filter(_ != 7L))
+      .map(Tuple1(_)).toDF("l_orderkey")
+    val r = RuntimeFilters.joinSkew(hot, "l_orderkey").collect().head
+    assert(r.getAs[Long]("n_rows") === 99L)
+    assert(r.getAs[Long]("n_keys") === 10L)
+    assert(r.getAs[Long]("max_key_rows") === 90L)
+    assert(r.getAs[Long]("top1_share_millionths") === 90L * 1000000L / 99L)
+    assert(r.getAs[Long]("skew_ratio_millionths") === 90L * 1000000L * 10L / 99L)
+    // perfectly uniform: ratio exactly 1.0 in millionths
+    val uni = (0L until 100L).flatMap(k => Seq.fill(4)(k)).map(Tuple1(_))
+      .toDF("l_orderkey")
+    val u = RuntimeFilters.joinSkew(uni, "l_orderkey").collect().head
+    assert(u.getAs[Long]("skew_ratio_millionths") === 1000000L)
+  }
+
   test("bloomPrefilter runs unchanged on a stream: stateless admission gate") {
     // stream-static LEFT SEMI joins against the (static, tiny) bits
     // relation are stateless map work — the batch operator IS the

@@ -54,6 +54,27 @@ class ZoneMapsSpec extends AnyFunSuite {
       (keys.size - hitZones.values.map(_.size).sum).toLong * 1000000L / keys.size)
   }
 
+  test("compactionPlan: monotone contiguous shards, balanced to one zone's granularity") {
+    val plan = ZoneMaps.compactionPlan(keysDf, "l_orderkey", nShards = 2L)
+      .collect().sortBy(_.getAs[Long]("zone"))
+      .map(r => (r.getAs[Long]("zone"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("shard")))
+    // golden: zones (0,1,3) with 250/2/64 rows, 2 shards of ideal 158:
+    // zone 0 starts at cum 0 → shard 0; zone 1 at cum 250 → shard 1;
+    // zone 3 at cum 252 → shard 1
+    assert(plan.toSeq === Seq((0L, 250L, 0L), (1L, 2L, 1L), (3L, 64L, 1L)))
+    // properties: shard ids are monotone in zone order (contiguity) and
+    // in [0, nShards)
+    assert(plan.map(_._3).toSeq === plan.map(_._3).sorted.toSeq)
+    assert(plan.forall(t => t._3 >= 0L && t._3 < 2L))
+    // every shard's rows ≥ 0 and the heaviest exceeds ideal by at most
+    // the largest single zone (the bin granularity bound)
+    val byShard = plan.groupBy(_._3).map { case (s, zs) => s -> zs.map(_._2).sum }
+    val ideal = plan.map(_._2).sum / 2
+    val maxZone = plan.map(_._2).max
+    assert(byShard.values.forall(_ <= ideal + maxZone))
+  }
+
   test("zoneMap runs unchanged on a stream (complete mode): live manifest = batch manifest") {
     // the manifest-maintenance story for a streaming ingest: the BATCH
     // operator is the streaming operator (the classifyDocs discipline) —
