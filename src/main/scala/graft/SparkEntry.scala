@@ -765,6 +765,10 @@ object SparkEntry {
     // PIVOT surface: hour × declared event-type counts, wide + zero-filled.
     "events_pivot" -> ((s, dir) =>
       Events.eventPivot(graft.Tables.events(s, dir))),
+    // KMV sketch set-ops: per event-type-pair audience union/intersection
+    // estimates from the K-min synopses, audited against the exact join.
+    "audience_overlap" -> ((s, dir) =>
+      graft.events.Audience.audienceOverlap(graft.Tables.events(s, dir))),
     // Second-order journeys: consecutive 3-step type sequences with a
     // distributed count-floor filter (never a global top-k sort).
     "events_journeys" -> ((s, dir) =>
@@ -1071,6 +1075,7 @@ object SparkEntry {
     "events_asof" -> Events.asofAttributionSql(),
     "events_nearby" -> Events.nearbyEventCountsSql(),
     "events_transitions" -> Events.eventTransitionsSql,
+    "audience_overlap" -> graft.events.Audience.audienceOverlapSql(),
     "events_pivot" -> Events.eventPivotSql,
     "events_journeys" -> Events.eventJourneysSql(),
     "sales_rollup" -> graft.relational.Sales.salesRollupSql,

@@ -1,0 +1,176 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** KMV (K-minimum-values) distinct sketches with SET-OPERATION
+  * estimates — the audience-overlap face of the mergeable-sketch family
+  * (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  * Multiset Operations", SIGMOD 2007). The HLL rollups answer "how many
+  * distinct users per cell, union-merged upward"; HLL cannot intersect.
+  * KMV can: keep the K smallest hash values per set; the K-th value
+  * estimates cardinality ((K−1)·H/v_K for hash space H), the K-min of a
+  * UNION of sketches is the union's sketch, and the fraction of the
+  * union sketch present in both inputs estimates Jaccard — giving
+  * "users who did A ∧ B" from two tiny synopses, no re-scan.
+  *
+  * Determinism: user ids hash through the portable permHash family (a
+  * dedicated seed), so sketch CONTENTS are bit-identical cross-engine —
+  * this engine's sketches are exact relations, not probabilistic blobs,
+  * which is what makes an oracle-gated sketch audit possible at all.
+  * When a set has < K distinct hashes the sketch IS the set and every
+  * estimate degenerates to exact — the same formulas, no branches in
+  * the semantics (just the saturation CASE).
+  *
+  * [[audienceOverlap]] reports estimate AND exact per pair — the
+  * acceptance audit a sketch deployment runs once at full scale before
+  * trusting the synopses (the ann_recall discipline); production then
+  * reads sketches only.
+  */
+object Audience {
+
+  /** Sketch size: 64 values ⇒ ~1/√(K−2) ≈ 13% standard error — audit
+    * scale; production would run 1024+. */
+  val KmvK = 64
+
+  /** Dedicated hash seed (the engine-wide seed-split discipline: 42
+    * minhash, 7 planes/CMS, 99 SimHash, 13 Bloom). */
+  private val (hA, hB) = PortableHash.minhashPerms(1, seed = 173L).head
+
+  private def userHash(u: Column): Column = PortableHash.permHash(u, hA, hB)
+
+  private def userHashSql(u: String): String = PortableHash.permHashSql(u, hA, hB)
+
+  /** `(event_type, hs)` — the per-type KMV sketch: the K smallest
+    * DISTINCT user-id hashes, ascending. One distinct-collapse shuffle
+    * + the bounded-state [[graft.ml.TopKAgg]] (score = −h, so ≤K values
+    * per partition reach the shuffle — the distributed min-K that makes
+    * sketch building one cheap pass at any scale). THIS tiny relation
+    * is what a deployment persists per dimension cell. */
+  def kmvSketches(events: DataFrame, k: Int = KmvK): DataFrame = {
+    val mink = udaf(new graft.ml.TopKAgg(k), Encoders.product[graft.ml.Scored])
+    events.select(col("event_type"), userHash(col("user_id")).as("h")).distinct()
+      .groupBy("event_type")
+      .agg(mink(col("h"), (-col("h")).cast("double")).as("tk"))
+      .select(col("event_type"), col("tk.items.neighbor_id").as("hs"))
+  }
+
+  /** n̂ from a sketch array COLUMN (by name — the saturation branch
+    * needs SQL `div`, exact int64; a double divide could round the
+    * floor differently than the oracle's integer `//`): exact size when
+    * unsaturated, else (K−1)·P div v_K. */
+  private def estOf(hsName: String, k: Int): Column =
+    when(size(col(hsName)) < k, size(col(hsName)).cast("long"))
+      .otherwise(expr(s"${(k - 1).toLong * PortableHash.P}L div element_at($hsName, $k)"))
+
+  /** Per pair of event types: estimated audience sizes, union and
+    * INTERSECTION estimates from the sketches alone, and the exact
+    * intersection — the estimator-quality audit. All pair arithmetic
+    * runs on the ≤|types|-row sketch relation via the checkpointed
+    * constant-key broadcast self-join (the bpeMerges idiom — a bare
+    * `<` self-join would plan the nested loop the plan audit forbids);
+    * the exact side is one (type, user) distinct relation self-joined
+    * on user — the only corpus-priced step, and exactly the cost the
+    * sketches exist to avoid after this audit passes. */
+  def audienceOverlap(events: DataFrame, k: Int = KmvK): DataFrame = {
+    val sk = kmvSketches(events, k).withColumn("kk", lit(1)).localCheckpoint()
+    val pairs = sk.select(col("kk"), col("event_type").as("type_a"),
+        col("hs").as("hs_a"))
+      .join(broadcast(sk.select(col("kk"), col("event_type").as("type_b"),
+        col("hs").as("hs_b"))), Seq("kk"))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("uk", slice(array_sort(array_union(col("hs_a"), col("hs_b"))),
+        1, k))
+      .withColumn("usz", size(col("uk")).cast("long"))
+      .withColumn("est_union", estOf("uk", k))
+      .withColumn("icnt", size(filter(col("uk"), h =>
+        array_contains(col("hs_a"), h) && array_contains(col("hs_b"), h)))
+        .cast("long"))
+      .select(col("type_a"), col("type_b"),
+        estOf("hs_a", k).as("est_a"),
+        estOf("hs_b", k).as("est_b"),
+        col("est_union"),
+        expr("(icnt * est_union) div usz").as("est_inter"))
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
+  /** Oracle twin of [[audienceOverlap]] — the same sketches spelled
+    * relationally (row_number min-K, the union re-rank, membership via
+    * LEFT joins). */
+  def audienceOverlapSql(k: Int = KmvK): String = {
+    val p = PortableHash.P
+    s"""WITH uh AS (
+       |  SELECT DISTINCT event_type, ${userHashSql("user_id")} AS h FROM events
+       |),
+       |kmv AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM uh
+       |  ) WHERE rn <= $k
+       |),
+       |est AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS sz,
+       |    CAST(CASE WHEN count(*) < $k THEN count(*)
+       |      ELSE ${(k - 1).toLong * p} // max(h) END AS BIGINT) AS est_n
+       |  FROM kmv GROUP BY event_type
+       |),
+       |pr AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.est_n AS est_a, b.est_n AS est_b
+       |  FROM est a JOIN est b ON a.event_type < b.event_type
+       |),
+       |uni AS (
+       |  SELECT type_a, type_b, h,
+       |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+       |  FROM (
+       |    SELECT p.type_a, p.type_b, m.h
+       |    FROM pr p JOIN kmv m ON m.event_type = p.type_a
+       |    UNION
+       |    SELECT p.type_a, p.type_b, m.h
+       |    FROM pr p JOIN kmv m ON m.event_type = p.type_b
+       |  )
+       |),
+       |uk AS (
+       |  SELECT u.type_a, u.type_b, u.h,
+       |    (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS in_both
+       |  FROM uni u
+       |  LEFT JOIN kmv ka ON ka.event_type = u.type_a AND ka.h = u.h
+       |  LEFT JOIN kmv kb ON kb.event_type = u.type_b AND kb.h = u.h
+       |  WHERE u.rn <= $k
+       |),
+       |ust AS (
+       |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS usz,
+       |    CAST(CASE WHEN count(*) < $k THEN count(*)
+       |      ELSE ${(k - 1).toLong * p} // max(h) END AS BIGINT) AS est_union,
+       |    CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS icnt
+       |  FROM uk GROUP BY type_a, type_b
+       |),
+       |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(count(*) AS BIGINT) AS exact_inter
+       |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.type_a AS type_a, p.type_b AS type_b,
+       |  p.est_a AS est_a, p.est_b AS est_b, u.est_union AS est_union,
+       |  CAST((u.icnt * u.est_union) // u.usz AS BIGINT) AS est_inter,
+       |  coalesce(ex.exact_inter, 0) AS exact_inter
+       |FROM pr p
+       |JOIN ust u ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+       |ORDER BY type_a, type_b, est_a, est_b, est_union, est_inter, exact_inter""".stripMargin
+  }
+}
