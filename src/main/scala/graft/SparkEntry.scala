@@ -655,6 +655,12 @@ object SparkEntry {
       Similarity.embedPqKnn(graft.Tables.embeddings(s, dir))),
     "pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(graft.Tables.embeddings(s, dir))),
+    // Hashed-TF document vectors (feature hashing) + doc-similarity kNN:
+    // the text→vector bridge; the whole similarity stack runs on these.
+    "doc_vectors" -> ((s, dir) =>
+      graft.ml.DocVectors.docVectorsExploded(graft.Tables.documents(s, dir))),
+    "doc_knn" -> ((s, dir) =>
+      graft.ml.DocVectors.docKnn(graft.Tables.documents(s, dir))),
     // nightly shard encoded under FROZEN corpus-trained codebooks — the
     // PQ member of the incremental family.
     "incremental_pq" -> ((s, dir) => {
@@ -1056,6 +1062,8 @@ object SparkEntry {
     "embed_pq_knn" -> Similarity.embedPqKnnSql(),
     "pq_recall" -> Similarity.pqRecallSql(),
     "incremental_pq" -> Similarity.incrementalPqCodesSql(),
+    "doc_vectors" -> graft.ml.DocVectors.docVectorsSql,
+    "doc_knn" -> graft.ml.DocVectors.docKnnSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),

@@ -342,7 +342,13 @@ object Similarity {
   }
 
   def embedKnnSql(nQueries: Long = 10L, k: Int = 5): String =
-    s"""WITH $vectorsCte,
+    embedKnnSqlOver("embeddings", nQueries, k)
+
+  /** [[embedKnnSql]] over an arbitrary vector source (a table name or a
+    * parenthesized subquery) — [[DocVectors]] runs the same search over
+    * DERIVED embeddings, so the oracle must too. */
+  def embedKnnSqlOver(srcRel: String, nQueries: Long = 10L, k: Int = 5): String =
+    s"""WITH ${vectorsCteOver(srcRel, "qvecs", "vecs")},
        |queries AS (
        |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs WHERE vec_id < $nQueries
        |),

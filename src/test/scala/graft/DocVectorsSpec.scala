@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.DocVectors
+import graft.functions.PortableHash
+
+class DocVectorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  /** Scala twin of the hashed-TF vector. */
+  def vec(text: String): Seq[Float] = {
+    val toks = raw"[^\s]+".r.findAllIn(text.toLowerCase).toSeq
+    val hs = toks.map { t =>
+      val padded = (t + "........").take(8)
+      val poly = padded.zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(31, i).toLong }.sum
+      (math.min(t.length.toLong, 1000000L) * math.pow(31, 8).toLong + poly) %
+        DocVectors.Dim
+    }
+    (0 until DocVectors.Dim).map(d =>
+      (hs.count(_ == d).toDouble / hs.size).toFloat)
+  }
+
+  test("golden: vectors are per-dim token shares; empty and NULL docs drop") {
+    val out = DocVectors.docVectors(docs(
+        (1L, "alpha beta alpha"),
+        (2L, "Alpha  ALPHA alpha"), // case-folds + multi-space ⇒ one dim = 1.0
+        (3L, ""),
+        (4L, null.asInstanceOf[String])))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).toSeq === vec("alpha beta alpha"))
+    assert(out(1L).sum === 1.0f)
+    assert(out(1L).count(_ > 0f) === 2) // alpha and beta hash apart
+    assert(out(2L).toSeq.count(_ == 1.0f) === 1) // single-token direction
+    assert(out(2L).size === DocVectors.Dim)
+  }
+
+  test("docKnn: duplicate and near-duplicate text rank first, cosine 1.0 for exact") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val out = DocVectors.docKnn(docs(
+        (0L, base),
+        (1L, "completely different words about spark catalyst plans"),
+        (100L, base),                       // exact duplicate of 0
+        (101L, base + " postscript"),       // near duplicate
+        (102L, "unrelated third text body entirely")),
+      nQueries = 1L, k = 2).collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.head.getAs[Long]("neighbor_id") === 100L)
+    assert(out.head.getAs[Double]("cos_sim") === 1.0)
+    assert(out(1).getAs[Long]("neighbor_id") === 101L)
+    assert(out(1).getAs[Double]("cos_sim") > 0.9)
+  }
+
+  test("property: engine vectors equal the Scala twin on random token soup") {
+    val rnd = new scala.util.Random(89)
+    val words = Vector("ara", "bel", "cor", "dun", "eld", "fin", "gor", "hul")
+    val rows = (0L until 30L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    val got = DocVectors.docVectors(docs(rows: _*)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+    assert(got === rows.map { case (id, t) => id -> vec(t) }.toMap)
+  }
+}
