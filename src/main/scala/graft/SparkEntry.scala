@@ -661,6 +661,8 @@ object SparkEntry {
       graft.ml.DocVectors.docVectorsExploded(graft.Tables.documents(s, dir))),
     "doc_knn" -> ((s, dir) =>
       graft.ml.DocVectors.docKnn(graft.Tables.documents(s, dir))),
+    "doc_dedup" -> ((s, dir) =>
+      graft.ml.DocVectors.docDedup(graft.Tables.documents(s, dir))),
     // nightly shard encoded under FROZEN corpus-trained codebooks — the
     // PQ member of the incremental family.
     "incremental_pq" -> ((s, dir) => {
@@ -1064,6 +1066,7 @@ object SparkEntry {
     "incremental_pq" -> Similarity.incrementalPqCodesSql(),
     "doc_vectors" -> graft.ml.DocVectors.docVectorsSql,
     "doc_knn" -> graft.ml.DocVectors.docKnnSql(),
+    "doc_dedup" -> graft.ml.DocVectors.docDedupSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),

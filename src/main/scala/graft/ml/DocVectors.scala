@@ -87,4 +87,20 @@ object DocVectors {
     * derived-vector subquery. */
   def docKnnSql(nQueries: Long = 10L, k: Int = 5): String =
     Similarity.embedKnnSqlOver(docVectorsSubSql, nQueries, k)
+
+  /** SemDeDup over RAW TEXT — [[Similarity.semanticDedup]] composed over
+    * the hashed-TF vectors: connected components of the ≥threshold
+    * cosine pair graph, min-id survivor. The model-free counterpart of
+    * the MinHash near-dup chain, catching paraphrase-level duplication
+    * that shingle Jaccard underweights (shared vocabulary at different
+    * ordering). 0.97 sits above the fixture's unrelated-pair ceiling
+    * (~0.94 measured corpus-wide) and below its planted near-dups
+    * (≥0.99); production tunes it from the `embed_sim_hist`-style
+    * histogram the same way. */
+  def docDedup(docs: DataFrame, simThreshold: Double = 0.97): DataFrame =
+    Similarity.semanticDedup(docVectors(docs), simThreshold)
+
+  /** Oracle twin of [[docDedup]]. */
+  def docDedupSql(simThreshold: Double = 0.97): String =
+    Similarity.semanticDedupSqlOver(docVectorsSubSql, simThreshold)
 }

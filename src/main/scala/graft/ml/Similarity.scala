@@ -1098,13 +1098,21 @@ object Similarity {
     * + rescore chain feeds a recursive reachability closure (the same
     * shape as [[graft.text.Dedup.dedupClustersSql]]) — min reachable
     * vec_id (or self) is the component representative. */
-  def semanticDedupSql(simThreshold: Double = 0.8): String = {
+  def semanticDedupSql(simThreshold: Double = 0.8): String =
+    semanticDedupSqlOver("embeddings", simThreshold)
+
+  /** [[semanticDedupSql]] over an arbitrary vector source —
+    * [[DocVectors.docDedup]] runs SemDeDup over DERIVED vectors, so the
+    * oracle must too. The id domain is the source's vector rows (for
+    * `embeddings`, zero-norm/NULL rows still appear as singletons via
+    * the LEFT join; a derived source has no such rows by construction). */
+  def semanticDedupSqlOver(srcRel: String, simThreshold: Double): String = {
     val tableSelects = (0 until NumTables).map(t =>
       s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
          |  ${bucketSql(t)} AS bucket
          |  FROM vecs""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE $vectorsCte,
+    s"""WITH RECURSIVE ${vectorsCteOver(srcRel, "qvecs", "vecs")},
        |bands AS (
        |  $tableSelects
        |),
@@ -1134,7 +1142,7 @@ object Similarity {
        |rep AS (
        |  SELECT e.vec_id AS vec_id,
        |    least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS rep_id
-       |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+       |  FROM $srcRel e LEFT JOIN reach r ON r.src = e.vec_id
        |  GROUP BY e.vec_id
        |)
        |SELECT vec_id, rep_id, rep_id = vec_id AS is_survivor

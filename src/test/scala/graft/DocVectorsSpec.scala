@@ -56,6 +56,23 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("cos_sim") > 0.9)
   }
 
+  test("docDedup: exact copies and paraphrases cluster; distinct texts survive alone") {
+    val a = "measure twice cut once said the carpenter to the apprentice"
+    val out = DocVectors.docDedup(docs(
+        (0L, a),
+        (1L, a),                                                // exact copy
+        (2L, "the apprentice said to the carpenter cut once measure twice"), // reorder ⇒ same TF vector
+        (3L, "entirely unrelated prose about catalyst optimizer internals"),
+        (4L, "entirely unrelated prose about catalyst optimizer internals")))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_survivor")))).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L) === ((0L, false)))
+    assert(out(2L) === ((0L, false))) // bag-of-words: word order invisible
+    assert(out(3L) === ((3L, true)))
+    assert(out(4L) === ((3L, false)))
+  }
+
   test("property: engine vectors equal the Scala twin on random token soup") {
     val rnd = new scala.util.Random(89)
     val words = Vector("ara", "bel", "cor", "dun", "eld", "fin", "gor", "hul")
