@@ -823,6 +823,11 @@ object SparkEntry {
         graft.Tables.lineitem(s, dir),
         graft.Tables.table(s, dir, "orders"),
         graft.Tables.table(s, dir, "customer"))),
+    "returned_revenue" -> ((s, dir) =>
+      graft.relational.Sales.returnedRevenue(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.table(s, dir, "customer"))),
     "local_supplier_volume" -> ((s, dir) =>
       graft.relational.Sales.localSupplierVolume(
         graft.Tables.lineitem(s, dir),
@@ -1101,6 +1106,7 @@ object SparkEntry {
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
     "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
     "shipping_priority" -> graft.relational.Sales.shippingPrioritySql(),
+    "returned_revenue" -> graft.relational.Sales.returnedRevenueSql(),
     "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),

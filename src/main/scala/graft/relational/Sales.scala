@@ -382,6 +382,57 @@ object Sales {
        |SELECT l_orderkey, revenue_cents FROM top
        |ORDER BY l_orderkey, revenue_cents""".stripMargin
 
+  /** Top customers kept by [[returnedRevenue]]. */
+  val ReturnedTopK: Int = 20
+
+  /** The TPC-H Q10 shape — the customers who returned the most revenue
+    * in one order quarter: returned lines (`l_returnflag = 'R'` — pushed
+    * to the lineitem scan) joined through their quarter's orders to the
+    * customer dim, rolled up per customer, global top-[[ReturnedTopK]]
+    * as TakeOrderedAndProject (the [[shippingPriority]] merge shape,
+    * ties on c_custkey). The churn-triage report every returns desk
+    * runs; the third selective star completing the Q1/Q3/Q4/Q5 set.
+    *
+    * Scale shape: filtered lineitem ⋈ filtered orders on orderkey (one
+    * shuffle), custkey rollup (one partial-agg shuffle), then the
+    * customer-dim attach runs on the ≤|customers| aggregate relation —
+    * joining the dim AFTER the rollup, not before, keeps the fact-side
+    * shuffle rows narrow (orderkey+cents, no names riding through). */
+  def returnedRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, k: Int = ReturnedTopK): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revCents.as("cents"))
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit("1999-10-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq("c_custkey"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue_cents"))
+
+  /** Oracle twin of [[returnedRevenue]]. */
+  def returnedRevenueSql(k: Int = ReturnedTopK): String =
+    s"""WITH top AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '1999-10-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+       |  GROUP BY o_custkey
+       |  ORDER BY revenue_cents DESC, c_custkey
+       |  LIMIT $k
+       |)
+       |SELECT c_custkey, c_name, c_mktsegment, revenue_cents
+       |FROM top JOIN customer USING (c_custkey)
+       |ORDER BY c_custkey, c_name, c_mktsegment, revenue_cents""".stripMargin
+
   /** The TPC-H Q5 shape — revenue by nation from orders where the
     * customer and the line's supplier sit in the SAME nation, for one
     * region and a one-year order window. The canonical 6-table star:

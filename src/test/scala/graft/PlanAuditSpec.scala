@@ -175,6 +175,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$p")
   }
 
+  test("returned_revenue: returnflag and quarter push to the scans; top-k is a merge") {
+    val p = plan("returned_revenue")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(l_returnflag,R\\)".r.findFirstIn(p).isDefined,
+      s"returnflag not pushed to the lineitem scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined,
+      s"quarter window not pushed to the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k is not a k-row merge:\n$p")
+  }
+
   test("local_supplier_volume: constant dims broadcast; rollup is partial-aggregated") {
     val p = plan("local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join in:\n$p")

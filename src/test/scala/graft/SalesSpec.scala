@@ -127,6 +127,26 @@ class SalesSpec extends AnyFunSuite {
     assert(out === Map("BUILDING" -> 1L, "MACHINERY" -> 1L))
   }
 
+  test("returnedRevenue: only R-flag lines in the quarter count; dim attaches after the rollup") {
+    val tsQ = java.sql.Timestamp.valueOf("1999-11-15 00:00:00")
+    val tsOut = java.sql.Timestamp.valueOf("1999-05-01 00:00:00")
+    val orders = Seq((1L, 100L, tsQ), (2L, 101L, tsQ), (3L, 100L, tsOut))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val customer = Seq((100L, "c100", "BUILDING"), (101L, "c101", "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val out = Sales.returnedRevenue(li(
+        (1L, 10L, 1.0, 10.0, 0.0, "R", "O", ts0),   // counts: 1000 cents
+        (1L, 10L, 1.0, 5.0, 0.0, "N", "O", ts0),    // not returned
+        (2L, 10L, 1.0, 2.0, 0.0, "R", "O", ts0),    // counts: 200 cents
+        (3L, 10L, 1.0, 7.0, 0.0, "R", "O", ts0)),   // order outside quarter
+        orders, customer, k = 10)
+      .collect().map(r => (r.getAs[Long]("c_custkey"),
+        r.getAs[String]("c_name"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("revenue_cents")))
+    assert(out.toSeq === Seq((100L, "c100", "BUILDING", 1000L),
+      (101L, "c101", "MACHINERY", 200L)))
+  }
+
   test("segmentRevenue: per-segment cents, item and DISTINCT order counts") {
     val orders = Seq((1L, 100L), (2L, 100L), (3L, 200L))
       .toDF("o_orderkey", "o_custkey")
