@@ -1,8 +1,35 @@
 package graft.events
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
+
+/** The KMV buffer: ≤K distinct hash values, ascending. */
+case class KmvBuf(hs: Seq[Long])
+
+/** Bounded-state DISTINCT min-K aggregate — the KMV sketch builder as
+  * ONE aggregation (no upstream `distinct()` shuffle: set semantics
+  * live in the buffer, so each partition reduces to ≤K values before
+  * any data moves — and a streaming query can maintain the sketch as a
+  * single stateful operator in complete mode, where a distinct+agg
+  * chain would be two). The buffer is kept normalized (distinct,
+  * ascending, ≤K), so most values in the map-side hot loop fail the
+  * `last` bound check without touching the sequence. Min-of-set is
+  * commutative/associative/idempotent — reduce/merge order and
+  * duplicate arrivals cannot affect the result. */
+class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvBuf] {
+  private def norm(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+  def zero: KmvBuf = KmvBuf(Seq.empty)
+  def reduce(b: KmvBuf, a: Long): KmvBuf =
+    if (b.hs.size >= k && a >= b.hs.last) b
+    else if (b.hs.contains(a)) b
+    else KmvBuf(norm(b.hs :+ a))
+  def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = KmvBuf(norm(b1.hs ++ b2.hs))
+  def finish(r: KmvBuf): KmvBuf = r
+  def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+}
 
 /** KMV (K-minimum-values) distinct sketches with SET-OPERATION
   * estimates — the audience-overlap face of the mergeable-sketch family
@@ -43,17 +70,19 @@ object Audience {
   private def userHashSql(u: String): String = PortableHash.permHashSql(u, hA, hB)
 
   /** `(event_type, hs)` — the per-type KMV sketch: the K smallest
-    * DISTINCT user-id hashes, ascending. One distinct-collapse shuffle
-    * + the bounded-state [[graft.ml.TopKAgg]] (score = −h, so ≤K values
-    * per partition reach the shuffle — the distributed min-K that makes
-    * sketch building one cheap pass at any scale). THIS tiny relation
-    * is what a deployment persists per dimension cell. */
+    * DISTINCT user-id hashes, ascending, via ONE bounded-state
+    * [[KmvAgg]] pass (set semantics live in the ≤K-value buffer, so no
+    * upstream distinct shuffle exists and ≤K values per partition reach
+    * the one shuffle). Runs unchanged on a stream in complete mode —
+    * a single stateful operator whose state is |types|·K values
+    * (spec-pinned against this batch build). THIS tiny relation is
+    * what a deployment persists per dimension cell. */
   def kmvSketches(events: DataFrame, k: Int = KmvK): DataFrame = {
-    val mink = udaf(new graft.ml.TopKAgg(k), Encoders.product[graft.ml.Scored])
-    events.select(col("event_type"), userHash(col("user_id")).as("h")).distinct()
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    events.select(col("event_type"), userHash(col("user_id")).as("h"))
       .groupBy("event_type")
-      .agg(mink(col("h"), (-col("h")).cast("double")).as("tk"))
-      .select(col("event_type"), col("tk.items.neighbor_id").as("hs"))
+      .agg(kmv(col("h")).as("s"))
+      .select(col("event_type"), col("s.hs").as("hs"))
   }
 
   /** n̂ from a sketch array COLUMN (by name — the saturation branch

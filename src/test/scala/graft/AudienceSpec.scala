@@ -73,12 +73,34 @@ class AudienceSpec extends AnyFunSuite {
     assert(within(estI, 300L), s"est_inter $estI vs 300")
   }
 
-  test("sketch invariants: ascending, distinct, capped at K") {
-    val rows = (0L until 500L).map(u => ("t", u))
+  test("sketch invariants: ascending, distinct, capped at K; duplicate arrivals invisible") {
+    // every user sent 3× — the KmvAgg set semantics must absorb them
+    val rows = (0L until 1500L).map(u => ("t", u % 500L))
     val hs = Audience.kmvSketches(ev(rows: _*)).collect().head
       .getAs[scala.collection.Seq[Long]]("hs")
     assert(hs.size === Audience.KmvK)
     assert(hs === hs.distinct.sorted)
     assert(hs === (0L until 500L).map(h).distinct.sorted.take(Audience.KmvK))
+  }
+
+  test("kmvSketches runs unchanged on a stream (complete mode): live sketch = batch sketch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = MemoryStream[(String, Long)]
+    src.addData((0L until 300L).map(u => ("t", u)): _*)
+    val name = s"kmv_stream_${System.nanoTime()}"
+    val q = Audience.kmvSketches(
+        src.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      src.addData((200L until 500L).map(u => ("t", u)): _*) // overlap re-arrives
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(name).collect().head
+      .getAs[scala.collection.Seq[Long]]("hs")
+    val batch = Audience.kmvSketches(ev((0L until 500L).map(u => ("t", u)): _*))
+      .collect().head.getAs[scala.collection.Seq[Long]]("hs")
+    assert(live === batch)
   }
 }
