@@ -151,5 +151,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"fold_marks takes exactly 1 argument, got ${children.size}")
         graft.functions.FoldMarks(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dim_shares_of_hashes"),
+      new ExpressionInfo(classOf[graft.functions.DimSharesOfHashes].getName,
+        "dim_shares_of_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"dim_shares_of_hashes takes exactly 1 argument, got ${children.size}")
+        graft.functions.DimSharesOfHashes(children.head, graft.ml.DocVectors.Dim)
+      }))
   }
 }

@@ -33,16 +33,32 @@ object DocVectors {
     * picks band width — same operator, different constant. */
   val Dim = 64
 
-  /** `(vec_id, embedding)` — the derived hashed-TF vector relation. */
+  /** `(vec_id, embedding)` — the derived hashed-TF vector relation.
+    * With GraftExtensions the whole row is TWO native codegen passes
+    * (`tok_hashes_of_tokens` → `dim_shares_of_hashes` — round-9 bench
+    * measured the declarative spelling's Dim×n interpreted HOF lambdas
+    * at ~92 s/query on sf0.1; the native pass is O(n + Dim)); without
+    * the extension the equivalent interpreted transform/filter fallback
+    * runs, bit-identical (spec-pinned). */
   def docVectors(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        transform(graft.text.TextAnalysis.tokens(col("text")),
-          t => PortableHash.tokHash(t) % Dim).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id").as("vec_id"),
-        transform(sequence(lit(0), lit(Dim - 1)), d =>
-          (size(filter(col("hs"), x => x === d)) / size(col("hs")))
-            .cast("float")).as("embedding"))
+    docVectorsImpl(docs, forceFallback = false)
+
+  /** `forceFallback` exists for the spec that pins native ≡ fallback. */
+  private[graft] def docVectorsImpl(docs: DataFrame,
+      forceFallback: Boolean): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val native = !forceFallback &&
+      docs.sparkSession.catalog.functionExists("dim_shares_of_hashes")
+    val shares =
+      if (native) call_function("dim_shares_of_hashes",
+        call_function("tok_hashes_of_tokens", col("toks")))
+      else transform(sequence(lit(0), lit(Dim - 1)), d =>
+        (size(filter(transform(col("toks"), t => PortableHash.tokHash(t) % Dim),
+          x => x === d)) / size(col("toks"))).cast("float"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id").as("vec_id"), shares.as("embedding"))
+  }
 
   /** The derived-vector subquery, shaped for
     * [[Similarity.embedKnnSqlOver]] / [[vectorsCteOver]] composition. */

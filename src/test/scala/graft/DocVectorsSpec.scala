@@ -73,6 +73,21 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(out(4L) === ((3L, false)))
   }
 
+  test("native dim_shares expression is bit-identical to the declarative fallback") {
+    val rnd = new scala.util.Random(97)
+    val words = Vector("one", "two", "longerword", "x", "mixedCASE", "ünïcode")
+    val rows = (0L until 40L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+    val native = m(DocVectors.docVectorsImpl(docs(rows: _*), forceFallback = false))
+    val fallback = m(DocVectors.docVectorsImpl(docs(rows: _*), forceFallback = true))
+    assert(native === fallback)
+    assert(native.nonEmpty)
+  }
+
   test("property: engine vectors equal the Scala twin on random token soup") {
     val rnd = new scala.util.Random(89)
     val words = Vector("ara", "bel", "cor", "dun", "eld", "fin", "gor", "hul")
