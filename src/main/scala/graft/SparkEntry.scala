@@ -663,6 +663,8 @@ object SparkEntry {
       graft.ml.DocVectors.docKnn(graft.Tables.documents(s, dir))),
     "doc_dedup" -> ((s, dir) =>
       graft.ml.DocVectors.docDedup(graft.Tables.documents(s, dir))),
+    "doc_ann_knn" -> ((s, dir) =>
+      graft.ml.DocVectors.docAnnKnn(graft.Tables.documents(s, dir))),
     // nightly shard encoded under FROZEN corpus-trained codebooks — the
     // PQ member of the incremental family.
     "incremental_pq" -> ((s, dir) => {
@@ -845,6 +847,15 @@ object SparkEntry {
     // Equi-depth re-sharding plan computed from the manifest alone.
     "compaction_plan" -> ((s, dir) =>
       graft.sources.ZoneMaps.compactionPlan(graft.Tables.lineitem(s, dir), "l_orderkey")),
+    // Merge theorem as the incremental gate: manifest(corpus) ⊕
+    // manifest(shard) must hash-match the oracle's whole-table manifest.
+    "incremental_zone_map" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val li = graft.Tables.lineitem(s, dir)
+      graft.sources.ZoneMaps.zoneMapMerge(
+        graft.sources.ZoneMaps.zoneMap(li.filter(col("l_suppkey") % 10 =!= 9), "l_orderkey"),
+        graft.sources.ZoneMaps.zoneMap(li.filter(col("l_suppkey") % 10 === 9), "l_orderkey"))
+    }),
     // Join-key skew audit: the pre-shuffle salting decision input.
     "join_skew" -> ((s, dir) =>
       graft.relational.RuntimeFilters.joinSkew(
@@ -1072,6 +1083,7 @@ object SparkEntry {
     "doc_vectors" -> graft.ml.DocVectors.docVectorsSql,
     "doc_knn" -> graft.ml.DocVectors.docKnnSql(),
     "doc_dedup" -> graft.ml.DocVectors.docDedupSql(),
+    "doc_ann_knn" -> graft.ml.DocVectors.docAnnKnnSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),
@@ -1111,6 +1123,9 @@ object SparkEntry {
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
     "compaction_plan" -> graft.sources.ZoneMaps.compactionPlanSql(),
+    // the incremental entry's oracle IS the whole-table manifest — the
+    // min/max/count merge theorem is what the hash match proves
+    "incremental_zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "join_skew" -> graft.relational.RuntimeFilters.joinSkewSql(),
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves

@@ -104,6 +104,19 @@ object DocVectors {
   def docKnnSql(nQueries: Long = 10L, k: Int = 5): String =
     Similarity.embedKnnSqlOver(docVectorsSubSql, nQueries, k)
 
+  /** The bucket-probe ANN search over the derived vectors — the SCALE
+    * path next to [[docKnn]]'s exact scan (one corpus, all three tiers:
+    * exact, sign-LSH, and — via the shared `embeddings` shape — IVF/PQ
+    * if a caller wants them). Recall against [[docKnn]] is auditable
+    * with [[Similarity.recallReport]] exactly as `ann_recall` does for
+    * real embeddings. */
+  def docAnnKnn(docs: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame =
+    Similarity.embedAnnKnn(docVectors(docs), nQueries, k)
+
+  /** Oracle twin of [[docAnnKnn]]. */
+  def docAnnKnnSql(nQueries: Long = 10L, k: Int = 5): String =
+    Similarity.embedAnnKnnSqlOver(docVectorsSubSql, nQueries, k)
+
   /** SemDeDup over RAW TEXT — [[Similarity.semanticDedup]] composed over
     * the hashed-TF vectors: connected components of the ≥threshold
     * cosine pair graph, min-id survivor. The model-free counterpart of

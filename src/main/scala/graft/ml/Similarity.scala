@@ -717,13 +717,19 @@ object Similarity {
         col("s.neighbor_id").as("neighbor_id"), col("s.cos_sim").as("cos_sim"))
   }
 
-  def embedAnnKnnSql(nQueries: Long = 10L, k: Int = 5): String = {
+  def embedAnnKnnSql(nQueries: Long = 10L, k: Int = 5): String =
+    embedAnnKnnSqlOver("embeddings", nQueries, k)
+
+  /** [[embedAnnKnnSql]] over an arbitrary vector source — the
+    * [[DocVectors]] composition discipline ([[embedKnnSqlOver]]). */
+  def embedAnnKnnSqlOver(srcRel: String, nQueries: Long = 10L,
+      k: Int = 5): String = {
     val tableSelects = (0 until NumTables).map(t =>
       s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
          |  ${bucketSql(t)} AS bucket
          |  FROM vecs""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $vectorsCte,
+    s"""WITH ${vectorsCteOver(srcRel, "qvecs", "vecs")},
        |bands AS (
        |  $tableSelects
        |),

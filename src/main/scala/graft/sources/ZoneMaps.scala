@@ -83,6 +83,20 @@ object ZoneMaps {
           .as("skip_millionths"))
   }
 
+  /** Merge two zone manifests — the MERGEABILITY that makes the zone
+    * map a nightly-maintainable artifact (the HLL/CMS/KMV discipline:
+    * min, max and count are all mergeable, so a shard's manifest folds
+    * into the persisted one without rescanning the lake):
+    * zoneMap(A ∪ B) = zoneMapMerge(zoneMap(A), zoneMap(B)) EXACTLY —
+    * the `incremental_zone_map` entry's oracle is the whole-table
+    * manifest, so the hash match IS the merge theorem (the
+    * incremental_cms precedent). Cost: a ≤zones-sized union + rollup —
+    * the new shard is the only data scanned. */
+  def zoneMapMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("zone")
+      .agg(min("min_key").as("min_key"), max("max_key").as("max_key"),
+        sum("n_rows").as("n_rows"))
+
   /** Target shard count for [[compactionPlan]]. */
   val CompactShards = 8L
 

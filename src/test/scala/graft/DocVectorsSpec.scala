@@ -73,6 +73,26 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(out(4L) === ((3L, false)))
   }
 
+  test("docAnnKnn: the bucket-probe path finds planted duplicates at rank 1") {
+    val rnd = new scala.util.Random(101)
+    val words = Vector("kappa", "lambda", "sigma", "omega", "delta", "theta",
+      "epsilon", "zeta", "gamma", "iota")
+    val base = (0L until 40L).map(i =>
+      i -> Seq.fill(8 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    val dups = (0L until 4L).map(i => (300L + i) -> base(i.toInt)._2)
+    val out = DocVectors.docAnnKnn(docs(base ++ dups: _*), nQueries = 4L, k = 3)
+      .collect().filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))).toMap
+    for (q <- 0L until 4L) {
+      // exact text copy ⇒ identical vector ⇒ identical buckets in every
+      // table ⇒ guaranteed candidate; exact rescore puts it on top
+      assert(out(q)._1 === 300L + q)
+      assert(out(q)._2 === 1.0)
+    }
+  }
+
   test("native dim_shares expression is bit-identical to the declarative fallback") {
     val rnd = new scala.util.Random(97)
     val words = Vector("one", "two", "longerword", "x", "mixedCASE", "ünïcode")

@@ -54,6 +54,21 @@ class ZoneMapsSpec extends AnyFunSuite {
       (keys.size - hitZones.values.map(_.size).sum).toLong * 1000000L / keys.size)
   }
 
+  test("zoneMapMerge theorem: manifest(A ∪ B) = merge(manifest(A), manifest(B))") {
+    val a = (Seq.fill(30)(7L) ++ (0L until 100L)).map(Tuple1(_)).toDF("l_orderkey")
+    val b = ((50L until 200L) ++ Seq(600L) ++ (1536L until 1560L))
+      .map(Tuple1(_)).toDF("l_orderkey")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("zone") -> ((r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"), r.getAs[Long]("n_rows")))).toMap
+    val merged = m(ZoneMaps.zoneMapMerge(
+      ZoneMaps.zoneMap(a, "l_orderkey"), ZoneMaps.zoneMap(b, "l_orderkey")))
+    val full = m(ZoneMaps.zoneMap(a.unionByName(b), "l_orderkey"))
+    assert(merged === full)
+    // overlap zone 0 really merged (counts added, bounds widened)
+    assert(merged(0L)._3 === 130L + 150L)
+  }
+
   test("compactionPlan: monotone contiguous shards, balanced to one zone's granularity") {
     val plan = ZoneMaps.compactionPlan(keysDf, "l_orderkey", nShards = 2L)
       .collect().sortBy(_.getAs[Long]("zone"))
