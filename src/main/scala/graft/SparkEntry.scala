@@ -665,6 +665,8 @@ object SparkEntry {
       graft.ml.DocVectors.docDedup(graft.Tables.documents(s, dir))),
     "doc_ann_knn" -> ((s, dir) =>
       graft.ml.DocVectors.docAnnKnn(graft.Tables.documents(s, dir))),
+    "doc_ann_recall" -> ((s, dir) =>
+      graft.ml.DocVectors.docAnnRecall(graft.Tables.documents(s, dir))),
     // nightly shard encoded under FROZEN corpus-trained codebooks — the
     // PQ member of the incremental family.
     "incremental_pq" -> ((s, dir) => {
@@ -1084,6 +1086,7 @@ object SparkEntry {
     "doc_knn" -> graft.ml.DocVectors.docKnnSql(),
     "doc_dedup" -> graft.ml.DocVectors.docDedupSql(),
     "doc_ann_knn" -> graft.ml.DocVectors.docAnnKnnSql(),
+    "doc_ann_recall" -> graft.ml.DocVectors.docAnnRecallSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(0.3),
     "knn_classify" -> Similarity.knnClassifySql(),
     "incremental_ann" -> Similarity.incrementalAnnPairsSql(),

@@ -117,6 +117,22 @@ object DocVectors {
   def docAnnKnnSql(nQueries: Long = 10L, k: Int = 5): String =
     Similarity.embedAnnKnnSqlOver(docVectorsSubSql, nQueries, k)
 
+  /** The acceptance audit for the doc-ANN path — per query doc, recall
+    * of [[docAnnKnn]] against [[docKnn]]'s exact ground truth in exact
+    * millionths: the `ann_recall` discipline applied to the derived
+    * vectors, closing the loop on the text tier (one corpus, exact +
+    * approximate search + the number that says the approximation is
+    * trustworthy). */
+  def docAnnRecall(docs: DataFrame, nQueries: Long = 10L,
+      k: Int = 5): DataFrame =
+    Similarity.recallReport(
+      docKnn(docs, nQueries, k).select(col("query_id"), col("neighbor_id")),
+      docAnnKnn(docs, nQueries, k).select(col("query_id"), col("neighbor_id")))
+
+  /** Oracle twin of [[docAnnRecall]]. */
+  def docAnnRecallSql(nQueries: Long = 10L, k: Int = 5): String =
+    Similarity.annRecallSqlOver(docVectorsSubSql, nQueries, k)
+
   /** SemDeDup over RAW TEXT — [[Similarity.semanticDedup]] composed over
     * the hashed-TF vectors: connected components of the ≥threshold
     * cosine pair graph, min-id survivor. The model-free counterpart of

@@ -1180,13 +1180,19 @@ object Similarity {
   /** Oracle twin of [[annRecall]] — both search chains composed under
     * one `vecs` CTE (the ANN side's CTEs renamed to dodge the shared
     * `scored`/`ranked` names). */
-  def annRecallSql(nQueries: Long = 10L, k: Int = 5): String = {
+  def annRecallSql(nQueries: Long = 10L, k: Int = 5): String =
+    annRecallSqlOver("embeddings", nQueries, k)
+
+  /** [[annRecallSql]] over an arbitrary vector source — the
+    * [[DocVectors]] composition discipline ([[embedKnnSqlOver]]). */
+  def annRecallSqlOver(srcRel: String, nQueries: Long = 10L,
+      k: Int = 5): String = {
     val tableSelects = (0 until NumTables).map(t =>
       s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl,
          |  ${bucketSql(t)} AS bucket
          |  FROM vecs""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $vectorsCte,
+    s"""WITH ${vectorsCteOver(srcRel, "qvecs", "vecs")},
        |queries AS (
        |  SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM vecs
        |  WHERE vec_id < $nQueries

@@ -93,6 +93,30 @@ class DocVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("docAnnRecall report agrees with direct set comparison on the text fixture") {
+    val rnd = new scala.util.Random(103)
+    val words = Vector("mu", "nu", "xi", "rho", "tau", "phi", "chi", "psi")
+    val base = (0L until 30L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    val dups = (0L until 3L).map(i => (300L + i) -> base(i.toInt)._2)
+    val d = docs(base ++ dups: _*)
+    val report = DocVectors.docAnnRecall(d, nQueries = 3L, k = 4)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits")))).toMap
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = sets(DocVectors.docKnn(d, nQueries = 3L, k = 4))
+    val ann = sets(DocVectors.docAnnKnn(d, nQueries = 3L, k = 4))
+    assert(report.keySet === (0L until 3L).toSet)
+    report.foreach { case (q, (nExact, nHits)) =>
+      assert(nExact === exact(q).size.toLong)
+      assert(nHits === (exact(q) & ann.getOrElse(q, Set())).size.toLong)
+    }
+    assert(report.values.forall(_._2 >= 1L)) // the exact dup is always recalled
+  }
+
   test("native dim_shares expression is bit-identical to the declarative fallback") {
     val rnd = new scala.util.Random(97)
     val words = Vector("one", "two", "longerword", "x", "mixedCASE", "ünïcode")
