@@ -116,6 +116,11 @@ object SparkEntry {
     "rsjoin_triangles" -> ((s, dir) =>
       GraphPatterns.triangleCounter(edges(s, dir), Some(PathMax))),
     // J4: repjoin.* (README-documented broadcast variant)
+    // Degree-ordered oriented enumeration — the O(m^1.5) spelling of
+    // triangles_distinct; each triangle found once from its min-rank
+    // corner, super-spreader wedge explosion structurally avoided.
+    "triangles_oriented" -> ((s, dir) =>
+      GraphPatterns.trianglesOriented(edges(s, dir), Some(PathMax))),
     "repjoin_triangles" -> ((s, dir) =>
       GraphPatterns.triangleCounter(edges(s, dir), Some(PathMax),
         broadcastClosing = true)),
@@ -200,6 +205,11 @@ object SparkEntry {
     // for account pairs sharing >= 2 distinct followers.
     "follower_jaccard" -> ((s, dir) =>
       GraphPatterns.followerJaccard(edges(s, dir))),
+    // Scale-safe variant: Jaccard over the capped follower sets —
+    // super-spreader followers (out-degree > cap) deterministically
+    // excluded before pairing, bounding pair work at Θ(|E|·cap).
+    "follower_jaccard_capped" -> ((s, dir) =>
+      GraphPatterns.followerJaccardCapped(edges(s, dir))),
     // Power-of-two degree-distribution histogram — the skew audit.
     "degree_histogram" -> ((s, dir) =>
       GraphPatterns.degreeHistogram(edges(s, dir))),
@@ -957,6 +967,8 @@ object SparkEntry {
          |ORDER BY x, y, z, path_count""".stripMargin,
     "rsjoin_triangles" -> triangleOracle,
     "repjoin_triangles" -> triangleOracle,
+    "triangles_oriented" -> GraphPatterns.trianglesOrientedSql(
+      EdgeLists.lineitemEdgeSql, Some(PathMax)),
     "pagerank" -> GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql),
     "pagerank_conserving" ->
       GraphPatterns.pageRankSql(EdgeLists.lineitemEdgeSql, conserve = true),
@@ -981,6 +993,8 @@ object SparkEntry {
     "kcore" -> GraphPatterns.kCoreSql(EdgeLists.lineitemEdgeSql),
     "follower_jaccard" ->
       GraphPatterns.followerJaccardSql(EdgeLists.lineitemEdgeSql),
+    "follower_jaccard_capped" ->
+      GraphPatterns.followerJaccardCappedSql(EdgeLists.lineitemEdgeSql),
     "degree_histogram" ->
       GraphPatterns.degreeHistogramSql(EdgeLists.lineitemEdgeSql),
     "degree_mixing" ->

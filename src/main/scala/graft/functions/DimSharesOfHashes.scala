@@ -23,7 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *
   * Null handling mirrors the declarative spelling: a null ELEMENT
   * counts toward n (matching `size`) but lands in no dimension
-  * (matching `filter`'s null-drop); a null ARRAY yields null. The one
+  * (matching `filter`'s null-drop); a null ARRAY yields null. A
+  * NEGATIVE hash likewise counts toward n but lands in no dimension —
+  * in the fallback `h % dim` is negative and matches no d in
+  * [0, dim), and this expression is registered session-wide as
+  * `dim_shares_of_hashes`, so arbitrary SQL callers can feed it
+  * hashes `PortableHash.tokHash` would never produce; indexing
+  * `counts[h % dim]` unguarded would throw on them. The one
   * IEEE divide per dimension is (double) count / (double) n cast to
   * float — the exact op sequence of the fallback and the DuckDB oracle.
   */
@@ -45,7 +51,8 @@ case class DimSharesOfHashes(child: Expression, dim: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        counts((arr.getLong(i) % dim).toInt) += 1
+        val m = (arr.getLong(i) % dim).toInt
+        if (m >= 0) counts(m) += 1
       }
       i += 1
     }
@@ -70,7 +77,8 @@ case class DimSharesOfHashes(child: Expression, dim: Int)
         int[] $counts = new int[$dim];
         for (int $i = 0; $i < $n; $i++) {
           if (!$c.isNullAt($i)) {
-            $counts[(int) ($c.getLong($i) % ${dim}L)] += 1;
+            long ${i}m = $c.getLong($i) % ${dim}L;
+            if (${i}m >= 0L) $counts[(int) ${i}m] += 1;
           }
         }
         float[] $shares = new float[$dim];

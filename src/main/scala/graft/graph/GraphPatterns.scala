@@ -1004,10 +1004,13 @@ object GraphPatterns {
     * economics of the dedup family, with follow-lists as buckets), the
     * pair stream partial-aggregates map-side into (a, b) counts, and
     * AQE skew-splits the celebrity followers; `minCommon` prunes before
-    * the degree joins. At 100 TB the production refinement is capping
-    * or sampling super-spreader followers (a follower of 10⁷ accounts
-    * carries ~10¹⁴ pairs and near-zero signal per pair) — a documented
-    * knob, not applied here because the oracle compare is exact. */
+    * the degree joins. Total pair work is Θ(Σ_f outdeg(f)²) over
+    * follower out-degrees — per-follower quadratic with NO cap, so a
+    * follower of 10⁷ accounts carries ~5·10¹³ pairs and near-zero
+    * signal per pair. This exact spelling is for bounded-degree
+    * domains; at the 100 TB design point use
+    * [[followerJaccardCapped]], which prices the same query with
+    * super-spreaders deterministically excluded. */
   def followerJaccard(edges: DataFrame, max: Option[Long] = None,
       minCommon: Long = JaccardMinCommon): DataFrame = {
     val e = maxFilter(edges, max).select(col("src"), col("dst"))
@@ -1043,6 +1046,81 @@ object GraphPatterns {
        |    AS jaccard_millionths
        |FROM c JOIN d da ON da.x = c.a JOIN d db ON db.x = c.b
        |ORDER BY a, b, common, deg_a, deg_b, jaccard_millionths""".stripMargin
+  }
+
+  /** Out-degree cap for [[followerJaccardCapped]] — followers following
+    * more accounts than this are excluded from pair generation. */
+  val JaccardDegreeCap: Long = 32L
+
+  /** Scale-safe [[followerJaccard]]: Jaccard over the CAPPED follower
+    * sets — followers whose distinct out-degree exceeds `cap` are
+    * deterministically excluded (exact integer threshold, identical in
+    * the oracle) before any pairing, and both the pair counts AND the
+    * per-account degrees are computed over the surviving relation, so
+    * the result is the exact Jaccard of well-defined sets (each
+    * account's sub-cap followers), not an inconsistent hybrid.
+    *
+    * Why this is the 100 TB spelling: the exact variant's pair work is
+    * Θ(Σ_f outdeg(f)²); one 10⁷-out-degree spreader alone contributes
+    * ~5·10¹³ pair rows that AQE can split but never shrink. The cap
+    * bounds per-follower work at C²/2 pairs, making total work
+    * Θ(|E|·C) — linear in the edge relation — while dropping only the
+    * followers whose follows carry the least similarity signal (a
+    * follower of everyone tells you nothing about any pair; the same
+    * argument that drops stopword shingles from MinHash banding).
+    * On any graph where no follower exceeds `cap` the output equals
+    * [[followerJaccard]]'s plus the constant `cap_applied` column
+    * (spec-pinned in GraphPatternsSpec).
+    *
+    * Plan: one extra out-degree aggregate + LEFT SEMI against the
+    * sub-cap follower ids (broadcast-eligible: high-degree followers
+    * are the minority, but the SEMI keeps the kept-set, which is the
+    * big side at scale — hence keyed semi-join, AQE free to broadcast
+    * when small); everything downstream is the exact variant's plan
+    * on the filtered relation. */
+  def followerJaccardCapped(edges: DataFrame, max: Option[Long] = None,
+      minCommon: Long = JaccardMinCommon,
+      cap: Long = JaccardDegreeCap): DataFrame = {
+    val e0 = maxFilter(edges, max).select(col("src"), col("dst")).distinct()
+    val kept = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .filter(col("od") <= cap).select(col("src"))
+    val e = e0.join(kept, Seq("src"), "left_semi").localCheckpoint()
+    val indeg = e.groupBy(col("dst").as("x")).agg(count(lit(1)).as("deg"))
+    val e1 = e.as("e1")
+    val e2 = e.as("e2")
+    e1.join(e2, col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(indeg.select(col("x").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(indeg.select(col("x").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("(common * 1000000L) div (deg_a + deg_b - common)")
+          .as("jaccard_millionths"),
+        lit(cap).as("cap_applied"))
+  }
+
+  /** Oracle twin of [[followerJaccardCapped]]. */
+  def followerJaccardCappedSql(edgeSql: String, max: Option[Long] = None,
+      minCommon: Long = JaccardMinCommon,
+      cap: Long = JaccardDegreeCap): String = {
+    val pred = max.fold("")(m => s" WHERE src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |e0 AS (SELECT DISTINCT src, dst FROM edges$pred),
+       |kept AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= $cap),
+       |e AS (SELECT e0.src, e0.dst FROM e0 WHERE e0.src IN (SELECT src FROM kept)),
+       |d AS (SELECT dst AS x, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst),
+       |c AS (
+       |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY e1.dst, e2.dst HAVING count(*) >= $minCommon
+       |)
+       |SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT)
+       |    AS jaccard_millionths,
+       |  CAST($cap AS BIGINT) AS cap_applied
+       |FROM c JOIN d da ON da.x = c.a JOIN d db ON db.x = c.b
+       |ORDER BY a, b, common, deg_a, deg_b, jaccard_millionths, cap_applied""".stripMargin
   }
 
   /** Power-of-two band ladder for [[degreeHistogram]] — the same SQL
@@ -1449,8 +1527,14 @@ object GraphPatterns {
     var sk = nodes.groupBy("node")
       .agg(hll_sketch_agg(col("node"), lit(ReachLgK)).as("sk"))
       .localCheckpoint()
+    // Each per-node estimate FLOORS to long before the global sum:
+    // summing the raw double estimates would make the total depend on
+    // partition-wise addition order (IEEE addition is not associative),
+    // breaking the "deterministic per graph" claim and the spec-pinned
+    // nondecreasing property; integer addition is order-independent
+    // (the engine's integer-aggregate discipline).
     def curvePoint(r: Int) = sk
-      .select(hll_sketch_estimate(col("sk")).as("est"))
+      .select(floor(hll_sketch_estimate(col("sk"))).cast("long").as("est"))
       .agg(coalesce(sum("est"), lit(0L)).as("est_pairs"))
       .select(lit(r.toLong).as("hops"), col("est_pairs"))
     var curve = curvePoint(0)
@@ -1568,5 +1652,119 @@ object GraphPatterns {
       .agg(coalesce(sum(col("pathcnt")), lit(0L)).as("triangle_counter"))
       .withColumn("triangles_distinct",
         floor(col("triangle_counter") / lit(3.0)).cast("long"))
+  }
+
+  /** Degree-ordered (ORIENTED) triangle enumeration — the O(m^1.5)
+    * spelling of [[triangleCounter]]'s `triangles_distinct` for the
+    * 100× graph. The classic counter's wedge join pairs every in-edge
+    * of a middle node with every out-edge: Θ(Σ_y indeg(y)·outdeg(y))
+    * pair rows, which a 10⁷-degree celebrity turns into ~10¹⁴ rows the
+    * MAX filter exists to dodge. The standard fix (forward/compact-
+    * forward; Latapy 2008; Suri & Vassilvitskii WWW'11 in MapReduce
+    * form) totally orders nodes by (support-graph degree, id) and
+    * enumerates each triangle ONCE from its minimum-rank corner, so
+    * every wedge pairs only the HIGHER-rank neighbors of its corner —
+    * Σ_a C(hideg(a), 2) pairs, provably O(m^1.5) overall because a
+    * corner's higher-rank degree is at most √(2m).
+    *
+    * Direction handling: the support graph is the unordered distinct
+    * pair relation with per-pair direction FLAGS (has lo→hi, has
+    * hi→lo); a closed support triangle {a,v,w} then contributes the
+    * number of directed 3-cycles its flags admit (0, 1, or 2:
+    * a→v→w→a and/or a→w→v→a) — exactly `triangles_distinct` on a
+    * self-loop-free distinct-edge graph (each directed cycle is the
+    * counter's 3 rotations; GraphPatternsSpec pins the identity, and
+    * GraphSkewSpec proves the oriented wedge count undercuts the
+    * unoriented one on a celebrity fixture). Self-loops can't sit in
+    * a 3-cycle and are dropped at the scan.
+    *
+    * Plan: two degree-attach broadcast-or-shuffle hash joins build the
+    * oriented relation, one self-join keyed on the corner generates
+    * wedges, one hash join on (v, w) closes them, then a partial-agg
+    * scalar sum — no pair row survives past the map-side partial. */
+  private[graft] def orientedSupport(edges: DataFrame,
+      max: Option[Long] = None): DataFrame = {
+    val d = maxFilter(edges, max).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    // unordered support pairs with direction flags
+    val p = d.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"),
+        when(col("src") < col("dst"), 1L).otherwise(0L).as("f_lh"),
+        when(col("src") > col("dst"), 1L).otherwise(0L).as("f_hl"))
+      .groupBy(col("lo"), col("hi"))
+      // `max` the param shadows functions.max here — qualify the agg
+      .agg(org.apache.spark.sql.functions.max(col("f_lh")).as("has_lh"),
+        org.apache.spark.sql.functions.max(col("f_hl")).as("has_hl"))
+      .localCheckpoint()
+    val deg = p.select(col("lo").as("node"))
+      .union(p.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low-rank → high-rank; rank = (support degree, id), and
+    // lo < hi by construction so a degree tie resolves to lo
+    p.join(deg.select(col("node").as("lo"), col("deg").as("deg_lo")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("deg").as("deg_hi")), Seq("hi"))
+      .select(
+        when(col("deg_lo") <= col("deg_hi"), col("lo")).otherwise(col("hi")).as("a"),
+        when(col("deg_lo") <= col("deg_hi"), col("hi")).otherwise(col("lo")).as("b"),
+        when(col("deg_lo") <= col("deg_hi"), col("has_lh")).otherwise(col("has_hl")).as("has_ab"),
+        when(col("deg_lo") <= col("deg_hi"), col("has_hl")).otherwise(col("has_lh")).as("has_ba"),
+        when(col("deg_lo") <= col("deg_hi"), col("deg_hi")).otherwise(col("deg_lo")).as("deg_b"))
+      .localCheckpoint()
+  }
+
+  /** The oriented wedge stream [[trianglesOriented]] closes — exposed
+    * for GraphSkewSpec's pair-count audit against the unoriented
+    * Θ(Σ indeg·outdeg) wedge stream. */
+  private[graft] def orientedWedges(o: DataFrame): DataFrame = {
+    val o1 = o.as("o1")
+    val o2 = o.as("o2")
+    o1.join(o2, col("o1.a") === col("o2.a") &&
+      (col("o1.deg_b") < col("o2.deg_b") ||
+        (col("o1.deg_b") === col("o2.deg_b") && col("o1.b") < col("o2.b"))))
+  }
+
+  def trianglesOriented(edges: DataFrame, max: Option[Long] = None): DataFrame = {
+    val o = orientedSupport(edges, max)
+    val o3 = o.as("o3")
+    orientedWedges(o)
+      .join(o3, col("o3.a") === col("o1.b") && col("o3.b") === col("o2.b"))
+      .select((col("o1.has_ab") * col("o3.has_ab") * col("o2.has_ba") +
+        col("o2.has_ab") * col("o3.has_ba") * col("o1.has_ba")).as("cyc"))
+      .agg(coalesce(sum(col("cyc")), lit(0L)).as("triangles_distinct"))
+  }
+
+  /** Oracle twin of [[trianglesOriented]] — the same orientation and
+    * flag arithmetic in portable SQL. */
+  def trianglesOrientedSql(edgeSql: String, max: Option[Long] = None): String = {
+    val pred = max.fold("")(m => s" AND src < $m AND dst < $m")
+    s"""WITH edges AS ($edgeSql),
+       |d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst$pred),
+       |p AS (
+       |  SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+       |    CAST(max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS has_lh,
+       |    CAST(max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS BIGINT) AS has_hl
+       |  FROM d GROUP BY 1, 2
+       |),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT lo AS node FROM p UNION ALL SELECT hi AS node FROM p
+       |  ) GROUP BY node
+       |),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN dl.deg <= dh.deg THEN lo ELSE hi END AS a,
+       |    CASE WHEN dl.deg <= dh.deg THEN hi ELSE lo END AS b,
+       |    CASE WHEN dl.deg <= dh.deg THEN has_lh ELSE has_hl END AS has_ab,
+       |    CASE WHEN dl.deg <= dh.deg THEN has_hl ELSE has_lh END AS has_ba,
+       |    CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS deg_b
+       |  FROM p JOIN deg dl ON dl.node = p.lo JOIN deg dh ON dh.node = p.hi
+       |)
+       |SELECT CAST(COALESCE(SUM(
+       |    o1.has_ab * o3.has_ab * o2.has_ba
+       |  + o2.has_ab * o3.has_ba * o1.has_ba), 0) AS BIGINT) AS triangles_distinct
+       |FROM o o1
+       |JOIN o o2 ON o1.a = o2.a
+       |  AND (o1.deg_b < o2.deg_b OR (o1.deg_b = o2.deg_b AND o1.b < o2.b))
+       |JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b""".stripMargin
   }
 }

@@ -118,15 +118,20 @@ object RuntimeFilters {
     * a ratio in the hundreds says pre-salt (the GraphSkewSpec celebrity
     * recipe) or pre-aggregate instead. Cost: ONE scan + a key-partial
     * agg + a scalar rollup — strictly cheaper than the join it guards.
-    * Exact-int discipline: both rates floor via `div`; multiplies stay
-    * under 2⁶² for any corpus below ~4.6e12 rows per key population. */
+    * Exact-int discipline: both rates floor via `div`; the ratio's
+    * max_key_rows·10⁶·n_keys triple product widens through
+    * decimal(38,0) (the lmScore/pageRank headroom rule — HUGEINT on
+    * the DuckDB side) because at the 100 TB design point ~10¹⁰
+    * distinct keys times a hot key's rows exceeds int64 and under
+    * ANSI mode would kill the very job this audit exists to protect. */
   def joinSkew(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
         max("cnt").as("max_key_rows"))
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
         expr("(max_key_rows * 1000000L) div n_rows").as("top1_share_millionths"),
-        expr("(max_key_rows * 1000000L * n_keys) div n_rows").as("skew_ratio_millionths"))
+        expr("cast((cast(max_key_rows as decimal(38,0)) * 1000000L * n_keys) div n_rows as bigint)")
+          .as("skew_ratio_millionths"))
 
   /** Oracle twin of [[joinSkew]]. */
   def joinSkewSql(table: String = "lineitem", key: String = "l_orderkey"): String =
@@ -137,7 +142,7 @@ object RuntimeFilters {
        |  CAST(count(*) AS BIGINT) AS n_keys,
        |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
        |  CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS top1_share_millionths,
-       |  CAST((max(cnt) * 1000000 * count(*)) // sum(cnt) AS BIGINT) AS skew_ratio_millionths
+       |  CAST((CAST(max(cnt) AS HUGEINT) * 1000000 * count(*)) // sum(cnt) AS BIGINT) AS skew_ratio_millionths
        |FROM per_key""".stripMargin
 
   /** Oracle twin of [[bloomAudit]] — same hash arithmetic, same flag

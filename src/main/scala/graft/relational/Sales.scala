@@ -408,10 +408,13 @@ object Sales {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(sum(col("cents")).as("revenue_cents"))
-      .join(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-        Seq("c_custkey"))
+      // top-k BEFORE the dim attach, mirroring the oracle's `top` CTE:
+      // the inner join then rides on exactly k rows, and a custkey
+      // missing from the customer dim can never shift which k survive.
       .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
       .limit(k)
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("revenue_cents"))
 

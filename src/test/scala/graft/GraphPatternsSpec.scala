@@ -62,6 +62,24 @@ class GraphPatternsSpec extends AnyFunSuite {
     assert(bcast.getLong(0) === 6L)
   }
 
+  test("trianglesOriented golden: sample graph has 2 directed 3-cycles") {
+    assert(GraphPatterns.trianglesOriented(df(sample), Some(12500L))
+      .first().getLong(0) === 2L)
+  }
+
+  test("trianglesOriented ≡ triangleCounter.triangles_distinct on distinct graphs") {
+    // the oriented enumeration finds each directed 3-cycle once from
+    // its minimum-(degree, id)-rank corner; the counter finds all 3
+    // rotations and divides — identical on self-loop-free distinct
+    // graphs (randomGraph drops self-loops; distinct drops dups)
+    for (seed <- 1 to 5) {
+      val g = randomGraph(seed, n = 12, m = 80, allowDup = false)
+      val counter = GraphPatterns.triangleCounter(df(g)).first().getLong(1)
+      val oriented = GraphPatterns.trianglesOriented(df(g)).first().getLong(0)
+      assert(oriented === counter, s"seed=$seed")
+    }
+  }
+
   test("broadcast variant actually plans a broadcast join") {
     val plan = GraphPatterns
       .triangleCounter(df(sample), Some(12500L), broadcastClosing = true)
@@ -439,6 +457,40 @@ class GraphPatternsSpec extends AnyFunSuite {
       (3L, 5L) -> ((1L, 2L, 2L, 333333L)),
       (3L, 6L) -> ((1L, 2L, 2L, 333333L))))
     assert(GraphPatterns.followerJaccard(df(sample)).count() === 0L)
+  }
+
+  test("followerJaccardCapped ≡ followerJaccard when no follower exceeds the cap") {
+    // sample's max distinct out-degree is 2; a cap of 3 excludes
+    // nobody, so capped must equal exact plus the constant
+    // cap_applied column.
+    val exact = GraphPatterns.followerJaccard(df(sample), minCommon = 1L)
+      .collect().map(_.toSeq).toSet
+    val capped = GraphPatterns.followerJaccardCapped(
+        df(sample), minCommon = 1L, cap = 3L)
+      .collect().map(_.toSeq).toSet
+    assert(capped.map(_.dropRight(1)) === exact)
+    assert(capped.forall(_.last === 3L))
+  }
+
+  test("followerJaccardCapped golden: a super-spreader follower is excluded") {
+    // follower 1 follows 2,3,4 (out-degree 3 > cap 2) and is the ONLY
+    // common follower of (2,3): with cap=2 the pair disappears and the
+    // surviving degrees count sub-cap followers only.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L), (5L, 3L), (6L, 2L))
+    val exact = GraphPatterns.followerJaccard(df(g), minCommon = 1L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("deg_a"),
+          r.getAs[Long]("deg_b"), r.getAs[Long]("jaccard_millionths"))).toMap
+    // exact: (2,3) common {1,5}, (2,4)/(3,4) common {1}
+    assert(exact((2L, 3L)) === ((2L, 3L, 2L, 666666L)))
+    assert(exact.contains((2L, 4L)) && exact.contains((3L, 4L)))
+    val capped = GraphPatterns.followerJaccardCapped(df(g), minCommon = 1L, cap = 2L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("deg_a"),
+          r.getAs[Long]("deg_b"), r.getAs[Long]("jaccard_millionths"))).toMap
+    // follower 1 gone: only 5 (out-degree 2) and 6 (1) pair; (2,3)
+    // keeps common {5}; capped degrees: 2←{5,6}=2, 3←{5}=1
+    assert(capped === Map((2L, 3L) -> ((1L, 2L, 1L, 500000L))))
   }
 
   test("followerJaccard: duplicate follows don't inflate overlap") {

@@ -164,4 +164,28 @@ class GraphSkewSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("skew"),
       s"AQE did not skew-split the celebrity partition:\n$plan")
   }
+
+  test("oriented triangle wedges provably undercut the unoriented wedge stream") {
+    import org.apache.spark.sql.functions.col
+    // unoriented wedge stream — triangleCounter's pair input on the
+    // distinct celebrity graph: Θ(Σ_y indeg·outdeg), dominated by the
+    // celebrity middle (≈30k·200 = 6M pairs)
+    val e = edgesDf(spark).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    val unoriented = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+      .count()
+    // oriented wedge stream: pairs of HIGHER-rank neighbors per corner
+    val o = GraphPatterns.orientedSupport(edgesDf(spark))
+    val oriented = GraphPatterns.orientedWedges(o).count()
+    // the celebrity (node 0) is the maximum-rank node, so it corners
+    // ZERO oriented wedges — its 6M-pair explosion is structurally gone
+    val celebrityCorner = GraphPatterns.orientedWedges(o)
+      .filter(col("o1.a") === 0L).count()
+    assert(celebrityCorner === 0L,
+      s"celebrity must corner no oriented wedges (got $celebrityCorner)")
+    assert(oriented * 2 < unoriented,
+      s"oriented wedges ($oriented) must undercut unoriented ($unoriented)")
+  }
 }

@@ -18,6 +18,7 @@ class OracleContractSpec extends AnyFunSuite {
   val scalarQueries: Set[String] = Set(
     "edge_count", "edge_count_csv", "exact_2hop", "exact_2hop_join",
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
+    "triangles_oriented",
     "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter",
     "zone_skip", "join_skew")
 
