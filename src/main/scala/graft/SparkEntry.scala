@@ -872,6 +872,15 @@ object SparkEntry {
     "join_skew" -> ((s, dir) =>
       graft.relational.RuntimeFilters.joinSkew(
         graft.Tables.lineitem(s, dir), "l_orderkey")),
+    // KMV merge theorem as the incremental gate: min-K(stored ⊕ shard)
+    // must hash-match the oracle's whole-corpus min-K relation.
+    "incremental_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.Tables.events(s, dir)
+      graft.events.Audience.incrementalKmv(
+        ev.filter(col("event_id") % 10 =!= 9),
+        ev.filter(col("event_id") % 10 === 9))
+    }),
     // CMS merge theorem as the incremental gate: sketch(stored ⊕ shard)
     // must hash-match the oracle's whole-corpus sketch.
     "incremental_cms" -> ((s, dir) => {
@@ -900,7 +909,26 @@ object SparkEntry {
         graft.events.EventsSql.registerEvents(graft.Tables.events(s, dir))
         s.sql(sql)
       }
+    // text-domain entries: the widen decision is computed from the live
+    // relation (graft.Tables.widenFactor) and spliced as a REPARTITION
+    // hint so the SQL plan is the DataFrame plan, repartition included
+    def overDocs(build: Option[Int] => String): (SparkSession, String) => DataFrame =
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+        graft.text.TextSql.registerDocuments(docs)
+        s.sql(build(graft.Tables.widenFactor(docs)))
+      }
+    import graft.text.TextSql
     Map(
+      // the checkpoint-free text family (round-9 directive #4)
+      "text_stats" -> overDocs(_ => TextSql.textStatsSparkSql),
+      "lang_id" -> overDocs(_ => TextSql.langIdSparkSql),
+      "lang_id_ngram" -> overDocs(_ => TextSql.langIdNgramSparkSql),
+      "quality_rules" -> overDocs(TextSql.qualityRulesSparkSql),
+      "classifier_score" -> overDocs(TextSql.classifierScoreSparkSql),
+      "pii_scrub" -> overDocs(_ => TextSql.piiScrubSparkSql),
+      "corpus_histogram" -> overDocs(TextSql.corpusHistogramSparkSql),
+      "text_normalize" -> overDocs(TextSql.textNormalizeSparkSql),
       "edge_count" -> over(GraphSql.edgeCountSql(Some(CensusMax))),
       "exact_2hop" -> over(GraphSql.twoHopCountSql(None)),
       "approx_2hop" -> over(GraphSql.twoHopCountSql(Some(PathMax))),
@@ -1147,6 +1175,7 @@ object SparkEntry {
     // the incremental entry's oracle IS the whole-corpus sketch — the
     // cell-wise-sum merge theorem is what the hash match proves
     "incremental_cms" -> TextAnalysis.cmsTokenCountsSql,
+    "incremental_kmv" -> graft.events.Audience.incrementalKmvSql(),
   )
 
   private def triangleOracle: String =

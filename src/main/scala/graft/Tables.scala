@@ -107,4 +107,17 @@ object Tables {
   }
   private val widenCounts =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+
+  /** The [[widen]] decision without the transform — what a SQL spelling
+    * needs to mirror the same plan: `Some(target)` means "this relation
+    * would repartition to `target`" (emit a `REPARTITION(target)` hint),
+    * `None` means widen is a no-op. Same memo, same key. */
+  def widenFactor(df: DataFrame): Option[Int] = {
+    if (df.isStreaming) return None
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash())
+    val n = widenCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (n < target) Some(target) else None
+  }
 }

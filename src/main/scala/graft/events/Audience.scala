@@ -93,6 +93,54 @@ object Audience {
     when(size(col(hsName)) < k, size(col(hsName)).cast("long"))
       .otherwise(expr(s"${(k - 1).toLong * PortableHash.P}L div element_at($hsName, $k)"))
 
+  /** KMV merge — the min-K merge theorem (Beyer et al. 2007, §3:
+    * minK(minK(A) ∪ minK(B)) = minK(A ∪ B), because any value in the
+    * union's K smallest is necessarily in its own input's K smallest):
+    * per event type, union the two hash arrays, sort, keep K. FULL
+    * OUTER on type so a type present in only one shard survives with
+    * its own sketch. The merged relation is bit-identical to the
+    * whole-corpus sketch — an EXACT incremental gate, the
+    * incremental_cms/incremental_zone_map discipline verbatim. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    val empty = lit(Array.empty[Long])
+    a.select(col("event_type"), col("hs").as("hs_a"))
+      .join(b.select(col("event_type"), col("hs").as("hs_b")),
+        Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        slice(array_sort(array_union(
+          coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))),
+          1, k).as("hs"))
+  }
+
+  /** A sketch relation exploded to `(event_type, rn, h)` scalar rows —
+    * the oracle-comparable face (the driver hash-compare takes no
+    * array columns); rn is the 1-based rank of h within its sketch. */
+  def kmvExploded(sketches: DataFrame): DataFrame =
+    sketches.select(col("event_type"),
+        posexplode(col("hs")).as(Seq("rn0", "h")))
+      .select(col("event_type"), (col("rn0") + 1).cast("long").as("rn"),
+        col("h"))
+
+  /** Incremental face: sketch(shard A) ⊕ sketch(shard B), exploded —
+    * must hash-match the oracle's whole-corpus min-K relation. */
+  def incrementalKmv(shardA: DataFrame, shardB: DataFrame,
+      k: Int = KmvK): DataFrame =
+    kmvExploded(kmvMerge(kmvSketches(shardA, k), kmvSketches(shardB, k), k))
+
+  /** Oracle twin of [[incrementalKmv]] — the WHOLE-corpus sketch
+    * (row_number min-K over distinct user hashes); equality with the
+    * shard-merged build IS the merge theorem. */
+  def incrementalKmvSql(k: Int = KmvK): String =
+    s"""WITH uh AS (
+       |  SELECT DISTINCT event_type, ${userHashSql("user_id")} AS h FROM events
+       |)
+       |SELECT event_type, CAST(rn AS BIGINT) AS rn, h FROM (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM uh
+       |) WHERE rn <= $k
+       |ORDER BY event_type, rn, h""".stripMargin
+
   /** Per pair of event types: estimated audience sizes, union and
     * INTERSECTION estimates from the sketches alone, and the exact
     * intersection — the estimator-quality audit. All pair arithmetic

@@ -24,9 +24,12 @@ case class MediaDecoded(media_id: Long, fmt: String,
   * The decode is a REAL parse of two public fixed-layout containers
   * (no codec library needed — the layouts are bytes at documented
   * offsets): BMP (BITMAPINFOHEADER: width/height int32 LE at byte
-  * 18/22, bpp uint16 LE at 28) and canonical 44-byte WAV (channels
-  * uint16 LE at 22, sample rate uint32 LE at 24, bits uint16 LE at
-  * 34, with the `data` chunk at 36). Container sniffing is by magic
+  * 18/22, bpp uint16 LE at 28) and RIFF WAV via a BOUNDED CHUNK WALK —
+  * chunk headers (4-byte id + uint32 LE size, odd payloads padded)
+  * read from byte 12 until `fmt ` and `data` are found, so files that
+  * carry `LIST`/`fact`/`cue ` chunks in front of `data` parse at their
+  * true offsets and the canonical 44-byte layout is just the walk's
+  * first-step case. Container sniffing is by magic
   * bytes exactly as production ingest does — a payload that happens to
   * start with a magic is parsed as that container, deterministically
   * in both engines. Payloads that are neither report `kind = raw` with
@@ -91,11 +94,31 @@ object Media {
     if (bytes.length >= 54 && ascii(0, "BM"))
       base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
         height = Some(le(22, 4)), bpp = Some(le(28, 2)))
-    else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
-        ascii(12, "fmt ") && ascii(36, "data"))
-      base.copy(kind = Some("wav"), channels = Some(le(22, 2)),
-        sample_rate = Some(le(24, 4)), bits = Some(le(34, 2)))
-    else base
+    else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      // bounded RIFF chunk walk — the typed twin of the declarative
+      // walk in [[mediaFeatures]]: real files carry LIST/fact/cue
+      // chunks before `data`, so `fmt `-at-12/`data`-at-36 is only the
+      // canonical SUBSET. First match wins per chunk id; the `fmt `
+      // payload must be complete (16 bytes) to be trusted.
+      var off = 12L
+      var fmtOff = -1L
+      var dataOff = -1L
+      var k = 0
+      while (k < WalkChunks && off >= 0 && bytes.length >= off + 8) {
+        val sz = le(off.toInt + 4, 4)
+        if (fmtOff < 0 && ascii(off.toInt, "fmt ") && sz >= 16 &&
+            bytes.length >= off + 24) fmtOff = off + 8
+        if (dataOff < 0 && ascii(off.toInt, "data")) dataOff = off + 8
+        off = off + 8 + sz + (sz % 2)
+        k += 1
+      }
+      if (fmtOff >= 0 && dataOff >= 0)
+        base.copy(kind = Some("wav"),
+          channels = Some(le(fmtOff.toInt + 2, 2)),
+          sample_rate = Some(le(fmtOff.toInt + 4, 4)),
+          bits = Some(le(fmtOff.toInt + 14, 2)))
+      else base
+    } else base
   }
 
   /** Feature extraction as declarative expressions: the payload's hex
@@ -132,6 +155,162 @@ object Media {
         s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
     }.mkString("(", " || ", ")")
 
+  // ---- bounded RIFF chunk walk ------------------------------------------
+  //
+  // Real-world RIFF files carry `LIST`/`fact`/`cue ` chunks between the
+  // header and `data`; assuming the canonical 44-byte layout silently
+  // demotes such files to `raw`. The walk below reads (chunk id, chunk
+  // size) pairs from byte 12, hopping size+pad bytes, for a BOUNDED
+  // number of steps. Two spellings of the same arithmetic: DuckDB gets
+  // a chain of per-step CTE columns; Spark gets a single `aggregate`
+  // fold (see [[walkAggSql]] for why the column chain is unsafe under
+  // Catalyst's substituting predicate pushdown). The per-step SQL
+  // fragments (substring/instr/CASE only) are shared where the
+  // dialects allow.
+
+  /** Chunks inspected before giving up — covers canonical (data is
+    * chunk #1) plus LIST/fact/cue /bext padding in front of it. */
+  private val WalkChunks = 6
+  private val HexFmt = "666D7420" // 'fmt '
+  private val HexData = "64617461" // 'data'
+
+  /** Little-endian read at a DYNAMIC byte offset (`off` is a SQL
+    * expression over prior columns, not a constant) of hex column `h`. */
+  private def dynLeSql(off: String, nBytes: Int): String =
+    (0 until nBytes).map { k =>
+      val hiP = s"CAST((($off) + $k) * 2 + 1 AS INT)"
+      val loP = s"CAST((($off) + $k) * 2 + 2 AS INT)"
+      s"((instr('0123456789ABCDEF', substring(h, $hiP, 1)) - 1) * 16 + " +
+        s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1)) * ${1L << (8 * k)}"
+    }.mkString("(", " + ", ")")
+
+  /** Walk entry: byte 12 for RIFF/WAVE payloads, NULL otherwise. */
+  private val walkOff0Sql: String =
+    "CASE WHEN n_bytes >= 44 AND substring(h, 1, 8) = '52494646' " +
+      "AND substring(h, 17, 8) = '57415645' THEN CAST(12 AS BIGINT) END"
+
+  /** Step k stage A: chunk id + declared size at off_k (NULL once the
+    * walk ran off the end). */
+  private def walkIdSz(k: Int): Seq[(String, String)] = Seq(
+    s"cid$k" -> (s"CASE WHEN off$k IS NOT NULL AND n_bytes >= off$k + 8 " +
+      s"THEN substring(h, CAST(off$k * 2 + 1 AS INT), 8) END"),
+    s"csz$k" -> (s"CASE WHEN off$k IS NOT NULL AND n_bytes >= off$k + 8 " +
+      s"THEN CAST(${dynLeSql(s"off$k + 4", 4)} AS BIGINT) END"))
+
+  /** Step k stage B: next chunk header offset (RIFF pads odd-sized
+    * chunk payloads to even). */
+  private def walkNext(k: Int): (String, String) =
+    s"off${k + 1}" ->
+      s"CASE WHEN cid$k IS NOT NULL THEN off$k + 8 + csz$k + (csz$k % 2) END"
+
+  /** First-match fold over the walked steps: the `fmt ` payload offset
+    * (complete 16-byte payload required), the `data` payload offset,
+    * and the `data` declared length. */
+  private val walkFoundSql: Seq[(String, String)] = Seq(
+    "fmt_off" -> (0 until WalkChunks).map(k =>
+      s"CASE WHEN cid$k = '$HexFmt' AND csz$k >= 16 " +
+        s"AND n_bytes >= off$k + 24 THEN off$k + 8 END")
+      .mkString("COALESCE(", ", ", ")"),
+    "data_off" -> (0 until WalkChunks).map(k =>
+      s"CASE WHEN cid$k = '$HexData' THEN off$k + 8 END")
+      .mkString("COALESCE(", ", ", ")"),
+    "data_len" -> (0 until WalkChunks).map(k =>
+      s"CASE WHEN cid$k = '$HexData' THEN csz$k END")
+      .mkString("COALESCE(", ", ", ")"))
+
+  /** The walk as ONE `aggregate` fold on the Spark side — NOT the
+    * per-step column chain the DuckDB twin uses. The chain spelling is
+    * correct but fatal under Catalyst: any later filter on a walked
+    * column (audioFrames' WAV gate) is pushed down through the 19
+    * step projections by SUBSTITUTION, and since every step references
+    * its predecessor several times the substituted predicate grows
+    * ~4^steps — the optimizer itself OOMs. The fold is a single
+    * bounded expression evaluated iteratively per row (6 steps of
+    * header arithmetic; an interpreted HOF, but constant and tiny —
+    * nothing like the Dim×n lambda the dim_shares ban is about), so
+    * pushdown duplicates O(1) expression text. Semantics are the CTE
+    * chain's exactly: first match per chunk id, walk continues past
+    * found chunks, dies when the next header would cross the end. */
+  private val walkAggSql: String = {
+    val id = "substring(h, CAST(acc.off * 2 + 1 AS INT), 8)"
+    val sz = dynLeSql("acc.off + 4", 4)
+    s"""aggregate(
+       |  sequence(1, $WalkChunks),
+       |  named_struct(
+       |    'off', $walkOff0Sql,
+       |    'fmt_off', CAST(NULL AS BIGINT),
+       |    'data_off', CAST(NULL AS BIGINT),
+       |    'data_len', CAST(NULL AS BIGINT)),
+       |  (acc, step) -> CASE
+       |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
+       |      named_struct('off', CAST(NULL AS BIGINT), 'fmt_off', acc.fmt_off,
+       |        'data_off', acc.data_off, 'data_len', acc.data_len)
+       |    ELSE named_struct(
+       |      'off', acc.off + 8 + $sz + ($sz % 2),
+       |      'fmt_off', coalesce(acc.fmt_off, CASE WHEN $id = '$HexFmt'
+       |        AND $sz >= 16 AND n_bytes >= acc.off + 24 THEN acc.off + 8 END),
+       |      'data_off', coalesce(acc.data_off,
+       |        CASE WHEN $id = '$HexData' THEN acc.off + 8 END),
+       |      'data_len', coalesce(acc.data_len,
+       |        CASE WHEN $id = '$HexData' THEN $sz END))
+       |    END,
+       |  acc -> named_struct(
+       |    'fmt_off', acc.fmt_off,
+       |    'data_off', acc.data_off,
+       |    'data_len', acc.data_len,
+       |    'channels', CASE WHEN acc.fmt_off IS NOT NULL
+       |      THEN CAST(${dynLeSql("acc.fmt_off + 2", 2)} AS BIGINT) END,
+       |    'sample_rate', CASE WHEN acc.fmt_off IS NOT NULL
+       |      THEN CAST(${dynLeSql("acc.fmt_off + 4", 4)} AS BIGINT) END,
+       |    'bits', CASE WHEN acc.fmt_off IS NOT NULL
+       |      THEN CAST(${dynLeSql("acc.fmt_off + 14", 2)} AS BIGINT) END))""".stripMargin
+  }
+
+  /** Spark side: append the walk columns to a frame carrying `h` and
+    * `n_bytes`, then CHECKPOINT. The checkpoint is load-bearing twice
+    * over: it truncates the lineage so no downstream filter can inline
+    * the fold into a pushed-down predicate (re-creating the plan
+    * explosion in one copy-per-reference form), and it guarantees the
+    * fold — including the `fmt ` field reads in the finish lambda —
+    * evaluates exactly ONCE per row, instead of once per consuming
+    * expression after project collapse. */
+  private def withWalk(df: DataFrame): DataFrame =
+    df.withColumn("wk", expr(walkAggSql)).localCheckpoint()
+      .withColumn("fmt_off", col("wk.fmt_off"))
+      .withColumn("data_off", col("wk.data_off"))
+      .withColumn("data_len", col("wk.data_len"))
+      .withColumn("wav_channels", col("wk.channels"))
+      .withColumn("wav_sample_rate", col("wk.sample_rate"))
+      .withColumn("wav_bits", col("wk.bits"))
+      .drop("wk")
+
+  /** DuckDB side: the same walk as chained CTEs over `src` (which must
+    * expose `h` and `n_bytes`); the final stage is named `walked`.
+    * Every stage is MATERIALIZED — DuckDB inlines CTEs by default, and
+    * each stage references its predecessor several times, so uninlined
+    * the chain re-evaluates ~4^steps per CONSUMING expression (the
+    * kcore-oracle lesson; audioFrames consumes walked columns once per
+    * exploded frame, which turned the inlined spelling into a hang).
+    * Materialized, each stage evaluates once per row. */
+  private def walkCteSql(src: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"w0 AS MATERIALIZED (SELECT *, $walkOff0Sql AS off0 FROM $src)")
+    var prev = "w0"
+    for (k <- 0 until WalkChunks) {
+      val idsz = walkIdSz(k).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      sb.append(s",\nwa$k AS MATERIALIZED (SELECT *, $idsz FROM $prev)")
+      prev = s"wa$k"
+      if (k < WalkChunks - 1) {
+        val (n, e) = walkNext(k)
+        sb.append(s",\nwb$k AS MATERIALIZED (SELECT *, $e AS $n FROM wa$k)")
+        prev = s"wb$k"
+      }
+    }
+    val found = walkFoundSql.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    sb.append(s",\nwalked AS MATERIALIZED (SELECT *, $found FROM $prev)")
+    sb.toString
+  }
+
   /** The synthesized-container payload as a hex expression over a
     * documents row: doc_id % 5 = 0 → a real 54-byte BMP header
     * (width = 1 + doc_id % 640, height = 1 + doc_id % 480, 24 bpp)
@@ -153,12 +332,22 @@ object Media {
     val bmp = s"'424D' || ${leHexSql(s"54 + $textBytes", 4, idiv)} || " +
       s"'0000000036000000' || '28000000' || ${leHexSql(w, 4, idiv)} || " +
       s"${leHexSql(hgt, 4, idiv)} || '01001800' || repeat('00', 24) || $textHex"
-    val wav = s"'52494646' || ${leHexSql(s"36 + $textBytes", 4, idiv)} || " +
-      s"'57415645' || '666D7420' || '10000000' || '0100' || " +
+    val fmtChunk = s"'666D7420' || '10000000' || '0100' || " +
       s"${leHexSql(ch, 2, idiv)} || ${leHexSql(rate, 4, idiv)} || " +
       s"${leHexSql(byteRate, 4, idiv)} || ${leHexSql(blockAlign, 2, idiv)} || " +
-      s"${leHexSql(bits, 2, idiv)} || '64617461' || ${leHexSql(textBytes, 4, idiv)} || $textHex"
+      s"${leHexSql(bits, 2, idiv)}"
+    val dataChunk = s"'64617461' || ${leHexSql(textBytes, 4, idiv)} || $textHex"
+    val wav = s"'52494646' || ${leHexSql(s"36 + $textBytes", 4, idiv)} || " +
+      s"'57415645' || $fmtChunk || $dataChunk"
+    // half the WAVs (doc_id % 10 = 6) carry a 9-byte 'LIST'/INFO chunk
+    // (+1 RIFF pad byte — odd size exercises the even-padding hop)
+    // BETWEEN fmt and data, so the oracle-gated queries prove the
+    // chunk walk on non-canonical layouts in BOTH engines
+    val listChunk = "'4C495354' || '09000000' || '494E464F4752414658' || '00'"
+    val wavList = s"'52494646' || ${leHexSql(s"54 + $textBytes", 4, idiv)} || " +
+      s"'57415645' || $fmtChunk || $listChunk || $dataChunk"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
+       |     WHEN doc_id % 10 = 6 THEN $wavList
        |     WHEN doc_id % 5 = 1 THEN $wav
        |     ELSE $textHex END""".stripMargin
   }
@@ -179,23 +368,25 @@ object Media {
     val media = asContainerTable(graft.Tables.widen(docs))
     val h = hex(col("payload"))
     val bytes = regexp_extract_all(h, lit(".."), lit(0))
-    val withKind = media.select(
-      col("media_id"),
-      col("fmt"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      substring(h, 1, 16).as("header_hex"),
-      aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
-      size(filter(bytes, p =>
-        instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"),
-      h.as("h"))
+    // a payload is `wav` when the bounded chunk walk finds BOTH a
+    // complete `fmt ` payload and a `data` chunk — canonical 44-byte
+    // files resolve at steps 0/1, files with LIST/fact/cue  chunks in
+    // front of `data` resolve deeper; fields read at the WALKED
+    // offsets, not byte 22/24/34 constants
+    val withKind = withWalk(media.select(
+        col("media_id"),
+        col("fmt"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(h, 1, 16).as("header_hex"),
+        aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
+        size(filter(bytes, p =>
+          instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"),
+        h.as("h")))
       .withColumn("kind",
         when(col("h").isNull, lit(null).cast("string"))
           .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
             lit("bmp"))
-          .when(col("n_bytes") >= 44L && substring(col("h"), 1, 8) === "52494646" &&
-            substring(col("h"), 17, 8) === "57415645" &&
-            substring(col("h"), 25, 8) === "666D7420" &&
-            substring(col("h"), 73, 8) === "64617461", lit("wav"))
+          .when(col("fmt_off").isNotNull && col("data_off").isNotNull, lit("wav"))
           .otherwise(lit("raw")))
     withKind.select(
       col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
@@ -203,9 +394,9 @@ object Media {
       when(col("kind") === "bmp", leVal(col("h"), 18, 4)).as("width"),
       when(col("kind") === "bmp", leVal(col("h"), 22, 4)).as("height"),
       when(col("kind") === "bmp", leVal(col("h"), 28, 2)).as("bpp"),
-      when(col("kind") === "wav", leVal(col("h"), 22, 2)).as("channels"),
-      when(col("kind") === "wav", leVal(col("h"), 24, 4)).as("sample_rate"),
-      when(col("kind") === "wav", leVal(col("h"), 34, 2)).as("bits"))
+      when(col("kind") === "wav", col("wav_channels")).as("channels"),
+      when(col("kind") === "wav", col("wav_sample_rate")).as("sample_rate"),
+      when(col("kind") === "wav", col("wav_bits")).as("bits"))
   }
 
   /** Frame sampling: every `stride`-th complete `frameBytes`-byte block
@@ -290,8 +481,9 @@ object Media {
   /** FORMAT-AWARE audio frame extraction — [[frameSample]] with the
     * container actually decoded: for WAV payloads (and only those), the
     * sample frames of the `data` chunk at their true layout — frame
-    * size = channels·bits/8 read from the `fmt ` chunk, data at byte
-    * 44, every `stride`-th frame emitted with its SAMPLE-ACCURATE
+    * size = channels·bits/8 read from the WALKED `fmt ` chunk, data at
+    * its WALKED offset (byte 44 only in the canonical layout),
+    * every `stride`-th frame emitted with its SAMPLE-ACCURATE
     * timestamp `t_us = frame_idx·10⁶ div sample_rate`. This retires
     * the "sampling arithmetic is real, the format is not" caveat on
     * [[frameSample]]: here a frame boundary is where the codec says it
@@ -306,18 +498,16 @@ object Media {
     val media = asContainerTable(graft.Tables.widen(docs))
       .select(col("media_id"), hex(col("payload")).as("h"),
         length(col("payload")).cast("long").as("n_bytes"))
-    val isWav = col("n_bytes") >= 44L &&
-      substring(col("h"), 1, 8) === "52494646" &&
-      substring(col("h"), 17, 8) === "57415645" &&
-      substring(col("h"), 25, 8) === "666D7420" &&
-      substring(col("h"), 73, 8) === "64617461"
-    val counted = media.filter(isWav)
-      .select(col("media_id"), col("h"),
-        leVal(col("h"), 22, 2).as("channels"),
-        leVal(col("h"), 24, 4).as("sample_rate"),
-        leVal(col("h"), 34, 2).as("bits"),
-        leVal(col("h"), 40, 4).as("declared_len"),
-        (col("n_bytes") - 44L).as("avail_len"))
+    // WAV = chunk walk found fmt + data (canonical or chunk-padded);
+    // every header field reads at its WALKED offset
+    val counted = withWalk(media)
+      .filter(col("fmt_off").isNotNull && col("data_off").isNotNull)
+      .select(col("media_id"), col("h"), col("data_off"),
+        col("wav_channels").as("channels"),
+        col("wav_sample_rate").as("sample_rate"),
+        col("wav_bits").as("bits"),
+        col("data_len").as("declared_len"),
+        (col("n_bytes") - col("data_off")).as("avail_len"))
       .withColumn("frame_bytes", expr("(channels * bits) div 8L"))
       .filter(col("frame_bytes") >= 1L)
       .withColumn("n_frames",
@@ -325,7 +515,7 @@ object Media {
       .filter(col("n_frames") >= 1L)
     counted
       .select(col("media_id"), col("channels"), col("sample_rate"),
-        col("bits"), col("frame_bytes"), col("h"),
+        col("bits"), col("frame_bytes"), col("h"), col("data_off"),
         explode(sequence(lit(0L), col("n_frames") - 1L,
           lit(stride.toLong))).as("frame_idx"))
       .select(col("media_id"), col("channels"), col("sample_rate"),
@@ -335,7 +525,7 @@ object Media {
         expr("(frame_idx * 1000000L) div greatest(sample_rate, 1L)")
           .as("t_us"),
         col("h").substr(
-          (lit(89L) + col("frame_idx") * col("frame_bytes") * 2L)
+          (col("data_off") * 2L + 1L + col("frame_idx") * col("frame_bytes") * 2L)
             .cast("int"),
           (col("frame_bytes") * 2L).cast("int")).as("frame_hex"))
   }
@@ -349,18 +539,16 @@ object Media {
        |  FROM documents
        |), sized AS (
        |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
-       |), wav AS (
-       |  SELECT media_id, h,
-       |    CAST(${leValSql("h", 22, 2)} AS BIGINT) AS channels,
-       |    CAST(${leValSql("h", 24, 4)} AS BIGINT) AS sample_rate,
-       |    CAST(${leValSql("h", 34, 2)} AS BIGINT) AS bits,
-       |    CAST(${leValSql("h", 40, 4)} AS BIGINT) AS declared_len,
-       |    CAST(n_bytes - 44 AS BIGINT) AS avail_len
-       |  FROM sized
-       |  WHERE n_bytes >= 44 AND substring(h, 1, 8) = '52494646'
-       |    AND substring(h, 17, 8) = '57415645'
-       |    AND substring(h, 25, 8) = '666D7420'
-       |    AND substring(h, 73, 8) = '64617461'
+       |), ${walkCteSql("sized")},
+       |wav AS (
+       |  SELECT media_id, h, data_off,
+       |    CAST(${dynLeSql("fmt_off + 2", 2)} AS BIGINT) AS channels,
+       |    CAST(${dynLeSql("fmt_off + 4", 4)} AS BIGINT) AS sample_rate,
+       |    CAST(${dynLeSql("fmt_off + 14", 2)} AS BIGINT) AS bits,
+       |    CAST(data_len AS BIGINT) AS declared_len,
+       |    CAST(n_bytes - data_off AS BIGINT) AS avail_len
+       |  FROM walked
+       |  WHERE fmt_off IS NOT NULL AND data_off IS NOT NULL
        |), counted AS (
        |  SELECT *, least(declared_len, avail_len) // frame_bytes AS n_frames
        |  FROM (SELECT *, (channels * bits) // 8 AS frame_bytes FROM wav)
@@ -369,7 +557,7 @@ object Media {
        |SELECT media_id, channels, sample_rate, bits,
        |  CAST(u.f AS BIGINT) AS frame_idx,
        |  CAST((u.f * 1000000) // greatest(sample_rate, 1) AS BIGINT) AS t_us,
-       |  substring(h, CAST(89 + u.f * frame_bytes * 2 AS INT),
+       |  substring(h, CAST(data_off * 2 + 1 + u.f * frame_bytes * 2 AS INT),
        |    CAST(frame_bytes * 2 AS INT)) AS frame_hex
        |FROM counted, UNNEST(range(0, n_frames, $stride)) AS u(f)
        |ORDER BY media_id, channels, sample_rate, bits, frame_idx, t_us,
@@ -459,16 +647,16 @@ object Media {
        |  SELECT doc_id AS media_id, source AS fmt,
        |    ${containerHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
        |  FROM documents
-       |), hexed AS (
-       |  SELECT media_id, fmt, len(h) // 2 AS n_bytes, h,
+       |), sized AS (
+       |  SELECT media_id, fmt, len(h) // 2 AS n_bytes, h FROM media
+       |), ${walkCteSql("sized")},
+       |hexed AS (
+       |  SELECT *,
        |    CASE WHEN h IS NULL THEN NULL
-       |         WHEN len(h) // 2 >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
-       |         WHEN len(h) // 2 >= 44 AND substring(h, 1, 8) = '52494646'
-       |           AND substring(h, 17, 8) = '57415645'
-       |           AND substring(h, 25, 8) = '666D7420'
-       |           AND substring(h, 73, 8) = '64617461' THEN 'wav'
+       |         WHEN n_bytes >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
+       |         WHEN fmt_off IS NOT NULL AND data_off IS NOT NULL THEN 'wav'
        |         ELSE 'raw' END AS kind
-       |  FROM media
+       |  FROM walked
        |)
        |SELECT media_id, fmt,
        |  CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -484,9 +672,9 @@ object Media {
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)} END AS BIGINT) AS width,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)} END AS BIGINT) AS height,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)} END AS BIGINT) AS bpp,
-       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 22, 2)} END AS BIGINT) AS channels,
-       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 24, 4)} END AS BIGINT) AS sample_rate,
-       |  CAST(CASE WHEN kind = 'wav' THEN ${leValSql("h", 34, 2)} END AS BIGINT) AS bits
+       |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 2", 2)} END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 4", 4)} END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 14", 2)} END AS BIGINT) AS bits
        |FROM hexed
        |ORDER BY media_id, fmt, n_bytes, header_hex, byte_sum, n_hi_bytes,
        |  kind, width, height, bpp, channels, sample_rate, bits""".stripMargin

@@ -1121,7 +1121,19 @@ object Curation {
     * is the APPENDED DELTA summarized like [[trainingShardsReport]] —
     * the per-chunk (n_ids, ids_sum) a nightly run audits. The
     * cross-engine seam this gates is the frozen-merge encoding of a
-    * batch whose words the base may never have seen. */
+    * batch whose words the base may never have seen.
+    *
+    * NOTE this entry rebuilds the base artifact and re-learns the
+    * merges on every run BECAUSE it is the oracle demonstration of
+    * that seam — a production nightly does NEITHER: it persists the
+    * merge table once ([[TextAnalysis.bpeMerges]] → parquet), loads it
+    * with [[TextAnalysis.bpeRoundsFromMergeTable]], and calls
+    * [[trainingShardsAppend]] with the reloaded rounds, paying only
+    * the batch's encode + one shard write. CurationSpec's "nightly
+    * production path" test pins that path: the reloaded rounds' plans
+    * provably read ONLY the merge artifact (no base-corpus file source
+    * is reachable), and the persisted-table encode is bit-identical to
+    * the learned-rounds encode. */
   def trainingShardsIncr(corpusDocs: DataFrame, batchDocs: DataFrame,
       path: String, minQuality: Double = 0.5, budget: Long = 2048L,
       nShards: Int = 8, valPct: Int = 5, testPct: Int = 5,

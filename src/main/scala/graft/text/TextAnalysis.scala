@@ -88,7 +88,7 @@ object TextAnalysis {
 
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to")
 
-  private val langStop: Seq[(String, Seq[String])] = Seq(
+  private[text] val langStop: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "zu"),
     "en" -> stopwordsEn,
     "es" -> Seq("el", "los", "las", "y", "en"),
@@ -203,7 +203,7 @@ object TextAnalysis {
     * "grams"). Occurrences counted by length-difference after replace —
     * pure string ops with identical non-overlapping semantics in both
     * engines, no regex escaping concerns. */
-  private val langGrams: Seq[(String, Seq[String])] = Seq(
+  private[text] val langGrams: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("sch", "ei", "ch", "ung", "der"),
     "en" -> Seq("th", "ing", "he", "er", "and"),
     "es" -> Seq("ll", "ci", "os", "ar", "que"),

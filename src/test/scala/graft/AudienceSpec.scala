@@ -103,4 +103,25 @@ class AudienceSpec extends AnyFunSuite {
       .collect().head.getAs[scala.collection.Seq[Long]]("hs")
     assert(live === batch)
   }
+
+  test("merge theorem: shard-merged sketches are bit-identical to the whole-corpus build") {
+    // overlapping shards (users 100..199 in both), one saturated type
+    // (300 users > K), one type present ONLY in shard B — the full
+    // outer branch
+    val whole = Seq("p" -> (0L until 300L), "q" -> (50L until 90L))
+      .flatMap { case (t, us) => us.map(t -> _) } ++
+      (0L until 10L).map("only_b" -> _)
+    val shardA = whole.filter { case (t, u) => t != "only_b" && u % 3 != 0 }
+    val shardB = whole.filter { case (t, u) => t == "only_b" || u % 3 == 0 } ++
+      whole.filter { case (_, u) => u >= 100L && u < 200L } // re-arrivals
+    val merged = Audience.kmvExploded(Audience.kmvMerge(
+        Audience.kmvSketches(ev(shardA: _*)),
+        Audience.kmvSketches(ev(shardB: _*))))
+      .collect().map(_.toSeq).toSet
+    val direct = Audience.kmvExploded(Audience.kmvSketches(ev(whole: _*)))
+      .collect().map(_.toSeq).toSet
+    assert(merged === direct)
+    // saturation really engaged: type p holds exactly K ranks
+    assert(direct.count(_.head == "p") === Audience.KmvK)
+  }
 }

@@ -745,4 +745,58 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.sourceQuota(fixture, quota = 2).collect()
       .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
   }
+
+  test("nightly production path: append under a PERSISTED merge table never re-learns or re-scans the base corpus") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards_prod").toString
+    val mergesPath = java.nio.file.Files.createTempDirectory("graft_merges").toString
+    val batchPath = java.nio.file.Files.createTempDirectory("graft_batch").toString
+    Curation.trainingShards(d, path).count() // the once-ever base build
+    // the once-ever learn, PERSISTED: the ≤BpeRounds-row merge table is
+    // the tokenizer artifact a nightly run loads
+    val kept = Curation.corpusKeep(d).filter(col("keep")).select("doc_id")
+    val learned = graft.text.TextAnalysis.bpeMerges(d.join(kept, "doc_id"))
+    learned.write.mode("overwrite").parquet(mergesPath)
+    val persisted = spark.read.parquet(mergesPath)
+    // persist/reload fidelity: the reloaded table IS the learned one
+    assert(persisted.collect().map(_.toSeq).toSet ===
+      learned.collect().map(_.toSeq).toSet)
+    val rounds = graft.text.TextAnalysis.bpeRoundsFromMergeTable(persisted)
+    // plan-walk proof of "never re-learns": every frozen round's plan
+    // reads ONLY the merge artifact — no file source of the base
+    // corpus is reachable, so no append can re-scan or re-learn it
+    for (r <- rounds) {
+      val srcs = r.queryExecution.analyzed.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      assert(srcs.nonEmpty && srcs.forall(_.contains(mergesPath)),
+        s"frozen round reads outside the merge artifact: $srcs")
+    }
+    // the nightly batch arrives from its own source, NOT the corpus
+    d.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" nightlybatch")).as("text"))
+      .write.mode("overwrite").parquet(batchPath)
+    val batch = spark.read.parquet(batchPath)
+    val delta = Curation.trainingShardsAppend(batch, rounds, path, 9L)
+      .collect()
+    assert(delta.nonEmpty && delta.forall(_.getAs[Long]("shard") === 9L))
+    // and the frozen encode under the persisted table matches the
+    // in-memory learned rounds exactly (same merge table ⇒ same ids)
+    val viaLearned = graft.text.TextAnalysis.bpeDocIdsFromToksUnderRounds(
+        batch.select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks")),
+        graft.text.TextAnalysis.bpeRoundsFromMergeTable(learned))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("ids").toList).toMap
+    val assembled = delta.groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+      _.sortBy(_.getAs[Long]("chunk_id"))
+        .flatMap(_.getAs[scala.collection.Seq[Long]]("ids")).toList).toMap
+    assert(assembled === viaLearned)
+  }
 }

@@ -23,8 +23,12 @@ class GraphSqlSpec extends AnyFunSuite {
       // trees print identically (exprIds normalized), and on a mismatch
       // scalatest can diff strings where its reflective object differ
       // crashes invoking lazy plan internals
-      val sp = sqlDf.queryExecution.executedPlan.canonicalized.toString
-      val dp = dfDf.queryExecution.executedPlan.canonicalized.toString
+      // plan_id is a per-plan-construction counter stamped into the
+      // Exchange toString that canonicalization does NOT normalize —
+      // mask it (structure, partitioning, and expressions stay strict)
+      val mask = (s: String) => s.replaceAll("plan_id=\\d+", "plan_id=*")
+      val sp = mask(sqlDf.queryExecution.executedPlan.canonicalized.toString)
+      val dp = mask(dfDf.queryExecution.executedPlan.canonicalized.toString)
       assert(sp === dp,
         s"$name: SQL plan differs from the DataFrame plan\n--- sql ---\n$sp\n--- df ---\n$dp")
       assert(sqlDf.collect().toSeq === dfDf.collect().toSeq,

@@ -79,7 +79,33 @@ class MediaSpec extends AnyFunSuite {
     assert(w.getAs[Long]("channels") === 1L)
     assert(w.getAs[Long]("sample_rate") === 8000L)
     assert(w.getAs[Long]("bits") === 8L)
-    assert(w.getAs[Long]("n_bytes") === 44L + 7L)
+    // doc 6 (% 10 = 6) synthesizes the LIST-chunk layout: canonical 44
+    // + 18 chunk bytes (8 hdr + 9 payload + 1 pad) before data — the
+    // declarative walk must STILL classify and read fields correctly
+    assert(w.getAs[Long]("n_bytes") === 44L + 18L + 7L)
+  }
+
+  test("golden: realDecode walks LIST and fact chunks in front of fmt and data") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    val list = "LIST".getBytes("US-ASCII") ++ le(9, 4) ++
+      "INFOGRAFX".getBytes("US-ASCII") ++ Array[Byte](0) // odd size → pad
+    val fact = "fact".getBytes("US-ASCII") ++ le(4, 4) ++ le(1, 4)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++
+      le(2, 2) ++ le(44100, 4) ++ le(44100L * 4, 4) ++ le(4, 2) ++ le(16, 2)
+    val data = "data".getBytes("US-ASCII") ++ le(4, 4) ++ Array[Byte](1, 2, 3, 4)
+    val body = list ++ fact ++ fmt ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(4L + body.length, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val d = Media.realDecode(graft.multimodal.MediaRow(9L, wav, "f"))
+    // a canonical-offset parse would read garbage out of the LIST
+    // payload (or classify raw); the walk finds fmt at chunk #2
+    assert(d.kind === Some("wav"))
+    assert((d.channels, d.sample_rate, d.bits) ===
+      ((Some(2L), Some(44100L), Some(16L))))
+    // truncating mid-walk (inside the fact chunk) degrades to raw
+    val cut = Media.realDecode(graft.multimodal.MediaRow(10L, wav.take(48), "f"))
+    assert(cut.kind === Some("raw") && cut.channels.isEmpty)
   }
 
   test("typed mapPartitions decoder agrees with the expression plan row-for-row") {
