@@ -929,6 +929,10 @@ object SparkEntry {
       "pii_scrub" -> overDocs(_ => TextSql.piiScrubSparkSql),
       "corpus_histogram" -> overDocs(TextSql.corpusHistogramSparkSql),
       "text_normalize" -> overDocs(TextSql.textNormalizeSparkSql),
+      "token_profile" -> overDocs(_ => TextSql.tokenProfileSparkSql),
+      "doc_fingerprint" -> overDocs(TextSql.fingerprintsSparkSql),
+      "corpus_stats" -> overDocs(_ => TextSql.corpusStatsSparkSql),
+      "source_quality" -> overDocs(TextSql.sourceQualitySparkSql),
       "edge_count" -> over(GraphSql.edgeCountSql(Some(CensusMax))),
       "exact_2hop" -> over(GraphSql.twoHopCountSql(None)),
       "approx_2hop" -> over(GraphSql.twoHopCountSql(Some(PathMax))),

@@ -151,6 +151,15 @@ object GraphPatterns {
     * re-enters int64 where the per-node bound (total mass / 1) keeps it
     * exact.
     *
+    * Widening cost AUDITED (round-10 directive #8): 5 rounds at sf0.1
+    * local[32], decimal vs a bare-int64 spelling of the same loop,
+    * 3 timed repetitions — gaps 0.17 s / 0.33 s / −0.04 s, i.e. ~0.2 s
+    * median inside ambient spread. An int64 fast path gated on a
+    * per-round max-mass precheck would add one scalar aggregate per
+    * round AND a per-round branch to the oracle's unrolled CTE chain —
+    * complexity priced well above the ~0.2 s it could recover, so the
+    * unconditional decimal spelling stays.
+    *
     * Scale shape: the per-round work is ONE equi-join of the rank
     * relation against the checkpointed (src, dst, w, od) contribution
     * edges on `src` plus ONE partial-aggregated shuffle on `dst` —

@@ -158,6 +158,68 @@ object TextSql {
        |GROUP BY lang, band_lo""".stripMargin
   }
 
+  /** Spark-SQL twin of [[TextAnalysis.tokenProfile]]. */
+  def tokenProfileSparkSql: String =
+    s"""SELECT doc_id, n_alpha_tokens, n_num_tokens, n_sym_tokens,
+       |  n_alpha_tokens + n_num_tokens + n_sym_tokens AS n_bpe_tokens
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT) AS n_alpha_tokens,
+       |    CAST(regexp_count(text, '[0-9]+') AS BIGINT) AS n_num_tokens,
+       |    CAST(regexp_count(lower(text), ${q(TextAnalysis.SymRe)}) AS BIGINT) AS n_sym_tokens
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Spark-SQL twin of [[TextAnalysis.fingerprints]]. */
+  def fingerprintsSparkSql(w: Option[Int]): String = {
+    val powArr = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L)"
+    val P = graft.functions.PortableHash.P
+    s"""SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), ${q(TextAnalysis.WsRunRe)}, ' '))) AS fp_md5,
+       |  aggregate(
+       |    tok_hashes_of_text(text),
+       |    struct(0L AS pos, 0L AS acc),
+       |    (acc, x) -> struct(
+       |      acc.pos + 1L AS pos,
+       |      (acc.acc + ((x % 1000000L) * element_at($powArr,
+       |        CAST((acc.pos % 6) + 1 AS INT)) % ${P}L)) % ${P}L AS acc),
+       |    acc -> acc.acc) AS fp_rolling
+       |FROM ${wide(w)}""".stripMargin
+  }
+
+  /** Spark-SQL twin of [[TextAnalysis.corpusStats]]. */
+  def corpusStatsSparkSql: String =
+    s"""SELECT lang, source, n_docs, total_tokens, total_chars,
+       |  n_distinct_docs, n_docs - n_distinct_docs AS n_dup_docs
+       |FROM (
+       |  SELECT lang, source, count(1) AS n_docs, sum(n_toks) AS total_tokens,
+       |    sum(n_chars) AS total_chars, count(DISTINCT fp) AS n_distinct_docs
+       |  FROM (
+       |    SELECT lang, source,
+       |      CAST(size(${toksOf("text")}) AS BIGINT) AS n_toks,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      md5(trim(regexp_replace(lower(text), ${q(TextAnalysis.WsRunRe)}, ' '))) AS fp
+       |    FROM documents
+       |  )
+       |  GROUP BY lang, source
+       |)""".stripMargin
+
+  /** Spark-SQL twin of [[TextAnalysis.sourceQuality]]. */
+  def sourceQualitySparkSql(w: Option[Int]): String = {
+    val wArr = TextAnalysis.ClassifierWeights.map(_ + "L").mkString("array(", ", ", ")")
+    val margin = s"coalesce(aggregate(tok_hashes_of_text(text), 0L, (acc, x) -> " +
+      s"acc + element_at($wArr, CAST(x % ${TextAnalysis.ClassifierFeatures} AS INT) + 1)), 0L)"
+    s"""SELECT source, n_docs, n_keep,
+       |  n_keep / n_docs AS keep_frac, sum_margin / n_docs AS mean_margin
+       |FROM (
+       |  SELECT source, count(1) AS n_docs,
+       |    sum(CASE WHEN margin > 0L THEN 1L ELSE 0L END) AS n_keep,
+       |    sum(margin) AS sum_margin
+       |  FROM (SELECT source, $margin AS margin FROM ${wide(w)})
+       |  GROUP BY source
+       |)""".stripMargin
+  }
+
   /** Spark-SQL twin of [[Pii.piiScrub]]. */
   def piiScrubSparkSql: String = {
     val vc = s"filter(regexp_extract_all(text, ${q(Pii.CardRe)}, 0), x -> luhn_valid(x))"
