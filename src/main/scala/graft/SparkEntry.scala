@@ -360,6 +360,17 @@ object SparkEntry {
       TextAnalysis.corpusHistogram(graft.Tables.documents(s, dir))),
     // Per-source classifier rollup: pass counts + mean margin, the
     // curation dashboard; map-side scoring, one source-key shuffle.
+    // ---- mixture planning: weighted token allocation + sampling ----
+    // One-shot plan: per-source target share, achieving rate, shortfall.
+    "corpus_mix_plan" -> ((s, dir) =>
+      graft.text.Mixture.mixPlan(graft.Tables.documents(s, dir))),
+    // Exact weighted water-filling: undersized sources cap at their
+    // inventory, unused share re-flows by weight (fixed driver rounds).
+    "corpus_mix_waterfill" -> ((s, dir) =>
+      graft.text.Mixture.mixWaterfill(graft.Tables.documents(s, dir))),
+    // Deterministic hash-gate sampling audit: achieved vs expected.
+    "corpus_mix_sample" -> ((s, dir) =>
+      graft.text.Mixture.mixSample(graft.Tables.documents(s, dir))),
     "source_quality" -> ((s, dir) =>
       TextAnalysis.sourceQuality(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
@@ -933,6 +944,18 @@ object SparkEntry {
       "doc_fingerprint" -> overDocs(TextSql.fingerprintsSparkSql),
       "corpus_stats" -> overDocs(_ => TextSql.corpusStatsSparkSql),
       "source_quality" -> overDocs(TextSql.sourceQualitySparkSql),
+      // dedup domain: the exact-duplicate clusterings (checkpoint-free)
+      "exact_dup_clusters" -> overDocs(_ => TextSql.exactDupClustersSparkSql),
+      "exact_dup_clusters_norm" ->
+        overDocs(_ => TextSql.exactDupClustersNormSparkSql),
+      // ML domain: the embedding-corpus health rollup over a
+      // registered embeddings view
+      "embed_norm_stats" -> ((s, dir) => {
+        val emb = graft.Tables.embeddings(s, dir)
+        emb.createOrReplaceTempView("embeddings")
+        s.sql(graft.ml.Similarity.embedNormStatsSparkSql(
+          graft.Tables.widenFactor(emb)))
+      }),
       "edge_count" -> over(GraphSql.edgeCountSql(Some(CensusMax))),
       "exact_2hop" -> over(GraphSql.twoHopCountSql(None)),
       "approx_2hop" -> over(GraphSql.twoHopCountSql(Some(PathMax))),
@@ -1064,6 +1087,9 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.textNormalizeSql,
     "corpus_histogram" -> TextAnalysis.corpusHistogramSql,
     "source_quality" -> TextAnalysis.sourceQualitySql,
+    "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
+    "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
+    "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "exact_dup_clusters_norm" -> Dedup.exactDupClustersNormSql,
     "minhash_bands" -> Dedup.minhashBandsSql,

@@ -237,6 +237,30 @@ object Similarity {
       .groupBy("n_dims", "norm2_band").agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** SPARK-SQL twin of [[embedNormStats]] (the plan-equality SQL entry
+    * surface, `SparkEntry.sqlQueries`) — the quantize/dot/band chain
+    * over a registered `embeddings` view, with the widen repartition
+    * mirrored as a hint and the native `dot_of_quantized` called by
+    * its registered name. */
+  def embedNormStatsSparkSql(w: Option[Int]): String = {
+    val src = w.map(n => s"(SELECT /*+ REPARTITION($n) */ * FROM embeddings)")
+      .getOrElse("embeddings")
+    s"""SELECT n_dims, norm2_band, count(1) AS n_vecs
+       |FROM (
+       |  SELECT n_dims, ${normBandSql("nrm2")} AS norm2_band
+       |  FROM (
+       |    SELECT CAST(size(qv) AS BIGINT) AS n_dims,
+       |      dot_of_quantized(qv, qv) AS nrm2
+       |    FROM (
+       |      SELECT vec_id,
+       |        transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * ${QScale}D)) AS qv
+       |      FROM $src
+       |    )
+       |  )
+       |)
+       |GROUP BY n_dims, norm2_band""".stripMargin
+  }
+
   /** Oracle twin of [[embedNormStats]]. NULL discipline mirrored from
     * Spark explicitly: Spark's dot NULL-propagates on a NULL coordinate
     * and a NULL vector, and folds an EMPTY vector to 0, where DuckDB's

@@ -220,6 +220,28 @@ object TextSql {
        |)""".stripMargin
   }
 
+  private def normMd5SparkSql(t: String): String =
+    s"md5(trim(regexp_replace(lower($t), ${q(TextAnalysis.WsRunRe)}, ' ')))"
+
+  private def dupClustersOver(fp: String): String =
+    s"""SELECT fp_md5, cluster_size, keeper_doc_id,
+       |  cluster_size - 1L AS n_dups
+       |FROM (
+       |  SELECT fp_md5, count(1) AS cluster_size, min(doc_id) AS keeper_doc_id
+       |  FROM (SELECT doc_id, $fp AS fp_md5 FROM documents)
+       |  GROUP BY fp_md5
+       |)""".stripMargin
+
+  /** Spark-SQL twin of [[Dedup.exactDupClusters]]. */
+  def exactDupClustersSparkSql: String =
+    dupClustersOver(normMd5SparkSql("text"))
+
+  /** Spark-SQL twin of [[Dedup.exactDupClustersNorm]] (the accent-folded
+    * dedup key — `fold_marks` by registered name). */
+  def exactDupClustersNormSparkSql: String =
+    dupClustersOver(
+      s"md5(trim(regexp_replace(fold_marks(lower(text)), ${q(TextAnalysis.WsRunRe)}, ' ')))")
+
   /** Spark-SQL twin of [[Pii.piiScrub]]. */
   def piiScrubSparkSql: String = {
     val vc = s"filter(regexp_extract_all(text, ${q(Pii.CardRe)}, 0), x -> luhn_valid(x))"

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Mixture
+
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+
+  /** n tokens of one char each. */
+  def toks(n: Int): String = Seq.fill(n)("t").mkString(" ")
+
+  lazy val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("mixPlan invariants: rates capped, expected <= target, shortfall exact") {
+    val out = Mixture.mixPlan(fixture).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (t, target, rate, exp, short) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("rate_millionths"),
+        r.getAs[Long]("expected_tokens"), r.getAs[Long]("shortfall_tokens"))
+      assert(rate >= 0L && rate <= 1000000L)
+      assert(exp <= target && exp <= t)
+      assert(short === math.max(target - exp, 0L))
+      // a capped source is exactly the one with inventory below target
+      if (rate === 1000000L) assert(t <= target)
+    }
+  }
+
+  test("waterfill golden: tiny source saturates, re-flow lands on the big one") {
+    // two sources; weights are hash-derived, so read them back and
+    // assert the closed form: alloc_small = T_small (saturates when
+    // its inventory is far below any share), alloc_big = the final
+    // fair share (rem * w_big) div w_big = rem
+    val small = (1L to 3L).map(i => (i, toks(10), "alpha"))
+    val big = (10L to 19L).map(i => (i, toks(500), "beta"))
+    val out = Mixture.mixWaterfill(docs(small ++ big: _*), budget = 2000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val tSmall = out("alpha").getAs[Long]("total_tokens")
+    assert(tSmall === 30L)
+    assert(out("beta").getAs[Long]("total_tokens") === 5000L)
+    // alpha's 30 tokens sit far below any share of 2000 → saturates
+    assert(out("alpha").getAs[Long]("alloc_tokens") === 30L)
+    // beta takes the whole remainder (sole unsaturated source)
+    assert(out("beta").getAs[Long]("alloc_tokens") === 2000L - 30L)
+    assert(out("beta").getAs[Long]("rate_millionths") ===
+      (1970L * 1000000L) / 5000L)
+  }
+
+  test("waterfill ≡ one-shot targets when nothing saturates") {
+    // budget far below every inventory → round 1 saturates nobody and
+    // the final fair share IS the plan's weighted target, exactly
+    val plan = Mixture.mixPlan(fixture, budget = 100L).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    val wf = Mixture.mixWaterfill(fixture, budget = 100L).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(wf === plan)
+  }
+
+  test("waterfill: fixture saturates sources at the default budget and has converged") {
+    val at8 = Mixture.mixWaterfill(fixture).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("alloc_tokens"))).toSet
+    val at9 = Mixture.mixWaterfill(fixture, rounds = 9).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("alloc_tokens"))).toSet
+    assert(at8 === at9, "one more round must be a no-op (converged)")
+    val rows = Mixture.mixWaterfill(fixture).collect()
+    val saturated = rows.count(r =>
+      r.getAs[Long]("alloc_tokens") === r.getAs[Long]("total_tokens"))
+    assert(saturated >= 1, "default budget must exercise the saturation branch")
+    assert(saturated < rows.length, "and must leave survivors to re-flow into")
+    // allocation never exceeds inventory, and the total stays in budget
+    assert(rows.forall(r =>
+      r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("total_tokens")))
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= Mixture.MixBudget)
+  }
+
+  test("mixSample: deterministic, bounded by inventory, tracks expectation") {
+    val a = Mixture.mixSample(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"))).toMap
+    val b = Mixture.mixSample(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"))).toMap
+    assert(a === b, "the hash gate must keep the same documents every run")
+    val inv = Mixture.mixPlan(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toMap
+    for ((s, (dk, tk)) <- a) {
+      assert(dk <= inv(s)._1 && tk <= inv(s)._2)
+    }
+    // a saturated source (rate 10⁶) keeps EVERYTHING — exact, not approximate
+    val rates = Mixture.mixPlan(fixture).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_millionths")).toMap
+    for ((s, rate) <- rates if rate == 1000000L)
+      assert(a(s) === inv(s), s"saturated source $s must keep all docs")
+  }
+}
