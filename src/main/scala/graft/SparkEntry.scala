@@ -371,6 +371,16 @@ object SparkEntry {
     // Deterministic hash-gate sampling audit: achieved vs expected.
     "corpus_mix_sample" -> ((s, dir) =>
       graft.text.Mixture.mixSample(graft.Tables.documents(s, dir))),
+    // Inventory merge theorem as the incremental gate: plan over
+    // inventory(corpus) ⊕ inventory(shard) hash-matches the
+    // whole-corpus plan.
+    "incremental_mix_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.text.Mixture.incrementalMixPlan(
+        docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     "source_quality" -> ((s, dir) =>
       TextAnalysis.sourceQuality(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
@@ -1090,6 +1100,7 @@ object SparkEntry {
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
     "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),
+    "incremental_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "exact_dup_clusters" -> Dedup.exactDupClustersSql,
     "exact_dup_clusters_norm" -> Dedup.exactDupClustersNormSql,
     "minhash_bands" -> Dedup.minhashBandsSql,

@@ -82,15 +82,47 @@ object Mixture {
        |    CAST(${weightSqlOf("source")} AS BIGINT) AS weight
        |  FROM documents GROUP BY source""".stripMargin
 
+  /** Merge two per-source inventories — the incremental face's core:
+    * doc and token counts are SUMS (mergeable by construction), and
+    * the weight is a pure function of the source name, so
+    * inventory(A) ⊕ inventory(B) = inventory(A ∪ B) EXACTLY for any
+    * row split. FULL OUTER on source so a single-shard source
+    * survives with its own counts. */
+  def inventoryMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("source"), col("n_docs").as("da"), col("total_tokens").as("ta"))
+      .join(b.select(col("source"), col("n_docs").as("db"),
+        col("total_tokens").as("tb")), Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("n_docs"),
+        (coalesce(col("ta"), lit(0L)) + coalesce(col("tb"), lit(0L))).as("total_tokens"))
+      .withColumn("weight", weightOf(col("source")))
+
+  /** Incremental face: plan from inventory(corpus shard) ⊕
+    * inventory(nightly shard) — must hash-match the whole-corpus
+    * [[mixPlan]] (the merge theorem above; the incremental_cms/
+    * incremental_kmv discipline). A production nightly persists the
+    * corpus inventory (a ≤|sources|-row artifact) and only ever
+    * tokenizes the new batch. */
+  def incrementalMixPlan(shardA: DataFrame, shardB: DataFrame,
+      budget: Long = MixBudget): DataFrame =
+    mixPlanFromInventory(
+      inventoryMerge(inventory(shardA), inventory(shardB)), budget)
+
   /** One-shot mixture plan: target_s = budget·w_s div Σw; the rate
     * that achieves it capped at 10⁶ (a source cannot yield more than
     * itself); shortfall = what the cap cost. Single rollup + one 1-row
     * broadcast scalar attach. */
-  def mixPlan(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
+  def mixPlan(docs: DataFrame, budget: Long = MixBudget): DataFrame =
+    mixPlanFromInventory(inventory(docs), budget)
+
+  /** [[mixPlan]] over a caller-supplied inventory relation (the
+    * persisted-artifact path [[incrementalMixPlan]] rides). */
+  def mixPlanFromInventory(inventory: DataFrame,
+      budget: Long = MixBudget): DataFrame = {
     // checkpoint makes `k` a real column (the graph_summary discipline:
     // a foldable literal key constant-folds the attach into the
     // BroadcastNestedLoopJoin the plan audit forbids)
-    val inv = inventory(docs).withColumn("k", lit(1)).localCheckpoint()
+    val inv = inventory.withColumn("k", lit(1)).localCheckpoint()
     val tot = inv.groupBy("k").agg(sum("weight").as("w_sum"))
     inv.join(broadcast(tot), Seq("k"))
       .select(col("source"), col("n_docs"), col("total_tokens"), col("weight"),

@@ -79,6 +79,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= Mixture.MixBudget)
   }
 
+  test("merge theorem: shard-merged inventory plan is bit-identical to the whole-corpus plan") {
+    // overlapping sources across shards (row split, not source split) +
+    // a shard-B-only source exercising the full outer branch
+    val whole = (1L to 40L).map(i =>
+      (i, toks(5 + (i % 7).toInt), s"s${i % 3}")) ++
+      (100L to 104L).map(i => (i, toks(20), "only_b"))
+    val shardA = whole.filter { case (id, _, s) => s != "only_b" && id % 2 == 0 }
+    val shardB = whole.filterNot(shardA.contains)
+    val merged = Mixture.incrementalMixPlan(docs(shardA: _*), docs(shardB: _*))
+      .collect().map(_.toSeq).toSet
+    val direct = Mixture.mixPlan(docs(whole: _*)).collect().map(_.toSeq).toSet
+    assert(merged === direct)
+  }
+
   test("mixSample: deterministic, bounded by inventory, tracks expectation") {
     val a = Mixture.mixSample(fixture).collect()
       .map(r => r.getAs[String]("source") ->
