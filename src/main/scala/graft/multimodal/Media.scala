@@ -342,11 +342,17 @@ object Media {
     // half the WAVs (doc_id % 10 = 6) carry a 9-byte 'LIST'/INFO chunk
     // (+1 RIFF pad byte — odd size exercises the even-padding hop)
     // BETWEEN fmt and data, so the oracle-gated queries prove the
-    // chunk walk on non-canonical layouts in BOTH engines
+    // chunk walk on non-canonical layouts in BOTH engines; a quarter of
+    // those (doc_id % 20 = 16) ALSO carry an 8-byte 'fact' chunk after
+    // the LIST, pushing data to walk step 3 of the 6-step bound
     val listChunk = "'4C495354' || '09000000' || '494E464F4752414658' || '00'"
+    val factChunk = "'66616374' || '04000000' || '01000000'"
     val wavList = s"'52494646' || ${leHexSql(s"54 + $textBytes", 4, idiv)} || " +
       s"'57415645' || $fmtChunk || $listChunk || $dataChunk"
+    val wavListFact = s"'52494646' || ${leHexSql(s"66 + $textBytes", 4, idiv)} || " +
+      s"'57415645' || $fmtChunk || $listChunk || $factChunk || $dataChunk"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
+       |     WHEN doc_id % 20 = 16 THEN $wavListFact
        |     WHEN doc_id % 10 = 6 THEN $wavList
        |     WHEN doc_id % 5 = 1 THEN $wav
        |     ELSE $textHex END""".stripMargin
