@@ -369,6 +369,15 @@ object Media {
         "octet_length(text)", "div"))).as("payload"),
       col("source").as("fmt"),
       struct(col("n_chars"), col("lang")).as("meta"))
+      // checkpoint: the synthesis CASE is past janino's 64 KB method
+      // limit, so its stage cannot whole-stage-compile — and without a
+      // barrier, project collapse inlines the expression into every
+      // downstream consumer (media_features evaluates it 4+ times per
+      // row, interpreted). Materializing the payload once bounds the
+      // fallback to a single pass and keeps every consumer stage
+      // codegen-clean. Real deployments read payloads from storage;
+      // this cost is fixture-synthesis-only.
+      .localCheckpoint()
 
   def mediaFeatures(docs: DataFrame): DataFrame = {
     val media = asContainerTable(graft.Tables.widen(docs))
