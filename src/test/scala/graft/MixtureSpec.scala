@@ -91,6 +91,42 @@ class MixtureSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     val direct = Mixture.mixPlan(docs(whole: _*)).collect().map(_.toSeq).toSet
     assert(merged === direct)
+    // and the waterfill rides the same theorem through its inventory face
+    val wfMerged = Mixture.mixWaterfillFromInventory(
+        Mixture.inventoryMerge(
+          Mixture.inventoryOf(docs(shardA: _*)),
+          Mixture.inventoryOf(docs(shardB: _*))),
+        budget = 150L)
+      .collect().map(_.toSeq).toSet
+    val wfDirect = Mixture.mixWaterfill(docs(whole: _*), budget = 150L)
+      .collect().map(_.toSeq).toSet
+    assert(wfMerged === wfDirect)
+  }
+
+  test("inventory streams: complete-mode micro-batches equal the batch rollup") {
+    // the mixture family's stream face: the per-source inventory is a
+    // plain streamable count/sum aggregate (weight is per-row), so a
+    // live mixture plan can sit on a complete-mode inventory — pinned
+    // against the batch build across two triggers with source overlap
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = (1L to 30L).map(i => (i, toks(3 + (i % 5).toInt), s"s${i % 2}"))
+    val b2 = (31L to 50L).map(i => (i, toks(7), s"s${i % 3}"))
+    val src = MemoryStream[(Long, String, String)]
+    val name = s"mix_inv_${System.nanoTime()}"
+    val q = Mixture.inventoryOf(src.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = Mixture.inventoryOf(docs(b1 ++ b2: _*)).collect()
+      .map(_.toSeq).toSet
+    assert(live === batch)
   }
 
   test("mixSample: deterministic, bounded by inventory, tracks expectation") {
