@@ -143,7 +143,10 @@ object Media {
     (0 until nBytes).map { k =>
       val p = (byteOff + k) * 2 + 1
       s"((strpos('0123456789ABCDEF', substring($h, $p, 1)) - 1) * 16 + " +
-        s"(strpos('0123456789ABCDEF', substring($h, ${p + 1}, 1)) - 1)) * ${1L << (8 * k)}"
+        s"(strpos('0123456789ABCDEF', substring($h, ${p + 1}, 1)) - 1)) * " +
+        // CAST keeps the positional multiply in int64 (the dynLeSql
+        // high-byte overflow, DuckDB spelling)
+        s"CAST(${1L << (8 * k)} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
   /** Hex spelling of `v`'s little-endian `nBytes` bytes — SQL shared by
@@ -175,13 +178,18 @@ object Media {
   private val HexData = "64617461" // 'data'
 
   /** Little-endian read at a DYNAMIC byte offset (`off` is a SQL
-    * expression over prior columns, not a constant) of hex column `h`. */
+    * expression over prior columns, not a constant) of hex column `h`.
+    * The positional multiplier is CAST to BIGINT: an INT multiply
+    * overflows under ANSI the moment a size field carries a high byte
+    * (byte value 255 at position 3 is 255·2²⁴ > 2³¹ — any chunk past
+    * 16 MB), which the random-layout walk property caught. */
   private def dynLeSql(off: String, nBytes: Int): String =
     (0 until nBytes).map { k =>
       val hiP = s"CAST((($off) + $k) * 2 + 1 AS INT)"
       val loP = s"CAST((($off) + $k) * 2 + 2 AS INT)"
       s"((instr('0123456789ABCDEF', substring(h, $hiP, 1)) - 1) * 16 + " +
-        s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1)) * ${1L << (8 * k)}"
+        s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1)) * " +
+        s"CAST(${1L << (8 * k)} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
   /** Walk entry: byte 12 for RIFF/WAVE payloads, NULL otherwise. */
@@ -274,6 +282,15 @@ object Media {
     * fold — including the `fmt ` field reads in the finish lambda —
     * evaluates exactly ONCE per row, instead of once per consuming
     * expression after project collapse. */
+  /** Test seam: the declarative walk over an arbitrary payload frame —
+    * what lets MediaSpec cross-check the SQL fold against the
+    * imperative [[realDecode]] walk on RANDOM chunk layouts, not just
+    * the fixture shapes. */
+  private[graft] def walkColumns(payloads: DataFrame): DataFrame =
+    withWalk(payloads.select(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")))
+
   private def withWalk(df: DataFrame): DataFrame =
     df.withColumn("wk", expr(walkAggSql)).localCheckpoint()
       .withColumn("fmt_off", col("wk.fmt_off"))

@@ -67,6 +67,8 @@ object Mixture {
 
   /** Per-source inventory: docs, tokens, weight — the rollup every
     * face shares. */
+  private[graft] def inventoryOf(docs: DataFrame): DataFrame = inventory(docs)
+
   private def inventory(docs: DataFrame): DataFrame =
     graft.Tables.widen(docs)
       .select(col("source"),
@@ -166,9 +168,17 @@ object Mixture {
     * broadcast; the state relation is |sources| rows, checkpointed per
     * round. */
   def mixWaterfill(docs: DataFrame, budget: Long = MixBudget,
-      rounds: Int = WaterfillRounds): DataFrame = {
-    require(rounds >= 1, s"mixWaterfill needs rounds >= 1 (got $rounds)")
-    var st = inventory(docs)
+      rounds: Int = WaterfillRounds): DataFrame =
+    mixWaterfillFromInventory(inventory(docs), budget, rounds)
+
+  /** [[mixWaterfill]] over a caller-supplied inventory relation — the
+    * persisted-artifact path (pairs with [[mixPlanFromInventory]] /
+    * [[inventoryMerge]]: a nightly merges the shard inventory in and
+    * re-fills without touching the corpus). */
+  def mixWaterfillFromInventory(inventory: DataFrame,
+      budget: Long = MixBudget, rounds: Int = WaterfillRounds): DataFrame = {
+    require(rounds >= 1, s"mixWaterfillFromInventory needs rounds >= 1 (got $rounds)")
+    var st = inventory
       .select(col("source"), col("n_docs"), col("total_tokens"), col("weight"),
         lit(null).cast("long").as("alloc"))
       .withColumn("k", lit(1)).localCheckpoint()
@@ -253,13 +263,20 @@ object Mixture {
     * and cluster sizes all keep the same documents; token achievement
     * tracks expectation to within per-doc granularity. */
   def mixSample(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
-    val rates = mixPlan(docs, budget)
-      .select(col("source"), col("rate_millionths"), col("expected_tokens"))
-      .localCheckpoint()
-    graft.Tables.widen(docs)
+    // ONE tokenize pass feeds both the plan's inventory and the gate
+    // (the corpusKeep shared-tokenize discipline): the checkpointed
+    // (source, doc_id, n) relation is the only text-priced scan
+    val t = graft.Tables.widen(docs)
       .select(col("source"), col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
-      .join(broadcast(rates), Seq("source"))
+      .localCheckpoint()
+    val inv = t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+      .withColumn("weight", weightOf(col("source")))
+    val rates = mixPlanFromInventory(inv, budget)
+      .select(col("source"), col("rate_millionths"), col("expected_tokens"))
+      .localCheckpoint()
+    t.join(broadcast(rates), Seq("source"))
       .filter(pmod(PortableHash.permHash(col("doc_id"), hA, hB), lit(1000000L))
         < col("rate_millionths"))
       .groupBy("source")

@@ -85,6 +85,71 @@ class MediaSpec extends AnyFunSuite {
     assert(w.getAs[Long]("n_bytes") === 44L + 18L + 7L)
   }
 
+  test("property: declarative walk ≡ imperative walk on random chunk soups") {
+    // two INDEPENDENT implementations of the bounded RIFF walk — the
+    // SQL aggregate fold and realDecode's loop — must agree on wav
+    // classification and fmt fields for arbitrary chunk sequences:
+    // junk ids, odd sizes (pad hop), fmt after data, runts, missing
+    // chunks, declared sizes overrunning the payload, and truncations
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    val rnd = new scala.util.Random(31)
+    def fmtChunk(): Array[Byte] = {
+      val ch = 1 + rnd.nextInt(4); val rate = 4000 + rnd.nextInt(50000)
+      val bits = Seq(8, 16, 24)(rnd.nextInt(3))
+      "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++
+        le(rate, 4) ++ le(rate.toLong * ch * bits / 8, 4) ++
+        le(ch * bits / 8, 2) ++ le(bits, 2)
+    }
+    def randomChunk(): Array[Byte] = rnd.nextInt(6) match {
+      case 0 => fmtChunk()
+      case 1 =>
+        val n = rnd.nextInt(12)
+        "data".getBytes("US-ASCII") ++ le(n, 4) ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte) ++
+          (if (n % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      case 2 =>
+        val n = rnd.nextInt(15)
+        "LIST".getBytes("US-ASCII") ++ le(n, 4) ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte) ++
+          (if (n % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      case 3 => "fact".getBytes("US-ASCII") ++ le(4, 4) ++ le(1, 4)
+      case 4 => // short fmt : size < 16 must NOT be trusted
+        "fmt ".getBytes("US-ASCII") ++ le(6, 4) ++ Array.fill[Byte](6)(1)
+      case _ => // junk id with a size that may overrun the payload
+        "J@nk".getBytes("US-ASCII") ++ le(rnd.nextInt(40), 4) ++
+          Array.fill[Byte](rnd.nextInt(8))(7)
+    }
+    val payloads: Seq[(Long, Array[Byte])] = (0 until 200).map { i =>
+      val body = (0 until rnd.nextInt(8)).flatMap(_ => randomChunk()).toArray
+      val full = "RIFF".getBytes("US-ASCII") ++ le(4L + body.length, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ body
+      val cut = if (rnd.nextInt(4) == 0 && full.length > 8)
+        full.take(8 + rnd.nextInt(full.length - 8)) else full
+      (i.toLong, cut)
+    }
+    import spark.implicits._
+    val declared = graft.multimodal.Media.walkColumns(
+        payloads.toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((Option(r.getAs[java.lang.Long]("fmt_off")).isDefined &&
+            Option(r.getAs[java.lang.Long]("data_off")).isDefined),
+          Option(r.getAs[java.lang.Long]("wav_channels")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("wav_sample_rate")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("wav_bits")).map(_.toLong))).toMap
+    for ((id, bytes) <- payloads) {
+      val d = Media.realDecode(graft.multimodal.MediaRow(id, bytes, "f"))
+      val (isWav, ch, rate, bits) = declared(id)
+      assert((d.kind === Some("wav")) === isWav,
+        s"payload $id (${bytes.length} B): typed=${d.kind} declarative-wav=$isWav")
+      if (isWav) {
+        assert(d.channels === ch && d.sample_rate === rate && d.bits === bits,
+          s"payload $id fields: typed=(${d.channels},${d.sample_rate},${d.bits}) " +
+            s"declarative=($ch,$rate,$bits)")
+      }
+    }
+  }
+
   test("golden: realDecode walks LIST and fact chunks in front of fmt and data") {
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
