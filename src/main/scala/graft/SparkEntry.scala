@@ -993,6 +993,8 @@ object SparkEntry {
       "events_asof" -> overEvents(graft.events.EventsSql.asofAttributionSql()),
       "events_nearby" -> overEvents(
         graft.events.EventsSql.nearbyEventCountsSql()),
+      "events_transitions" -> overEvents(
+        graft.events.EventsSql.eventTransitionsSparkSql()),
     )
   }
 

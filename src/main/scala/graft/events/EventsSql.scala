@@ -166,4 +166,26 @@ object EventsSql {
        |  AND near_ts_us <= anchor_ts_us
        |GROUP BY anchor_id, user_id, anchor_ts_us""".stripMargin
   }
+
+  /** [[Events.eventTransitions]] as Spark SQL — the lag/count/window
+    * normalization chain verbatim. */
+  def eventTransitionsSparkSql(view: String = "events"): String =
+    s"""SELECT from_type, to_type, n,
+       |  (n * 1000000L) div n_from AS p_millionths
+       |FROM (
+       |  SELECT from_type, to_type, n,
+       |    sum(n) OVER (PARTITION BY from_type) AS n_from
+       |  FROM (
+       |    SELECT from_type, event_type AS to_type, count(1) AS n
+       |    FROM (
+       |      SELECT *, lag(event_type, 1) OVER
+       |          (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type
+       |      FROM (
+       |        SELECT user_id, event_id, $tsUs AS ts_us, event_type FROM $view
+       |      )
+       |    )
+       |    WHERE from_type IS NOT NULL
+       |    GROUP BY from_type, event_type
+       |  )
+       |)""".stripMargin
 }
