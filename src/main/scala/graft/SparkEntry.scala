@@ -940,6 +940,12 @@ object SparkEntry {
         s.sql(build(graft.Tables.widenFactor(docs)))
       }
     import graft.text.TextSql
+    import graft.relational.SalesSql
+    def overSales(sql: String): (SparkSession, String) => DataFrame =
+      (s, dir) => {
+        SalesSql.registerSales(s, dir)
+        s.sql(sql)
+      }
     Map(
       // the checkpoint-free text family (round-9 directive #4)
       "text_stats" -> overDocs(_ => TextSql.textStatsSparkSql),
@@ -995,6 +1001,23 @@ object SparkEntry {
         graft.events.EventsSql.nearbyEventCountsSql()),
       "events_transitions" -> overEvents(
         graft.events.EventsSql.eventTransitionsSparkSql()),
+      // the relational star-schema family over the registered TPC-H-ish
+      // views (round 10) — the SQL surface now spans every domain
+      "pricing_summary" -> overSales(SalesSql.pricingSummarySparkSql()),
+      "order_sizes" -> overSales(SalesSql.orderSizesSparkSql),
+      "brand_revenue" -> overSales(SalesSql.brandRevenueSparkSql),
+      "segment_revenue" -> overSales(SalesSql.segmentRevenueSparkSql),
+      "customers_without_orders" ->
+        overSales(SalesSql.customersWithoutOrdersSparkSql),
+      "late_order_priority" ->
+        overSales(SalesSql.lateOrderPrioritySparkSql()),
+      "sales_rollup" -> overSales(SalesSql.salesRollupSparkSql),
+      "top_suppliers_per_region" ->
+        overSales(SalesSql.topSuppliersPerRegionSparkSql()),
+      "shipping_priority" -> overSales(SalesSql.shippingPrioritySparkSql()),
+      "returned_revenue" -> overSales(SalesSql.returnedRevenueSparkSql()),
+      "local_supplier_volume" ->
+        overSales(SalesSql.localSupplierVolumeSparkSql),
     )
   }
 
