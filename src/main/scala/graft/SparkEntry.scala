@@ -871,6 +871,40 @@ object SparkEntry {
         graft.Tables.table(s, dir, "supplier"),
         graft.Tables.table(s, dir, "nation"),
         graft.Tables.table(s, dir, "region"))),
+    // ---- time-series analytics over the orders fact (round 10):
+    // calendar rollup, MoM trend, RFM scoring, running LTV ----
+    "revenue_monthly" -> ((s, dir) =>
+      graft.relational.Timeline.revenueMonthly(
+        graft.Tables.table(s, dir, "orders"))),
+    "revenue_trend" -> ((s, dir) =>
+      graft.relational.Timeline.revenueTrend(
+        graft.Tables.table(s, dir, "orders"))),
+    "customer_rfm" -> ((s, dir) =>
+      graft.relational.Timeline.customerRfm(
+        graft.Tables.table(s, dir, "orders"))),
+    "revenue_running" -> ((s, dir) =>
+      graft.relational.Timeline.revenueRunning(
+        graft.Tables.table(s, dir, "orders"))),
+    // ---- warehouse maintenance (round 10): the pre-publish
+    // referential gate and the relational incremental merge ----
+    "referential_audit" -> ((s, dir) =>
+      graft.relational.Warehouse.referentialAudit(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.table(s, dir, "customer"),
+        graft.Tables.table(s, dir, "part"))),
+    // Rollup merge theorem as the incremental gate: rollup(stored) ⊕
+    // rollup(batch) must hash-match the oracle's whole-fact rollup.
+    "incremental_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val li = graft.Tables.lineitem(s, dir)
+      graft.relational.Warehouse.incrementalRollup(
+        li.filter(col("l_orderkey") % 10 =!= 9),
+        li.filter(col("l_orderkey") % 10 === 9),
+        graft.Tables.table(s, dir, "supplier"),
+        graft.Tables.table(s, dir, "nation"),
+        graft.Tables.table(s, dir, "region"))
+    }),
     // Zone-map manifest (per fixed-width key zone: min/max/count) and
     // the range-predicate skipping audit it prices.
     "zone_map" -> ((s, dir) =>
@@ -1018,6 +1052,17 @@ object SparkEntry {
       "returned_revenue" -> overSales(SalesSql.returnedRevenueSparkSql()),
       "local_supplier_volume" ->
         overSales(SalesSql.localSupplierVolumeSparkSql),
+      // the time-series + maintenance families (round 10)
+      "revenue_monthly" ->
+        overSales(graft.relational.TimelineSql.revenueMonthlySparkSql),
+      "revenue_trend" ->
+        overSales(graft.relational.TimelineSql.revenueTrendSparkSql),
+      "customer_rfm" ->
+        overSales(graft.relational.TimelineSql.customerRfmSparkSql),
+      "revenue_running" ->
+        overSales(graft.relational.TimelineSql.revenueRunningSparkSql),
+      "referential_audit" ->
+        overSales(graft.relational.TimelineSql.referentialAuditSparkSql),
     )
   }
 
@@ -1231,6 +1276,14 @@ object SparkEntry {
     "shipping_priority" -> graft.relational.Sales.shippingPrioritySql(),
     "returned_revenue" -> graft.relational.Sales.returnedRevenueSql(),
     "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,
+    "revenue_monthly" -> graft.relational.Timeline.revenueMonthlySql,
+    "revenue_trend" -> graft.relational.Timeline.revenueTrendSql,
+    "customer_rfm" -> graft.relational.Timeline.customerRfmSql,
+    "revenue_running" -> graft.relational.Timeline.revenueRunningSql,
+    "referential_audit" -> graft.relational.Warehouse.referentialAuditSql,
+    // the merge is exact, so the oracle is the WHOLE-fact rollup — the
+    // equality IS the incremental merge theorem
+    "incremental_rollup" -> graft.relational.Sales.salesRollupSql,
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
     "compaction_plan" -> graft.sources.ZoneMaps.compactionPlanSql(),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.{Sales, Warehouse}
+
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+
+  test("referentialAudit: orphan counts and exact millionth rates per edge") {
+    val lineitem = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L))
+      .toDF("l_orderkey", "l_partkey")
+    val orders = Seq((1L, 7L), (2L, 7L), (5L, 8L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq(Tuple1(7L)).toDF("c_custkey")
+    val part = Seq(Tuple1(10L)).toDF("p_partkey")
+    val out = Warehouse.referentialAudit(lineitem, orders, customer, part)
+      .collect().map(r => r.getAs[String]("rel") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphans"),
+          r.getAs[Long]("orphan_millionths")))).toMap
+    // lineitem 3,4 have no order → 2/4 orphans = 500000 millionths
+    assert(out("lineitem->orders") === ((4L, 2L, 500000L)))
+    // parts 99, 98 missing → 2/4
+    assert(out("lineitem->part") === ((4L, 2L, 500000L)))
+    // custkey 8 missing → 1/3 = 333333 (div floors the positive)
+    assert(out("orders->customer") === ((3L, 1L, 333333L)))
+  }
+
+  test("incrementalRollup: stored ⊕ batch equals the whole-fact rollup on every cell") {
+    val region = Seq((0, "AMERICA"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "US", 0), (1, "JP", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "s10", 0), (11L, "s11", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    def li(rows: (Long, Long, Double, Double)*) =
+      rows.toSeq.map { case (ok, sk, p, disc) => (ok, sk, p, disc, d) }
+        .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+    val whole = li((1L, 10L, 100.0, 0.1), (2L, 11L, 50.0, 0.0),
+      (9L, 11L, 25.5, 0.0), (19L, 10L, 10.0, 0.0))
+    val stored = whole.filter($"l_orderkey" % 10 =!= 9)
+    val batch = whole.filter($"l_orderkey" % 10 === 9)
+    val merged = Warehouse.incrementalRollup(stored, batch,
+      supplier, nation, region)
+    val direct = Sales.salesRollup(whole, supplier, nation, region)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getAs[String]("r_name")),
+        Option(r.getAs[String]("n_name")), r.getAs[Long]("lvl")) ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("revenue_cents")))).toMap
+    assert(key(merged) === key(direct))
+    // and the batch really contributed (the split is not degenerate)
+    assert(batch.count() === 2L)
+  }
+}
