@@ -364,6 +364,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"split_leak_report plans a join:\n$p")
   }
 
+  test("revenue_monthly prunes the orders scan to the three columns it reads") {
+    val p = plan("revenue_monthly")
+    val rs = "ReadSchema: struct<[^>]*>".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("o_custkey") && rs.contains("o_totalprice") &&
+      rs.contains("o_orderdate"), s"missing column in scan: $rs")
+    assert(!rs.contains("o_orderkey") && !rs.contains("o_orderstatus") &&
+      !rs.contains("o_orderpriority"),
+      s"revenue_monthly reads columns it never uses: $rs")
+  }
+
+  test("revenue_running is one custkey shuffle feeding ONE window node") {
+    // both window functions (frame sum + row_number) share the
+    // (o_custkey, orderdate, orderkey) spec, so CollapseWindow must
+    // leave a single Window operator — a second one would re-sort the
+    // order-grain relation for nothing
+    val p = plan("revenue_running")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1,
+      s"expected exactly one Window node:\n$p")
+    val parts = "hashpartitioning\\(\\w+".r.findAllIn(p)
+      .map(_.stripPrefix("hashpartitioning(")).toSet
+    assert(parts === Set("o_custkey"),
+      s"revenue_running shuffles on ${parts} (want o_custkey only):\n$p")
+  }
+
+  test("customer_rfm is one per-customer partial agg then pure projection") {
+    val p = plan("customer_rfm")
+    assert(!p.contains("Window"), s"customer_rfm plans a window:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    val parts = "hashpartitioning\\(\\w+".r.findAllIn(p)
+      .map(_.stripPrefix("hashpartitioning(")).toSet
+    assert(parts === Set("c_custkey"),
+      s"customer_rfm shuffles on ${parts} (want c_custkey only):\n$p")
+  }
+
+  test("revenue_trend shuffles only on the calendar cell keys (the windows ride the bounded relation)") {
+    // the fact collapses to monthly cells FIRST; the unpartitioned
+    // lag/frame windows then sort a ≤12·|years| relation — the plan
+    // must show no shuffle key other than the cell keys
+    val p = plan("revenue_trend")
+    val parts = "hashpartitioning\\(\\w+".r.findAllIn(p)
+      .map(_.stripPrefix("hashpartitioning(")).toSet
+    assert(parts === Set("o_year"),
+      s"revenue_trend shuffles on ${parts} (want the cell keys only):\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("referential_audit probes carry bare 8-byte keys on every edge") {
+    val p = plan("referential_audit")
+    for (k <- Seq("o_orderkey", "p_partkey", "c_custkey"))
+      assert(p.contains(s"ReadSchema: struct<$k:bigint>"),
+        s"parent side of $k is not a bare-key scan:\n$p")
+  }
+
   test("MAX filter is applied at the scan stage even where pushdown cannot reach parquet") {
     // The fixture edge view DERIVES src/dst (l_partkey % 100, ...), so the
     // LessThan cannot be pushed into the parquet reader — only IsNotNull
