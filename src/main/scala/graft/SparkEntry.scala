@@ -885,6 +885,10 @@ object SparkEntry {
     "revenue_running" -> ((s, dir) =>
       graft.relational.Timeline.revenueRunning(
         graft.Tables.table(s, dir, "orders"))),
+    "ship_latency_quartiles" -> ((s, dir) =>
+      graft.relational.Timeline.shipLatencyQuartiles(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "orders"))),
     // ---- warehouse maintenance (round 10): the pre-publish
     // referential gate and the relational incremental merge ----
     "referential_audit" -> ((s, dir) =>
@@ -1280,6 +1284,8 @@ object SparkEntry {
     "revenue_trend" -> graft.relational.Timeline.revenueTrendSql,
     "customer_rfm" -> graft.relational.Timeline.customerRfmSql,
     "revenue_running" -> graft.relational.Timeline.revenueRunningSql,
+    "ship_latency_quartiles" ->
+      graft.relational.Timeline.shipLatencyQuartilesSql,
     "referential_audit" -> graft.relational.Warehouse.referentialAuditSql,
     // the merge is exact, so the oracle is the WHOLE-fact rollup — the
     // equality IS the incremental merge theorem

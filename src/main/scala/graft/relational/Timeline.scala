@@ -227,6 +227,79 @@ object Timeline {
        |  m_bucket, rfm_score""".stripMargin
   }
 
+  /** Order→ship latency percentiles per order priority — the
+    * fulfillment-latency report (p25/p50/p75/p95 plus min/max of the
+    * days between order date and each line's ship date), spelled as
+    * [[graft.text.TextAnalysis.lengthQuartiles]]' exact value-histogram
+    * + prefix sums, NOT an engine percentile function: "smallest v with
+    * k·cum(v) ≥ q·total" is pure int64 and both engines agree exactly
+    * (p95 uses 20·cum ≥ 19·total on the same cells).
+    *
+    * Scale shape: one orderkey-keyed fact⋈fact shuffle (the same
+    * co-partitioning the star joins pay — bucketed layout makes it
+    * free, SalesLayoutSpec), then the corpus collapses to
+    * (priority, latency-day) cells — a relation bounded by
+    * |priorities| × |distinct day latencies| (a few thousand at ANY
+    * corpus size; day-granular latency is what makes the exact
+    * spelling scale-free). The cumulative window and the picks run
+    * over that bounded relation only. */
+  def shipLatencyQuartiles(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val cells = lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("cast(datediff(l_shipdate, o_orderdate) as bigint)").as("v"))
+      .groupBy(col("o_orderpriority"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("o_orderpriority")
+    cells
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(wAll))
+      .groupBy("o_orderpriority").agg(
+        max("total").as("n_lines"),
+        min("v").as("min_days"),
+        min(when(col("cum") * 4 >= col("total"), col("v"))).as("p25_days"),
+        min(when(col("cum") * 2 >= col("total"), col("v"))).as("p50_days"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("v"))).as("p75_days"),
+        min(when(col("cum") * 20 >= col("total") * 19, col("v"))).as("p95_days"),
+        max("v").as("max_days"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_days"),
+        col("p25_days"), col("p50_days"), col("p75_days"), col("p95_days"),
+        col("max_days"))
+  }
+
+  /** Oracle twin of [[shipLatencyQuartiles]]. */
+  def shipLatencyQuartilesSql: String =
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), c AS (
+       |  SELECT o_orderpriority, v, n,
+       |    CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+       |  FROM cells
+       |)
+       |SELECT o_orderpriority,
+       |  max(total) AS n_lines,
+       |  min(v) AS min_days,
+       |  min(CASE WHEN cum * 4 >= total THEN v END) AS p25_days,
+       |  min(CASE WHEN cum * 2 >= total THEN v END) AS p50_days,
+       |  min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS p75_days,
+       |  min(CASE WHEN cum * 20 >= total * 19 THEN v END) AS p95_days,
+       |  max(v) AS max_days
+       |FROM c GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority, n_lines, min_days, p25_days, p50_days,
+       |  p75_days, p95_days, max_days""".stripMargin
+
   /** Per-customer running revenue: each order's exact cents, the
     * cumulative total, and the order's 1-based index in the customer's
     * history — the lifetime-value curve at order grain. Ordering is

@@ -95,6 +95,27 @@ class TimelineSpec extends AnyFunSuite {
     assert(live.exists(s => s(0) == 1999L && s(1) == 2L && s(2) == 2L))
   }
 
+  test("shipLatencyQuartiles golden: percentile-disc lower semantics, p95 pick") {
+    // one priority, 20 lines with latencies 1..20 days → p25=5, p50=10,
+    // p75=15, p95=19 (smallest v with 20·cum ≥ 19·total), min=1, max=20
+    val ord = Seq((1L, "1-URGENT",
+      java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = (1 to 20).map(d =>
+        (1L, java.sql.Timestamp.valueOf(f"1999-01-${1 + d}%02d 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Timeline.shipLatencyQuartiles(li, ord).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_lines") === 20L)
+    assert(r.getAs[Long]("min_days") === 1L)
+    assert(r.getAs[Long]("p25_days") === 5L)
+    assert(r.getAs[Long]("p50_days") === 10L)
+    assert(r.getAs[Long]("p75_days") === 15L)
+    assert(r.getAs[Long]("p95_days") === 19L)
+    assert(r.getAs[Long]("max_days") === 20L)
+  }
+
   test("revenueRunning: cumulative per customer, same-day ties break on orderkey") {
     val d = ts("1999-01-10 00:00:00")
     val out = Timeline.revenueRunning(orders(
