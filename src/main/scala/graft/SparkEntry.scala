@@ -889,6 +889,15 @@ object SparkEntry {
       graft.relational.Timeline.shipLatencyQuartiles(
         graft.Tables.lineitem(s, dir),
         graft.Tables.table(s, dir, "orders"))),
+    // Salting rewrites, oracle-gated by result-IDENTITY with the
+    // unsalted queries (the rewrite's whole contract).
+    "salted_brand_revenue" -> ((s, dir) =>
+      graft.relational.SkewJoin.saltedBrandRevenue(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "part"))),
+    "salted_order_rollup" -> ((s, dir) =>
+      graft.relational.SkewJoin.saltedOrderRollup(
+        graft.Tables.lineitem(s, dir))),
     // ---- warehouse maintenance (round 10): the pre-publish
     // referential gate and the relational incremental merge ----
     "referential_audit" -> ((s, dir) =>
@@ -1286,6 +1295,10 @@ object SparkEntry {
     "revenue_running" -> graft.relational.Timeline.revenueRunningSql,
     "ship_latency_quartiles" ->
       graft.relational.Timeline.shipLatencyQuartilesSql,
+    // the salted rewrites' oracles are deliberately UNSALTED
+    "salted_brand_revenue" -> graft.relational.Sales.brandRevenueSql,
+    "salted_order_rollup" ->
+      graft.relational.SkewJoin.saltedOrderRollupSql,
     "referential_audit" -> graft.relational.Warehouse.referentialAuditSql,
     // the merge is exact, so the oracle is the WHOLE-fact rollup — the
     // equality IS the incremental merge theorem

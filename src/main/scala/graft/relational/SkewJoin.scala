@@ -1,0 +1,114 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting rewrites for skewed shuffles — the manual spreading
+  * tool for the hot keys [[RuntimeFilters.joinSkew]] detects, for the
+  * cases AQE's runtime skew-split cannot reach (AQE splits a skewed
+  * SORT-MERGE partition at query time, but only for join shapes it
+  * recognizes, only after the skewed map output exists, and never for
+  * the reduce side of an aggregation whose hot key lands whole in one
+  * task). Salting moves the spread BEFORE the shuffle: the fact side
+  * scatters each hot key across `salts` sub-keys, the dimension side
+  * replicates to meet it (joins) or a second aggregation re-collapses
+  * (rollups). Both rewrites are EXACT — the oracle twins run the
+  * UNSALTED query, so the driver gate proves result-identity, which is
+  * the rewrite's whole contract.
+  *
+  * The salt is `pmod(xxhash64(<fact row>), salts)` — deterministic per
+  * row (re-runs and retries land identically; no `rand()`), uniform
+  * in expectation, and never visible in any output, so cross-engine
+  * hash portability is NOT required (contrast [[graft.functions
+  * .PortableHash]], which exists precisely for hashes that reach
+  * results).
+  */
+object SkewJoin {
+
+  /** Number of sub-keys a hot key scatters across. 8 turns a
+    * 10⁹-row key into 8 × 1.25·10⁸ tasks; size to the observed
+    * `joinSkew.skew_ratio_millionths`. */
+  val Salts: Int = 8
+
+  private def saltOf(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
+
+  /** Salted fact⋈dimension equi-join: the fact side carries a
+    * deterministic per-row salt, the dimension side replicates
+    * `salts`× (dimensions are the small side by definition — the
+    * replication is `salts` copies of something already far smaller
+    * than the fact), and the join key becomes (key, salt) — a hot
+    * fact key now hash-partitions into `salts` tasks instead of one.
+    * Output = exactly the unsalted join's rows (salt columns dropped).
+    *
+    * Scale shape: same single shuffle as the plain join, but the
+    * reduce-side maximum task is divided by `salts`; use when the
+    * skew audit shows a head key AQE cannot split (or a broadcast
+    * the dimension has outgrown). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int = Salts): DataFrame = {
+    val f = fact.withColumn("_salt", saltOf(fact, salts))
+    val d = dim.withColumn("_dsalt",
+      explode(typedLit((0 until salts).toArray)))
+    f.join(d, f("_salt") === d("_dsalt") &&
+        col(factKey) === col(dimKey))
+      .drop("_salt", "_dsalt")
+  }
+
+  /** [[Sales.brandRevenue]] computed THROUGH the salted join — the
+    * oracle runs the unsalted SQL, so the gate proves the rewrite
+    * changes nothing but the shuffle layout. (At fixture scale the
+    * planner may still broadcast the replicated dim — harmless; the
+    * SMJ spread the salt exists for is plan-proven with broadcast
+    * disabled in SkewJoinSpec.) */
+  def saltedBrandRevenue(lineitem: DataFrame, part: DataFrame,
+      salts: Int = Salts): DataFrame = {
+    val factCents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+    val fact = lineitem.select(col("l_partkey"), factCents.as("cents"),
+      floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+    saltedJoin(fact, part.select(col("p_partkey"), col("p_brand")),
+        "l_partkey", "p_partkey", salts)
+      .groupBy(col("p_brand"))
+      .agg(sum("cents").as("revenue_cents"),
+        sum("qty").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Salted two-phase aggregation: additive measures grouped first by
+    * (key, salt) — the hot key's rows combine inside `salts` separate
+    * tasks — then re-aggregated by the key alone over the already
+    * collapsed cells (≤ `salts` rows per key reach the second
+    * shuffle). Exact for counts and sums (associativity), which is
+    * why the oracle can be the direct single-phase SQL.
+    *
+    * This is the rewrite for REDUCE-side aggregation skew, where
+    * AQE's skew handling does not apply at all: Spark's map-side
+    * partial aggregation already bounds each task's contribution, but
+    * one hot key still collects (partitions × 1) partials into a
+    * single final task — irrelevant for a count, crippling when the
+    * per-group state is wide (collect-style aggregates, sketches). */
+  def saltedOrderRollup(lineitem: DataFrame,
+      salts: Int = Salts): DataFrame = {
+    val cents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+    val fact = lineitem.select(col("l_orderkey"), cents.as("cents"))
+    fact.withColumn("_salt", saltOf(fact, salts))
+      .groupBy(col("l_orderkey"), col("_salt"))
+      .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum("pn").as("n_lines"), sum("pc").as("order_cents"))
+  }
+
+  /** Oracle twin of [[saltedOrderRollup]] — deliberately UNSALTED. */
+  def saltedOrderRollupSql: String =
+    s"""SELECT l_orderkey,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+       |    + 0.5) AS BIGINT)) AS BIGINT) AS order_cents
+       |FROM lineitem
+       |GROUP BY l_orderkey
+       |ORDER BY l_orderkey, n_lines, order_cents""".stripMargin
+}

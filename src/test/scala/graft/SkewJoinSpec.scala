@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.{Sales, SkewJoin}
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted rewrites are result-identical to the unsalted queries on the fixture") {
+    val li = graft.Tables.lineitem(spark, dir)
+    val part = graft.Tables.table(spark, dir, "part")
+    val salted = SkewJoin.saltedBrandRevenue(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val plain = Sales.brandRevenue(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(salted === plain)
+    val rollS = SkewJoin.saltedOrderRollup(li).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rollP = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0) + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rollS === rollP)
+  }
+
+  test("a celebrity key really scatters across all salts and the join keys carry the salt") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // one hot key with 10k distinct rows + a cold key
+    val fact = (1L to 10000L).map(i => (7L, i)).toDF("k", "payload")
+      .union(Seq((8L, 0L)).toDF("k", "payload"))
+    val dim = Seq((7L, "hot"), (8L, "cold")).toDF("dk", "name")
+    // first-stage spread: the hot key's rows land on every sub-key
+    val spread = fact
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("payload")),
+        lit(SkewJoin.Salts)))
+      .filter(col("k") === 7L).select("_salt").distinct().count()
+    assert(spread === SkewJoin.Salts.toLong,
+      s"hot key occupies $spread/${SkewJoin.Salts} salts")
+    // the salted join plans a sort-merge join whose keys include the salt
+    val j = SkewJoin.saltedJoin(fact, dim, "k", "dk")
+    val smj = j.queryExecution.executedPlan
+      .collectFirst { case x: SortMergeJoinExec => x }
+    assert(smj.isDefined, s"expected SMJ:\n${j.queryExecution.executedPlan}")
+    assert(smj.get.leftKeys.map(_.sql).exists(_.contains("_salt")),
+      s"join keys lack the salt: ${smj.get.leftKeys.map(_.sql)}")
+    // and the rewrite still returns exactly the unsalted join's rows
+    assert(j.count() === 10001L)
+    assert(j.filter(col("name") === "cold").count() === 1L)
+  }
+}
