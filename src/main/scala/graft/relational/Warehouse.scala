@@ -71,6 +71,27 @@ object Warehouse {
        |ORDER BY rel, n_rows, n_orphans, orphan_millionths""".stripMargin
   }
 
+  /** The STREAM face of [[referentialAudit]]: an ingest-time orphan
+    * gate — each arriving child row is flagged `ref_ok` by probing the
+    * static parent-key relation (stream-static LEFT join, stateless:
+    * no watermark, no state store — the parent side is a batch
+    * relation snapshotted per micro-batch, exactly how a nightly dim
+    * snapshot behaves). The batch audit reports rates after the fact;
+    * this gate quarantines rows BEFORE they land (filter on `ref_ok`,
+    * or route the complement to a dead-letter sink). Batch-equivalence
+    * is spec-pinned; the probe side pre-projects to the bare key (the
+    * audit's discipline) and broadcasts when small.
+    *
+    * Scale shape: per micro-batch, one stream-static equi-join against
+    * the key projection — the same join the batch audit pays, amortized
+    * over arrival. */
+  def orphanGate(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left")
+      .withColumn("ref_ok", col(parentKey).isNotNull)
+      .drop(parentKey)
+
   /** Incremental star rollup — the [[Sales.salesRollup]] cells kept
     * current by MERGING a stored rollup with a new batch's rollup
     * instead of re-scanning the whole fact: every measure in the cell

@@ -28,6 +28,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out("orders->customer") === ((3L, 1L, 333333L)))
   }
 
+  test("orphanGate streams: per-row verdicts across triggers equal the batch flags") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val parent = Seq(Tuple1(10L), Tuple1(11L)).toDF("o_orderkey")
+    val b1 = Seq((1L, 10L), (2L, 99L))
+    val b2 = Seq((3L, 11L), (4L, 98L))
+    val src = MemoryStream[(Long, Long)]
+    val name = s"orphan_gate_${System.nanoTime()}"
+    val q = Warehouse.orphanGate(
+        src.toDF().toDF("line_id", "l_orderkey"), "l_orderkey",
+        parent, "o_orderkey")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(name).collect()
+      .map(r => r.getAs[Long]("line_id") -> r.getAs[Boolean]("ref_ok")).toMap
+    val batch = Warehouse.orphanGate(
+        (b1 ++ b2).toDF("line_id", "l_orderkey"), "l_orderkey",
+        parent, "o_orderkey")
+      .collect()
+      .map(r => r.getAs[Long]("line_id") -> r.getAs[Boolean]("ref_ok")).toMap
+    assert(live === batch)
+    assert(live === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("incrementalRollup: stored ⊕ batch equals the whole-fact rollup on every cell") {
     val region = Seq((0, "AMERICA"), (1, "ASIA")).toDF("r_regionkey", "r_name")
     val nation = Seq((0, "US", 0), (1, "JP", 1))
