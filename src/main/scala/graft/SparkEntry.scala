@@ -1076,6 +1076,10 @@ object SparkEntry {
         overSales(graft.relational.TimelineSql.revenueRunningSparkSql),
       "referential_audit" ->
         overSales(graft.relational.TimelineSql.referentialAuditSparkSql),
+      "ship_latency_quartiles" ->
+        overSales(graft.relational.TimelineSql.shipLatencyQuartilesSparkSql),
+      "salted_order_rollup" ->
+        overSales(graft.relational.TimelineSql.saltedOrderRollupSparkSql),
     )
   }
 

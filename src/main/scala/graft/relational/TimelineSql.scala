@@ -102,6 +102,62 @@ object TimelineSql {
        |${edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey")}""".stripMargin
   }
 
+  /** Spark-SQL twin of [[Timeline.shipLatencyQuartiles]] — one nested
+    * select per WINDOW node (the cum and total windows have different
+    * specs, so CollapseWindow keeps them separate in the DSL too). */
+  def shipLatencyQuartilesSparkSql: String =
+    s"""SELECT o_orderpriority,
+       |  max(total) AS n_lines,
+       |  min(v) AS min_days,
+       |  min(CASE WHEN cum * 4 >= total THEN v END) AS p25_days,
+       |  min(CASE WHEN cum * 2 >= total THEN v END) AS p50_days,
+       |  min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS p75_days,
+       |  min(CASE WHEN cum * 20 >= total * 19 THEN v END) AS p95_days,
+       |  max(v) AS max_days
+       |FROM (
+       |  SELECT o_orderpriority, v, n, cum,
+       |    sum(n) OVER (PARTITION BY o_orderpriority) AS total
+       |  FROM (
+       |    SELECT o_orderpriority, v, n,
+       |      sum(n) OVER (PARTITION BY o_orderpriority ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (
+       |      SELECT o_orderpriority, v, count(1) AS n
+       |      FROM (
+       |        SELECT o_orderpriority,
+       |          cast(datediff(l_shipdate, o_orderdate) as bigint) AS v
+       |        FROM (
+       |          SELECT l_orderkey, l_shipdate FROM lineitem
+       |        )
+       |        JOIN (
+       |          SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+       |        ) ON l_orderkey = o_orderkey
+       |      )
+       |      GROUP BY o_orderpriority, v
+       |    )
+       |  )
+       |)
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Spark-SQL twin of [[SkewJoin.saltedOrderRollup]]. */
+  def saltedOrderRollupSparkSql: String =
+    s"""SELECT l_orderkey, sum(pn) AS n_lines, sum(pc) AS order_cents
+       |FROM (
+       |  SELECT l_orderkey, _salt, count(1) AS pn, sum(cents) AS pc
+       |  FROM (
+       |    SELECT l_orderkey, cents,
+       |      pmod(xxhash64(l_orderkey, cents), ${SkewJoin.Salts}) AS _salt
+       |    FROM (
+       |      SELECT l_orderkey, $revCentsLineSql AS cents FROM lineitem
+       |    )
+       |  )
+       |  GROUP BY l_orderkey, _salt
+       |)
+       |GROUP BY l_orderkey""".stripMargin
+
+  private val revCentsLineSql =
+    "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100.0D + 0.5D) AS BIGINT)"
+
   /** Spark-SQL twin of [[Timeline.revenueTrend]] — the layering mirrors
     * the DSL's WINDOW-node boundaries (lag first, then the projection
     * chain, then the frame pair in ONE select so CollapseWindow and the
