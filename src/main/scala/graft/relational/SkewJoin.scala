@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * UNSALTED query, so the driver gate proves result-identity, which is
   * the rewrite's whole contract.
   *
-  * The salt is `pmod(xxhash64(<fact row>), salts)` — deterministic per
-  * row (re-runs and retries land identically; no `rand()`), uniform
-  * in expectation, and never visible in any output, so cross-engine
-  * hash portability is NOT required (contrast [[graft.functions
-  * .PortableHash]], which exists precisely for hashes that reach
-  * results).
+  * The default salt is `pmod(xxhash64(<fact row>), salts)` —
+  * deterministic per row (re-runs and retries land identically; no
+  * `rand()`), uniform in expectation over distinct rows, and never
+  * visible in any output, so cross-engine hash portability is NOT
+  * required (contrast [[graft.functions.PortableHash]], which exists
+  * precisely for hashes that reach results). See [[rowSalt]] for the
+  * duplicate-rows caveat and the caller-supplied escape hatch.
   */
 object SkewJoin {
 
@@ -30,7 +31,14 @@ object SkewJoin {
     * `joinSkew.skew_ratio_millionths`. */
   val Salts: Int = 8
 
-  private def saltOf(df: DataFrame, salts: Int): Column =
+  /** Default salt: the whole-row hash. Deterministic and uniform over
+    * DISTINCT rows — but BYTE-IDENTICAL duplicate rows of a hot key
+    * all hash to the same salt and do NOT spread. Fine for keyed facts
+    * (TPC-H rows carry a unique line identity); a duplicate-heavy fact
+    * must pass its own `salt` expression keyed on something that does
+    * vary (a monotonically-varying payload column, a file/offset
+    * identity) to [[saltedJoin]]/[[saltedRollup]]. */
+  def rowSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
 
   /** Salted fact⋈dimension equi-join: the fact side carries a
@@ -40,14 +48,18 @@ object SkewJoin {
     * than the fact), and the join key becomes (key, salt) — a hot
     * fact key now hash-partitions into `salts` tasks instead of one.
     * Output = exactly the unsalted join's rows (salt columns dropped).
+    * `salt` defaults to [[rowSalt]] (see its duplicate-rows caveat);
+    * any deterministic expression in [0, salts) works — correctness
+    * never depends on the salt's distribution, only the spread does.
     *
     * Scale shape: same single shuffle as the plain join, but the
     * reduce-side maximum task is divided by `salts`; use when the
     * skew audit shows a head key AQE cannot split (or a broadcast
     * the dimension has outgrown). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, salts: Int = Salts): DataFrame = {
-    val f = fact.withColumn("_salt", saltOf(fact, salts))
+      dimKey: String, salts: Int = Salts,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
+    val f = fact.withColumn("_salt", salt(fact, salts))
     val d = dim.withColumn("_dsalt",
       explode(typedLit((0 until salts).toArray)))
     f.join(d, f("_salt") === d("_dsalt") &&
@@ -88,14 +100,15 @@ object SkewJoin {
     * partial aggregation already bounds each task's contribution, but
     * one hot key still collects (partitions × 1) partials into a
     * single final task — irrelevant for a count, crippling when the
-    * per-group state is wide (collect-style aggregates, sketches). */
-  def saltedOrderRollup(lineitem: DataFrame,
-      salts: Int = Salts): DataFrame = {
+    * per-group state is wide (collect-style aggregates, sketches).
+    * `salt` defaults to [[rowSalt]] — same duplicate-rows caveat. */
+  def saltedOrderRollup(lineitem: DataFrame, salts: Int = Salts,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
     val cents =
       floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(100.0) + lit(0.5)).cast("long")
     val fact = lineitem.select(col("l_orderkey"), cents.as("cents"))
-    fact.withColumn("_salt", saltOf(fact, salts))
+    fact.withColumn("_salt", salt(fact, salts))
       .groupBy(col("l_orderkey"), col("_salt"))
       .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
       .groupBy(col("l_orderkey"))

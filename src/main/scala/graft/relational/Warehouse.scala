@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
 object Warehouse {
 
   /** One foreign-key audit edge: child rows, orphans (child keys with
-    * no parent row), and the exact orphan rate in millionths. */
+    * no parent row), and the exact orphan rate in millionths. The
+    * parent key projection is DISTINCT — the probe is membership, so
+    * a parent snapshot with duplicate keys must not multiply child
+    * rows; and the rate divisor is `greatest(n_rows, 1)` so an empty
+    * child snapshot reports 0, not NULL-here/error-in-DuckDB (the
+    * Mixture/Timeline guarded-division discipline). */
   private def orphanEdge(rel: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
     child.select(col(childKey))
-      .join(parent.select(col(parentKey)),
+      .join(parent.select(col(parentKey)).distinct(),
         col(childKey) === col(parentKey), "left")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col(parentKey).isNull, lit(1))).as("n_orphans"))
       .select(lit(rel).as("rel"), col("n_rows"), col("n_orphans"),
-        expr("(n_orphans * 1000000L) div n_rows").as("orphan_millionths"))
+        expr("(n_orphans * 1000000L) div greatest(n_rows, 1L)")
+          .as("orphan_millionths"))
 
   /** Referential-integrity audit across the fact→dimension edges
     * (lineitem→orders, lineitem→part, orders→customer): per edge, the
@@ -60,9 +66,9 @@ object Warehouse {
          |  CAST(count(CASE WHEN $parentK IS NULL THEN 1 END) AS BIGINT)
          |    AS n_orphans,
          |  CAST((count(CASE WHEN $parentK IS NULL THEN 1 END) * 1000000)
-         |    // count(*) AS BIGINT) AS orphan_millionths
+         |    // greatest(count(*), 1) AS BIGINT) AS orphan_millionths
          |FROM (SELECT $childK FROM $childT)
-         |LEFT JOIN (SELECT $parentK FROM $parentT) ON $childK = $parentK""".stripMargin
+         |LEFT JOIN (SELECT DISTINCT $parentK FROM $parentT) ON $childK = $parentK""".stripMargin
     s"""${edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
        |UNION ALL
        |${edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey")}
@@ -79,15 +85,16 @@ object Warehouse {
     * snapshot behaves). The batch audit reports rates after the fact;
     * this gate quarantines rows BEFORE they land (filter on `ref_ok`,
     * or route the complement to a dead-letter sink). Batch-equivalence
-    * is spec-pinned; the probe side pre-projects to the bare key (the
-    * audit's discipline) and broadcasts when small.
+    * is spec-pinned; the probe side pre-projects to the bare DISTINCT
+    * key (membership semantics — a duplicate-keyed parent snapshot
+    * must not duplicate gated rows) and broadcasts when small.
     *
     * Scale shape: per micro-batch, one stream-static equi-join against
     * the key projection — the same join the batch audit pays, amortized
     * over arrival. */
   def orphanGate(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey)),
+    child.join(parent.select(col(parentKey)).distinct(),
         col(childKey) === col(parentKey), "left")
       .withColumn("ref_ok", col(parentKey).isNotNull)
       .drop(parentKey)

@@ -195,7 +195,21 @@ object Mixture {
           col("k"))
         .localCheckpoint()
     }
-    st.join(broadcast(scalars(st)), Seq("k"))
+    val fin = st.join(broadcast(scalars(st)), Seq("k")).localCheckpoint()
+    // Convergence gate: after the loop, every still-unsaturated source
+    // must have inventory STRICTLY above its final fair share — an
+    // unsaturated source at/below it would have saturated in one more
+    // round (shifting everyone else's re-flow), i.e. `rounds` was too
+    // small for this source count. The oracle unrolls the same rounds,
+    // so a silent non-convergence would MATCH the oracle and the gate
+    // could never catch it — fail loudly here instead. The check is an
+    // action over the checkpointed ≤|sources|-row state: driver-cheap.
+    val unconverged = fin.filter(col("alloc").isNull &&
+      col("total_tokens") <= expr("(rem * weight) div greatest(wu, 1L)")).count()
+    require(unconverged == 0L,
+      s"mixWaterfill did not converge in $rounds rounds: $unconverged " +
+        "source(s) would still saturate — raise `rounds` toward |sources|")
+    fin
       .select(col("source"), col("n_docs"), col("total_tokens"), col("weight"),
         coalesce(col("alloc"), expr("(rem * weight) div greatest(wu, 1L)"))
           .as("alloc_tokens"))

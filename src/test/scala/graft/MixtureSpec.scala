@@ -79,6 +79,23 @@ class MixtureSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= Mixture.MixBudget)
   }
 
+  test("waterfill convergence gate: too few rounds fails loudly, enough rounds is exact") {
+    // sequential saturation: round 1 saturates a (10 <= 100/3), the
+    // re-flow then saturates b (40 <= 90/2) — so rounds=1 leaves b
+    // unsaturated at/below its fair share, which must now THROW
+    // instead of silently matching an equally-unconverged oracle
+    val inv = Seq(("a", 1L, 10L, 1L), ("b", 1L, 40L, 1L), ("c", 1L, 1000L, 1L))
+      .toDF("source", "n_docs", "total_tokens", "weight")
+    val ok = Mixture.mixWaterfillFromInventory(inv, budget = 100L, rounds = 2)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens"))
+      .toMap
+    assert(ok === Map("a" -> 10L, "b" -> 40L, "c" -> 50L))
+    val e = intercept[IllegalArgumentException] {
+      Mixture.mixWaterfillFromInventory(inv, budget = 100L, rounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("merge theorem: shard-merged inventory plan is bit-identical to the whole-corpus plan") {
     // overlapping sources across shards (row split, not source split) +
     // a shard-B-only source exercising the full outer branch

@@ -58,4 +58,31 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(j.count() === 10001L)
     assert(j.filter(col("name") === "cold").count() === 1L)
   }
+
+  test("byte-identical duplicate rows need a caller-keyed salt to spread") {
+    // a degenerate hot key made of 10k EXACT duplicate rows: the
+    // default whole-row hash maps them all to ONE salt (documented
+    // caveat), while a physical-position salt spreads them
+    val fact = Seq.fill(10000)((7L, 1L)).toDF("k", "payload")
+      .repartition(8)
+    val defaultSpread = fact
+      .withColumn("_s", SkewJoin.rowSalt(fact, SkewJoin.Salts))
+      .select("_s").distinct().count()
+    assert(defaultSpread === 1L, "identical rows share the row hash")
+    val positional: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.Column =
+      (_, s) => pmod(spark_partition_id().cast("long"), lit(s.toLong))
+    val keyedSpread = fact.withColumn("_s", positional(fact, SkewJoin.Salts))
+      .select("_s").distinct().count()
+    assert(keyedSpread === SkewJoin.Salts.toLong,
+      s"positional salt spread $keyedSpread/${SkewJoin.Salts}")
+    // the caller-keyed salted join stays result-identical: every dup
+    // row still matches exactly one dim replica
+    val dim = Seq((7L, "hot")).toDF("dk", "name")
+    val j = SkewJoin.saltedJoin(fact, dim, "k", "dk",
+      salt = positional)
+    assert(j.count() === 10000L)
+    assert(j.select("name").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("hot"))
+  }
 }

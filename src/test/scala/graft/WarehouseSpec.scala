@@ -28,6 +28,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out("orders->customer") === ((3L, 1L, 333333L)))
   }
 
+  test("audit hardening: duplicate parent keys don't inflate, empty child rates 0") {
+    // orders carries orderkey 1 TWICE — membership probe semantics:
+    // lineitem->orders must still report 4 child rows, not 5
+    val lineitem = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L))
+      .toDF("l_orderkey", "l_partkey")
+    val orders = Seq((1L, 7L), (1L, 7L), (2L, 7L), (5L, 8L))
+      .toDF("o_orderkey", "o_custkey")
+    val customer = Seq(Tuple1(7L)).toDF("c_custkey")
+    val part = Seq(Tuple1(10L)).toDF("p_partkey")
+    val out = Warehouse.referentialAudit(lineitem, orders, customer, part)
+      .collect().map(r => r.getAs[String]("rel") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphans"),
+          r.getAs[Long]("orphan_millionths")))).toMap
+    assert(out("lineitem->orders") === ((4L, 2L, 500000L)))
+    // and the gate face: 4 child rows in, 4 verdicts out despite the dup
+    val gated = Warehouse.orphanGate(lineitem, "l_orderkey",
+      orders, "o_orderkey")
+    assert(gated.count() === 4L)
+    // empty child snapshot: rate is 0, never NULL (guarded division)
+    val empty = lineitem.filter($"l_orderkey" < 0L)
+    val audit0 = Warehouse.referentialAudit(empty, orders, customer, part)
+      .collect().map(r => r.getAs[String]("rel") ->
+        r.getAs[Long]("orphan_millionths")).toMap
+    assert(audit0("lineitem->orders") === 0L)
+    assert(audit0("lineitem->part") === 0L)
+  }
+
   test("orphanGate streams: per-row verdicts across triggers equal the batch flags") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
