@@ -301,6 +301,18 @@ object SparkEntry {
     // token in exact millionths — the per-lang acceptance number.
     "bpe_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(graft.Tables.documents(s, dir))),
+    // Unigram-LM (SentencePiece-style) tokenizer — the second
+    // production tokenizer family: substring seed, fixed hard-EM rounds
+    // over the <=|distinct words| relation under exact Q20 integer
+    // log2 costs, count-rank prune, Viterbi-segmenting encode.
+    "unigram_vocab" -> ((s, dir) =>
+      graft.text.Unigram.unigramVocab(graft.Tables.documents(s, dir))),
+    "unigram_encode" -> ((s, dir) =>
+      graft.text.Unigram.unigramEncode(graft.Tables.documents(s, dir))),
+    // Fertility face — SAME schema as bpe_fertility, so the two
+    // tokenizer families compare column-for-column on the same corpus.
+    "unigram_fertility" -> ((s, dir) =>
+      graft.text.Unigram.unigramFertility(graft.Tables.documents(s, dir))),
     // BPE acceptance check under an EXTERNAL tokenizer: merges learned
     // on the doc_id % 50 = 0 slice, byte-fallback rate judged on the
     // rest — unseen text encodes to raw byte ids, so byte_frac ≈ 1 marks
@@ -383,6 +395,13 @@ object SparkEntry {
     }),
     "source_quality" -> ((s, dir) =>
       TextAnalysis.sourceQuality(graft.Tables.documents(s, dir))),
+    // Registrable-domain axis: the same quality rollup and quota keyed
+    // on eTLD+1 of the (synthesized) URL — subdomain variants of one
+    // publisher collapse onto one row / one cap.
+    "domain_quality" -> ((s, dir) =>
+      graft.text.Domains.domainQuality(graft.Tables.documents(s, dir))),
+    "domain_quota" -> ((s, dir) =>
+      graft.text.Domains.domainQuota(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -1172,6 +1191,9 @@ object SparkEntry {
     "bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "bpe_fertility" -> TextAnalysis.bpeFertilitySql(),
     "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
+    "unigram_vocab" -> graft.text.Unigram.unigramVocabSql,
+    "unigram_encode" -> graft.text.Unigram.unigramEncodeSql,
+    "unigram_fertility" -> graft.text.Unigram.unigramFertilitySql,
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "lm_score" -> TextAnalysis.lmScoreSql,
     "tfidf_terms" -> TextAnalysis.tfidfTermsSql(),
@@ -1184,6 +1206,8 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.textNormalizeSql,
     "corpus_histogram" -> TextAnalysis.corpusHistogramSql,
     "source_quality" -> TextAnalysis.sourceQualitySql,
+    "domain_quality" -> graft.text.Domains.domainQualitySql,
+    "domain_quota" -> graft.text.Domains.domainQuotaSql(),
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
     "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),

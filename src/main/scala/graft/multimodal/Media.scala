@@ -21,15 +21,19 @@ case class MediaDecoded(media_id: Long, fmt: String,
   * `binary` columns with typed metadata, plus per-record decode and
   * feature extraction.
   *
-  * The decode is a REAL parse of two public fixed-layout containers
-  * (no codec library needed — the layouts are bytes at documented
-  * offsets): BMP (BITMAPINFOHEADER: width/height int32 LE at byte
-  * 18/22, bpp uint16 LE at 28) and RIFF WAV via a BOUNDED CHUNK WALK —
-  * chunk headers (4-byte id + uint32 LE size, odd payloads padded)
-  * read from byte 12 until `fmt ` and `data` are found, so files that
-  * carry `LIST`/`fact`/`cue ` chunks in front of `data` parse at their
-  * true offsets and the canonical 44-byte layout is just the walk's
-  * first-step case. Container sniffing is by magic
+  * The decode is a REAL parse of four public containers (no codec
+  * library needed — the layouts are bytes at documented offsets):
+  * BMP (BITMAPINFOHEADER: width/height int32 LE at byte 18/22, bpp
+  * uint16 LE at 28) and three BOUNDED MARKER/CHUNK WALKS — RIFF WAV
+  * (4-byte id + uint32 LE size from byte 12, odd payloads padded,
+  * until `fmt ` and `data`), PNG (uint32 BE length + 4-byte type +
+  * CRC from byte 8 until a complete `IHDR`), and JPEG (0xFF-marker
+  * segments with uint16 BE lengths from byte 2, past APPn/COM/DQT/DHT,
+  * skipping standalone markers, until SOF0/1/2) — so files that carry
+  * `LIST`/`fact`/`cue ` chunks, misplaced ancillary PNG chunks, or
+  * EXIF/comment segments in front of the frame header parse at their
+  * true offsets and the canonical layouts are just the walks'
+  * first-step cases. Container sniffing is by magic
   * bytes exactly as production ingest does — a payload that happens to
   * start with a magic is parsed as that container, deterministically
   * in both engines. Payloads that are neither report `kind = raw` with
@@ -85,16 +89,73 @@ object Media {
     bytes.foreach { b => sum += (b & 0xff); if ((b & 0xff) >= 0x80) hi += 1 }
     def le(off: Int, n: Int): Long =
       (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * k)).sum
+    def be(off: Int, n: Int): Long =
+      (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * (n - 1 - k))).sum
     def ascii(off: Int, s: String): Boolean =
       bytes.length >= off + s.length &&
         s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+    def magic(off: Int, ms: Int*): Boolean =
+      bytes.length >= off + ms.length &&
+        ms.indices.forall(i => (bytes(off + i) & 0xff) == ms(i))
     val base = MediaDecoded(m.media_id, m.fmt, Some(bytes.length.toLong),
       Some(header), Some(sum), Some(hi), Some("raw"),
       None, None, None, None, None, None)
     if (bytes.length >= 54 && ascii(0, "BM"))
       base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
         height = Some(le(22, 4)), bpp = Some(le(28, 2)))
-    else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+    else if (magic(0, 0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) {
+      // bounded PNG chunk walk — length-prefixed BIG-endian chunks
+      // (uint32 BE length + 4-byte type + payload + 4-byte CRC, no
+      // padding) from byte 8 until `IHDR`; the spec puts IHDR first but
+      // a lenient decoder walks past misplaced ancillary chunks, and
+      // the walk IS the canonical-first case's parse anyway. The IHDR
+      // payload must be complete (13 bytes) to be trusted.
+      var off = 8L
+      var ihdr = -1L
+      var k = 0
+      while (k < WalkChunks && bytes.length >= off + 8) {
+        val len = be(off.toInt, 4)
+        if (ihdr < 0 && ascii(off.toInt + 4, "IHDR") && len >= 13 &&
+            bytes.length >= off + 21) ihdr = off + 8
+        off = off + 12 + len
+        k += 1
+      }
+      if (ihdr >= 0)
+        base.copy(kind = Some("png"), width = Some(be(ihdr.toInt, 4)),
+          height = Some(be(ihdr.toInt + 4, 4)), bpp = Some(be(ihdr.toInt + 8, 1)),
+          channels = pngChannels(be(ihdr.toInt + 9, 1)))
+      else base
+    } else if (magic(0, 0xff, 0xd8)) {
+      // bounded JPEG marker-segment walk — 0xFF-marker + uint16 BE
+      // length (length includes its own 2 bytes) from byte 2, hopping
+      // APPn/COM/DQT/DHT/DRI, skipping standalone markers (TEM, RSTn,
+      // a stray SOI), stopping at EOI/SOS/garbage, until SOF0/1/2; the
+      // frame header must be readable (precision + h + w + ncomp =
+      // 6 bytes past the length) to be trusted.
+      var off = 2L
+      var sof = -1L
+      var stop = false
+      var k = 0
+      while (k < WalkChunks && !stop && bytes.length >= off + 4) {
+        val m1 = bytes(off.toInt) & 0xff
+        val m2 = bytes(off.toInt + 1) & 0xff
+        if (m1 == 0xff && (m2 == 0xc0 || m2 == 0xc1 || m2 == 0xc2)) {
+          if (bytes.length >= off + 10) sof = off + 4
+          stop = true
+        } else if (m1 == 0xff && (m2 == 0x01 || (m2 >= 0xd0 && m2 <= 0xd8))) {
+          off += 2
+        } else if (m1 == 0xff && m2 != 0xd9 && m2 != 0xda) {
+          val len = be(off.toInt + 2, 2)
+          if (len >= 2) off += 2 + len else stop = true
+        } else stop = true
+        k += 1
+      }
+      if (sof >= 0)
+        base.copy(kind = Some("jpeg"), width = Some(be(sof.toInt + 3, 2)),
+          height = Some(be(sof.toInt + 1, 2)), bpp = Some(be(sof.toInt, 1)),
+          channels = Some(be(sof.toInt + 5, 1)))
+      else base
+    } else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
       // bounded RIFF chunk walk — the typed twin of the declarative
       // walk in [[mediaFeatures]]: real files carry LIST/fact/cue
       // chunks before `data`, so `fmt `-at-12/`data`-at-36 is only the
@@ -119,6 +180,17 @@ object Media {
           bits = Some(le(fmtOff.toInt + 14, 2)))
       else base
     } else base
+  }
+
+  /** PNG color type → sample channels (0 gray, 2 RGB, 3 palette,
+    * 4 gray+alpha, 6 RGBA); other values are malformed → None/NULL.
+    * One mapping shared by the typed decoder and both SQL spellings. */
+  private def pngChannels(ctype: Long): Option[Long] = ctype match {
+    case 0L | 3L => Some(1L)
+    case 2L => Some(3L)
+    case 4L => Some(2L)
+    case 6L => Some(4L)
+    case _ => None
   }
 
   /** Feature extraction as declarative expressions: the payload's hex
@@ -158,6 +230,15 @@ object Media {
         s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
     }.mkString("(", " || ", ")")
 
+  /** Hex spelling of `v`'s BIG-endian `nBytes` bytes — PNG lengths and
+    * dimensions, JPEG segment lengths and dimensions are network order. */
+  private def beHexSql(v: String, nBytes: Int, idiv: String): String =
+    (0 until nBytes).map { k =>
+      val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
+      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+
   // ---- bounded RIFF chunk walk ------------------------------------------
   //
   // Real-world RIFF files carry `LIST`/`fact`/`cue ` chunks between the
@@ -190,6 +271,19 @@ object Media {
       s"((instr('0123456789ABCDEF', substring(h, $hiP, 1)) - 1) * 16 + " +
         s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1)) * " +
         s"CAST(${1L << (8 * k)} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** BIG-endian twin of [[dynLeSql]] — PNG chunk lengths/IHDR fields
+    * and JPEG segment lengths/SOF fields are network order. Same
+    * BIGINT-widened positional multiply (a 4-byte BE length's HIGH byte
+    * is the overflowing one here). */
+  private def dynBeSql(off: String, nBytes: Int): String =
+    (0 until nBytes).map { k =>
+      val hiP = s"CAST((($off) + $k) * 2 + 1 AS INT)"
+      val loP = s"CAST((($off) + $k) * 2 + 2 AS INT)"
+      s"((instr('0123456789ABCDEF', substring(h, $hiP, 1)) - 1) * 16 + " +
+        s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1)) * " +
+        s"CAST(${1L << (8 * (nBytes - 1 - k))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
   /** Walk entry: byte 12 for RIFF/WAVE payloads, NULL otherwise. */
@@ -274,6 +368,204 @@ object Media {
        |      THEN CAST(${dynLeSql("acc.fmt_off + 14", 2)} AS BIGINT) END))""".stripMargin
   }
 
+  // ---- bounded PNG chunk walk ---------------------------------------------
+  //
+  // PNG after its 8-byte signature is length-prefixed BIG-endian chunks:
+  // uint32 BE length + 4-byte type + payload + 4-byte CRC, no padding.
+  // The spec mandates IHDR first, but the decode is the same bounded
+  // walk as RIFF's (a lenient parser hops misplaced ancillary chunks;
+  // the canonical layout is the walk's first-step case), so the engine
+  // reuses the proven fold/CTE discipline verbatim — only the
+  // endianness and the hop arithmetic (12 + len, no pad) differ.
+
+  private val HexIhdr = "49484452" // 'IHDR'
+  private val PngSigHex = "89504E470D0A1A0A"
+
+  /** PNG color type → channels, as a SQL CASE over expression `c` —
+    * the [[pngChannels]] mapping in both engines' spelling. */
+  private def pngChannelsSql(c: String): String =
+    s"CASE WHEN ($c) IN (0, 3) THEN 1 WHEN ($c) = 2 THEN 3 " +
+      s"WHEN ($c) = 4 THEN 2 WHEN ($c) = 6 THEN 4 END"
+
+  /** The PNG walk as ONE `aggregate` fold (Spark side) — same
+    * plan-explosion rationale as [[walkAggSql]]. Finds the first
+    * complete IHDR (13-byte payload present) and reads width/height
+    * (uint32 BE), bit depth, and color type at the WALKED offset. */
+  private val pngAggSql: String = {
+    val len = dynBeSql("acc.off", 4)
+    val typ = "substring(h, CAST((acc.off + 4) * 2 + 1 AS INT), 8)"
+    s"""aggregate(
+       |  sequence(1, $WalkChunks),
+       |  named_struct(
+       |    'off', CASE WHEN n_bytes >= 16 AND substring(h, 1, 16) = '$PngSigHex'
+       |      THEN CAST(8 AS BIGINT) END,
+       |    'ihdr', CAST(NULL AS BIGINT)),
+       |  (acc, step) -> CASE
+       |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
+       |      named_struct('off', CAST(NULL AS BIGINT), 'ihdr', acc.ihdr)
+       |    ELSE named_struct(
+       |      'off', acc.off + 12 + $len,
+       |      'ihdr', coalesce(acc.ihdr, CASE WHEN $typ = '$HexIhdr'
+       |        AND $len >= 13 AND n_bytes >= acc.off + 21 THEN acc.off + 8 END))
+       |    END,
+       |  acc -> named_struct(
+       |    'ihdr_off', acc.ihdr,
+       |    'w', CASE WHEN acc.ihdr IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.ihdr", 4)} AS BIGINT) END,
+       |    'ht', CASE WHEN acc.ihdr IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.ihdr + 4", 4)} AS BIGINT) END,
+       |    'depth', CASE WHEN acc.ihdr IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.ihdr + 8", 1)} AS BIGINT) END,
+       |    'ctype', CASE WHEN acc.ihdr IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.ihdr + 9", 1)} AS BIGINT) END))""".stripMargin
+  }
+
+  // ---- bounded JPEG marker-segment walk -----------------------------------
+  //
+  // JPEG after SOI (FFD8) is 0xFF-marker segments with uint16 BE
+  // lengths that INCLUDE the 2 length bytes. The walk hops
+  // APPn/COM/DQT/DHT/DRI by their declared length, steps over
+  // standalone markers (TEM, RSTn, a stray SOI — no length field),
+  // stops at EOI/SOS/garbage, and resolves at SOF0/SOF1/SOF2, whose
+  // frame header carries precision, height, width (both uint16 BE),
+  // and the component count.
+
+  /** The JPEG walk as ONE `aggregate` fold (Spark side). The SOF frame
+    * header must be readable (6 bytes past the length) to be trusted;
+    * a declared segment length < 2 is malformed (no forward progress)
+    * and stops the walk. */
+  private val jpgAggSql: String = {
+    val m = "substring(h, CAST(acc.off * 2 + 1 AS INT), 4)"
+    val len = dynBeSql("acc.off + 2", 2)
+    val standalone = "('FF01','FFD0','FFD1','FFD2','FFD3','FFD4','FFD5','FFD6','FFD7','FFD8')"
+    s"""aggregate(
+       |  sequence(1, $WalkChunks),
+       |  named_struct(
+       |    'off', CASE WHEN n_bytes >= 4 AND substring(h, 1, 4) = 'FFD8'
+       |      THEN CAST(2 AS BIGINT) END,
+       |    'sof', CAST(NULL AS BIGINT)),
+       |  (acc, step) -> CASE
+       |    WHEN acc.off IS NULL OR n_bytes < acc.off + 4 THEN
+       |      named_struct('off', CAST(NULL AS BIGINT), 'sof', acc.sof)
+       |    ELSE named_struct(
+       |      'off', CASE
+       |        WHEN $m IN ('FFC0','FFC1','FFC2') THEN CAST(NULL AS BIGINT)
+       |        WHEN $m IN $standalone THEN acc.off + 2
+       |        WHEN substring(h, CAST(acc.off * 2 + 1 AS INT), 2) = 'FF'
+       |          AND $m NOT IN ('FFD9','FFDA') AND $len >= 2
+       |          THEN acc.off + 2 + $len
+       |        ELSE CAST(NULL AS BIGINT) END,
+       |      'sof', coalesce(acc.sof, CASE WHEN $m IN ('FFC0','FFC1','FFC2')
+       |        AND n_bytes >= acc.off + 10 THEN acc.off + 4 END))
+       |    END,
+       |  acc -> named_struct(
+       |    'sof_off', acc.sof,
+       |    'prec', CASE WHEN acc.sof IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.sof", 1)} AS BIGINT) END,
+       |    'ht', CASE WHEN acc.sof IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.sof + 1", 2)} AS BIGINT) END,
+       |    'w', CASE WHEN acc.sof IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.sof + 3", 2)} AS BIGINT) END,
+       |    'ncomp', CASE WHEN acc.sof IS NOT NULL
+       |      THEN CAST(${dynBeSql("acc.sof + 5", 1)} AS BIGINT) END))""".stripMargin
+  }
+
+  /** DuckDB side of the PNG walk: chained MATERIALIZED CTEs over `src`
+    * (exposing `h`, `n_bytes`); final stage `pfin` carries `png_ihdr`,
+    * `png_w`, `png_ht`, `png_depth`, `png_ctype`. Same
+    * materialize-every-stage rationale as [[walkCteSql]]. */
+  private def pngCteSql(src: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"p0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 16 " +
+      s"AND substring(h, 1, 16) = '$PngSigHex' THEN CAST(8 AS BIGINT) END " +
+      s"AS poff0 FROM $src)")
+    var prev = "p0"
+    for (k <- 0 until WalkChunks) {
+      val live = s"poff$k IS NOT NULL AND n_bytes >= poff$k + 8"
+      sb.append(s""",
+        |pa$k AS MATERIALIZED (SELECT *,
+        |  CASE WHEN $live
+        |    THEN substring(h, CAST((poff$k + 4) * 2 + 1 AS INT), 8) END AS ptyp$k,
+        |  CASE WHEN $live
+        |    THEN CAST(${dynBeSql(s"poff$k", 4)} AS BIGINT) END AS plen$k
+        |  FROM $prev)""".stripMargin)
+      prev = s"pa$k"
+      if (k < WalkChunks - 1) {
+        sb.append(s""",
+          |pb$k AS MATERIALIZED (SELECT *, CASE WHEN ptyp$k IS NOT NULL
+          |  THEN poff$k + 12 + plen$k END AS poff${k + 1} FROM pa$k)""".stripMargin)
+        prev = s"pb$k"
+      }
+    }
+    val ihdr = (0 until WalkChunks).map(k =>
+      s"CASE WHEN ptyp$k = '$HexIhdr' AND plen$k >= 13 " +
+        s"AND n_bytes >= poff$k + 21 THEN poff$k + 8 END")
+      .mkString("COALESCE(", ", ", ")")
+    sb.append(s""",
+      |pw AS MATERIALIZED (SELECT *, $ihdr AS png_ihdr FROM $prev),
+      |pfin AS MATERIALIZED (SELECT *,
+      |  CASE WHEN png_ihdr IS NOT NULL
+      |    THEN CAST(${dynBeSql("png_ihdr", 4)} AS BIGINT) END AS png_w,
+      |  CASE WHEN png_ihdr IS NOT NULL
+      |    THEN CAST(${dynBeSql("png_ihdr + 4", 4)} AS BIGINT) END AS png_ht,
+      |  CASE WHEN png_ihdr IS NOT NULL
+      |    THEN CAST(${dynBeSql("png_ihdr + 8", 1)} AS BIGINT) END AS png_depth,
+      |  CASE WHEN png_ihdr IS NOT NULL
+      |    THEN CAST(${dynBeSql("png_ihdr + 9", 1)} AS BIGINT) END AS png_ctype
+      |  FROM pw)""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB side of the JPEG walk: chained MATERIALIZED CTEs over `src`;
+    * final stage `jfin` carries `jpg_sof`, `jpg_prec`, `jpg_ht`,
+    * `jpg_w`, `jpg_ncomp`. */
+  private def jpgCteSql(src: String): String = {
+    val standalone = "('FF01','FFD0','FFD1','FFD2','FFD3','FFD4','FFD5','FFD6','FFD7','FFD8')"
+    val sb = new StringBuilder
+    sb.append(s"j0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 4 " +
+      "AND substring(h, 1, 4) = 'FFD8' THEN CAST(2 AS BIGINT) END " +
+      s"AS joff0 FROM $src)")
+    var prev = "j0"
+    for (k <- 0 until WalkChunks) {
+      val live = s"joff$k IS NOT NULL AND n_bytes >= joff$k + 4"
+      sb.append(s""",
+        |ja$k AS MATERIALIZED (SELECT *,
+        |  CASE WHEN $live
+        |    THEN substring(h, CAST(joff$k * 2 + 1 AS INT), 4) END AS jm$k,
+        |  CASE WHEN $live
+        |    THEN CAST(${dynBeSql(s"joff$k + 2", 2)} AS BIGINT) END AS jl$k
+        |  FROM $prev)""".stripMargin)
+      prev = s"ja$k"
+      if (k < WalkChunks - 1) {
+        sb.append(s""",
+          |jb$k AS MATERIALIZED (SELECT *, CASE
+          |  WHEN jm$k IN ('FFC0','FFC1','FFC2') THEN CAST(NULL AS BIGINT)
+          |  WHEN jm$k IN $standalone THEN joff$k + 2
+          |  WHEN substring(jm$k, 1, 2) = 'FF' AND jm$k NOT IN ('FFD9','FFDA')
+          |    AND jl$k >= 2 THEN joff$k + 2 + jl$k
+          |  ELSE CAST(NULL AS BIGINT) END AS joff${k + 1} FROM ja$k)""".stripMargin)
+        prev = s"jb$k"
+      }
+    }
+    val sof = (0 until WalkChunks).map(k =>
+      s"CASE WHEN jm$k IN ('FFC0','FFC1','FFC2') " +
+        s"AND n_bytes >= joff$k + 10 THEN joff$k + 4 END")
+      .mkString("COALESCE(", ", ", ")")
+    sb.append(s""",
+      |jw AS MATERIALIZED (SELECT *, $sof AS jpg_sof FROM $prev),
+      |jfin AS MATERIALIZED (SELECT *,
+      |  CASE WHEN jpg_sof IS NOT NULL
+      |    THEN CAST(${dynBeSql("jpg_sof", 1)} AS BIGINT) END AS jpg_prec,
+      |  CASE WHEN jpg_sof IS NOT NULL
+      |    THEN CAST(${dynBeSql("jpg_sof + 1", 2)} AS BIGINT) END AS jpg_ht,
+      |  CASE WHEN jpg_sof IS NOT NULL
+      |    THEN CAST(${dynBeSql("jpg_sof + 3", 2)} AS BIGINT) END AS jpg_w,
+      |  CASE WHEN jpg_sof IS NOT NULL
+      |    THEN CAST(${dynBeSql("jpg_sof + 5", 1)} AS BIGINT) END AS jpg_ncomp
+      |  FROM jw)""".stripMargin)
+    sb.toString
+  }
+
   /** Spark side: append the walk columns to a frame carrying `h` and
     * `n_bytes`, then CHECKPOINT. The checkpoint is load-bearing twice
     * over: it truncates the lineage so no downstream filter can inline
@@ -291,6 +583,14 @@ object Media {
       hex(col("payload")).as("h"),
       length(col("payload")).cast("long").as("n_bytes")))
 
+  /** Test seam: ALL THREE container walks (RIFF + PNG + JPEG) over an
+    * arbitrary payload frame — the cross-check surface for the
+    * random-layout properties against [[realDecode]]. */
+  private[graft] def containerColumns(payloads: DataFrame): DataFrame =
+    withAllWalks(payloads.select(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")))
+
   private def withWalk(df: DataFrame): DataFrame =
     df.withColumn("wk", expr(walkAggSql)).localCheckpoint()
       .withColumn("fmt_off", col("wk.fmt_off"))
@@ -300,6 +600,35 @@ object Media {
       .withColumn("wav_sample_rate", col("wk.sample_rate"))
       .withColumn("wav_bits", col("wk.bits"))
       .drop("wk")
+
+  /** [[withWalk]] plus the PNG and JPEG walks — one checkpoint for all
+    * three folds (each fold's entry CASE NULLs out on the wrong magic,
+    * so a payload pays only its own container's walk plus two
+    * constant-time NULL short-circuits). Used by the format-sniffing
+    * surface ([[mediaFeatures]]); the single-format paths
+    * ([[audioFrames]], [[imageRows]]) keep their narrower walks. */
+  private def withAllWalks(df: DataFrame): DataFrame =
+    df.withColumn("wk", expr(walkAggSql))
+      .withColumn("pk", expr(pngAggSql))
+      .withColumn("jk", expr(jpgAggSql))
+      .localCheckpoint()
+      .withColumn("fmt_off", col("wk.fmt_off"))
+      .withColumn("data_off", col("wk.data_off"))
+      .withColumn("data_len", col("wk.data_len"))
+      .withColumn("wav_channels", col("wk.channels"))
+      .withColumn("wav_sample_rate", col("wk.sample_rate"))
+      .withColumn("wav_bits", col("wk.bits"))
+      .withColumn("png_ihdr", col("pk.ihdr_off"))
+      .withColumn("png_w", col("pk.w"))
+      .withColumn("png_ht", col("pk.ht"))
+      .withColumn("png_depth", col("pk.depth"))
+      .withColumn("png_ctype", col("pk.ctype"))
+      .withColumn("jpg_sof", col("jk.sof_off"))
+      .withColumn("jpg_prec", col("jk.prec"))
+      .withColumn("jpg_ht", col("jk.ht"))
+      .withColumn("jpg_w", col("jk.w"))
+      .withColumn("jpg_ncomp", col("jk.ncomp"))
+      .drop("wk", "pk", "jk")
 
   /** DuckDB side: the same walk as chained CTEs over `src` (which must
     * expose `h` and `n_bytes`); the final stage is named `walked`.
@@ -334,7 +663,13 @@ object Media {
     * with the text bytes as pixel data; doc_id % 5 = 1 → a real
     * canonical 44-byte WAV header (channels = 1 + doc_id % 2, rate =
     * 8000·(1 + doc_id % 6), bits = 8·(1 + doc_id % 2)) with the text
-    * bytes as samples; else the raw text bytes. NULL text stays NULL
+    * bytes as samples (doc_id % 10 = 6 adds LIST/fact chunks in front
+    * of `data`); doc_id % 5 = 2 → a real PNG (signature + IHDR + the
+    * text bytes as the IDAT payload + IEND, with doc_id % 10 = 7
+    * misplacing a tEXt chunk before IHDR); doc_id % 5 = 3 → a real
+    * JPEG (SOI + APP0 + SOF + the text bytes as the entropy stream +
+    * EOI, with doc_id % 10 = 8 inserting COM/DQT segments before the
+    * SOF); doc_id % 5 = 4 → the raw text bytes. NULL text stays NULL
     * (`||` propagates). One SQL body for both engines — `textHex` /
     * `textBytes` / the divide token are the per-engine seams. */
   private def containerHexSql(textHex: String, textBytes: String,
@@ -368,10 +703,51 @@ object Media {
       s"'57415645' || $fmtChunk || $listChunk || $dataChunk"
     val wavListFact = s"'52494646' || ${leHexSql(s"66 + $textBytes", 4, idiv)} || " +
       s"'57415645' || $fmtChunk || $listChunk || $factChunk || $dataChunk"
+    // PNG (doc_id % 5 = 2): signature + IHDR (width = 1 + doc_id % 800,
+    // height = 1 + doc_id % 600, bit depth 8, color type cycling
+    // truecolor/RGBA/gray) + IDAT carrying the text bytes + IEND; CRCs
+    // are zeros (the parse never checks them). Half (doc_id % 10 = 7)
+    // put a tEXt ancillary chunk BEFORE IHDR — spec-misplaced but
+    // exactly what the lenient bounded walk exists to hop, so the
+    // oracle-gated rows prove the walk in both engines.
+    val pw = "(1 + doc_id % 800)"
+    val phh = "(1 + doc_id % 600)"
+    val ctype = "(CASE WHEN doc_id % 3 = 0 THEN 2 WHEN doc_id % 3 = 1 THEN 6 ELSE 0 END)"
+    val ihdrChunk = s"'0000000D' || '49484452' || ${beHexSql(pw, 4, idiv)} || " +
+      s"${beHexSql(phh, 4, idiv)} || '08' || ${beHexSql(ctype, 1, idiv)} || " +
+      "'000000' || '00000000'"
+    val idatChunk = s"${beHexSql(textBytes, 4, idiv)} || '49444154' || " +
+      s"$textHex || '00000000'"
+    val iendChunk = "'00000000' || '49454E44' || '00000000'"
+    val textAnc = "'00000005' || '74455874' || '6B65794131' || '00000000'"
+    val png = s"'$PngSigHex' || $ihdrChunk || $idatChunk || $iendChunk"
+    val pngAnc = s"'$PngSigHex' || $textAnc || $ihdrChunk || $idatChunk || $iendChunk"
+    // JPEG (doc_id % 5 = 3): SOI + JFIF APP0 + SOF0 (precision 8,
+    // height/width uint16 BE, 3 components for even ids, 1 for odd) +
+    // the text bytes standing in for the entropy stream + EOI. Half
+    // (doc_id % 10 = 8) insert a COM and a DQT segment before the SOF
+    // (spelled SOF2 there) so the marker walk is proven past multiple
+    // variable-length segments in both engines.
+    val ncomp = "(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)"
+    val comps = "(CASE WHEN doc_id % 2 = 0 THEN '012200021101031101' ELSE '011100' END)"
+    val sofBody = s"${beHexSql(s"8 + 3 * $ncomp", 2, idiv)} || '08' || " +
+      s"${beHexSql(phh, 2, idiv)} || ${beHexSql(pw, 2, idiv)} || " +
+      s"${beHexSql(ncomp, 1, idiv)} || $comps"
+    val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
+      "'0048' || '0048' || '0000'"
+    val comSeg = "'FFFE' || '0009' || '67726166743037'"
+    val dqtSeg = "'FFDB' || '0007' || '0001020304'"
+    val jpg = s"'FFD8' || $app0 || 'FFC0' || $sofBody || $textHex || 'FFD9'"
+    val jpgExt = s"'FFD8' || $app0 || $comSeg || $dqtSeg || 'FFC2' || " +
+      s"$sofBody || $textHex || 'FFD9'"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
        |     WHEN doc_id % 20 = 16 THEN $wavListFact
        |     WHEN doc_id % 10 = 6 THEN $wavList
        |     WHEN doc_id % 5 = 1 THEN $wav
+       |     WHEN doc_id % 10 = 7 THEN $pngAnc
+       |     WHEN doc_id % 5 = 2 THEN $png
+       |     WHEN doc_id % 10 = 8 THEN $jpgExt
+       |     WHEN doc_id % 5 = 3 THEN $jpg
        |     ELSE $textHex END""".stripMargin
   }
 
@@ -405,7 +781,7 @@ object Media {
     // files resolve at steps 0/1, files with LIST/fact/cue  chunks in
     // front of `data` resolve deeper; fields read at the WALKED
     // offsets, not byte 22/24/34 constants
-    val withKind = withWalk(media.select(
+    val withKind = withAllWalks(media.select(
         col("media_id"),
         col("fmt"),
         length(col("payload")).cast("long").as("n_bytes"),
@@ -418,15 +794,25 @@ object Media {
         when(col("h").isNull, lit(null).cast("string"))
           .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
             lit("bmp"))
+          .when(col("png_ihdr").isNotNull, lit("png"))
+          .when(col("jpg_sof").isNotNull, lit("jpeg"))
           .when(col("fmt_off").isNotNull && col("data_off").isNotNull, lit("wav"))
           .otherwise(lit("raw")))
     withKind.select(
       col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
       col("byte_sum"), col("n_hi_bytes"), col("kind"),
-      when(col("kind") === "bmp", leVal(col("h"), 18, 4)).as("width"),
-      when(col("kind") === "bmp", leVal(col("h"), 22, 4)).as("height"),
-      when(col("kind") === "bmp", leVal(col("h"), 28, 2)).as("bpp"),
-      when(col("kind") === "wav", col("wav_channels")).as("channels"),
+      when(col("kind") === "bmp", leVal(col("h"), 18, 4))
+        .when(col("kind") === "png", col("png_w"))
+        .when(col("kind") === "jpeg", col("jpg_w")).as("width"),
+      when(col("kind") === "bmp", leVal(col("h"), 22, 4))
+        .when(col("kind") === "png", col("png_ht"))
+        .when(col("kind") === "jpeg", col("jpg_ht")).as("height"),
+      when(col("kind") === "bmp", leVal(col("h"), 28, 2))
+        .when(col("kind") === "png", col("png_depth"))
+        .when(col("kind") === "jpeg", col("jpg_prec")).as("bpp"),
+      when(col("kind") === "wav", col("wav_channels"))
+        .when(col("kind") === "png", expr(pngChannelsSql("png_ctype")))
+        .when(col("kind") === "jpeg", col("jpg_ncomp")).as("channels"),
       when(col("kind") === "wav", col("wav_sample_rate")).as("sample_rate"),
       when(col("kind") === "wav", col("wav_bits")).as("bits"))
   }
@@ -682,13 +1068,17 @@ object Media {
        |), sized AS (
        |  SELECT media_id, fmt, len(h) // 2 AS n_bytes, h FROM media
        |), ${walkCteSql("sized")},
+       |${pngCteSql("walked")},
+       |${jpgCteSql("pfin")},
        |hexed AS (
        |  SELECT *,
        |    CASE WHEN h IS NULL THEN NULL
        |         WHEN n_bytes >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
+       |         WHEN png_ihdr IS NOT NULL THEN 'png'
+       |         WHEN jpg_sof IS NOT NULL THEN 'jpeg'
        |         WHEN fmt_off IS NOT NULL AND data_off IS NOT NULL THEN 'wav'
        |         ELSE 'raw' END AS kind
-       |  FROM walked
+       |  FROM jfin
        |)
        |SELECT media_id, fmt,
        |  CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -701,10 +1091,18 @@ object Media {
        |  CAST(len(list_filter(regexp_extract_all(h, '..'),
        |    p -> strpos('89ABCDEF', substring(p, 1, 1)) > 0)) AS BIGINT) AS n_hi_bytes,
        |  kind,
-       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)} END AS BIGINT) AS width,
-       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)} END AS BIGINT) AS height,
-       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)} END AS BIGINT) AS bpp,
-       |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 2", 2)} END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)}
+       |    WHEN kind = 'png' THEN png_w
+       |    WHEN kind = 'jpeg' THEN jpg_w END AS BIGINT) AS width,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)}
+       |    WHEN kind = 'png' THEN png_ht
+       |    WHEN kind = 'jpeg' THEN jpg_ht END AS BIGINT) AS height,
+       |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)}
+       |    WHEN kind = 'png' THEN png_depth
+       |    WHEN kind = 'jpeg' THEN jpg_prec END AS BIGINT) AS bpp,
+       |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 2", 2)}
+       |    WHEN kind = 'png' THEN ${pngChannelsSql("png_ctype")}
+       |    WHEN kind = 'jpeg' THEN jpg_ncomp END AS BIGINT) AS channels,
        |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 4", 4)} END AS BIGINT) AS sample_rate,
        |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 14", 2)} END AS BIGINT) AS bits
        |FROM hexed

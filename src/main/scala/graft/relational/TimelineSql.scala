@@ -88,12 +88,12 @@ object TimelineSql {
     def edge(rel: String, childT: String, childK: String, parentT: String,
         parentK: String) =
       s"""SELECT '$rel' AS rel, n_rows, n_orphans,
-         |  (n_orphans * 1000000L) div n_rows AS orphan_millionths
+         |  (n_orphans * 1000000L) div greatest(n_rows, 1L) AS orphan_millionths
          |FROM (
          |  SELECT count(1) AS n_rows,
          |    count(CASE WHEN $parentK IS NULL THEN 1 END) AS n_orphans
          |  FROM $childT
-         |  LEFT JOIN (SELECT $parentK FROM $parentT) ON $childK = $parentK
+         |  LEFT JOIN (SELECT DISTINCT $parentK FROM $parentT) ON $childK = $parentK
          |)""".stripMargin
     s"""${edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
        |UNION ALL

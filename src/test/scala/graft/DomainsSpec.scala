@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Domains
+
+class DomainsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String, String, String, Long)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("registrableDomain: longest PSL suffix match, multi-label subdomains, fallbacks") {
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.c.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      // two-label suffix beats the one-label 'uk' match
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "bbc.co.uk" -> "bbc.co.uk",
+      "deep.sub.shop.com.au" -> "shop.com.au",
+      // unknown suffix → whole host unchanged (never merge unknowns)
+      "intranet.local" -> "intranet.local",
+      "localhost" -> "localhost",
+      // bare two-label with known one-label suffix
+      "x.io" -> "x.io")
+    val out = cases.map(_._1).toDF("host")
+      .select(org.apache.spark.sql.functions.col("host"),
+        Domains.registrableDomain(org.apache.spark.sql.functions.col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((h, want) <- cases) assert(out(h) === want, s"host $h")
+  }
+
+  test("domainQuality groups all subdomain variants of one publisher into one row") {
+    // doc_ids 0,1,2,3 all have doc_id % 3 giving suffixes .com/.co.uk/.org
+    // — pick ids ≡ 0 (mod 3) so all land on 'srcA.com' under four
+    // different subdomain shapes (% 4 = 0,1,2,3)
+    val d = docs(
+      (0L, "alpha beta", "en", "srcA", 0L),   // bare srcA.com
+      (9L, "gamma delta", "en", "srcA", 0L),  // www.srcA.com (9%4=1)
+      (6L, "epsilon", "en", "srcA", 0L),      // cdn.news.srcA.com (6%4=2)
+      (3L, "zeta eta", "en", "srcA", 0L))     // a.b.c.srcA.com (3%4=3)
+    val rows = Domains.domainQuality(d).collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    assert(rows.head.getAs[String]("domain") === "srca.com".toUpperCase.toLowerCase
+      || rows.head.getAs[String]("domain") === "srcA.com")
+    assert(rows.head.getAs[Long]("n_docs") === 4L)
+  }
+
+  test("domainQuota caps per registrable domain, not per host") {
+    // 8 docs, all srcB.org (ids ≡ 2 mod 3 → wait: use ids ≡ 2 (mod 3)
+    // → '.org'), across subdomain variants; quota 3 keeps exactly 3
+    val ids = Seq(2L, 5L, 8L, 11L, 14L, 17L, 20L, 23L)
+    val d = docs(ids.map(i =>
+      (i, s"some text body number $i with words", "en", "srcB", 0L)): _*)
+    val out = Domains.domainQuota(d, quota = 3).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[String]("domain") === "srcB.org"))
+    assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("asWebTable: url/host/domain are deterministic functions of (doc_id, source)") {
+    val d = docs((9L, "t", "en", "pub", 0L))
+    val r = Domains.asWebTable(d).collect().head
+    // 9 % 4 = 1 → www., 9 % 3 = 0 → .com
+    assert(r.getAs[String]("host") === "www.pub.com")
+    assert(r.getAs[String]("domain") === "pub.com")
+    assert(r.getAs[String]("url") === "https://www.pub.com/doc/9")
+  }
+}

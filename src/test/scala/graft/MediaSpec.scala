@@ -12,10 +12,10 @@ class MediaSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
   val sample = Seq(
-    // ids 2..4: doc_id % 5 ∉ {0, 1} → payloads stay raw text bytes
-    (2L, "hello", "en", "src0", 5L),
-    (3L, "héllo", "fr", "src1", 5L),   // é = 2 UTF-8 bytes, both ≥ 0x80
-    (4L, "", "en", "src2", 0L))
+    // ids 4, 9, 14: doc_id % 5 = 4 → payloads stay raw text bytes
+    (4L, "hello", "en", "src0", 5L),
+    (9L, "héllo", "fr", "src1", 5L),   // é = 2 UTF-8 bytes, both ≥ 0x80
+    (14L, "", "en", "src2", 0L))
 
   test("golden: byte features of known raw payloads") {
     val out = Media.mediaFeatures(docs(sample: _*))
@@ -24,11 +24,11 @@ class MediaSpec extends AnyFunSuite {
           r.getAs[Long]("byte_sum"), r.getAs[Long]("n_hi_bytes"),
           r.getAs[String]("kind"))).toMap
     // "hello" = 68 65 6C 6C 6F
-    assert(out(2L) === (5L, "68656C6C6F", 0x68L + 0x65 + 0x6c + 0x6c + 0x6f, 0L, "raw"))
+    assert(out(4L) === (5L, "68656C6C6F", 0x68L + 0x65 + 0x6c + 0x6c + 0x6f, 0L, "raw"))
     // "héllo" = 68 C3 A9 6C 6C 6F (6 bytes, é → C3 A9)
-    assert(out(3L) === (6L, "68C3A96C6C6F",
+    assert(out(9L) === (6L, "68C3A96C6C6F",
       0x68L + 0xc3 + 0xa9 + 0x6c + 0x6c + 0x6f, 2L, "raw"))
-    assert(out(4L) === (0L, "", 0L, 0L, "raw"))
+    assert(out(14L) === (0L, "", 0L, 0L, "raw"))
   }
 
   test("golden: realDecode parses hand-built BMP and WAV headers") {
@@ -174,13 +174,170 @@ class MediaSpec extends AnyFunSuite {
   }
 
   test("typed mapPartitions decoder agrees with the expression plan row-for-row") {
-    // ids 5, 6, 7 cover one of each: BMP-wrapped, WAV-wrapped, raw
-    val mixed = sample ++ Seq((5L, "pix", "en", "s", 3L), (6L, "snd", "en", "s", 3L))
+    // every container class: BMP (5), WAV (6), canonical PNG (2),
+    // ancillary-first PNG (7), canonical JPEG (3), COM/DQT JPEG (8),
+    // raw (sample: 4, 9, 14)
+    val mixed = sample ++ Seq(
+      (5L, "pix", "en", "s", 3L), (6L, "snd", "en", "s", 3L),
+      (2L, "png", "en", "s", 3L), (7L, "png2", "en", "s", 4L),
+      (3L, "jpg", "en", "s", 3L), (8L, "jpg2", "en", "s", 4L))
     val a = Media.mediaFeatures(docs(mixed: _*))
       .orderBy("media_id").collect().map(_.toSeq).toSeq
     val b = Media.mediaFeaturesPartitioned(docs(mixed: _*))
       .orderBy("media_id").collect().map(_.toSeq).toSeq
     assert(a === b)
+  }
+
+  test("container round-trip: synthesized PNG/JPEG payloads decode to their doc-derived fields") {
+    // doc 2 (% 10 = 2) → canonical PNG: w = 1 + 2 % 800 = 3, h = 3,
+    //   depth 8, ctype = 0 (2 % 3 = 2 → gray) → channels 1
+    // doc 7 (% 10 = 7) → PNG with a tEXt chunk BEFORE IHDR: w = 8,
+    //   h = 8, ctype = 6 (7 % 3 = 1 → RGBA) → channels 4
+    // doc 3 (% 10 = 3) → canonical JPEG: w = 4, h = 4, precision 8,
+    //   ncomp 1 (odd id)
+    // doc 8 (% 10 = 8) → JPEG with COM + DQT before SOF2: w = 9,
+    //   h = 9, ncomp 3 (even id)
+    val out = Media.mediaFeatures(docs(
+      (2L, "idatp", "en", "s", 5L), (7L, "idatq", "en", "s", 5L),
+      (3L, "scan1", "en", "s", 5L), (8L, "scan2", "en", "s", 5L)))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def fields(id: Long) = {
+      val r = out(id)
+      (r.getAs[String]("kind"), r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("bpp"),
+        r.getAs[Long]("channels"), r.getAs[Long]("n_bytes"))
+    }
+    // PNG total = 8 sig + 25 IHDR + (12 + text) IDAT + 12 IEND
+    assert(fields(2L) === ("png", 3L, 3L, 8L, 1L, 57L + 5L))
+    // + 17-byte tEXt chunk — the walk must hop it to find IHDR
+    assert(fields(7L) === ("png", 8L, 8L, 8L, 4L, 74L + 5L))
+    // JPEG total = 2 SOI + 18 APP0 + (2 + 8 + 3·ncomp) SOF + text + 2 EOI
+    assert(fields(3L) === ("jpeg", 4L, 4L, 8L, 1L, 35L + 5L))
+    // + 11-byte COM + 9-byte DQT
+    assert(fields(8L) === ("jpeg", 9L, 9L, 8L, 3L, 61L + 5L))
+  }
+
+  test("golden: realDecode parses hand-built PNG and JPEG headers") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length, 4) ++ typ.getBytes("US-ASCII") ++ payload ++ be(0, 4)
+    val ihdr = chunk("IHDR",
+      be(1920, 4) ++ be(1080, 4) ++ Array[Byte](8, 6, 0, 0, 0))
+    // misplaced ancillary chunk first — the walk must hop it
+    val png = pngSig ++ chunk("tEXt", Array[Byte](1, 2, 3)) ++ ihdr ++
+      chunk("IDAT", Array[Byte](9, 9)) ++ chunk("IEND", Array.empty)
+    val dp = Media.realDecode(graft.multimodal.MediaRow(1L, png, "f"))
+    assert(dp.kind === Some("png"))
+    assert((dp.width, dp.height, dp.bpp, dp.channels) ===
+      ((Some(1920L), Some(1080L), Some(8L), Some(4L))))
+    // truncated mid-IHDR-payload (tEXt chunk = 15 B, IHDR hdr = 8 B,
+    // then 10 of the 13 payload bytes) → raw: incomplete IHDR untrusted
+    val cut = Media.realDecode(graft.multimodal.MediaRow(2L,
+      png.take(pngSig.length + 15 + 8 + 10), "f"))
+    assert(cut.kind === Some("raw") && cut.width.isEmpty)
+
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be(payload.length + 2, 2) ++ payload
+    val sof = seg(0xc2, Array[Byte](8) ++ be(480, 2) ++ be(640, 2) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 0x48, 0, 0x48, 0, 0)) ++
+      seg(0xfe, "hello comment".getBytes("US-ASCII")) ++
+      sof ++ Array[Byte](1, 2, 3) ++ Array(0xff.toByte, 0xd9.toByte)
+    val dj = Media.realDecode(graft.multimodal.MediaRow(3L, jpg, "f"))
+    assert(dj.kind === Some("jpeg"))
+    assert((dj.width, dj.height, dj.bpp, dj.channels) ===
+      ((Some(640L), Some(480L), Some(8L), Some(3L))))
+    // SOS before any SOF → walk stops → raw (progressive garbage)
+    val noSof = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xda, Array[Byte](1, 1, 0)) ++ Array[Byte](5, 5)
+    val dn = Media.realDecode(graft.multimodal.MediaRow(4L, noSof, "f"))
+    assert(dn.kind === Some("raw") && dn.width.isEmpty)
+  }
+
+  test("property: PNG/JPEG declarative walks ≡ imperative walks on random layouts") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    val rnd = new scala.util.Random(47)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def pngChunk(): Array[Byte] = rnd.nextInt(5) match {
+      case 0 => // proper IHDR
+        be(13, 4) ++ "IHDR".getBytes("US-ASCII") ++
+          be(1 + rnd.nextInt(4000), 4) ++ be(1 + rnd.nextInt(3000), 4) ++
+          Array[Byte](8, Seq(0, 2, 3, 4, 6)(rnd.nextInt(5)).toByte, 0, 0, 0) ++ be(0, 4)
+      case 1 => // runt IHDR: declared < 13 must NOT be trusted
+        be(7, 4) ++ "IHDR".getBytes("US-ASCII") ++
+          Array.fill[Byte](7)(3) ++ be(0, 4)
+      case 2 => // ancillary with random payload (odd sizes — no padding in PNG)
+        val n = rnd.nextInt(9)
+        be(n, 4) ++ "tEXt".getBytes("US-ASCII") ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte) ++ be(0, 4)
+      case 3 => // declared size overruns the payload
+        be(1000 + rnd.nextInt(100000), 4) ++ "zTXt".getBytes("US-ASCII") ++
+          Array.fill[Byte](rnd.nextInt(6))(1)
+      case _ =>
+        be(4, 4) ++ "gAMA".getBytes("US-ASCII") ++ be(45455, 4) ++ be(0, 4)
+    }
+    def jpgSeg(): Array[Byte] = rnd.nextInt(6) match {
+      case 0 => // proper SOF0/1/2
+        val nc = 1 + rnd.nextInt(3)
+        Array(0xff.toByte, Seq(0xc0, 0xc1, 0xc2)(rnd.nextInt(3)).toByte) ++
+          be(8 + 3 * nc, 2) ++ Array[Byte](8) ++
+          be(1 + rnd.nextInt(60000), 2) ++ be(1 + rnd.nextInt(60000), 2) ++
+          Array[Byte](nc.toByte) ++ Array.fill[Byte](3 * nc)(0x11)
+      case 1 => // APPn with random payload
+        val n = rnd.nextInt(12)
+        Array(0xff.toByte, (0xe0 + rnd.nextInt(16)).toByte) ++
+          be(n + 2, 2) ++ Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      case 2 => // standalone marker (no length)
+        Array(0xff.toByte, Seq(0x01, 0xd0, 0xd3, 0xd7)(rnd.nextInt(4)).toByte)
+      case 3 => // malformed length < 2 → walk must stop
+        Array(0xff.toByte, 0xdb.toByte) ++ be(rnd.nextInt(2), 2)
+      case 4 => // EOI or SOS → stop
+        Array(0xff.toByte, Seq(0xd9, 0xda)(rnd.nextInt(2)).toByte) ++
+          Array.fill[Byte](rnd.nextInt(5))(9)
+      case _ => // garbage (not FF-led)
+        Array.fill[Byte](2 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+    }
+    val payloads: Seq[(Long, Array[Byte])] = (0 until 200).map { i =>
+      val full = if (i % 2 == 0)
+        pngSig ++ (0 until rnd.nextInt(8)).flatMap(_ => pngChunk()).toArray
+      else
+        Array(0xff.toByte, 0xd8.toByte) ++
+          (0 until rnd.nextInt(8)).flatMap(_ => jpgSeg()).toArray
+      val cut = if (rnd.nextInt(4) == 0 && full.length > 2)
+        full.take(2 + rnd.nextInt(full.length - 2)) else full
+      (i.toLong, cut)
+    }
+    import spark.implicits._
+    val declared = Media.containerColumns(payloads.toDF("media_id", "payload"))
+      .collect().map { r =>
+        def f(c: String) = Option(r.getAs[java.lang.Long](c)).map(_.toLong)
+        r.getAs[Long]("media_id") ->
+          ((f("png_ihdr"), f("png_w"), f("png_ht"), f("png_depth"), f("png_ctype")),
+            (f("jpg_sof"), f("jpg_prec"), f("jpg_ht"), f("jpg_w"), f("jpg_ncomp")))
+      }.toMap
+    for ((id, bytes) <- payloads) {
+      val d = Media.realDecode(graft.multimodal.MediaRow(id, bytes, "f"))
+      val ((ihdr, pw, ph, pd, _), (sof, jp, jh, jw, jn)) = declared(id)
+      if (id % 2 == 0) {
+        assert((d.kind === Some("png")) === ihdr.isDefined,
+          s"payload $id (${bytes.length} B): typed=${d.kind} declarative-ihdr=$ihdr")
+        if (ihdr.isDefined)
+          assert((d.width, d.height, d.bpp) === ((pw, ph, pd)),
+            s"payload $id PNG fields disagree")
+      } else {
+        assert((d.kind === Some("jpeg")) === sof.isDefined,
+          s"payload $id (${bytes.length} B): typed=${d.kind} declarative-sof=$sof")
+        if (sof.isDefined)
+          assert((d.width, d.height, d.bpp, d.channels) === ((jw, jh, jp, jn)),
+            s"payload $id JPEG fields disagree")
+      }
+    }
   }
 
   test("frameSample: stride-samples complete frames; short payloads emit none") {
