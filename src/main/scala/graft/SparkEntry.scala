@@ -98,6 +98,25 @@ object SparkEntry {
       EdgeLists.fromLineitem(s, dir).write.mode("overwrite").csv(tmp)
       GraphPatterns.edgeCount(EdgeLists.fromCsv(s, tmp), Some(CensusMax))
     }),
+    // The PRODUCTION arrival contract for the same format: PERMISSIVE
+    // parse + quarantine stream (the corpus_stats_jsonl discipline on
+    // the reference's own CSV). The fixture plants a deterministic
+    // corrupted copy of every edge with (src·31+dst) % 97 = 0, so the
+    // oracle prices the quarantine from the parquet relation alone —
+    // the bad-line count is data-derived, never a synthetic constant.
+    "edge_census_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+      val tmp = scratch("edges_csv_q", dir)
+      val edges = EdgeLists.fromLineitem(s, dir)
+      edges.select(concat_ws(",", col("src"), col("dst")).as("value"))
+        .union(edges
+          .filter((col("src") * 31 + col("dst")) % 97 === 0)
+          .select(concat(lit("x"), col("src"), lit(","), col("dst"))
+            .as("value")))
+        .write.mode("overwrite").text(tmp)
+      graft.sources.CsvEdges.censusReport(
+        graft.sources.CsvEdges.readEdges(s, tmp), CensusMax)
+    }),
     // A1+A2: exact.Exact2HopCount — degree-identity plan
     "exact_2hop" -> ((s, dir) =>
       GraphPatterns.twoHopCountDegrees(edges(s, dir))),
@@ -402,6 +421,8 @@ object SparkEntry {
       graft.text.Domains.domainQuality(graft.Tables.documents(s, dir))),
     "domain_quota" -> ((s, dir) =>
       graft.text.Domains.domainQuota(graft.Tables.documents(s, dir))),
+    "domain_dedup" -> ((s, dir) =>
+      graft.text.Domains.domainDedup(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -917,6 +938,13 @@ object SparkEntry {
     "salted_order_rollup" -> ((s, dir) =>
       graft.relational.SkewJoin.saltedOrderRollup(
         graft.Tables.lineitem(s, dir))),
+    // The closed loop: join_skew's audit relation DECIDES, per key,
+    // which path each row takes — hot keys salt, the tail stays plain.
+    // Same result-identity oracle as the manual spellings.
+    "salted_auto" -> ((s, dir) =>
+      graft.relational.SkewJoin.autoSaltedBrandRevenue(
+        graft.Tables.lineitem(s, dir),
+        graft.Tables.table(s, dir, "part"))),
     // ---- warehouse maintenance (round 10): the pre-publish
     // referential gate and the relational incremental merge ----
     "referential_audit" -> ((s, dir) =>
@@ -1113,6 +1141,16 @@ object SparkEntry {
       s"""$EdgeCte
          |SELECT count(*) AS edge_count FROM edges
          |WHERE src < $CensusMax AND dst < $CensusMax""".stripMargin,
+    // clean = every edge line; quarantine = the planted corrupted
+    // copies ((src·31+dst) % 97 = 0); census = MAX filter over clean.
+    "edge_census_quarantine" ->
+      s"""$EdgeCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(count(CASE WHEN (src * 31 + dst) % 97 = 0 THEN 1 END)
+         |    AS BIGINT) AS n_quarantine,
+         |  CAST(count(CASE WHEN src < $CensusMax AND dst < $CensusMax
+         |    THEN 1 END) AS BIGINT) AS census_count
+         |FROM edges""".stripMargin,
     "exact_2hop" ->
       s"""$EdgeCte,
          |ind  AS (SELECT dst AS y, count(*) AS indeg  FROM edges GROUP BY dst),
@@ -1208,6 +1246,7 @@ object SparkEntry {
     "source_quality" -> TextAnalysis.sourceQualitySql,
     "domain_quality" -> graft.text.Domains.domainQualitySql,
     "domain_quota" -> graft.text.Domains.domainQuotaSql(),
+    "domain_dedup" -> graft.text.Domains.domainDedupSql,
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
     "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),
@@ -1325,6 +1364,7 @@ object SparkEntry {
       graft.relational.Timeline.shipLatencyQuartilesSql,
     // the salted rewrites' oracles are deliberately UNSALTED
     "salted_brand_revenue" -> graft.relational.Sales.brandRevenueSql,
+    "salted_auto" -> graft.relational.Sales.brandRevenueSql,
     "salted_order_rollup" ->
       graft.relational.SkewJoin.saltedOrderRollupSql,
     "referential_audit" -> graft.relational.Warehouse.referentialAuditSql,

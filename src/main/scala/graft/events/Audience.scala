@@ -65,7 +65,8 @@ object Audience {
     * minhash, 7 planes/CMS, 99 SimHash, 13 Bloom). */
   private val (hA, hB) = PortableHash.minhashPerms(1, seed = 173L).head
 
-  private def userHash(u: Column): Column = PortableHash.permHash(u, hA, hB)
+  private[graft] def userHash(u: Column): Column =
+    PortableHash.permHash(u, hA, hB)
 
   private def userHashSql(u: String): String = PortableHash.permHashSql(u, hA, hB)
 
@@ -110,6 +111,27 @@ object Audience {
         slice(array_sort(array_union(
           coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))),
           1, k).as("hs"))
+  }
+
+  /** Re-roll FINER-grain sketches (per-window shards a stream emitted —
+    * [[graft.streaming.EventStream.windowedKmvSketches]]) up to the
+    * per-type sketch: explode the hash arrays and run ONE more
+    * [[KmvAgg]] pass. Exact by the same merge theorem [[kmvMerge]]
+    * rides — minK(∪ᵢ minK(Wᵢ)) = minK(∪ᵢ Wᵢ), for any number of
+    * shards, because a hash in the union's K smallest is in its own
+    * window's K smallest. This is the stream→batch handoff: the stream
+    * persists ≤K values per closed (window, type); the nightly re-roll
+    * touches only those tiny shards — never the raw events — and its
+    * output merges into [[incrementalKmv]] like any batch-built shard.
+    *
+    * Scale shape: input is |windows|·|types| rows of ≤K longs; the agg
+    * reduces each partition to ≤K values before the one shuffle. */
+  def kmvFromWindowSketches(windowSketches: DataFrame,
+      k: Int = KmvK): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    windowSketches.select(col("event_type"), explode(col("hs")).as("h"))
+      .groupBy("event_type").agg(kmv(col("h")).as("s"))
+      .select(col("event_type"), col("s.hs").as("hs"))
   }
 
   /** A sketch relation exploded to `(event_type, rn, h)` scalar rows —

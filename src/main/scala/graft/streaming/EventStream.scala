@@ -120,6 +120,35 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("users_hll"), col("n_events"))
 
+  /** Streaming producer of KMV sketch shards — the stream face of
+    * [[graft.events.Audience.kmvSketches]], per closed (hour,
+    * event_type) window: the K smallest distinct user-id hashes as an
+    * ascending array, built by the same bounded-state
+    * [[graft.events.KmvAgg]] the batch path runs (same portable hash
+    * seed, so stream- and batch-produced shards are interchangeable).
+    * Where the HLL emit face ([[hourlyUserSketches]]) gives mergeable
+    * UNION estimates, this one keeps INTERSECTION/Jaccard reachable
+    * downstream — KMV is the sketch HLL cannot replace. State per open
+    * window is ≤K longs per type, evicted by the watermark; the nightly
+    * [[graft.events.Audience.kmvFromWindowSketches]] re-roll then
+    * folds the closed shards to any coarser grain without rescanning
+    * raw events, and the result merges into
+    * [[graft.events.Audience.incrementalKmv]] like any batch shard
+    * (exactness spec-pinned end to end). */
+  def windowedKmvSketches(events: DataFrame,
+      watermarkDelay: String = "2 hours",
+      k: Int = graft.events.Audience.KmvK): DataFrame = {
+    val kmv = udaf(new graft.events.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events.select(eventTime.as("event_time"), col("event_type"),
+        graft.events.Audience.userHash(col("user_id")).as("h"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(kmv(col("h")).as("s"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("s.hs").as("hs"))
+  }
+
   /** Streaming hour × event-type pivot — the stream face of
     * [[graft.events.Events.eventPivot]]. `Dataset.pivot` itself is
     * unsupported on streaming relations (RelationalGroupedDataset

@@ -142,6 +142,52 @@ object Domains {
        |ORDER BY domain, n_docs, n_keep, keep_frac, mean_margin""".stripMargin
   }
 
+  /** Per-registrable-domain duplicate attribution —
+    * [[Dedup.dedupBySource]] re-keyed on the domain: per publisher, its
+    * doc count, how many of its docs lose the exact-dup election
+    * (normalized-content MD5, min-doc_id keeper), and the exact dup
+    * rate. THE curation question the feed label cannot answer: a
+    * publisher syndicating itself across `www.`/`cdn.`/mirror
+    * subdomains looks like distinct sources until the key is the
+    * registrable domain.
+    *
+    * Scale shape: identical to the source-keyed twin — one fingerprint
+    * scan, one fp-keyed partial agg, one fp-keyed join back, one
+    * domain-keyed partial agg; the extraction adds per-row codegen
+    * string work, no new shuffle. */
+  def domainDedup(docs: DataFrame): DataFrame = {
+    val fp = asWebTable(docs).select(col("doc_id"), col("domain"),
+      TextAnalysis.normMd5(col("text")).as("fp_md5"))
+    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_doc_id"))
+    fp.join(keepers, "fp_md5")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper_doc_id"), 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("domain"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000L) div n_docs").as("dup_rate_millionths"))
+  }
+
+  /** Oracle twin of [[domainDedup]]. */
+  def domainDedupSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${registrableDomainSql(hostSql)} AS domain,
+       |    ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM documents
+       |), keepers AS (
+       |  SELECT fp_md5, min(doc_id) AS keeper_doc_id FROM fp GROUP BY fp_md5
+       |), g AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN doc_id <> keeper_doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_docs
+       |  FROM fp JOIN keepers USING (fp_md5) GROUP BY domain
+       |)
+       |SELECT domain, n_docs, n_dup_docs,
+       |  CAST((n_dup_docs * 1000000) // n_docs AS BIGINT)
+       |    AS dup_rate_millionths
+       |FROM g
+       |ORDER BY domain, n_docs, n_dup_docs, dup_rate_millionths""".stripMargin
+
   /** Default per-domain cap — sized like [[Curation.SourceQuotaN]]:
     * below the fixture's per-domain doc count at the gate's SF, so the
     * cut is observable where it is verified. */

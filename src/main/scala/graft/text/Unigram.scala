@@ -167,6 +167,11 @@ object Unigram {
     t.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wt"))
       .select(col("w"), hex(encode(col("w"), "UTF-8")).as("h"), col("wt"))
+      // the constant attach key rides INSIDE the checkpoint so it is a
+      // real column, never a foldable literal — a foldable key lets the
+      // optimizer fold the segment-map attach into the
+      // BroadcastNestedLoopJoin the plan audit forbids (mixPlan idiom)
+      .withColumn("k", lit(1))
       .localCheckpoint()
 
   /** Candidate-piece counts: every substring of 1..[[MaxPieceBytes]]
@@ -186,9 +191,12 @@ object Unigram {
     * cost = ilog2(Σ(cnt+1)) − ilog2(cnt+1). The 1-row total attaches by
     * constant-key broadcast (the bpeWordIds discipline). */
   private def smoothedCosts(vocab: DataFrame): DataFrame = {
-    val tot = vocab.agg(sum(col("cnt") + lit(1L)).as("t")).withColumn("k", lit(1))
-    vocab.withColumn("k", lit(1))
-      .join(broadcast(tot), Seq("k"))
+    // checkpoint WITH the key so both sides' `k` are real columns —
+    // the foldable-literal spelling constant-folds this attach into a
+    // BroadcastNestedLoopJoin (caught by the global plan sweep)
+    val v = vocab.withColumn("k", lit(1)).localCheckpoint()
+    val tot = v.groupBy("k").agg(sum(col("cnt") + lit(1L)).as("t"))
+    v.join(broadcast(tot), Seq("k"))
       .select(col("piece"),
         (expr(ilog2SparkSql("t")) - expr(ilog2SparkSql("cnt + 1"))).as("cost"))
   }
@@ -204,7 +212,7 @@ object Unigram {
     * `(w, h, wt, cost, np, pa)` — `pa` is the chosen pieces joined by
     * `|` (leading separator; consumers split and drop empties). */
   private def segmentWords(words: DataFrame, cmRow: DataFrame): DataFrame =
-    words.withColumn("k", lit(1))
+    words // carries the checkpointed `k` from wordsFromToks
       .join(broadcast(cmRow), Seq("k"))
       .withColumn("fin", expr(dpSparkSql))
       .select(col("w"), col("h"), col("wt"), col("fin.c").as("cost"),

@@ -60,6 +60,25 @@ class DomainsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("domainDedup attributes subdomain-syndicated duplicates to ONE publisher") {
+    // four copies of the same content on srcA.com under four subdomain
+    // shapes (ids ≡ 0 mod 3 → .com; % 4 cycles the subdomain), plus one
+    // unique doc on srcB.org — the feed label would show four clean
+    // "sources"; the domain key shows one publisher at 3/4 dup rate
+    val d = docs(
+      (0L, "same syndicated body", "en", "srcA", 0L),
+      (9L, "same  syndicated\tbody", "en", "srcA", 0L), // ws variant → same fp
+      (6L, "same syndicated body", "en", "srcA", 0L),
+      (3L, "same syndicated body", "en", "srcA", 0L),
+      (2L, "something unique", "en", "srcB", 0L))
+    val out = Domains.domainDedup(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("srcA.com") === ((4L, 3L, 750000L)))
+    assert(out("srcB.org") === ((1L, 0L, 0L)))
+    assert(out.size === 2)
+  }
+
   test("asWebTable: url/host/domain are deterministic functions of (doc_id, source)") {
     val d = docs((9L, "t", "en", "pub", 0L))
     val r = Domains.asWebTable(d).collect().head

@@ -69,6 +69,53 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream KMV shards re-roll and merge to the exact whole-corpus sketch") {
+    val k = 4
+    // 3 hours × 2 types, 9 users → saturated sketches (k=4), windows
+    // that each see only a user subset — the re-roll has real work
+    val rows: Seq[Ev] = (0L until 54L).map { i =>
+      (i, T + (i % 3) * H + i * 1000L, (i % 9) + 1L,
+        if (i % 2 == 0) "view" else "click", 0.0, "{}")
+    }
+    val shards = runStream(rows)(
+        graft.streaming.EventStream.windowedKmvSketches(_, k = k))
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type"),
+        r.getAs[scala.collection.Seq[Long]]("hs").toSeq))
+    // the stream emitted one shard per (window, type), each ≤ k values
+    assert(shards.length === 6)
+    assert(shards.forall(_._3.length <= k))
+    val shardDf = shards.toSeq.toDF("hour_us", "event_type", "hs")
+    // re-roll: per-type sketch from the window shards alone
+    val rolled = graft.events.Audience.kmvFromWindowSketches(shardDf, k)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("hs").toSeq).toMap
+    val eventsDf = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val batch = graft.events.Audience.kmvSketches(eventsDf, k).collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("hs").toSeq).toMap
+    assert(rolled === batch, "stream re-roll diverged from the batch sketch")
+    // end-to-end handoff: stream-rolled shard ⊕ a batch-built shard of
+    // OTHER events merges to the whole-corpus sketch, bit-identically
+    val extra: Seq[Ev] = (100L until 118L).map { i =>
+      (i, T + 4 * H + i, i % 13 + 20L,
+        if (i % 2 == 0) "view" else "purchase", 0.0, "{}")
+    }
+    val extraDf = extra.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val merged = graft.events.Audience.kmvExploded(
+      graft.events.Audience.kmvMerge(
+        graft.events.Audience.kmvFromWindowSketches(shardDf, k),
+        graft.events.Audience.kmvSketches(extraDf, k), k))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = graft.events.Audience.kmvExploded(
+      graft.events.Audience.kmvSketches(
+        eventsDf.unionByName(extraDf), k))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === whole, "stream-produced shard broke the merge theorem")
+  }
+
   test("streaming dedup keeps one doc per normalized-content hash") {
     implicit val ctx = spark.sqlContext
     val src = MemoryStream[(Long, Long, String)]

@@ -59,6 +59,71 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(j.filter(col("name") === "cold").count() === 1L)
   }
 
+  test("the audit-driven join routes a planted celebrity hot and the tail cold") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // one celebrity key (10k rows) over a 10-key uniform tail (10 each)
+    val fact = ((1L to 10000L).map(i => (7L, i)) ++
+      (for (k <- 10L to 19L; i <- 1L to 10L) yield (k, i)))
+      .toDF("k", "payload")
+    val dim = ((7L to 19L).map(k => (k, s"name$k"))).toDF("dk", "name")
+    // the audit flags exactly the celebrity
+    val hot = graft.relational.SkewJoin.hotKeys(fact, "k",
+      SkewJoin.hotThresholdMillionths(SkewJoin.Salts))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot === Seq(7L), s"hot set was $hot")
+    val j = SkewJoin.autoSaltedJoin(fact, dim, "k", "dk")
+    // plan flip, per key: the hot key scatters across every salt on the
+    // fact side and meets Salts dim replicas; a cold key stays on salt 0
+    // with exactly ONE replica (no replication tax on the tail)
+    val salted = fact
+      .join(broadcast(Seq(Tuple1(7L)).toDF("_hotf")),
+        col("k") === col("_hotf"), "left")
+      .withColumn("_salt", when(col("_hotf").isNotNull,
+          pmod(xxhash64(col("k"), col("payload")), lit(SkewJoin.Salts)))
+        .otherwise(lit(0)).cast("int"))
+    assert(salted.filter(col("k") === 7L).select("_salt").distinct().count()
+      === SkewJoin.Salts.toLong)
+    assert(salted.filter(col("k") === 10L).select("_salt").distinct().count()
+      === 1L)
+    // no nested-loop anywhere (the constant-key attach stayed a hash join)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"forbidden join in:\n$plan")
+    // and the routing is result-identical to the plain join
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val auto = j.groupBy("name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auto === plain)
+  }
+
+  test("an exactly-uniform fact produces zero hot keys at threshold 1.0") {
+    val fact = (for (k <- 1L to 8L; i <- 1L to 5L) yield (k, i))
+      .toDF("k", "payload")
+    // every key sits exactly AT the mean; strict > must flag none
+    assert(graft.relational.SkewJoin.hotKeys(fact, "k", 1000000L).count() === 0L)
+    // and the auto join then IS the plain path: every row on salt 0
+    val dim = (1L to 8L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val j = SkewJoin.autoSaltedJoin(fact, dim, "k", "dk")
+    assert(j.count() === 40L)
+  }
+
+  test("autoSaltedBrandRevenue is result-identical to brandRevenue on the fixture") {
+    val li = graft.Tables.lineitem(spark, dir)
+    val part = graft.Tables.table(spark, dir, "part")
+    val auto = SkewJoin.autoSaltedBrandRevenue(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val plain = Sales.brandRevenue(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(auto === plain)
+  }
+
   test("byte-identical duplicate rows need a caller-keyed salt to spread") {
     // a degenerate hot key made of 10k EXACT duplicate rows: the
     // default whole-row hash maps them all to ONE salt (documented
