@@ -1054,6 +1054,11 @@ object SparkEntry {
       "doc_fingerprint" -> overDocs(TextSql.fingerprintsSparkSql),
       "corpus_stats" -> overDocs(_ => TextSql.corpusStatsSparkSql),
       "source_quality" -> overDocs(TextSql.sourceQualitySparkSql),
+      // the registrable-domain curation axis (r11) — same checkpoint-free
+      // rollup/quota/attribution shapes, keyed on the extracted eTLD+1
+      "domain_quality" -> overDocs(TextSql.domainQualitySparkSql),
+      "domain_quota" -> overDocs(TextSql.domainQuotaSparkSql),
+      "domain_dedup" -> overDocs(TextSql.domainDedupSparkSql),
       // dedup domain: the exact-duplicate clusterings (checkpoint-free)
       "exact_dup_clusters" -> overDocs(_ => TextSql.exactDupClustersSparkSql),
       "exact_dup_clusters_norm" ->

@@ -21,10 +21,13 @@ case class MediaDecoded(media_id: Long, fmt: String,
   * `binary` columns with typed metadata, plus per-record decode and
   * feature extraction.
   *
-  * The decode is a REAL parse of four public containers (no codec
+  * The decode is a REAL parse of five public containers (no codec
   * library needed — the layouts are bytes at documented offsets):
   * BMP (BITMAPINFOHEADER: width/height int32 LE at byte 18/22, bpp
-  * uint16 LE at 28) and three BOUNDED MARKER/CHUNK WALKS — RIFF WAV
+  * uint16 LE at 28), GIF (logical screen descriptor: width/height
+  * uint16 LE at 6/8, color resolution in bits 4-6 of the packed byte
+  * at 10; both GIF87a and GIF89a signatures), and three BOUNDED
+  * MARKER/CHUNK WALKS — RIFF WAV
   * (4-byte id + uint32 LE size from byte 12, odd payloads padded,
   * until `fmt ` and `data`), PNG (uint32 BE length + 4-byte type +
   * CRC from byte 8 until a complete `IHDR`), and JPEG (0xFF-marker
@@ -103,6 +106,14 @@ object Media {
     if (bytes.length >= 54 && ascii(0, "BM"))
       base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
         height = Some(le(22, 4)), bpp = Some(le(28, 2)))
+    else if (bytes.length >= 13 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      // GIF logical screen descriptor — FIXED offsets (the BMP shape,
+      // not a walk): width/height uint16 LE at 6/8, the packed byte at
+      // 10 carries color resolution in bits 4-6 (bits-per-primary − 1);
+      // pixel data is palette-indexed, so channels = 1
+      base.copy(kind = Some("gif"), width = Some(le(6, 2)),
+        height = Some(le(8, 2)), bpp = Some(((le(10, 1) >> 4) & 7) + 1),
+        channels = Some(1L))
     else if (magic(0, 0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) {
       // bounded PNG chunk walk — length-prefixed BIG-endian chunks
       // (uint32 BE length + 4-byte type + payload + 4-byte CRC, no
@@ -740,6 +751,18 @@ object Media {
     val jpg = s"'FFD8' || $app0 || 'FFC0' || $sofBody || $textHex || 'FFD9'"
     val jpgExt = s"'FFD8' || $app0 || $comSeg || $dqtSeg || 'FFC2' || " +
       s"$sofBody || $textHex || 'FFD9'"
+    // GIF (doc_id % 10 = 9, carved from the raw half of % 5 = 4):
+    // GIF87a/GIF89a signature (cycling — both magics proven) + logical
+    // screen descriptor (width/height uint16 LE, packed byte carrying
+    // color resolution doc_id % 8 in bits 4-6, background + aspect 0)
+    // + the text bytes standing in for the data stream + trailer 3B
+    val gw = "(1 + doc_id % 320)"
+    val gh = "(1 + doc_id % 240)"
+    val gpacked = "(16 * (doc_id % 8))"
+    val gsig =
+      "(CASE WHEN doc_id % 20 = 9 THEN '474946383961' ELSE '474946383761' END)"
+    val gif = s"$gsig || ${leHexSql(gw, 2, idiv)} || ${leHexSql(gh, 2, idiv)} || " +
+      s"${leHexSql(gpacked, 1, idiv)} || '0000' || $textHex || '3B'"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
        |     WHEN doc_id % 20 = 16 THEN $wavListFact
        |     WHEN doc_id % 10 = 6 THEN $wavList
@@ -748,6 +771,7 @@ object Media {
        |     WHEN doc_id % 5 = 2 THEN $png
        |     WHEN doc_id % 10 = 8 THEN $jpgExt
        |     WHEN doc_id % 5 = 3 THEN $jpg
+       |     WHEN doc_id % 10 = 9 THEN $gif
        |     ELSE $textHex END""".stripMargin
   }
 
@@ -794,6 +818,8 @@ object Media {
         when(col("h").isNull, lit(null).cast("string"))
           .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
             lit("bmp"))
+          .when(col("n_bytes") >= 13L && substring(col("h"), 1, 12)
+            .isin("474946383761", "474946383961"), lit("gif"))
           .when(col("png_ihdr").isNotNull, lit("png"))
           .when(col("jpg_sof").isNotNull, lit("jpeg"))
           .when(col("fmt_off").isNotNull && col("data_off").isNotNull, lit("wav"))
@@ -802,15 +828,21 @@ object Media {
       col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
       col("byte_sum"), col("n_hi_bytes"), col("kind"),
       when(col("kind") === "bmp", leVal(col("h"), 18, 4))
+        .when(col("kind") === "gif", leVal(col("h"), 6, 2))
         .when(col("kind") === "png", col("png_w"))
         .when(col("kind") === "jpeg", col("jpg_w")).as("width"),
       when(col("kind") === "bmp", leVal(col("h"), 22, 4))
+        .when(col("kind") === "gif", leVal(col("h"), 8, 2))
         .when(col("kind") === "png", col("png_ht"))
         .when(col("kind") === "jpeg", col("jpg_ht")).as("height"),
       when(col("kind") === "bmp", leVal(col("h"), 28, 2))
+        // GIF packed byte bits 4-6 = color resolution (bits/primary − 1)
+        .when(col("kind") === "gif",
+          shiftright(leVal(col("h"), 10, 1), 4).bitwiseAND(lit(7L)) + lit(1L))
         .when(col("kind") === "png", col("png_depth"))
         .when(col("kind") === "jpeg", col("jpg_prec")).as("bpp"),
       when(col("kind") === "wav", col("wav_channels"))
+        .when(col("kind") === "gif", lit(1L)) // palette-indexed
         .when(col("kind") === "png", expr(pngChannelsSql("png_ctype")))
         .when(col("kind") === "jpeg", col("jpg_ncomp")).as("channels"),
       when(col("kind") === "wav", col("wav_sample_rate")).as("sample_rate"),
@@ -1074,6 +1106,8 @@ object Media {
        |  SELECT *,
        |    CASE WHEN h IS NULL THEN NULL
        |         WHEN n_bytes >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
+       |         WHEN n_bytes >= 13 AND substring(h, 1, 12)
+       |           IN ('474946383761', '474946383961') THEN 'gif'
        |         WHEN png_ihdr IS NOT NULL THEN 'png'
        |         WHEN jpg_sof IS NOT NULL THEN 'jpeg'
        |         WHEN fmt_off IS NOT NULL AND data_off IS NOT NULL THEN 'wav'
@@ -1092,15 +1126,19 @@ object Media {
        |    p -> strpos('89ABCDEF', substring(p, 1, 1)) > 0)) AS BIGINT) AS n_hi_bytes,
        |  kind,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)}
+       |    WHEN kind = 'gif' THEN ${leValSql("h", 6, 2)}
        |    WHEN kind = 'png' THEN png_w
        |    WHEN kind = 'jpeg' THEN jpg_w END AS BIGINT) AS width,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)}
+       |    WHEN kind = 'gif' THEN ${leValSql("h", 8, 2)}
        |    WHEN kind = 'png' THEN png_ht
        |    WHEN kind = 'jpeg' THEN jpg_ht END AS BIGINT) AS height,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)}
+       |    WHEN kind = 'gif' THEN ((${leValSql("h", 10, 1)}) // 16) % 8 + 1
        |    WHEN kind = 'png' THEN png_depth
        |    WHEN kind = 'jpeg' THEN jpg_prec END AS BIGINT) AS bpp,
        |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 2", 2)}
+       |    WHEN kind = 'gif' THEN 1
        |    WHEN kind = 'png' THEN ${pngChannelsSql("png_ctype")}
        |    WHEN kind = 'jpeg' THEN jpg_ncomp END AS BIGINT) AS channels,
        |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 4", 4)} END AS BIGINT) AS sample_rate,

@@ -94,6 +94,30 @@ object Domains {
       | CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
       |  ELSE '.org' END)""".stripMargin.replace("\n", " ")
 
+  /** The synthesized host fragment for the Spark-SQL twins — the SAME
+    * text [[asWebTable]] parses via `expr`, so the trees cannot
+    * differ. */
+  private[text] def hostSparkSql: String = hostSql
+
+  /** Spark-SQL spelling of [[registrableDomain]] with the host
+    * expression textually inlined at EVERY reference — exactly the tree
+    * the Column builder produces (each Scala `parts`/`host` reference
+    * duplicates the expression; Catalyst sees the same duplication
+    * either way, which is what the plan-equality sweep pins). */
+  def registrableDomainSparkSql(h: String): String = {
+    val parts = s"reverse(split($h, '\\\\.'))"
+    val n = s"size($parts)"
+    val r1 = s"element_at($parts, 1)"
+    val r2 = s"CASE WHEN $n >= 2 THEN element_at($parts, 2) END"
+    val r3 = s"CASE WHEN $n >= 3 THEN element_at($parts, 3) END"
+    val last2 = s"concat_ws('.', $r2, $r1)"
+    val two = PslTwoLabel.map(x => s"'$x'").mkString("(", ", ", ")")
+    val one = PslOneLabel.map(x => s"'$x'").mkString("(", ", ", ")")
+    s"CASE WHEN $n >= 3 AND $last2 IN $two" +
+      s" THEN concat_ws('.', $r3, $r2, $r1)" +
+      s" WHEN $n >= 2 AND $r1 IN $one THEN $last2 ELSE $h END"
+  }
+
   /** Ingestion: documents → web-lake schema `(doc_id, url, host,
     * domain, source, …)` with the deterministic synthesized URL. */
   def asWebTable(docs: DataFrame): DataFrame = {

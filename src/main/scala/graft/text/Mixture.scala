@@ -301,6 +301,34 @@ object Mixture {
         col("tokens_kept"), col("expected_tokens"))
   }
 
+  /** The INGEST-TIME face of [[mixSample]] — the orphanGate discipline
+    * for mixture admission: each arriving document is flagged
+    * `mix_keep` by tossing the SAME deterministic coin
+    * (`permHash(doc_id) % 10⁶ < rate`) against a PERSISTED plan
+    * relation (the tiny ≤|sources|-row artifact a nightly [[mixPlan]]
+    * writes), probed by a stream-static broadcast LEFT join —
+    * STATELESS: no watermark, no state store, so it runs unchanged on
+    * a batch relation or an unbounded stream. Because the coin is a
+    * pure function of doc_id and the rate a pure function of the
+    * persisted plan, the stream admits EXACTLY the set the batch gate
+    * keeps (spec-pinned: per-source admitted counts equal
+    * [[mixSample]]'s `docs_kept` on the same rows). A source ABSENT
+    * from the plan admits nothing (NULL rate → false) — the
+    * conservative default for an unplanned feed.
+    *
+    * Scale shape: per micro-batch one broadcast probe + a per-row hash
+    * — no shuffle, no text pass (the plan already priced the corpus;
+    * admission needs only doc_id and source). */
+  def mixGate(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(
+        broadcast(rates.select(col("source"), col("rate_millionths"))),
+        Seq("source"), "left")
+      .withColumn("mix_keep",
+        coalesce(
+          pmod(PortableHash.permHash(col("doc_id"), hA, hB), lit(1000000L))
+            < col("rate_millionths"), lit(false)))
+      .drop("rate_millionths")
+
   /** Oracle twin of [[mixSample]]. */
   def mixSampleSql(budget: Long = MixBudget): String =
     s"""WITH inv AS (

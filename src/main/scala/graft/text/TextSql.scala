@@ -205,19 +205,73 @@ object TextSql {
        |)""".stripMargin
 
   /** Spark-SQL twin of [[TextAnalysis.sourceQuality]]. */
-  def sourceQualitySparkSql(w: Option[Int]): String = {
+  /** The classifier margin (native `tok_hashes_of_text` by registered
+    * name) — shared by the source- and domain-keyed quality twins. */
+  private def marginSparkSql: String = {
     val wArr = TextAnalysis.ClassifierWeights.map(_ + "L").mkString("array(", ", ", ")")
-    val margin = s"coalesce(aggregate(tok_hashes_of_text(text), 0L, (acc, x) -> " +
+    s"coalesce(aggregate(tok_hashes_of_text(text), 0L, (acc, x) -> " +
       s"acc + element_at($wArr, CAST(x % ${TextAnalysis.ClassifierFeatures} AS INT) + 1)), 0L)"
+  }
+
+  def sourceQualitySparkSql(w: Option[Int]): String =
     s"""SELECT source, n_docs, n_keep,
        |  n_keep / n_docs AS keep_frac, sum_margin / n_docs AS mean_margin
        |FROM (
        |  SELECT source, count(1) AS n_docs,
        |    sum(CASE WHEN margin > 0L THEN 1L ELSE 0L END) AS n_keep,
        |    sum(margin) AS sum_margin
-       |  FROM (SELECT source, $margin AS margin FROM ${wide(w)})
+       |  FROM (SELECT source, $marginSparkSql AS margin FROM ${wide(w)})
        |  GROUP BY source
        |)""".stripMargin
+
+  /** Spark-SQL twin of [[Domains.domainQuality]] — the same rollup
+    * keyed on the extracted registrable domain (the host synthesis and
+    * the PSL longest-match inlined textually, matching the Column
+    * tree's own duplication). */
+  def domainQualitySparkSql(w: Option[Int]): String = {
+    val domain = Domains.registrableDomainSparkSql(Domains.hostSparkSql)
+    s"""SELECT domain, n_docs, n_keep,
+       |  n_keep / n_docs AS keep_frac, sum_margin / n_docs AS mean_margin
+       |FROM (
+       |  SELECT domain, count(1) AS n_docs,
+       |    sum(CASE WHEN margin > 0L THEN 1L ELSE 0L END) AS n_keep,
+       |    sum(margin) AS sum_margin
+       |  FROM (SELECT $domain AS domain, $marginSparkSql AS margin FROM ${wide(w)})
+       |  GROUP BY domain
+       |)""".stripMargin
+  }
+
+  /** Spark-SQL twin of [[Domains.domainDedup]] — the exact-dup election
+    * joined back and attributed per registrable domain. */
+  def domainDedupSparkSql(w: Option[Int]): String = {
+    val domain = Domains.registrableDomainSparkSql(Domains.hostSparkSql)
+    val fp = normMd5SparkSql("text")
+    s"""SELECT domain, n_docs, n_dup_docs,
+       |  (n_dup_docs * 1000000L) div n_docs AS dup_rate_millionths
+       |FROM (
+       |  SELECT domain, count(1) AS n_docs,
+       |    sum(CASE WHEN doc_id != keeper_doc_id THEN 1L ELSE 0L END) AS n_dup_docs
+       |  FROM (SELECT doc_id, $domain AS domain, $fp AS fp_md5 FROM ${wide(w)})
+       |  JOIN (SELECT fp_md5, min(doc_id) AS keeper_doc_id
+       |        FROM (SELECT doc_id, $fp AS fp_md5 FROM ${wide(w)})
+       |        GROUP BY fp_md5) USING (fp_md5)
+       |  GROUP BY domain
+       |)""".stripMargin
+  }
+
+  /** Spark-SQL twin of [[Domains.domainQuota]] — best-quality-first
+    * row_number under the domain key, capped per publisher. */
+  def domainQuotaSparkSql(w: Option[Int]): String = {
+    val domain = Domains.registrableDomainSparkSql(Domains.hostSparkSql)
+    s"""SELECT domain, rnk, doc_id, quality_score
+       |FROM (
+       |  SELECT doc_id, quality_score, domain,
+       |    CAST(row_number() OVER (PARTITION BY domain
+       |      ORDER BY quality_score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM (SELECT doc_id, quality_score FROM ($textStatsSparkSql))
+       |  JOIN (SELECT doc_id, $domain AS domain FROM ${wide(w)}) USING (doc_id)
+       |)
+       |WHERE rnk <= ${Domains.DomainQuotaN}L""".stripMargin
   }
 
   private def normMd5SparkSql(t: String): String =

@@ -12,9 +12,10 @@ class MediaSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
   val sample = Seq(
-    // ids 4, 9, 14: doc_id % 5 = 4 → payloads stay raw text bytes
+    // ids 4, 24, 14: doc_id % 10 = 4 → payloads stay raw text bytes
+    // (the % 10 = 9 half of % 5 = 4 now synthesizes GIF containers)
     (4L, "hello", "en", "src0", 5L),
-    (9L, "héllo", "fr", "src1", 5L),   // é = 2 UTF-8 bytes, both ≥ 0x80
+    (24L, "héllo", "fr", "src1", 5L),  // é = 2 UTF-8 bytes, both ≥ 0x80
     (14L, "", "en", "src2", 0L))
 
   test("golden: byte features of known raw payloads") {
@@ -26,7 +27,7 @@ class MediaSpec extends AnyFunSuite {
     // "hello" = 68 65 6C 6C 6F
     assert(out(4L) === (5L, "68656C6C6F", 0x68L + 0x65 + 0x6c + 0x6c + 0x6f, 0L, "raw"))
     // "héllo" = 68 C3 A9 6C 6C 6F (6 bytes, é → C3 A9)
-    assert(out(9L) === (6L, "68C3A96C6C6F",
+    assert(out(24L) === (6L, "68C3A96C6C6F",
       0x68L + 0xc3 + 0xa9 + 0x6c + 0x6c + 0x6f, 2L, "raw"))
     assert(out(14L) === (0L, "", 0L, 0L, "raw"))
   }
@@ -215,6 +216,38 @@ class MediaSpec extends AnyFunSuite {
     assert(fields(3L) === ("jpeg", 4L, 4L, 8L, 1L, 35L + 5L))
     // + 11-byte COM + 9-byte DQT
     assert(fields(8L) === ("jpeg", 9L, 9L, 8L, 3L, 61L + 5L))
+  }
+
+  test("container round-trip + golden: GIF logical screen descriptor, both signatures") {
+    // doc 9 (% 20 = 9 → GIF89a): w = 1 + 9 % 320 = 10, h = 10,
+    //   packed = 16·(9 % 8) = 16 → color resolution bits = 1 → bpp 2
+    // doc 19 (% 20 = 19 → GIF87a): w = 20, h = 20,
+    //   packed = 16·(19 % 8) = 48 → bpp 4
+    val out = Media.mediaFeatures(docs(
+      (9L, "gifdata", "en", "s", 7L), (19L, "gifdata", "en", "s", 7L)))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def fields(id: Long) = {
+      val r = out(id)
+      (r.getAs[String]("kind"), r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("bpp"),
+        r.getAs[Long]("channels"), r.getAs[Long]("n_bytes"))
+    }
+    // GIF total = 6 signature + 7 LSD + text + 1 trailer
+    assert(fields(9L) === ("gif", 10L, 10L, 2L, 1L, 14L + 7L))
+    assert(fields(19L) === ("gif", 20L, 20L, 4L, 1L, 14L + 7L))
+    // the typed decoder agrees on a hand-built header: GIF89a,
+    // 300×200, packed 0xA2 (GCT flag set + color resolution 2 → bpp 3)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](44, 1, -56, 0, 0xA2.toByte, 0, 0) ++
+      Array[Byte](1, 2, 3) :+ 0x3B.toByte
+    val d = Media.realDecode(graft.multimodal.MediaRow(1L, gif, "f"))
+    assert(d.kind === Some("gif"))
+    assert((d.width, d.height, d.bpp, d.channels) ===
+      ((Some(300L), Some(200L), Some(3L), Some(1L))))
+    // too short for the descriptor → raw, not an error
+    val short = Media.realDecode(
+      graft.multimodal.MediaRow(2L, "GIF89a".getBytes("US-ASCII"), "f"))
+    assert(short.kind === Some("raw"))
   }
 
   test("golden: realDecode parses hand-built PNG and JPEG headers") {

@@ -166,4 +166,42 @@ class MixtureSpec extends AnyFunSuite {
     for ((s, rate) <- rates if rate == 1000000L)
       assert(a(s) === inv(s), s"saturated source $s must keep all docs")
   }
+
+  test("mixGate admits exactly the batch-planned set — batch and stream faces") {
+    import org.apache.spark.sql.functions.col
+    val rates = Mixture.mixPlan(fixture)
+      .select(col("source"), col("rate_millionths")).localCheckpoint()
+    // batch face: every row flagged (none dropped), per-source admitted
+    // counts equal mixSample's docs_kept on the same corpus
+    val gated = Mixture.mixGate(fixture, rates)
+    assert(gated.count() === fixture.count())
+    val kept = gated.filter(col("mix_keep")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = Mixture.mixSample(fixture).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("docs_kept")).toMap
+    for ((s, n) <- sample) assert(kept.getOrElse(s, 0L) === n, s"source $s")
+    assert(kept.values.sum === sample.values.sum)
+    // a source absent from the plan admits nothing (conservative default)
+    val alien = Seq((999999L, "txt", "unplanned-feed"))
+      .toDF("doc_id", "text", "source")
+    assert(Mixture.mixGate(alien, rates)
+      .filter(col("mix_keep")).count() === 0L)
+    // stream face: the same rows through an unbounded source admit the
+    // SAME doc ids — stateless, so no watermark, and batch ≡ stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rows = fixture.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val name = s"mix_gate_out_${System.nanoTime()}"
+    val q = Mixture.mixGate(src.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).filter(col("mix_keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = gated.filter(col("mix_keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batchIds, "stream admission diverged from batch")
+  }
 }
