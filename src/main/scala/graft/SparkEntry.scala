@@ -332,6 +332,17 @@ object SparkEntry {
     // tokenizer families compare column-for-column on the same corpus.
     "unigram_fertility" -> ((s, dir) =>
       graft.text.Unigram.unigramFertility(graft.Tables.documents(s, dir))),
+    // The frozen-tokenizer path: the vocabulary artifact is PERSISTED
+    // and RELOADED (the training_shards discipline), then the batch
+    // encodes under it with no EM — the oracle is the induced encode,
+    // so the gate proves the frozen path reproduces it exactly.
+    "unigram_encode_frozen" -> ((s, dir) => {
+      val docs = graft.Tables.documents(s, dir)
+      val tmp = scratch("unigram_vocab", dir)
+      graft.text.Unigram.unigramVocab(docs)
+        .write.mode("overwrite").parquet(tmp)
+      graft.text.Unigram.unigramEncodeWith(docs, s.read.parquet(tmp))
+    }),
     // BPE acceptance check under an EXTERNAL tokenizer: merges learned
     // on the doc_id % 50 = 0 slice, byte-fallback rate judged on the
     // rest — unseen text encodes to raw byte ids, so byte_frac ≈ 1 marks
@@ -1236,6 +1247,8 @@ object SparkEntry {
     "bpe_coverage_ext" -> TextAnalysis.bpeCoverageExtSql(),
     "unigram_vocab" -> graft.text.Unigram.unigramVocabSql,
     "unigram_encode" -> graft.text.Unigram.unigramEncodeSql,
+    // deliberately the INDUCED-encode oracle: frozen ≡ induced is the gate
+    "unigram_encode_frozen" -> graft.text.Unigram.unigramEncodeSql,
     "unigram_fertility" -> graft.text.Unigram.unigramFertilitySql,
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "lm_score" -> TextAnalysis.lmScoreSql,

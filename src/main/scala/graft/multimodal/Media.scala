@@ -21,12 +21,15 @@ case class MediaDecoded(media_id: Long, fmt: String,
   * `binary` columns with typed metadata, plus per-record decode and
   * feature extraction.
   *
-  * The decode is a REAL parse of five public containers (no codec
+  * The decode is a REAL parse of six public containers (no codec
   * library needed — the layouts are bytes at documented offsets):
   * BMP (BITMAPINFOHEADER: width/height int32 LE at byte 18/22, bpp
   * uint16 LE at 28), GIF (logical screen descriptor: width/height
   * uint16 LE at 6/8, color resolution in bits 4-6 of the packed byte
-  * at 10; both GIF87a and GIF89a signatures), and three BOUNDED
+  * at 10; both GIF87a and GIF89a signatures), MP4/ISO-BMFF (uint32 BE
+  * size + type boxes where `moov`/`trak` DESCEND into their payload —
+  * the nested walk — to the `tkhd` box's 16.16 fixed-point
+  * width/height, version 0 and 1 layouts), and three BOUNDED
   * MARKER/CHUNK WALKS — RIFF WAV
   * (4-byte id + uint32 LE size from byte 12, odd payloads padded,
   * until `fmt ` and `data`), PNG (uint32 BE length + 4-byte type +
@@ -166,6 +169,40 @@ object Media {
           height = Some(be(sof.toInt + 1, 2)), bpp = Some(be(sof.toInt, 1)),
           channels = Some(be(sof.toInt + 5, 1)))
       else base
+    } else if (bytes.length >= 12 && ascii(4, "ftyp")) {
+      // bounded ISO-BMFF (MP4) box walk — uint32 BE size + 4-byte type.
+      // The NESTED containers `moov` and `trak` DESCEND into their
+      // payload (off + 8) instead of hopping; every other box hops by
+      // its declared size (size < 8 = no forward progress, stop). The
+      // first COMPLETE `tkhd` (84-byte payload for version 0, 96 for
+      // version 1) carries presentation width/height as 16.16 fixed
+      // point after the 36-byte transform matrix — the integer part is
+      // the dimension. First match wins; the walk mirrors the
+      // declarative fold exactly (continues after a find).
+      var off = 0L
+      var tkhd = -1L
+      var k = 0
+      while (k < Mp4WalkChunks && off >= 0 && bytes.length >= off + 8) {
+        val sz = be(off.toInt, 4)
+        if (tkhd < 0 && ascii(off.toInt + 4, "tkhd") &&
+            bytes.length >= off + 9) {
+          val v = be(off.toInt + 8, 1)
+          val need = if (v == 1) 96L else 84L
+          if (bytes.length >= off + 8 + need) tkhd = off + 8
+        }
+        if (ascii(off.toInt + 4, "moov") || ascii(off.toInt + 4, "trak"))
+          off += 8
+        else if (sz >= 8) off += sz
+        else off = -1
+        k += 1
+      }
+      if (tkhd >= 0) {
+        val v = be(tkhd.toInt, 1)
+        val woff = tkhd.toInt + (if (v == 1) 88 else 76)
+        base.copy(kind = Some("mp4"),
+          width = Some(be(woff, 4) / 65536),
+          height = Some(be(woff + 4, 4) / 65536))
+      } else base
     } else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
       // bounded RIFF chunk walk — the typed twin of the declarative
       // walk in [[mediaFeatures]]: real files carry LIST/fact/cue
@@ -481,6 +518,108 @@ object Media {
        |      THEN CAST(${dynBeSql("acc.sof + 5", 1)} AS BIGINT) END))""".stripMargin
   }
 
+  // ---- bounded MP4 (ISO-BMFF) box walk --------------------------------------
+  //
+  // ISO-BMFF is uint32 BE size + 4-byte type boxes; the video
+  // dimensions live NESTED at moov → trak → tkhd. The walk stays the
+  // proven flat fold with one new move: a `moov` or `trak` box
+  // DESCENDS into its payload (off + 8) instead of hopping over it, so
+  // the nesting costs zero extra machinery. A complete `tkhd` payload
+  // (84 bytes at version 0, 96 at version 1) carries width/height as
+  // 16.16 fixed point after the transform matrix.
+
+  /** MP4 walks descend, so the step budget covers
+    * ftyp · free · moov↓ · mvhd · udta · trak↓ · tkhd with headroom. */
+  private val Mp4WalkChunks = 8
+
+  private val HexMoov = "6D6F6F76"
+  private val HexTrak = "7472616B"
+  private val HexTkhd = "746B6864"
+  private val HexFtyp = "66747970"
+
+  /** tkhd payload offset of the width field (the version byte decides
+    * the timestamp widths): SQL over a payload-offset expression `t`. */
+  private def tkhdWoffSql(t: String): String =
+    s"(($t) + (CASE WHEN ${dynBeSql(t, 1)} = 1 THEN 88 ELSE 76 END))"
+
+  /** The MP4 walk as ONE `aggregate` fold (Spark side) — same
+    * plan-explosion rationale as [[walkAggSql]]. */
+  private val mp4AggSql: String = {
+    val typ = "substring(h, CAST((acc.off + 4) * 2 + 1 AS INT), 8)"
+    val sz = dynBeSql("acc.off", 4)
+    val v = dynBeSql("acc.off + 8", 1)
+    s"""aggregate(
+       |  sequence(1, $Mp4WalkChunks),
+       |  named_struct(
+       |    'off', CASE WHEN n_bytes >= 12 AND substring(h, 9, 8) = '$HexFtyp'
+       |      THEN CAST(0 AS BIGINT) END,
+       |    'tkhd', CAST(NULL AS BIGINT)),
+       |  (acc, step) -> CASE
+       |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
+       |      named_struct('off', CAST(NULL AS BIGINT), 'tkhd', acc.tkhd)
+       |    ELSE named_struct(
+       |      'off', CASE
+       |        WHEN $typ IN ('$HexMoov', '$HexTrak') THEN acc.off + 8
+       |        WHEN $sz >= 8 THEN acc.off + $sz
+       |        ELSE CAST(NULL AS BIGINT) END,
+       |      'tkhd', coalesce(acc.tkhd, CASE WHEN $typ = '$HexTkhd'
+       |        AND n_bytes >= acc.off + 9
+       |        AND n_bytes >= acc.off + 8
+       |          + (CASE WHEN $v = 1 THEN 96 ELSE 84 END)
+       |        THEN acc.off + 8 END))
+       |    END,
+       |  acc -> named_struct(
+       |    'tkhd_off', acc.tkhd,
+       |    'w', CASE WHEN acc.tkhd IS NOT NULL THEN
+       |      CAST(${dynBeSql(tkhdWoffSql("acc.tkhd"), 4)} div 65536 AS BIGINT) END,
+       |    'ht', CASE WHEN acc.tkhd IS NOT NULL THEN
+       |      CAST(${dynBeSql(tkhdWoffSql("acc.tkhd") + " + 4", 4)} div 65536 AS BIGINT) END))""".stripMargin
+  }
+
+  /** DuckDB side of the MP4 walk: chained MATERIALIZED CTEs over `src`;
+    * final stage `mfin` carries `mp4_tkhd`, `mp4_w`, `mp4_ht`. */
+  private def mp4CteSql(src: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"m0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 12 " +
+      s"AND substring(h, 9, 8) = '$HexFtyp' THEN CAST(0 AS BIGINT) END " +
+      s"AS moff0 FROM $src)")
+    var prev = "m0"
+    for (k <- 0 until Mp4WalkChunks) {
+      val live = s"moff$k IS NOT NULL AND n_bytes >= moff$k + 8"
+      sb.append(s""",
+        |ma$k AS MATERIALIZED (SELECT *,
+        |  CASE WHEN $live
+        |    THEN substring(h, CAST((moff$k + 4) * 2 + 1 AS INT), 8) END AS mtyp$k,
+        |  CASE WHEN $live
+        |    THEN CAST(${dynBeSql(s"moff$k", 4)} AS BIGINT) END AS msz$k
+        |  FROM $prev)""".stripMargin)
+      prev = s"ma$k"
+      if (k < Mp4WalkChunks - 1) {
+        sb.append(s""",
+          |mb$k AS MATERIALIZED (SELECT *, CASE
+          |  WHEN mtyp$k IN ('$HexMoov', '$HexTrak') THEN moff$k + 8
+          |  WHEN mtyp$k IS NOT NULL AND msz$k >= 8 THEN moff$k + msz$k
+          |  ELSE CAST(NULL AS BIGINT) END AS moff${k + 1} FROM ma$k)""".stripMargin)
+        prev = s"mb$k"
+      }
+    }
+    val tkhd = (0 until Mp4WalkChunks).map(k =>
+      s"CASE WHEN mtyp$k = '$HexTkhd' AND n_bytes >= moff$k + 9 " +
+        s"AND n_bytes >= moff$k + 8 + (CASE WHEN " +
+        s"${dynBeSql(s"moff$k + 8", 1)} = 1 THEN 96 ELSE 84 END) " +
+        s"THEN moff$k + 8 END")
+      .mkString("COALESCE(", ", ", ")")
+    sb.append(s""",
+      |mw AS MATERIALIZED (SELECT *, $tkhd AS mp4_tkhd FROM $prev),
+      |mfin AS MATERIALIZED (SELECT *,
+      |  CASE WHEN mp4_tkhd IS NOT NULL
+      |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd"), 4)} // 65536 AS BIGINT) END AS mp4_w,
+      |  CASE WHEN mp4_tkhd IS NOT NULL
+      |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd") + " + 4", 4)} // 65536 AS BIGINT) END AS mp4_ht
+      |  FROM mw)""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB side of the PNG walk: chained MATERIALIZED CTEs over `src`
     * (exposing `h`, `n_bytes`); final stage `pfin` carries `png_ihdr`,
     * `png_w`, `png_ht`, `png_depth`, `png_ctype`. Same
@@ -622,6 +761,7 @@ object Media {
     df.withColumn("wk", expr(walkAggSql))
       .withColumn("pk", expr(pngAggSql))
       .withColumn("jk", expr(jpgAggSql))
+      .withColumn("mk", expr(mp4AggSql))
       .localCheckpoint()
       .withColumn("fmt_off", col("wk.fmt_off"))
       .withColumn("data_off", col("wk.data_off"))
@@ -639,7 +779,10 @@ object Media {
       .withColumn("jpg_ht", col("jk.ht"))
       .withColumn("jpg_w", col("jk.w"))
       .withColumn("jpg_ncomp", col("jk.ncomp"))
-      .drop("wk", "pk", "jk")
+      .withColumn("mp4_tkhd", col("mk.tkhd_off"))
+      .withColumn("mp4_w", col("mk.w"))
+      .withColumn("mp4_ht", col("mk.ht"))
+      .drop("wk", "pk", "jk", "mk")
 
   /** DuckDB side: the same walk as chained CTEs over `src` (which must
     * expose `h` and `n_bytes`); the final stage is named `walked`.
@@ -763,6 +906,34 @@ object Media {
       "(CASE WHEN doc_id % 20 = 9 THEN '474946383961' ELSE '474946383761' END)"
     val gif = s"$gsig || ${leHexSql(gw, 2, idiv)} || ${leHexSql(gh, 2, idiv)} || " +
       s"${leHexSql(gpacked, 1, idiv)} || '0000' || $textHex || '3B'"
+    // MP4 (doc_id % 20 = 14, carved from the remaining raw quarter):
+    // ftyp + moov(mvhd stub + trak(tkhd)) + mdat carrying the text
+    // bytes; width = 1 + doc_id % 1920, height = 1 + doc_id % 1080 as
+    // 16.16 fixed point. A quarter (doc_id % 40 = 34) instead nests a
+    // `free` box before moov and a `udta` stub before trak AND spells
+    // tkhd at VERSION 1 (wider timestamps), so the oracle-gated rows
+    // prove the descend walk past sibling boxes and BOTH version
+    // layouts in both engines.
+    val mw = "(1 + doc_id % 1920)"
+    val mh = "(1 + doc_id % 1080)"
+    val matrix =
+      "'000100000000000000000000000000000001000000000000000000000000000040000000'"
+    val dims = s"${beHexSql(mw, 2, idiv)} || '0000' || " +
+      s"${beHexSql(mh, 2, idiv)} || '0000'"
+    val tkhdV0 = s"'0000005C' || '$HexTkhd' || '00000007' || '00000000' || " +
+      s"'00000000' || '00000001' || '00000000' || '00000000' || " +
+      s"'0000000000000000' || '0000000000000000' || $matrix || $dims"
+    val tkhdV1 = s"'00000068' || '$HexTkhd' || '01000007' || " +
+      s"'0000000000000000' || '0000000000000000' || '00000001' || " +
+      s"'00000000' || '0000000000000000' || '0000000000000000' || " +
+      s"'0000000000000000' || $matrix || $dims"
+    val ftypBox = s"'00000010' || '$HexFtyp' || '69736F6D' || '00000000'"
+    val mdatBox = s"${beHexSql(s"8 + $textBytes", 4, idiv)} || '6D646174' || $textHex"
+    val mp4 = s"$ftypBox || '00000074' || '$HexMoov' || " +
+      s"'00000008' || '6D766864' || '00000064' || '$HexTrak' || $tkhdV0 || $mdatBox"
+    val mp4Ext = s"$ftypBox || '0000000C' || '66726565' || '00000000' || " +
+      s"'00000088' || '$HexMoov' || '00000008' || '6D766864' || " +
+      s"'00000008' || '75647461' || '00000070' || '$HexTrak' || $tkhdV1 || $mdatBox"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
        |     WHEN doc_id % 20 = 16 THEN $wavListFact
        |     WHEN doc_id % 10 = 6 THEN $wavList
@@ -772,6 +943,8 @@ object Media {
        |     WHEN doc_id % 10 = 8 THEN $jpgExt
        |     WHEN doc_id % 5 = 3 THEN $jpg
        |     WHEN doc_id % 10 = 9 THEN $gif
+       |     WHEN doc_id % 40 = 34 THEN $mp4Ext
+       |     WHEN doc_id % 20 = 14 THEN $mp4
        |     ELSE $textHex END""".stripMargin
   }
 
@@ -822,6 +995,7 @@ object Media {
             .isin("474946383761", "474946383961"), lit("gif"))
           .when(col("png_ihdr").isNotNull, lit("png"))
           .when(col("jpg_sof").isNotNull, lit("jpeg"))
+          .when(col("mp4_tkhd").isNotNull, lit("mp4"))
           .when(col("fmt_off").isNotNull && col("data_off").isNotNull, lit("wav"))
           .otherwise(lit("raw")))
     withKind.select(
@@ -830,11 +1004,13 @@ object Media {
       when(col("kind") === "bmp", leVal(col("h"), 18, 4))
         .when(col("kind") === "gif", leVal(col("h"), 6, 2))
         .when(col("kind") === "png", col("png_w"))
-        .when(col("kind") === "jpeg", col("jpg_w")).as("width"),
+        .when(col("kind") === "jpeg", col("jpg_w"))
+        .when(col("kind") === "mp4", col("mp4_w")).as("width"),
       when(col("kind") === "bmp", leVal(col("h"), 22, 4))
         .when(col("kind") === "gif", leVal(col("h"), 8, 2))
         .when(col("kind") === "png", col("png_ht"))
-        .when(col("kind") === "jpeg", col("jpg_ht")).as("height"),
+        .when(col("kind") === "jpeg", col("jpg_ht"))
+        .when(col("kind") === "mp4", col("mp4_ht")).as("height"),
       when(col("kind") === "bmp", leVal(col("h"), 28, 2))
         // GIF packed byte bits 4-6 = color resolution (bits/primary − 1)
         .when(col("kind") === "gif",
@@ -1102,6 +1278,7 @@ object Media {
        |), ${walkCteSql("sized")},
        |${pngCteSql("walked")},
        |${jpgCteSql("pfin")},
+       |${mp4CteSql("jfin")},
        |hexed AS (
        |  SELECT *,
        |    CASE WHEN h IS NULL THEN NULL
@@ -1110,9 +1287,10 @@ object Media {
        |           IN ('474946383761', '474946383961') THEN 'gif'
        |         WHEN png_ihdr IS NOT NULL THEN 'png'
        |         WHEN jpg_sof IS NOT NULL THEN 'jpeg'
+       |         WHEN mp4_tkhd IS NOT NULL THEN 'mp4'
        |         WHEN fmt_off IS NOT NULL AND data_off IS NOT NULL THEN 'wav'
        |         ELSE 'raw' END AS kind
-       |  FROM jfin
+       |  FROM mfin
        |)
        |SELECT media_id, fmt,
        |  CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -1128,11 +1306,13 @@ object Media {
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 18, 4)}
        |    WHEN kind = 'gif' THEN ${leValSql("h", 6, 2)}
        |    WHEN kind = 'png' THEN png_w
-       |    WHEN kind = 'jpeg' THEN jpg_w END AS BIGINT) AS width,
+       |    WHEN kind = 'jpeg' THEN jpg_w
+       |    WHEN kind = 'mp4' THEN mp4_w END AS BIGINT) AS width,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 22, 4)}
        |    WHEN kind = 'gif' THEN ${leValSql("h", 8, 2)}
        |    WHEN kind = 'png' THEN png_ht
-       |    WHEN kind = 'jpeg' THEN jpg_ht END AS BIGINT) AS height,
+       |    WHEN kind = 'jpeg' THEN jpg_ht
+       |    WHEN kind = 'mp4' THEN mp4_ht END AS BIGINT) AS height,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)}
        |    WHEN kind = 'gif' THEN ((${leValSql("h", 10, 1)}) // 16) % 8 + 1
        |    WHEN kind = 'png' THEN png_depth

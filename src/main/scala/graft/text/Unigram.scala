@@ -114,26 +114,34 @@ object Unigram {
   // struct-wrapping-a-list accumulator miscompiles there; a bare list
   // folds correctly). Ties break by (cost, piece count, path string) —
   // total and identical in both engines, so the chosen segmentation is
-  // a pure function of (word, cost map). Out-of-range / out-of-vocab
-  // candidates carry [[InfCost]] (never chosen: p = 1 is always in
-  // vocab by byte closure), keeping the candidate array NULL-free so
-  // the min is array_sort(...)[1] with no null-ordering seam.
+  // a pure function of (word, cost map). Out-of-range candidates carry
+  // a leading validity rank `bad = 1` so the struct sort can NEVER pick
+  // them over a real transition (a p = 1 transition always exists):
+  // without the rank, a word whose first byte misses the cost map ties
+  // the invalid sentinel at InfCost and loses on piece count — the
+  // FROZEN-encode seam, where a later batch carries a byte the
+  // induction corpus never saw (under byte closure on the induction
+  // corpus itself, misses cannot happen and the rank is inert). The
+  // candidate array stays NULL-free so the min is array_sort(...)[1]
+  // with no null-ordering seam.
 
   /** Spark spelling: one `aggregate` fold producing the final
-    * struct(c, np, pa) for a row carrying `h` and map column `cm`. */
+    * struct(bad, c, np, pa) for a row carrying `h` and map column
+    * `cm`. */
   private def dpSparkSql: String = {
     def cand(p: Int) = {
       val prev = s"element_at(acc, size(acc) - $p + 1)"
       val piece = s"substr(h, (size(acc) - $p) * 2 + 1, $p * 2)"
       s"""CASE WHEN size(acc) >= $p THEN named_struct(
+         |      'bad', 0L,
          |      'c', $prev.c + coalesce(try_element_at(cm, $piece), ${InfCost}L),
          |      'np', $prev.np + 1L,
          |      'pa', concat($prev.pa, '|', $piece))
-         |    ELSE named_struct('c', ${InfCost}L, 'np', 0L, 'pa', '') END""".stripMargin
+         |    ELSE named_struct('bad', 1L, 'c', ${InfCost}L, 'np', 0L, 'pa', '') END""".stripMargin
     }
     s"""aggregate(
        |  sequence(1, CAST(length(h) div 2 AS INT)),
-       |  array(named_struct('c', 0L, 'np', 0L, 'pa', '')),
+       |  array(named_struct('bad', 0L, 'c', 0L, 'np', 0L, 'pa', '')),
        |  (acc, jj) -> concat(acc, array(element_at(array_sort(array(
        |    ${(1 to MaxPieceBytes).map(cand).mkString(",\n")})), 1))),
        |  acc -> element_at(acc, size(acc)))""".stripMargin
@@ -145,14 +153,14 @@ object Unigram {
     def cand(p: Int) = {
       val prev = s"acc[len(acc) - $p + 1]"
       val piece = s"substr(h, (len(acc) - $p) * 2 + 1, $p * 2)"
-      s"""CASE WHEN len(acc) >= $p THEN {'c': $prev.c + coalesce(map_extract(cm, $piece)[1], ${InfCost}::BIGINT),
+      s"""CASE WHEN len(acc) >= $p THEN {'bad': 0::BIGINT, 'c': $prev.c + coalesce(map_extract(cm, $piece)[1], ${InfCost}::BIGINT),
          |      'np': $prev.np + 1, 'pa': $prev.pa || '|' || $piece}
-         |    ELSE {'c': ${InfCost}::BIGINT, 'np': 0::BIGINT, 'pa': ''} END""".stripMargin
+         |    ELSE {'bad': 1::BIGINT, 'c': ${InfCost}::BIGINT, 'np': 0::BIGINT, 'pa': ''} END""".stripMargin
     }
     s"""list_reduce(
-       |  list_prepend([{'c': 0::BIGINT, 'np': 0::BIGINT, 'pa': ''}],
+       |  list_prepend([{'bad': 0::BIGINT, 'c': 0::BIGINT, 'np': 0::BIGINT, 'pa': ''}],
        |    list_transform(range(1, len(h)//2 + 1),
-       |      jj -> [{'c': 0::BIGINT, 'np': 0::BIGINT, 'pa': ''}])),
+       |      jj -> [{'bad': 0::BIGINT, 'c': 0::BIGINT, 'np': 0::BIGINT, 'pa': ''}])),
        |  (acc, x) -> list_append(acc, list_sort([
        |    ${(1 to MaxPieceBytes).map(cand).mkString(",\n")}])[1]))""".stripMargin
   }
@@ -274,11 +282,10 @@ object Unigram {
         col("cnt"), col("cost_q20"))
   }
 
-  /** Per-document token counts under the induced tokenizer — the
-    * [[TextAnalysis.bpeEncode]] face: empty/NULL-text docs report 0. */
-  def unigramEncode(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val (_, _, segF) = induce(t.select(col("doc_id"), col("toks")))
+  /** The per-doc count rollup shared by the induced and frozen encode
+    * faces: occurrences × the word's Viterbi piece count, empty/NULL
+    * docs reporting 0. */
+  private def encodeRollup(t: DataFrame, segF: DataFrame): DataFrame = {
     val occ = t.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n_occ"))
     val rolled = occ.join(segF.select(col("w"), col("np")), Seq("w"))
@@ -286,6 +293,41 @@ object Unigram {
     t.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nu"), lit(0L)).as("n_unigram_tokens"))
+  }
+
+  /** Per-document token counts under the induced tokenizer — the
+    * [[TextAnalysis.bpeEncode]] face: empty/NULL-text docs report 0. */
+  def unigramEncode(docs: DataFrame): DataFrame = {
+    val t = toks(docs)
+    val (_, _, segF) = induce(t.select(col("doc_id"), col("toks")))
+    encodeRollup(t, segF)
+  }
+
+  /** FROZEN-tokenizer encode — the unigram twin of the frozen BPE
+    * apply path ([[TextAnalysis.bpeRoundsFromMergeTable]]): encode a
+    * batch under a PERSISTED vocabulary relation (the
+    * [[unigramVocab]] artifact, ≤ vocab-size rows of `(piece, cnt,
+    * …)`) with no seeding and no EM rounds — one smoothed-cost build
+    * over the artifact and one Viterbi segmentation of the batch's
+    * distinct words. This is what a production nightly runs: induce
+    * once, persist the vocabulary, encode every later batch under it.
+    * On the induction corpus itself this reproduces [[unigramEncode]]
+    * bit-identically (the oracle-gated contract — the frozen path and
+    * the learner's final segmentation are the same arithmetic); on
+    * unseen words the byte closure guarantees a path (every byte piece
+    * is in the artifact at count ≥ 0), and a byte never seen at
+    * induction costs the map-miss sentinel but still segments
+    * deterministically — nothing errors, nothing vanishes.
+    *
+    * Scale shape: the batch pays one tokenize pass + the ≤|distinct
+    * words| segmentation; the artifact attaches as the same 1-row
+    * broadcast cost map the learner used. */
+  def unigramEncodeWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val t = toks(docs)
+    val words = wordsFromToks(t.select(col("doc_id"), col("toks")))
+    val segF = segmentWords(words,
+      costMapRow(smoothedCosts(vocab.select(col("piece"), col("cnt")))))
+    encodeRollup(t, segF)
   }
 
   /** Per-language fertility under the induced tokenizer — SAME schema

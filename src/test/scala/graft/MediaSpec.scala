@@ -12,11 +12,11 @@ class MediaSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
   val sample = Seq(
-    // ids 4, 24, 14: doc_id % 10 = 4 → payloads stay raw text bytes
-    // (the % 10 = 9 half of % 5 = 4 now synthesizes GIF containers)
+    // ids 4, 24, 44: doc_id % 20 = 4 → payloads stay raw text bytes
+    // (% 10 = 9 now synthesizes GIF and % 20 = 14 MP4 containers)
     (4L, "hello", "en", "src0", 5L),
     (24L, "héllo", "fr", "src1", 5L),  // é = 2 UTF-8 bytes, both ≥ 0x80
-    (14L, "", "en", "src2", 0L))
+    (44L, "", "en", "src2", 0L))
 
   test("golden: byte features of known raw payloads") {
     val out = Media.mediaFeatures(docs(sample: _*))
@@ -29,7 +29,7 @@ class MediaSpec extends AnyFunSuite {
     // "héllo" = 68 C3 A9 6C 6C 6F (6 bytes, é → C3 A9)
     assert(out(24L) === (6L, "68C3A96C6C6F",
       0x68L + 0xc3 + 0xa9 + 0x6c + 0x6c + 0x6f, 2L, "raw"))
-    assert(out(14L) === (0L, "", 0L, 0L, "raw"))
+    assert(out(44L) === (0L, "", 0L, 0L, "raw"))
   }
 
   test("golden: realDecode parses hand-built BMP and WAV headers") {
@@ -248,6 +248,50 @@ class MediaSpec extends AnyFunSuite {
     val short = Media.realDecode(
       graft.multimodal.MediaRow(2L, "GIF89a".getBytes("US-ASCII"), "f"))
     assert(short.kind === Some("raw"))
+  }
+
+  test("container round-trip + golden: MP4 nested box walk, both tkhd versions") {
+    // doc 14 (% 20 = 14, % 40 ≠ 34) → canonical v0 layout:
+    //   ftyp · moov↓ · mvhd · trak↓ · tkhd(v0); w = 1 + 14 % 1920 = 15
+    // doc 34 (% 40 = 34) → free before moov, udta before trak, tkhd v1:
+    //   w = 35, h = 35 — the descend walk proven past sibling boxes
+    val out = Media.mediaFeatures(docs(
+      (14L, "mdatbytes", "en", "s", 9L), (34L, "mdatbytes", "en", "s", 9L)))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def fields(id: Long) = {
+      val r = out(id)
+      (r.getAs[String]("kind"), r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("n_bytes"))
+    }
+    // v0 total = 16 ftyp + 116 moov + (8 + text) mdat
+    assert(fields(14L) === ("mp4", 15L, 15L, 140L + 9L))
+    // v1 total = 16 ftyp + 12 free + 136 moov + (8 + text) mdat
+    assert(fields(34L) === ("mp4", 35L, 35L, 172L + 9L))
+    // hand-built golden: a 64-byte-truncated tkhd (payload incomplete
+    // for its version) must NOT resolve — kind falls back to raw
+    def be4(v: Long) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = be4(16) ++ "ftypisom".getBytes("US-ASCII") ++ be4(0)
+    val shortTkhd = be4(92) ++ "tkhd".getBytes("US-ASCII") ++
+      Array.fill[Byte](40)(0) // 84 declared, only 40 present
+    val trak = be4(8L + 8 + shortTkhd.length) ++ "trak".getBytes("US-ASCII")
+    val moov = be4(8L + trak.length + shortTkhd.length) ++
+      "moov".getBytes("US-ASCII")
+    val broken = ftyp ++ moov ++ trak ++ shortTkhd
+    val d = Media.realDecode(graft.multimodal.MediaRow(1L, broken, "f"))
+    assert(d.kind === Some("raw"))
+    // and a complete v0 tkhd parses: 300×200
+    val tkhdPay = Array[Byte](0, 0, 0, 7) ++ Array.fill[Byte](72)(0) ++
+      be4(300L << 16) ++ be4(200L << 16)
+    assert(tkhdPay.length === 84)
+    val tkhd2 = be4(92) ++ "tkhd".getBytes("US-ASCII") ++ tkhdPay
+    val trak2 = be4(100) ++ "trak".getBytes("US-ASCII") ++ tkhd2
+    val moov2 = be4(108) ++ "moov".getBytes("US-ASCII") ++ trak2
+    val ok = Media.realDecode(graft.multimodal.MediaRow(2L,
+      ftyp ++ moov2, "f"))
+    assert(ok.kind === Some("mp4"))
+    assert((ok.width, ok.height) === ((Some(300L), Some(200L))))
   }
 
   test("golden: realDecode parses hand-built PNG and JPEG headers") {

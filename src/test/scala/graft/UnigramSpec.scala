@@ -110,4 +110,34 @@ class UnigramSpec extends AnyFunSuite {
     assert(enc(2L) >= 1L && enc(2L) <= 6L)
     assert(enc(1L) === 8L)
   }
+
+  test("frozen encode under the persisted vocab ≡ induced encode; novel bytes survive") {
+    val d = docs(
+      (1L, ("chair " * 20).trim, "en", "s", 0L),
+      (2L, "chair table chair", "en", "s", 0L),
+      (3L, "zq xv chair", "en", "s", 0L),
+      (4L, "", "en", "s", 0L))
+    val vocab = Unigram.unigramVocab(d)
+    val induced = Unigram.unigramEncode(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frozen = Unigram.unigramEncodeWith(d, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frozen === induced,
+      "the frozen path must reproduce the learner's final segmentation")
+    // a LATER batch with words (and one byte, 'é') never seen at
+    // induction still encodes deterministically — the byte closure
+    // keeps a path alive for known bytes and a map miss only prices,
+    // never kills, the unseen byte
+    val batch = docs(
+      (10L, "chair chair novel", "en", "s", 0L),
+      (11L, "café", "fr", "s", 0L))
+    val out = Unigram.unigramEncodeWith(batch, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) >= 3L, s"got ${out(10L)}") // 2 chair pieces + ≥1 for 'novel'
+    assert(out(11L) >= 1L)                     // the é byte segments, no error
+    // determinism: a second run under the same artifact is identical
+    val again = Unigram.unigramEncodeWith(batch, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
 }
