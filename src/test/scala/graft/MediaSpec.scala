@@ -335,6 +335,62 @@ class MediaSpec extends AnyFunSuite {
     assert(dn.kind === Some("raw") && dn.width.isEmpty)
   }
 
+  test("property: MP4 declarative walk ≡ imperative walk on random box soups") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    val rnd = new scala.util.Random(53)
+    def box(): Array[Byte] = rnd.nextInt(6) match {
+      case 0 => // descend container header — the walk ENTERS what follows
+        be(8 + rnd.nextInt(200), 4) ++
+          Seq("moov", "trak")(rnd.nextInt(2)).getBytes("US-ASCII")
+      case 1 => // complete v0 tkhd
+        be(92, 4) ++ "tkhd".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 7) ++
+          Array.fill[Byte](72)(0) ++
+          be((1L + rnd.nextInt(4000)) << 16, 4) ++
+          be((1L + rnd.nextInt(3000)) << 16, 4)
+      case 2 => // complete v1 tkhd (wider timestamps → field offsets shift)
+        be(104, 4) ++ "tkhd".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 7) ++
+          Array.fill[Byte](84)(0) ++
+          be((1L + rnd.nextInt(4000)) << 16, 4) ++
+          be((1L + rnd.nextInt(3000)) << 16, 4)
+      case 3 => // truncated tkhd: declared complete, payload short
+        be(92, 4) ++ "tkhd".getBytes("US-ASCII") ++
+          Array.fill[Byte](rnd.nextInt(40))(0)
+      case 4 => // hop box with random payload
+        val n = rnd.nextInt(30)
+        be(8L + n, 4) ++ "free".getBytes("US-ASCII") ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      case _ => // malformed size < 8 → no forward progress, walk stops
+        be(rnd.nextInt(8).toLong, 4) ++ "skip".getBytes("US-ASCII")
+    }
+    val ftyp = be(16, 4) ++ "ftypisom".getBytes("US-ASCII") ++ be(0, 4)
+    val payloads: Seq[(Long, Array[Byte])] = (0 until 200).map { i =>
+      val full = ftyp ++ (0 until rnd.nextInt(7)).flatMap(_ => box()).toArray
+      val cut = if (rnd.nextInt(4) == 0 && full.length > 12)
+        full.take(12 + rnd.nextInt(full.length - 12)) else full
+      (i.toLong, cut)
+    }
+    import spark.implicits._
+    val declared = Media.containerColumns(payloads.toDF("media_id", "payload"))
+      .collect().map { r =>
+        def f(c: String) = Option(r.getAs[java.lang.Long](c)).map(_.toLong)
+        r.getAs[Long]("media_id") -> ((f("mp4_tkhd"), f("mp4_w"), f("mp4_ht")))
+      }.toMap
+    var found = 0
+    for ((id, bytes) <- payloads) {
+      val d = Media.realDecode(graft.multimodal.MediaRow(id, bytes, "f"))
+      val (tkhd, mw, mh) = declared(id)
+      assert((d.kind === Some("mp4")) === tkhd.isDefined,
+        s"payload $id (${bytes.length} B): typed=${d.kind} declarative-tkhd=$tkhd")
+      if (tkhd.isDefined) {
+        found += 1
+        assert((d.width, d.height) === ((mw, mh)),
+          s"payload $id MP4 dimensions disagree")
+      }
+    }
+    assert(found > 10, s"only $found/200 soups resolved — generator too hostile")
+  }
+
   test("property: PNG/JPEG declarative walks ≡ imperative walks on random layouts") {
     def be(v: Long, n: Int): Array[Byte] =
       (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
