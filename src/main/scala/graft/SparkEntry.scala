@@ -902,6 +902,13 @@ object SparkEntry {
       graft.relational.RuntimeFilters.bloomAudit(
         graft.Tables.table(s, dir, "orders"),
         graft.Tables.lineitem(s, dir))),
+    // The closed runtime-filter loop: the filter's own occupancy routes
+    // the probe through the prefilter or a pass-through bit relation;
+    // the oracle is the UNFILTERED join (result identity, either way).
+    "bloom_auto" -> ((s, dir) =>
+      graft.relational.RuntimeFilters.bloomAutoRevenue(
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.lineitem(s, dir))),
     // The TPC-H Q3/Q5 star-join shapes: selective top-k unshipped
     // revenue, and same-nation customer/supplier volume by region.
     "shipping_priority" -> ((s, dir) =>
@@ -1371,6 +1378,7 @@ object SparkEntry {
       graft.relational.Sales.customersWithoutOrdersSql,
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
     "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
+    "bloom_auto" -> graft.relational.RuntimeFilters.bloomAutoRevenueSql,
     "shipping_priority" -> graft.relational.Sales.shippingPrioritySql(),
     "returned_revenue" -> graft.relational.Sales.returnedRevenueSql(),
     "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,

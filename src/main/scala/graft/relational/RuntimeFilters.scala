@@ -108,6 +108,80 @@ object RuntimeFilters {
           .as("fpr_millionths"))
   }
 
+  /** Occupancy ceiling for [[routedBits]], in millionths of
+    * [[NumBits]]: a Bloom filter past ~50% occupancy passes most probe
+    * rows ((occupancy)^k ≈ 12% FPR at k = 3 and climbing fast), so the
+    * per-row probe cost stops buying shuffle reduction. */
+  val MaxOccupancyMillionths: Long = 500000L
+
+  /** AUDIT-DRIVEN Bloom routing — the [[graft.relational.SkewJoin]]
+    * `salted_auto` discipline applied to the runtime-filter loop:
+    * nobody decides whether the prefilter applies; the FILTER'S OWN
+    * occupancy does. The decision lives entirely on the tiny build
+    * side: when occupancy stays under the ceiling, the routed relation
+    * IS the bit set (the prefilter prunes); when the filter is
+    * saturated, the routed relation becomes the FULL position domain,
+    * and the same probe plan passes every row (each position is
+    * present). One static plan, the decision as DATA — the salted dim
+    * replication trick — so the 100 TB probe side never pays a scalar
+    * attach, never re-plans, and never risks the constant-key
+    * BroadcastNestedLoopJoin.
+    *
+    * Cost note: the disabled path still pays k broadcast hash probes
+    * per row (constant, map-side). A cost-based planner would drop the
+    * operator entirely; this spelling keeps the decision inside the
+    * declarative plan, which is what makes it self-serve — and the
+    * bits relation is ≤ [[NumBits]] rows in EITHER branch, always a
+    * broadcast. */
+  def routedBits(bits: DataFrame,
+      maxOccupancyMillionths: Long = MaxOccupancyMillionths): DataFrame = {
+    // bits is ≤ NumBits rows — checkpointing it is free at any corpus
+    // scale, and it makes `k` real on both sides (the mixPlan idiom)
+    val b = bits.withColumn("k", lit(1)).localCheckpoint()
+    val verdict = b.groupBy("k").agg(count(lit(1)).as("n_set"))
+      .select(col("k"),
+        (expr(s"(n_set * 1000000L) div $NumBits") < maxOccupancyMillionths)
+          .as("enabled"))
+      .localCheckpoint()
+    b.join(broadcast(verdict), Seq("k"))
+      .filter(col("enabled")).select(col("pos"))
+      .unionByName(verdict.filter(!col("enabled"))
+        .select(explode(sequence(lit(0L), lit(NumBits - 1))).as("pos")))
+  }
+
+  /** Urgent-order revenue THROUGH the audit-routed prefilter — the
+    * oracle-gated face of [[routedBits]]: probe rows flow through the
+    * k semi-joins against the ROUTED bit relation, then the exact join
+    * discards any false positives, so the result is identical to the
+    * plain join whichever way the occupancy verdict went (no false
+    * negatives is the Bloom guarantee; the oracle IS the unfiltered
+    * join). On the fixture the build side is small, occupancy is low,
+    * and the filter applies — the spec additionally pins the saturated
+    * case routing to pass-through. */
+  def bloomAutoRevenue(orders: DataFrame, lineitem: DataFrame,
+      maxOccupancyMillionths: Long = MaxOccupancyMillionths): DataFrame = {
+    val bkeys = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("bkey")).distinct()
+    val bits = routedBits(bloomBuild(bkeys, "bkey"), maxOccupancyMillionths)
+    val cents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+    val probe = lineitem.select(col("l_orderkey"), cents.as("cents"))
+    bloomPrefilter(probe, "l_orderkey", bits)
+      .join(bkeys, col("l_orderkey") === col("bkey"))
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+  }
+
+  /** Oracle twin of [[bloomAutoRevenue]] — deliberately UNFILTERED. */
+  def bloomAutoRevenueSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+       |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+       |FROM lineitem
+       |JOIN (SELECT DISTINCT o_orderkey FROM orders
+       |      WHERE o_orderpriority = '1-URGENT') o
+       |  ON l_orderkey = o.o_orderkey""".stripMargin
+
   /** Join-skew audit, one row — the SALTING decision input: before a
     * 100 TB shuffle join on `key`, this prices how lopsided the key
     * distribution is. `skew_ratio_millionths` = (heaviest key's rows /

@@ -73,6 +73,17 @@ object Unigram {
     * never overflows int64. */
   val InfCost: Long = 1000000000000000L
 
+  /** Saturation ceiling for accumulated path cost: `least(c, CostCap)`
+    * after every transition. Only ordering matters for the dp, and any
+    * real piece costs ≤ ~6·10⁷ (Q20 log2 of an int64 total), so the
+    * cap is unreachable on any in-vocab path; it exists for the FROZEN
+    * path's adversarial corner — a very long word made entirely of
+    * never-seen bytes accumulates per-byte [[InfCost]] misses, and
+    * uncapped that sum crosses int64 at ~9200 bytes, which errors under
+    * Spark ANSI and DuckDB alike instead of segmenting. capped + miss ≤
+    * 101·InfCost, far inside int64. */
+  val CostCap: Long = 100L * InfCost
+
   // ---- exact fixed-point log2 (Q20) ---------------------------------------
   //
   // cost(piece) = log2(total) − log2(cnt+1) in units of 2⁻²⁰, computed
@@ -134,7 +145,7 @@ object Unigram {
       val piece = s"substr(h, (size(acc) - $p) * 2 + 1, $p * 2)"
       s"""CASE WHEN size(acc) >= $p THEN named_struct(
          |      'bad', 0L,
-         |      'c', $prev.c + coalesce(try_element_at(cm, $piece), ${InfCost}L),
+         |      'c', least($prev.c + coalesce(try_element_at(cm, $piece), ${InfCost}L), ${CostCap}L),
          |      'np', $prev.np + 1L,
          |      'pa', concat($prev.pa, '|', $piece))
          |    ELSE named_struct('bad', 1L, 'c', ${InfCost}L, 'np', 0L, 'pa', '') END""".stripMargin
@@ -153,7 +164,7 @@ object Unigram {
     def cand(p: Int) = {
       val prev = s"acc[len(acc) - $p + 1]"
       val piece = s"substr(h, (len(acc) - $p) * 2 + 1, $p * 2)"
-      s"""CASE WHEN len(acc) >= $p THEN {'bad': 0::BIGINT, 'c': $prev.c + coalesce(map_extract(cm, $piece)[1], ${InfCost}::BIGINT),
+      s"""CASE WHEN len(acc) >= $p THEN {'bad': 0::BIGINT, 'c': least($prev.c + coalesce(map_extract(cm, $piece)[1], ${InfCost}::BIGINT), ${CostCap}::BIGINT),
          |      'np': $prev.np + 1, 'pa': $prev.pa || '|' || $piece}
          |    ELSE {'bad': 1::BIGINT, 'c': ${InfCost}::BIGINT, 'np': 0::BIGINT, 'pa': ''} END""".stripMargin
     }

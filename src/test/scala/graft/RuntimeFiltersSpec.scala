@@ -121,4 +121,52 @@ class RuntimeFiltersSpec extends AnyFunSuite {
     assert(plan.collect { case _: BroadcastHashJoinExec => 1 }.sum
       === RuntimeFilters.NumHashes, s"expected 3 broadcast semi joins:\n$plan")
   }
+
+  test("routedBits: a selective filter passes through as-is, a saturated one as the full domain") {
+    val small = RuntimeFilters.bloomBuild(
+      urgentKeys.toSeq.map(Tuple1(_)).toDF("bkey"), "bkey")
+    val routedSmall = RuntimeFilters.routedBits(small)
+      .collect().map(_.getLong(0)).toSet
+    assert(routedSmall === bitsSet, "selective filter must route unchanged")
+    // 30k distinct keys × 3 hashes ≈ 75% occupancy → pass-through
+    val big = RuntimeFilters.bloomBuild(
+      (0L until 30000L).map(Tuple1(_)).toDF("bkey"), "bkey")
+    val routedBig = RuntimeFilters.routedBits(big)
+    assert(routedBig.count() === RuntimeFilters.NumBits,
+      "saturated filter must route to the full position domain")
+    // pass-through really passes: a probe key matching NO build key
+    // survives the semi-joins under the routed-big relation
+    val alien = Seq(Tuple1(999999L)).toDF("l_orderkey")
+    assert(RuntimeFilters.bloomPrefilter(alien, "l_orderkey",
+      routedBig).count() === 1L)
+  }
+
+  test("bloomAutoRevenue is result-identical to the plain join, enabled or saturated") {
+    import org.apache.spark.sql.functions._
+    val orders = ordersDf
+      .withColumn("o_orderdate", lit(null).cast("timestamp_ntz"))
+    val li = lineitemDf
+      .withColumn("l_extendedprice", (col("l_orderkey") % 97 + 1).cast("double"))
+      .withColumn("l_discount", lit(0.0))
+    val plain = li.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(floor(col("l_extendedprice") * lit(100.0)
+        + lit(0.5)).cast("long")))
+      .collect().head
+    val auto = RuntimeFilters.bloomAutoRevenue(orders, li).collect().head
+    assert((auto.getLong(0), auto.getLong(1)) ===
+      ((plain.getLong(0), plain.getLong(1))))
+    // force the saturated branch (ceiling 0 → never enabled): identical
+    val sat = RuntimeFilters.bloomAutoRevenue(orders, li,
+      maxOccupancyMillionths = 0L).collect().head
+    assert((sat.getLong(0), sat.getLong(1)) ===
+      ((plain.getLong(0), plain.getLong(1))))
+    // and the whole routed plan stays free of nested-loop joins
+    val plan = RuntimeFilters.bloomAutoRevenue(orders, li)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"forbidden join in:\n$plan")
+  }
 }

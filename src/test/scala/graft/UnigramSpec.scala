@@ -139,5 +139,13 @@ class UnigramSpec extends AnyFunSuite {
     val again = Unigram.unigramEncodeWith(batch, vocab).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === out)
+    // adversarial corner: a 12000-byte word made ENTIRELY of a byte the
+    // induction never saw accumulates per-byte miss costs — uncapped
+    // that sum crosses int64 (ANSI error in both engines); the cost cap
+    // saturates the ordering instead, and the word still segments
+    val hostile = docs((20L, "j" * 12000, "en", "s", 0L))
+    val h = Unigram.unigramEncodeWith(hostile, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(20L) >= 1L, s"hostile word vanished: ${h(20L)}")
   }
 }
