@@ -43,11 +43,13 @@ object CsvEdges {
     from_csv(line, schema,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol))
 
-  /** Read an edge CSV: explicit schema, PERMISSIVE, corrupt lines
-    * captured, blank lines skipped. The result carries (src, dst) +
-    * [[CorruptCol]]; split with [[good]] / [[quarantine]]. */
-  def readEdges(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  /** The parse transform over a `value` line column — STATELESS, so it
+    * runs identically on a batch text scan ([[readEdges]]) and on an
+    * unbounded `readStream` of arriving lines (no watermark, no state
+    * store — the mixGate/orphanGate discipline; spec-pinned batch ≡
+    * stream). Blank lines skipped, corrupt lines captured. */
+  def parseLines(lines: DataFrame): DataFrame =
+    lines
       .filter(length(trim(col("value"))) > 0)
       .select(parsed(col("value")).as("c"), col("value"))
       .select(col("c.src"), col("c.dst"),
@@ -56,6 +58,12 @@ object CsvEdges {
         when(col(s"c.$CorruptCol").isNotNull, col(s"c.$CorruptCol"))
           .when(col("c.src").isNull || col("c.dst").isNull, col("value"))
           .as(CorruptCol))
+
+  /** Read an edge CSV: explicit schema, PERMISSIVE, corrupt lines
+    * captured, blank lines skipped. The result carries (src, dst) +
+    * [[CorruptCol]]; split with [[good]] / [[quarantine]]. */
+  def readEdges(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
 
   /** Fully-parsed rows only — the relation the graph operators consume
     * (both ids present, corrupt column dropped). */

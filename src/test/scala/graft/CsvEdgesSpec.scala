@@ -48,6 +48,30 @@ class CsvEdgesSpec extends AnyFunSuite {
     }
   }
 
+  test("the parse runs unchanged on a stream: per-line verdicts equal the batch's") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lines = Seq("1,2", "abc,9", "5,", "7,8,9", "10,11")
+    val src = MemoryStream[String]
+    src.addData(lines: _*)
+    val name = s"csv_gate_out_${System.nanoTime()}"
+    val q = CsvEdges.parseLines(src.toDF().toDF("value"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+    val good = CsvEdges.good(streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bad = CsvEdges.quarantine(streamed).collect().map(_.getString(0)).toSet
+    // identical verdicts to the batch parse of the same lines
+    val batch = CsvEdges.parseLines(lines.toDF("value"))
+    assert(good === CsvEdges.good(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(bad === CsvEdges.quarantine(batch).collect()
+      .map(_.getString(0)).toSet)
+    assert(good === Set((1L, 2L), (10L, 11L)) && bad === Set("abc,9", "5,", "7,8,9"))
+  }
+
   test("a fully clean file quarantines nothing and the census equals FAILFAST's") {
     val lines = Seq("0,1", "2,3", "89,89", "90,1", "1,90")
     withLines(lines) { path =>
