@@ -106,18 +106,30 @@ object Media {
     val base = MediaDecoded(m.media_id, m.fmt, Some(bytes.length.toLong),
       Some(header), Some(sum), Some(hi), Some("raw"),
       None, None, None, None, None, None)
-    if (bytes.length >= 54 && ascii(0, "BM"))
-      base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
-        height = Some(le(22, 4)), bpp = Some(le(28, 2)))
-    else if (bytes.length >= 13 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+    // Each container gets an INDEPENDENT detector (None = its magic or
+    // its walk did not resolve), picked in the declarative twin's CASE
+    // order. The precedence chain matters beyond style: MP4's magic
+    // lives at byte 4, so adversarial bytes can carry it UNDER a
+    // JPEG/RIFF magic at byte 0 — an if/else chain that consumed the
+    // payload on the first magic would then diverge from the fold
+    // surface, which always evaluates every detector and falls through.
+    def bmpOpt: Option[MediaDecoded] =
+      if (bytes.length >= 54 && ascii(0, "BM"))
+        Some(base.copy(kind = Some("bmp"), width = Some(le(18, 4)),
+          height = Some(le(22, 4)), bpp = Some(le(28, 2))))
+      else None
+    def gifOpt: Option[MediaDecoded] =
       // GIF logical screen descriptor — FIXED offsets (the BMP shape,
       // not a walk): width/height uint16 LE at 6/8, the packed byte at
       // 10 carries color resolution in bits 4-6 (bits-per-primary − 1);
       // pixel data is palette-indexed, so channels = 1
-      base.copy(kind = Some("gif"), width = Some(le(6, 2)),
-        height = Some(le(8, 2)), bpp = Some(((le(10, 1) >> 4) & 7) + 1),
-        channels = Some(1L))
-    else if (magic(0, 0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) {
+      if (bytes.length >= 13 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+        Some(base.copy(kind = Some("gif"), width = Some(le(6, 2)),
+          height = Some(le(8, 2)), bpp = Some(((le(10, 1) >> 4) & 7) + 1),
+          channels = Some(1L)))
+      else None
+    def pngOpt: Option[MediaDecoded] =
+      if (magic(0, 0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) {
       // bounded PNG chunk walk — length-prefixed BIG-endian chunks
       // (uint32 BE length + 4-byte type + payload + 4-byte CRC, no
       // padding) from byte 8 until `IHDR`; the spec puts IHDR first but
@@ -135,11 +147,13 @@ object Media {
         k += 1
       }
       if (ihdr >= 0)
-        base.copy(kind = Some("png"), width = Some(be(ihdr.toInt, 4)),
+        Some(base.copy(kind = Some("png"), width = Some(be(ihdr.toInt, 4)),
           height = Some(be(ihdr.toInt + 4, 4)), bpp = Some(be(ihdr.toInt + 8, 1)),
-          channels = pngChannels(be(ihdr.toInt + 9, 1)))
-      else base
-    } else if (magic(0, 0xff, 0xd8)) {
+          channels = pngChannels(be(ihdr.toInt + 9, 1))))
+      else None
+    } else None
+    def jpgOpt: Option[MediaDecoded] =
+      if (magic(0, 0xff, 0xd8)) {
       // bounded JPEG marker-segment walk — 0xFF-marker + uint16 BE
       // length (length includes its own 2 bytes) from byte 2, hopping
       // APPn/COM/DQT/DHT/DRI, skipping standalone markers (TEM, RSTn,
@@ -165,11 +179,13 @@ object Media {
         k += 1
       }
       if (sof >= 0)
-        base.copy(kind = Some("jpeg"), width = Some(be(sof.toInt + 3, 2)),
+        Some(base.copy(kind = Some("jpeg"), width = Some(be(sof.toInt + 3, 2)),
           height = Some(be(sof.toInt + 1, 2)), bpp = Some(be(sof.toInt, 1)),
-          channels = Some(be(sof.toInt + 5, 1)))
-      else base
-    } else if (bytes.length >= 12 && ascii(4, "ftyp")) {
+          channels = Some(be(sof.toInt + 5, 1))))
+      else None
+    } else None
+    def mp4Opt: Option[MediaDecoded] =
+      if (bytes.length >= 12 && ascii(4, "ftyp")) {
       // bounded ISO-BMFF (MP4) box walk — uint32 BE size + 4-byte type.
       // The NESTED containers `moov` and `trak` DESCEND into their
       // payload (off + 8) instead of hopping; every other box hops by
@@ -199,11 +215,13 @@ object Media {
       if (tkhd >= 0) {
         val v = be(tkhd.toInt, 1)
         val woff = tkhd.toInt + (if (v == 1) 88 else 76)
-        base.copy(kind = Some("mp4"),
+        Some(base.copy(kind = Some("mp4"),
           width = Some(be(woff, 4) / 65536),
-          height = Some(be(woff + 4, 4) / 65536))
-      } else base
-    } else if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+          height = Some(be(woff + 4, 4) / 65536)))
+      } else None
+    } else None
+    def wavOpt: Option[MediaDecoded] =
+      if (bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
       // bounded RIFF chunk walk — the typed twin of the declarative
       // walk in [[mediaFeatures]]: real files carry LIST/fact/cue
       // chunks before `data`, so `fmt `-at-12/`data`-at-36 is only the
@@ -222,12 +240,14 @@ object Media {
         k += 1
       }
       if (fmtOff >= 0 && dataOff >= 0)
-        base.copy(kind = Some("wav"),
+        Some(base.copy(kind = Some("wav"),
           channels = Some(le(fmtOff.toInt + 2, 2)),
           sample_rate = Some(le(fmtOff.toInt + 4, 4)),
-          bits = Some(le(fmtOff.toInt + 14, 2)))
-      else base
-    } else base
+          bits = Some(le(fmtOff.toInt + 14, 2))))
+      else None
+    } else None
+    bmpOpt.orElse(gifOpt).orElse(pngOpt).orElse(jpgOpt)
+      .orElse(mp4Opt).orElse(wavOpt).getOrElse(base)
   }
 
   /** PNG color type → sample channels (0 gray, 2 RGB, 3 palette,

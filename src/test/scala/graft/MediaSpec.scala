@@ -391,6 +391,34 @@ class MediaSpec extends AnyFunSuite {
     assert(found > 10, s"only $found/200 soups resolved — generator too hostile")
   }
 
+  test("overlapping magics: a RIFF size field spelling 'ftyp' still decodes as wav") {
+    // adversarial corner: MP4's magic lives at byte 4, exactly where
+    // RIFF keeps its size field — 0x66747970 ('ftyp') is a legal RIFF
+    // size. The MP4 detector fires, its walk dies (first box size is
+    // the 'RIFF' ascii ≈ 1.4 GB), and the decode must FALL THROUGH to
+    // the WAV detector — the declarative CASE always did; the typed
+    // chain now mirrors it
+    def le4(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le4(16) ++
+      le4(1L | (2L << 16)).take(4) ++ le4(8000) ++ le4(32000) ++
+      Array[Byte](4, 0, 16, 0)
+    val data = "data".getBytes("US-ASCII") ++ le4(4) ++ Array[Byte](1, 2, 3, 4)
+    val wav = "RIFF".getBytes("US-ASCII") ++
+      "ftyp".getBytes("US-ASCII") ++ // the size field, maliciously
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    val d = Media.realDecode(graft.multimodal.MediaRow(1L, wav, "f"))
+    assert(d.kind === Some("wav"), s"typed decoder gave ${d.kind}")
+    assert((d.channels, d.sample_rate, d.bits) ===
+      ((Some(2L), Some(8000L), Some(16L))))
+    import spark.implicits._
+    val cols = Media.containerColumns(
+      Seq((1L, wav)).toDF("media_id", "payload")).collect().head
+    assert(Option(cols.getAs[java.lang.Long]("mp4_tkhd")).isEmpty)
+    assert(Option(cols.getAs[java.lang.Long]("fmt_off")).isDefined)
+  }
+
   test("property: PNG/JPEG declarative walks ≡ imperative walks on random layouts") {
     def be(v: Long, n: Int): Array[Byte] =
       (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
