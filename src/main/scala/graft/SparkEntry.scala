@@ -343,6 +343,12 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp)
       graft.text.Unigram.unigramEncodeWith(docs, s.read.parquet(tmp))
     }),
+    // The unigram ID-SEQUENCE face — bpe_tokenize's twin for the second
+    // tokenizer family: (doc_id, pos, token_id) per token position, ids
+    // a pure function of the vocabulary artifact (1-based vocab rank by
+    // piece); per-doc row counts tile unigram_encode's counts.
+    "unigram_tokenize" -> ((s, dir) =>
+      graft.text.Unigram.unigramTokenize(graft.Tables.documents(s, dir))),
     // BPE acceptance check under an EXTERNAL tokenizer: merges learned
     // on the doc_id % 50 = 0 slice, byte-fallback rate judged on the
     // rest — unseen text encodes to raw byte ids, so byte_frac ≈ 1 marks
@@ -434,6 +440,15 @@ object SparkEntry {
       graft.text.Domains.domainQuota(graft.Tables.documents(s, dir))),
     "domain_dedup" -> ((s, dir) =>
       graft.text.Domains.domainDedup(graft.Tables.documents(s, dir))),
+    // The production-true domain axis: a CALLER-SUPPLIED public-suffix
+    // list with full wildcard (*.s.wz) and exception (!ok.s.wz)
+    // semantics — rules induced from the corpus's distinct sources (the
+    // vocab_coverage_ext external-artifact discipline) so the oracle
+    // derives the identical rule relation, hosts planted to prove
+    // longest-match, exception-beats-wildcard, the implicit `*`
+    // default, and the host-is-a-public-suffix fallback in BOTH engines.
+    "domain_quality_ext" -> ((s, dir) =>
+      graft.text.Domains.domainQualityExt(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -653,6 +668,18 @@ object SparkEntry {
       graft.text.Curation.trainingShardsIncr(docs, batch,
         scratch("train_shards_incr", dir))
     }),
+    // The shard writer proven TOKENIZER-AGNOSTIC: the same curate →
+    // encode → chunk-pack → partitioned write → pruned re-read
+    // composition with the UNIGRAM tokenizer in the encoder seat — the
+    // vocabulary induced on the kept corpus, PERSISTED, RELOADED, and
+    // the batch encoded frozen (the production path); oracle = the
+    // induced chain (frozen ≡ induced, the unigram_encode_frozen
+    // contract extended to the full trainer-facing artifact).
+    "training_shards_unigram" -> ((s, dir) =>
+      graft.text.Curation.trainingShardsUnigramReport(
+        graft.Tables.documents(s, dir),
+        scratch("train_shards_unigram", dir),
+        scratch("train_shards_unigram_vocab", dir))),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -909,6 +936,31 @@ object SparkEntry {
       graft.relational.RuntimeFilters.bloomAutoRevenue(
         graft.Tables.table(s, dir, "orders"),
         graft.Tables.lineitem(s, dir))),
+    // DATA-DRIVEN Bloom sizing: the filter width m is an exact
+    // power-of-two ladder over the build-side distinct count, carried
+    // as data through the bit relation (positions mod m, lifted into
+    // the static NumBits domain so the probe plan never changes), then
+    // routed by occupancy exactly as bloom_auto; oracle = the
+    // unfiltered join (result identity at every m and either route).
+    "bloom_sized" -> ((s, dir) =>
+      graft.relational.RuntimeFilters.bloomSizedRevenue(
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.lineitem(s, dir))),
+    // The sized filter's acceptance audit — unlike the revenue gate,
+    // this oracle REPRODUCES the ladder, the mod-m positions, and the
+    // lift bit-for-bit in DuckDB.
+    "bloom_sized_audit" -> ((s, dir) =>
+      graft.relational.RuntimeFilters.bloomSizedAudit(
+        graft.Tables.table(s, dir, "orders"),
+        graft.Tables.lineitem(s, dir))),
+    // The sizing verdict itself as a 1-row relation: (n_keys, m).
+    "bloom_size_verdict" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.relational.RuntimeFilters.bloomSizeVerdict(
+        graft.Tables.table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), "o_orderkey")
+    }),
     // The TPC-H Q3/Q5 star-join shapes: selective top-k unshipped
     // revenue, and same-nation customer/supplier volume by region.
     "shipping_priority" -> ((s, dir) =>
@@ -963,6 +1015,13 @@ object SparkEntry {
       graft.relational.SkewJoin.autoSaltedBrandRevenue(
         graft.Tables.lineitem(s, dir),
         graft.Tables.table(s, dir, "part"))),
+    // The aggregation-skew symmetry of salted_auto: the audit routes
+    // hot keys through the (key, salt) pre-agg while the uniform tail
+    // takes the straight single-phase agg; the two branches partition
+    // the keys, so the oracle is the UNSALTED rollup.
+    "salted_rollup_auto" -> ((s, dir) =>
+      graft.relational.SkewJoin.saltedRollupAuto(
+        graft.Tables.lineitem(s, dir))),
     // ---- warehouse maintenance (round 10): the pre-publish
     // referential gate and the relational incremental merge ----
     "referential_audit" -> ((s, dir) =>
@@ -1257,6 +1316,7 @@ object SparkEntry {
     // deliberately the INDUCED-encode oracle: frozen ≡ induced is the gate
     "unigram_encode_frozen" -> graft.text.Unigram.unigramEncodeSql,
     "unigram_fertility" -> graft.text.Unigram.unigramFertilitySql,
+    "unigram_tokenize" -> graft.text.Unigram.unigramTokenizeSql,
     "token_rarity" -> TextAnalysis.tokenRaritySql,
     "lm_score" -> TextAnalysis.lmScoreSql,
     "tfidf_terms" -> TextAnalysis.tfidfTermsSql(),
@@ -1272,6 +1332,7 @@ object SparkEntry {
     "domain_quality" -> graft.text.Domains.domainQualitySql,
     "domain_quota" -> graft.text.Domains.domainQuotaSql(),
     "domain_dedup" -> graft.text.Domains.domainDedupSql,
+    "domain_quality_ext" -> graft.text.Domains.domainQualityExtSql,
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
     "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),
@@ -1321,6 +1382,7 @@ object SparkEntry {
     "pipeline_manifest_bpe" -> graft.text.Curation.pipelineManifestBpeSql(),
     "training_shards" -> graft.text.Curation.trainingShardsSql(),
     "training_shards_incr" -> graft.text.Curation.trainingShardsIncrSql(),
+    "training_shards_unigram" -> graft.text.Curation.trainingShardsUnigramSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_overlap" -> Dedup.contaminationOverlapSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),
@@ -1379,6 +1441,9 @@ object SparkEntry {
     "order_sizes" -> graft.relational.Sales.orderSizesSql,
     "bloom_prefilter" -> graft.relational.RuntimeFilters.bloomAuditSql(),
     "bloom_auto" -> graft.relational.RuntimeFilters.bloomAutoRevenueSql,
+    "bloom_sized" -> graft.relational.RuntimeFilters.bloomSizedRevenueSql,
+    "bloom_sized_audit" -> graft.relational.RuntimeFilters.bloomSizedAuditSql,
+    "bloom_size_verdict" -> graft.relational.RuntimeFilters.bloomSizeVerdictSql,
     "shipping_priority" -> graft.relational.Sales.shippingPrioritySql(),
     "returned_revenue" -> graft.relational.Sales.returnedRevenueSql(),
     "local_supplier_volume" -> graft.relational.Sales.localSupplierVolumeSql,
@@ -1391,6 +1456,7 @@ object SparkEntry {
     // the salted rewrites' oracles are deliberately UNSALTED
     "salted_brand_revenue" -> graft.relational.Sales.brandRevenueSql,
     "salted_auto" -> graft.relational.Sales.brandRevenueSql,
+    "salted_rollup_auto" -> graft.relational.SkewJoin.saltedOrderRollupSql,
     "salted_order_rollup" ->
       graft.relational.SkewJoin.saltedOrderRollupSql,
     "referential_audit" -> graft.relational.Warehouse.referentialAuditSql,

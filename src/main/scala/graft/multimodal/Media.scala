@@ -120,12 +120,14 @@ object Media {
       else None
     def gifOpt: Option[MediaDecoded] =
       // GIF logical screen descriptor — FIXED offsets (the BMP shape,
-      // not a walk): width/height uint16 LE at 6/8, the packed byte at
-      // 10 carries color resolution in bits 4-6 (bits-per-primary − 1);
-      // pixel data is palette-indexed, so channels = 1
+      // not a walk): width/height uint16 LE at 6/8; bpp from the packed
+      // byte's GCT-size bits 0-2 (2^(N+1) palette entries ⇒ N+1 stored
+      // bits per pixel — what real tools report; bits 4-6 are the
+      // source color resolution, a different number); pixel data is
+      // palette-indexed, so channels = 1
       if (bytes.length >= 13 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
         Some(base.copy(kind = Some("gif"), width = Some(le(6, 2)),
-          height = Some(le(8, 2)), bpp = Some(((le(10, 1) >> 4) & 7) + 1),
+          height = Some(le(8, 2)), bpp = Some((le(10, 1) & 7) + 1),
           channels = Some(1L)))
       else None
     def pngOpt: Option[MediaDecoded] =
@@ -771,17 +773,49 @@ object Media {
       .withColumn("wav_bits", col("wk.bits"))
       .drop("wk")
 
-  /** [[withWalk]] plus the PNG and JPEG walks — one checkpoint for all
-    * three folds (each fold's entry CASE NULLs out on the wrong magic,
-    * so a payload pays only its own container's walk plus two
-    * constant-time NULL short-circuits). Used by the format-sniffing
-    * surface ([[mediaFeatures]]); the single-format paths
-    * ([[audioFrames]], [[imageRows]]) keep their narrower walks. */
+  // ---- per-container magic dispatch ----------------------------------------
+  //
+  // Each walk's entry CASE already NULLs out on the wrong magic, so
+  // running every fold on every row was CORRECT — but the folds are
+  // interpreted HOFs, and even a dead fold pays its per-step struct
+  // allocations, so per-row decode cost grew with the number of
+  // supported formats instead of the row's own format (round-11
+  // verdict). The dispatch gate below sniffs each container's magic
+  // ONCE per row and wraps the fold in a lazily-evaluated CASE branch:
+  // a non-matching row never enters the fold at all. Each gate is the
+  // EXACT entry condition of its fold (walkOff0Sql / the init CASEs),
+  // so gated-off ≡ fold-returned-NULL and results are bit-identical —
+  // including the adversarial overlapping-magic corner (a RIFF size
+  // field spelling `ftyp` satisfies BOTH the RIFF and MP4 gates, so
+  // both walks still run there and the typed decoder's fallthrough
+  // order is preserved).
+
+  private def gatedWalk(pred: org.apache.spark.sql.Column,
+      aggSql: String): org.apache.spark.sql.Column =
+    when(pred, expr(aggSql))
+
+  private def riffMagic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 44L && substring(col("h"), 1, 8) === "52494646" &&
+      substring(col("h"), 17, 8) === "57415645"
+  private def pngMagic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 16L && substring(col("h"), 1, 16) === PngSigHex
+  private def jpgMagic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 4L && substring(col("h"), 1, 4) === "FFD8"
+  private def mp4Magic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 12L && substring(col("h"), 9, 8) === HexFtyp
+
+  /** [[withWalk]] plus the PNG, JPEG, and MP4 walks — one checkpoint
+    * for all four folds, each DISPATCH-GATED on its own magic sniff
+    * (see above: a row runs only the walks whose magic it carries,
+    * usually exactly one and zero for BMP/GIF/raw). Used by the
+    * format-sniffing surface ([[mediaFeatures]]); the single-format
+    * paths ([[audioFrames]], [[imageRows]]) keep their narrower
+    * walks. */
   private def withAllWalks(df: DataFrame): DataFrame =
-    df.withColumn("wk", expr(walkAggSql))
-      .withColumn("pk", expr(pngAggSql))
-      .withColumn("jk", expr(jpgAggSql))
-      .withColumn("mk", expr(mp4AggSql))
+    df.withColumn("wk", gatedWalk(riffMagic, walkAggSql))
+      .withColumn("pk", gatedWalk(pngMagic, pngAggSql))
+      .withColumn("jk", gatedWalk(jpgMagic, jpgAggSql))
+      .withColumn("mk", gatedWalk(mp4Magic, mp4AggSql))
       .localCheckpoint()
       .withColumn("fmt_off", col("wk.fmt_off"))
       .withColumn("data_off", col("wk.data_off"))
@@ -916,12 +950,14 @@ object Media {
       s"$sofBody || $textHex || 'FFD9'"
     // GIF (doc_id % 10 = 9, carved from the raw half of % 5 = 4):
     // GIF87a/GIF89a signature (cycling — both magics proven) + logical
-    // screen descriptor (width/height uint16 LE, packed byte carrying
-    // color resolution doc_id % 8 in bits 4-6, background + aspect 0)
-    // + the text bytes standing in for the data stream + trailer 3B
+    // screen descriptor (width/height uint16 LE, packed byte with the
+    // GCT flag set, color resolution doc_id % 8 in bits 4-6, and GCT
+    // size doc_id % 8 in bits 0-2 — a self-consistent real header,
+    // bpp read from the GCT-size bits; background + aspect 0) + the
+    // text bytes standing in for the data stream + trailer 3B
     val gw = "(1 + doc_id % 320)"
     val gh = "(1 + doc_id % 240)"
-    val gpacked = "(16 * (doc_id % 8))"
+    val gpacked = "(128 + 16 * (doc_id % 8) + (doc_id % 8))"
     val gsig =
       "(CASE WHEN doc_id % 20 = 9 THEN '474946383961' ELSE '474946383761' END)"
     val gif = s"$gsig || ${leHexSql(gw, 2, idiv)} || ${leHexSql(gh, 2, idiv)} || " +
@@ -1032,9 +1068,9 @@ object Media {
         .when(col("kind") === "jpeg", col("jpg_ht"))
         .when(col("kind") === "mp4", col("mp4_ht")).as("height"),
       when(col("kind") === "bmp", leVal(col("h"), 28, 2))
-        // GIF packed byte bits 4-6 = color resolution (bits/primary − 1)
+        // GIF packed byte bits 0-2 = GCT size (stored bits/pixel − 1)
         .when(col("kind") === "gif",
-          shiftright(leVal(col("h"), 10, 1), 4).bitwiseAND(lit(7L)) + lit(1L))
+          leVal(col("h"), 10, 1).bitwiseAND(lit(7L)) + lit(1L))
         .when(col("kind") === "png", col("png_depth"))
         .when(col("kind") === "jpeg", col("jpg_prec")).as("bpp"),
       when(col("kind") === "wav", col("wav_channels"))
@@ -1334,7 +1370,7 @@ object Media {
        |    WHEN kind = 'jpeg' THEN jpg_ht
        |    WHEN kind = 'mp4' THEN mp4_ht END AS BIGINT) AS height,
        |  CAST(CASE WHEN kind = 'bmp' THEN ${leValSql("h", 28, 2)}
-       |    WHEN kind = 'gif' THEN ((${leValSql("h", 10, 1)}) // 16) % 8 + 1
+       |    WHEN kind = 'gif' THEN (${leValSql("h", 10, 1)}) % 8 + 1
        |    WHEN kind = 'png' THEN png_depth
        |    WHEN kind = 'jpeg' THEN jpg_prec END AS BIGINT) AS bpp,
        |  CAST(CASE WHEN kind = 'wav' THEN ${dynLeSql("fmt_off + 2", 2)}

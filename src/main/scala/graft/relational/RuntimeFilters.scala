@@ -149,6 +149,216 @@ object RuntimeFilters {
         .select(explode(sequence(lit(0L), lit(NumBits - 1))).as("pos")))
   }
 
+  /** Bits a sized filter grants each build key — the classic Bloom
+    * calculus at k = 3: 16 bits/key puts per-hash occupancy ≤ 3/16,
+    * FPR ≈ (3n/m)³ ≈ 0.7% — before the power-of-two rounding buys
+    * more. */
+  val BitsPerKey: Long = 16L
+
+  /** Smallest ladder rung — below this the filter is cheaper than the
+    * rows it could ever prune. Must divide [[NumBits]] (both are
+    * powers of two), which is what makes the lift exact. */
+  val MinSizedBits: Long = 64L
+
+  /** DATA-DRIVEN filter sizing, one row: the build side's distinct key
+    * count and the chosen filter width `m` — the next power of two ≥
+    * [[BitsPerKey]]·n_keys, clamped to [[MinSizedBits]]..[[NumBits]]
+    * (the degree-histogram CASE discipline: an exact integer ladder,
+    * `⌈log2⌉` via the binary digit count, no floats to disagree
+    * across engines). The verdict is the sizing decision AS DATA —
+    * [[sizedBits]] joins it back onto the tiny build side, so the
+    * probe plan never sees `m`. */
+  def bloomSizeVerdict(build: DataFrame, key: String): DataFrame =
+    keyedBuild(build, key).groupBy("k")
+      .agg(count(lit(1)).as("n_keys"))
+      .select(col("n_keys"),
+        expr(s"least(${NumBits}L, greatest(${MinSizedBits}L, " +
+          s"shiftleft(1L, CAST(length(bin($BitsPerKey * n_keys - 1)) AS INT))))")
+          .as("m"))
+
+  /** Oracle twin of [[bloomSizeVerdict]] over the urgent-orders build
+    * side — same digit-count ladder, bit-identical. */
+  def bloomSizeVerdictSql: String =
+    s"""WITH bkeys AS (
+       |  SELECT DISTINCT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(least($NumBits, greatest($MinSizedBits,
+       |    (1::BIGINT << length(bin($BitsPerKey * count(*) - 1))))) AS BIGINT)
+       |    AS m
+       |FROM bkeys""".stripMargin
+
+  private def keyedBuild(build: DataFrame, key: String): DataFrame =
+    build.select(col(key).as("bkey")).distinct()
+      .withColumn("k", lit(1)).localCheckpoint()
+
+  /** SIZED Bloom build: positions are taken mod the DATA-CHOSEN `m`
+    * ([[bloomSizeVerdict]]) and then LIFTED into the static
+    * [[NumBits]] domain — position p at width m becomes every q in
+    * [0, NumBits) with q ≡ p (mod m), which is exactly the coarse
+    * filter's information re-expressed so that the probe side keeps
+    * ONE static plan (`hash % NumBits`, the same probe
+    * [[bloomPrefilter]] always ran): m | NumBits ⇒
+    * (hash % NumBits) % m = hash % m, so membership in the lifted set
+    * IS membership in the width-m filter. The 100 TB probe side never
+    * learns m existed — the `routedBits` decision-as-data discipline
+    * applied to SIZING, so an undersized filter re-sizes instead of
+    * merely disabling.
+    *
+    * Scale shape: build scan + tiny distinct; the lifted relation has
+    * |S_m|·(NumBits/m) ≤ 3·BitsPerKey⁻¹·NumBits rows — bounded by a
+    * constant fraction of [[NumBits]] whatever the build count, always
+    * a broadcast. Occupancy is invariant under the lift
+    * (|lifted|/NumBits = |S_m|/m), so [[routedBits]] composes on top
+    * unchanged and still measures the TRUE filter quality. */
+  def sizedBits(build: DataFrame, key: String): DataFrame = {
+    val keyed = keyedBuild(build, key)
+    val verdict = keyed.groupBy("k").agg(count(lit(1)).as("n_keys"))
+      .select(col("k"),
+        expr(s"least(${NumBits}L, greatest(${MinSizedBits}L, " +
+          s"shiftleft(1L, CAST(length(bin($BitsPerKey * n_keys - 1)) AS INT))))")
+          .as("m"))
+      .localCheckpoint()
+    keyed.join(broadcast(verdict), Seq("k"))
+      .select(explode(array((0 until NumHashes).map { i =>
+          val (a, b) = hashParams(i)
+          PortableHash.permHash(col("bkey"), a, b) % col("m")
+        }: _*)).as("posm"), col("m"))
+      .distinct()
+      .select(col("posm"), col("m"),
+        explode(expr(s"sequence(0L, ${NumBits}L div m - 1)")).as("j"))
+      .select((col("posm") + col("j") * col("m")).as("pos"))
+  }
+
+  /** DuckDB spelling of [[sizedBits]]' lifted position set over a
+    * `bkeys(bkey)` CTE — the sizing verdict inlined as a scalar
+    * subquery (DuckDB evaluates it once). */
+  private def sizedBitsSql: String = {
+    val posUnion = (0 until NumHashes)
+      .map { i =>
+        val (a, b) = hashParams(i)
+        s"SELECT (${PortableHash.permHashSql("bkey", a, b)} % (SELECT m FROM sz)) AS posm FROM bkeys"
+      }
+      .mkString("\n    UNION ALL\n    ")
+    s"""sz AS MATERIALIZED (
+       |  SELECT CAST(least($NumBits, greatest($MinSizedBits,
+       |    (1::BIGINT << length(bin($BitsPerKey * count(*) - 1))))) AS BIGINT)
+       |    AS m
+       |  FROM bkeys
+       |),
+       |bitsm AS MATERIALIZED (
+       |  SELECT DISTINCT posm FROM (
+       |    $posUnion
+       |  )
+       |),
+       |bits AS MATERIALIZED (
+       |  SELECT posm + j * (SELECT m FROM sz) AS pos
+       |  FROM bitsm, UNNEST(range(0, $NumBits // (SELECT m FROM sz))) u(j)
+       |)""".stripMargin
+  }
+
+  /** High-priority-order revenue THROUGH the sized + routed prefilter —
+    * the oracle-gated face of [[sizedBits]] composed under
+    * [[routedBits]]: the filter picks its OWN width from the build
+    * count, the router prices the resulting occupancy, and the probe
+    * runs the identical static k-semi-join plan whatever either
+    * decision was. The oracle is the UNFILTERED join (the
+    * [[bloomAutoRevenue]] contract: no false negatives + the exact
+    * join discards false positives ⇒ result identity at every m and
+    * either route). */
+  def bloomSizedRevenue(orders: DataFrame, lineitem: DataFrame,
+      maxOccupancyMillionths: Long = MaxOccupancyMillionths): DataFrame = {
+    val bkeys = orders.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey").as("bkey")).distinct()
+    val bits = routedBits(sizedBits(bkeys, "bkey"), maxOccupancyMillionths)
+    val cents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+    val probe = lineitem.select(col("l_orderkey"), cents.as("cents"))
+    bloomPrefilter(probe, "l_orderkey", bits)
+      .join(bkeys, col("l_orderkey") === col("bkey"))
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+  }
+
+  /** The acceptance audit for the SIZED filter — [[bloomAudit]]'s
+    * one-row report run over the width-m lifted bit set (un-routed:
+    * this audits the filter itself, not the router). Unlike the
+    * revenue gate (whose oracle is the unfiltered join), THIS oracle
+    * reproduces the sizing ladder, the mod-m positions, and the lift
+    * bit-for-bit in DuckDB — the cross-engine pin that the
+    * decision-as-data sizing arithmetic is exact, not merely
+    * result-neutral. */
+  def bloomSizedAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bkeys = orders.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey").as("bkey")).distinct()
+    val bits = sizedBits(bkeys, "bkey")
+    val flagged = (0 until NumHashes).foldLeft(
+        lineitem.select(col("l_orderkey"))) { (df, i) =>
+        df.join(broadcast(bits.select(col("pos").as(s"pos$i"))),
+          posOf(col("l_orderkey"), i) === col(s"pos$i"), "left_outer")
+      }
+      .join(broadcast(bkeys), col("l_orderkey") === col("bkey"), "left_outer")
+      .select(
+        (0 until NumHashes).map(i => col(s"pos$i").isNotNull)
+          .reduce(_ && _).as("pass"),
+        col("bkey").isNotNull.as("is_match"))
+    flagged.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pass") && !col("is_match"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("n_probe"), col("n_pass"), col("n_match"), col("n_false_pos"),
+        expr("(n_pass * 1000000L) div n_probe").as("pass_millionths"),
+        expr("CASE WHEN n_probe = n_match THEN 0L ELSE (n_false_pos * 1000000L) div (n_probe - n_match) END")
+          .as("fpr_millionths"))
+  }
+
+  /** Oracle twin of [[bloomSizedAudit]] — same ladder, same mod-m
+    * positions, same lift, same flag joins. */
+  def bloomSizedAuditSql: String = {
+    val joins = (0 until NumHashes)
+      .map(i => s"LEFT JOIN bits b$i ON ${posOfSql("p.l_orderkey", i)} = b$i.pos")
+      .mkString("\n  ")
+    val passExpr = (0 until NumHashes)
+      .map(i => s"b$i.pos IS NOT NULL").mkString(" AND ")
+    s"""WITH bkeys AS MATERIALIZED (
+       |  SELECT DISTINCT o_orderkey AS bkey FROM orders
+       |  WHERE o_orderpriority = '2-HIGH'
+       |),
+       |$sizedBitsSql,
+       |flagged AS (
+       |  SELECT ($passExpr) AS pass, (bk.bkey IS NOT NULL) AS is_match
+       |  FROM lineitem p
+       |  $joins
+       |  LEFT JOIN bkeys bk ON p.l_orderkey = bk.bkey
+       |),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |    CAST(sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |  FROM flagged
+       |)
+       |SELECT n_probe, n_pass, n_match, n_false_pos,
+       |  CAST((n_pass * 1000000) // n_probe AS BIGINT) AS pass_millionths,
+       |  CAST(CASE WHEN n_probe = n_match THEN 0
+       |    ELSE (n_false_pos * 1000000) // (n_probe - n_match) END AS BIGINT)
+       |    AS fpr_millionths
+       |FROM agg""".stripMargin
+  }
+
+  /** Oracle twin of [[bloomSizedRevenue]] — deliberately UNFILTERED. */
+  def bloomSizedRevenueSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+       |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+       |FROM lineitem
+       |JOIN (SELECT DISTINCT o_orderkey FROM orders
+       |      WHERE o_orderpriority = '2-HIGH') o
+       |  ON l_orderkey = o.o_orderkey""".stripMargin
+
   /** Urgent-order revenue THROUGH the audit-routed prefilter — the
     * oracle-gated face of [[routedBits]]: probe rows flow through the
     * k semi-joins against the ROUTED bit relation, then the exact join

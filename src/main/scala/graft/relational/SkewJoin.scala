@@ -163,18 +163,45 @@ object SkewJoin {
     * rows — the oracle twin IS the unsalted query, so the driver gate
     * proves the routing changes nothing but the shuffle layout.
     *
-    * Scale shape: one extra fact pass for the audit (amortized by
-    * persisting [[hotKeys]]' input), then the plain join's single
-    * shuffle with the hottest reduce task divided by `salts` and the
-    * dim side grown by only |hot|·(salts−1) rows. */
+    * `hotMillionths` < 0 (the default) derives the threshold from THIS
+    * call's `salts` ([[hotThresholdMillionths]]) — a caller-supplied
+    * salt count keeps the documented "salts × the mean" contract
+    * without re-stating it. `salt` is the same caller-supplied escape
+    * hatch [[saltedJoin]] takes (the [[rowSalt]] duplicate-rows
+    * caveat): it salts the HOT branch; the cold branch stays salt 0.
+    *
+    * Scale shape: one extra fact pass for the audit — amortized by the
+    * [[autoSaltedJoinWithHot]] overload, which accepts the persisted
+    * ≤|keys|-row hot artifact a production nightly maintains — then
+    * the plain join's single shuffle with the hottest reduce task
+    * divided by `salts` and the dim side grown by only
+    * |hot|·(salts−1) rows. */
   def autoSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int = Salts,
-      hotMillionths: Long = hotThresholdMillionths(Salts)): DataFrame = {
-    val hot = hotKeys(fact, factKey, hotMillionths)
+      hotMillionths: Long = -1L,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
+    val hm = if (hotMillionths < 0L) hotThresholdMillionths(salts)
+      else hotMillionths
+    autoSaltedJoinWithHot(fact, dim, factKey, dimKey,
+      hotKeys(fact, factKey, hm), salts, salt)
+  }
+
+  /** [[autoSaltedJoin]] against a PERSISTED hot-key relation (one
+    * column: the fact key) — the amortized production path: a nightly
+    * materializes [[hotKeys]] next to its zone maps once, and every
+    * join that day routes off the artifact without re-paying the audit
+    * pass. Result identity is unconditional — a stale hot set only
+    * mis-ROUTES (an un-listed hot key lands whole in one task, a
+    * no-longer-hot key pays pointless replication); it can never
+    * change the output rows (spec-pinned: persisted-hot ≡ self-audited
+    * ≡ unsalted). */
+  def autoSaltedJoinWithHot(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, hot: DataFrame,
+      salts: Int = Salts,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
     val f = fact.join(broadcast(hot.select(col(factKey).as("_hotf"))),
         col(factKey) === col("_hotf"), "left")
-      .withColumn("_salt", when(col("_hotf").isNotNull,
-          pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)))
+      .withColumn("_salt", when(col("_hotf").isNotNull, salt(fact, salts))
         .otherwise(lit(0)).cast("int"))
       .drop("_hotf")
     val d = dim.join(broadcast(hot.select(col(factKey).as("_hotd"))),
@@ -186,6 +213,57 @@ object SkewJoin {
     f.join(d, f("_salt") === d("_dsalt") &&
         col(factKey) === col(dimKey))
       .drop("_salt", "_dsalt")
+  }
+
+  /** Audit-DRIVEN salted ROLLUP — the aggregation-skew symmetry of
+    * [[autoSaltedJoin]] (the loop [[saltedOrderRollup]] left open: it
+    * salts unconditionally, paying the two-phase tax on every key):
+    * [[hotKeys]] routes, per key, between the (key, salt) pre-agg
+    * (hot: the wide per-group state splits across `salts` tasks) and
+    * the straight single-phase agg (cold: the uniform tail pays
+    * nothing). A key is entirely hot or entirely cold, so the two
+    * branches partition the input and their union is exact — the
+    * oracle twin is the UNSALTED rollup, same as the manual spelling's.
+    * With zero hot keys (the exactly-uniform case, [[hotKeys]]' strict
+    * `>`) the hot branch is empty and the whole rollup IS the plain
+    * single-phase plan's work (spec-pinned).
+    *
+    * Scale shape: the audit's key-partial agg (amortizable exactly as
+    * the join's), then one fact shuffle's worth of rows split across
+    * the two branches — hot rows into salts× more, smaller tasks; cold
+    * rows into the plain agg Spark's map-side partials already bound.
+    * Scan accounting, stated honestly: the two branches are separate
+    * plan legs, so the (key, measure)-pruned fact scan runs once per
+    * branch; the alternative single-scan spelling (salt 0 for cold
+    * rows into one unconditional two-phase plan —
+    * [[saltedOrderRollup]]'s shape with the audit choosing the salt)
+    * trades the second scan for a second ≤|keys|-row shuffle of
+    * already-collapsed cells. This operator keeps the branches because
+    * the routing is then STRUCTURAL — the zero-hot case provably runs
+    * zero rows through the pre-agg — and the pruned double scan is
+    * column-store-cheap next to the shuffle it shapes. */
+  def saltedRollupAuto(lineitem: DataFrame, salts: Int = Salts,
+      hotMillionths: Long = -1L,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
+    val hm = if (hotMillionths < 0L) hotThresholdMillionths(salts)
+      else hotMillionths
+    val cents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+    val fact = lineitem.select(col("l_orderkey"), cents.as("cents"))
+    val hot = hotKeys(fact, "l_orderkey", hm)
+    val flagged = fact.join(broadcast(hot.select(col("l_orderkey").as("_hot"))),
+      col("l_orderkey") === col("_hot"), "left")
+    val hotAgg = flagged.filter(col("_hot").isNotNull)
+      .withColumn("_salt", salt(fact, salts))
+      .groupBy(col("l_orderkey"), col("_salt"))
+      .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum("pn").as("n_lines"), sum("pc").as("order_cents"))
+    val coldAgg = flagged.filter(col("_hot").isNull)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("order_cents"))
+    hotAgg.unionByName(coldAgg)
   }
 
   /** [[Sales.brandRevenue]] through the audit-driven join — the

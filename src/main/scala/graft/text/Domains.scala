@@ -81,6 +81,228 @@ object Domains {
        |  ELSE $h END""".stripMargin
   }
 
+  // ---- caller-supplied public-suffix list (wildcard/exception rules) ------
+  //
+  // The real PSL is DATA — ~9k rules including `*.ck`-style wildcards
+  // ("every label directly under ck is a public suffix") and `!www.ck`
+  // exceptions ("…except www.ck, whose registrable domain is www.ck
+  // itself") — so the production operator must accept the full list as
+  // a relation, not a code literal. [[registrableDomainsFromPsl]] is
+  // that operator: the published PSL algorithm (exception beats
+  // everything; otherwise the rule with the most labels prevails; no
+  // match ⇒ the implicit `*` rule; registrable domain = prevailing
+  // public suffix + one label) over a broadcast rule relation.
+
+  /** Longest rule the candidate explode covers, in labels — the real
+    * PSL's deepest rules are 5 labels; an exception rule's key can be
+    * one longer than its wildcard sibling's. */
+  val MaxPslLabels: Int = 5
+
+  /** Normalize a PSL rule relation (`rule`: the raw line — plain
+    * `co.uk`, wildcard `*.ck`, exception `!www.ck`) into the join-ready
+    * shape: `match_key` (the literal label suffix a host must end
+    * with — the wildcard's `*.` stripped, the exception's `!`
+    * stripped), `match_labels` (its label count), `min_host_labels`
+    * (a wildcard needs one host label beyond its key — the label the
+    * `*` consumes), `ps_labels` (the public-suffix length the rule
+    * implies when it PREVAILS: the exception subtracts the label it
+    * exempts), `rule_labels` (the precedence rank: most labels wins),
+    * and `is_exc` (exceptions outrank everything). Pure per-row string
+    * work; the result is the tiny broadcast side. */
+  def normalizePsl(psl: DataFrame): DataFrame = {
+    val raw = col("rule")
+    val isExc = raw.startsWith("!")
+    val isWild = raw.startsWith("*.")
+    val key = when(isExc, expr("substr(rule, 2)"))
+      .when(isWild, expr("substr(rule, 3)"))
+      .otherwise(raw)
+    psl.select(raw.as("rule"), key.as("match_key"),
+        isExc.cast("long").as("is_exc"),
+        size(split(key, "\\.")).cast("long").as("match_labels"),
+        when(isWild, size(split(key, "\\.")) + 1)
+          .otherwise(size(split(key, "\\."))).cast("long").as("rule_labels"))
+      .select(col("rule"), col("match_key"), col("is_exc"),
+        col("match_labels"), col("rule_labels"),
+        col("rule_labels").as("min_host_labels"),
+        when(col("is_exc") === 1L, col("match_labels") - 1L)
+          .otherwise(col("rule_labels")).as("ps_labels"))
+  }
+
+  /** `(host, domain)` over the DISTINCT hosts of a relation carrying a
+    * `host` column, under a caller-supplied PSL rule relation (column
+    * `rule`) — the production form of [[registrableDomain]], with full
+    * wildcard/exception semantics. Per the PSL algorithm: every label
+    * suffix of the host (≤ [[MaxPslLabels]] deep) probes the broadcast
+    * normalized rules; the prevailing match is the exception if any,
+    * else the rule with the most labels; no match falls to the
+    * implicit `*` rule (public suffix = the last label). Hosts that ARE
+    * a public suffix (no label left for the registrable part) fall back
+    * to the host itself — [[registrableDomain]]'s conservative stance,
+    * which never merges two unknown publishers.
+    *
+    * Scale shape: the host relation deduplicates first (the
+    * word-relation discipline — extraction cost is per DISTINCT host,
+    * not per document), explodes ≤ MaxPslLabels candidate suffixes
+    * map-side, hash-joins the ≤9k-row broadcast rules, and collapses
+    * back with one host-keyed partial agg; the caller joins the result
+    * onto the corpus by host. */
+  def registrableDomainsFromPsl(hosts: DataFrame, psl: DataFrame): DataFrame = {
+    val rules = normalizePsl(psl)
+    val h = hosts.select(col("host")).distinct()
+      .select(col("host"), split(col("host"), "\\.").as("parts"))
+      .select(col("host"), col("parts"), size(col("parts")).cast("long").as("n"))
+    val cand = h.select(col("host"), col("parts"), col("n"),
+        explode(expr(s"sequence(1L, least(n, ${MaxPslLabels}L))")).as("ck"))
+      .select(col("host"), col("n"), col("ck"),
+        concat_ws(".", slice(col("parts"), (col("n") - col("ck") + 1L).cast("int"),
+          col("ck").cast("int"))).as("suffix"))
+    val matched = cand.join(broadcast(rules),
+        col("suffix") === col("match_key") &&
+          col("ck") === col("match_labels") &&
+          col("n") >= col("min_host_labels"))
+      .groupBy(col("host"), col("n"))
+      .agg(max(struct(col("is_exc"), col("rule_labels"), col("ps_labels")))
+        .as("prevail"))
+      .select(col("host"), col("prevail.ps_labels").as("ps"))
+    h.join(matched, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("ps"), lit(1L)).as("ps"), col("parts"), col("n"))
+      .select(col("host"),
+        when(col("n") > col("ps"),
+          concat_ws(".", slice(col("parts"), (col("n") - col("ps")).cast("int"),
+            (col("ps") + 1L).cast("int"))))
+          .otherwise(col("host")).as("domain"))
+  }
+
+  /** The fixture PSL — INDUCED FROM THE DATA (the `vocab_coverage_ext`
+    * external-artifact discipline: the oracle must derive the identical
+    * rule set, so the rules are a pure function of the corpus's
+    * distinct sources): per source `s`, a plain 2-label rule `s.zz`, a
+    * plain 2-label rule `s.wz`, a wildcard `*.s.wz` OVER it (3 rule
+    * labels — prevails by longest-match), and an exception `!ok.s.wz`
+    * (outranks both). */
+  def pslFromSources(docs: DataFrame): DataFrame = {
+    val srcs = graft.Tables.widen(docs).select(col("source")).distinct()
+    srcs.select(concat(col("source"), lit(".zz")).as("rule"))
+      .unionByName(srcs.select(concat(col("source"), lit(".wz")).as("rule")))
+      .unionByName(srcs.select(concat(lit("*."), col("source"), lit(".wz")).as("rule")))
+      .unionByName(srcs.select(concat(lit("!ok."), col("source"), lit(".wz")).as("rule")))
+  }
+
+  /** Synthesized host for the PSL-extraction gate — cycles through
+    * every rule class and depth so the oracle-gated rows prove, in
+    * BOTH engines: plain-rule grouping across subdomain depths (0/1/2
+    * land on one domain), wildcard matching (the `*` consuming exactly
+    * one label, deeper hosts merging), EXCEPTION-BEATS-WILDCARD (the
+    * `ok.` hosts would group under a 4-label wildcard domain; the
+    * exception pins them to `ok.s.wz`), the implicit `*` default for
+    * unlisted suffixes, and the host-is-a-public-suffix fallback. */
+  private def hostPslSql: String =
+    """(CASE doc_id % 10
+      |  WHEN 0 THEN source || '.zz'
+      |  WHEN 1 THEN 'www.' || source || '.zz'
+      |  WHEN 2 THEN 'a.www.' || source || '.zz'
+      |  WHEN 3 THEN 'x.b.' || source || '.wz'
+      |  WHEN 4 THEN 'z.ok.' || source || '.wz'
+      |  WHEN 5 THEN 'y.x.b.' || source || '.wz'
+      |  WHEN 6 THEN 'q.z.ok.' || source || '.wz'
+      |  WHEN 7 THEN 'm.' || source || '.qq'
+      |  WHEN 8 THEN 'n.m.' || source || '.qq'
+      |  ELSE source || '.wz' END)""".stripMargin.replace("\n", " ")
+
+  /** [[domainQuality]] under the CALLER-SUPPLIED PSL — the
+    * production-true form of the domain axis: rules from
+    * [[pslFromSources]] (wildcards and exceptions planted), hosts from
+    * [[hostPslSql]], extraction via [[registrableDomainsFromPsl]], then
+    * the same per-domain quality rollup. */
+  def domainQualityExt(docs: DataFrame): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val hosted = wide.select(col("doc_id"), col("text"),
+      expr(hostPslSql).as("host"))
+    val domains = registrableDomainsFromPsl(hosted, pslFromSources(docs))
+    hosted.join(domains, Seq("host"))
+      .select(col("domain"), TextAnalysis.marginOf(docs).as("margin"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0L, 1L).otherwise(0L)).as("n_keep"),
+        sum("margin").as("sum_margin"))
+      .select(col("domain"), col("n_docs"), col("n_keep"),
+        (col("n_keep") / col("n_docs")).as("keep_frac"),
+        (col("sum_margin") / col("n_docs")).as("mean_margin"))
+  }
+
+  /** Oracle twin of [[domainQualityExt]] — the same rule induction,
+    * candidate explode, precedence sort, and default/fallback cases in
+    * DuckDB. */
+  def domainQualityExtSql: String = {
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
+    s"""WITH srcs AS (
+       |  SELECT DISTINCT source FROM documents
+       |), rules AS (
+       |  SELECT source || '.zz' AS rule FROM srcs
+       |  UNION ALL SELECT source || '.wz' FROM srcs
+       |  UNION ALL SELECT '*.' || source || '.wz' FROM srcs
+       |  UNION ALL SELECT '!ok.' || source || '.wz' FROM srcs
+       |), norm AS (
+       |  SELECT rule,
+       |    CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+       |         WHEN rule LIKE '*.%' THEN substr(rule, 3)
+       |         ELSE rule END AS match_key,
+       |    CASE WHEN rule LIKE '!%' THEN 1 ELSE 0 END AS is_exc
+       |  FROM rules
+       |), normed AS (
+       |  SELECT rule, match_key, is_exc,
+       |    CAST(len(string_split(match_key, '.')) AS BIGINT) AS match_labels,
+       |    CAST(len(string_split(match_key, '.'))
+       |      + (CASE WHEN rule LIKE '*.%' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rule_labels
+       |  FROM norm
+       |), ready AS (
+       |  SELECT match_key, is_exc, match_labels, rule_labels,
+       |    rule_labels AS min_host_labels,
+       |    CASE WHEN is_exc = 1 THEN match_labels - 1
+       |         ELSE rule_labels END AS ps_labels
+       |  FROM normed
+       |), hosted AS (
+       |  SELECT doc_id, text, $hostPslSql AS host FROM documents
+       |), dh AS (
+       |  SELECT host, string_split(host, '.') AS parts,
+       |    CAST(len(string_split(host, '.')) AS BIGINT) AS n
+       |  FROM (SELECT DISTINCT host FROM hosted)
+       |), cand AS (
+       |  SELECT host, parts, n, CAST(ck AS BIGINT) AS ck,
+       |    array_to_string(parts[CAST(n - ck + 1 AS INT):CAST(n AS INT)], '.')
+       |      AS suffix
+       |  FROM dh, UNNEST(range(1, least(n, $MaxPslLabels) + 1)) u(ck)
+       |), prevail AS (
+       |  SELECT host, max(struct_pack(is_exc := is_exc,
+       |      rule_labels := rule_labels, ps_labels := ps_labels)) AS pv
+       |  FROM cand JOIN ready ON suffix = match_key
+       |    AND ck = match_labels AND n >= min_host_labels
+       |  GROUP BY host
+       |), dom AS (
+       |  SELECT dh.host AS host,
+       |    CASE WHEN n > coalesce(pv.ps_labels, 1)
+       |      THEN array_to_string(
+       |        parts[CAST(n - coalesce(pv.ps_labels, 1) AS INT):CAST(n AS INT)], '.')
+       |      ELSE dh.host END AS domain
+       |  FROM dh LEFT JOIN prevail ON dh.host = prevail.host
+       |), scored AS (
+       |  SELECT domain, ${TextAnalysis.marginSqlOf(th)} AS margin
+       |  FROM hosted JOIN dom USING (host)
+       |), agg AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    CAST(sum(margin) AS BIGINT) AS sum_margin
+       |  FROM scored GROUP BY domain
+       |)
+       |SELECT domain, n_docs, n_keep,
+       |  n_keep / n_docs AS keep_frac,
+       |  sum_margin / n_docs AS mean_margin
+       |FROM agg
+       |ORDER BY domain, n_docs, n_keep, keep_frac, mean_margin""".stripMargin
+  }
+
   /** Synthesized host as a SQL fragment over a documents row — one body
     * for both engines (plain CASE/|| only). doc_id % 4 cycles the
     * subdomain depth (bare, www., cdn.news., a.b.c.) and doc_id % 3 the

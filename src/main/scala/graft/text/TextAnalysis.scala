@@ -1093,7 +1093,7 @@ object TextAnalysis {
   /** Shared assembly half of the doc-id-array spellings: per doc, the
     * word-position-ordered concatenation of each occurrence's id array;
     * docs with no tokens keep an empty array. */
-  private def docIdsFromWordIds(t: DataFrame, wordIds: DataFrame): DataFrame = {
+  private[text] def docIdsFromWordIds(t: DataFrame, wordIds: DataFrame): DataFrame = {
     val occ = t.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("word_pos", "w")))
     val assembled = occ.join(wordIds, "w")

@@ -234,7 +234,9 @@ object Unigram {
     words // carries the checkpointed `k` from wordsFromToks
       .join(broadcast(cmRow), Seq("k"))
       .withColumn("fin", expr(dpSparkSql))
-      .select(col("w"), col("h"), col("wt"), col("fin.c").as("cost"),
+      // `k` stays on the relation (it is checkpoint-real, never a
+      // foldable literal) so the id-map row can attach downstream
+      .select(col("k"), col("w"), col("h"), col("wt"), col("fin.c").as("cost"),
         col("fin.np").as("np"), col("fin.pa").as("pa"))
       .localCheckpoint()
 
@@ -274,6 +276,11 @@ object Unigram {
     val segF = segmentWords(words, costMapRow(smoothedCosts(vocabF)))
     (words, vocabF, segF)
   }
+
+  /** The pruned `(piece, cnt)` vocabulary induced over an existing
+    * `(doc_id, toks)` relation — the persistable artifact the frozen
+    * faces reload ([[Curation.trainingShardsUnigram]]'s write). */
+  private[text] def vocabFromToks(t: DataFrame): DataFrame = induce(t)._2
 
   private def toks(docs: DataFrame): DataFrame = {
     val wide = graft.Tables.widen(docs)
@@ -341,6 +348,85 @@ object Unigram {
     encodeRollup(t, segF)
   }
 
+  // ---- id-sequence face ------------------------------------------------------
+
+  /** The 1-row broadcast id map over a vocabulary's pieces: id =
+    * 1-based rank by piece (hex-string ascending — binary collation,
+    * identical in both engines), a PURE FUNCTION OF THE ARTIFACT, so a
+    * persisted vocabulary reloaded tomorrow assigns the same ids it
+    * assigned today (the frozen-tokenizer id-stability contract; the
+    * BPE family derives its ids from the merge table the same way). */
+  private def idMapRow(vocab: DataFrame): DataFrame =
+    vocab.agg(sort_array(collect_list(col("piece"))).as("ps"))
+      .select(map_from_entries(expr(
+        "transform(ps, (p, i) -> struct(p, CAST(i + 1 AS BIGINT)))")).as("im"))
+      .withColumn("k", lit(1))
+      .localCheckpoint()
+
+  /** Per-word id arrays `(w, ids)` — each word's Viterbi pieces mapped
+    * through the vocabulary id map (`size(ids)` = the segmentation's
+    * piece count by construction). A piece absent from the map (a
+    * never-seen byte on the frozen path — the miss-sentinel
+    * segmentation) takes id 0, the reserved unk: nothing errors,
+    * nothing vanishes, and the count faces still tile. */
+  private def wordIds(segF: DataFrame, imRow: DataFrame): DataFrame =
+    segF.join(broadcast(imRow), Seq("k"))
+      .select(col("w"),
+        expr("transform(filter(split(pa, '\\\\|'), p -> length(p) > 0), " +
+          "p -> coalesce(try_element_at(im, p), 0L))").as("ids"))
+
+  /** Encode the corpus to its unigram TOKEN-ID SEQUENCES — the
+    * [[TextAnalysis.bpeTokenize]] twin for the second tokenizer family
+    * (the artifact a trainer consumes, where [[unigramEncode]] stops at
+    * counts): one row per token position, `(doc_id, pos, token_id)`,
+    * ids from [[idMapRow]]'s deterministic vocab-rank assignment.
+    * Per-doc row counts tile [[unigramEncode]]'s `n_unigram_tokens`
+    * exactly (spec-pinned); empty/NULL-text docs emit no rows.
+    *
+    * Scale shape: the induction runs on the ≤|distinct words| relation
+    * as ever; the corpus pays its tokenize pass plus ONE occurrence →
+    * word equi-join and one per-doc running-position window before the
+    * map-side posexplode — [[TextAnalysis.bpeTokenizeFromToks]]'
+    * occurrence-sized shape, the inherent cost of materializing ids
+    * per position. */
+  def unigramTokenize(docs: DataFrame): DataFrame = {
+    val t = toks(docs)
+    val (_, vocabF, segF) = induce(t.select(col("doc_id"), col("toks")))
+    tokenizeFromSeg(t, segF, vocabF)
+  }
+
+  private def tokenizeFromSeg(t: DataFrame, segF: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val wids = wordIds(segF, idMapRow(vocab.select(col("piece"))))
+    val occ = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("word_pos", "w")))
+    val j = occ.join(wids, "w")
+      .withColumn("n_syms", size(col("ids")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("word_pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    j.withColumn("prev_cum", sum(col("n_syms")).over(w) - col("n_syms"))
+      .select(col("doc_id"), col("prev_cum"),
+        posexplode(col("ids")).as(Seq("sym_off", "token_id")))
+      .select(col("doc_id"),
+        (col("prev_cum") + col("sym_off")).as("pos"), col("token_id"))
+  }
+
+  /** Per-doc assembled unigram id ARRAYS `(doc_id, ids)` over a
+    * `(doc_id, toks)` relation under a PERSISTED vocabulary — the
+    * [[TextAnalysis.bpeDocIdsFromToks]] twin the tokenizer-agnostic
+    * shard writer consumes ([[Curation.trainingShardsUnigram]]): one
+    * frozen-vocab segmentation of the batch's distinct words, ids by
+    * vocab rank, arrays assembled in word-position order, empty docs
+    * keeping an empty array. */
+  private[text] def unigramDocIdsWith(t: DataFrame, vocab: DataFrame): DataFrame = {
+    val words = wordsFromToks(t)
+    val segF = segmentWords(words,
+      costMapRow(smoothedCosts(vocab.select(col("piece"), col("cnt")))))
+    TextAnalysis.docIdsFromWordIds(t,
+      wordIds(segF, idMapRow(vocab.select(col("piece")))))
+  }
+
   /** Per-language fertility under the induced tokenizer — SAME schema
     * as [[TextAnalysis.bpeFertility]], so the two tokenizer families
     * compare column-for-column on the same corpus. */
@@ -369,7 +455,7 @@ object Unigram {
     * unrolled EM rounds, the prune, and the final segmentation `usegF`
     * (w, wt, np, pa). Every stage materialized (the kcore-oracle
     * lesson: each is consumed multiply). */
-  private def unigramCtesSql(src: String = "documents"): String = {
+  private[text] def unigramCtesSql(src: String = "documents"): String = {
     def costCtes(tag: String, vocabCte: String): String =
       s"""ut$tag AS MATERIALIZED (
          |  SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM $vocabCte
@@ -441,6 +527,61 @@ object Unigram {
        |${costCtes("F", "uvocabF")},
        |${segCte("F")}""".stripMargin
   }
+
+  /** The id-sequence chain over the final segmentation: the vocab-rank
+    * id map, per-word id arrays, and positions — ends in
+    * `utoksout(doc_id, pos, token_id)` (the
+    * [[TextAnalysis.bpeTokenizeCtesSql]] discipline). `src` must expose
+    * `(doc_id, text)`. */
+  private[text] def unigramTokenizeCtesSql(src: String = "documents"): String =
+    s"""uim AS MATERIALIZED (
+       |  SELECT MAP(list(piece ORDER BY piece), list(id ORDER BY piece)) AS im
+       |  FROM (SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id
+       |    FROM uvocabF)
+       |),
+       |uwids AS MATERIALIZED (
+       |  SELECT w, list_transform(list_filter(string_split(pa, '|'), p -> p <> ''),
+       |    p -> coalesce(map_extract(im, p)[1], 0::BIGINT)) AS ids
+       |  FROM usegF, uim
+       |),
+       |uwn AS (
+       |  SELECT w, CAST(len(ids) AS BIGINT) AS n_syms FROM uwids
+       |),
+       |udocw AS (
+       |  SELECT doc_id, pr.i AS word_pos, pr.w AS w
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'i': i, 'w': toks[i]})) AS pr
+       |    FROM (SELECT doc_id,
+       |      regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
+       |      FROM $src)
+       |  )
+       |),
+       |ujw AS (
+       |  SELECT doc_id, word_pos, w,
+       |    CAST(sum(n_syms) OVER (PARTITION BY doc_id ORDER BY word_pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_syms
+       |      AS BIGINT) AS prev_cum
+       |  FROM udocw JOIN uwn USING (w)
+       |),
+       |utoksout AS (
+       |  SELECT doc_id,
+       |    CAST(prev_cum + sym.i - 1 AS BIGINT) AS pos,
+       |    CAST(sym.id AS BIGINT) AS token_id
+       |  FROM (
+       |    SELECT doc_id, prev_cum, unnest(list_transform(range(1, len(ids) + 1),
+       |      i -> {'i': i, 'id': ids[i]})) AS sym
+       |    FROM ujw JOIN uwids USING (w)
+       |  )
+       |)""".stripMargin
+
+  /** Oracle twin of [[unigramTokenize]]. */
+  def unigramTokenizeSql: String =
+    s"""WITH ${unigramCtesSql()},
+       |${unigramTokenizeCtesSql()}
+       |SELECT doc_id, pos, token_id FROM utoksout
+       |ORDER BY doc_id, pos, token_id""".stripMargin
 
   /** Oracle twin of [[unigramVocab]]. */
   def unigramVocabSql: String =

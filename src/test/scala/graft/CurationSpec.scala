@@ -430,6 +430,72 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.sum === 6L) // every doc in exactly one combination
   }
 
+  test("the domain-quota gate drops exactly the over-quota publisher docs, reason set") {
+    // nine docs of ONE publisher (ids ≡ 0 mod 3 → one registrable
+    // domain under the synthesized host) + one doc of another — quota 7
+    // must mark exactly 2 of the 9 domain_ok = false (worst quality
+    // first, ties by doc_id), and keep must be false for those two
+    val nine = (1L to 9L).map(i => (i * 3L, unrelated + s" extra$i"))
+    val corpus = docs(nine :+ (100L, base): _*)
+    val bench = docs((200L, "benchmark words nothing shared here at all"))
+    val out = Curation.corpusKeepFull(corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val domFalse = out.filter(!_._2.getAs[Boolean]("domain_ok")).keySet
+    assert(domFalse.size === 2, s"expected 2 over-quota drops, got $domFalse")
+    assert(domFalse.forall(_ % 3 == 0), "drops must come from the 9-doc domain")
+    assert(out(100L).getAs[Boolean]("domain_ok"),
+      "the second publisher is under quota")
+    for (id <- domFalse)
+      assert(!out(id).getAs[Boolean]("keep"), s"doc $id kept despite quota")
+    // the gate agrees with the standalone domainQuota window re-keyed on
+    // the same host synthesis: lowest-quality (tie: highest doc_id) lose
+    val inQuota = graft.text.Domains.domainQuota(
+        corpus.withColumn("source", org.apache.spark.sql.functions.lit("s")),
+        Curation.DomainKeepQuotaN)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    for ((id, r) <- out)
+      assert(r.getAs[Boolean]("domain_ok") === inQuota.contains(id), s"doc $id")
+  }
+
+  test("trainingShardsUnigram: slices tile each kept doc's unigram id sequence; re-read prunes") {
+    val corpus = docs((1L, base), (2L, base), (3L, nearDup),
+      (4L, unrelated), (5L, lowQuality),
+      (6L, "six seven eight nine ten eleven twelve thirteen fourteen " +
+        "fifteen sixteen seventeen eighteen nineteen twenty alpha"))
+    val dir = java.nio.file.Files.createTempDirectory("unigram_shards").toString
+    val out = Curation.trainingShardsUnigram(corpus, dir + "/shards",
+      dir + "/vocab", budget = 7L)
+    val rows = out.collect()
+    // every slice is exactly as long as its bin says
+    rows.foreach(r => assert(
+      r.getAs[scala.collection.Seq[Long]]("ids").size.toLong
+        === r.getAs[Long]("chunk_tok")))
+    // concatenated in chunk order, the slices reproduce the doc's
+    // unigram_tokenize sequence over the SAME kept corpus (frozen ≡
+    // induced, extended to the written artifact)
+    val kept = Curation.corpusKeep(corpus).filter(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === kept)
+    val keptDocs = corpus.filter(org.apache.spark.sql.functions.col("doc_id")
+      .isin(kept.toSeq: _*))
+    val want = graft.text.Unigram.unigramTokenize(keptDocs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("token_id")).toSeq }
+    val got = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("chunk_id"))
+          .flatMap(_.getAs[scala.collection.Seq[Long]]("ids")).toSeq }
+    assert(got === want)
+    // the partitioned layout really prunes: a split+shard read plans
+    // partition filters, not a full scan
+    val pruned = spark.read.parquet(dir + "/shards")
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(split"),
+      s"no partition pruning in:\n$scan")
+  }
+
   test("keep implies: not exact dup, not near dup, quality ok (decision consistency)") {
     val out = Curation.corpusKeep(docs(
       (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, lowQuality)))

@@ -87,4 +87,62 @@ class DomainsSpec extends AnyFunSuite {
     assert(r.getAs[String]("domain") === "pub.com")
     assert(r.getAs[String]("url") === "https://www.pub.com/doc/9")
   }
+
+  test("registrableDomainsFromPsl: the published algorithm on the canonical ck fixtures") {
+    // the Mozilla wiki's own worked examples: *.ck makes every label
+    // under ck a public suffix EXCEPT www.ck (the exception rule)
+    val psl = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val cases = Seq(
+      "b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      // wildcard: the * consumes one label, so a.ck IS a public suffix
+      // and the registrable domain needs a third label
+      "x.a.ck" -> "x.a.ck",
+      "deep.x.a.ck" -> "x.a.ck",
+      // exception beats the wildcard: www.ck is itself registrable
+      "www.ck" -> "www.ck",
+      "a.www.ck" -> "www.ck",
+      // no rule matches → the implicit * rule (ps = last label)
+      "example.qq" -> "example.qq",
+      "sub.example.qq" -> "example.qq",
+      // the host IS a public suffix → conservative fallback to itself
+      "com" -> "com",
+      "a.ck" -> "a.ck")
+    val out = Domains.registrableDomainsFromPsl(
+        cases.map(_._1).toDF("host"), psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((h, want) <- cases) assert(out(h) === want, s"host $h")
+  }
+
+  test("registrableDomainsFromPsl: precedence is exception > most-labels > implicit *") {
+    // plain s.wz AND wildcard *.s.wz both match x.b.s.wz — the wildcard
+    // has more labels and must prevail (ps 3, not 2)
+    val psl = Seq("s.wz", "*.s.wz", "!ok.s.wz").toDF("rule")
+    val out = Domains.registrableDomainsFromPsl(
+        Seq("x.b.s.wz", "y.x.b.s.wz", "z.ok.s.wz", "q.z.ok.s.wz", "b.s.wz")
+          .toDF("host"), psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("x.b.s.wz") === "x.b.s.wz")   // wildcard ps=3 (+1 label)
+    assert(out("y.x.b.s.wz") === "x.b.s.wz") // deeper host, same domain
+    assert(out("z.ok.s.wz") === "ok.s.wz")   // exception ps=2 beats wildcard
+    assert(out("q.z.ok.s.wz") === "ok.s.wz")
+    // b.s.wz: wildcard matches (b consumed by *), host IS the public
+    // suffix → fallback to itself
+    assert(out("b.s.wz") === "b.s.wz")
+  }
+
+  test("domainQualityExt groups wildcard and exception hosts onto one publisher row") {
+    // doc ids picked so one source's hosts hit depths 3..6 of hostPslSql:
+    // %10=3 and %10=5 must merge (wildcard), %10=4 and %10=6 must merge
+    // (exception) — four docs, TWO domains
+    val d = docs(
+      (3L, "alpha beta", "en", "s", 0L),
+      (15L, "gamma delta", "en", "s", 0L),
+      (4L, "epsilon", "en", "s", 0L),
+      (16L, "zeta eta", "en", "s", 0L))
+    val out = Domains.domainQualityExt(d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("x.b.s.wz" -> 2L, "ok.s.wz" -> 2L))
+  }
 }

@@ -220,9 +220,9 @@ class MediaSpec extends AnyFunSuite {
 
   test("container round-trip + golden: GIF logical screen descriptor, both signatures") {
     // doc 9 (% 20 = 9 → GIF89a): w = 1 + 9 % 320 = 10, h = 10,
-    //   packed = 16·(9 % 8) = 16 → color resolution bits = 1 → bpp 2
+    //   packed = 128 + 16·1 + 1 = 145 → GCT-size bits = 1 → bpp 2
     // doc 19 (% 20 = 19 → GIF87a): w = 20, h = 20,
-    //   packed = 16·(19 % 8) = 48 → bpp 4
+    //   packed = 128 + 16·3 + 3 = 179 → bpp 4
     val out = Media.mediaFeatures(docs(
       (9L, "gifdata", "en", "s", 7L), (19L, "gifdata", "en", "s", 7L)))
       .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
@@ -236,7 +236,7 @@ class MediaSpec extends AnyFunSuite {
     assert(fields(9L) === ("gif", 10L, 10L, 2L, 1L, 14L + 7L))
     assert(fields(19L) === ("gif", 20L, 20L, 4L, 1L, 14L + 7L))
     // the typed decoder agrees on a hand-built header: GIF89a,
-    // 300×200, packed 0xA2 (GCT flag set + color resolution 2 → bpp 3)
+    // 300×200, packed 0xA2 (GCT flag set + GCT size 2 → bpp 3)
     val gif = "GIF89a".getBytes("US-ASCII") ++
       Array[Byte](44, 1, -56, 0, 0xA2.toByte, 0, 0) ++
       Array[Byte](1, 2, 3) :+ 0x3B.toByte

@@ -20,7 +20,8 @@ class OracleContractSpec extends AnyFunSuite {
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
     "triangles_oriented",
     "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter",
-    "zone_skip", "join_skew", "edge_census_quarantine", "bloom_auto")
+    "zone_skip", "join_skew", "edge_census_quarantine", "bloom_auto",
+    "bloom_sized", "bloom_sized_audit", "bloom_size_verdict")
 
   test("every query has an oracle entry") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)

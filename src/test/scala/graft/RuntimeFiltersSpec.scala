@@ -169,4 +169,74 @@ class RuntimeFiltersSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"forbidden join in:\n$plan")
   }
+
+  test("bloomSizeVerdict picks the exact power-of-two rung at planted build sizes") {
+    def mFor(n: Long): Long = RuntimeFilters.bloomSizeVerdict(
+      (0L until n).map(Tuple1(_)).toDF("bkey"), "bkey")
+      .collect().head.getLong(1)
+    // 16 bits/key, next pow2, clamped to [64, 65536]
+    assert(mFor(1L) === 64L)      // 16 → floor 64
+    assert(mFor(2L) === 64L)      // 32 → floor 64
+    assert(mFor(20L) === 512L)    // 320 → 512
+    assert(mFor(100L) === 2048L)  // 1600 → 2048
+    assert(mFor(128L) === 2048L)  // 2048 exactly → 2048 (no overshoot)
+    assert(mFor(129L) === 4096L)  // 2064 → 4096
+    assert(mFor(10000L) === RuntimeFilters.NumBits) // 160k → ceiling
+  }
+
+  test("sizedBits: the lift is exact — static-probe membership IS width-m membership") {
+    val keys = (0L until 20L).map(_ * 13L + 5L)
+    val m = 512L // bloomSizeVerdict's rung for 20 keys
+    val lifted = RuntimeFilters.sizedBits(
+      keys.map(Tuple1(_)).toDF("bkey"), "bkey")
+      .collect().map(_.getLong(0)).toSet
+    // Scala twin of the width-m filter, lifted: q set ⟺ (q % m) set
+    val setM = keys.flatMap(k => RuntimeFilters.hashParams.map { case (a, b) =>
+      ((k % PortableHash.P) * a + b) % PortableHash.P % m }).toSet
+    val expected = (0L until RuntimeFilters.NumBits)
+      .filter(q => setM.contains(q % m)).toSet
+    assert(lifted === expected)
+    // |lifted| = |S_m| × NumBits/m — the bounded broadcast size
+    assert(lifted.size.toLong === setM.size * (RuntimeFilters.NumBits / m))
+    // no false negatives through the STATIC probe: every build key's
+    // own static positions are present
+    for (k <- keys; p <- positions(k)) assert(lifted.contains(p), s"key $k pos $p")
+    // occupancy is invariant under the lift, so routedBits composes:
+    // 60/512 ≈ 11.7% < 50% ceiling → routed unchanged
+    val routed = RuntimeFilters.routedBits(RuntimeFilters.sizedBits(
+      keys.map(Tuple1(_)).toDF("bkey"), "bkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(routed === expected)
+  }
+
+  test("bloomSizedRevenue is result-identical to the plain join at every rung and route") {
+    import org.apache.spark.sql.functions._
+    val orders = ordersDf
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 5 === 1, "2-HIGH")
+          .otherwise(col("o_orderpriority")))
+    val li = lineitemDf
+      .withColumn("l_extendedprice", (col("l_orderkey") % 97 + 1).cast("double"))
+      .withColumn("l_discount", lit(0.0))
+    val plain = li.join(
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(floor(col("l_extendedprice") * lit(100.0)
+        + lit(0.5)).cast("long")))
+      .collect().head
+    val sized = RuntimeFilters.bloomSizedRevenue(orders, li).collect().head
+    assert((sized.getLong(0), sized.getLong(1)) ===
+      ((plain.getLong(0), plain.getLong(1))))
+    // saturated route forced: still identical
+    val sat = RuntimeFilters.bloomSizedRevenue(orders, li,
+      maxOccupancyMillionths = 0L).collect().head
+    assert((sat.getLong(0), sat.getLong(1)) ===
+      ((plain.getLong(0), plain.getLong(1))))
+    // no nested-loop anywhere in the sized+routed plan
+    val plan = RuntimeFilters.bloomSizedRevenue(orders, li)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"forbidden join in:\n$plan")
+  }
 }

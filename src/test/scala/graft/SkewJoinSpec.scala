@@ -124,6 +124,102 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(auto === plain)
   }
 
+  test("the audit-driven rollup routes a planted celebrity through the pre-agg and stays exact") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    // a celebrity order (5k lines) over a 10-key uniform tail (10 each)
+    val li = ((1L to 5000L).map(i => (7L, i.toDouble, 0.0)) ++
+      (for (k <- 10L to 19L; i <- 1L to 10L) yield (k, i.toDouble, 0.0)))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    // the audit flags exactly the celebrity…
+    val hot = SkewJoin.hotKeys(
+      li.select(col("l_orderkey"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents")),
+      "l_orderkey", SkewJoin.hotThresholdMillionths(SkewJoin.Salts))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot === Seq(7L), s"hot set was $hot")
+    val auto = SkewJoin.saltedRollupAuto(li)
+    // …and the plan routes it through the salted pre-agg: a (key, salt)
+    // aggregate exists, and nothing nested-loops
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"no salted pre-agg in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"forbidden join in:\n$plan")
+    // result identity with the plain single-phase rollup
+    val got = auto.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0) + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
+  test("zero hot keys: the auto rollup's salted branch is empty and the result is the plain rollup") {
+    import spark.implicits._
+    // exactly uniform: every key AT the mean — strict > flags none, so
+    // the whole rollup collapses to the single-phase branch
+    val li = (for (k <- 1L to 8L; i <- 1L to 5L) yield (k, i.toDouble, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val fact = li.select(col("l_orderkey"),
+      floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+        .as("cents"))
+    assert(SkewJoin.hotKeys(fact, "l_orderkey", 1000000L).count() === 0L)
+    val got = SkewJoin.saltedRollupAuto(li, hotMillionths = 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 8 && got.values.forall(_._1 == 5L))
+  }
+
+  test("the persisted-hot overload routes identically to the self-audited path") {
+    import spark.implicits._
+    val fact = ((1L to 10000L).map(i => (7L, i)) ++
+      (for (k <- 10L to 19L; i <- 1L to 10L) yield (k, i)))
+      .toDF("k", "payload")
+    val dim = ((7L to 19L).map(k => (k, s"name$k"))).toDF("dk", "name")
+    // "persist" the audit artifact (a nightly writes this next to its
+    // zone maps); the overload consumes the reloaded relation
+    val hotPath = java.nio.file.Files
+      .createTempDirectory("hotkeys").toString + "/hot"
+    SkewJoin.hotKeys(fact, "k",
+        SkewJoin.hotThresholdMillionths(SkewJoin.Salts))
+      .write.mode("overwrite").parquet(hotPath)
+    val persisted = SkewJoin.autoSaltedJoinWithHot(fact, dim, "k", "dk",
+      spark.read.parquet(hotPath))
+    val audited = SkewJoin.autoSaltedJoin(fact, dim, "k", "dk")
+    val byName = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("name").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName(persisted) === byName(audited))
+    // a STALE hot set only mis-routes, never mis-answers: route with an
+    // empty artifact (no key salts) and with a bogus hot key
+    val empty = Seq.empty[Long].toDF("k")
+    assert(byName(SkewJoin.autoSaltedJoinWithHot(fact, dim, "k", "dk", empty))
+      === byName(audited))
+    val bogus = Seq(10L).toDF("k")
+    assert(byName(SkewJoin.autoSaltedJoinWithHot(fact, dim, "k", "dk", bogus))
+      === byName(audited))
+  }
+
+  test("the auto join's hot branch honors a caller-supplied salt (duplicate-rows escape hatch)") {
+    import spark.implicits._
+    // a hot key of EXACT duplicate rows: the default whole-row hash
+    // cannot spread it, a positional salt can — and the auto path now
+    // accepts the same override its manual twin takes
+    val fact = Seq.fill(10000)((7L, 1L)).toDF("k", "payload").repartition(8)
+      .union(Seq((8L, 2L)).toDF("k", "payload"))
+    val dim = Seq((7L, "hot"), (8L, "cold")).toDF("dk", "name")
+    val positional: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.Column =
+      (_, s) => pmod(spark_partition_id().cast("long"), lit(s.toLong))
+    val j = SkewJoin.autoSaltedJoin(fact, dim, "k", "dk",
+      salt = positional)
+    assert(j.count() === 10001L)
+    assert(j.filter(col("name") === "cold").count() === 1L)
+  }
+
   test("byte-identical duplicate rows need a caller-keyed salt to spread") {
     // a degenerate hot key made of 10k EXACT duplicate rows: the
     // default whole-row hash maps them all to ONE salt (documented

@@ -111,6 +111,35 @@ class UnigramSpec extends AnyFunSuite {
     assert(enc(1L) === 8L)
   }
 
+  test("unigramTokenize: per-doc position counts tile unigramEncode; ids are vocab ranks") {
+    val d = docs(
+      (1L, "chair chair chair table", "en", "s", 0L),
+      (2L, "chair table chair", "en", "s", 0L),
+      (3L, "", "en", "s", 0L),
+      (4L, null.asInstanceOf[String], "en", "s", 0L))
+    val toks = Unigram.unigramTokenize(d).collect()
+    // tiling: the sequence face has exactly unigramEncode's count per doc
+    val counts = toks.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.length.toLong }
+    val enc = Unigram.unigramEncode(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_unigram_tokens"))
+      .toMap
+    assert(counts.getOrElse(1L, 0L) === enc(1L))
+    assert(counts.getOrElse(2L, 0L) === enc(2L))
+    // empty/NULL docs emit NO rows (encode reports their 0 instead)
+    assert(!counts.contains(3L) && !counts.contains(4L))
+    // positions are 0-based and gapless per doc
+    for ((id, rs) <- toks.groupBy(_.getAs[Long]("doc_id")))
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq
+        === (0L until rs.length.toLong).toSeq, s"doc $id positions")
+    // ids are 1-based vocab ranks: all within [1, |vocab|] (0 is the
+    // reserved unk for never-seen bytes, impossible on the induction
+    // corpus under byte closure)
+    val vocabN = Unigram.unigramVocab(d).count()
+    assert(toks.forall { r =>
+      val id = r.getAs[Long]("token_id"); id >= 1L && id <= vocabN })
+  }
+
   test("frozen encode under the persisted vocab ≡ induced encode; novel bytes survive") {
     val d = docs(
       (1L, ("chair " * 20).trim, "en", "s", 0L),
