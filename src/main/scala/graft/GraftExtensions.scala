@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.AgreeCountOfHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("byte_stats_of_binary"),
+      new ExpressionInfo(classOf[graft.functions.ByteStatsOfBinary].getName,
+        "byte_stats_of_binary"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"byte_stats_of_binary takes exactly 1 argument, got ${children.size}")
+        graft.functions.ByteStatsOfBinary(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("tok_hashes_of_text"),
       new ExpressionInfo(classOf[graft.functions.TokHashesOfText].getName,
         "tok_hashes_of_text"),

@@ -449,6 +449,18 @@ object SparkEntry {
     // default, and the host-is-a-public-suffix fallback in BOTH engines.
     "domain_quality_ext" -> ((s, dir) =>
       graft.text.Domains.domainQualityExt(graft.Tables.documents(s, dir))),
+    // The quota and dedup axes under the same caller-supplied PSL —
+    // the full-algorithm extraction threaded through every member of
+    // the domain family, not just the quality rollup.
+    "domain_quota_ext" -> ((s, dir) =>
+      graft.text.Domains.domainQuotaExt(graft.Tables.documents(s, dir))),
+    "domain_dedup_ext" -> ((s, dir) =>
+      graft.text.Domains.domainDedupExt(graft.Tables.documents(s, dir))),
+    // Audit-driven publisher blocklist (the salted_auto discipline on
+    // the curation axis): the per-domain classifier pass share decides
+    // which publishers are blocked wholesale; per-doc verdict relation.
+    "domain_autoblock" -> ((s, dir) =>
+      graft.text.Domains.domainAutoblock(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: deduplication ----
     "exact_dup_clusters" -> ((s, dir) =>
       Dedup.exactDupClusters(graft.Tables.documents(s, dir))),
@@ -680,6 +692,21 @@ object SparkEntry {
         graft.Tables.documents(s, dir),
         scratch("train_shards_unigram", dir),
         scratch("train_shards_unigram_vocab", dir))),
+    // The unigram nightly append: base shards + PERSISTED vocabulary
+    // written, then the synthesized batch (unseen words included)
+    // appended as shard 8 encoded FROZEN under the reloaded artifact —
+    // the full unigram artifact lifecycle (train_shards_incr's seam,
+    // second tokenizer family).
+    "training_shards_unigram_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = graft.Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" nightly batch")).as("text"))
+      graft.text.Curation.trainingShardsUnigramIncr(docs, batch,
+        scratch("train_shards_unigram_incr", dir),
+        scratch("train_shards_unigram_incr_vocab", dir))
+    }),
     // Benchmark decontamination: benchmark = doc_id % 50 = 0 (a 2%
     // scale-invariant "eval set"), train = the rest; flags train docs
     // sharing >= 1 distinct 13-token shingle with any benchmark doc
@@ -1333,6 +1360,9 @@ object SparkEntry {
     "domain_quota" -> graft.text.Domains.domainQuotaSql(),
     "domain_dedup" -> graft.text.Domains.domainDedupSql,
     "domain_quality_ext" -> graft.text.Domains.domainQualityExtSql,
+    "domain_quota_ext" -> graft.text.Domains.domainQuotaExtSql(),
+    "domain_dedup_ext" -> graft.text.Domains.domainDedupExtSql,
+    "domain_autoblock" -> graft.text.Domains.domainAutoblockSql(),
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
     "corpus_mix_waterfill" -> graft.text.Mixture.mixWaterfillSql(),
     "corpus_mix_sample" -> graft.text.Mixture.mixSampleSql(),
@@ -1383,6 +1413,8 @@ object SparkEntry {
     "training_shards" -> graft.text.Curation.trainingShardsSql(),
     "training_shards_incr" -> graft.text.Curation.trainingShardsIncrSql(),
     "training_shards_unigram" -> graft.text.Curation.trainingShardsUnigramSql(),
+    "training_shards_unigram_incr" ->
+      graft.text.Curation.trainingShardsUnigramIncrSql(),
     "decontaminate" -> Dedup.contaminationSql(),
     "decontaminate_overlap" -> Dedup.contaminationOverlapSql(),
     "decontaminate_report" -> Dedup.contaminationReportSql(),

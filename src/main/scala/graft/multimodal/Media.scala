@@ -1034,14 +1034,26 @@ object Media {
     // files resolve at steps 0/1, files with LIST/fact/cue  chunks in
     // front of `data` resolve deeper; fields read at the WALKED
     // offsets, not byte 22/24/34 constants
+    // byte_sum / n_hi_bytes: one native codegen walk over the RAW bytes
+    // when the extension is registered ([[graft.functions.ByteStatsOfBinary]]
+    // — the hex + regexp-split + two-HOF spelling allocates three
+    // payload-sized intermediates per row); the declarative twin is the
+    // fallback and the parity oracle (spec-pinned equal on random payloads)
+    val stats =
+      if (docs.sparkSession.catalog.functionExists("byte_stats_of_binary"))
+        call_function("byte_stats_of_binary", col("payload"))
+      else org.apache.spark.sql.functions.struct(
+        aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
+        size(filter(bytes, p =>
+          instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long")
+          .as("n_hi_bytes"))
     val withKind = withAllWalks(media.select(
         col("media_id"),
         col("fmt"),
         length(col("payload")).cast("long").as("n_bytes"),
         substring(h, 1, 16).as("header_hex"),
-        aggregate(bytes, lit(0L), (acc, p) => acc + byteVal(p)).as("byte_sum"),
-        size(filter(bytes, p =>
-          instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long").as("n_hi_bytes"),
+        stats.getField("byte_sum").as("byte_sum"),
+        stats.getField("n_hi_bytes").as("n_hi_bytes"),
         h.as("h")))
       .withColumn("kind",
         when(col("h").isNull, lit(null).cast("string"))

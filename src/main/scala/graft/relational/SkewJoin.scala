@@ -247,11 +247,27 @@ object SkewJoin {
       salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
     val hm = if (hotMillionths < 0L) hotThresholdMillionths(salts)
       else hotMillionths
+    val fact = rollupFact(lineitem)
+    saltedRollupAutoWithHot(lineitem, hotKeys(fact, "l_orderkey", hm),
+      salts, salt)
+  }
+
+  private def rollupFact(lineitem: DataFrame): DataFrame = {
     val cents =
       floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(100.0) + lit(0.5)).cast("long")
-    val fact = lineitem.select(col("l_orderkey"), cents.as("cents"))
-    val hot = hotKeys(fact, "l_orderkey", hm)
+    lineitem.select(col("l_orderkey"), cents.as("cents"))
+  }
+
+  /** [[saltedRollupAuto]] against a PERSISTED hot-key relation — the
+    * [[autoSaltedJoinWithHot]] amortization for the rollup side: route
+    * off the nightly's artifact, pay zero audit passes; a stale set
+    * only mis-routes (result identity is unconditional — the branches
+    * partition keys whatever the artifact says). */
+  def saltedRollupAutoWithHot(lineitem: DataFrame, hot: DataFrame,
+      salts: Int = Salts,
+      salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
+    val fact = rollupFact(lineitem)
     val flagged = fact.join(broadcast(hot.select(col("l_orderkey").as("_hot"))),
       col("l_orderkey") === col("_hot"), "left")
     val hotAgg = flagged.filter(col("_hot").isNotNull)

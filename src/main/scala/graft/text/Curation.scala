@@ -1367,6 +1367,132 @@ object Curation {
        |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum""".stripMargin
   }
 
+  /** [[trainingShardsAppend]] under the UNIGRAM tokenizer — the nightly
+    * write for the second family: the batch encodes FROZEN under the
+    * persisted vocabulary relation (unseen words segment through the
+    * byte closure; never-seen bytes take the dp's deterministic
+    * miss-cost path), lands WHOLE in shard `shardId`, and writes via
+    * dynamic partition overwrite exactly as the BPE append does (same
+    * [[shardRows]], same [[graft.sources.Sinks.overwritePartitionsDynamic]]
+    * idempotence). Returns the appended delta's re-read rows. */
+  def trainingShardsUnigramAppend(batchDocs: DataFrame, vocab: DataFrame,
+      path: String, shardId: Long, budget: Long = 2048L,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val t = graft.Tables.widen(batchDocs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val docIds = Unigram.unigramDocIdsWith(t, vocab).localCheckpoint()
+    val packed = chunkFromShardedCounts(
+      docIds.select(col("doc_id"), size(col("ids")).cast("long").as("tok_count"))
+        .withColumn("shard", lit(shardId)),
+      budget)
+    val rows = shardRows(packed, docIds,
+      splitAssign(batchDocs, valPct, testPct).select("doc_id", "split"))
+    graft.sources.Sinks.overwritePartitionsDynamic(rows, path,
+      Seq("split", "shard"))
+    readShards(batchDocs.sparkSession, path).filter(col("shard") === shardId)
+  }
+
+  /** The oracle-gated nightly composition for the unigram family —
+    * [[trainingShardsIncr]]'s discipline with the vocabulary artifact
+    * in the frozen seat: base shards written ([[trainingShardsUnigram]],
+    * which PERSISTS the vocabulary), the batch appended as shard
+    * `nShards` encoded under the RELOADED artifact, delta summarized to
+    * (n_ids, ids_sum). The cross-engine seam this gates: frozen unigram
+    * encoding of a batch carrying words (and bytes) the induction
+    * corpus never saw. */
+  def trainingShardsUnigramIncr(corpusDocs: DataFrame, batchDocs: DataFrame,
+      path: String, vocabPath: String, minQuality: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    trainingShardsUnigram(corpusDocs, path, vocabPath, minQuality,
+      budget, nShards, valPct, testPct)
+    val reloaded = corpusDocs.sparkSession.read.parquet(vocabPath)
+    trainingShardsUnigramAppend(batchDocs, reloaded, path, nShards.toLong,
+        budget, valPct, testPct)
+      .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_tok"),
+        col("seq_id"), col("split"),
+        size(col("ids")).cast("long").as("n_ids"),
+        coalesce(aggregate(col("ids"), lit(0L), _ + _), lit(0L)).as("ids_sum"))
+  }
+
+  /** Oracle twin of [[trainingShardsUnigramIncr]]'s DELTA — the base
+    * chain induces the vocabulary on the kept corpus exactly as
+    * [[trainingShardsUnigramSql]], then the batch's OWN word relation
+    * segments under the final cost map ([[Unigram.unigramApplyCtesSql]]),
+    * tokenizes by the same vocab-rank ids, constant-shards at
+    * `nShards`, and reuses the identical cst/sums arithmetic. */
+  def trainingShardsUnigramIncrSql(minQuality: Double = 0.5,
+      minMatch: Long = 8L, budget: Long = 2048L, nShards: Int = 8,
+      valPct: Int = 5, testPct: Int = 5): String = {
+    val statsBody = TextAnalysis.textStatsSql
+      .replaceAll("(?s)ORDER BY.*$", "")
+    val (spa, spb) = splitPerm
+    val bucket = s"(((${graft.functions.PortableHash.permHashSql("doc_id", spa, spb)} % 100) + 100) % 100)"
+    val keptSrc = "documents JOIN kept USING (doc_id)"
+    s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch)},
+       |exd AS (
+       |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
+       |  FROM fp JOIN keepers USING (fp_md5)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score >= ${minQuality}e0 AS quality_ok
+       |  FROM ($statsBody)
+       |),
+       |kept AS MATERIALIZED (
+       |  -- MATERIALIZED for the same reason as pipelineManifestBpeSql's
+       |  SELECT exd.doc_id FROM exd
+       |  JOIN rep ON rep.doc_id = exd.doc_id
+       |  JOIN q ON q.doc_id = exd.doc_id
+       |  WHERE NOT is_exact_dup AND rep.rep_id = exd.doc_id AND quality_ok
+       |),
+       |${Unigram.unigramCtesSql(keptSrc)},
+       |nb AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' nightly batch' AS text
+       |  FROM documents WHERE doc_id % 10 = 9
+       |),
+       |${Unigram.unigramApplyCtesSql("nb")},
+       |${Unigram.unigramTokenizeCtesSql("nb", "usegB")},
+       |tokm AS MATERIALIZED (
+       |  SELECT * FROM utoksout
+       |),
+       |${chunkCtesFromTSql(
+        s"""t AS (
+           |  SELECT nb.doc_id AS doc_id,
+           |    CAST(coalesce(cnt, 0) AS BIGINT) AS tok_count,
+           |    CAST($nShards AS BIGINT) AS shard
+           |  FROM nb LEFT JOIN (
+           |    SELECT doc_id, count(*) AS cnt FROM tokm GROUP BY doc_id
+           |  ) c ON nb.doc_id = c.doc_id
+           |)""".stripMargin, budget)},
+       |cst AS (
+       |  SELECT doc_id, shard, chunk_id, chunk_tok, seq_id,
+       |    CAST(sum(chunk_tok) OVER (PARTITION BY doc_id ORDER BY chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tok
+       |      AS BIGINT) AS cstart
+       |  FROM chunks
+       |),
+       |sums AS (
+       |  SELECT c.doc_id AS doc_id, c.shard AS shard, c.chunk_id AS chunk_id,
+       |    c.chunk_tok AS chunk_tok, c.seq_id AS seq_id,
+       |    CAST(count(t.token_id) AS BIGINT) AS n_ids,
+       |    CAST(coalesce(sum(t.token_id), 0) AS BIGINT) AS ids_sum
+       |  FROM cst c LEFT JOIN tokm t
+       |    ON t.doc_id = c.doc_id AND t.pos >= c.cstart
+       |      AND t.pos < c.cstart + c.chunk_tok
+       |  GROUP BY c.doc_id, c.shard, c.chunk_id, c.chunk_tok, c.seq_id
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $testPct THEN 'test'
+       |         WHEN $bucket < ${testPct + valPct} THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM nb
+       |)
+       |SELECT doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum
+       |FROM sums JOIN sp USING (doc_id)
+       |ORDER BY doc_id, shard, chunk_id, chunk_tok, seq_id, split, n_ids, ids_sum""".stripMargin
+  }
+
   /** Oracle twin of [[trainingShardsUnigram]] — [[trainingShardsSql]]
     * with the unigram chain in the tokenizer seat: the same kept CTEs,
     * then [[Unigram.unigramCtesSql]] (seed → EM rounds → prune →

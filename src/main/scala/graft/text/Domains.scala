@@ -231,12 +231,12 @@ object Domains {
         (col("sum_margin") / col("n_docs")).as("mean_margin"))
   }
 
-  /** Oracle twin of [[domainQualityExt]] — the same rule induction,
-    * candidate explode, precedence sort, and default/fallback cases in
-    * DuckDB. */
-  def domainQualityExtSql: String = {
-    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
-    s"""WITH srcs AS (
+  /** The shared DuckDB chain of the PSL family: rule induction from
+    * distinct sources, normalization, the candidate explode, the
+    * precedence sort, and the default/fallback cases — ends in
+    * `hosted(doc_id, text, host)` and `dom(host, domain)`. */
+  private def pslDomCtesSql: String =
+    s"""srcs AS (
        |  SELECT DISTINCT source FROM documents
        |), rules AS (
        |  SELECT source || '.zz' AS rule FROM srcs
@@ -287,7 +287,14 @@ object Domains {
        |        parts[CAST(n - coalesce(pv.ps_labels, 1) AS INT):CAST(n AS INT)], '.')
        |      ELSE dh.host END AS domain
        |  FROM dh LEFT JOIN prevail ON dh.host = prevail.host
-       |), scored AS (
+       |)""".stripMargin
+
+  /** Oracle twin of [[domainQualityExt]] — the same rule induction,
+    * candidate explode, precedence sort, and default/fallback cases in
+    * DuckDB. */
+  def domainQualityExtSql: String = {
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
+    s"""WITH $pslDomCtesSql, scored AS (
        |  SELECT domain, ${TextAnalysis.marginSqlOf(th)} AS margin
        |  FROM hosted JOIN dom USING (host)
        |), agg AS (
@@ -301,6 +308,189 @@ object Domains {
        |  sum_margin / n_docs AS mean_margin
        |FROM agg
        |ORDER BY domain, n_docs, n_keep, keep_frac, mean_margin""".stripMargin
+  }
+
+  /** The shared Spark half of the PSL family: documents → (doc_id,
+    * text, domain) under the induced rule set. */
+  private def pslDomains(docs: DataFrame): DataFrame = {
+    val wide = graft.Tables.widen(docs)
+    val hosted = wide.select(col("doc_id"), col("text"),
+      expr(hostPslSql).as("host"))
+    hosted.join(registrableDomainsFromPsl(hosted, pslFromSources(docs)),
+        Seq("host"))
+      .select(col("doc_id"), col("text"), col("domain"))
+  }
+
+  /** [[domainQuota]] under the CALLER-SUPPLIED PSL — the per-publisher
+    * cap keyed on the full-algorithm extraction, so a publisher
+    * sharding itself across wildcard-ruled subdomains (every
+    * `<label>.s.wz` is its own public suffix) still caps per
+    * REGISTRABLE domain, not per shard. Same window, same total order. */
+  def domainQuotaExt(docs: DataFrame, quota: Int = DomainQuotaN): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val withDom = scored.join(
+      pslDomains(docs).select(col("doc_id"), col("domain")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)
+    withDom.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+      .select(col("domain"), col("rnk"), col("doc_id"), col("quality_score"))
+  }
+
+  /** Oracle twin of [[domainQuotaExt]]. */
+  def domainQuotaExtSql(quota: Int = DomainQuotaN): String =
+    s"""WITH $pslDomCtesSql, t AS (
+       |  SELECT doc_id, domain,
+       |    regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
+       |  FROM hosted JOIN dom USING (host)
+       |), s AS (
+       |  SELECT doc_id, domain,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(list_filter(toks, x -> list_contains(${TextAnalysis.sqlList(TextAnalysis.stopwordsEn)}, x))) AS BIGINT) AS stop_hits
+       |  FROM t
+       |), q AS (
+       |  SELECT doc_id, domain,
+       |    0.5e0 * least(1e0, n_tokens / 200e0)
+       |      + 0.25e0 * (n_distinct_tokens / n_tokens)
+       |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
+       |  FROM s
+       |), ranked AS (
+       |  SELECT domain, doc_id, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY domain
+       |      ORDER BY quality_score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM q
+       |)
+       |SELECT domain, rnk, doc_id, quality_score
+       |FROM ranked WHERE rnk <= $quota
+       |ORDER BY domain, rnk, doc_id, quality_score""".stripMargin
+
+  /** [[domainDedup]] under the CALLER-SUPPLIED PSL — duplicate
+    * attribution per full-algorithm registrable domain. */
+  def domainDedupExt(docs: DataFrame): DataFrame = {
+    val fp = pslDomains(docs).select(col("doc_id"), col("domain"),
+      TextAnalysis.normMd5(col("text")).as("fp_md5"))
+    val keepers = fp.groupBy("fp_md5").agg(min("doc_id").as("keeper_doc_id"))
+    fp.join(keepers, "fp_md5")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper_doc_id"), 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("domain"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000L) div n_docs").as("dup_rate_millionths"))
+  }
+
+  /** Oracle twin of [[domainDedupExt]]. */
+  def domainDedupExtSql: String =
+    s"""WITH $pslDomCtesSql, fp AS (
+       |  SELECT doc_id, domain, ${TextAnalysis.normMd5Sql("text")} AS fp_md5
+       |  FROM hosted JOIN dom USING (host)
+       |), keepers AS (
+       |  SELECT fp_md5, min(doc_id) AS keeper_doc_id FROM fp GROUP BY fp_md5
+       |), g AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN doc_id <> keeper_doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_docs
+       |  FROM fp JOIN keepers USING (fp_md5) GROUP BY domain
+       |)
+       |SELECT domain, n_docs, n_dup_docs,
+       |  CAST((n_dup_docs * 1000000) // n_docs AS BIGINT)
+       |    AS dup_rate_millionths
+       |FROM g
+       |ORDER BY domain, n_docs, n_dup_docs, dup_rate_millionths""".stripMargin
+
+  /** Classifier-share floor for [[domainAutoblock]], in exact
+    * millionths: a publisher whose classifier-gate pass share sits
+    * under this is blocked wholesale. Sized inside the fixture's
+    * keep-share spread (0.375–1.0 at the gate SF) so blocks are
+    * observable where they are verified. */
+  val DomainMinKeepMillionths: Long = 700000L
+
+  /** AUDIT-DRIVEN domain blocklist — the `salted_auto`/`bloom_auto`
+    * decision-as-data discipline applied to the curation axis: nobody
+    * hand-writes the publisher blocklist; the corpus's own per-domain
+    * classifier pass share does. One scored scan (checkpointed — it is
+    * ALSO the verdict's input, so the audit pays one pass) rolls up to
+    * the ≤|domains| verdict `domain_keep_millionths = n_keep·10⁶ div
+    * n_docs` (exact integers — no float threshold seam), which joins
+    * back per doc as a broadcast: `blocked` ⟺ the doc's publisher
+    * fell under the floor. The per-doc verdict relation is what a
+    * curation run persists next to its keep log: re-tuning the floor
+    * is a re-filter of this relation, not a re-score.
+    *
+    * Scale shape: one corpus scan + one domain-keyed partial agg + a
+    * broadcast join back (the verdict is ≤|domains| rows by
+    * construction); no window, no second text pass. */
+  def domainAutoblock(docs: DataFrame,
+      minKeepMillionths: Long = DomainMinKeepMillionths): DataFrame = {
+    val scored = asWebTable(docs)
+      .select(col("doc_id"), col("domain"),
+        TextAnalysis.marginOf(docs).as("margin"))
+      .localCheckpoint()
+    scored.select(col("doc_id"), col("domain"))
+      .join(broadcast(verdictOf(scored)), Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("domain_keep_millionths"),
+        (col("domain_keep_millionths") < minKeepMillionths).as("blocked"))
+  }
+
+  private def verdictOf(scored: DataFrame): DataFrame =
+    scored.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0L, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("domain"),
+        expr("(n_keep * 1000000L) div n_docs").as("domain_keep_millionths"))
+
+  /** The PERSISTABLE blocklist artifact behind [[domainAutoblock]]:
+    * `(domain, domain_keep_millionths)`, ≤|domains| rows — what a
+    * curation nightly writes next to its keep log and [[blockGate]]
+    * probes at ingest. */
+  def domainBlockVerdict(docs: DataFrame): DataFrame =
+    verdictOf(asWebTable(docs).select(col("doc_id"), col("domain"),
+      TextAnalysis.marginOf(docs).as("margin")))
+
+  /** STATELESS ingest-time blocklist gate — the
+    * [[graft.text.Mixture.mixGate]] discipline for the publisher
+    * blocklist: each arriving doc's registrable domain (per-row codegen
+    * extraction — no state, no watermark, no text pass beyond what the
+    * caller carries) probes the PERSISTED [[domainBlockVerdict]]
+    * relation by a stream-static broadcast LEFT join; a publisher
+    * ABSENT from the artifact is NOT blocked (no evidence — the
+    * conservative default for a blocklist, the mirror image of
+    * mixGate's admit-nothing default for an allowlist-shaped plan).
+    * Runs unchanged on a `readStream` of arriving (doc_id, source)
+    * rows; spec pins stream flags ≡ batch flags ≡ [[domainAutoblock]]'s
+    * on the artifact's own corpus. */
+  def blockGate(docs: DataFrame, verdict: DataFrame,
+      minKeepMillionths: Long = DomainMinKeepMillionths): DataFrame =
+    docs.withColumn("domain", registrableDomain(expr(hostSql)))
+      .join(broadcast(verdict), Seq("domain"), "left")
+      .withColumn("blocked",
+        coalesce(col("domain_keep_millionths") < minKeepMillionths,
+          lit(false)))
+      .drop("domain_keep_millionths")
+
+  /** Oracle twin of [[domainAutoblock]]. */
+  def domainAutoblockSql(
+      minKeepMillionths: Long = DomainMinKeepMillionths): String = {
+    val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
+    s"""WITH w AS (
+       |  SELECT doc_id, ${registrableDomainSql(hostSparkSql)} AS domain,
+       |    ${TextAnalysis.marginSqlOf(th)} AS margin
+       |  FROM documents
+       |), v AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM w GROUP BY domain
+       |), b AS (
+       |  SELECT domain,
+       |    CAST((n_keep * 1000000) // n_docs AS BIGINT) AS domain_keep_millionths
+       |  FROM v
+       |)
+       |SELECT doc_id, domain, domain_keep_millionths,
+       |  domain_keep_millionths < $minKeepMillionths AS blocked
+       |FROM w JOIN b USING (domain)
+       |ORDER BY doc_id, domain, domain_keep_millionths, blocked""".stripMargin
   }
 
   /** Synthesized host as a SQL fragment over a documents row — one body

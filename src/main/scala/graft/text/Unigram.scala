@@ -470,13 +470,7 @@ object Unigram {
          |  FROM uc$tag
          |)""".stripMargin
     def segCte(tag: String): String =
-      s"""useg$tag AS MATERIALIZED (
-         |  SELECT w, h, wt, fin[len(fin)].c AS cost,
-         |    fin[len(fin)].np AS np, fin[len(fin)].pa AS pa
-         |  FROM (
-         |    SELECT w, h, wt, $dpDuckSql AS fin
-         |    FROM uwords, um$tag)
-         |)""".stripMargin
+      segCteNamed(s"useg$tag", "uwords", s"um$tag")
     val rounds = (1 to EmRounds).map { r =>
       s"""${costCtes(r.toString, s"uvocab${r - 1}")},
          |${segCte(r.toString)},
@@ -528,12 +522,40 @@ object Unigram {
        |${segCte("F")}""".stripMargin
   }
 
+  /** One Viterbi segmentation stage as a named CTE: `wordsCte`'s
+    * relation (w, h, wt) segmented under `mapCte`'s 1-row cost map. */
+  private def segCteNamed(out: String, wordsCte: String,
+      mapCte: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT w, h, wt, fin[len(fin)].c AS cost,
+       |    fin[len(fin)].np AS np, fin[len(fin)].pa AS pa
+       |  FROM (
+       |    SELECT w, h, wt, $dpDuckSql AS fin
+       |    FROM $wordsCte, $mapCte)
+       |)""".stripMargin
+
+  /** The FROZEN-apply chain for a later batch: the batch's own word
+    * relation segmented under the INDUCTION corpus's final cost map
+    * (`umF` — [[unigramCtesSql]] must precede) — the oracle spelling of
+    * [[unigramEncodeWith]]/[[unigramDocIdsWith]] on unseen text, where
+    * never-seen bytes take the miss-cost path the dp's validity rank
+    * exists for. Ends in `usegB(w, h, wt, cost, np, pa)`. */
+  private[text] def unigramApplyCtesSql(batchSrc: String): String =
+    s"""ubwords AS MATERIALIZED (
+       |  SELECT w, hex(w) AS h, CAST(count(*) AS BIGINT) AS wt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}')) AS w
+       |        FROM $batchSrc) t
+       |  GROUP BY w
+       |),
+       |${segCteNamed("usegB", "ubwords", "umF")}""".stripMargin
+
   /** The id-sequence chain over the final segmentation: the vocab-rank
     * id map, per-word id arrays, and positions — ends in
     * `utoksout(doc_id, pos, token_id)` (the
     * [[TextAnalysis.bpeTokenizeCtesSql]] discipline). `src` must expose
     * `(doc_id, text)`. */
-  private[text] def unigramTokenizeCtesSql(src: String = "documents"): String =
+  private[text] def unigramTokenizeCtesSql(src: String = "documents",
+      segCte: String = "usegF"): String =
     s"""uim AS MATERIALIZED (
        |  SELECT MAP(list(piece ORDER BY piece), list(id ORDER BY piece)) AS im
        |  FROM (SELECT piece,
@@ -543,7 +565,7 @@ object Unigram {
        |uwids AS MATERIALIZED (
        |  SELECT w, list_transform(list_filter(string_split(pa, '|'), p -> p <> ''),
        |    p -> coalesce(map_extract(im, p)[1], 0::BIGINT)) AS ids
-       |  FROM usegF, uim
+       |  FROM $segCte, uim
        |),
        |uwn AS (
        |  SELECT w, CAST(len(ids) AS BIGINT) AS n_syms FROM uwids

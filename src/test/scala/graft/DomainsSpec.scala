@@ -132,6 +132,87 @@ class DomainsSpec extends AnyFunSuite {
     assert(out("b.s.wz") === "b.s.wz")
   }
 
+  test("domainAutoblock: the per-domain pass share decides, per doc, wholesale") {
+    // publisher A (ids ≡ 0 mod 3 → one domain): 3 substantial docs →
+    // margins positive → keep share 10⁶ → unblocked; publisher B
+    // (ids ≡ 1 mod 3): 3 junk docs → share 0 → every doc blocked
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val d = docs(
+      (3L, good, "en", "a", 0L), (6L, good + " one", "en", "a", 0L),
+      (9L, good + " two", "en", "a", 0L),
+      (1L, "zz", "en", "b", 0L), (4L, "zz", "en", "b", 0L),
+      (7L, "zz", "en", "b", 0L))
+    val out = Domains.domainAutoblock(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("domain_keep_millionths"), r.getAs[Boolean]("blocked")))
+      .toMap
+    assert(out.size === 6)
+    // the verdict is PER DOMAIN: every doc of a publisher shares it
+    for (id <- Seq(3L, 6L, 9L)) assert(out(id) === ((1000000L, false)), s"doc $id")
+    for (id <- Seq(1L, 4L, 7L)) assert(out(id) === ((0L, true)), s"doc $id")
+  }
+
+  test("blockGate: stream flags ≡ batch flags ≡ domainAutoblock on the artifact's corpus") {
+    import org.apache.spark.sql.functions.col
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val d = docs(
+      (3L, good, "en", "a", 0L), (6L, good + " one", "en", "a", 0L),
+      (1L, "zz", "en", "b", 0L), (4L, "zz", "en", "b", 0L))
+    val verdict = Domains.domainBlockVerdict(d).localCheckpoint()
+    // batch face agrees with the self-audited operator per doc
+    val fromGate = Domains.blockGate(d.select("doc_id", "source"), verdict)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked"))
+      .toMap
+    val fromAuto = Domains.domainAutoblock(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked"))
+      .toMap
+    assert(fromGate === fromAuto)
+    // a publisher ABSENT from the artifact is not blocked (no evidence)
+    val alien = Seq((999L, "unknown-feed")).toDF("doc_id", "source")
+    assert(Domains.blockGate(alien, verdict)
+      .filter(col("blocked")).count() === 0L)
+    // stream face: same rows through an unbounded source, same flags —
+    // stateless, so no watermark and batch ≡ stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rows = d.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val name = s"block_gate_out_${System.nanoTime()}"
+    val q = Domains.blockGate(src.toDF().toDF("doc_id", "source"), verdict)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked"))
+      .toMap
+    assert(streamed === fromGate, "stream verdicts diverged from batch")
+  }
+
+  test("domainQuotaExt and domainDedupExt key on the PSL-extracted domain") {
+    // four hosts of one publisher across wildcard depths (%10 = 3/5)
+    // → ONE wildcard domain; quota 2 must keep 2 of the 4
+    val d = docs(
+      (3L, "alpha beta gamma delta", "en", "s", 0L),
+      (13L, "epsilon zeta eta theta", "en", "s", 0L),
+      (15L, "iota kappa lambda", "en", "s", 0L),
+      (25L, "mu nu xi", "en", "s", 0L))
+    val q = Domains.domainQuotaExt(d, quota = 2).collect()
+    assert(q.length === 2)
+    assert(q.forall(_.getAs[String]("domain") === "x.b.s.wz"))
+    // dedup attribution: plant an exact pair across two wildcard hosts
+    val dd = docs(
+      (3L, "same text here", "en", "s", 0L),
+      (15L, "same text here", "en", "s", 0L),  // %10=5 → deeper host, same domain
+      (5L, "other text", "en", "s", 0L))       // %10=5 → same domain too
+    val row = Domains.domainDedupExt(dd)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"))).toMap
+    assert(row("x.b.s.wz") === ((3L, 1L)))
+  }
+
   test("domainQualityExt groups wildcard and exception hosts onto one publisher row") {
     // doc ids picked so one source's hosts hit depths 3..6 of hostPslSql:
     // %10=3 and %10=5 must merge (wildcard), %10=4 and %10=6 must merge

@@ -218,6 +218,41 @@ class MediaSpec extends AnyFunSuite {
     assert(fields(8L) === ("jpeg", 9L, 9L, 8L, 3L, 61L + 5L))
   }
 
+  test("byte_stats_of_binary: native codegen walk ≡ the hex+HOF fallback, NULLs included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 64).map { i =>
+      (i.toLong, Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    } :+ (64L, Array.emptyByteArray)
+    val df = payloads.toDF("id", "payload")
+      .unionByName(Seq(Tuple1(65L)).toDF("id")
+        .withColumn("payload", lit(null).cast("binary")))
+    assert(spark.catalog.functionExists("byte_stats_of_binary"),
+      "test session must register GraftExtensions")
+    val h = hex(col("payload"))
+    val bytes = regexp_extract_all(h, lit(".."), lit(0))
+    val hexByte = (p: org.apache.spark.sql.Column) =>
+      (instr(lit("0123456789ABCDEF"), substring(p, 1, 1)) - 1) * 16 +
+        instr(lit("0123456789ABCDEF"), substring(p, 2, 1)) - 1
+    val out = df.select(col("id"),
+        call_function("byte_stats_of_binary", col("payload")).as("nat"),
+        aggregate(bytes, lit(0L), (acc, p) => acc + hexByte(p).cast("long"))
+          .as("fb_sum"),
+        size(filter(bytes, p =>
+          instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long")
+          .as("fb_hi"))
+      .collect()
+    for (r <- out) {
+      val nat = r.getAs[org.apache.spark.sql.Row]("nat")
+      if (r.isNullAt(r.fieldIndex("fb_sum"))) assert(nat === null, s"id ${r.getLong(0)}")
+      else {
+        assert(nat.getLong(0) === r.getAs[Long]("fb_sum"), s"id ${r.getLong(0)} sum")
+        assert(nat.getLong(1) === r.getAs[Long]("fb_hi"), s"id ${r.getLong(0)} hi")
+      }
+    }
+  }
+
   test("container round-trip + golden: GIF logical screen descriptor, both signatures") {
     // doc 9 (% 20 = 9 → GIF89a): w = 1 + 9 % 320 = 10, h = 10,
     //   packed = 128 + 16·1 + 1 = 145 → GCT-size bits = 1 → bpp 2

@@ -156,6 +156,14 @@ class SkewJoinSpec extends AnyFunSuite {
           * lit(100.0) + lit(0.5)).cast("long")).as("c"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want)
+    // the persisted-hot overload: identical under the real artifact, an
+    // empty one, and a bogus one (stale sets mis-route, never mis-answer)
+    for (h <- Seq(Seq(7L), Seq.empty[Long], Seq(10L))) {
+      val viaHot = SkewJoin.saltedRollupAutoWithHot(li,
+          h.toDF("l_orderkey"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(viaHot === want, s"hot set $h")
+    }
   }
 
   test("zero hot keys: the auto rollup's salted branch is empty and the result is the plain rollup") {
