@@ -85,7 +85,15 @@ object RuntimeFilters {
   def bloomAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val bkeys = orders.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("bkey")).distinct()
-    val bits = bloomBuild(bkeys, "bkey")
+    auditOver(bkeys, lineitem, bloomBuild(bkeys, "bkey"))
+  }
+
+  /** The audit body shared by [[bloomAudit]] and [[bloomSizedAudit]]
+    * (one definition — the two reports must never drift): probe rows
+    * flagged by the k position joins + the exact-key join, one partial
+    * aggregate, exact-millionths rates. */
+  private def auditOver(bkeys: DataFrame, lineitem: DataFrame,
+      bits: DataFrame): DataFrame = {
     val flagged = (0 until NumHashes).foldLeft(
         lineitem.select(col("l_orderkey"))) { (df, i) =>
         df.join(broadcast(bits.select(col("pos").as(s"pos$i"))),
@@ -106,6 +114,35 @@ object RuntimeFilters {
         expr("(n_pass * 1000000L) div n_probe").as("pass_millionths"),
         expr("CASE WHEN n_probe = n_match THEN 0L ELSE (n_false_pos * 1000000L) div (n_probe - n_match) END")
           .as("fpr_millionths"))
+  }
+
+  /** The SQL half of the shared audit body — the flagged/agg/rates
+    * chain over CTEs `bkeys` and `bits`. */
+  private def auditTailSql: String = {
+    val joins = (0 until NumHashes)
+      .map(i => s"LEFT JOIN bits b$i ON ${posOfSql("p.l_orderkey", i)} = b$i.pos")
+      .mkString("\n  ")
+    val passExpr = (0 until NumHashes)
+      .map(i => s"b$i.pos IS NOT NULL").mkString(" AND ")
+    s"""flagged AS (
+       |  SELECT ($passExpr) AS pass, (bk.bkey IS NOT NULL) AS is_match
+       |  FROM lineitem p
+       |  $joins
+       |  LEFT JOIN bkeys bk ON p.l_orderkey = bk.bkey
+       |),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |    CAST(sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |  FROM flagged
+       |)
+       |SELECT n_probe, n_pass, n_match, n_false_pos,
+       |  CAST((n_pass * 1000000) // n_probe AS BIGINT) AS pass_millionths,
+       |  CAST(CASE WHEN n_probe = n_match THEN 0
+       |    ELSE (n_false_pos * 1000000) // (n_probe - n_match) END AS BIGINT)
+       |    AS fpr_millionths
+       |FROM agg""".stripMargin
   }
 
   /** Occupancy ceiling for [[routedBits]], in millionths of
@@ -160,21 +197,39 @@ object RuntimeFilters {
     * powers of two), which is what makes the lift exact. */
   val MinSizedBits: Long = 64L
 
-  /** DATA-DRIVEN filter sizing, one row: the build side's distinct key
-    * count and the chosen filter width `m` — the next power of two ≥
-    * [[BitsPerKey]]·n_keys, clamped to [[MinSizedBits]]..[[NumBits]]
+  /** The sizing ladder, ONE definition per engine (consumed by
+    * [[bloomSizeVerdict]] AND [[sizedBits]]' inline verdict — a drift
+    * between the reported m and the built m would be invisible until
+    * the audit oracle diverged): next power of two ≥ BitsPerKey·n,
+    * clamped to [MinSizedBits, NumBits], with the n = 0 guard spelled
+    * explicitly (bin(-1) is a 64-digit two's-complement string in
+    * Spark and engine-defined in DuckDB — the guard keeps the empty
+    * build on the floor rung in BOTH, instead of on that seam). */
+  private def sizeLadderSpark(n: String): String =
+    s"CASE WHEN ($n) = 0 THEN ${MinSizedBits}L ELSE " +
+      s"least(${NumBits}L, greatest(${MinSizedBits}L, " +
+      s"shiftleft(1L, CAST(length(bin($BitsPerKey * ($n) - 1)) AS INT)))) END"
+
+  private def sizeLadderDuck(n: String): String =
+    s"CASE WHEN ($n) = 0 THEN $MinSizedBits ELSE " +
+      s"least($NumBits, greatest($MinSizedBits, " +
+      s"(1::BIGINT << length(bin($BitsPerKey * ($n) - 1))))) END"
+
+  /** DATA-DRIVEN filter sizing, one row ALWAYS (a global aggregate —
+    * an empty build side reports n_keys = 0 on the floor rung, exactly
+    * as the oracle's global aggregate does): the build side's distinct
+    * key count and the chosen filter width `m` — the next power of two
+    * ≥ [[BitsPerKey]]·n_keys, clamped to [[MinSizedBits]]..[[NumBits]]
     * (the degree-histogram CASE discipline: an exact integer ladder,
     * `⌈log2⌉` via the binary digit count, no floats to disagree
     * across engines). The verdict is the sizing decision AS DATA —
     * [[sizedBits]] joins it back onto the tiny build side, so the
     * probe plan never sees `m`. */
   def bloomSizeVerdict(build: DataFrame, key: String): DataFrame =
-    keyedBuild(build, key).groupBy("k")
+    keyedBuild(build, key)
       .agg(count(lit(1)).as("n_keys"))
       .select(col("n_keys"),
-        expr(s"least(${NumBits}L, greatest(${MinSizedBits}L, " +
-          s"shiftleft(1L, CAST(length(bin($BitsPerKey * n_keys - 1)) AS INT))))")
-          .as("m"))
+        expr(sizeLadderSpark("n_keys")).as("m"))
 
   /** Oracle twin of [[bloomSizeVerdict]] over the urgent-orders build
     * side — same digit-count ladder, bit-identical. */
@@ -182,12 +237,12 @@ object RuntimeFilters {
     s"""WITH bkeys AS (
        |  SELECT DISTINCT o_orderkey FROM orders
        |  WHERE o_orderpriority = '1-URGENT'
+       |), nk AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_keys FROM bkeys
        |)
-       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-       |  CAST(least($NumBits, greatest($MinSizedBits,
-       |    (1::BIGINT << length(bin($BitsPerKey * count(*) - 1))))) AS BIGINT)
-       |    AS m
-       |FROM bkeys""".stripMargin
+       |SELECT n_keys,
+       |  CAST(${sizeLadderDuck("n_keys")} AS BIGINT) AS m
+       |FROM nk""".stripMargin
 
   private def keyedBuild(build: DataFrame, key: String): DataFrame =
     build.select(col(key).as("bkey")).distinct()
@@ -215,10 +270,7 @@ object RuntimeFilters {
   def sizedBits(build: DataFrame, key: String): DataFrame = {
     val keyed = keyedBuild(build, key)
     val verdict = keyed.groupBy("k").agg(count(lit(1)).as("n_keys"))
-      .select(col("k"),
-        expr(s"least(${NumBits}L, greatest(${MinSizedBits}L, " +
-          s"shiftleft(1L, CAST(length(bin($BitsPerKey * n_keys - 1)) AS INT))))")
-          .as("m"))
+      .select(col("k"), expr(sizeLadderSpark("n_keys")).as("m"))
       .localCheckpoint()
     keyed.join(broadcast(verdict), Seq("k"))
       .select(explode(array((0 until NumHashes).map { i =>
@@ -242,9 +294,7 @@ object RuntimeFilters {
       }
       .mkString("\n    UNION ALL\n    ")
     s"""sz AS MATERIALIZED (
-       |  SELECT CAST(least($NumBits, greatest($MinSizedBits,
-       |    (1::BIGINT << length(bin($BitsPerKey * count(*) - 1))))) AS BIGINT)
-       |    AS m
+       |  SELECT CAST(${sizeLadderDuck("count(*)")} AS BIGINT) AS m
        |  FROM bkeys
        |),
        |bitsm AS MATERIALIZED (
@@ -292,62 +342,18 @@ object RuntimeFilters {
   def bloomSizedAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val bkeys = orders.filter(col("o_orderpriority") === "2-HIGH")
       .select(col("o_orderkey").as("bkey")).distinct()
-    val bits = sizedBits(bkeys, "bkey")
-    val flagged = (0 until NumHashes).foldLeft(
-        lineitem.select(col("l_orderkey"))) { (df, i) =>
-        df.join(broadcast(bits.select(col("pos").as(s"pos$i"))),
-          posOf(col("l_orderkey"), i) === col(s"pos$i"), "left_outer")
-      }
-      .join(broadcast(bkeys), col("l_orderkey") === col("bkey"), "left_outer")
-      .select(
-        (0 until NumHashes).map(i => col(s"pos$i").isNotNull)
-          .reduce(_ && _).as("pass"),
-        col("bkey").isNotNull.as("is_match"))
-    flagged.agg(
-        count(lit(1)).as("n_probe"),
-        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
-        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
-        sum(when(col("pass") && !col("is_match"), 1L).otherwise(0L))
-          .as("n_false_pos"))
-      .select(col("n_probe"), col("n_pass"), col("n_match"), col("n_false_pos"),
-        expr("(n_pass * 1000000L) div n_probe").as("pass_millionths"),
-        expr("CASE WHEN n_probe = n_match THEN 0L ELSE (n_false_pos * 1000000L) div (n_probe - n_match) END")
-          .as("fpr_millionths"))
+    auditOver(bkeys, lineitem, sizedBits(bkeys, "bkey"))
   }
 
   /** Oracle twin of [[bloomSizedAudit]] — same ladder, same mod-m
     * positions, same lift, same flag joins. */
-  def bloomSizedAuditSql: String = {
-    val joins = (0 until NumHashes)
-      .map(i => s"LEFT JOIN bits b$i ON ${posOfSql("p.l_orderkey", i)} = b$i.pos")
-      .mkString("\n  ")
-    val passExpr = (0 until NumHashes)
-      .map(i => s"b$i.pos IS NOT NULL").mkString(" AND ")
+  def bloomSizedAuditSql: String =
     s"""WITH bkeys AS MATERIALIZED (
        |  SELECT DISTINCT o_orderkey AS bkey FROM orders
        |  WHERE o_orderpriority = '2-HIGH'
        |),
        |$sizedBitsSql,
-       |flagged AS (
-       |  SELECT ($passExpr) AS pass, (bk.bkey IS NOT NULL) AS is_match
-       |  FROM lineitem p
-       |  $joins
-       |  LEFT JOIN bkeys bk ON p.l_orderkey = bk.bkey
-       |),
-       |agg AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
-       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-       |    CAST(sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
-       |  FROM flagged
-       |)
-       |SELECT n_probe, n_pass, n_match, n_false_pos,
-       |  CAST((n_pass * 1000000) // n_probe AS BIGINT) AS pass_millionths,
-       |  CAST(CASE WHEN n_probe = n_match THEN 0
-       |    ELSE (n_false_pos * 1000000) // (n_probe - n_match) END AS BIGINT)
-       |    AS fpr_millionths
-       |FROM agg""".stripMargin
-  }
+       |$auditTailSql""".stripMargin
 
   /** Oracle twin of [[bloomSizedRevenue]] — deliberately UNFILTERED. */
   def bloomSizedRevenueSql: String =
@@ -435,11 +441,6 @@ object RuntimeFilters {
     val posUnion = (0 until NumHashes)
       .map(i => s"SELECT ${posOfSql("bkey", i)} AS pos FROM bkeys")
       .mkString("\n  UNION ALL\n  ")
-    val joins = (0 until NumHashes)
-      .map(i => s"LEFT JOIN bits b$i ON ${posOfSql("p.l_orderkey", i)} = b$i.pos")
-      .mkString("\n  ")
-    val passExpr = (0 until NumHashes)
-      .map(i => s"b$i.pos IS NOT NULL").mkString(" AND ")
     s"""WITH bkeys AS (
        |  SELECT DISTINCT o_orderkey AS bkey FROM orders
        |  WHERE o_orderpriority = '1-URGENT'
@@ -449,24 +450,6 @@ object RuntimeFilters {
        |  $posUnion
        |  )
        |),
-       |flagged AS (
-       |  SELECT ($passExpr) AS pass, (bk.bkey IS NOT NULL) AS is_match
-       |  FROM lineitem p
-       |  $joins
-       |  LEFT JOIN bkeys bk ON p.l_orderkey = bk.bkey
-       |),
-       |agg AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
-       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-       |    CAST(sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
-       |  FROM flagged
-       |)
-       |SELECT n_probe, n_pass, n_match, n_false_pos,
-       |  CAST((n_pass * 1000000) // n_probe AS BIGINT) AS pass_millionths,
-       |  CAST(CASE WHEN n_probe = n_match THEN 0
-       |    ELSE (n_false_pos * 1000000) // (n_probe - n_match) END AS BIGINT)
-       |    AS fpr_millionths
-       |FROM agg""".stripMargin
+       |$auditTailSql""".stripMargin
   }
 }

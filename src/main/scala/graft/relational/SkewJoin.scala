@@ -199,12 +199,18 @@ object SkewJoin {
       factKey: String, dimKey: String, hot: DataFrame,
       salts: Int = Salts,
       salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
-    val f = fact.join(broadcast(hot.select(col(factKey).as("_hotf"))),
+    // distinct() is what makes the unconditional-identity contract TRUE
+    // for a caller-supplied artifact: a hot set appended twice (or a
+    // union of two audits) carries duplicate key rows, and a LEFT join
+    // against them would MULTIPLY fact rows — a wrong answer, not a
+    // mis-route. The self-audited path's groupBy dedups incidentally;
+    // the overload must not depend on the caller's hygiene.
+    val f = fact.join(broadcast(hot.select(col(factKey).as("_hotf")).distinct()),
         col(factKey) === col("_hotf"), "left")
       .withColumn("_salt", when(col("_hotf").isNotNull, salt(fact, salts))
         .otherwise(lit(0)).cast("int"))
       .drop("_hotf")
-    val d = dim.join(broadcast(hot.select(col(factKey).as("_hotd"))),
+    val d = dim.join(broadcast(hot.select(col(factKey).as("_hotd")).distinct()),
         col(dimKey) === col("_hotd"), "left")
       .withColumn("_dsalt", explode(when(col("_hotd").isNotNull,
           typedLit((0 until salts).toArray))
@@ -268,7 +274,10 @@ object SkewJoin {
       salts: Int = Salts,
       salt: (DataFrame, Int) => Column = rowSalt): DataFrame = {
     val fact = rollupFact(lineitem)
-    val flagged = fact.join(broadcast(hot.select(col("l_orderkey").as("_hot"))),
+    // distinct() for the same reason as autoSaltedJoinWithHot's: a
+    // duplicate-row artifact must not multiply fact rows
+    val flagged = fact.join(
+      broadcast(hot.select(col("l_orderkey").as("_hot")).distinct()),
       col("l_orderkey") === col("_hot"), "left")
     val hotAgg = flagged.filter(col("_hot").isNotNull)
       .withColumn("_salt", salt(fact, salts))

@@ -44,7 +44,22 @@ object Curation {
   def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
     corpusKeepFromBase(curatedBase(docs), minQuality)
 
-  private def corpusKeepFromBase(base: DataFrame, minQuality: Double): DataFrame = {
+  private def corpusKeepFromBase(base: DataFrame, minQuality: Double): DataFrame =
+    corpusKeepFromBaseWithStats(base, statsOf(base), minQuality)
+
+  /** The shared stats projection — computed ONCE per verdict and fed to
+    * every consumer (the quality gate here, the domain-quota window in
+    * [[corpusKeepFull]]). Measured: the de-duplication is
+    * fixture-neutral (the per-row stats arithmetic is cheap next to the
+    * dedup machinery), but ONE definition is what keeps the quality
+    * gate and the quota rank provably reading the SAME score — the
+    * policy-desync argument, not a perf one. */
+  private def statsOf(base: DataFrame): DataFrame =
+    TextAnalysis.textStatsFromToks(base)
+      .select(col("doc_id"), col("quality_score"))
+
+  private def corpusKeepFromBaseWithStats(base: DataFrame, stats: DataFrame,
+      minQuality: Double): DataFrame = {
     // fp is consumed four times (cluster agg, per-doc join, keeper
     // derivation, exact edges) — checkpoint the 40-byte rows once.
     val fp = base.select(col("doc_id"), TextAnalysis.normMd5(col("text")).as("fp_md5"))
@@ -57,7 +72,7 @@ object Curation {
       .select(col("doc_id"), (col("doc_id") =!= col("keeper_doc_id")).as("is_exact_dup"))
     val nearDup = Dedup.dedupClustersFromParts(base, fp, Dedup.signaturesFromToks(base))
       .select(col("doc_id"), (!col("is_survivor")).as("is_near_dup"))
-    val quality = TextAnalysis.textStatsFromToks(base)
+    val quality = stats
       .select(col("doc_id"), (col("quality_score") >= lit(minQuality)).as("quality_ok"))
     exactDup.join(nearDup, "doc_id").join(quality, "doc_id")
       .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"), col("quality_ok"),
@@ -111,7 +126,12 @@ object Curation {
   def corpusKeepFull(docs: DataFrame, bench: DataFrame,
       minQuality: Double = 0.5): DataFrame = {
     val base = curatedBase(docs)
-    val three = corpusKeepFromBase(base, minQuality).drop("keep")
+    // stats computed ONCE (checkpointed: 16-byte rows), consumed by the
+    // quality gate AND the domain-quota window — one definition, so the
+    // two consumers can never read diverging scores
+    val stats = statsOf(base).localCheckpoint()
+    val three = corpusKeepFromBaseWithStats(base, stats, minQuality)
+      .drop("keep")
     val toksSafe = coalesce(col("toks"), array().cast("array<string>"))
     val gopher = TextAnalysis.qualityRulesOver(base,
         coalesce(col("text"), lit("")), toksSafe)
@@ -123,14 +143,13 @@ object Curation {
       .select(col("doc_id"), lit(true).as("hit"))
     // the domain gate: the quota window over the SAME checkpointed base
     // (the extraction reads base's (doc_id, source) — zero extra scan;
-    // the quality score is textStatsFromToks over base's toks, the same
+    // the quality score is the SHARED stats relation, the same
     // arithmetic quality_ok reads), ranked per registrable domain
     val domGate = {
       val host = expr(Domains.hostSparkSql)
       val scored = base.select(col("doc_id"),
         Domains.registrableDomain(host).as("domain"))
-        .join(TextAnalysis.textStatsFromToks(base)
-          .select(col("doc_id"), col("quality_score")), "doc_id")
+        .join(stats, "doc_id")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
         .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)
       scored.withColumn("rnk", row_number().over(w))

@@ -94,9 +94,13 @@ object Domains {
   // public suffix + one label) over a broadcast rule relation.
 
   /** Longest rule the candidate explode covers, in labels — the real
-    * PSL's deepest rules are 5 labels; an exception rule's key can be
-    * one longer than its wildcard sibling's. */
-  val MaxPslLabels: Int = 5
+    * PSL's deepest rules are 5 labels and an exception rule's key can
+    * be one longer than its wildcard sibling's, so 6 covers the
+    * published list with headroom. A DEEPER rule cannot silently go
+    * inert (the candidate explode would simply never reach it):
+    * [[normalizePsl]] raises on it, so an unsupported list fails loudly
+    * instead of mis-merging publishers. */
+  val MaxPslLabels: Int = 6
 
   /** Normalize a PSL rule relation (`rule`: the raw line — plain
     * `co.uk`, wildcard `*.ck`, exception `!www.ck`) into the join-ready
@@ -116,12 +120,27 @@ object Domains {
     val key = when(isExc, expr("substr(rule, 2)"))
       .when(isWild, expr("substr(rule, 3)"))
       .otherwise(raw)
-    psl.select(raw.as("rule"), key.as("match_key"),
+    psl
+      // accept the RAW file: the published list carries `// comment`
+      // and blank lines between rule blocks — a caller should be able
+      // to read it line-by-line and hand it over unfiltered
+      .select(trim(col("rule")).as("rule"))
+      .filter(length(col("rule")) > 0 && !col("rule").startsWith("//"))
+      .select(raw.as("rule"), key.as("match_key"),
         isExc.cast("long").as("is_exc"),
         size(split(key, "\\.")).cast("long").as("match_labels"),
         when(isWild, size(split(key, "\\.")) + 1)
           .otherwise(size(split(key, "\\."))).cast("long").as("rule_labels"))
-      .select(col("rule"), col("match_key"), col("is_exc"),
+      .select(col("rule"),
+        // fail LOUDLY on a rule deeper than the candidate explode
+        // reaches — silently-inert deep rules would mis-merge
+        // publishers with no error (the mixWaterfill loud-failure rule)
+        when(col("match_labels") > MaxPslLabels,
+            raise_error(concat(
+              lit(s"PSL rule deeper than the supported $MaxPslLabels labels: "),
+              col("rule"))))
+          .otherwise(col("match_key")).as("match_key"),
+        col("is_exc"),
         col("match_labels"), col("rule_labels"),
         col("rule_labels").as("min_host_labels"),
         when(col("is_exc") === 1L, col("match_labels") - 1L)
@@ -215,12 +234,8 @@ object Domains {
     * [[pslFromSources]] (wildcards and exceptions planted), hosts from
     * [[hostPslSql]], extraction via [[registrableDomainsFromPsl]], then
     * the same per-domain quality rollup. */
-  def domainQualityExt(docs: DataFrame): DataFrame = {
-    val wide = graft.Tables.widen(docs)
-    val hosted = wide.select(col("doc_id"), col("text"),
-      expr(hostPslSql).as("host"))
-    val domains = registrableDomainsFromPsl(hosted, pslFromSources(docs))
-    hosted.join(domains, Seq("host"))
+  def domainQualityExt(docs: DataFrame): DataFrame =
+    pslDomains(docs)
       .select(col("domain"), TextAnalysis.marginOf(docs).as("margin"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
@@ -229,7 +244,6 @@ object Domains {
       .select(col("domain"), col("n_docs"), col("n_keep"),
         (col("n_keep") / col("n_docs")).as("keep_frac"),
         (col("sum_margin") / col("n_docs")).as("mean_margin"))
-  }
 
   /** The shared DuckDB chain of the PSL family: rule induction from
     * distinct sources, normalization, the candidate explode, the

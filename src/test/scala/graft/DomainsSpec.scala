@@ -91,7 +91,10 @@ class DomainsSpec extends AnyFunSuite {
   test("registrableDomainsFromPsl: the published algorithm on the canonical ck fixtures") {
     // the Mozilla wiki's own worked examples: *.ck makes every label
     // under ck a public suffix EXCEPT www.ck (the exception rule)
-    val psl = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    // the raw published file's noise rides along: comments and blank
+    // lines must be ignored, surrounding whitespace trimmed
+    val psl = Seq("com", "co.uk", "*.ck", "!www.ck",
+      "// ===BEGIN ICANN DOMAINS===", "", "  co.uk  ").toDF("rule")
     val cases = Seq(
       "b.example.com" -> "example.com",
       "example.com" -> "example.com",
@@ -113,6 +116,25 @@ class DomainsSpec extends AnyFunSuite {
         cases.map(_._1).toDF("host"), psl)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     for ((h, want) <- cases) assert(out(h) === want, s"host $h")
+  }
+
+  test("registrableDomainsFromPsl: a rule deeper than MaxPslLabels fails LOUDLY") {
+    // a silently-inert deep rule would mis-merge publishers with no
+    // error; 6 labels (the published list's 5 + an exception's extra)
+    // resolve, 7 raise
+    val six = Seq("a.b.c.d.e.com").toDF("rule") // 6-label plain rule
+    val okOut = Domains.registrableDomainsFromPsl(
+        Seq("x.a.b.c.d.e.com").toDF("host"), six)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(okOut("x.a.b.c.d.e.com") === "x.a.b.c.d.e.com")
+    val seven = Seq("a.b.c.d.e.f.com").toDF("rule")
+    val ex = intercept[Exception] {
+      Domains.registrableDomainsFromPsl(
+        Seq("x.com").toDF("host"), seven).collect()
+    }
+    assert(ex.getMessage.contains("PSL rule deeper") ||
+      Option(ex.getCause).exists(_.getMessage.contains("PSL rule deeper")),
+      s"unexpected error: ${ex.getMessage}")
   }
 
   test("registrableDomainsFromPsl: precedence is exception > most-labels > implicit *") {
@@ -151,6 +173,32 @@ class DomainsSpec extends AnyFunSuite {
     // the verdict is PER DOMAIN: every doc of a publisher shares it
     for (id <- Seq(3L, 6L, 9L)) assert(out(id) === ((1000000L, false)), s"doc $id")
     for (id <- Seq(1L, 4L, 7L)) assert(out(id) === ((0L, true)), s"doc $id")
+  }
+
+  test("registrableDomainsFromPsl with the embedded subset as plain rules ≡ registrableDomain") {
+    // the documented swap path: feed the literal subset to the
+    // full-algorithm operator and the two extractors agree on every
+    // host a rule matches; the ONLY divergence is deep unknown-suffix
+    // hosts, where the literal falls back to the whole host and the
+    // real algorithm applies the implicit * rule — pinned explicitly
+    val rules = (Domains.PslTwoLabel ++ Domains.PslOneLabel).toDF("rule")
+    val matched = Seq("www.example.com", "a.b.c.example.com", "example.com",
+      "news.bbc.co.uk", "bbc.co.uk", "deep.sub.shop.com.au", "x.io",
+      "intranet.local", "localhost")
+    val ext = Domains.registrableDomainsFromPsl(matched.toDF("host"), rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val lit = matched.toDF("host")
+      .select(org.apache.spark.sql.functions.col("host"),
+        Domains.registrableDomain(org.apache.spark.sql.functions.col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (h <- matched) assert(ext(h) === lit(h), s"host $h")
+    // the divergence: 4 unknown labels — literal keeps the whole host
+    // (never merges unknowns), the PSL algorithm's implicit * merges
+    // onto the last two labels
+    val deep = Domains.registrableDomainsFromPsl(
+        Seq("a.b.intranet.local").toDF("host"), rules)
+      .collect().head.getString(1)
+    assert(deep === "intranet.local")
   }
 
   test("blockGate: stream flags ≡ batch flags ≡ domainAutoblock on the artifact's corpus") {

@@ -157,8 +157,10 @@ class SkewJoinSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want)
     // the persisted-hot overload: identical under the real artifact, an
-    // empty one, and a bogus one (stale sets mis-route, never mis-answer)
-    for (h <- Seq(Seq(7L), Seq.empty[Long], Seq(10L))) {
+    // empty one, a bogus one, and a DUPLICATED one (an artifact appended
+    // twice must not multiply fact rows) — stale or dirty sets
+    // mis-route, never mis-answer
+    for (h <- Seq(Seq(7L), Seq.empty[Long], Seq(10L), Seq(7L, 7L, 10L, 10L))) {
       val viaHot = SkewJoin.saltedRollupAutoWithHot(li,
           h.toDF("l_orderkey"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -208,6 +210,10 @@ class SkewJoinSpec extends AnyFunSuite {
       === byName(audited))
     val bogus = Seq(10L).toDF("k")
     assert(byName(SkewJoin.autoSaltedJoinWithHot(fact, dim, "k", "dk", bogus))
+      === byName(audited))
+    // a DUPLICATED artifact (appended twice) must not multiply rows
+    val dup = Seq(7L, 7L, 10L, 10L).toDF("k")
+    assert(byName(SkewJoin.autoSaltedJoinWithHot(fact, dim, "k", "dk", dup))
       === byName(audited))
   }
 
