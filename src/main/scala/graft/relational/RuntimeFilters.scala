@@ -189,7 +189,15 @@ object RuntimeFilters {
   /** Bits a sized filter grants each build key — the classic Bloom
     * calculus at k = 3: 16 bits/key puts per-hash occupancy ≤ 3/16,
     * FPR ≈ (3n/m)³ ≈ 0.7% — before the power-of-two rounding buys
-    * more. */
+    * more.
+    *
+    * Why `m` is data but `k` stays static: each hash is one physical
+    * semi-join in the probe plan, so a data-driven k would change the
+    * PLAN — exactly what the decision-as-data discipline exists to
+    * avoid on the 100 TB probe side. The textbook optimum k = ln2·m/n
+    * ≈ 11 at 16 bits/key buys FPR the sized m already bounds, at 8
+    * more per-row probes; k = 3 is the deliberate cheap-probe point,
+    * and the sizing ladder (not k) absorbs build-count variance. */
   val BitsPerKey: Long = 16L
 
   /** Smallest ladder rung — below this the filter is cheaper than the
