@@ -577,6 +577,19 @@ object SparkEntry {
       graft.text.Curation.corpusKeepFull(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // The SAME verdict with the domain gate keyed on the caller-supplied
+    // PSL (full wildcard/exception semantics): the production extractor
+    // and the production verdict share one code path, so a publisher
+    // sharding across wildcard-ruled subdomains is capped per
+    // registrable domain INSIDE the keep conjunction.
+    "corpus_keep_full_ext" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.text.Curation.corpusKeepFullExt(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        graft.text.Domains.pslFromSources(docs))
+    }),
     // One-row dataset card: docs/langs/sources, content-derived char and
     // token totals, distinct content, exact-dup rate in millionths.
     "corpus_card" -> ((s, dir) =>
@@ -870,6 +883,14 @@ object SparkEntry {
       graft.multimodal.Media.audioFrames(graft.Tables.documents(s, dir))),
     "media_resize_bmp" -> ((s, dir) =>
       graft.multimodal.Media.imageRows(graft.Tables.documents(s, dir))),
+    // Image CONTENT fingerprint + near-dup pairs: exact-integer aHash
+    // over real BMP scanlines, paired through the simhash_pairs
+    // banded-Hamming machinery — the dedup family exact payload
+    // fingerprints can't see (byte-identical-except-metadata images).
+    "image_ahash" -> ((s, dir) =>
+      graft.multimodal.ImageHash.imageAhash(graft.Tables.documents(s, dir))),
+    "image_dup_pairs" -> ((s, dir) =>
+      graft.multimodal.ImageHash.imageDupPairs(graft.Tables.documents(s, dir))),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -1395,6 +1416,7 @@ object SparkEntry {
     "ingest_manifest" -> Dedup.ingestManifestSql(),
     "corpus_keep" -> graft.text.Curation.corpusKeepSql(),
     "corpus_keep_full" -> graft.text.Curation.corpusKeepFullSql(),
+    "corpus_keep_full_ext" -> graft.text.Curation.corpusKeepFullExtSql(),
     "corpus_keep_stats" -> graft.text.Curation.corpusKeepStatsSql(),
     "corpus_card" -> graft.text.Curation.corpusCardSql,
     "corpus_split" -> graft.text.Curation.splitAssignSql(),
@@ -1447,6 +1469,8 @@ object SparkEntry {
     "media_resize" -> graft.multimodal.Media.mediaResizeSql(),
     "media_frames_wav" -> graft.multimodal.Media.audioFramesSql(),
     "media_resize_bmp" -> graft.multimodal.Media.imageRowsSql(),
+    "image_ahash" -> graft.multimodal.ImageHash.imageAhashSql,
+    "image_dup_pairs" -> graft.multimodal.ImageHash.imageDupPairsSql(),
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),

@@ -1,0 +1,352 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Image CONTENT fingerprinting — the dedup family the text sketches
+  * cannot see.
+  *
+  * Exact `doc_fingerprint` over a media payload catches only
+  * bit-identical copies: re-encode the same picture with one different
+  * metadata byte and the hash changes while the pixels don't. The
+  * average-hash (aHash) below fingerprints the PIXELS a real decoder
+  * exposes — here the BMP scanline walk that already powers
+  * [[Media.imageRows]] (pixel rows at the 4-byte-aligned stride
+  * `((bpp·width + 31) div 32)·4`, data from byte 54) — so two images
+  * that differ in a pixel or two land within a small Hamming distance
+  * and pair through the SAME banded machinery the text SimHash family
+  * uses ([[graft.text.Dedup.simhashPairs]]: 4 bands × 16 bits is
+  * COMPLETE for Hamming ≤ 3 by pigeonhole).
+  *
+  * The hash is ALL-INTEGER so DuckDB reproduces it bit-for-bit:
+  *
+  *  1. sample an 8×8 grid by integer striding — grid cell (i, j) reads
+  *     scanline `r_i = (i · n_rows_avail) div 8` at pixel column
+  *     `c_j = (j · width) div 8` (nearest-neighbor downsample, the
+  *     resize discipline of [[Media.imageRows]] in both axes);
+  *  2. gray value = B + G + R of the 24 bpp pixel (an un-normalized
+  *     luma — monotone in brightness, no division, no rounding);
+  *  3. bit (i·8 + j) is set iff `64 · gray > Σ gray` — strictly
+  *     above the mean without ever dividing (ties → 0, the
+  *     [[graft.text.Dedup.docSimhash]] tie discipline).
+  *
+  * Eligibility is explicit, not silent: only complete scanlines vote
+  * (`n_rows_avail = least(height, avail div row_bytes)` — a truncated
+  * upload hashes its real rows), and an image needs at least an 8×8
+  * grid of real pixels (`width ≥ 8`, `n_rows_avail ≥ 8`) at 24 bpp to
+  * hash at all. Anything else is not comparable content and emits no
+  * row — same stance as [[Media.audioFrames]] dropping non-WAV rows.
+  *
+  * Scale shape: the hash is per-row hex arithmetic inside codegen (64
+  * fixed grid reads — cost is per IMAGE, independent of image size
+  * beyond the fixed reads), the sketch relation is 8 bytes/image, and
+  * pairing is the proven checkpoint-sketch → band-explode →
+  * equi-self-join shape (AQE-splittable, never all-pairs).
+  */
+object ImageHash {
+
+  /** 8×8 grid → 64-bit hash. */
+  val Grid = 8
+  /** 4 bands × 16 bits: complete for Hamming ≤ 3 (pigeonhole). */
+  val Bands = 4
+  private val BandBits = 64 / Bands
+  private val BandMask = (1L << BandBits) - 1
+
+  // ---- shared SQL fragments (one spelling, both engines) -------------------
+
+  /** Byte value at DYNAMIC byte offset `off` of hex column `h` —
+    * `instr`/`substring` arithmetic both engines share (the
+    * [[Media]] dynLeSql discipline, weight 1). */
+  private def byteAtSql(off: String): String = {
+    val hiP = s"CAST(($off) * 2 + 1 AS INT)"
+    val loP = s"CAST(($off) * 2 + 2 AS INT)"
+    s"((instr('0123456789ABCDEF', substring(h, $hiP, 1)) - 1) * 16 + " +
+      s"(instr('0123456789ABCDEF', substring(h, $loP, 1)) - 1))"
+  }
+
+  /** Gray value of the 24 bpp pixel at byte offset `off`: B + G + R. */
+  private def graySql(off: String): String =
+    (0 until 3).map(k => byteAtSql(s"($off) + $k")).mkString("(", " + ", ")")
+
+  /** Grid cell (i, j)'s gray value over columns `h`, `row_bytes`,
+    * `n_rows_avail`, `width` — the integer-stride downsample. */
+  private def cellSql(i: Int, j: Int, idiv: String): String = {
+    val r = s"(($i * n_rows_avail) $idiv 8)"
+    val c = s"(($j * width) $idiv 8)"
+    graySql(s"54 + $r * row_bytes + $c * 3")
+  }
+
+  /** Little-endian header read at a CONSTANT byte offset (the
+    * [[Media]] leVal arithmetic, local spelling shared verbatim by both
+    * engines). */
+  private def leSql(byteOff: Int, nBytes: Int): String =
+    (0 until nBytes).map { k =>
+      s"${byteAtSql((byteOff + k).toString)} * CAST(${1L << (8 * k)} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** `64·g_k > Σg` bit terms summed into the 64-bit hash — bit 63's
+    * weight interpolates as Long.MinValue, which ADDS the two's
+    * complement sign bit exactly (no other term reaches it), so both
+    * engines stay in signed BIGINT without an unsigned literal.
+    * DuckDB spelling (unrolled over the `gray` CTE's columns). */
+  private def ahashSql: String =
+    (0 until Grid * Grid).map { k =>
+      s"CAST(CASE WHEN 64 * g$k > gtot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+
+  /** Fixture synthesis: documents wrapped in a REAL 54-byte BMP header
+    * (the [[Media.asContainerTable]] BMP layout) at aHash-friendly
+    * dimensions — width 8 + doc_id % 3, height 8 + doc_id % 5, 24 bpp
+    * — so a ~300-byte fixture doc yields an 8-to-12-scanline image
+    * instead of the one partial row the media-lake synthesis (width up
+    * to 640) gives it.
+    *
+    * Two pixel populations, both fully deterministic in either engine:
+    *
+    *  - doc_id % 3 ≠ 2: the document's own text bytes — individually
+    *    varied content (NULL text → NULL payload, dropped at the
+    *    eligibility gate);
+    *  - doc_id % 3 = 2: the PLANTED near-duplicate population the
+    *    fixture corpus lacks at the byte level (its "duplicate" texts
+    *    differ by insertions, which SHIFT every subsequent pixel — no
+    *    real image pair does that). Each 30-id group g = doc_id div 30
+    *    shares one base image (a 16-byte multiplicative-hash pattern of
+    *    g, repeated to exactly height complete scanlines) with a SINGLE
+    *    BYTE edited at a doc-dependent position — ids d and d+15 land
+    *    in the same (width, height) bucket with one-pixel-apart
+    *    content, so they pair at small Hamming distance while
+    *    different groups (different base) and the text images don't.
+    */
+  private def imagesHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    val w = "(8 + doc_id % 3)"
+    val hgt = "(8 + doc_id % 5)"
+    def leHex(v: String, nBytes: Int): String =
+      (0 until nBytes).map { k =>
+        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
+        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+      }.mkString("(", " || ", ")")
+    // planted branch: width is 8 + 2 = 10 → row stride 32 bytes; the
+    // base pattern (16 bytes) repeats h·2 times = h complete 32-byte
+    // scanlines; the edit replaces byte p = 3 + 8·(doc_id % 25) (always
+    // inside the first 8 sampled rows) with (doc_id · 131) % 256
+    val g = s"(doc_id $idiv 30)"
+    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
+      s"CAST($hgt * 2 AS INT))"
+    val p = "(3 + 8 * (doc_id % 25))"
+    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
+      s"${leHex("((doc_id * 131) % 256)", 1)} || " +
+      s"substring($base, CAST($p * 2 + 3 AS INT))"
+    val pixHex = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
+    val pixBytes = s"CASE WHEN doc_id % 3 = 2 THEN $hgt * 32 ELSE $textBytes END"
+    s"'424D' || ${leHex(s"54 + $pixBytes", 4)} || '0000000036000000' || " +
+      s"'28000000' || ${leHex(w, 4)} || ${leHex(hgt, 4)} || '01001800' || " +
+      s"repeat('00', 24) || $pixHex"
+  }
+
+  // ---- the hash over an arbitrary payload relation --------------------------
+
+  /** aHash over `(media_id, payload BINARY)` — the payload-level seam
+    * ([[Media.walkColumns]] discipline): production calls it on the
+    * media lake, the spec calls it on hand-built BMPs (one-pixel edits,
+    * truncations). Output: `(media_id, width, height, n_rows_avail,
+    * ahash)`, one row per ELIGIBLE image. */
+  private[graft] def ahashOfPayloads(payloads: DataFrame): DataFrame =
+    ahashOfHex(payloads.select(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")))
+
+  /** The shared back half over `(media_id, h, n_bytes)`.
+    *
+    * The Spark side computes the 64 grid cells as ONE bounded
+    * `transform` over `sequence(0, 63)` plus two bounded `aggregate`
+    * folds — the [[Media]] walk discipline, and for the same reason:
+    * unrolling the cells into 64 plain columns packs ~6400 substring
+    * ops into a single fused `processNext()` past janino's method
+    * limit, and the WHOLE stage (scan included) falls back to
+    * interpreted (observed, not guessed). The HOFs are interpreted but
+    * constant-size per row (64 elements — nothing data-dependent), and
+    * the surrounding stages stay codegen-clean. The DuckDB twin keeps
+    * the unrolled 64-column CTE spelling — same arithmetic, pinned by
+    * the oracle compare. */
+  private def ahashOfHex(sized: DataFrame): DataFrame = {
+    val bmp = sized
+      .filter(col("h").isNotNull && col("n_bytes") >= 54L &&
+        substring(col("h"), 1, 4) === "424D")
+      .select(col("media_id"), col("h"),
+        expr(s"CAST(${leSql(18, 4)} AS BIGINT)").as("width"),
+        expr(s"CAST(${leSql(22, 4)} AS BIGINT)").as("height"),
+        expr(s"CAST(${leSql(28, 2)} AS BIGINT)").as("bpp"),
+        (col("n_bytes") - 54L).as("avail"))
+      .withColumn("row_bytes", expr("((bpp * width + 31L) div 32L) * 4L"))
+      .filter(col("row_bytes") >= 1L)
+      .withColumn("n_rows_avail",
+        least(col("height"), expr("avail div row_bytes")))
+      .filter(col("bpp") === 24L && col("width") >= Grid.toLong &&
+        col("n_rows_avail") >= Grid.toLong)
+      .localCheckpoint()
+    // grid cell k = (i, j) = (k div 8, k % 8), same integer strides as
+    // the DuckDB cellSql spelling with i/j dynamic
+    val gray = graySql(
+      s"54 + (((k div 8) * n_rows_avail) div 8) * row_bytes" +
+        s" + (((k % 8) * width) div 8) * 3")
+    bmp
+      .withColumn("gs",
+        expr(s"transform(sequence(0, ${Grid * Grid - 1})," +
+          s" k -> CAST($gray AS BIGINT))"))
+      .withColumn("gtot",
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_rows_avail"),
+        // shiftleft(1L, 63) is Long.MinValue — the same signed bit-63
+        // spelling as the unrolled oracle
+        expr(s"aggregate(sequence(0, ${Grid * Grid - 1})," +
+          " CAST(0 AS BIGINT)," +
+          " (a, k) -> a + CASE WHEN 64 * element_at(gs, k + 1) > gtot" +
+          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash"))
+  }
+
+  // ---- production faces ------------------------------------------------------
+
+  /** `(media_id, width, height, n_rows_avail, ahash)` per eligible
+    * image of the synthesized corpus — the 8-byte/image sketch relation
+    * a pipeline persists next to the text SimHash sketch. */
+  def imageAhash(docs: DataFrame): DataFrame = {
+    val h = expr(imagesHexSql("hex(encode(text, 'utf-8'))",
+      "octet_length(text)", "div"))
+    // synthesis checkpoint: the [[Media.asContainerTable]] rationale —
+    // the concat CASE is fixture-only cost; materializing it once keeps
+    // the consuming stages codegen-clean (real deployments read
+    // payloads from storage)
+    ahashOfHex(graft.Tables.widen(docs)
+      .select(col("doc_id").as("media_id"), h.as("h"))
+      .withColumn("n_bytes", (length(col("h")) / 2).cast("long"))
+      .localCheckpoint())
+  }
+
+  /** The (band, nibble) explosion of an `(media_id, ahash)` sketch —
+    * the [[graft.text.Dedup.simhashPairs]] banding verbatim (arithmetic
+    * shift + mask keeps the top band non-negative when bit 63 is set).
+    */
+  private def ahashBands(sk: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map(m =>
+      struct(lit(m.toLong).as("band"),
+        shiftright(col("ahash"), m * BandBits).bitwiseAND(lit(BandMask))
+          .as("nibble"))): _*)
+    sk.select(col("media_id"), col("ahash"), explode(bandStructs).as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.band").as("band"), col("b.nibble").as("nibble"))
+  }
+
+  /** Near-duplicate IMAGE pairs: candidates share ≥ 1 of the 4 16-bit
+    * aHash bands (complete for the default radius), rescored by exact
+    * `bit_count(xor)`. Same checkpoint-then-self-equi-join shape as
+    * [[graft.text.Dedup.simhashPairs]] — the sketch computes once, the
+    * join expands in codegen, AQE splits hot buckets. */
+  def imageDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = ahashBands(
+      imageAhash(docs).select("media_id", "ahash").localCheckpoint())
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("img_a"), col("y.media_id").as("img_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Pair the SPEC's hand-built payloads — the payload-level twin of
+    * [[imageDupPairs]] for planted one-pixel-edit fixtures. */
+  private[graft] def dupPairsOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = ahashBands(
+      ahashOfPayloads(payloads).select("media_id", "ahash").localCheckpoint())
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("img_a"), col("y.media_id").as("img_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---- DuckDB oracle twins ---------------------------------------------------
+
+  /** The synthesis → eligibility → 64-cell → hash chain as CTEs over
+    * `documents`; final stage `hashed` carries `(media_id, width,
+    * height, n_rows_avail, ahash)`. `gray` is MATERIALIZED — every g_k
+    * is consumed twice (the total and its own bit), and DuckDB inlines
+    * CTEs by default (the [[Media.walkCteSql]] lesson). */
+  private def ahashCtesSql: String = {
+    val cells = (0 until Grid * Grid).map(k =>
+      s"CAST(${cellSql(k / Grid, k % Grid, "//")} AS BIGINT) AS g$k")
+      .mkString(",\n    ")
+    val tot = (0 until Grid * Grid).map(k => s"g$k").mkString(" + ")
+    s"""imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    ${imagesHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM imgs
+       |  WHERE h IS NOT NULL
+       |), bmp AS (
+       |  SELECT media_id, h,
+       |    CAST(${leSql(18, 4)} AS BIGINT) AS width,
+       |    CAST(${leSql(22, 4)} AS BIGINT) AS height,
+       |    CAST(${leSql(28, 2)} AS BIGINT) AS bpp,
+       |    CAST(n_bytes - 54 AS BIGINT) AS avail
+       |  FROM sized
+       |  WHERE n_bytes >= 54 AND substring(h, 1, 4) = '424D'
+       |), rowed AS (
+       |  SELECT *, least(height, avail // row_bytes) AS n_rows_avail
+       |  FROM (SELECT *, ((bpp * width + 31) // 32) * 4 AS row_bytes FROM bmp)
+       |  WHERE ((bpp * width + 31) // 32) * 4 >= 1
+       |), elig AS (
+       |  SELECT * FROM rowed
+       |  WHERE bpp = 24 AND width >= $Grid AND n_rows_avail >= $Grid
+       |), gray AS MATERIALIZED (
+       |  SELECT media_id, width, height, n_rows_avail,
+       |    $cells
+       |  FROM elig
+       |), tot AS MATERIALIZED (
+       |  SELECT *, ($tot) AS gtot FROM gray
+       |), hashed AS (
+       |  SELECT media_id, width, height, n_rows_avail,
+       |    $ahashSql AS ahash
+       |  FROM tot
+       |)""".stripMargin
+  }
+
+  def imageAhashSql: String =
+    s"""WITH ${ahashCtesSql}
+       |SELECT media_id, width, height, n_rows_avail, ahash FROM hashed
+       |ORDER BY media_id, width, height, n_rows_avail, ahash""".stripMargin
+
+  def imageDupPairsSql(maxHamming: Int = 3): String = {
+    val nibbleSelects = (0 until Bands).map(m =>
+      s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
+        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  $nibbleSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS img_a, b.media_id AS img_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |)
+       |SELECT img_a, img_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY img_a, img_b, hamming""".stripMargin
+  }
+}

@@ -124,7 +124,34 @@ object Curation {
     * the contamination flag left-joins its (sparse) flagged set.
     */
   def corpusKeepFull(docs: DataFrame, bench: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5): DataFrame =
+    corpusKeepFullDomains(docs, bench, minQuality,
+      // the default gate keys on the embedded-literal extraction over
+      // the synthesized URL host — the zero-dependency spelling
+      base => base.select(col("doc_id"),
+        Domains.registrableDomain(expr(Domains.hostSparkSql)).as("domain")))
+
+  /** [[corpusKeepFull]] with the domain gate keyed on the
+    * CALLER-SUPPLIED PSL ([[Domains.registrableDomainsFromPsl]] — full
+    * wildcard/exception semantics) instead of the embedded literal
+    * subset: the production verdict and the production extractor are
+    * now the SAME code path, so they cannot diverge — a publisher
+    * sharding itself across wildcard-ruled subdomains (every
+    * `<label>.s.wz` its own public suffix) is capped per REGISTRABLE
+    * domain inside the keep conjunction, where the literal gate would
+    * let each shard spend its own quota. Everything except the domain
+    * relation is [[corpusKeepFull]] verbatim (one definition). */
+  def corpusKeepFullExt(docs: DataFrame, bench: DataFrame, psl: DataFrame,
+      minQuality: Double = 0.5): DataFrame =
+    corpusKeepFullDomains(docs, bench, minQuality, base => {
+      val hosted = base.select(col("doc_id"),
+        expr(Domains.hostPslSparkSql).as("host"))
+      hosted.join(Domains.registrableDomainsFromPsl(hosted, psl), Seq("host"))
+        .select(col("doc_id"), col("domain"))
+    })
+
+  private def corpusKeepFullDomains(docs: DataFrame, bench: DataFrame,
+      minQuality: Double, domainsOf: DataFrame => DataFrame): DataFrame = {
     val base = curatedBase(docs)
     // stats computed ONCE (checkpointed: 16-byte rows), consumed by the
     // quality gate AND the domain-quota window — one definition, so the
@@ -146,10 +173,7 @@ object Curation {
     // the quality score is the SHARED stats relation, the same
     // arithmetic quality_ok reads), ranked per registrable domain
     val domGate = {
-      val host = expr(Domains.hostSparkSql)
-      val scored = base.select(col("doc_id"),
-        Domains.registrableDomain(host).as("domain"))
-        .join(stats, "doc_id")
+      val scored = domainsOf(base).join(stats, "doc_id")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
         .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -173,7 +197,26 @@ object Curation {
     * to the corpus population — each is a pure per-row function, so the
     * restriction commutes with the computation. */
   def corpusKeepFullSql(minQuality: Double = 0.5, minMatch: Long = 8L,
-      benchPred: String = "doc_id % 50 = 0"): String = {
+      benchPred: String = "doc_id % 50 = 0"): String =
+    corpusKeepFullSqlDomains(minQuality, minMatch, benchPred, "",
+      s"""(SELECT doc_id,
+         |      ${Domains.registrableDomainSql(Domains.hostSparkSql)} AS domain
+         |    FROM documents WHERE NOT ($benchPred)) dw""".stripMargin)
+
+  /** Oracle twin of [[corpusKeepFullExt]] — [[corpusKeepFullSql]] with
+    * the dq population drawn from the PSL CTE chain (rule induction,
+    * candidate explode, precedence sort) instead of the literal-subset
+    * CASE. */
+  def corpusKeepFullExtSql(minQuality: Double = 0.5, minMatch: Long = 8L,
+      benchPred: String = "doc_id % 50 = 0"): String =
+    corpusKeepFullSqlDomains(minQuality, minMatch, benchPred,
+      Domains.pslDomCtesSql + ",\n",
+      s"""(SELECT hosted.doc_id AS doc_id, domain
+         |    FROM hosted JOIN dom USING (host)
+         |    WHERE NOT ($benchPred)) dw""".stripMargin)
+
+  private def corpusKeepFullSqlDomains(minQuality: Double, minMatch: Long,
+      benchPred: String, domCtes: String, dwSql: String): String = {
     val statsBody = TextAnalysis.textStatsSql
       .replaceAll("(?s)ORDER BY.*$", "")
     val gopherBody = TextAnalysis.qualityRulesSql
@@ -181,7 +224,7 @@ object Curation {
     val th = s"list_transform(regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}'), tk -> ${graft.functions.PortableHash.tokHashSql("tk")})"
     val corpusSrc = s"(SELECT doc_id, text FROM documents WHERE NOT ($benchPred))"
     s"""WITH RECURSIVE ${Dedup.componentCtes(minMatch, corpusSrc)},
-       |exd AS (
+       |${domCtes}exd AS (
        |  SELECT doc_id, doc_id <> keeper_id AS is_exact_dup
        |  FROM fp JOIN keepers USING (fp_md5)
        |),
@@ -208,9 +251,7 @@ object Curation {
        |    (row_number() OVER (PARTITION BY domain
        |      ORDER BY quality_score DESC NULLS LAST, dw.doc_id ASC)
        |      <= $DomainKeepQuotaN) AS domain_ok
-       |  FROM (SELECT doc_id,
-       |      ${Domains.registrableDomainSql(Domains.hostSparkSql)} AS domain
-       |    FROM documents WHERE NOT ($benchPred)) dw
+       |  FROM $dwSql
        |  JOIN st ON st.doc_id = dw.doc_id
        |),
        |${Dedup.contaminationCtesSql(benchPred = benchPred)}

@@ -229,6 +229,11 @@ object Domains {
       |  WHEN 8 THEN 'n.m.' || source || '.qq'
       |  ELSE source || '.wz' END)""".stripMargin.replace("\n", " ")
 
+  /** The synthesized PSL-exercise host for the Spark-SQL twins and the
+    * PSL-threaded keep verdict ([[graft.text.Curation.corpusKeepFullExt]])
+    * — the SAME text both engines parse, so the trees cannot differ. */
+  private[text] def hostPslSparkSql: String = hostPslSql
+
   /** [[domainQuality]] under the CALLER-SUPPLIED PSL — the
     * production-true form of the domain axis: rules from
     * [[pslFromSources]] (wildcards and exceptions planted), hosts from
@@ -249,7 +254,7 @@ object Domains {
     * distinct sources, normalization, the candidate explode, the
     * precedence sort, and the default/fallback cases — ends in
     * `hosted(doc_id, text, host)` and `dom(host, domain)`. */
-  private def pslDomCtesSql: String =
+  private[text] def pslDomCtesSql: String =
     s"""srcs AS (
        |  SELECT DISTINCT source FROM documents
        |), rules AS (
@@ -283,7 +288,7 @@ object Domains {
        |  SELECT host, string_split(host, '.') AS parts,
        |    CAST(len(string_split(host, '.')) AS BIGINT) AS n
        |  FROM (SELECT DISTINCT host FROM hosted)
-       |), cand AS (
+       |), pslcand AS (
        |  SELECT host, parts, n, CAST(ck AS BIGINT) AS ck,
        |    array_to_string(parts[CAST(n - ck + 1 AS INT):CAST(n AS INT)], '.')
        |      AS suffix
@@ -291,7 +296,7 @@ object Domains {
        |), prevail AS (
        |  SELECT host, max(struct_pack(is_exc := is_exc,
        |      rule_labels := rule_labels, ps_labels := ps_labels)) AS pv
-       |  FROM cand JOIN ready ON suffix = match_key
+       |  FROM pslcand JOIN ready ON suffix = match_key
        |    AND ck = match_labels AND n >= min_host_labels
        |  GROUP BY host
        |), dom AS (
