@@ -452,6 +452,12 @@ object SparkEntry {
     // The quota and dedup axes under the same caller-supplied PSL —
     // the full-algorithm extraction threaded through every member of
     // the domain family, not just the quality rollup.
+    // The quota's SCALE spelling: per-domain quality histogram →
+    // prefix-sum rank threshold → map-side filter; no per-doc rank
+    // window (the mega-publisher escape hatch, implemented). Ties at
+    // the threshold are all kept — the stated histogram tie rule.
+    "domain_quota_threshold" -> ((s, dir) =>
+      graft.text.Domains.domainQuotaThreshold(graft.Tables.documents(s, dir))),
     "domain_quota_ext" -> ((s, dir) =>
       graft.text.Domains.domainQuotaExt(graft.Tables.documents(s, dir))),
     "domain_dedup_ext" -> ((s, dir) =>
@@ -887,6 +893,11 @@ object SparkEntry {
     // over real BMP scanlines, paired through the simhash_pairs
     // banded-Hamming machinery — the dedup family exact payload
     // fingerprints can't see (byte-identical-except-metadata images).
+    // Container duration + sample-count face: mvhd timescale/duration
+    // (v0 AND v1 planted) on the nested box walk; WAV frames/rate with
+    // the honest truncation clamp. All-integer microseconds.
+    "media_duration" -> ((s, dir) =>
+      graft.multimodal.Media.mediaDuration(graft.Tables.documents(s, dir))),
     "image_ahash" -> ((s, dir) =>
       graft.multimodal.ImageHash.imageAhash(graft.Tables.documents(s, dir))),
     "image_dup_pairs" -> ((s, dir) =>
@@ -1070,6 +1081,21 @@ object SparkEntry {
     "salted_rollup_auto" -> ((s, dir) =>
       graft.relational.SkewJoin.saltedRollupAuto(
         graft.Tables.lineitem(s, dir))),
+    // Incremental hot-key audit: the persisted per-key count artifact
+    // merged with the shard's counts re-aggregates to the whole-fact
+    // audit exactly (counts are additive) — the oracle IS the
+    // whole-fact hotKeys relation. Threshold 2x mean so the fixture's
+    // order-size head is actually flagged (the default salts x mean
+    // would be empty on the near-uniform TPC-H key).
+    "incremental_hot" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val fact = graft.Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val corpusCounts = graft.relational.SkewJoin.keyCounts(
+        fact.filter(col("l_orderkey") % 10 =!= 9), "l_orderkey")
+        .localCheckpoint()
+      graft.relational.SkewJoin.incrementalHotKeys(corpusCounts,
+        fact.filter(col("l_orderkey") % 10 === 9), "l_orderkey", 2000000L)
+    }),
     // ---- warehouse maintenance (round 10): the pre-publish
     // referential gate and the relational incremental merge ----
     "referential_audit" -> ((s, dir) =>
@@ -1382,6 +1408,7 @@ object SparkEntry {
     "domain_dedup" -> graft.text.Domains.domainDedupSql,
     "domain_quality_ext" -> graft.text.Domains.domainQualityExtSql,
     "domain_quota_ext" -> graft.text.Domains.domainQuotaExtSql(),
+    "domain_quota_threshold" -> graft.text.Domains.domainQuotaThresholdSql(),
     "domain_dedup_ext" -> graft.text.Domains.domainDedupExtSql,
     "domain_autoblock" -> graft.text.Domains.domainAutoblockSql(),
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),
@@ -1469,6 +1496,7 @@ object SparkEntry {
     "media_resize" -> graft.multimodal.Media.mediaResizeSql(),
     "media_frames_wav" -> graft.multimodal.Media.audioFramesSql(),
     "media_resize_bmp" -> graft.multimodal.Media.imageRowsSql(),
+    "media_duration" -> graft.multimodal.Media.mediaDurationSql,
     "image_ahash" -> graft.multimodal.ImageHash.imageAhashSql,
     "image_dup_pairs" -> graft.multimodal.ImageHash.imageDupPairsSql(),
     "events_sessions" -> Events.sessionizeSql(),
@@ -1519,6 +1547,8 @@ object SparkEntry {
     // the merge is exact, so the oracle is the WHOLE-fact rollup — the
     // equality IS the incremental merge theorem
     "incremental_rollup" -> graft.relational.Sales.salesRollupSql,
+    "incremental_hot" ->
+      graft.relational.SkewJoin.incrementalHotKeysSql(2000000L),
     "zone_map" -> graft.sources.ZoneMaps.zoneMapSql(),
     "zone_skip" -> graft.sources.ZoneMaps.zoneSkipSql(),
     "compaction_plan" -> graft.sources.ZoneMaps.compactionPlanSql(),

@@ -558,6 +558,30 @@ object Media {
   private val HexTrak = "7472616B"
   private val HexTkhd = "746B6864"
   private val HexFtyp = "66747970"
+  private val HexMvhd = "6D766864"
+
+  /** Complete-`mvhd` payload length by version: v0 carries 32-bit
+    * times (100-byte payload), v1 64-bit (112). */
+  private def mvhdNeedSql(v: String): String =
+    s"(CASE WHEN $v = 1 THEN 112 ELSE 100 END)"
+
+  /** `mvhd` movie timescale at payload offset `m` — after
+    * version+flags and the creation/modification times, whose width is
+    * what the version changes (v0: 4+4+4 → 12; v1: 4+8+8 → 20). */
+  private def mvhdTsSql(m: String): String =
+    s"CASE WHEN ${dynBeSql(m, 1)} = 1 THEN ${dynBeSql(s"($m) + 20", 4)} " +
+      s"ELSE ${dynBeSql(s"($m) + 12", 4)} END"
+
+  /** `mvhd` movie duration in timescale ticks. The v1 field is 64-bit;
+    * this reads its LOW word and requires the HIGH word zero (NULL
+    * otherwise) — a duration past 2³² ticks would push the positional
+    * multiply past int64 under ANSI, and no real presentation carries
+    * one (2³² ticks at the common 600-tick scale is 82 days). */
+  private def mvhdDurSql(m: String): String =
+    s"CASE WHEN ${dynBeSql(m, 1)} = 1 THEN " +
+      s"(CASE WHEN ${dynBeSql(s"($m) + 24", 4)} = 0 " +
+      s"THEN ${dynBeSql(s"($m) + 28", 4)} END) " +
+      s"ELSE ${dynBeSql(s"($m) + 16", 4)} END"
 
   /** tkhd payload offset of the width field (the version byte decides
     * the timestamp widths): SQL over a payload-offset expression `t`. */
@@ -575,10 +599,12 @@ object Media {
        |  named_struct(
        |    'off', CASE WHEN n_bytes >= 12 AND substring(h, 9, 8) = '$HexFtyp'
        |      THEN CAST(0 AS BIGINT) END,
-       |    'tkhd', CAST(NULL AS BIGINT)),
+       |    'tkhd', CAST(NULL AS BIGINT),
+       |    'mvhd', CAST(NULL AS BIGINT)),
        |  (acc, step) -> CASE
        |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
-       |      named_struct('off', CAST(NULL AS BIGINT), 'tkhd', acc.tkhd)
+       |      named_struct('off', CAST(NULL AS BIGINT), 'tkhd', acc.tkhd,
+       |        'mvhd', acc.mvhd)
        |    ELSE named_struct(
        |      'off', CASE
        |        WHEN $typ IN ('$HexMoov', '$HexTrak') THEN acc.off + 8
@@ -588,6 +614,10 @@ object Media {
        |        AND n_bytes >= acc.off + 9
        |        AND n_bytes >= acc.off + 8
        |          + (CASE WHEN $v = 1 THEN 96 ELSE 84 END)
+       |        THEN acc.off + 8 END),
+       |      'mvhd', coalesce(acc.mvhd, CASE WHEN $typ = '$HexMvhd'
+       |        AND n_bytes >= acc.off + 9
+       |        AND n_bytes >= acc.off + 8 + ${mvhdNeedSql(v)}
        |        THEN acc.off + 8 END))
        |    END,
        |  acc -> named_struct(
@@ -595,7 +625,12 @@ object Media {
        |    'w', CASE WHEN acc.tkhd IS NOT NULL THEN
        |      CAST(${dynBeSql(tkhdWoffSql("acc.tkhd"), 4)} div 65536 AS BIGINT) END,
        |    'ht', CASE WHEN acc.tkhd IS NOT NULL THEN
-       |      CAST(${dynBeSql(tkhdWoffSql("acc.tkhd") + " + 4", 4)} div 65536 AS BIGINT) END))""".stripMargin
+       |      CAST(${dynBeSql(tkhdWoffSql("acc.tkhd") + " + 4", 4)} div 65536 AS BIGINT) END,
+       |    'mvhd_off', acc.mvhd,
+       |    'mts', CASE WHEN acc.mvhd IS NOT NULL THEN
+       |      CAST(${mvhdTsSql("acc.mvhd")} AS BIGINT) END,
+       |    'mdur', CASE WHEN acc.mvhd IS NOT NULL THEN
+       |      CAST(${mvhdDurSql("acc.mvhd")} AS BIGINT) END))""".stripMargin
   }
 
   /** DuckDB side of the MP4 walk: chained MATERIALIZED CTEs over `src`;
@@ -631,13 +666,23 @@ object Media {
         s"${dynBeSql(s"moff$k + 8", 1)} = 1 THEN 96 ELSE 84 END) " +
         s"THEN moff$k + 8 END")
       .mkString("COALESCE(", ", ", ")")
+    val mvhd = (0 until Mp4WalkChunks).map(k =>
+      s"CASE WHEN mtyp$k = '$HexMvhd' AND n_bytes >= moff$k + 9 " +
+        s"AND n_bytes >= moff$k + 8 + " +
+        s"${mvhdNeedSql(dynBeSql(s"moff$k + 8", 1))} " +
+        s"THEN moff$k + 8 END")
+      .mkString("COALESCE(", ", ", ")")
     sb.append(s""",
-      |mw AS MATERIALIZED (SELECT *, $tkhd AS mp4_tkhd FROM $prev),
+      |mw AS MATERIALIZED (SELECT *, $tkhd AS mp4_tkhd, $mvhd AS mp4_mvhd FROM $prev),
       |mfin AS MATERIALIZED (SELECT *,
       |  CASE WHEN mp4_tkhd IS NOT NULL
       |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd"), 4)} // 65536 AS BIGINT) END AS mp4_w,
       |  CASE WHEN mp4_tkhd IS NOT NULL
-      |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd") + " + 4", 4)} // 65536 AS BIGINT) END AS mp4_ht
+      |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd") + " + 4", 4)} // 65536 AS BIGINT) END AS mp4_ht,
+      |  CASE WHEN mp4_mvhd IS NOT NULL
+      |    THEN CAST(${mvhdTsSql("mp4_mvhd")} AS BIGINT) END AS mp4_mts,
+      |  CASE WHEN mp4_mvhd IS NOT NULL
+      |    THEN CAST(${mvhdDurSql("mp4_mvhd")} AS BIGINT) END AS mp4_mdur
       |  FROM mw)""".stripMargin)
     sb.toString
   }
@@ -836,6 +881,9 @@ object Media {
       .withColumn("mp4_tkhd", col("mk.tkhd_off"))
       .withColumn("mp4_w", col("mk.w"))
       .withColumn("mp4_ht", col("mk.ht"))
+      .withColumn("mp4_mvhd", col("mk.mvhd_off"))
+      .withColumn("mp4_mts", col("mk.mts"))
+      .withColumn("mp4_mdur", col("mk.mdur"))
       .drop("wk", "pk", "jk", "mk")
 
   /** DuckDB side: the same walk as chained CTEs over `src` (which must
@@ -985,10 +1033,24 @@ object Media {
       s"'0000000000000000' || $matrix || $dims"
     val ftypBox = s"'00000010' || '$HexFtyp' || '69736F6D' || '00000000'"
     val mdatBox = s"${beHexSql(s"8 + $textBytes", 4, idiv)} || '6D646174' || $textHex"
-    val mp4 = s"$ftypBox || '00000074' || '$HexMoov' || " +
-      s"'00000008' || '6D766864' || '00000064' || '$HexTrak' || $tkhdV0 || $mdatBox"
+    // REAL mvhd boxes (v0 in the plain file, v1 in the ext one — the
+    // same two-version proof tkhd carries): movie timescale
+    // 600·(1 + doc_id % 5), duration 1000 + doc_id % 90000 ticks; the
+    // v1 spelling stores the duration as high-word-zero 64-bit
+    val mts = "(600 * (1 + doc_id % 5))"
+    val mdur = "(1000 + doc_id % 90000)"
+    val mvhdTail = s"'00010000' || '0100' || repeat('00', 10) || $matrix || " +
+      "repeat('00', 24) || '00000002'"
+    val mvhdV0 = s"'0000006C' || '$HexMvhd' || '00000000' || '00000000' || " +
+      s"'00000000' || ${beHexSql(mts, 4, idiv)} || ${beHexSql(mdur, 4, idiv)} || " +
+      s"$mvhdTail"
+    val mvhdV1 = s"'00000078' || '$HexMvhd' || '01000000' || repeat('00', 16) || " +
+      s"${beHexSql(mts, 4, idiv)} || '00000000' || ${beHexSql(mdur, 4, idiv)} || " +
+      s"$mvhdTail"
+    val mp4 = s"$ftypBox || '000000D8' || '$HexMoov' || " +
+      s"$mvhdV0 || '00000064' || '$HexTrak' || $tkhdV0 || $mdatBox"
     val mp4Ext = s"$ftypBox || '0000000C' || '66726565' || '00000000' || " +
-      s"'00000088' || '$HexMoov' || '00000008' || '6D766864' || " +
+      s"'000000F8' || '$HexMoov' || $mvhdV1 || " +
       s"'00000008' || '75647461' || '00000070' || '$HexTrak' || $tkhdV1 || $mdatBox"
     s"""CASE WHEN doc_id % 5 = 0 THEN $bmp
        |     WHEN doc_id % 20 = 16 THEN $wavListFact
@@ -1335,6 +1397,94 @@ object Media {
        |FROM sliced
        |ORDER BY media_id, width, height, bpp, row_bytes, n_rows_avail,
        |  resized_hex, n_rows_out""".stripMargin
+
+  /** Container DURATION + sample-count face — the playback-time twin
+    * of the dimension decode, completing the temporal half of the
+    * container story: for MP4, the `mvhd` movie header's timescale and
+    * duration ride the SAME nested box walk the dimensions use (v0 and
+    * v1 layouts both fixture-planted); for WAV, duration = sample
+    * frames ÷ rate with the frame count clamped to the bytes actually
+    * present (the [[audioFrames]] clamp — a cut upload reports its
+    * real playable length). All-integer µs:
+    * `duration_us = n_units · 10⁶ div timescale` where n_units is
+    * mvhd ticks (MP4) or sample frames (WAV) and timescale is the
+    * mvhd timescale (MP4) or the sample rate (WAV) — so the row also
+    * IS the sample-count face. A payload carrying both magics
+    * (adversarial RIFF-size-spells-ftyp) reports as mp4 — the
+    * [[mediaFeatures]] CASE precedence. Zero-length data chunks report
+    * honestly as 0 µs; a malformed zero timescale is floored to 1
+    * (the audioFrames greatest-guard), and a v1 duration past 2³²
+    * ticks reports NULL n_units and emits no row (see [[mvhdDurSql]]).
+    *
+    * Scale shape: per-row header arithmetic over the two gated folds,
+    * one checkpoint, no explode, no shuffle. */
+  def mediaDuration(docs: DataFrame): DataFrame = {
+    val media = asContainerTable(graft.Tables.widen(docs))
+      .select(col("media_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val walked = media
+      .withColumn("wk", gatedWalk(riffMagic, walkAggSql))
+      .withColumn("mk", gatedWalk(mp4Magic, mp4AggSql))
+      .localCheckpoint()
+    val mp4d = walked
+      .filter(col("mk.mvhd_off").isNotNull && col("mk.mdur").isNotNull)
+      .select(col("media_id"), lit("mp4").as("kind"),
+        col("mk.mts").as("timescale"), col("mk.mdur").as("n_units"))
+    val wavd = walked
+      .filter(col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull)
+      .select(col("media_id"),
+        col("wk.channels").as("channels"),
+        col("wk.sample_rate").as("sample_rate"),
+        col("wk.bits").as("bits"),
+        col("wk.data_len").as("declared_len"),
+        (col("n_bytes") - col("wk.data_off")).as("avail_len"))
+      .withColumn("frame_bytes", expr("(channels * bits) div 8L"))
+      .filter(col("frame_bytes") >= 1L)
+      .select(col("media_id"), lit("wav").as("kind"),
+        col("sample_rate").as("timescale"),
+        expr("least(declared_len, avail_len) div frame_bytes").as("n_units"))
+    mp4d.unionByName(
+        wavd.join(mp4d.select(col("media_id")), Seq("media_id"), "left_anti"))
+      .withColumn("duration_us",
+        expr("(n_units * 1000000L) div greatest(timescale, 1L)"))
+  }
+
+  /** Oracle twin of [[mediaDuration]] — same walks, same clamp, same
+    * precedence. */
+  def mediaDurationSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    ${containerHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
+       |), ${walkCteSql("sized")},
+       |${mp4CteSql("walked")},
+       |mp4d AS (
+       |  SELECT media_id, 'mp4' AS kind, mp4_mts AS timescale,
+       |    mp4_mdur AS n_units
+       |  FROM mfin WHERE mp4_mvhd IS NOT NULL AND mp4_mdur IS NOT NULL
+       |), wavd AS (
+       |  SELECT media_id, 'wav' AS kind, sample_rate AS timescale,
+       |    least(declared_len, avail_len) // frame_bytes AS n_units
+       |  FROM (
+       |    SELECT media_id,
+       |      CAST(${dynLeSql("fmt_off + 4", 4)} AS BIGINT) AS sample_rate,
+       |      (CAST(${dynLeSql("fmt_off + 2", 2)} AS BIGINT)
+       |        * CAST(${dynLeSql("fmt_off + 14", 2)} AS BIGINT)) // 8 AS frame_bytes,
+       |      CAST(data_len AS BIGINT) AS declared_len,
+       |      CAST(n_bytes - data_off AS BIGINT) AS avail_len
+       |    FROM mfin
+       |    WHERE fmt_off IS NOT NULL AND data_off IS NOT NULL
+       |  )
+       |  WHERE frame_bytes >= 1
+       |    AND media_id NOT IN (SELECT media_id FROM mp4d)
+       |)
+       |SELECT media_id, kind, timescale, n_units,
+       |  CAST((n_units * 1000000) // greatest(timescale, 1) AS BIGINT)
+       |    AS duration_us
+       |FROM (SELECT * FROM mp4d UNION ALL SELECT * FROM wavd)
+       |ORDER BY media_id, kind, timescale, n_units, duration_us""".stripMargin
 
   def mediaFeaturesSql: String =
     s"""WITH media AS (

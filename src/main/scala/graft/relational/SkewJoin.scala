@@ -141,9 +141,22 @@ object SkewJoin {
     * 10⁶/threshold × n_keys keys can sit above threshold×mean, so it
     * broadcasts. */
   def hotKeys(fact: DataFrame, key: String,
+      hotMillionths: Long): DataFrame =
+    hotFromCounts(keyCounts(fact, key), key, hotMillionths)
+
+  /** The per-key count relation `(key, cnt)` — the ≤|keys|-row artifact
+    * a production nightly PERSISTS next to its zone maps, and the exact
+    * input [[hotFromCounts]]' verdict reads. Additive by construction
+    * (counts sum), which is what gives the hot audit its incremental
+    * maintenance story ([[incrementalHotKeys]]). */
+  def keyCounts(fact: DataFrame, key: String): DataFrame =
+    fact.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+
+  /** The hot verdict over an explicit `(key, cnt)` relation — shared by
+    * the self-audited path and the incremental merge. */
+  private def hotFromCounts(counts: DataFrame, key: String,
       hotMillionths: Long): DataFrame = {
-    val perKey = fact.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .withColumn("_ak", lit(1)).localCheckpoint()
+    val perKey = counts.withColumn("_ak", lit(1)).localCheckpoint()
     val verdict = perKey.groupBy("_ak")
       .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
     perKey.join(broadcast(verdict), Seq("_ak"))
@@ -151,6 +164,31 @@ object SkewJoin {
         s" > cast($hotMillionths as decimal(38,0)) * n_rows"))
       .select(col(key))
   }
+
+  /** Incremental hot-key audit — the merge discipline the zone-map /
+    * CMS / KMV / rollup family follows, closing [[hotKeys]]' "nightly
+    * materializes the artifact" amortization without the full-fact
+    * re-scan it implied: per-key counts are ADDITIVE, so the persisted
+    * corpus `(key, cnt)` artifact ([[keyCounts]]) merged with the new
+    * shard's counts and re-aggregated is EXACTLY the whole-fact count
+    * relation — hot(corpus ⊕ shard) hash-matches the whole-fact audit
+    * (the oracle-gated contract), including keys that cross the
+    * threshold only in the union (each side's count is under the bar,
+    * the sum is not — spec-pinned). The verdict's mean moves with the
+    * merged totals, so a shard that ADDS uniform rows can also demote
+    * a borderline key: the merge is the audit, not an approximation.
+    *
+    * Scale shape: the shard pays its own key-partial agg; the corpus
+    * contributes only its ≤|keys|-row artifact (never re-scanned); the
+    * merge is one agg over (|artifact| + |shard keys|) rows, and the
+    * refreshed artifact is the same relation ready to persist back. */
+  def incrementalHotKeys(corpusCounts: DataFrame, shard: DataFrame,
+      key: String, hotMillionths: Long): DataFrame =
+    hotFromCounts(
+      corpusCounts.select(col(key), col("cnt"))
+        .unionByName(keyCounts(shard, key))
+        .groupBy(col(key)).agg(sum("cnt").as("cnt")),
+      key, hotMillionths)
 
   /** Audit-DRIVEN salted join: [[hotKeys]] decides, per key, whether
     * the row takes the salted path (hot: fact scatters across `salts`
@@ -309,6 +347,24 @@ object SkewJoin {
         sum("qty").as("sum_qty"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Oracle twin of [[incrementalHotKeys]] over the lineitem order key
+    * — deliberately the WHOLE-FACT audit (the merge theorem is what the
+    * hash match proves). HUGEINT keeps the triple product exact, the
+    * [[hotKeys]] decimal(38,0) widening in DuckDB spelling. */
+  def incrementalHotKeysSql(hotMillionths: Long): String =
+    s"""WITH pk AS (
+       |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY l_orderkey
+       |), v AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys
+       |  FROM pk
+       |)
+       |SELECT l_orderkey FROM pk, v
+       |WHERE CAST(cnt AS HUGEINT) * 1000000 * n_keys
+       |  > CAST($hotMillionths AS HUGEINT) * n_rows
+       |ORDER BY l_orderkey""".stripMargin
 
   /** Oracle twin of [[saltedOrderRollup]] — deliberately UNSALTED. */
   def saltedOrderRollupSql: String =

@@ -666,6 +666,98 @@ object Domains {
       .select(col("domain"), col("rnk"), col("doc_id"), col("quality_score"))
   }
 
+  /** The SCALE spelling of the publisher quota — [[domainQuota]]'s
+    * documented mega-publisher escape hatch, implemented: no per-doc
+    * rank window at all. The rank window's per-partition sort state is
+    * the publisher's DOC COUNT, so one 10⁹-doc publisher makes that
+    * window partition the job's tail at 100 TB. This spelling runs the
+    * [[TextAnalysis.lengthQuartiles]] discipline on the quality axis
+    * instead:
+    *
+    *  1. histogram: per-(domain, quality_score) cell counts — a
+    *     partial-agg shuffle bounded by DISTINCT scores per domain,
+    *     not docs;
+    *  2. threshold by prefix-sum rank arithmetic over the CELLS (the
+    *     window now sorts cell counts, not documents): the quota-th
+    *     best score = max v with cum(≥v) ≥ quota, one ≤|domains|-row
+    *     relation;
+    *  3. map-side keep: score ≥ threshold after a broadcast join — the
+    *     fact pass is a filter, nothing corpus-sized is sorted.
+    *
+    * TIE RULE, stated: every doc AT the threshold score is kept, so a
+    * tie straddling the boundary admits up to (ties−1) docs beyond the
+    * quota — rank arithmetic on a histogram cannot see doc_ids inside
+    * one cell, and dropping the whole cell instead would under-fill
+    * the quota. Wherever no tie straddles the threshold this is
+    * row-identical to [[domainQuota]] minus the `rnk` column
+    * (spec-pinned); NULL-score docs (empty token lists) never pass —
+    * the windowed face can admit them only into under-quota
+    * publishers, which is exactly the no-straddle caveat's other face.
+    * Publishers with fewer than `quota` scored docs keep them all
+    * (their histogram never crosses, the threshold left-joins NULL). */
+  def domainQuotaThreshold(docs: DataFrame,
+      quota: Int = DomainQuotaN): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val withDom = scored.join(
+        asWebTable(docs).select(col("doc_id"), col("domain")), Seq("doc_id"))
+      // consumed twice (histogram + final filter): slim (domain, id,
+      // score) rows, the curatedBase checkpoint discipline
+      .localCheckpoint()
+    val cells = withDom.filter(col("quality_score").isNotNull)
+      .groupBy(col("domain"), col("quality_score").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(col("v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = cells.withColumn("cum", sum("n").over(wCum))
+      .filter(col("cum") >= quota.toLong)
+      .groupBy("domain").agg(max(col("v")).as("thr"))
+    withDom.join(broadcast(thr), Seq("domain"), "left")
+      .filter(col("quality_score").isNotNull &&
+        (col("thr").isNull || col("quality_score") >= col("thr")))
+      .select(col("domain"), col("doc_id"), col("quality_score"))
+  }
+
+  /** Oracle twin of [[domainQuotaThreshold]] — same histogram, same
+    * prefix-sum crossing, same tie rule. */
+  def domainQuotaThresholdSql(quota: Int = DomainQuotaN): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${registrableDomainSql(hostSql)} AS domain,
+       |    regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, domain,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(list_filter(toks, x -> list_contains(${TextAnalysis.sqlList(TextAnalysis.stopwordsEn)}, x))) AS BIGINT) AS stop_hits
+       |  FROM t
+       |), q AS (
+       |  SELECT doc_id, domain,
+       |    0.5e0 * least(1e0, n_tokens / 200e0)
+       |      + 0.25e0 * (n_distinct_tokens / n_tokens)
+       |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
+       |  FROM s
+       |), cells AS (
+       |  SELECT domain, quality_score AS v, CAST(count(*) AS BIGINT) AS n
+       |  FROM q WHERE quality_score IS NOT NULL
+       |  GROUP BY domain, quality_score
+       |), c AS (
+       |  SELECT domain, v,
+       |    CAST(sum(n) OVER (PARTITION BY domain ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM cells
+       |), thr AS (
+       |  SELECT domain, max(v) AS thr FROM c WHERE cum >= $quota
+       |  GROUP BY domain
+       |)
+       |SELECT q.domain AS domain, doc_id, quality_score
+       |FROM q LEFT JOIN thr ON q.domain = thr.domain
+       |WHERE quality_score IS NOT NULL
+       |  AND (thr IS NULL OR quality_score >= thr)
+       |ORDER BY domain, doc_id, quality_score""".stripMargin
+
   /** Oracle twin of [[domainQuota]]. */
   def domainQuotaSql(quota: Int = DomainQuotaN): String =
     s"""WITH t AS (

@@ -419,13 +419,42 @@ object Unigram {
     * frozen-vocab segmentation of the batch's distinct words, ids by
     * vocab rank, arrays assembled in word-position order, empty docs
     * keeping an empty array. */
-  private[text] def unigramDocIdsWith(t: DataFrame, vocab: DataFrame): DataFrame = {
+  private[graft] def unigramDocIdsWith(t: DataFrame, vocab: DataFrame): DataFrame = {
     val words = wordsFromToks(t)
     val segF = segmentWords(words,
       costMapRow(smoothedCosts(vocab.select(col("piece"), col("cnt")))))
     TextAnalysis.docIdsFromWordIds(t,
       wordIds(segF, idMapRow(vocab.select(col("piece")))))
   }
+
+  // ---- streaming frozen-encode face -----------------------------------------
+
+  /** The frozen apply's TWO broadcastable artifacts as ONE static row:
+    * the smoothed cost map `cm` and the vocab-rank id map `im`, each a
+    * pure function of the PERSISTED vocabulary (so a stream encoding at
+    * ingest and a nightly batch re-encode read the identical maps).
+    * Attach key `k` rides along for the stream-static join. */
+  private[graft] def frozenEncodeMaps(vocab: DataFrame): DataFrame =
+    costMapRow(smoothedCosts(vocab.select(col("piece"), col("cnt"))))
+      .join(idMapRow(vocab.select(col("piece"))), Seq("k"))
+
+  /** Per-ROW frozen encode of a `toks` array under attached `cm`/`im`
+    * map columns: each word's hex binds the dp's `h` as a LAMBDA
+    * VARIABLE (`transform(hexes, h -> …)`), so the SAME dp text that
+    * segments the distinct-word relation segments per occurrence with
+    * no aggregation at all — the stateless spelling the stream face
+    * needs ([[graft.streaming.EncodeStream.unigramEncodeStream]]).
+    * Misses take id 0 exactly as [[wordIds]]; empty/NULL toks yield an
+    * empty array (the [[TextAnalysis.docIdsFromWordIds]] contract).
+    * The stream trades the batch's per-DISTINCT-word segmentation for
+    * per-occurrence cost — the admission-time price of statelessness;
+    * the nightly batch path stays the amortized spelling. */
+  private[graft] def docIdsPerRowSql: String =
+    s"""flatten(transform(
+       |  transform(coalesce(toks, array()), w0 -> hex(encode(w0, 'UTF-8'))),
+       |  h -> transform(
+       |    filter(split(($dpSparkSql).pa, '\\\\|'), p -> length(p) > 0),
+       |    p -> coalesce(try_element_at(im, p), 0L))))""".stripMargin
 
   /** Per-language fertility under the induced tokenizer — SAME schema
     * as [[TextAnalysis.bpeFertility]], so the two tokenizer families

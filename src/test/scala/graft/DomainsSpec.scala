@@ -274,4 +274,36 @@ class DomainsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("x.b.s.wz" -> 2L, "ok.s.wz" -> 2L))
   }
+
+  test("domainQuotaThreshold ≡ domainQuota when no tie straddles; ties all kept") {
+    import org.apache.spark.sql.functions.col
+    // 8 docs in ONE publisher bucket (same source, doc_id % 12 = 0 keeps
+    // host class and domain constant is not needed — distinct scores via
+    // distinct token counts), quota 5: rank and threshold must agree
+    val words = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val distinctScored = docs(
+      (0 until 8).map(i => ((i * 12).toLong, words(10 + 10 * i), "en", "srcA", 0L)): _*)
+    val win = Domains.domainQuota(distinctScored).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id"))).toSet
+    val thr = Domains.domainQuotaThreshold(distinctScored).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id"))).toSet
+    assert(thr === win, "no straddling tie → row-identical (minus rnk)")
+
+    // tie straddling the boundary: 3 top docs + 4 IDENTICAL mid docs at
+    // quota 5 → windowed keeps 2 of the tied cell, threshold keeps ALL 4
+    val tied = docs(
+      ((0 until 3).map(i => ((i * 12).toLong, words(60 + 10 * i), "en", "srcB", 0L)) ++
+        (3 until 7).map(i => ((i * 12).toLong, words(20), "en", "srcB", 0L))): _*)
+    val winT = Domains.domainQuota(tied).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    val thrT = Domains.domainQuotaThreshold(tied).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(winT.size === 5)
+    assert(thrT.size === 7, "every doc AT the threshold score is kept")
+    assert(winT.subsetOf(thrT), "threshold face admits a superset on ties")
+
+    // under-quota publisher keeps everything in both spellings
+    val tiny = docs((0L, words(5), "en", "srcC", 0L), (12L, words(9), "en", "srcC", 0L))
+    assert(Domains.domainQuotaThreshold(tiny).count() === 2L)
+  }
 }

@@ -298,10 +298,10 @@ class MediaSpec extends AnyFunSuite {
       (r.getAs[String]("kind"), r.getAs[Long]("width"),
         r.getAs[Long]("height"), r.getAs[Long]("n_bytes"))
     }
-    // v0 total = 16 ftyp + 116 moov + (8 + text) mdat
-    assert(fields(14L) === ("mp4", 15L, 15L, 140L + 9L))
-    // v1 total = 16 ftyp + 12 free + 136 moov + (8 + text) mdat
-    assert(fields(34L) === ("mp4", 35L, 35L, 172L + 9L))
+    // v0 total = 16 ftyp + 216 moov (108-byte mvhd v0) + (8 + text) mdat
+    assert(fields(14L) === ("mp4", 15L, 15L, 240L + 9L))
+    // v1 total = 16 ftyp + 12 free + 248 moov (120-byte mvhd v1) + (8 + text) mdat
+    assert(fields(34L) === ("mp4", 35L, 35L, 284L + 9L))
     // hand-built golden: a 64-byte-truncated tkhd (payload incomplete
     // for its version) must NOT resolve — kind falls back to raw
     def be4(v: Long) = Array[Byte](
@@ -626,5 +626,22 @@ class MediaSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_rows_avail") === 11L)
     assert(r.getAs[Long]("n_rows_out") === 3L)
     assert(r.getAs[String]("resized_hex").length === 3 * 36 * 2)
+  }
+
+  test("golden: mediaDuration — mvhd v0/v1 ticks and WAV frames/rate") {
+    // doc 14 (mp4, mvhd v0): ts = 600·(1+14%5) = 3000, dur = 1014 ticks
+    // doc 34 (mp4 ext, mvhd v1): ts = 3000, dur = 1034 (high word zero)
+    // doc 21 (wav, % 5 = 1): rate = 8000·(1+21%6) = 32000,
+    //   ch = 1+21%2 = 2, bits = 8·(1+21%2) = 16 → frame = 4 bytes;
+    //   8 text bytes → 2 complete frames → 2·10⁶ div 32000 = 62 µs
+    val out = Media.mediaDuration(docs(
+      (14L, "mdatbytes", "en", "s", 9L), (34L, "mdatbytes", "en", "s", 9L),
+      (21L, "abcdefgh", "en", "s", 8L)))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Long]("timescale"),
+          r.getAs[Long]("n_units"), r.getAs[Long]("duration_us")))).toMap
+    assert(out(14L) === (("mp4", 3000L, 1014L, 1014L * 1000000L / 3000L)))
+    assert(out(34L) === (("mp4", 3000L, 1034L, 1034L * 1000000L / 3000L)))
+    assert(out(21L) === (("wav", 32000L, 2L, 62L)))
   }
 }

@@ -260,4 +260,33 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(j.select("name").distinct().collect().map(_.getString(0)).toSeq
       === Seq("hot"))
   }
+
+  test("incremental hot audit: merged artifact + shard == whole-fact audit") {
+    // corpus: key 1 appears 6x (hot alone), key 2 appears 3x (borderline),
+    // keys 3..8 once each; shard: key 2 appears 3x more (hot ONLY in the
+    // union), key 9 once. threshold 2x mean.
+    val corpus = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ (3L to 8L)).toDF("k")
+    val shard = (Seq.fill(3)(2L) :+ 9L).toDF("k")
+    val hm = 2000000L
+    val direct = SkewJoin.hotKeys(corpus.union(shard), "k", hm)
+      .collect().map(_.getLong(0)).toSet
+    val merged = SkewJoin.incrementalHotKeys(
+        SkewJoin.keyCounts(corpus, "k").localCheckpoint(), shard, "k", hm)
+      .collect().map(_.getLong(0)).toSet
+    assert(merged === direct)
+    assert(direct.contains(2L), "key 2 must be hot only via the union")
+    // and key 2 was NOT hot on the corpus alone (each side under the bar)
+    val corpusOnly = SkewJoin.hotKeys(corpus, "k", hm)
+      .collect().map(_.getLong(0)).toSet
+    assert(!corpusOnly.contains(2L))
+    // a shard of pure uniform tail can also demote: adding 12 distinct
+    // cold keys raises n_keys faster than n_rows for key 2's ratio
+    val tail = (100L to 111L).toDF("k")
+    val demoted = SkewJoin.incrementalHotKeys(
+        SkewJoin.keyCounts(corpus.union(shard), "k").localCheckpoint(),
+        tail, "k", hm).collect().map(_.getLong(0)).toSet
+    val demotedDirect = SkewJoin.hotKeys(corpus.union(shard).union(tail),
+        "k", hm).collect().map(_.getLong(0)).toSet
+    assert(demoted === demotedDirect)
+  }
 }
