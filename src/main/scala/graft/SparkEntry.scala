@@ -902,6 +902,20 @@ object SparkEntry {
       graft.multimodal.ImageHash.imageAhash(graft.Tables.documents(s, dir))),
     "image_dup_pairs" -> ((s, dir) =>
       graft.multimodal.ImageHash.imageDupPairs(graft.Tables.documents(s, dir))),
+    // Occupancy report for the aHash band space (the 4th member of the
+    // bucket-family cost-report symmetry) and the nightly-ingest twin
+    // (shard re-hashes, corpus replays its persisted 8-byte sketch).
+    "image_occupancy" -> ((s, dir) =>
+      graft.multimodal.ImageHash.imageOccupancy(graft.Tables.documents(s, dir))),
+    "incremental_image_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.ImageHash.incrementalImagePairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        graft.multimodal.ImageHash.imageAhash(
+            docs.filter(col("doc_id") % 10 =!= 9))
+          .select("media_id", "ahash").localCheckpoint())
+    }),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -1499,6 +1513,9 @@ object SparkEntry {
     "media_duration" -> graft.multimodal.Media.mediaDurationSql,
     "image_ahash" -> graft.multimodal.ImageHash.imageAhashSql,
     "image_dup_pairs" -> graft.multimodal.ImageHash.imageDupPairsSql(),
+    "image_occupancy" -> graft.multimodal.ImageHash.imageOccupancySql,
+    "incremental_image_dup" ->
+      graft.multimodal.ImageHash.incrementalImagePairsSql(),
     "events_sessions" -> Events.sessionizeSql(),
     "events_hourly" -> Events.hourlyRollupSql,
     "top_events_per_user" -> Events.topEventsPerUserSql(),

@@ -261,6 +261,91 @@ object ImageHash {
       .distinct()
   }
 
+  /** Bucket-occupancy report for the aHash Hamming-band space — the
+    * fourth member of the occupancy family (MinHash / SimHash / ANN
+    * all ship one, [[graft.text.Dedup.occupancyRollup]]): every bucket
+    * family pays Θ(Σ bucket²) to pair, so each gets the cost report
+    * that PREDICTS the pairing join's expansion before anyone pays it.
+    * Same population the pairing buckets, same one partial-agg
+    * shuffle, ≤ |bands|·|size bands| output rows. */
+  def imageOccupancy(docs: DataFrame): DataFrame =
+    graft.text.Dedup.occupancyRollup(
+      ahashBands(imageAhash(docs).select("media_id", "ahash").localCheckpoint())
+        .groupBy("band", "nibble").agg(count(lit(1)).as("sz")),
+      "band")
+
+  /** Oracle twin of [[imageOccupancy]] — the shared occupancy SELECT
+    * over the aHash band explosion. */
+  def imageOccupancySql: String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  ${nibbleSelectsSql}
+       |),
+       |occ AS (
+       |  SELECT band, nibble, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, nibble
+       |)
+       |${graft.text.Dedup.occupancySelectSql("band")}""".stripMargin
+
+  /** Nightly-ingest twin of [[imageDupPairs]] — the image member of
+    * the incremental sketch-pairing family
+    * ([[graft.text.Dedup.incrementalSimhashPairs]] shape verbatim):
+    * Hamming-band pairs of a NEW SHARD against the persisted corpus
+    * `(media_id, ahash)` sketch relation, without re-hashing anything
+    * corpus-side. Only the shard pays the decode + hash pass; the
+    * corpus re-expands its 4 band rows from the 8-byte persisted
+    * sketch (map work). Disjoint-id precondition and the
+    * AQE-splittable equi-join shape match the SimHash twin. */
+  def incrementalImagePairs(newDocs: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val newB = ahashBands(
+      imageAhash(newDocs).select("media_id", "ahash").localCheckpoint())
+    val allB = ahashBands(corpusSketch.select("media_id", "ahash"))
+      .union(newB)
+    newB.as("x").join(allB.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("img_a"),
+        greatest(col("x.media_id"), col("y.media_id")).as("img_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Oracle twin for the driver's fixture split (shard = doc_id % 10 =
+    * 9): the hash is a pure per-image function, so one chain over the
+    * whole population feeds both sides and the pairing restricts to
+    * shard-touching pairs. */
+  def incrementalImagePairsSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  ${nibbleSelectsSql}
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.media_id, b.media_id) AS img_a,
+       |    greatest(a.media_id, b.media_id) AS img_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM newb a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id <> b.media_id
+       |)
+       |SELECT img_a, img_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY img_a, img_b, hamming""".stripMargin
+
+  /** The 4-way Hamming-band (nibble) selects over `hashed` — shared by
+    * the pairing, incremental, and occupancy oracles. */
+  private def nibbleSelectsSql: String =
+    (0 until Bands).map(m =>
+      s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
+        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+
   /** Pair the SPEC's hand-built payloads — the payload-level twin of
     * [[imageDupPairs]] for planted one-pixel-edit fixtures. */
   private[graft] def dupPairsOfPayloads(payloads: DataFrame,
@@ -330,13 +415,9 @@ object ImageHash {
        |ORDER BY media_id, width, height, n_rows_avail, ahash""".stripMargin
 
   def imageDupPairsSql(maxHamming: Int = 3): String = {
-    val nibbleSelects = (0 until Bands).map(m =>
-      s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
-        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH ${ahashCtesSql},
        |bands AS (
-       |  $nibbleSelects
+       |  $nibbleSelectsSql
        |),
        |pairs AS (
        |  SELECT DISTINCT a.media_id AS img_a, b.media_id AS img_b,

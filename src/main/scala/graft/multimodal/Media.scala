@@ -1073,18 +1073,26 @@ object Media {
   def asContainerTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      unhex(expr(containerHexSql("hex(encode(text, 'utf-8'))",
-        "octet_length(text)", "div"))).as("payload"),
+      // the one-element transform is a deliberate codegen EXCLUSION:
+      // the synthesis CASE is past janino's method limit, and without
+      // the HOF wrapper every consumer query re-PAYS the doomed
+      // whole-stage compile attempt before falling back interpreted
+      // (measured ~1 s per query at sf0.1 — the compile failure is
+      // not cached). A HOF never enters whole-stage codegen, so the
+      // stage goes straight to the interpreted path it would end up
+      // on anyway. Value-identical: the lambda ignores its index and
+      // evaluates the CASE once per row.
+      unhex(expr("element_at(transform(sequence(0, 0), fixture_once -> " +
+        containerHexSql("hex(encode(text, 'utf-8'))",
+          "octet_length(text)", "div") + "), 1)")).as("payload"),
       col("source").as("fmt"),
       struct(col("n_chars"), col("lang")).as("meta"))
-      // checkpoint: the synthesis CASE is past janino's 64 KB method
-      // limit, so its stage cannot whole-stage-compile — and without a
-      // barrier, project collapse inlines the expression into every
-      // downstream consumer (media_features evaluates it 4+ times per
-      // row, interpreted). Materializing the payload once bounds the
-      // fallback to a single pass and keeps every consumer stage
-      // codegen-clean. Real deployments read payloads from storage;
-      // this cost is fixture-synthesis-only.
+      // checkpoint: without a barrier, project collapse inlines the
+      // synthesis into every downstream consumer (media_features
+      // evaluates it 4+ times per row, interpreted). Materializing the
+      // payload once bounds the fallback to a single pass and keeps
+      // every consumer stage codegen-clean. Real deployments read
+      // payloads from storage; this cost is fixture-synthesis-only.
       .localCheckpoint()
 
   def mediaFeatures(docs: DataFrame): DataFrame = {
@@ -1109,50 +1117,76 @@ object Media {
         size(filter(bytes, p =>
           instr(lit("89ABCDEF"), substring(p, 1, 1)) > 0)).cast("long")
           .as("n_hi_bytes"))
-    val withKind = withAllWalks(media.select(
-        col("media_id"),
-        col("fmt"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        substring(h, 1, 16).as("header_hex"),
-        stats.getField("byte_sum").as("byte_sum"),
-        stats.getField("n_hi_bytes").as("n_hi_bytes"),
-        h.as("h")))
+    // EVERYTHING hex-derived happens BEFORE the checkpoint — the four
+    // gated folds, plus the constant-offset BMP/GIF header reads and
+    // the magic flags, each gated on its own sniff. The checkpoint
+    // then holds only fixed-width decode columns: the r12 shape
+    // materialized the full hex string (2× payload bytes per row)
+    // just so the kind/field projection could read BMP/GIF offsets
+    // after the barrier — a payload-sized write+re-read per row for
+    // a dozen constant-offset bytes (measured ~25% of the query).
+    val pre = media.select(
+      col("media_id"),
+      col("fmt"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      substring(h, 1, 16).as("header_hex"),
+      stats.getField("byte_sum").as("byte_sum"),
+      stats.getField("n_hi_bytes").as("n_hi_bytes"),
+      h.as("h"))
+    val isBmp = col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D"
+    val isGif = col("n_bytes") >= 13L &&
+      substring(col("h"), 1, 12).isin("474946383761", "474946383961")
+    val withKind = pre
+      .withColumn("wk", gatedWalk(riffMagic, walkAggSql))
+      .withColumn("pk", gatedWalk(pngMagic, pngAggSql))
+      .withColumn("jk", gatedWalk(jpgMagic, jpgAggSql))
+      .withColumn("mk", gatedWalk(mp4Magic, mp4AggSql))
+      .withColumn("h_null", col("h").isNull)
+      .withColumn("is_bmp", isBmp)
+      .withColumn("is_gif", isGif)
+      .withColumn("bmp_w", when(isBmp, leVal(col("h"), 18, 4)))
+      .withColumn("bmp_ht", when(isBmp, leVal(col("h"), 22, 4)))
+      .withColumn("bmp_bpp", when(isBmp, leVal(col("h"), 28, 2)))
+      .withColumn("gif_w", when(isGif, leVal(col("h"), 6, 2)))
+      .withColumn("gif_ht", when(isGif, leVal(col("h"), 8, 2)))
+      // GIF packed byte bits 0-2 = GCT size (stored bits/pixel − 1)
+      .withColumn("gif_bpp",
+        when(isGif, leVal(col("h"), 10, 1).bitwiseAND(lit(7L)) + lit(1L)))
+      .drop("h")
+      .localCheckpoint()
       .withColumn("kind",
-        when(col("h").isNull, lit(null).cast("string"))
-          .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
-            lit("bmp"))
-          .when(col("n_bytes") >= 13L && substring(col("h"), 1, 12)
-            .isin("474946383761", "474946383961"), lit("gif"))
-          .when(col("png_ihdr").isNotNull, lit("png"))
-          .when(col("jpg_sof").isNotNull, lit("jpeg"))
-          .when(col("mp4_tkhd").isNotNull, lit("mp4"))
-          .when(col("fmt_off").isNotNull && col("data_off").isNotNull, lit("wav"))
+        when(col("h_null"), lit(null).cast("string"))
+          .when(col("is_bmp"), lit("bmp"))
+          .when(col("is_gif"), lit("gif"))
+          .when(col("pk.ihdr_off").isNotNull, lit("png"))
+          .when(col("jk.sof_off").isNotNull, lit("jpeg"))
+          .when(col("mk.tkhd_off").isNotNull, lit("mp4"))
+          .when(col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull,
+            lit("wav"))
           .otherwise(lit("raw")))
     withKind.select(
       col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
       col("byte_sum"), col("n_hi_bytes"), col("kind"),
-      when(col("kind") === "bmp", leVal(col("h"), 18, 4))
-        .when(col("kind") === "gif", leVal(col("h"), 6, 2))
-        .when(col("kind") === "png", col("png_w"))
-        .when(col("kind") === "jpeg", col("jpg_w"))
-        .when(col("kind") === "mp4", col("mp4_w")).as("width"),
-      when(col("kind") === "bmp", leVal(col("h"), 22, 4))
-        .when(col("kind") === "gif", leVal(col("h"), 8, 2))
-        .when(col("kind") === "png", col("png_ht"))
-        .when(col("kind") === "jpeg", col("jpg_ht"))
-        .when(col("kind") === "mp4", col("mp4_ht")).as("height"),
-      when(col("kind") === "bmp", leVal(col("h"), 28, 2))
-        // GIF packed byte bits 0-2 = GCT size (stored bits/pixel − 1)
-        .when(col("kind") === "gif",
-          leVal(col("h"), 10, 1).bitwiseAND(lit(7L)) + lit(1L))
-        .when(col("kind") === "png", col("png_depth"))
-        .when(col("kind") === "jpeg", col("jpg_prec")).as("bpp"),
-      when(col("kind") === "wav", col("wav_channels"))
+      when(col("kind") === "bmp", col("bmp_w"))
+        .when(col("kind") === "gif", col("gif_w"))
+        .when(col("kind") === "png", col("pk.w"))
+        .when(col("kind") === "jpeg", col("jk.w"))
+        .when(col("kind") === "mp4", col("mk.w")).as("width"),
+      when(col("kind") === "bmp", col("bmp_ht"))
+        .when(col("kind") === "gif", col("gif_ht"))
+        .when(col("kind") === "png", col("pk.ht"))
+        .when(col("kind") === "jpeg", col("jk.ht"))
+        .when(col("kind") === "mp4", col("mk.ht")).as("height"),
+      when(col("kind") === "bmp", col("bmp_bpp"))
+        .when(col("kind") === "gif", col("gif_bpp"))
+        .when(col("kind") === "png", col("pk.depth"))
+        .when(col("kind") === "jpeg", col("jk.prec")).as("bpp"),
+      when(col("kind") === "wav", col("wk.channels"))
         .when(col("kind") === "gif", lit(1L)) // palette-indexed
-        .when(col("kind") === "png", expr(pngChannelsSql("png_ctype")))
-        .when(col("kind") === "jpeg", col("jpg_ncomp")).as("channels"),
-      when(col("kind") === "wav", col("wav_sample_rate")).as("sample_rate"),
-      when(col("kind") === "wav", col("wav_bits")).as("bits"))
+        .when(col("kind") === "png", expr(pngChannelsSql("pk.ctype")))
+        .when(col("kind") === "jpeg", col("jk.ncomp")).as("channels"),
+      when(col("kind") === "wav", col("wk.sample_rate")).as("sample_rate"),
+      when(col("kind") === "wav", col("wk.bits")).as("bits"))
   }
 
   /** Frame sampling: every `stride`-th complete `frameBytes`-byte block

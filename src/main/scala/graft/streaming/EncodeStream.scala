@@ -44,4 +44,22 @@ object EncodeStream {
       .select(col("doc_id"),
         expr(Unigram.docIdsPerRowSql).as("ids"),
         col("event_time"))
+
+  /** The BPE twin — `(doc_id, ids, event_time)` under the frozen
+    * persisted MERGE TABLE ([[TextAnalysis.bpeMerges]]' relation): the
+    * merge array and the symbol id map collapse to one broadcast row,
+    * then per word the byte symbols fold through the ordered rewrites
+    * exactly as the batch apply does. Same stateless contract as
+    * [[unigramEncodeStream]]; both tokenizer families now encode at
+    * ingest under their reloaded artifacts. */
+  def bpeEncodeStream(docs: DataFrame, merges: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        EventStream.eventTime.as("event_time"))
+      .withColumn("k", lit(1))
+      .join(broadcast(TextAnalysis.frozenBpeMaps(merges)), Seq("k"))
+      .select(col("doc_id"),
+        expr(TextAnalysis.bpeDocIdsPerRowSql).as("ids"),
+        col("event_time"))
 }

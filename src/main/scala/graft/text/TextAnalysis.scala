@@ -968,6 +968,50 @@ object TextAnalysis {
     }
   }
 
+  // ---- streaming frozen-BPE encode bridge -----------------------------------
+
+  /** The frozen BPE apply's broadcastable artifacts as ONE static row:
+    * `ms` — the merge table as a round-ORDERED array of (lhs, rhs)
+    * structs (absent rounds past exhaustion simply do not appear — the
+    * same no-op they are in [[bpeApplyRounds]]) — and `idmap`, the
+    * merged-symbol id map [[bpeWordIds]] builds (first round wins on
+    * string collisions). Pure functions of the persisted merge table,
+    * so ingest-time and nightly-batch encodes read identical maps. */
+  private[graft] def frozenBpeMaps(merges: DataFrame): DataFrame = {
+    val ms = merges
+      .agg(array_sort(collect_list(
+        struct(col("round"), col("lhs"), col("rhs")))).as("msr"))
+      .select(expr("transform(msr, m -> struct(m.lhs AS lhs, m.rhs AS rhs))")
+        .as("ms"))
+      .withColumn("k", lit(1))
+    val idMap = merges.groupBy("merged").agg((min("round") + 256L).as("mid"))
+      .agg(map_from_entries(collect_list(struct(col("merged"), col("mid"))))
+        .as("idmap"))
+      .withColumn("k", lit(1))
+    ms.join(idMap, Seq("k")).localCheckpoint()
+  }
+
+  /** Per-ROW frozen BPE encode of a `toks` array under attached
+    * `ms`/`idmap` columns — the [[graft.text.Unigram.docIdsPerRowSql]]
+    * discipline for the first tokenizer family: per word, the hex byte
+    * symbols fold through the ORDERED merge array with the learner's
+    * exact `replace` rewrite (one bounded `aggregate`, |merges| steps),
+    * then each final symbol maps to `256 + first round` or its byte
+    * value. No distinct-word relation, no aggregation — the stateless
+    * spelling [[graft.streaming.EncodeStream.bpeEncodeStream]] needs.
+    * Bit-identical to [[bpeDocIdsFromToksUnderRounds]] (spec-pinned):
+    * the fold applies the same rewrites in the same order to the same
+    * initial symbol string. */
+  private[graft] def bpeDocIdsPerRowSql: String =
+    s"""flatten(transform(coalesce(toks, array()),
+       |  w0 -> transform(
+       |    split(aggregate(ms,
+       |      regexp_replace(hex(encode(w0, 'UTF-8')), '(..)', '$US$$1$US'),
+       |      (acc, m) -> replace(acc, '$US' || m.lhs || '$US$US' || m.rhs || '$US',
+       |        '$US' || m.lhs || m.rhs || '$US')), '$US$US'),
+       |    s -> coalesce(try_element_at(idmap, translate(s, '$US', '')),
+       |      CAST(conv(translate(s, '$US', ''), 16, 10) AS BIGINT)))))""".stripMargin
+
   /** Encode the corpus to its BPE TOKEN-ID SEQUENCES — the artifact a
     * trainer actually consumes, where [[bpeEncode]] stops at counts
     * (round-7 verdict's top gap): one row per token position,

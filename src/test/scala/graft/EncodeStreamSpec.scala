@@ -84,4 +84,39 @@ class EncodeStreamSpec extends AnyFunSuite {
     assert(rows.size === 2, "stateless: both arrivals pass through")
     assert(rows.distinct.size === 1, "identical input → identical ids")
   }
+
+  test("BPE stream encode under the reloaded merge table is bit-identical to batch") {
+    implicit val ctx = spark.sqlContext
+    val corpus = docs(
+      0L -> "the cat sat on the mat", 1L -> "the dog sat on the log",
+      2L -> "cats and dogs and mats", 3L -> "the the the cat cat log")
+    val merges = TextAnalysis.bpeMerges(corpus).localCheckpoint()
+
+    val shard = Seq(
+      100L -> "the cat sat on log", 101L -> "dogcatmat n\u00ffq",
+      102L -> "", 103L -> null.asInstanceOf[String])
+    val src = MemoryStream[(Long, String, Long)]
+    src.addData(shard.map { case (id, tx) => (id, tx, T) }: _*)
+    val name = s"bpe_encode_stream_${System.nanoTime()}"
+    val q = EncodeStream.bpeEncodeStream(
+        src.toDF().toDF("doc_id", "text", "ts"), merges)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("ids")).toList).toMap
+
+    val t = shard.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val batch = TextAnalysis.bpeDocIdsFromToksUnderRounds(t,
+        TextAnalysis.bpeRoundsFromMergeTable(merges)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("ids")).toList).toMap
+
+    assert(got === batch)
+    assert(got(100L).exists(_ >= 256L),
+      "induction-corpus words must use at least one learned merge")
+    assert(got(101L).nonEmpty, "unseen text encodes deterministically")
+    assert(got(102L) === List.empty && got(103L) === List.empty)
+  }
 }

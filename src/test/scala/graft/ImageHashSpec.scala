@@ -111,4 +111,41 @@ class ImageHashSpec extends AnyFunSuite {
       .toMap
     assert(out(1L) === out(2L))
   }
+
+  test("incremental image pairing == whole-corpus pairs touching the shard") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 120L).map(i =>
+        (i, s"doc body $i " + ("x" * (i % 7).toInt), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = ImageHash.imageDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val inc = ImageHash.incrementalImagePairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        ImageHash.imageAhash(docs.filter(col("doc_id") % 10 =!= 9))
+          .select("media_id", "ahash").localCheckpoint())
+      .collect()
+      .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val expected = all.filter(p => p._1 % 10 == 9 || p._2 % 10 == 9)
+    assert(inc === expected)
+    assert(inc.nonEmpty, "planted cross-shard pairs must exist")
+  }
+
+  test("occupancy pair bound matches the pairing join's candidate count") {
+    val docs = (0L until 90L).map(i =>
+        (i, s"unique text ${i * 31} for doc $i", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val occPairs = ImageHash.imageOccupancy(docs).collect()
+      .map(r => r.getAs[Long]("n_pairs")).sum
+    // brute candidate count: same (band, nibble) bucket, a < b
+    val sk = ImageHash.imageAhash(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash"))
+    val cand = (for {
+      (a, ha) <- sk; (b, hb) <- sk if a < b
+      m <- 0 until 4
+      if ((ha >> (m * 16)) & 0xFFFF) == ((hb >> (m * 16)) & 0xFFFF)
+    } yield (a, b, m)).size
+    assert(occPairs === cand.toLong)
+  }
 }

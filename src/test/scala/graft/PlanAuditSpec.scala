@@ -110,6 +110,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val distinctOnly =
       Set("embed_ann_pairs", "incremental_dedup", "incremental_ann", "simhash_pairs",
         "near_dup_pairs", "near_dup_jaccard", "split_leak_fuzzy",
+        // the aHash pairing family is the simhash_pairs shape: the only
+        // aggregate is the pair-collapsing distinct()
+        "image_dup_pairs", "incremental_image_dup",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
         "corpus_diff",
