@@ -902,6 +902,14 @@ object SparkEntry {
       graft.multimodal.ImageHash.imageAhash(graft.Tables.documents(s, dir))),
     "image_dup_pairs" -> ((s, dir) =>
       graft.multimodal.ImageHash.imageDupPairs(graft.Tables.documents(s, dir))),
+    // Audio content fingerprint + near-dup pairs: amplitude-stride
+    // hash over the WALKED WAV sample stream (the ImageHash discipline
+    // on the time axis) — re-encoded-except-metadata clips pair where
+    // the exact payload fingerprint cannot.
+    "audio_ahash" -> ((s, dir) =>
+      graft.multimodal.AudioHash.audioAhash(graft.Tables.documents(s, dir))),
+    "audio_dup_pairs" -> ((s, dir) =>
+      graft.multimodal.AudioHash.audioDupPairs(graft.Tables.documents(s, dir))),
     // Occupancy report for the aHash band space (the 4th member of the
     // bucket-family cost-report symmetry) and the nightly-ingest twin
     // (shard re-hashes, corpus replays its persisted 8-byte sketch).
@@ -1513,6 +1521,8 @@ object SparkEntry {
     "media_duration" -> graft.multimodal.Media.mediaDurationSql,
     "image_ahash" -> graft.multimodal.ImageHash.imageAhashSql,
     "image_dup_pairs" -> graft.multimodal.ImageHash.imageDupPairsSql(),
+    "audio_ahash" -> graft.multimodal.AudioHash.audioAhashSql,
+    "audio_dup_pairs" -> graft.multimodal.AudioHash.audioDupPairsSql(),
     "image_occupancy" -> graft.multimodal.ImageHash.imageOccupancySql,
     "incremental_image_dup" ->
       graft.multimodal.ImageHash.incrementalImagePairsSql(),

@@ -1,0 +1,236 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audio CONTENT fingerprinting — [[ImageHash]]'s sibling, closing the
+  * multimodal dedup story: a corpus that dedups its text and its
+  * images still leaves re-encoded-except-metadata AUDIO untouched (a
+  * WAV whose `LIST` tag or declared-but-absent tail bytes changed has
+  * a new exact fingerprint and identical samples).
+  *
+  * The hash reads the sample stream a real decoder exposes — the SAME
+  * bounded RIFF chunk walk [[Media.audioFrames]] uses (`fmt ` and
+  * `data` at their WALKED offsets, frame size = channels·bits/8, the
+  * honest truncation clamp) — and sketches its amplitude shape:
+  *
+  *  1. 64 probe points by integer striding over the CLAMPED frame
+  *     count — probe k reads the FIRST byte of frame
+  *     `(k · n_frames) div 64` (the [[ImageHash]] nearest-neighbor
+  *     downsample stance, on the time axis);
+  *  2. bit k is set iff `64 · a_k > Σ a` — strictly above the mean
+  *     amplitude byte, ties → 0, never divides.
+  *
+  * This is the codec-free integer analog of an envelope fingerprint:
+  * a production acoustic fingerprint (spectral landmarks) replaces the
+  * per-probe byte read; the sketch width, banding, pairing join, and
+  * incremental shape around it — the parts that cost anything at
+  * 100 TB — are exactly what ships here and are shared with the
+  * SimHash/aHash families. Eligibility is explicit: a complete walked
+  * `fmt `+`data`, frame size ≥ 1, and ≥ 64 clamped frames; anything
+  * else emits no row.
+  *
+  * Scale shape: per-row hex arithmetic (one bounded walk fold + 64
+  * fixed probes — cost per CLIP, independent of clip length), an
+  * 8-byte/clip sketch, and the proven checkpoint-sketch →
+  * band-explode → equi-self-join pairing (AQE-splittable, never
+  * all-pairs).
+  */
+object AudioHash {
+
+  /** 64 probe points → 64-bit hash; banding via [[Hamming64]]. */
+  val Probes = 64
+
+  /** Byte value at DYNAMIC byte offset `off` of hex column `h` —
+    * [[Media.dynLeSql]] at width 1 (weight 1). */
+  private def byteAtSql(off: String): String = Media.dynLeSql(off, 1)
+
+  /** Probe k's amplitude byte over columns `h`, `data_off`,
+    * `n_frames`, `frame_bytes` (the walked WAV layout). */
+  private def probeSql(k: String, idiv: String): String =
+    byteAtSql(s"data_off + ((($k) * n_frames) $idiv 64) * frame_bytes")
+
+  /** Fixture synthesis: every document as a REAL canonical 44-byte
+    * WAV (mono, 8-bit, rate 8000·(1 + doc_id % 4)) — the
+    * [[ImageHash.imagesHexSql]] two-population discipline on the audio
+    * axis: doc_id % 3 ≠ 2 carries the doc's own text bytes as samples;
+    * doc_id % 3 = 2 is the PLANTED near-dup population — each 30-id
+    * group g shares one base clip (a 16-byte multiplicative-hash
+    * pattern of g repeated to 256 + 32·(doc_id % 5) samples, constant
+    * within the d/d+15 pair) with ONE sample edited at a
+    * doc-dependent position, so ids d and d+15 pair at small Hamming
+    * distance while groups and text clips don't. */
+  private def wavHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    def leHex(v: String, nBytes: Int): String =
+      (0 until nBytes).map { k =>
+        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
+        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+      }.mkString("(", " || ", ")")
+    val g = s"(doc_id $idiv 30)"
+    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
+      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT))"
+    val p = "(3 + 8 * (doc_id % 25))"
+    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
+      s"${leHex("((doc_id * 97) % 256)", 1)} || " +
+      s"substring($base, CAST($p * 2 + 3 AS INT))"
+    val pixHex = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
+    val nb = s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END"
+    val rate = "(8000 * (1 + doc_id % 4))"
+    s"'52494646' || ${leHex(s"36 + $nb", 4)} || '57415645' || " +
+      s"'666D7420' || '10000000' || '0100' || '0100' || ${leHex(rate, 4)} || " +
+      s"${leHex(rate, 4)} || '0100' || '0800' || " +
+      s"'64617461' || ${leHex(nb, 4)} || $pixHex"
+  }
+
+  /** The hash over `(media_id, h, n_bytes)` — eligibility and layout
+    * from the REAL walk, probes and vote as one bounded HOF pair (the
+    * [[ImageHash.ahashOfHex]] codegen rationale). */
+  private def ahashOfHex(sized: DataFrame): DataFrame = {
+    val walked = sized
+      // eligibility-filter BEFORE the checkpoint: on a mixed media lake
+      // most payloads are not RIFF/WAVE, and the gate is the fold's own
+      // entry condition (gated-off rows carry NULL wk and would drop at
+      // the next filter anyway) — so the 2x-payload hex materialization
+      // is bounded to candidate WAVs (the ImageHash.ahashOfHex shape)
+      .filter(Media.riffMagic)
+      .withColumn("wk", Media.gatedWalk(Media.riffMagic, Media.walkAggSql))
+      .localCheckpoint()
+    val wav = walked
+      .filter(col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull)
+      .select(col("media_id"), col("h"),
+        col("wk.data_off").as("data_off"),
+        col("wk.channels").as("channels"),
+        col("wk.sample_rate").as("sample_rate"),
+        col("wk.bits").as("bits"),
+        col("wk.data_len").as("declared_len"),
+        (col("n_bytes") - col("wk.data_off")).as("avail_len"))
+      .withColumn("frame_bytes", expr("(channels * bits) div 8L"))
+      .filter(col("frame_bytes") >= 1L)
+      .withColumn("n_frames",
+        expr("least(declared_len, avail_len) div frame_bytes"))
+      .filter(col("n_frames") >= Probes.toLong)
+    wav
+      .withColumn("as_",
+        expr(s"transform(sequence(0, ${Probes - 1})," +
+          s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
+      .withColumn("atot",
+        expr("aggregate(as_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("media_id"), col("sample_rate"), col("frame_bytes"),
+        col("n_frames"),
+        expr(s"aggregate(sequence(0, ${Probes - 1})," +
+          " CAST(0 AS BIGINT)," +
+          " (a, k) -> a + CASE WHEN 64 * element_at(as_, k + 1) > atot" +
+          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash"))
+  }
+
+  /** Payload-level seam for the spec's hand-built WAVs. */
+  private[graft] def ahashOfPayloads(payloads: DataFrame): DataFrame =
+    ahashOfHex(payloads.select(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")))
+
+  /** `(media_id, sample_rate, frame_bytes, n_frames, ahash)` per
+    * eligible clip of the synthesized corpus. */
+  def audioAhash(docs: DataFrame): DataFrame = {
+    val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
+      wavHexSql("hex(encode(text, 'utf-8'))", "octet_length(text)", "div") +
+      "), 1)")
+    ahashOfHex(graft.Tables.widen(docs)
+      .select(col("doc_id").as("media_id"), h.as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("n_bytes", (length(col("h")) / 2).cast("long"))
+      .localCheckpoint())
+  }
+
+  /** Near-duplicate AUDIO pairs — the shared [[Hamming64]] body on the
+    * clip sketch. */
+  def audioDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsOfSketch(audioAhash(docs).select("media_id", "ahash"),
+      "clip_a", "clip_b", maxHamming)
+
+  /** Payload-level pairing twin for planted-fixture specs. */
+  private[graft] def dupPairsOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsOfSketch(
+      ahashOfPayloads(payloads).select("media_id", "ahash"),
+      "clip_a", "clip_b", maxHamming)
+
+  // ---- DuckDB oracle twins ---------------------------------------------------
+
+  /** synthesis → walk → eligibility → 64 probes → hash, as CTEs ending
+    * in `hashed`. Probes unrolled per column (the [[ImageHash]] DuckDB
+    * spelling); the walk is [[Media.walkCteSql]] verbatim. */
+  private def ahashCtesSql: String = {
+    val probes = (0 until Probes).map(k =>
+      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS a$k")
+      .mkString(",\n    ")
+    val tot = (0 until Probes).map(k => s"a$k").mkString(" + ")
+    val bits = (0 until Probes).map { k =>
+      s"CAST(CASE WHEN 64 * a$k > atot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |    ${wavHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
+       |  WHERE h IS NOT NULL
+       |), ${Media.walkCteSql("sized")},
+       |wav AS (
+       |  SELECT media_id, h, data_off,
+       |    CAST(${Media.dynLeSql("fmt_off + 4", 4)} AS BIGINT) AS sample_rate,
+       |    (CAST(${Media.dynLeSql("fmt_off + 2", 2)} AS BIGINT)
+       |      * CAST(${Media.dynLeSql("fmt_off + 14", 2)} AS BIGINT)) // 8
+       |      AS frame_bytes,
+       |    CAST(data_len AS BIGINT) AS declared_len,
+       |    CAST(n_bytes - data_off AS BIGINT) AS avail_len
+       |  FROM walked
+       |  WHERE fmt_off IS NOT NULL AND data_off IS NOT NULL
+       |), elig AS (
+       |  SELECT media_id, h, data_off, sample_rate, frame_bytes,
+       |    least(declared_len, avail_len) // frame_bytes AS n_frames
+       |  FROM wav
+       |  WHERE frame_bytes >= 1
+       |    AND least(declared_len, avail_len) // frame_bytes >= $Probes
+       |), amp AS MATERIALIZED (
+       |  SELECT media_id, sample_rate, frame_bytes, n_frames,
+       |    $probes
+       |  FROM elig
+       |), atot AS MATERIALIZED (
+       |  SELECT *, ($tot) AS atot FROM amp
+       |), hashed AS (
+       |  SELECT media_id, sample_rate, frame_bytes, n_frames,
+       |    $bits AS ahash
+       |  FROM atot
+       |)""".stripMargin
+  }
+
+  def audioAhashSql: String =
+    s"""WITH ${ahashCtesSql}
+       |SELECT media_id, sample_rate, frame_bytes, n_frames, ahash FROM hashed
+       |ORDER BY media_id, sample_rate, frame_bytes, n_frames, ahash""".stripMargin
+
+  def audioDupPairsSql(maxHamming: Int = 3): String = {
+    val nibbleSelects = Hamming64.nibbleSelectsSql
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  $nibbleSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS clip_a, b.media_id AS clip_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |)
+       |SELECT clip_a, clip_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY clip_a, clip_b, hamming""".stripMargin
+  }
+}

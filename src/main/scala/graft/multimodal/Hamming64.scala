@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE banded-Hamming pairing body both media sketch families ride
+  * ([[ImageHash]], [[AudioHash]]) — 64-bit sketch, 4 × 16-bit bands
+  * (complete for Hamming ≤ 3 by pigeonhole), candidates from a
+  * (band, nibble) equi-join, exact `bit_count(xor)` rescore. Extracted
+  * so a banding change (band count, tie normalization, rescore) can
+  * never desynchronize the image and audio dedup families — the
+  * text-side [[graft.text.Dedup.simhashPairs]] keeps its own spelling
+  * (different column vocabulary, pre-dating convergence), pinned equal
+  * in shape by the plan audit.
+  *
+  * Scale shape (shared by every caller): the sketch relation
+  * checkpoints ONCE (8 bytes/row), bands explode map-side (4 rows/row),
+  * the self-equi-join expands in codegen with AQE skew-splitting —
+  * never all-pairs. */
+private[multimodal] object Hamming64 {
+
+  val Bands = 4
+  private val BandBits = 64 / Bands
+  private val BandMask = (1L << BandBits) - 1
+
+  /** `(media_id, ahash, band, nibble)` — the 4 band rows of a
+    * `(media_id, ahash)` sketch (arithmetic shift + mask keeps the top
+    * band non-negative when bit 63 is set). */
+  def bands(sk: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map(m =>
+      struct(lit(m.toLong).as("band"),
+        shiftright(col("ahash"), m * BandBits).bitwiseAND(lit(BandMask))
+          .as("nibble"))): _*)
+    sk.select(col("media_id"), col("ahash"), explode(bandStructs).as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.band").as("band"), col("b.nibble").as("nibble"))
+  }
+
+  /** Within-corpus pairs of a `(media_id, ahash)` sketch relation. */
+  def pairsOfSketch(sk: DataFrame, aCol: String, bCol: String,
+      maxHamming: Int): DataFrame = {
+    val b = bands(sk.localCheckpoint())
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as(aCol), col("y.media_id").as(bCol),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Shard-vs-corpus pairs: only the (already hashed) shard sketch is
+    * fresh; the corpus side replays its persisted 8-byte sketch.
+    * Disjoint-id precondition, pair direction normalized by
+    * least/greatest (the incremental sketch-family shape). */
+  def pairsIncremental(newSk: DataFrame, corpusSk: DataFrame,
+      aCol: String, bCol: String, maxHamming: Int): DataFrame = {
+    val newB = bands(newSk.localCheckpoint())
+    val allB = bands(corpusSk.select("media_id", "ahash")).union(newB)
+    newB.as("x").join(allB.as("y"),
+        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
+        col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as(aCol),
+        greatest(col("x.media_id"), col("y.media_id")).as(bCol),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The 4-way band explosion of a `hashed(media_id, ahash)` CTE — the
+    * DuckDB side every pairing/occupancy oracle shares. */
+  def nibbleSelectsSql: String =
+    (0 until Bands).map(m =>
+      s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
+        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+}

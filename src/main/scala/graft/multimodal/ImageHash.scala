@@ -47,10 +47,8 @@ object ImageHash {
 
   /** 8×8 grid → 64-bit hash. */
   val Grid = 8
-  /** 4 bands × 16 bits: complete for Hamming ≤ 3 (pigeonhole). */
-  val Bands = 4
-  private val BandBits = 64 / Bands
-  private val BandMask = (1L << BandBits) - 1
+  /** 4 bands × 16 bits (complete for Hamming ≤ 3) — via [[Hamming64]]. */
+  val Bands: Int = Hamming64.Bands
 
   // ---- shared SQL fragments (one spelling, both engines) -------------------
 
@@ -229,37 +227,12 @@ object ImageHash {
       .localCheckpoint())
   }
 
-  /** The (band, nibble) explosion of an `(media_id, ahash)` sketch —
-    * the [[graft.text.Dedup.simhashPairs]] banding verbatim (arithmetic
-    * shift + mask keeps the top band non-negative when bit 63 is set).
-    */
-  private def ahashBands(sk: DataFrame): DataFrame = {
-    val bandStructs = array((0 until Bands).map(m =>
-      struct(lit(m.toLong).as("band"),
-        shiftright(col("ahash"), m * BandBits).bitwiseAND(lit(BandMask))
-          .as("nibble"))): _*)
-    sk.select(col("media_id"), col("ahash"), explode(bandStructs).as("b"))
-      .select(col("media_id"), col("ahash"),
-        col("b.band").as("band"), col("b.nibble").as("nibble"))
-  }
-
-  /** Near-duplicate IMAGE pairs: candidates share ≥ 1 of the 4 16-bit
-    * aHash bands (complete for the default radius), rescored by exact
-    * `bit_count(xor)`. Same checkpoint-then-self-equi-join shape as
-    * [[graft.text.Dedup.simhashPairs]] — the sketch computes once, the
-    * join expands in codegen, AQE splits hot buckets. */
-  def imageDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = ahashBands(
-      imageAhash(docs).select("media_id", "ahash").localCheckpoint())
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
-        col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("img_a"), col("y.media_id").as("img_b"),
-        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  /** Near-duplicate IMAGE pairs — the shared [[Hamming64]] body on the
+    * image sketch (candidates share ≥ 1 of the 4 16-bit bands, exact
+    * `bit_count(xor)` rescore, checkpoint-then-self-equi-join). */
+  def imageDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsOfSketch(imageAhash(docs).select("media_id", "ahash"),
+      "img_a", "img_b", maxHamming)
 
   /** Bucket-occupancy report for the aHash Hamming-band space — the
     * fourth member of the occupancy family (MinHash / SimHash / ANN
@@ -270,7 +243,8 @@ object ImageHash {
     * shuffle, ≤ |bands|·|size bands| output rows. */
   def imageOccupancy(docs: DataFrame): DataFrame =
     graft.text.Dedup.occupancyRollup(
-      ahashBands(imageAhash(docs).select("media_id", "ahash").localCheckpoint())
+      Hamming64.bands(
+          imageAhash(docs).select("media_id", "ahash").localCheckpoint())
         .groupBy("band", "nibble").agg(count(lit(1)).as("sz")),
       "band")
 
@@ -297,21 +271,10 @@ object ImageHash {
     * sketch (map work). Disjoint-id precondition and the
     * AQE-splittable equi-join shape match the SimHash twin. */
   def incrementalImagePairs(newDocs: DataFrame, corpusSketch: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val newB = ahashBands(
-      imageAhash(newDocs).select("media_id", "ahash").localCheckpoint())
-    val allB = ahashBands(corpusSketch.select("media_id", "ahash"))
-      .union(newB)
-    newB.as("x").join(allB.as("y"),
-        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
-        col("x.media_id") =!= col("y.media_id"))
-      .select(least(col("x.media_id"), col("y.media_id")).as("img_a"),
-        greatest(col("x.media_id"), col("y.media_id")).as("img_b"),
-        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsIncremental(
+      imageAhash(newDocs).select("media_id", "ahash"), corpusSketch,
+      "img_a", "img_b", maxHamming)
 
   /** Oracle twin for the driver's fixture split (shard = doc_id % 10 =
     * 9): the hash is a pure per-image function, so one chain over the
@@ -338,29 +301,16 @@ object ImageHash {
        |WHERE hamming <= $maxHamming
        |ORDER BY img_a, img_b, hamming""".stripMargin
 
-  /** The 4-way Hamming-band (nibble) selects over `hashed` — shared by
-    * the pairing, incremental, and occupancy oracles. */
-  private def nibbleSelectsSql: String =
-    (0 until Bands).map(m =>
-      s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
-        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
-      .mkString("\n  UNION ALL\n  ")
+  /** The 4-way Hamming-band (nibble) selects over `hashed`. */
+  private def nibbleSelectsSql: String = Hamming64.nibbleSelectsSql
 
   /** Pair the SPEC's hand-built payloads — the payload-level twin of
     * [[imageDupPairs]] for planted one-pixel-edit fixtures. */
   private[graft] def dupPairsOfPayloads(payloads: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val bands = ahashBands(
-      ahashOfPayloads(payloads).select("media_id", "ahash").localCheckpoint())
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
-        col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("img_a"), col("y.media_id").as("img_b"),
-        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsOfSketch(
+      ahashOfPayloads(payloads).select("media_id", "ahash"),
+      "img_a", "img_b", maxHamming)
 
   // ---- DuckDB oracle twins ---------------------------------------------------
 

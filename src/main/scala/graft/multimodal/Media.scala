@@ -334,7 +334,7 @@ object Media {
     * overflows under ANSI the moment a size field carries a high byte
     * (byte value 255 at position 3 is 255·2²⁴ > 2³¹ — any chunk past
     * 16 MB), which the random-layout walk property caught. */
-  private def dynLeSql(off: String, nBytes: Int): String =
+  private[multimodal] def dynLeSql(off: String, nBytes: Int): String =
     (0 until nBytes).map { k =>
       val hiP = s"CAST((($off) + $k) * 2 + 1 AS INT)"
       val loP = s"CAST((($off) + $k) * 2 + 2 AS INT)"
@@ -403,7 +403,7 @@ object Media {
     * pushdown duplicates O(1) expression text. Semantics are the CTE
     * chain's exactly: first match per chunk id, walk continues past
     * found chunks, dies when the next header would cross the end. */
-  private val walkAggSql: String = {
+  private[multimodal] val walkAggSql: String = {
     val id = "substring(h, CAST(acc.off * 2 + 1 AS INT), 8)"
     val sz = dynLeSql("acc.off + 4", 4)
     s"""aggregate(
@@ -835,11 +835,11 @@ object Media {
   // both walks still run there and the typed decoder's fallthrough
   // order is preserved).
 
-  private def gatedWalk(pred: org.apache.spark.sql.Column,
+  private[multimodal] def gatedWalk(pred: org.apache.spark.sql.Column,
       aggSql: String): org.apache.spark.sql.Column =
     when(pred, expr(aggSql))
 
-  private def riffMagic: org.apache.spark.sql.Column =
+  private[multimodal] def riffMagic: org.apache.spark.sql.Column =
     col("n_bytes") >= 44L && substring(col("h"), 1, 8) === "52494646" &&
       substring(col("h"), 17, 8) === "57415645"
   private def pngMagic: org.apache.spark.sql.Column =
@@ -894,7 +894,7 @@ object Media {
     * kcore-oracle lesson; audioFrames consumes walked columns once per
     * exploded frame, which turned the inlined spelling into a hang).
     * Materialized, each stage evaluates once per row. */
-  private def walkCteSql(src: String): String = {
+  private[multimodal] def walkCteSql(src: String): String = {
     val sb = new StringBuilder
     sb.append(s"w0 AS MATERIALIZED (SELECT *, $walkOff0Sql AS off0 FROM $src)")
     var prev = "w0"
@@ -1459,6 +1459,9 @@ object Media {
     val walked = media
       .withColumn("wk", gatedWalk(riffMagic, walkAggSql))
       .withColumn("mk", gatedWalk(mp4Magic, mp4AggSql))
+      // nothing after the barrier reads the hex — keep the 2x-payload
+      // column out of the materialized rows (the mediaFeatures shape)
+      .drop("h")
       .localCheckpoint()
     val mp4d = walked
       .filter(col("mk.mvhd_off").isNotNull && col("mk.mdur").isNotNull)

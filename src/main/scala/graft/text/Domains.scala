@@ -674,21 +674,27 @@ object Domains {
     * [[TextAnalysis.lengthQuartiles]] discipline on the quality axis
     * instead:
     *
-    *  1. histogram: per-(domain, quality_score) cell counts — a
-    *     partial-agg shuffle bounded by DISTINCT scores per domain,
-    *     not docs;
+    *  1. histogram: per-(domain, Q20 quality CELL) counts — the score
+    *     axis is QUANTIZED to `floor(quality_score · 2²⁰)` (exact: a
+    *     power-of-two scale of a cross-engine-bit-identical double),
+    *     so the cell count per domain is bounded by 2²⁰ + 1 whatever
+    *     the doc count — raw double scores are nearly unique per doc,
+    *     which would collapse the "cell-bounded" claim right back to a
+    *     publisher-doc-sized sort (the lengthQuartiles discipline works
+    *     unquantized only because lengths are small integers);
     *  2. threshold by prefix-sum rank arithmetic over the CELLS (the
-    *     window now sorts cell counts, not documents): the quota-th
-    *     best score = max v with cum(≥v) ≥ quota, one ≤|domains|-row
+    *     window sorts cell counts, not documents): the quota-th best
+    *     cell = max qb with cum(≥qb) ≥ quota, one ≤|domains|-row
     *     relation;
-    *  3. map-side keep: score ≥ threshold after a broadcast join — the
-    *     fact pass is a filter, nothing corpus-sized is sorted.
+    *  3. map-side keep: cell ≥ threshold cell after a broadcast join —
+    *     pure integer compare, nothing corpus-sized is sorted.
     *
-    * TIE RULE, stated: every doc AT the threshold score is kept, so a
-    * tie straddling the boundary admits up to (ties−1) docs beyond the
-    * quota — rank arithmetic on a histogram cannot see doc_ids inside
-    * one cell, and dropping the whole cell instead would under-fill
-    * the quota. Wherever no tie straddles the threshold this is
+    * TIE RULE, stated: every doc in the threshold CELL (a 2⁻²⁰-wide
+    * quality band) is kept, so a cell straddling the boundary admits
+    * up to (cell population − 1) docs beyond the quota — rank
+    * arithmetic on a histogram cannot see doc_ids inside one cell, and
+    * dropping the whole cell instead would under-fill the quota.
+    * Wherever no same-cell population straddles the threshold this is
     * row-identical to [[domainQuota]] minus the `rnk` column
     * (spec-pinned); NULL-score docs (empty token lists) never pass —
     * the windowed face can admit them only into under-quota
@@ -704,19 +710,20 @@ object Domains {
       // consumed twice (histogram + final filter): slim (domain, id,
       // score) rows, the curatedBase checkpoint discipline
       .localCheckpoint()
+    val qcell = expr("CAST(floor(quality_score * 1048576e0) AS BIGINT)")
     val cells = withDom.filter(col("quality_score").isNotNull)
-      .groupBy(col("domain"), col("quality_score").as("v"))
+      .groupBy(col("domain"), qcell.as("qb"))
       .agg(count(lit(1)).as("n"))
     val wCum = org.apache.spark.sql.expressions.Window.partitionBy("domain")
-      .orderBy(col("v").desc)
+      .orderBy(col("qb").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val thr = cells.withColumn("cum", sum("n").over(wCum))
       .filter(col("cum") >= quota.toLong)
-      .groupBy("domain").agg(max(col("v")).as("thr"))
+      .groupBy("domain").agg(max(col("qb")).as("thr"))
     withDom.join(broadcast(thr), Seq("domain"), "left")
       .filter(col("quality_score").isNotNull &&
-        (col("thr").isNull || col("quality_score") >= col("thr")))
+        (col("thr").isNull || qcell >= col("thr")))
       .select(col("domain"), col("doc_id"), col("quality_score"))
   }
 
@@ -740,22 +747,24 @@ object Domains {
        |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
        |  FROM s
        |), cells AS (
-       |  SELECT domain, quality_score AS v, CAST(count(*) AS BIGINT) AS n
+       |  SELECT domain, CAST(floor(quality_score * 1048576e0) AS BIGINT) AS qb,
+       |    CAST(count(*) AS BIGINT) AS n
        |  FROM q WHERE quality_score IS NOT NULL
-       |  GROUP BY domain, quality_score
+       |  GROUP BY domain, CAST(floor(quality_score * 1048576e0) AS BIGINT)
        |), c AS (
-       |  SELECT domain, v,
-       |    CAST(sum(n) OVER (PARTITION BY domain ORDER BY v DESC
+       |  SELECT domain, qb,
+       |    CAST(sum(n) OVER (PARTITION BY domain ORDER BY qb DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |  FROM cells
        |), thr AS (
-       |  SELECT domain, max(v) AS thr FROM c WHERE cum >= $quota
+       |  SELECT domain, max(qb) AS thr FROM c WHERE cum >= $quota
        |  GROUP BY domain
        |)
        |SELECT q.domain AS domain, doc_id, quality_score
        |FROM q LEFT JOIN thr ON q.domain = thr.domain
        |WHERE quality_score IS NOT NULL
-       |  AND (thr IS NULL OR quality_score >= thr)
+       |  AND (thr IS NULL
+       |    OR CAST(floor(quality_score * 1048576e0) AS BIGINT) >= thr)
        |ORDER BY domain, doc_id, quality_score""".stripMargin
 
   /** Oracle twin of [[domainQuota]]. */

@@ -437,6 +437,10 @@ object Unigram {
   private[graft] def frozenEncodeMaps(vocab: DataFrame): DataFrame =
     costMapRow(smoothedCosts(vocab.select(col("piece"), col("cnt"))))
       .join(idMapRow(vocab.select(col("piece"))), Seq("k"))
+      // materialized ONCE: the stream-static side would otherwise re-run
+      // the vocab-sized aggregations every micro-batch (the
+      // frozenBpeMaps discipline)
+      .localCheckpoint()
 
   /** Per-ROW frozen encode of a `toks` array under attached `cm`/`im`
     * map columns: each word's hex binds the dp's `h` as a LAMBDA

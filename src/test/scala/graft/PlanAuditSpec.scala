@@ -112,7 +112,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "near_dup_pairs", "near_dup_jaccard", "split_leak_fuzzy",
         // the aHash pairing family is the simhash_pairs shape: the only
         // aggregate is the pair-collapsing distinct()
-        "image_dup_pairs", "incremental_image_dup",
+        "image_dup_pairs", "incremental_image_dup", "audio_dup_pairs",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
         "corpus_diff",
