@@ -910,9 +910,27 @@ object SparkEntry {
       graft.multimodal.AudioHash.audioAhash(graft.Tables.documents(s, dir))),
     "audio_dup_pairs" -> ((s, dir) =>
       graft.multimodal.AudioHash.audioDupPairs(graft.Tables.documents(s, dir))),
+    "audio_occupancy" -> ((s, dir) =>
+      graft.multimodal.AudioHash.audioOccupancy(graft.Tables.documents(s, dir))),
+    "audio_dup_clusters" -> ((s, dir) =>
+      graft.multimodal.AudioHash.audioDupClusters(graft.Tables.documents(s, dir))),
+    "incremental_audio_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.AudioHash.incrementalAudioPairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        graft.multimodal.AudioHash.audioAhash(
+            docs.filter(col("doc_id") % 10 =!= 9))
+          .select("media_id", "ahash").localCheckpoint())
+    }),
     // Occupancy report for the aHash band space (the 4th member of the
     // bucket-family cost-report symmetry) and the nightly-ingest twin
     // (shard re-hashes, corpus replays its persisted 8-byte sketch).
+    // Detect -> pair -> CLUSTER: connected components of the image
+    // Hamming-pair graph (star contraction), every hashed image in the
+    // domain, cluster id = min member, is_canonical = the kept copy.
+    "image_dup_clusters" -> ((s, dir) =>
+      graft.multimodal.ImageHash.imageDupClusters(graft.Tables.documents(s, dir))),
     "image_occupancy" -> ((s, dir) =>
       graft.multimodal.ImageHash.imageOccupancy(graft.Tables.documents(s, dir))),
     "incremental_image_dup" -> ((s, dir) => {
@@ -1523,6 +1541,12 @@ object SparkEntry {
     "image_dup_pairs" -> graft.multimodal.ImageHash.imageDupPairsSql(),
     "audio_ahash" -> graft.multimodal.AudioHash.audioAhashSql,
     "audio_dup_pairs" -> graft.multimodal.AudioHash.audioDupPairsSql(),
+    "audio_occupancy" -> graft.multimodal.AudioHash.audioOccupancySql,
+    "audio_dup_clusters" -> graft.multimodal.AudioHash.audioDupClustersSql(),
+    "incremental_audio_dup" ->
+      graft.multimodal.AudioHash.incrementalAudioPairsSql(),
+    "image_dup_clusters" ->
+      graft.multimodal.ImageHash.imageDupClustersSql(),
     "image_occupancy" -> graft.multimodal.ImageHash.imageOccupancySql,
     "incremental_image_dup" ->
       graft.multimodal.ImageHash.incrementalImagePairsSql(),

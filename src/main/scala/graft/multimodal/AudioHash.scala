@@ -161,6 +161,104 @@ object AudioHash {
       ahashOfPayloads(payloads).select("media_id", "ahash"),
       "clip_a", "clip_b", maxHamming)
 
+  /** Occupancy report for the audio band space — the cost-prediction
+    * symmetry every sketch family here ships (shared
+    * [[graft.text.Dedup.occupancyRollup]] body). */
+  def audioOccupancy(docs: DataFrame): DataFrame =
+    graft.text.Dedup.occupancyRollup(
+      Hamming64.bands(
+          audioAhash(docs).select("media_id", "ahash").localCheckpoint())
+        .groupBy("band", "nibble").agg(count(lit(1)).as("sz")),
+      "band")
+
+  def audioOccupancySql: String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  ${Hamming64.nibbleSelectsSql}
+       |),
+       |occ AS (
+       |  SELECT band, nibble, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, nibble
+       |)
+       |${graft.text.Dedup.occupancySelectSql("band")}""".stripMargin
+
+  /** Nightly-ingest twin — shard clips hashed fresh, corpus replays
+    * its persisted 8-byte sketch ([[Hamming64.pairsIncremental]]). */
+  def incrementalAudioPairs(newDocs: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    Hamming64.pairsIncremental(
+      audioAhash(newDocs).select("media_id", "ahash"), corpusSketch,
+      "clip_a", "clip_b", maxHamming)
+
+  /** Oracle twin for the driver's fixture split (shard = media_id %
+    * 10 = 9): the hash is a pure per-clip function, one chain feeds
+    * both sides. */
+  def incrementalAudioPairsSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  ${Hamming64.nibbleSelectsSql}
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.media_id, b.media_id) AS clip_a,
+       |    greatest(a.media_id, b.media_id) AS clip_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM newb a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id <> b.media_id
+       |)
+       |SELECT clip_a, clip_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY clip_a, clip_b, hamming""".stripMargin
+
+  /** Duplicate-clip CLUSTERS — the [[ImageHash.imageDupClusters]]
+    * detect → pair → cluster loop on the audio sketch (star
+    * contraction, singletons self-canonical, cluster id = min). */
+  def audioDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sk = audioAhash(docs).select("media_id", "ahash").localCheckpoint()
+    graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
+      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
+        col("is_survivor").as("is_canonical"))
+  }
+
+  /** Oracle twin of [[audioDupClusters]] — recursive-CTE closure. */
+  def audioDupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  ${Hamming64.nibbleSelectsSql}
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |)
+       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
+       |FROM comp
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   // ---- DuckDB oracle twins ---------------------------------------------------
 
   /** synthesis → walk → eligibility → 64 probes → hash, as CTEs ending

@@ -234,6 +234,60 @@ object ImageHash {
     Hamming64.pairsOfSketch(imageAhash(docs).select("media_id", "ahash"),
       "img_a", "img_b", maxHamming)
 
+  /** Duplicate-image CLUSTERS over the pairing graph — detect → pair →
+    * CLUSTER, the same loop the text side closes with `dedup_clusters`:
+    * connected components of the Hamming-pair graph via the Kiveris
+    * star-contraction machinery ([[graft.text.Dedup
+    * .dedupClustersFromPairsStar]] — O(log² n) rounds on any
+    * topology), domain = EVERY hashed image (a pair-less image is its
+    * own canonical singleton), `cluster_id` = the component's minimum
+    * media_id, `is_canonical` marking the kept copy. This is what a
+    * dedup pipeline actually consumes: N near-identical images
+    * collapse to one keeper even when the pairwise radius only chains
+    * them (A~B~C with A,C apart). */
+  def imageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sk = imageAhash(docs).select("media_id", "ahash").localCheckpoint()
+    graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
+      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
+        col("is_survivor").as("is_canonical"))
+  }
+
+  /** Oracle twin of [[imageDupClusters]] — transitive closure of the
+    * pair relation by recursive CTE, singletons self-labeled. */
+  def imageDupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  ${nibbleSelectsSql}
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |)
+       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
+       |FROM comp
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   /** Bucket-occupancy report for the aHash Hamming-band space — the
     * fourth member of the occupancy family (MinHash / SimHash / ANN
     * all ship one, [[graft.text.Dedup.occupancyRollup]]): every bucket

@@ -148,4 +148,36 @@ class ImageHashSpec extends AnyFunSuite {
     } yield (a, b, m)).size
     assert(occPairs === cand.toLong)
   }
+
+  test("clusters collapse a chained pair A~B~C even when A and C are apart") {
+    import org.apache.spark.sql.functions.col
+    // build via payload seam: B = A with 2 edits, C = B with 2 more —
+    // A~B and B~C pair (hamming <= 3 expected), A~C may exceed the
+    // radius; the CLUSTER must still unite all three
+    val w = 16; val h = 16; val rb = rowBytes(w)
+    val a = fill(rb * h, seed = 8L)
+    val b = a.clone(); b(rb * 2 + 5) = 120; b(rb * 9 + 14) = -33
+    val c = b.clone(); c(rb * 4 + 20) = 7; c(rb * 13 + 2) = 88
+    val lone = fill(rb * h, seed = 808L)
+    val sk = ImageHash.ahashOfPayloads(payloads(
+        1L -> bmp(w, h, a), 2L -> bmp(w, h, b), 3L -> bmp(w, h, c),
+        4L -> bmp(w, h, lone)))
+      .select("media_id", "ahash").localCheckpoint()
+    val pairs = ImageHash.dupPairsOfPayloads(payloads(
+        1L -> bmp(w, h, a), 2L -> bmp(w, h, b), 3L -> bmp(w, h, c),
+        4L -> bmp(w, h, lone)))
+      .select(col("img_a").as("doc_a"), col("img_b").as("doc_b"))
+    val clusters = graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")), pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    // the chain must be present for the test to mean anything
+    val got = pairs.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)))
+    assert(clusters(1L) === ((1L, true)))
+    assert(clusters(2L) === ((1L, false)) && clusters(3L) === ((1L, false)),
+      "the chain collapses to one cluster rooted at the min id")
+    assert(clusters(4L) === ((4L, true)), "singleton stays its own canonical")
+  }
 }
