@@ -456,6 +456,8 @@ object SparkEntry {
     // prefix-sum rank threshold → map-side filter; no per-doc rank
     // window (the mega-publisher escape hatch, implemented). Ties at
     // the threshold are all kept — the stated histogram tie rule.
+    "source_quota_threshold" -> ((s, dir) =>
+      graft.text.Curation.sourceQuotaThreshold(graft.Tables.documents(s, dir))),
     "domain_quota_threshold" -> ((s, dir) =>
       graft.text.Domains.domainQuotaThreshold(graft.Tables.documents(s, dir))),
     "domain_quota_ext" -> ((s, dir) =>
@@ -1449,6 +1451,8 @@ object SparkEntry {
     "domain_quality_ext" -> graft.text.Domains.domainQualityExtSql,
     "domain_quota_ext" -> graft.text.Domains.domainQuotaExtSql(),
     "domain_quota_threshold" -> graft.text.Domains.domainQuotaThresholdSql(),
+    "source_quota_threshold" ->
+      graft.text.Curation.sourceQuotaThresholdSql(),
     "domain_dedup_ext" -> graft.text.Domains.domainDedupExtSql,
     "domain_autoblock" -> graft.text.Domains.domainAutoblockSql(),
     "corpus_mix_plan" -> graft.text.Mixture.mixPlanSql(),

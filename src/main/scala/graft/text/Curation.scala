@@ -2012,10 +2012,10 @@ object Curation {
     * entering the window is one slim row per doc), spilling on a
     * mega-source rather than failing; at a fixed small quota the
     * two-pass refinement (per-source rank-k score threshold via the
-    * [[lengthQuartiles]]-style value-histogram, then a map-only filter)
-    * drops even that sort — documented as the 1000×-source escape
-    * hatch, not built until a caller needs it. Output is ≤ quota rows
-    * per source. */
+    * [[TextAnalysis.lengthQuartiles]]-style value-histogram, then a
+    * map-only filter) drops even that sort — BUILT as
+    * [[sourceQuotaThreshold]] (the shared [[quotaThresholdOf]] body
+    * the domain axis uses). Output is ≤ quota rows per source. */
   def sourceQuota(docs: DataFrame, quota: Int = SourceQuotaN): DataFrame = {
     val scored = TextAnalysis.textStats(docs)
       .select(col("doc_id"), col("quality_score"))
@@ -2030,6 +2030,93 @@ object Curation {
       .filter(col("rnk") <= quota)
       .select(col("source"), col("rnk"), col("doc_id"), col("quality_score"))
   }
+
+  /** The histogram-threshold quota body shared by BOTH key axes
+    * ([[sourceQuotaThreshold]], [[Domains.domainQuotaThreshold]]) —
+    * one definition, so the two escape hatches cannot diverge. Input:
+    * a slim `(keyCol, doc_id, quality_score)` relation (checkpointed
+    * by the caller — consumed twice). See the domain face's Scaladoc
+    * for the full rationale and the per-CELL tie rule. */
+  private[text] def quotaThresholdOf(scoredKeyed: DataFrame,
+      keyCol: String, quota: Int): DataFrame = {
+    val qcell = expr("CAST(floor(quality_score * 1048576e0) AS BIGINT)")
+    val cells = scoredKeyed.filter(col("quality_score").isNotNull)
+      .groupBy(col(keyCol), qcell.as("qb"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = cells.withColumn("cum", sum("n").over(wCum))
+      .filter(col("cum") >= quota.toLong)
+      .groupBy(keyCol).agg(max(col("qb")).as("thr"))
+    scoredKeyed.join(broadcast(thr), Seq(keyCol), "left")
+      .filter(col("quality_score").isNotNull &&
+        (col("thr").isNull || qcell >= col("thr")))
+      .select(col(keyCol), col("doc_id"), col("quality_score"))
+  }
+
+  /** The shared DuckDB spelling of [[quotaThresholdOf]] over the
+    * standard stats chain: `keyExpr` names the per-doc key (a column
+    * or an extraction expression over a documents row). */
+  private[text] def quotaThresholdSqlOver(keyName: String, keyExpr: String,
+      quota: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $keyExpr AS $keyName,
+       |    regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, $keyName,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(list_filter(toks, x -> list_contains(${TextAnalysis.sqlList(TextAnalysis.stopwordsEn)}, x))) AS BIGINT) AS stop_hits
+       |  FROM t
+       |), q AS (
+       |  SELECT doc_id, $keyName,
+       |    0.5e0 * least(1e0, n_tokens / 200e0)
+       |      + 0.25e0 * (n_distinct_tokens / n_tokens)
+       |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
+       |  FROM s
+       |), cells AS (
+       |  SELECT $keyName, CAST(floor(quality_score * 1048576e0) AS BIGINT) AS qb,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM q WHERE quality_score IS NOT NULL
+       |  GROUP BY $keyName, CAST(floor(quality_score * 1048576e0) AS BIGINT)
+       |), c AS (
+       |  SELECT $keyName, qb,
+       |    CAST(sum(n) OVER (PARTITION BY $keyName ORDER BY qb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM cells
+       |), thr AS (
+       |  SELECT $keyName, max(qb) AS thr FROM c WHERE cum >= $quota
+       |  GROUP BY $keyName
+       |)
+       |SELECT q.$keyName AS $keyName, doc_id, quality_score
+       |FROM q LEFT JOIN thr ON q.$keyName = thr.$keyName
+       |WHERE quality_score IS NOT NULL
+       |  AND (thr IS NULL
+       |    OR CAST(floor(quality_score * 1048576e0) AS BIGINT) >= thr)
+       |ORDER BY $keyName, doc_id, quality_score""".stripMargin
+
+  /** [[sourceQuota]]'s SCALE spelling — the escape hatch its Scaladoc
+    * documented ("not built until a caller needs it"), now built via
+    * the SAME histogram-threshold body the domain axis uses
+    * ([[quotaThresholdOf]] — Q20 quality cells, prefix-sum crossing,
+    * per-CELL tie rule, NULL scores never pass): a mega-source costs a
+    * cell-bounded window instead of a source-doc-sized rank sort. */
+  def sourceQuotaThreshold(docs: DataFrame,
+      quota: Int = SourceQuotaN): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val withSrc = scored.join(docs.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    quotaThresholdOf(withSrc, "source", quota)
+  }
+
+  /** Oracle twin of [[sourceQuotaThreshold]]. */
+  def sourceQuotaThresholdSql(quota: Int = SourceQuotaN): String =
+    quotaThresholdSqlOver("source", "source", quota)
 
   def sourceQuotaSql(quota: Int = SourceQuotaN): String =
     s"""WITH t AS (

@@ -710,62 +710,14 @@ object Domains {
       // consumed twice (histogram + final filter): slim (domain, id,
       // score) rows, the curatedBase checkpoint discipline
       .localCheckpoint()
-    val qcell = expr("CAST(floor(quality_score * 1048576e0) AS BIGINT)")
-    val cells = withDom.filter(col("quality_score").isNotNull)
-      .groupBy(col("domain"), qcell.as("qb"))
-      .agg(count(lit(1)).as("n"))
-    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("domain")
-      .orderBy(col("qb").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val thr = cells.withColumn("cum", sum("n").over(wCum))
-      .filter(col("cum") >= quota.toLong)
-      .groupBy("domain").agg(max(col("qb")).as("thr"))
-    withDom.join(broadcast(thr), Seq("domain"), "left")
-      .filter(col("quality_score").isNotNull &&
-        (col("thr").isNull || qcell >= col("thr")))
-      .select(col("domain"), col("doc_id"), col("quality_score"))
+    Curation.quotaThresholdOf(withDom, "domain", quota)
   }
 
   /** Oracle twin of [[domainQuotaThreshold]] — same histogram, same
     * prefix-sum crossing, same tie rule. */
   def domainQuotaThresholdSql(quota: Int = DomainQuotaN): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, ${registrableDomainSql(hostSql)} AS domain,
-       |    regexp_extract_all(lower(text), '${TextAnalysis.TokenRe}') AS toks
-       |  FROM documents
-       |), s AS (
-       |  SELECT doc_id, domain,
-       |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-       |    CAST(len(list_filter(toks, x -> list_contains(${TextAnalysis.sqlList(TextAnalysis.stopwordsEn)}, x))) AS BIGINT) AS stop_hits
-       |  FROM t
-       |), q AS (
-       |  SELECT doc_id, domain,
-       |    0.5e0 * least(1e0, n_tokens / 200e0)
-       |      + 0.25e0 * (n_distinct_tokens / n_tokens)
-       |      + 0.25e0 * (1e0 - stop_hits / n_tokens) AS quality_score
-       |  FROM s
-       |), cells AS (
-       |  SELECT domain, CAST(floor(quality_score * 1048576e0) AS BIGINT) AS qb,
-       |    CAST(count(*) AS BIGINT) AS n
-       |  FROM q WHERE quality_score IS NOT NULL
-       |  GROUP BY domain, CAST(floor(quality_score * 1048576e0) AS BIGINT)
-       |), c AS (
-       |  SELECT domain, qb,
-       |    CAST(sum(n) OVER (PARTITION BY domain ORDER BY qb DESC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       |  FROM cells
-       |), thr AS (
-       |  SELECT domain, max(qb) AS thr FROM c WHERE cum >= $quota
-       |  GROUP BY domain
-       |)
-       |SELECT q.domain AS domain, doc_id, quality_score
-       |FROM q LEFT JOIN thr ON q.domain = thr.domain
-       |WHERE quality_score IS NOT NULL
-       |  AND (thr IS NULL
-       |    OR CAST(floor(quality_score * 1048576e0) AS BIGINT) >= thr)
-       |ORDER BY domain, doc_id, quality_score""".stripMargin
+    Curation.quotaThresholdSqlOver("domain",
+      registrableDomainSql(hostSql), quota)
 
   /** Oracle twin of [[domainQuota]]. */
   def domainQuotaSql(quota: Int = DomainQuotaN): String =

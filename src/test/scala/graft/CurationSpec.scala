@@ -865,4 +865,30 @@ class CurationSpec extends AnyFunSuite {
         .flatMap(_.getAs[scala.collection.Seq[Long]]("ids")).toList).toMap
     assert(assembled === viaLearned)
   }
+
+  test("sourceQuotaThreshold == sourceQuota (minus rnk) when no cell straddles; ties kept") {
+    import org.apache.spark.sql.functions.col
+    val words = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    def mk(rows: (Long, String, String)*) =
+      rows.toSeq.map { case (id, tx, src) => (id, tx, "en", src, 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 20 distinct-score docs in one source at quota 15
+    val docs = mk((0 until 20).map(i =>
+      (i.toLong, words(10 + 10 * i), "srcA")): _*)
+    val win = graft.text.Curation.sourceQuota(docs).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    val thr = graft.text.Curation.sourceQuotaThreshold(docs).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(thr === win)
+    // a 6-doc tie straddling quota 15 after 12 better docs: windowed
+    // keeps 3 of the tied cell, threshold keeps all 6
+    val tied = mk(((0 until 12).map(i => (i.toLong, words(60 + 10 * i), "srcB")) ++
+      (12 until 18).map(i => (i.toLong, words(20), "srcB"))): _*)
+    val winT = graft.text.Curation.sourceQuota(tied).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    val thrT = graft.text.Curation.sourceQuotaThreshold(tied).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(winT.size === 15 && thrT.size === 18)
+    assert(winT.subsetOf(thrT))
+  }
 }
