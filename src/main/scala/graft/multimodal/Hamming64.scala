@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * checkpoints ONCE (8 bytes/row), bands explode map-side (4 rows/row),
   * the self-equi-join expands in codegen with AQE skew-splitting —
   * never all-pairs. */
-private[multimodal] object Hamming64 {
+private[graft] object Hamming64 {
 
   val Bands = 4
   private val BandBits = 64 / Bands
@@ -26,14 +26,19 @@ private[multimodal] object Hamming64 {
   /** `(media_id, ahash, band, nibble)` — the 4 band rows of a
     * `(media_id, ahash)` sketch (arithmetic shift + mask keeps the top
     * band non-negative when bit 63 is set). */
-  def bands(sk: DataFrame): DataFrame = {
+  def bands(sk: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val kc = keep.map(col)
     val bandStructs = array((0 until Bands).map(m =>
       struct(lit(m.toLong).as("band"),
         shiftright(col("ahash"), m * BandBits).bitwiseAND(lit(BandMask))
           .as("nibble"))): _*)
-    sk.select(col("media_id"), col("ahash"), explode(bandStructs).as("b"))
-      .select(col("media_id"), col("ahash"),
-        col("b.band").as("band"), col("b.nibble").as("nibble"))
+    // `keep` preserves caller passthrough columns (the stream gate needs
+    // event_time riding along for its watermark — the Dedup
+    // bandedFromKeeping discipline)
+    sk.select(Seq(col("media_id"), col("ahash")) ++ kc :+
+        explode(bandStructs).as("b"): _*)
+      .select(Seq(col("media_id"), col("ahash")) ++ kc ++ Seq(
+        col("b.band").as("band"), col("b.nibble").as("nibble")): _*)
   }
 
   /** Within-corpus pairs of a `(media_id, ahash)` sketch relation. */

@@ -148,6 +148,16 @@ object ImageHash {
 
   // ---- the hash over an arbitrary payload relation --------------------------
 
+  /** Checkpoint-free payload hash for STREAMS — the
+    * [[ahashOfPayloads]] chain with the barrier elided (see
+    * [[ahashOfHexMaybeCk]]). */
+  private[graft] def ahashOfPayloadsStream(payloads: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    ahashOfHexMaybeCk(payloads.select(Seq(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")) ++
+      keep.map(col): _*), checkpoint = false, keep = keep)
+
   /** aHash over `(media_id, payload BINARY)` — the payload-level seam
     * ([[Media.walkColumns]] discipline): production calls it on the
     * media lake, the spec calls it on hand-built BMPs (one-pixel edits,
@@ -171,22 +181,32 @@ object ImageHash {
     * the surrounding stages stay codegen-clean. The DuckDB twin keeps
     * the unrolled 64-column CTE spelling — same arithmetic, pinned by
     * the oracle compare. */
-  private def ahashOfHex(sized: DataFrame): DataFrame = {
-    val bmp = sized
+  private def ahashOfHex(sized: DataFrame): DataFrame =
+    ahashOfHexMaybeCk(sized, checkpoint = true)
+
+  /** `checkpoint = false` is the STREAM spelling
+    * ([[graft.streaming.MediaStream]] — localCheckpoint is illegal on a
+    * stream): safe without the barrier because every multi-use alias
+    * here (header fields, the gs array, gtot) is non-cheap, which is
+    * exactly what stops CollapseProject from inlining it per consumer —
+    * the fold still evaluates once per row. */
+  private[graft] def ahashOfHexMaybeCk(sized: DataFrame,
+      checkpoint: Boolean, keep: Seq[String] = Nil): DataFrame = {
+    val bmp1 = sized
       .filter(col("h").isNotNull && col("n_bytes") >= 54L &&
         substring(col("h"), 1, 4) === "424D")
-      .select(col("media_id"), col("h"),
+      .select(keep.map(col) ++ Seq(col("media_id"), col("h"),
         expr(s"CAST(${leSql(18, 4)} AS BIGINT)").as("width"),
         expr(s"CAST(${leSql(22, 4)} AS BIGINT)").as("height"),
         expr(s"CAST(${leSql(28, 2)} AS BIGINT)").as("bpp"),
-        (col("n_bytes") - 54L).as("avail"))
+        (col("n_bytes") - 54L).as("avail")): _*)
       .withColumn("row_bytes", expr("((bpp * width + 31L) div 32L) * 4L"))
       .filter(col("row_bytes") >= 1L)
       .withColumn("n_rows_avail",
         least(col("height"), expr("avail div row_bytes")))
       .filter(col("bpp") === 24L && col("width") >= Grid.toLong &&
         col("n_rows_avail") >= Grid.toLong)
-      .localCheckpoint()
+    val bmp = if (checkpoint) bmp1.localCheckpoint() else bmp1
     // grid cell k = (i, j) = (k div 8, k % 8), same integer strides as
     // the DuckDB cellSql spelling with i/j dynamic
     val gray = graySql(
@@ -198,15 +218,15 @@ object ImageHash {
           s" k -> CAST($gray AS BIGINT))"))
       .withColumn("gtot",
         expr("aggregate(gs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(col("media_id"), col("width"), col("height"),
-        col("n_rows_avail"),
+      .select(keep.map(col) ++ Seq(col("media_id"), col("width"),
+        col("height"), col("n_rows_avail"),
         // shiftleft(1L, 63) is Long.MinValue — the same signed bit-63
         // spelling as the unrolled oracle
         expr(s"aggregate(sequence(0, ${Grid * Grid - 1})," +
           " CAST(0 AS BIGINT)," +
           " (a, k) -> a + CASE WHEN 64 * element_at(gs, k + 1) > gtot" +
           " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash"))
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
   }
 
   // ---- production faces ------------------------------------------------------

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.ImageHash
+import graft.streaming.MediaStream
+
+/** Pins the streaming image-dedup admission gate to the batch
+  * incremental pairing: same hash, same bands, same rescore — a
+  * near-copy upload matches its corpus original at ingest exactly as
+  * the nightly batch would pair it. */
+class MediaStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val T: Long = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+  private def bmp(w: Int, h: Int, pix: Array[Byte]): Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ le(54L + pix.length, 4) ++ le(0, 4) ++
+      le(54, 4) ++ le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++
+      le(24, 2) ++ Array.fill[Byte](24)(0) ++ pix
+  private def rowBytes(w: Int): Int = ((24 * w + 31) / 32) * 4
+  private def fill(n: Int, seed: Long): Array[Byte] = {
+    var s = seed
+    Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33).toByte }
+  }
+
+  test("streamed uploads match the persisted corpus sketch exactly as batch pairs them") {
+    implicit val ctx = spark.sqlContext
+    val w = 16; val h = 16; val rb = rowBytes(w)
+    // corpus: three distinct images, persisted as the 8-byte sketch
+    val corpusImgs = Seq(
+      1L -> fill(rb * h, seed = 3L), 2L -> fill(rb * h, seed = 5L),
+      3L -> fill(rb * h, seed = 7L))
+    val corpusSk = ImageHash.ahashOfPayloads(
+        corpusImgs.map { case (id, p) => (id, bmp(w, h, p)) }
+          .toDF("media_id", "payload"))
+      .select("media_id", "ahash").localCheckpoint()
+
+    // uploads: a one-pixel edit of corpus image 2 (must match it), the
+    // same upload sent twice (must emit once within the watermark), a
+    // fresh image (no match), and a non-BMP payload (ineligible, silent)
+    val nearCopy = corpusImgs(1)._2.clone(); nearCopy(rb * 4 + 9) = 55
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(
+      (100L, bmp(w, h, nearCopy), T),
+      (100L, bmp(w, h, nearCopy), T + 1000L),
+      (101L, bmp(w, h, fill(rb * h, seed = 99L)), T),
+      (102L, "not an image".getBytes("UTF-8"), T))
+    val name = s"media_stream_${System.nanoTime()}"
+    val q = MediaStream.imageMatchStream(
+        src.toDF().toDF("media_id", "payload", "ts"), corpusSk)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Long]("hamming")).toMap
+
+    // ground truth: the pairing arithmetic applied at payload level
+    // (incrementalImagePairs hashes documents via the fixture
+    // synthesis, so the payload-level truth is spelled directly)
+    val upSk = ImageHash.ahashOfPayloads(Seq(
+        100L -> bmp(w, h, nearCopy),
+        101L -> bmp(w, h, fill(rb * h, seed = 99L)))
+      .toDF("media_id", "payload")).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    val cSk = corpusSk.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    val expected = (for {
+      (u, uh) <- upSk; (c, ch) <- cSk
+      if (0 until 4).exists(m =>
+        ((uh >> (m * 16)) & 0xFFFF) == ((ch >> (m * 16)) & 0xFFFF))
+      d = java.lang.Long.bitCount(uh ^ ch).toLong if d <= 3
+    } yield (u, c) -> d).toMap
+    assert(got === expected)
+    assert(got.contains((100L, 2L)), "the near-copy must match its original")
+    assert(!got.keys.exists(_._1 == 101L), "a fresh image matches nothing")
+    assert(!got.keys.exists(_._1 == 102L), "a non-image is silently ineligible")
+    assert(got.keys.count(_ == ((100L, 2L))) === 1,
+      "the double send collapses within the watermark")
+  }
+}
