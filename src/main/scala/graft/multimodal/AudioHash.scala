@@ -90,8 +90,17 @@ object AudioHash {
   /** The hash over `(media_id, h, n_bytes)` — eligibility and layout
     * from the REAL walk, probes and vote as one bounded HOF pair (the
     * [[ImageHash.ahashOfHex]] codegen rationale). */
-  private def ahashOfHex(sized: DataFrame): DataFrame = {
-    val walked = sized
+  private def ahashOfHex(sized: DataFrame): DataFrame =
+    ahashOfHexMaybeCk(sized, checkpoint = true)
+
+  /** `checkpoint = false` is the STREAM spelling — the
+    * [[ImageHash.ahashOfHexMaybeCk]] rationale: the walk struct is a
+    * non-cheap multi-use alias, so CollapseProject never duplicates
+    * the fold and the barrier is only a batch amortization. `keep`
+    * threads passthrough columns (event_time for the stream gate). */
+  private[graft] def ahashOfHexMaybeCk(sized: DataFrame,
+      checkpoint: Boolean, keep: Seq[String] = Nil): DataFrame = {
+    val walked0 = sized
       // eligibility-filter BEFORE the checkpoint: on a mixed media lake
       // most payloads are not RIFF/WAVE, and the gate is the fold's own
       // entry condition (gated-off rows carry NULL wk and would drop at
@@ -99,16 +108,16 @@ object AudioHash {
       // is bounded to candidate WAVs (the ImageHash.ahashOfHex shape)
       .filter(Media.riffMagic)
       .withColumn("wk", Media.gatedWalk(Media.riffMagic, Media.walkAggSql))
-      .localCheckpoint()
+    val walked = if (checkpoint) walked0.localCheckpoint() else walked0
     val wav = walked
       .filter(col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull)
-      .select(col("media_id"), col("h"),
+      .select(keep.map(col) ++ Seq(col("media_id"), col("h"),
         col("wk.data_off").as("data_off"),
         col("wk.channels").as("channels"),
         col("wk.sample_rate").as("sample_rate"),
         col("wk.bits").as("bits"),
         col("wk.data_len").as("declared_len"),
-        (col("n_bytes") - col("wk.data_off")).as("avail_len"))
+        (col("n_bytes") - col("wk.data_off")).as("avail_len")): _*)
       .withColumn("frame_bytes", expr("(channels * bits) div 8L"))
       .filter(col("frame_bytes") >= 1L)
       .withColumn("n_frames",
@@ -120,13 +129,13 @@ object AudioHash {
           s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
       .withColumn("atot",
         expr("aggregate(as_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(col("media_id"), col("sample_rate"), col("frame_bytes"),
-        col("n_frames"),
+      .select(keep.map(col) ++ Seq(col("media_id"), col("sample_rate"),
+        col("frame_bytes"), col("n_frames"),
         expr(s"aggregate(sequence(0, ${Probes - 1})," +
           " CAST(0 AS BIGINT)," +
           " (a, k) -> a + CASE WHEN 64 * element_at(as_, k + 1) > atot" +
           " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash"))
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
   }
 
   /** Payload-level seam for the spec's hand-built WAVs. */
@@ -134,6 +143,14 @@ object AudioHash {
     ahashOfHex(payloads.select(col("media_id"),
       hex(col("payload")).as("h"),
       length(col("payload")).cast("long").as("n_bytes")))
+
+  /** Checkpoint-free payload hash for STREAMS. */
+  private[graft] def ahashOfPayloadsStream(payloads: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    ahashOfHexMaybeCk(payloads.select(Seq(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")) ++
+      keep.map(col): _*), checkpoint = false, keep = keep)
 
   /** `(media_id, sample_rate, frame_bytes, n_frames, ahash)` per
     * eligible clip of the synthesized corpus. */

@@ -55,4 +55,32 @@ object MediaStream {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicatesWithinWatermark("media_id", "corpus_id")
   }
+
+  /** The AUDIO twin — arriving clips amplitude-hashed at ingest
+    * ([[graft.multimodal.AudioHash]], checkpoint-free spelling) and
+    * probed against the persisted corpus clip sketch. Same stateless
+    * contract, same watermark collapse. */
+  def audioMatchStream(payloads: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val hashed = graft.multimodal.AudioHash.ahashOfPayloadsStream(
+        payloads.select(col("media_id"), col("payload"),
+          EventStream.eventTime.as("event_time")),
+        keep = Seq("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+    val streamB = Hamming64.bands(
+      hashed.select(col("media_id"), col("ahash"), col("event_time")),
+      keep = Seq("event_time"))
+    val corpusB = Hamming64.bands(
+        corpusSketch.select(col("media_id"), col("ahash")))
+      .select(col("media_id").as("corpus_id"), col("ahash").as("cahash"),
+        col("band"), col("nibble"))
+    streamB.join(corpusB, Seq("band", "nibble"))
+      .select(col("media_id"), col("corpus_id"),
+        bit_count(col("ahash").bitwiseXOR(col("cahash")))
+          .cast("long").as("hamming"),
+        col("event_time"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("media_id", "corpus_id")
+  }
 }

@@ -83,4 +83,48 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(got.keys.count(_ == ((100L, 2L))) === 1,
       "the double send collapses within the watermark")
   }
+
+  test("streamed audio clips match the persisted corpus sketch as batch would") {
+    implicit val ctx = spark.sqlContext
+    def wav(rate: Int, samples: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(36L + samples.length, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(rate, 4) ++ le(rate, 4) ++
+        le(1, 2) ++ le(8, 2) ++
+        "data".getBytes("US-ASCII") ++ le(samples.length, 4) ++ samples
+    val corpusClips = Seq(1L -> fill(400, 13L), 2L -> fill(400, 17L))
+    val corpusSk = graft.multimodal.AudioHash.ahashOfPayloads(
+        corpusClips.map { case (id, p) => (id, wav(8000, p)) }
+          .toDF("media_id", "payload"))
+      .select("media_id", "ahash").localCheckpoint()
+    val nearCopy = corpusClips(0)._2.clone(); nearCopy(200) = 42
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(
+      (100L, wav(8000, nearCopy), T),
+      (101L, wav(8000, fill(400, 999L)), T),
+      (102L, "not audio".getBytes("UTF-8"), T))
+    val name = s"audio_stream_${System.nanoTime()}"
+    val q = MediaStream.audioMatchStream(
+        src.toDF().toDF("media_id", "payload", "ts"), corpusSk)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Long]("hamming")).toMap
+    val upSk = graft.multimodal.AudioHash.ahashOfPayloads(Seq(
+        100L -> wav(8000, nearCopy), 101L -> wav(8000, fill(400, 999L)))
+      .toDF("media_id", "payload")).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    val cSk = corpusSk.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    val expected = (for {
+      (u, uh) <- upSk; (c, ch) <- cSk
+      if (0 until 4).exists(m =>
+        ((uh >> (m * 16)) & 0xFFFF) == ((ch >> (m * 16)) & 0xFFFF))
+      d = java.lang.Long.bitCount(uh ^ ch).toLong if d <= 3
+    } yield (u, c) -> d).toMap
+    assert(got === expected)
+    assert(got.contains((100L, 1L)), "the one-sample edit must match its original")
+    assert(!got.keys.exists(t => t._1 == 101L || t._1 == 102L))
+  }
 }
