@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * honest truncation clamp) — and sketches its amplitude shape:
   *
   *  1. 64 probe points by integer striding over the CLAMPED frame
-  *     count — probe k reads the FIRST byte of frame
-  *     `(k · n_frames) div 64` (the [[ImageHash]] nearest-neighbor
-  *     downsample stance, on the time axis);
+  *     count — probe k reads the MOST-significant byte of channel 0's
+  *     sample in frame `(k · n_frames) div 64` (`+ bits div 8 − 1`
+  *     past the frame start: the sample itself at 8 bits, the
+  *     sign/amplitude byte of 16-bit little-endian PCM — the
+  *     [[ImageHash]] nearest-neighbor downsample stance on the time
+  *     axis, reading the byte that actually carries the envelope);
   *  2. bit k is set iff `64 · a_k > Σ a` — strictly above the mean
   *     amplitude byte, ties → 0, never divides.
   *
@@ -46,9 +49,19 @@ object AudioHash {
   private def byteAtSql(off: String): String = Media.dynLeSql(off, 1)
 
   /** Probe k's amplitude byte over columns `h`, `data_off`,
-    * `n_frames`, `frame_bytes` (the walked WAV layout). */
+    * `n_frames`, `frame_bytes`, `bits` (the walked WAV layout): the
+    * MOST-significant byte of channel 0's sample — `+ (bits div 8 − 1)`
+    * past the frame start. For 8-bit PCM that is the sample itself; for
+    * 16-bit little-endian PCM it is the sign/amplitude byte, so the
+    * envelope analog holds on the dominant real-world format instead of
+    * degenerating to noise-like low-byte matching (r13 verdict nit #1
+    * — the LOW byte of a 16-bit sample carries no envelope). */
   private def probeSql(k: String, idiv: String): String =
-    byteAtSql(s"data_off + ((($k) * n_frames) $idiv 64) * frame_bytes")
+    // greatest(·, 0): malformed sub-byte bit widths (bits < 8 with
+    // enough channels to clear the frame_bytes gate) must not probe
+    // BEFORE the frame — clamped identically in both engines
+    byteAtSql(s"data_off + ((($k) * n_frames) $idiv 64) * frame_bytes" +
+      s" + greatest((bits $idiv 8) - 1, 0)")
 
   /** Fixture synthesis: every document as a REAL canonical 44-byte
     * WAV (mono, 8-bit, rate 8000·(1 + doc_id % 4)) — the
@@ -300,6 +313,7 @@ object AudioHash {
        |wav AS (
        |  SELECT media_id, h, data_off,
        |    CAST(${Media.dynLeSql("fmt_off + 4", 4)} AS BIGINT) AS sample_rate,
+       |    CAST(${Media.dynLeSql("fmt_off + 14", 2)} AS BIGINT) AS bits,
        |    (CAST(${Media.dynLeSql("fmt_off + 2", 2)} AS BIGINT)
        |      * CAST(${Media.dynLeSql("fmt_off + 14", 2)} AS BIGINT)) // 8
        |      AS frame_bytes,
@@ -308,7 +322,7 @@ object AudioHash {
        |  FROM walked
        |  WHERE fmt_off IS NOT NULL AND data_off IS NOT NULL
        |), elig AS (
-       |  SELECT media_id, h, data_off, sample_rate, frame_bytes,
+       |  SELECT media_id, h, data_off, sample_rate, bits, frame_bytes,
        |    least(declared_len, avail_len) // frame_bytes AS n_frames
        |  FROM wav
        |  WHERE frame_bytes >= 1

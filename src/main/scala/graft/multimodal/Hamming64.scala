@@ -3,15 +3,15 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The ONE banded-Hamming pairing body both media sketch families ride
-  * ([[ImageHash]], [[AudioHash]]) — 64-bit sketch, 4 × 16-bit bands
-  * (complete for Hamming ≤ 3 by pigeonhole), candidates from a
+/** The ONE banded-Hamming pairing body every 64-bit sketch family
+  * rides — image aHash ([[ImageHash]]), audio amplitude hash
+  * ([[AudioHash]]), video content hash ([[VideoHash]]), and the text
+  * SimHash family ([[graft.text.Dedup.simhashPairs]], converged here
+  * in r14 behind a column-rename seam) — 64-bit sketch, 4 × 16-bit
+  * bands (complete for Hamming ≤ 3 by pigeonhole), candidates from a
   * (band, nibble) equi-join, exact `bit_count(xor)` rescore. Extracted
   * so a banding change (band count, tie normalization, rescore) can
-  * never desynchronize the image and audio dedup families — the
-  * text-side [[graft.text.Dedup.simhashPairs]] keeps its own spelling
-  * (different column vocabulary, pre-dating convergence), pinned equal
-  * in shape by the plan audit.
+  * never desynchronize the families.
   *
   * Scale shape (shared by every caller): the sketch relation
   * checkpoints ONCE (8 bytes/row), bands explode map-side (4 rows/row),

@@ -235,8 +235,15 @@ object ImageHash {
     * image of the synthesized corpus — the 8-byte/image sketch relation
     * a pipeline persists next to the text SimHash sketch. */
   def imageAhash(docs: DataFrame): DataFrame = {
-    val h = expr(imagesHexSql("hex(encode(text, 'utf-8'))",
-      "octet_length(text)", "div"))
+    // the one-element transform is the [[Media.asContainerTable]]
+    // codegen EXCLUSION (r13 ADVICE symmetry with AudioHash): the
+    // synthesis CASE is near janino's method limit, and the HOF wrapper
+    // guarantees no consumer ever pays a doomed whole-stage compile
+    // attempt before the interpreted fallback — value-identical, the
+    // lambda ignores its index
+    val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
+      imagesHexSql("hex(encode(text, 'utf-8'))",
+        "octet_length(text)", "div") + "), 1)")
     // synthesis checkpoint: the [[Media.asContainerTable]] rationale —
     // the concat CASE is fixture-only cost; materializing it once keeps
     // the consuming stages codegen-clean (real deployments read

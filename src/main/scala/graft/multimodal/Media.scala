@@ -551,14 +551,19 @@ object Media {
   // 16.16 fixed point after the transform matrix.
 
   /** MP4 walks descend, so the step budget covers
-    * ftyp · free · moov↓ · mvhd · udta · trak↓ · tkhd with headroom. */
-  private val Mp4WalkChunks = 8
+    * ftyp · free · moov↓ · mvhd · udta · trak↓ · tkhd · mdat with
+    * headroom (r14: `mdat` joined the tracked finds — the ext layout
+    * reaches it at step 8, so the bound grew 8 → 10; all three
+    * spellings share this constant, so the widened walk stays
+    * bit-agreed). */
+  private val Mp4WalkChunks = 10
 
   private val HexMoov = "6D6F6F76"
   private val HexTrak = "7472616B"
   private val HexTkhd = "746B6864"
   private val HexFtyp = "66747970"
   private val HexMvhd = "6D766864"
+  private val HexMdat = "6D646174"
 
   /** Complete-`mvhd` payload length by version: v0 carries 32-bit
     * times (100-byte payload), v1 64-bit (112). */
@@ -589,8 +594,11 @@ object Media {
     s"(($t) + (CASE WHEN ${dynBeSql(t, 1)} = 1 THEN 88 ELSE 76 END))"
 
   /** The MP4 walk as ONE `aggregate` fold (Spark side) — same
-    * plan-explosion rationale as [[walkAggSql]]. */
-  private val mp4AggSql: String = {
+    * plan-explosion rationale as [[walkAggSql]]. `mdat` is the third
+    * tracked find (r14, for [[VideoHash]]): its payload offset and
+    * DECLARED length (size − 8), first match wins, same
+    * complete-header discipline as the others. */
+  private[multimodal] val mp4AggSql: String = {
     val typ = "substring(h, CAST((acc.off + 4) * 2 + 1 AS INT), 8)"
     val sz = dynBeSql("acc.off", 4)
     val v = dynBeSql("acc.off + 8", 1)
@@ -600,11 +608,13 @@ object Media {
        |    'off', CASE WHEN n_bytes >= 12 AND substring(h, 9, 8) = '$HexFtyp'
        |      THEN CAST(0 AS BIGINT) END,
        |    'tkhd', CAST(NULL AS BIGINT),
-       |    'mvhd', CAST(NULL AS BIGINT)),
+       |    'mvhd', CAST(NULL AS BIGINT),
+       |    'mdat', CAST(NULL AS BIGINT),
+       |    'mlen', CAST(NULL AS BIGINT)),
        |  (acc, step) -> CASE
        |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
        |      named_struct('off', CAST(NULL AS BIGINT), 'tkhd', acc.tkhd,
-       |        'mvhd', acc.mvhd)
+       |        'mvhd', acc.mvhd, 'mdat', acc.mdat, 'mlen', acc.mlen)
        |    ELSE named_struct(
        |      'off', CASE
        |        WHEN $typ IN ('$HexMoov', '$HexTrak') THEN acc.off + 8
@@ -618,7 +628,11 @@ object Media {
        |      'mvhd', coalesce(acc.mvhd, CASE WHEN $typ = '$HexMvhd'
        |        AND n_bytes >= acc.off + 9
        |        AND n_bytes >= acc.off + 8 + ${mvhdNeedSql(v)}
-       |        THEN acc.off + 8 END))
+       |        THEN acc.off + 8 END),
+       |      'mdat', coalesce(acc.mdat, CASE WHEN $typ = '$HexMdat'
+       |        AND $sz >= 8 THEN acc.off + 8 END),
+       |      'mlen', coalesce(acc.mlen, CASE WHEN $typ = '$HexMdat'
+       |        AND $sz >= 8 THEN $sz - 8 END))
        |    END,
        |  acc -> named_struct(
        |    'tkhd_off', acc.tkhd,
@@ -630,12 +644,14 @@ object Media {
        |    'mts', CASE WHEN acc.mvhd IS NOT NULL THEN
        |      CAST(${mvhdTsSql("acc.mvhd")} AS BIGINT) END,
        |    'mdur', CASE WHEN acc.mvhd IS NOT NULL THEN
-       |      CAST(${mvhdDurSql("acc.mvhd")} AS BIGINT) END))""".stripMargin
+       |      CAST(${mvhdDurSql("acc.mvhd")} AS BIGINT) END,
+       |    'mdat_off', acc.mdat,
+       |    'mdat_len', acc.mlen))""".stripMargin
   }
 
   /** DuckDB side of the MP4 walk: chained MATERIALIZED CTEs over `src`;
     * final stage `mfin` carries `mp4_tkhd`, `mp4_w`, `mp4_ht`. */
-  private def mp4CteSql(src: String): String = {
+  private[multimodal] def mp4CteSql(src: String): String = {
     val sb = new StringBuilder
     sb.append(s"m0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 12 " +
       s"AND substring(h, 9, 8) = '$HexFtyp' THEN CAST(0 AS BIGINT) END " +
@@ -672,8 +688,15 @@ object Media {
         s"${mvhdNeedSql(dynBeSql(s"moff$k + 8", 1))} " +
         s"THEN moff$k + 8 END")
       .mkString("COALESCE(", ", ", ")")
+    val mdat = (0 until Mp4WalkChunks).map(k =>
+      s"CASE WHEN mtyp$k = '$HexMdat' AND msz$k >= 8 THEN moff$k + 8 END")
+      .mkString("COALESCE(", ", ", ")")
+    val mdatLen = (0 until Mp4WalkChunks).map(k =>
+      s"CASE WHEN mtyp$k = '$HexMdat' AND msz$k >= 8 THEN msz$k - 8 END")
+      .mkString("COALESCE(", ", ", ")")
     sb.append(s""",
-      |mw AS MATERIALIZED (SELECT *, $tkhd AS mp4_tkhd, $mvhd AS mp4_mvhd FROM $prev),
+      |mw AS MATERIALIZED (SELECT *, $tkhd AS mp4_tkhd, $mvhd AS mp4_mvhd,
+      |  $mdat AS mp4_mdat, $mdatLen AS mp4_mdat_len FROM $prev),
       |mfin AS MATERIALIZED (SELECT *,
       |  CASE WHEN mp4_tkhd IS NOT NULL
       |    THEN CAST(${dynBeSql(tkhdWoffSql("mp4_tkhd"), 4)} // 65536 AS BIGINT) END AS mp4_w,
@@ -846,7 +869,7 @@ object Media {
     col("n_bytes") >= 16L && substring(col("h"), 1, 16) === PngSigHex
   private def jpgMagic: org.apache.spark.sql.Column =
     col("n_bytes") >= 4L && substring(col("h"), 1, 4) === "FFD8"
-  private def mp4Magic: org.apache.spark.sql.Column =
+  private[multimodal] def mp4Magic: org.apache.spark.sql.Column =
     col("n_bytes") >= 12L && substring(col("h"), 9, 8) === HexFtyp
 
   /** [[withWalk]] plus the PNG, JPEG, and MP4 walks — one checkpoint

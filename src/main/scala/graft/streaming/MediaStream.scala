@@ -43,8 +43,7 @@ object MediaStream {
       hashed.select(col("media_id"), col("ahash"), col("event_time")),
       keep = Seq("event_time"))
     val corpusB = Hamming64.bands(
-      corpusSketch.select(col("media_id").as("corpus_id"), col("ahash"))
-        .withColumnRenamed("corpus_id", "media_id"))
+        corpusSketch.select(col("media_id"), col("ahash")))
       .select(col("media_id").as("corpus_id"), col("ahash").as("cahash"),
         col("band"), col("nibble"))
     streamB.join(corpusB, Seq("band", "nibble"))

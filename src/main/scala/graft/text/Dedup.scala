@@ -1604,7 +1604,10 @@ object Dedup {
     * hashes (seed-split from the minhash family). Band m = bits
     * [16m, 16m+16) = bits 0..15 of permutation m. */
   val SimHashBits = 64
-  val SimBands = 4
+  /** Tied to the shared pairing body: the Spark-side banding now IS
+    * [[graft.multimodal.Hamming64]], so the DuckDB nibble spelling
+    * below derives its band count from the same constant. */
+  val SimBands: Int = graft.multimodal.Hamming64.Bands
   private val simBandBits = SimHashBits / SimBands
   /** One bit-source permutation per band. */
   val simPerms: Seq[(Long, Long)] = PortableHash.minhashPerms(SimBands, seed = 99L)
@@ -1714,29 +1717,27 @@ object Dedup {
     docSimhash(docs).select("doc_id", "simhash")
       .join(keeperIds(fingerprintsOf(docs)), Seq("doc_id"), "left_semi")
 
-  /** `(doc_id, simhash, band, nibble)` — the 4 Hamming-band rows of a
-    * `(doc_id, simhash)` sketch relation (cheap map work, 4 rows/doc). */
-  private def simhashBands(sk: DataFrame): DataFrame = {
-    val bandMask = (1L << simBandBits) - 1
-    val bandStructs = array((0 until SimBands).map(m =>
-      struct(lit(m.toLong).as("band"),
-        shiftright(col("simhash"), m * simBandBits).bitwiseAND(lit(bandMask)).as("nibble"))): _*)
-    sk.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("simhash"),
-        col("b.band").as("band"), col("b.nibble").as("nibble"))
-  }
+  /** A `(doc_id, simhash)` relation in the [[graft.multimodal
+    * .Hamming64]] column vocabulary — the rename seam through which the
+    * text SimHash family rides the ONE shared banded-Hamming body
+    * (r13 directive #5: the extraction existed precisely so banding
+    * could not drift, but this family still kept its pre-convergence
+    * spelling). */
+  private def asHamming64(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id").as("media_id"), col("simhash").as("ahash"))
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = simhashBands(simhashSketch(docs).localCheckpoint())
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  /** `(doc_id, simhash, band, nibble)` — the 4 Hamming-band rows of a
+    * `(doc_id, simhash)` sketch relation (cheap map work, 4 rows/doc);
+    * the shared [[graft.multimodal.Hamming64.bands]] body behind the
+    * text column names. */
+  private def simhashBands(sk: DataFrame): DataFrame =
+    graft.multimodal.Hamming64.bands(asHamming64(sk))
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"),
+        col("band"), col("nibble"))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.multimodal.Hamming64.pairsOfSketch(
+      asHamming64(simhashSketch(docs)), "doc_a", "doc_b", maxHamming)
 
   /** Nightly-ingest twin of [[simhashPairs]] — the SimHash sibling of
     * [[incrementalNearDupPairs]] / [[graft.ml.Similarity
@@ -1752,19 +1753,11 @@ object Dedup {
     * ingest composition, exactly as `incremental_dedup` does.
     */
   def incrementalSimhashPairs(newDocs: DataFrame, corpusSketch: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val newB = simhashBands(simhashSketch(newDocs)).localCheckpoint()
-    val allB = simhashBands(corpusSketch.select("doc_id", "simhash")).union(newB)
-    newB.as("x").join(allB.as("y"),
-        col("x.band") === col("y.band") && col("x.nibble") === col("y.nibble") &&
-        col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      maxHamming: Int = 3): DataFrame =
+    graft.multimodal.Hamming64.pairsIncremental(
+      asHamming64(simhashSketch(newDocs)),
+      asHamming64(corpusSketch.select("doc_id", "simhash")),
+      "doc_a", "doc_b", maxHamming)
 
   /** Oracle twin for the driver's fixture split (shard = doc_id % 10 =
     * 9): corpus keepers + post-anti-join shard keepers rebuild their

