@@ -944,6 +944,40 @@ object SparkEntry {
             docs.filter(col("doc_id") % 10 =!= 9))
           .select("media_id", "ahash").localCheckpoint())
     }),
+    // Video content fingerprint: 64 integer-stride byte probes over the
+    // WALKED mdat payload (the third tracked find of the nested box
+    // fold) — a metadata-edited re-upload (moov churn) pairs at
+    // Hamming 0 because only the coded stream is hashed. Same shared
+    // Hamming64 pairing body, occupancy report, cluster face, and
+    // nightly shard-vs-persisted-sketch twin as the image/audio
+    // families.
+    "video_ahash" -> ((s, dir) =>
+      graft.multimodal.VideoHash.videoAhash(graft.Tables.documents(s, dir))),
+    "video_dup_pairs" -> ((s, dir) =>
+      graft.multimodal.VideoHash.videoDupPairs(graft.Tables.documents(s, dir))),
+    "video_dup_clusters" -> ((s, dir) =>
+      graft.multimodal.VideoHash.videoDupClusters(graft.Tables.documents(s, dir))),
+    "video_occupancy" -> ((s, dir) =>
+      graft.multimodal.VideoHash.videoOccupancy(graft.Tables.documents(s, dir))),
+    // BEST-COPY survivor policy for the media cluster families (the
+    // dedup_clusters_best axis): components/cluster ids unchanged,
+    // is_canonical moves to the highest-resolution image / longest
+    // clip / most-content video instead of the smallest id.
+    "image_dup_clusters_best" -> ((s, dir) =>
+      graft.multimodal.ImageHash.imageDupClustersBest(graft.Tables.documents(s, dir))),
+    "audio_dup_clusters_best" -> ((s, dir) =>
+      graft.multimodal.AudioHash.audioDupClustersBest(graft.Tables.documents(s, dir))),
+    "video_dup_clusters_best" -> ((s, dir) =>
+      graft.multimodal.VideoHash.videoDupClustersBest(graft.Tables.documents(s, dir))),
+    "incremental_video_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.VideoHash.incrementalVideoPairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        graft.multimodal.VideoHash.videoAhash(
+            docs.filter(col("doc_id") % 10 =!= 9))
+          .select("media_id", "ahash").localCheckpoint())
+    }),
     // ---- LLM-data-pipeline extensions: event streams ----
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(graft.Tables.events(s, dir))),
@@ -1552,6 +1586,18 @@ object SparkEntry {
     "image_dup_clusters" ->
       graft.multimodal.ImageHash.imageDupClustersSql(),
     "image_occupancy" -> graft.multimodal.ImageHash.imageOccupancySql,
+    "video_ahash" -> graft.multimodal.VideoHash.videoAhashSql,
+    "video_dup_pairs" -> graft.multimodal.VideoHash.videoDupPairsSql(),
+    "video_dup_clusters" -> graft.multimodal.VideoHash.videoDupClustersSql(),
+    "video_occupancy" -> graft.multimodal.VideoHash.videoOccupancySql,
+    "image_dup_clusters_best" ->
+      graft.multimodal.ImageHash.imageDupClustersBestSql(),
+    "audio_dup_clusters_best" ->
+      graft.multimodal.AudioHash.audioDupClustersBestSql(),
+    "video_dup_clusters_best" ->
+      graft.multimodal.VideoHash.videoDupClustersBestSql(),
+    "incremental_video_dup" ->
+      graft.multimodal.VideoHash.incrementalVideoPairsSql(),
     "incremental_image_dup" ->
       graft.multimodal.ImageHash.incrementalImagePairsSql(),
     "events_sessions" -> Events.sessionizeSql(),

@@ -73,7 +73,7 @@ object AudioHash {
     * within the d/d+15 pair) with ONE sample edited at a
     * doc-dependent position, so ids d and d+15 pair at small Hamming
     * distance while groups and text clips don't. */
-  private def wavHexSql(textHex: String, textBytes: String,
+  private[multimodal] def wavHexSql(textHex: String, textBytes: String,
       idiv: String): String = {
     def leHex(v: String, nBytes: Int): String =
       (0 until nBytes).map { k =>
@@ -256,6 +256,71 @@ object AudioHash {
         col("is_survivor").as("is_canonical"))
   }
 
+  /** [[audioDupClusters]] with the BEST-COPY survivor policy:
+    * `is_canonical` marks the LONGEST clip —
+    * `duration_us = n_frames · 10⁶ div max(sample_rate, 1)` over the
+    * CLAMPED frame count, so a truncated re-upload loses to its intact
+    * original even at a different sample rate — media_id asc on ties;
+    * components and `cluster_id` are [[audioDupClusters]]' exactly.
+    * The shared [[Hamming64.bestCanonical]] body. */
+  def audioDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bestOfSketch(audioAhash(docs).localCheckpoint(), maxHamming)
+
+  private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
+    Hamming64.bestCanonical(
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+          "doc_a", "doc_b", maxHamming)),
+      sk.select(col("media_id"),
+        expr("(n_frames * 1000000L) div greatest(sample_rate, 1L)")
+          .as("metric")))
+
+  /** Payload-level twin for planted-fixture specs. */
+  private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bestOfSketch(ahashOfPayloads(payloads).localCheckpoint(), maxHamming)
+
+  /** Oracle twin of [[audioDupClustersBest]] — the cluster closure
+    * with the canonical flag re-ranked by clip duration. */
+  def audioDupClustersBestSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  ${Hamming64.nibbleSelectsSql}
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |),
+       |rb AS (
+       |  SELECT comp.media_id AS media_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY (h.n_frames * 1000000) // greatest(h.sample_rate, 1) DESC,
+       |        comp.media_id ASC) AS rn
+       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
+       |)
+       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   /** Oracle twin of [[audioDupClusters]] — recursive-CTE closure. */
   def audioDupClustersSql(maxHamming: Int = 3): String =
     s"""WITH RECURSIVE ${ahashCtesSql},
@@ -294,14 +359,7 @@ object AudioHash {
   /** synthesis → walk → eligibility → 64 probes → hash, as CTEs ending
     * in `hashed`. Probes unrolled per column (the [[ImageHash]] DuckDB
     * spelling); the walk is [[Media.walkCteSql]] verbatim. */
-  private def ahashCtesSql: String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS a$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"a$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * a$k > atot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private def ahashCtesSql: String =
     s"""media AS (
        |  SELECT doc_id AS media_id,
        |    ${wavHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
@@ -309,8 +367,24 @@ object AudioHash {
        |), sized AS (
        |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
        |  WHERE h IS NOT NULL
-       |), ${Media.walkCteSql("sized")},
-       |wav AS (
+       |), ${ahashBodyCtesSql("sized", "")}""".stripMargin
+
+  /** The walk → eligibility → 64-probe → hash chain over an ARBITRARY
+    * `(media_id, h, n_bytes)` source CTE, stage names prefixed — the
+    * reuse seam for composed oracles ([[MediaKeep]]). The RIFF walk
+    * CTEs ([[Media.walkCteSql]]) keep their fixed names: only the
+    * audio chain walks RIFF in any composed query. `pfx = ""`
+    * reproduces the standalone spelling byte-for-byte. */
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
+    val probes = (0 until Probes).map(k =>
+      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS a$k")
+      .mkString(",\n    ")
+    val tot = (0 until Probes).map(k => s"a$k").mkString(" + ")
+    val bits = (0 until Probes).map { k =>
+      s"CAST(CASE WHEN 64 * a$k > atot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    s"""${Media.walkCteSql(src)},
+       |${pfx}wav AS (
        |  SELECT media_id, h, data_off,
        |    CAST(${Media.dynLeSql("fmt_off + 4", 4)} AS BIGINT) AS sample_rate,
        |    CAST(${Media.dynLeSql("fmt_off + 14", 2)} AS BIGINT) AS bits,
@@ -321,22 +395,22 @@ object AudioHash {
        |    CAST(n_bytes - data_off AS BIGINT) AS avail_len
        |  FROM walked
        |  WHERE fmt_off IS NOT NULL AND data_off IS NOT NULL
-       |), elig AS (
+       |), ${pfx}elig AS (
        |  SELECT media_id, h, data_off, sample_rate, bits, frame_bytes,
        |    least(declared_len, avail_len) // frame_bytes AS n_frames
-       |  FROM wav
+       |  FROM ${pfx}wav
        |  WHERE frame_bytes >= 1
        |    AND least(declared_len, avail_len) // frame_bytes >= $Probes
-       |), amp AS MATERIALIZED (
+       |), ${pfx}amp AS MATERIALIZED (
        |  SELECT media_id, sample_rate, frame_bytes, n_frames,
        |    $probes
-       |  FROM elig
-       |), atot AS MATERIALIZED (
-       |  SELECT *, ($tot) AS atot FROM amp
-       |), hashed AS (
+       |  FROM ${pfx}elig
+       |), ${pfx}atot AS MATERIALIZED (
+       |  SELECT *, ($tot) AS atot FROM ${pfx}amp
+       |), ${pfx}hashed AS (
        |  SELECT media_id, sample_rate, frame_bytes, n_frames,
        |    $bits AS ahash
-       |  FROM atot
+       |  FROM ${pfx}atot
        |)""".stripMargin
   }
 

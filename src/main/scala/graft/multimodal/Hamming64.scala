@@ -74,11 +74,36 @@ private[graft] object Hamming64 {
       .distinct()
   }
 
+  /** Re-mark the canonical copy on a `(doc_id, rep_id)` cluster
+    * relation so the kept member MAXIMIZES `metrics.metric` (media_id
+    * asc tie-break) — the [[graft.text.Dedup]] bestSurvivor discipline
+    * for the media families: components and cluster ids are identical
+    * to the keep-first face (rep_id stays the component minimum — the
+    * stable cluster identifier), only `is_canonical` moves to the BEST
+    * copy (highest resolution / longest duration / most content), which
+    * is what production dedup actually keeps. One ≤16-byte-row agg +
+    * equi-join on the labeled relation — nothing re-touches payloads. */
+  private[graft] def bestCanonical(clusters: DataFrame,
+      metrics: DataFrame): DataFrame = {
+    val best = clusters.join(metrics, col("doc_id") === col("media_id"))
+      .groupBy("rep_id")
+      .agg(min(struct((-col("metric")).as("o"), col("doc_id").as("d")))
+        .getField("d").as("best_id"))
+    clusters.select("doc_id", "rep_id").join(best, "rep_id")
+      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
+        (col("doc_id") === col("best_id")).as("is_canonical"))
+  }
+
   /** The 4-way band explosion of a `hashed(media_id, ahash)` CTE — the
     * DuckDB side every pairing/occupancy oracle shares. */
-  def nibbleSelectsSql: String =
+  def nibbleSelectsSql: String = nibbleSelectsSqlFrom("hashed")
+
+  /** [[nibbleSelectsSql]] over an arbitrary `(media_id, ahash)` CTE —
+    * for composed oracles banding several modality sketches in one
+    * query ([[MediaKeep]]). */
+  def nibbleSelectsSqlFrom(table: String): String =
     (0 until Bands).map(m =>
       s"SELECT media_id, ahash, CAST($m AS BIGINT) AS band, " +
-        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM hashed")
+        s"(ahash >> ${m * BandBits}) & $BandMask AS nibble FROM $table")
       .mkString("\n  UNION ALL\n  ")
 }

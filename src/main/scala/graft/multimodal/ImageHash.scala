@@ -115,7 +115,7 @@ object ImageHash {
     *    content, so they pair at small Hamming distance while
     *    different groups (different base) and the text images don't.
     */
-  private def imagesHexSql(textHex: String, textBytes: String,
+  private[multimodal] def imagesHexSql(textHex: String, textBytes: String,
       idiv: String): String = {
     val w = "(8 + doc_id % 3)"
     val hgt = "(8 + doc_id % 5)"
@@ -281,6 +281,70 @@ object ImageHash {
         col("is_survivor").as("is_canonical"))
   }
 
+  /** [[imageDupClusters]] with the BEST-COPY survivor policy (r13
+    * verdict directive #4 — clusters kept the component-MIN id;
+    * production keeps the best copy): `is_canonical` marks the member
+    * with the highest RESOLUTION `width · n_rows_avail` (the real
+    * pixels the decoder exposed — a truncated upload competes with its
+    * actual rows), media_id asc on ties; components and `cluster_id`
+    * are [[imageDupClusters]]' exactly. The shared
+    * [[Hamming64.bestCanonical]] body. */
+  def imageDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bestOfSketch(imageAhash(docs).localCheckpoint(), maxHamming)
+
+  private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
+    Hamming64.bestCanonical(
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+          "doc_a", "doc_b", maxHamming)),
+      sk.select(col("media_id"),
+        (col("width") * col("n_rows_avail")).as("metric")))
+
+  /** Payload-level twin for planted-fixture specs. */
+  private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bestOfSketch(ahashOfPayloads(payloads).localCheckpoint(), maxHamming)
+
+  /** Oracle twin of [[imageDupClustersBest]] — the cluster closure
+    * with the canonical flag re-ranked by resolution. */
+  def imageDupClustersBestSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  ${nibbleSelectsSql}
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |),
+       |rb AS (
+       |  SELECT comp.media_id AS media_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY h.width * h.n_rows_avail DESC, comp.media_id ASC) AS rn
+       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
+       |)
+       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   /** Oracle twin of [[imageDupClusters]] — transitive closure of the
     * pair relation by recursive CTE, singletons self-labeled. */
   def imageDupClustersSql(maxHamming: Int = 3): String =
@@ -400,11 +464,7 @@ object ImageHash {
     * height, n_rows_avail, ahash)`. `gray` is MATERIALIZED — every g_k
     * is consumed twice (the total and its own bit), and DuckDB inlines
     * CTEs by default (the [[Media.walkCteSql]] lesson). */
-  private def ahashCtesSql: String = {
-    val cells = (0 until Grid * Grid).map(k =>
-      s"CAST(${cellSql(k / Grid, k % Grid, "//")} AS BIGINT) AS g$k")
-      .mkString(",\n    ")
-    val tot = (0 until Grid * Grid).map(k => s"g$k").mkString(" + ")
+  private def ahashCtesSql: String =
     s"""imgs AS (
        |  SELECT doc_id AS media_id,
        |    ${imagesHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
@@ -412,31 +472,43 @@ object ImageHash {
        |), sized AS (
        |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM imgs
        |  WHERE h IS NOT NULL
-       |), bmp AS (
+       |), ${ahashBodyCtesSql("sized", "")}""".stripMargin
+
+  /** The eligibility → 64-cell → hash chain over an ARBITRARY
+    * `(media_id, h, n_bytes)` source CTE, every stage name prefixed —
+    * the reuse seam for composed oracles ([[MediaKeep]]) that run all
+    * three modality chains in one query. `pfx = ""` reproduces the
+    * standalone spelling byte-for-byte. */
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
+    val cells = (0 until Grid * Grid).map(k =>
+      s"CAST(${cellSql(k / Grid, k % Grid, "//")} AS BIGINT) AS g$k")
+      .mkString(",\n    ")
+    val tot = (0 until Grid * Grid).map(k => s"g$k").mkString(" + ")
+    s"""${pfx}bmp AS (
        |  SELECT media_id, h,
        |    CAST(${leSql(18, 4)} AS BIGINT) AS width,
        |    CAST(${leSql(22, 4)} AS BIGINT) AS height,
        |    CAST(${leSql(28, 2)} AS BIGINT) AS bpp,
        |    CAST(n_bytes - 54 AS BIGINT) AS avail
-       |  FROM sized
+       |  FROM $src
        |  WHERE n_bytes >= 54 AND substring(h, 1, 4) = '424D'
-       |), rowed AS (
+       |), ${pfx}rowed AS (
        |  SELECT *, least(height, avail // row_bytes) AS n_rows_avail
-       |  FROM (SELECT *, ((bpp * width + 31) // 32) * 4 AS row_bytes FROM bmp)
+       |  FROM (SELECT *, ((bpp * width + 31) // 32) * 4 AS row_bytes FROM ${pfx}bmp)
        |  WHERE ((bpp * width + 31) // 32) * 4 >= 1
-       |), elig AS (
-       |  SELECT * FROM rowed
+       |), ${pfx}elig AS (
+       |  SELECT * FROM ${pfx}rowed
        |  WHERE bpp = 24 AND width >= $Grid AND n_rows_avail >= $Grid
-       |), gray AS MATERIALIZED (
+       |), ${pfx}gray AS MATERIALIZED (
        |  SELECT media_id, width, height, n_rows_avail,
        |    $cells
-       |  FROM elig
-       |), tot AS MATERIALIZED (
-       |  SELECT *, ($tot) AS gtot FROM gray
-       |), hashed AS (
+       |  FROM ${pfx}elig
+       |), ${pfx}tot AS MATERIALIZED (
+       |  SELECT *, ($tot) AS gtot FROM ${pfx}gray
+       |), ${pfx}hashed AS (
        |  SELECT media_id, width, height, n_rows_avail,
        |    $ahashSql AS ahash
-       |  FROM tot
+       |  FROM ${pfx}tot
        |)""".stripMargin
   }
 

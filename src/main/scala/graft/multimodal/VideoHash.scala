@@ -68,7 +68,7 @@ object VideoHash {
     * 16.16 dimensions `1 + doc_id % 1920/1080` differ between d and
     * d+15 — so the green pairing oracle IS the metadata-edit-invariance
     * proof: the clones pair because only `mdat` is hashed. */
-  private def videoHexSql(textHex: String, textBytes: String,
+  private[multimodal] def videoHexSql(textHex: String, textBytes: String,
       idiv: String): String = {
     def leHex(v: String, nBytes: Int): String =
       (0 until nBytes).map { k =>
@@ -262,6 +262,67 @@ object VideoHash {
         col("is_survivor").as("is_canonical"))
   }
 
+  /** [[videoDupClusters]] with the BEST-COPY survivor policy:
+    * `is_canonical` marks the member with the MOST CONTENT (`n_units`
+    * — the clamped coded-stream length, so a truncated re-upload loses
+    * to its intact original), media_id asc on ties; components and
+    * `cluster_id` are [[videoDupClusters]]' exactly. The shared
+    * [[Hamming64.bestCanonical]] body. */
+  def videoDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bestOfSketch(videoAhash(docs).localCheckpoint(), maxHamming)
+
+  private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
+    Hamming64.bestCanonical(
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+          "doc_a", "doc_b", maxHamming)),
+      sk.select(col("media_id"), col("n_units").as("metric")))
+
+  /** Payload-level twin for planted-fixture specs. */
+  private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bestOfSketch(ahashOfPayloads(payloads).localCheckpoint(), maxHamming)
+
+  /** Oracle twin of [[videoDupClustersBest]] — the cluster closure
+    * with the canonical flag re-ranked by content length. */
+  def videoDupClustersBestSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  ${Hamming64.nibbleSelectsSql}
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |),
+       |rb AS (
+       |  SELECT comp.media_id AS media_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY h.n_units DESC, comp.media_id ASC) AS rn
+       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
+       |)
+       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   /** Oracle twin of [[videoDupClusters]] — recursive-CTE closure. */
   def videoDupClustersSql(maxHamming: Int = 3): String =
     s"""WITH RECURSIVE ${ahashCtesSql},
@@ -300,14 +361,7 @@ object VideoHash {
   /** synthesis → box walk → eligibility → 64 probes → hash, as CTEs
     * ending in `hashed`. Probes unrolled per column (the [[AudioHash]]
     * DuckDB spelling); the walk is [[Media.mp4CteSql]] verbatim. */
-  private def ahashCtesSql: String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private def ahashCtesSql: String =
     s"""media AS (
        |  SELECT doc_id AS media_id,
        |    ${videoHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
@@ -315,8 +369,24 @@ object VideoHash {
        |), sized AS (
        |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
        |  WHERE h IS NOT NULL
-       |), ${Media.mp4CteSql("sized")},
-       |elig AS (
+       |), ${ahashBodyCtesSql("sized", "")}""".stripMargin
+
+  /** The box-walk → eligibility → 64-probe → hash chain over an
+    * ARBITRARY `(media_id, h, n_bytes)` source CTE, stage names
+    * prefixed — the reuse seam for composed oracles ([[MediaKeep]]).
+    * The MP4 walk CTEs ([[Media.mp4CteSql]]) keep their fixed names:
+    * only the video chain walks ISO-BMFF in any composed query.
+    * `pfx = ""` reproduces the standalone spelling byte-for-byte. */
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
+    val probes = (0 until Probes).map(k =>
+      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
+      .mkString(",\n    ")
+    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
+    val bits = (0 until Probes).map { k =>
+      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    s"""${Media.mp4CteSql(src)},
+       |${pfx}elig AS (
        |  SELECT media_id, h, mdat_off, n_units FROM (
        |    SELECT media_id, h, mp4_mdat AS mdat_off,
        |      least(mp4_mdat_len, n_bytes - mp4_mdat) AS n_units
@@ -324,16 +394,16 @@ object VideoHash {
        |    WHERE mp4_mdat IS NOT NULL
        |  )
        |  WHERE n_units >= $Probes
-       |), bsv AS MATERIALIZED (
+       |), ${pfx}bsv AS MATERIALIZED (
        |  SELECT media_id, n_units,
        |    $probes
-       |  FROM elig
-       |), btotv AS MATERIALIZED (
-       |  SELECT *, ($tot) AS btot FROM bsv
-       |), hashed AS (
+       |  FROM ${pfx}elig
+       |), ${pfx}btotv AS MATERIALIZED (
+       |  SELECT *, ($tot) AS btot FROM ${pfx}bsv
+       |), ${pfx}hashed AS (
        |  SELECT media_id, n_units,
        |    $bits AS ahash
-       |  FROM btotv
+       |  FROM ${pfx}btotv
        |)""".stripMargin
   }
 

@@ -82,4 +82,34 @@ object MediaStream {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicatesWithinWatermark("media_id", "corpus_id")
   }
+
+  /** The VIDEO twin — arriving MP4s content-hashed over their walked
+    * `mdat` payload at ingest ([[graft.multimodal.VideoHash]],
+    * checkpoint-free spelling) and probed against the persisted corpus
+    * video sketch. Same stateless contract, same watermark collapse —
+    * a metadata-edited re-upload (`moov` churn) matches its original
+    * at Hamming 0 because only the coded stream is hashed. */
+  def videoMatchStream(payloads: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val hashed = graft.multimodal.VideoHash.ahashOfPayloadsStream(
+        payloads.select(col("media_id"), col("payload"),
+          EventStream.eventTime.as("event_time")),
+        keep = Seq("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+    val streamB = Hamming64.bands(
+      hashed.select(col("media_id"), col("ahash"), col("event_time")),
+      keep = Seq("event_time"))
+    val corpusB = Hamming64.bands(
+        corpusSketch.select(col("media_id"), col("ahash")))
+      .select(col("media_id").as("corpus_id"), col("ahash").as("cahash"),
+        col("band"), col("nibble"))
+    streamB.join(corpusB, Seq("band", "nibble"))
+      .select(col("media_id"), col("corpus_id"),
+        bit_count(col("ahash").bitwiseXOR(col("cahash")))
+          .cast("long").as("hamming"),
+        col("event_time"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("media_id", "corpus_id")
+  }
 }

@@ -120,6 +120,24 @@ class AudioHashSpec extends AnyFunSuite {
       "the 16-bit hash is the 8-bit reference over the amplitude bytes")
   }
 
+  test("best-copy survivor: the longest clip wins over the min id") {
+    // constant samples: every probe reads the same amplitude whatever
+    // the clip length, so the 320-frame clip and its 256-frame cut
+    // hash EQUAL (Hamming 0) and pair — but their durations differ
+    val long = wav(8000, Array.fill[Byte](320)(100))
+    val short = wav(8000, Array.fill[Byte](256)(100))
+    val other = wav(8000, fill(300, 555L))
+    val got = AudioHash.dupClustersBestOfPayloads(payloads(
+        1L -> short, 2L -> long, 3L -> other))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got(1L) === ((1L, false)),
+      "cluster_id stays the component min, but the shorter copy loses")
+    assert(got(2L) === ((1L, true)),
+      "the longer larger-id clip is canonical under the duration policy")
+    assert(got(3L) === ((3L, true)), "singleton stays its own canonical")
+  }
+
   test("planted one-sample edits pair; distinct clips do not") {
     val base = fill(400, 31L)
     val oneEdit = base.clone(); oneEdit(123) = 99

@@ -180,4 +180,23 @@ class ImageHashSpec extends AnyFunSuite {
       "the chain collapses to one cluster rooted at the min id")
     assert(clusters(4L) === ((4L, true)), "singleton stays its own canonical")
   }
+
+  test("best-copy survivor: the intact higher-resolution member wins over the min id") {
+    // one row pattern repeated: every sampled scanline is identical, so
+    // the full 16-row image and its 12-row truncation hash EQUAL
+    // (Hamming 0) and pair — but their real resolutions differ
+    val w = 10; val rb = rowBytes(w); val row = fill(rb, 7L)
+    val full = bmp(w, 16, Array.fill(16)(row).flatten)
+    val truncated = bmp(w, 16, Array.fill(12)(row).flatten) // 12 complete rows
+    val other = bmp(w, 16, fill(rb * 16, 99L))
+    val got = graft.multimodal.ImageHash.dupClustersBestOfPayloads(payloads(
+        1L -> truncated, 2L -> full, 3L -> other))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got(1L) === ((1L, false)),
+      "cluster_id stays the component min, but the truncated copy loses")
+    assert(got(2L) === ((1L, true)),
+      "the intact larger-id copy is canonical under the resolution policy")
+    assert(got(3L) === ((3L, true)), "singleton stays its own canonical")
+  }
 }

@@ -127,4 +127,51 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(got.contains((100L, 1L)), "the one-sample edit must match its original")
     assert(!got.keys.exists(t => t._1 == 101L || t._1 == 102L))
   }
+
+  test("streamed videos match the persisted corpus sketch as batch would") {
+    implicit val ctx = spark.sqlContext
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    val matrix = be(0x00010000L, 4) ++ be(0, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(0x00010000L, 4) ++ be(0, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(0x40000000L, 4)
+    def mp4(content: Array[Byte], mdur: Long): Array[Byte] = {
+      val mvhd = be(108, 4) ++ "mvhd".getBytes("US-ASCII") ++ be(0, 4) ++
+        be(0, 4) ++ be(0, 4) ++ be(600, 4) ++ be(mdur, 4) ++
+        be(0x00010000L, 4) ++ be(0x0100L, 2) ++ Array.fill[Byte](10)(0) ++
+        matrix ++ Array.fill[Byte](24)(0) ++ be(2, 4)
+      val tkhd = be(92, 4) ++ "tkhd".getBytes("US-ASCII") ++ be(7, 4) ++
+        be(0, 4) ++ be(0, 4) ++ be(1, 4) ++ be(0, 4) ++ be(0, 4) ++
+        Array.fill[Byte](16)(0) ++ matrix ++ be(640L << 16, 4) ++
+        be(480L << 16, 4)
+      be(16, 4) ++ "ftyp".getBytes("US-ASCII") ++
+        "isom".getBytes("US-ASCII") ++ be(0, 4) ++
+        be(216, 4) ++ "moov".getBytes("US-ASCII") ++ mvhd ++
+        be(100, 4) ++ "trak".getBytes("US-ASCII") ++ tkhd ++
+        be(8L + content.length, 4) ++ "mdat".getBytes("US-ASCII") ++ content
+    }
+    val corpusVids = Seq(1L -> fill(500, 13L), 2L -> fill(500, 17L))
+    val corpusSk = graft.multimodal.VideoHash.ahashOfPayloads(
+        corpusVids.map { case (id, c) => (id, mp4(c, 1000L)) }
+          .toDF("media_id", "payload"))
+      .select("media_id", "ahash").localCheckpoint()
+    // a METADATA-edited re-upload of corpus video 1 (same mdat, new
+    // mvhd duration — must match at Hamming 0), a fresh video, junk
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(
+      (100L, mp4(corpusVids(0)._2, 99999L), T),
+      (101L, mp4(fill(500, 999L), 1000L), T),
+      (102L, "not a video".getBytes("UTF-8"), T))
+    val name = s"video_stream_${System.nanoTime()}"
+    val q = MediaStream.videoMatchStream(
+        src.toDF().toDF("media_id", "payload", "ts"), corpusSk)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got === Map((100L, 1L) -> 0L),
+      "the metadata-edited re-upload matches its original at Hamming 0, " +
+        "fresh/junk uploads match nothing")
+  }
 }

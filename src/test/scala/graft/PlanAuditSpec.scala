@@ -113,7 +113,7 @@ class PlanAuditSpec extends AnyFunSuite {
         // the aHash pairing family is the simhash_pairs shape: the only
         // aggregate is the pair-collapsing distinct()
         "image_dup_pairs", "incremental_image_dup", "audio_dup_pairs",
-        "incremental_audio_dup",
+        "incremental_audio_dup", "video_dup_pairs", "incremental_video_dup",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
         "corpus_diff",
