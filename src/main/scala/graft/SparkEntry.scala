@@ -959,6 +959,17 @@ object SparkEntry {
       graft.multimodal.VideoHash.videoDupClusters(graft.Tables.documents(s, dir))),
     "video_occupancy" -> ((s, dir) =>
       graft.multimodal.VideoHash.videoOccupancy(graft.Tables.documents(s, dir))),
+    // The composed media-lake curation verdict (the corpus_keep
+    // discipline for binary payloads): kind sniff, decode eligibility,
+    // exact payload fingerprint dup, per-modality content clusters
+    // (exact copies entering via copy->keeper edges), keep as the
+    // conjunction — plus the yield rollup and the one-row dataset card.
+    "media_keep" -> ((s, dir) =>
+      graft.multimodal.MediaKeep.mediaKeep(graft.Tables.documents(s, dir))),
+    "media_keep_stats" -> ((s, dir) =>
+      graft.multimodal.MediaKeep.mediaKeepStats(graft.Tables.documents(s, dir))),
+    "media_card" -> ((s, dir) =>
+      graft.multimodal.MediaKeep.mediaCard(graft.Tables.documents(s, dir))),
     // BEST-COPY survivor policy for the media cluster families (the
     // dedup_clusters_best axis): components/cluster ids unchanged,
     // is_canonical moves to the highest-resolution image / longest
@@ -1590,6 +1601,9 @@ object SparkEntry {
     "video_dup_pairs" -> graft.multimodal.VideoHash.videoDupPairsSql(),
     "video_dup_clusters" -> graft.multimodal.VideoHash.videoDupClustersSql(),
     "video_occupancy" -> graft.multimodal.VideoHash.videoOccupancySql,
+    "media_keep" -> graft.multimodal.MediaKeep.mediaKeepSql(),
+    "media_keep_stats" -> graft.multimodal.MediaKeep.mediaKeepStatsSql(),
+    "media_card" -> graft.multimodal.MediaKeep.mediaCardSql(),
     "image_dup_clusters_best" ->
       graft.multimodal.ImageHash.imageDupClustersBestSql(),
     "audio_dup_clusters_best" ->

@@ -4,11 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.multimodal.{Hamming64, ImageHash}
 
-/** Streaming MEDIA-dedup admission gate — the
-  * [[DocStream.dedupAgainstCorpus]] discipline for image content: each
-  * arriving payload is content-hashed at ingest (the [[ImageHash]]
-  * aHash in its checkpoint-free spelling — pure per-row expression
-  * work, no barrier a stream cannot run) and its 4 Hamming bands probe
+/** Streaming MEDIA-dedup admission gates — the
+  * [[DocStream.dedupAgainstCorpus]] discipline for ALL THREE media
+  * content families (image / audio / video, one shape each): each
+  * arriving payload is content-hashed at ingest (the family hash in
+  * its checkpoint-free spelling — pure per-row expression work, no
+  * barrier a stream cannot run) and its 4 Hamming bands probe
   * the PERSISTED corpus `(media_id, ahash)` sketch relation by a
   * stream-static equi-join. Corpus history never enters streaming
   * state — the static side is a parquet relation probed per

@@ -19,7 +19,8 @@ class OracleContractSpec extends AnyFunSuite {
     "edge_count", "edge_count_csv", "exact_2hop", "exact_2hop_join",
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
     "triangles_oriented",
-    "mutual_follows", "graph_summary", "corpus_card", "bloom_prefilter",
+    "mutual_follows", "graph_summary", "corpus_card", "media_card",
+    "bloom_prefilter",
     "zone_skip", "join_skew", "edge_census_quarantine", "bloom_auto",
     "bloom_sized", "bloom_sized_audit", "bloom_size_verdict")
 
