@@ -959,6 +959,28 @@ object SparkEntry {
       graft.multimodal.VideoHash.videoDupClusters(graft.Tables.documents(s, dir))),
     "video_occupancy" -> ((s, dir) =>
       graft.multimodal.VideoHash.videoOccupancy(graft.Tables.documents(s, dir))),
+    // Compressed-image (PNG/JPEG) content identity: 64 stride probes
+    // over the walked first-IDAT payload / post-SOS entropy stream, so
+    // ancillary-chunk (PNG) and EXIF/COM (JPEG) churn no longer evades
+    // dedup; pairing stays per format through the shared Hamming64
+    // body, with occupancy/cluster/incremental faces.
+    "cimage_ahash" -> ((s, dir) =>
+      graft.multimodal.CompressedImageHash.cimageAhash(graft.Tables.documents(s, dir))),
+    "cimage_dup_pairs" -> ((s, dir) =>
+      graft.multimodal.CompressedImageHash.cimageDupPairs(graft.Tables.documents(s, dir))),
+    "cimage_dup_clusters" -> ((s, dir) =>
+      graft.multimodal.CompressedImageHash.cimageDupClusters(graft.Tables.documents(s, dir))),
+    "cimage_occupancy" -> ((s, dir) =>
+      graft.multimodal.CompressedImageHash.cimageOccupancy(graft.Tables.documents(s, dir))),
+    "incremental_cimage_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.CompressedImageHash.incrementalCimagePairs(
+        docs.filter(col("doc_id") % 10 === 9),
+        graft.multimodal.CompressedImageHash.cimageAhash(
+            docs.filter(col("doc_id") % 10 =!= 9))
+          .select("media_id", "kind", "ahash").localCheckpoint())
+    }),
     // The composed media-lake curation verdict (the corpus_keep
     // discipline for binary payloads): kind sniff, decode eligibility,
     // exact payload fingerprint dup, per-modality content clusters
@@ -1601,6 +1623,15 @@ object SparkEntry {
     "video_dup_pairs" -> graft.multimodal.VideoHash.videoDupPairsSql(),
     "video_dup_clusters" -> graft.multimodal.VideoHash.videoDupClustersSql(),
     "video_occupancy" -> graft.multimodal.VideoHash.videoOccupancySql,
+    "cimage_ahash" -> graft.multimodal.CompressedImageHash.cimageAhashSql,
+    "cimage_dup_pairs" ->
+      graft.multimodal.CompressedImageHash.cimageDupPairsSql(),
+    "cimage_dup_clusters" ->
+      graft.multimodal.CompressedImageHash.cimageDupClustersSql(),
+    "cimage_occupancy" ->
+      graft.multimodal.CompressedImageHash.cimageOccupancySql,
+    "incremental_cimage_dup" ->
+      graft.multimodal.CompressedImageHash.incrementalCimagePairsSql(),
     "media_keep" -> graft.multimodal.MediaKeep.mediaKeepSql(),
     "media_keep_stats" -> graft.multimodal.MediaKeep.mediaKeepStatsSql(),
     "media_card" -> graft.multimodal.MediaKeep.mediaCardSql(),

@@ -1,0 +1,452 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** COMPRESSED-image content fingerprinting — PNG and JPEG, the two
+  * image containers whose pixel streams a declarative engine cannot
+  * decode (r13 verdict frontier #2): they got dimension decode but no
+  * content identity, so a PNG whose ancillary chunks churned (tEXt /
+  * iTXt / time-stamp rewrites) or a JPEG whose EXIF / COM segments
+  * were edited carried a fresh exact fingerprint over byte-identical
+  * CODED PIXELS and evaded dedup entirely.
+  *
+  * The hash probes the coded stream at the span the container walks
+  * expose:
+  *
+  *  - PNG: the FIRST `IDAT` chunk's payload — `IDAT` is now the
+  *    [[Media]] PNG fold's second tracked find (offset + declared
+  *    length, the `mdat` precedent), clamped to the bytes actually
+  *    present;
+  *  - JPEG: the entropy stream — everything after the first `SOS`
+  *    segment's header (a dedicated marker walk below hops APPn / COM
+  *    / DQT / DHT / SOFn by their declared lengths to the first
+  *    `FFDA`; the dimension walk cannot serve here because it STOPS at
+  *    SOF by design), minus the trailing `FFD9` when present;
+  *
+  * then 64 integer-stride byte probes over the clamped span, bit =
+  * 64·b > Σb — the [[VideoHash]] discipline on the compressed stream.
+  * Honest scope, same stance as video: a stride-byte content identity,
+  * not a perceptual hash — metadata-edit invariant at Hamming 0,
+  * splice-tolerant, but a RE-ENCODE (or a PNG re-chunking that splits
+  * the first IDAT) legitimately reads as new content; a production
+  * perceptual hash decodes pixels first. GIF is deliberately absent:
+  * it has no standard metadata-segment churn analog (comment
+  * extensions live INSIDE the data stream), so its dedup remains the
+  * exact payload fingerprint.
+  *
+  * Eligibility is explicit: a walked IDAT / SOS with ≥ 64 clamped
+  * content bytes; anything else emits no row. Scale shape: per-row hex
+  * arithmetic (one gated fold + 64 fixed probes), an 8-byte sketch,
+  * the shared [[Hamming64]] banding with pairing PER FORMAT (a PNG
+  * sketch never band-joins a JPEG sketch).
+  */
+object CompressedImageHash {
+
+  val Probes = 64
+
+  private def byteAtSql(off: String): String = Media.dynLeSql(off, 1)
+
+  /** Probe k's content byte over columns `h`, `span_off`, `n_units`. */
+  private def probeSql(k: String, idiv: String): String =
+    byteAtSql(s"span_off + ((($k) * n_units) $idiv 64)")
+
+  private def jpgMagic: Column =
+    col("n_bytes") >= 4L && substring(col("h"), 1, 4) === "FFD8"
+
+  // ---- the JPEG SOS walk ----------------------------------------------------
+  //
+  // Same bounded 0xFF-marker hop as Media's dimension walk, different
+  // terminal: SOFn segments are ordinary variable-length hops here, and
+  // the walk resolves at the first SOS (FFDA), recording where its
+  // segment header ENDS — the entropy stream's first byte.
+
+  private val SosWalkChunks = 8
+
+  /** The SOS walk as ONE `aggregate` fold (Spark side). */
+  private[multimodal] val jpgSosAggSql: String = {
+    val m = "substring(h, CAST(acc.off * 2 + 1 AS INT), 4)"
+    val len = Media.dynBeSql("acc.off + 2", 2)
+    val standalone = "('FF01','FFD0','FFD1','FFD2','FFD3','FFD4','FFD5','FFD6','FFD7','FFD8')"
+    s"""aggregate(
+       |  sequence(1, $SosWalkChunks),
+       |  named_struct(
+       |    'off', CASE WHEN n_bytes >= 4 AND substring(h, 1, 4) = 'FFD8'
+       |      THEN CAST(2 AS BIGINT) END,
+       |    'sdata', CAST(NULL AS BIGINT)),
+       |  (acc, step) -> CASE
+       |    WHEN acc.off IS NULL OR n_bytes < acc.off + 4 THEN
+       |      named_struct('off', CAST(NULL AS BIGINT), 'sdata', acc.sdata)
+       |    ELSE named_struct(
+       |      'off', CASE
+       |        WHEN $m = 'FFDA' THEN CAST(NULL AS BIGINT)
+       |        WHEN $m IN $standalone THEN acc.off + 2
+       |        WHEN substring(h, CAST(acc.off * 2 + 1 AS INT), 2) = 'FF'
+       |          AND $m <> 'FFD9' AND $len >= 2
+       |          THEN acc.off + 2 + $len
+       |        ELSE CAST(NULL AS BIGINT) END,
+       |      'sdata', coalesce(acc.sdata, CASE WHEN $m = 'FFDA'
+       |        AND $len >= 2 THEN acc.off + 2 + $len END))
+       |    END,
+       |  acc -> acc.sdata)""".stripMargin
+  }
+
+  /** DuckDB twin of the SOS walk: chained CTEs over `src`; final stage
+    * `sfin` carries `sos_data`. */
+  private def jpgSosCteSql(src: String): String = {
+    val standalone = "('FF01','FFD0','FFD1','FFD2','FFD3','FFD4','FFD5','FFD6','FFD7','FFD8')"
+    val sb = new StringBuilder
+    sb.append(s"s0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 4 " +
+      "AND substring(h, 1, 4) = 'FFD8' THEN CAST(2 AS BIGINT) END " +
+      s"AS soff0 FROM $src)")
+    var prev = "s0"
+    for (k <- 0 until SosWalkChunks) {
+      val live = s"soff$k IS NOT NULL AND n_bytes >= soff$k + 4"
+      sb.append(s""",
+        |sa$k AS MATERIALIZED (SELECT *,
+        |  CASE WHEN $live
+        |    THEN substring(h, CAST(soff$k * 2 + 1 AS INT), 4) END AS sm$k,
+        |  CASE WHEN $live
+        |    THEN CAST(${Media.dynBeSql(s"soff$k + 2", 2)} AS BIGINT) END AS sl$k
+        |  FROM $prev)""".stripMargin)
+      prev = s"sa$k"
+      if (k < SosWalkChunks - 1) {
+        sb.append(s""",
+          |sb$k AS MATERIALIZED (SELECT *, CASE
+          |  WHEN sm$k = 'FFDA' THEN CAST(NULL AS BIGINT)
+          |  WHEN sm$k IN $standalone THEN soff$k + 2
+          |  WHEN substring(sm$k, 1, 2) = 'FF' AND sm$k <> 'FFD9'
+          |    AND sl$k >= 2 THEN soff$k + 2 + sl$k
+          |  ELSE CAST(NULL AS BIGINT) END AS soff${k + 1} FROM sa$k)""".stripMargin)
+        prev = s"sb$k"
+      }
+    }
+    val sdata = (0 until SosWalkChunks).map(k =>
+      s"CASE WHEN sm$k = 'FFDA' AND sl$k >= 2 THEN soff$k + 2 + sl$k END")
+      .mkString("COALESCE(", ", ", ")")
+    sb.append(s""",
+      |sfin AS MATERIALIZED (SELECT *, $sdata AS sos_data FROM $prev)""".stripMargin)
+    sb.toString
+  }
+
+  /** Fixture synthesis: each document as a REAL PNG or JPEG by GROUP
+    * parity (`(doc_id div 30) % 2` — group-level dispatch so every
+    * 30-id group keeps its planted-pair structure), with the family
+    * two-population discipline on the coded stream: doc_id % 3 ≠ 2
+    * carries the text bytes; doc_id % 3 = 2 is the planted near-dup
+    * population (group-keyed base, one byte edited per member). The
+    * CONTAINER METADATA deliberately diverges within every planted
+    * pair: d and d+15 differ in parity, so exactly one member carries
+    * the tEXt ancillary chunk (PNG) / the COM segment (JPEG), and the
+    * IHDR/SOF dimensions differ too — the green pairing oracle IS the
+    * metadata-churn-invariance proof. */
+  private def cimagesHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    def leHex(v: String, nBytes: Int): String =
+      (0 until nBytes).map { k =>
+        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
+        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+      }.mkString("(", " || ", ")")
+    def beHex(v: String, nBytes: Int): String =
+      (0 until nBytes).map { k =>
+        val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
+        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+      }.mkString("(", " || ", ")")
+    val g = s"(doc_id $idiv 30)"
+    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
+      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
+      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT))"
+    val p = "(3 + 8 * (doc_id % 25))"
+    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
+      s"${leHex("((doc_id * 101) % 256)", 1)} || " +
+      s"substring($base, CAST($p * 2 + 3 AS INT))"
+    val content = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
+    val nb = s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END"
+    val pw = "(1 + doc_id % 800)"
+    val ph = "(1 + doc_id % 600)"
+    // PNG: sig + [tEXt when odd] + IHDR + IDAT(content) + IEND
+    val textAnc = "'00000005' || '74455874' || '6B65794131' || '00000000'"
+    val ihdr = s"'0000000D' || '49484452' || ${beHex(pw, 4)} || " +
+      s"${beHex(ph, 4)} || '08' || '02' || '000000' || '00000000'"
+    val idat = s"${beHex(nb, 4)} || '49444154' || $content || '00000000'"
+    val iend = "'00000000' || '49454E44' || '00000000'"
+    val png = s"'${Media.PngSigHex}' || " +
+      s"(CASE WHEN doc_id % 2 = 1 THEN $textAnc || '' ELSE '' END) || " +
+      s"$ihdr || $idat || $iend"
+    // JPEG: SOI + APP0 + [COM when odd] + SOF0(1 component) +
+    // SOS(1 component) + entropy(content) + EOI
+    val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
+      "'0048' || '0048' || '0000'"
+    val comSeg = "'FFFE' || '0009' || '67726166743134'"
+    val sof = s"'FFC0' || '000B' || '08' || ${beHex(ph, 2)} || " +
+      s"${beHex(pw, 2)} || '01' || '011100'"
+    val sos = "'FFDA' || '0008' || '01' || '0100' || '003F00'"
+    val jpg = s"'FFD8' || $app0 || " +
+      s"(CASE WHEN doc_id % 2 = 1 THEN $comSeg || '' ELSE '' END) || " +
+      s"$sof || $sos || $content || 'FFD9'"
+    s"CASE WHEN (doc_id $idiv 30) % 2 = 0 THEN $png ELSE $jpg END"
+  }
+
+  // ---- the hash over an arbitrary payload relation ---------------------------
+
+  private def ahashOfHex(sized: DataFrame): DataFrame =
+    ahashOfHexMaybeCk(sized, checkpoint = true)
+
+  /** `checkpoint = false` is the STREAM spelling (the family-wide
+    * [[ImageHash.ahashOfHexMaybeCk]] rationale). */
+  private[graft] def ahashOfHexMaybeCk(sized: DataFrame,
+      checkpoint: Boolean, keep: Seq[String] = Nil): DataFrame = {
+    val walked0 = sized
+      .filter(Media.pngMagic || jpgMagic)
+      .withColumn("pk", Media.gatedWalk(Media.pngMagic, Media.pngAggSql))
+      .withColumn("sdata", when(jpgMagic, expr(jpgSosAggSql)))
+    val walked = if (checkpoint) walked0.localCheckpoint() else walked0
+    // trailing-EOI adjustment: the entropy stream ends before a final
+    // FFD9 when one is present (a truncated upload has none)
+    val eoiAdj = when(col("h").substr(
+        (col("n_bytes") * 2L - 3L).cast("int"), lit(4)) === "FFD9", 2L)
+      .otherwise(0L)
+    val span = walked.select(keep.map(col) ++ Seq(col("media_id"), col("h"),
+        when(Media.pngMagic, lit("png")).otherwise(lit("jpeg")).as("kind"),
+        when(Media.pngMagic, col("pk.idat_off")).otherwise(col("sdata"))
+          .as("span_off"),
+        when(Media.pngMagic,
+            least(col("pk.idat_len"), col("n_bytes") - col("pk.idat_off")))
+          .otherwise(col("n_bytes") - col("sdata") - eoiAdj)
+          .as("n_units")): _*)
+      .filter(col("span_off").isNotNull && col("n_units") >= Probes.toLong)
+    span
+      .withColumn("bs_",
+        expr(s"transform(sequence(0, ${Probes - 1})," +
+          s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
+      .withColumn("btot",
+        expr("aggregate(bs_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(keep.map(col) ++ Seq(col("media_id"), col("kind"),
+        col("n_units"),
+        expr(s"aggregate(sequence(0, ${Probes - 1})," +
+          " CAST(0 AS BIGINT)," +
+          " (a, k) -> a + CASE WHEN 64 * element_at(bs_, k + 1) > btot" +
+          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
+  }
+
+  /** Payload-level seam for the spec's hand-built PNGs/JPEGs. */
+  private[graft] def ahashOfPayloads(payloads: DataFrame): DataFrame =
+    ahashOfHex(payloads.select(col("media_id"),
+      hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")))
+
+  /** `(media_id, kind, n_units, ahash)` per eligible compressed image
+    * of the synthesized corpus. */
+  def cimageAhash(docs: DataFrame): DataFrame = {
+    val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
+      cimagesHexSql("hex(encode(text, 'utf-8'))", "octet_length(text)",
+        "div") + "), 1)")
+    ahashOfHex(graft.Tables.widen(docs)
+      .select(col("doc_id").as("media_id"), h.as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("n_bytes", (length(col("h")) / 2).cast("long"))
+      .localCheckpoint())
+  }
+
+  /** Near-duplicate pairs, PER FORMAT — a PNG sketch never band-joins
+    * a JPEG sketch (the [[MediaKeep]] per-modality discipline). */
+  def cimageDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    pairsOfKinds(cimageAhash(docs).localCheckpoint(), maxHamming)
+
+  private def pairsOfKinds(sk: DataFrame, maxHamming: Int): DataFrame =
+    Seq("png", "jpeg").map(k =>
+      Hamming64.pairsOfSketch(
+        sk.filter(col("kind") === k).select("media_id", "ahash"),
+        "pic_a", "pic_b", maxHamming))
+      .reduce(_ unionByName _)
+
+  /** Payload-level pairing twin for planted-fixture specs. */
+  private[graft] def dupPairsOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    pairsOfKinds(ahashOfPayloads(payloads).localCheckpoint(), maxHamming)
+
+  /** Duplicate clusters over both formats' pairing graphs — one star
+    * contraction; components never span formats because no cross-format
+    * edge exists. */
+  def cimageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sk = cimageAhash(docs).localCheckpoint()
+    graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        pairsOfKinds(sk, maxHamming)
+          .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
+        col("is_survivor").as("is_canonical"))
+  }
+
+  /** Occupancy over the (kind, band, nibble) bucket space — kinds are
+    * separate bucket populations, the rollup reports per band (the
+    * shared [[graft.text.Dedup.occupancyRollup]] body). */
+  def cimageOccupancy(docs: DataFrame): DataFrame =
+    graft.text.Dedup.occupancyRollup(
+      Hamming64.bands(
+          cimageAhash(docs).select("media_id", "kind", "ahash")
+            .localCheckpoint(), keep = Seq("kind"))
+        .groupBy("kind", "band", "nibble").agg(count(lit(1)).as("sz")),
+      "band")
+
+  /** Nightly-ingest twin — shard images hashed fresh, corpus replays
+    * its persisted `(media_id, kind, ahash)` sketch; pairing stays per
+    * format. */
+  def incrementalCimagePairs(newDocs: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val newSk = cimageAhash(newDocs).localCheckpoint()
+    Seq("png", "jpeg").map(k =>
+      Hamming64.pairsIncremental(
+        newSk.filter(col("kind") === k).select("media_id", "ahash"),
+        corpusSketch.filter(col("kind") === k).select("media_id", "ahash"),
+        "pic_a", "pic_b", maxHamming))
+      .reduce(_ unionByName _)
+  }
+
+  // ---- DuckDB oracle twins ---------------------------------------------------
+
+  /** synthesis → PNG walk + SOS walk → per-kind span → 64 probes →
+    * hash, as CTEs ending in `hashed(media_id, kind, n_units, ahash)`.
+    */
+  private def ahashCtesSql: String = {
+    val probes = (0 until Probes).map(k =>
+      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
+      .mkString(",\n    ")
+    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
+    val bits = (0 until Probes).map { k =>
+      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |    ${cimagesHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
+       |  FROM documents
+       |), sized AS (
+       |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
+       |  WHERE h IS NOT NULL
+       |), ${Media.pngCteSql("sized")},
+       |${jpgSosCteSql("pfin")},
+       |spans AS (
+       |  SELECT media_id, h,
+       |    CASE WHEN substring(h, 1, 16) = '${Media.PngSigHex}'
+       |      THEN 'png' ELSE 'jpeg' END AS kind,
+       |    CASE WHEN substring(h, 1, 16) = '${Media.PngSigHex}'
+       |      THEN png_idat ELSE sos_data END AS span_off,
+       |    CASE WHEN substring(h, 1, 16) = '${Media.PngSigHex}'
+       |      THEN least(png_idat_len, n_bytes - png_idat)
+       |      ELSE n_bytes - sos_data - (CASE WHEN substring(h,
+       |        CAST(n_bytes * 2 - 3 AS INT), 4) = 'FFD9' THEN 2 ELSE 0 END)
+       |      END AS n_units
+       |  FROM sfin
+       |), elig AS (
+       |  SELECT * FROM spans
+       |  WHERE span_off IS NOT NULL AND n_units >= $Probes
+       |), bsv AS MATERIALIZED (
+       |  SELECT media_id, kind, n_units,
+       |    $probes
+       |  FROM elig
+       |), btotv AS MATERIALIZED (
+       |  SELECT *, ($tot) AS btot FROM bsv
+       |), hashed AS (
+       |  SELECT media_id, kind, n_units,
+       |    $bits AS ahash
+       |  FROM btotv
+       |)""".stripMargin
+  }
+
+  /** Kind-carrying band explosion over `hashed`. */
+  private def kindBandsSql: String =
+    (0 until Hamming64.Bands).map(m =>
+      s"SELECT media_id, kind, ahash, CAST($m AS BIGINT) AS band, " +
+        s"(ahash >> ${m * 16}) & 65535 AS nibble FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+
+  def cimageAhashSql: String =
+    s"""WITH ${ahashCtesSql}
+       |SELECT media_id, kind, n_units, ahash FROM hashed
+       |ORDER BY media_id, kind, n_units, ahash""".stripMargin
+
+  def cimageDupPairsSql(maxHamming: Int = 3): String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  $kindBandsSql
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS pic_a, b.media_id AS pic_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |)
+       |SELECT pic_a, pic_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY pic_a, pic_b, hamming""".stripMargin
+
+  def cimageDupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  $kindBandsSql
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |)
+       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
+       |FROM comp
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
+  def cimageOccupancySql: String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  $kindBandsSql
+       |),
+       |occ AS (
+       |  SELECT kind, band, nibble, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY kind, band, nibble
+       |)
+       |${graft.text.Dedup.occupancySelectSql("band")}""".stripMargin
+
+  def incrementalCimagePairsSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    s"""WITH ${ahashCtesSql},
+       |bands AS (
+       |  $kindBandsSql
+       |),
+       |newb AS (
+       |  SELECT * FROM bands WHERE $shardPred
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.media_id, b.media_id) AS pic_a,
+       |    greatest(a.media_id, b.media_id) AS pic_b,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM newb a JOIN bands b
+       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id <> b.media_id
+       |)
+       |SELECT pic_a, pic_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY pic_a, pic_b, hamming""".stripMargin
+}

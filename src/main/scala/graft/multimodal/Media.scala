@@ -347,7 +347,7 @@ object Media {
     * and JPEG segment lengths/SOF fields are network order. Same
     * BIGINT-widened positional multiply (a 4-byte BE length's HIGH byte
     * is the overflowing one here). */
-  private def dynBeSql(off: String, nBytes: Int): String =
+  private[multimodal] def dynBeSql(off: String, nBytes: Int): String =
     (0 until nBytes).map { k =>
       val hiP = s"CAST((($off) + $k) * 2 + 1 AS INT)"
       val loP = s"CAST((($off) + $k) * 2 + 2 AS INT)"
@@ -449,7 +449,7 @@ object Media {
   // endianness and the hop arithmetic (12 + len, no pad) differ.
 
   private val HexIhdr = "49484452" // 'IHDR'
-  private val PngSigHex = "89504E470D0A1A0A"
+  private[multimodal] val PngSigHex = "89504E470D0A1A0A"
 
   /** PNG color type → channels, as a SQL CASE over expression `c` —
     * the [[pngChannels]] mapping in both engines' spelling. */
@@ -457,11 +457,15 @@ object Media {
     s"CASE WHEN ($c) IN (0, 3) THEN 1 WHEN ($c) = 2 THEN 3 " +
       s"WHEN ($c) = 4 THEN 2 WHEN ($c) = 6 THEN 4 END"
 
+  private val HexIdat = "49444154" // 'IDAT'
+
   /** The PNG walk as ONE `aggregate` fold (Spark side) — same
     * plan-explosion rationale as [[walkAggSql]]. Finds the first
     * complete IHDR (13-byte payload present) and reads width/height
-    * (uint32 BE), bit depth, and color type at the WALKED offset. */
-  private val pngAggSql: String = {
+    * (uint32 BE), bit depth, and color type at the WALKED offset; also
+    * tracks the FIRST `IDAT` chunk (payload offset + declared length —
+    * the r14 compressed-content find, the `mdat` precedent). */
+  private[multimodal] val pngAggSql: String = {
     val len = dynBeSql("acc.off", 4)
     val typ = "substring(h, CAST((acc.off + 4) * 2 + 1 AS INT), 8)"
     s"""aggregate(
@@ -469,14 +473,21 @@ object Media {
        |  named_struct(
        |    'off', CASE WHEN n_bytes >= 16 AND substring(h, 1, 16) = '$PngSigHex'
        |      THEN CAST(8 AS BIGINT) END,
-       |    'ihdr', CAST(NULL AS BIGINT)),
+       |    'ihdr', CAST(NULL AS BIGINT),
+       |    'idat', CAST(NULL AS BIGINT),
+       |    'ilen', CAST(NULL AS BIGINT)),
        |  (acc, step) -> CASE
        |    WHEN acc.off IS NULL OR n_bytes < acc.off + 8 THEN
-       |      named_struct('off', CAST(NULL AS BIGINT), 'ihdr', acc.ihdr)
+       |      named_struct('off', CAST(NULL AS BIGINT), 'ihdr', acc.ihdr,
+       |        'idat', acc.idat, 'ilen', acc.ilen)
        |    ELSE named_struct(
        |      'off', acc.off + 12 + $len,
        |      'ihdr', coalesce(acc.ihdr, CASE WHEN $typ = '$HexIhdr'
-       |        AND $len >= 13 AND n_bytes >= acc.off + 21 THEN acc.off + 8 END))
+       |        AND $len >= 13 AND n_bytes >= acc.off + 21 THEN acc.off + 8 END),
+       |      'idat', coalesce(acc.idat, CASE WHEN $typ = '$HexIdat'
+       |        THEN acc.off + 8 END),
+       |      'ilen', coalesce(acc.ilen, CASE WHEN $typ = '$HexIdat'
+       |        THEN $len END))
        |    END,
        |  acc -> named_struct(
        |    'ihdr_off', acc.ihdr,
@@ -487,7 +498,9 @@ object Media {
        |    'depth', CASE WHEN acc.ihdr IS NOT NULL
        |      THEN CAST(${dynBeSql("acc.ihdr + 8", 1)} AS BIGINT) END,
        |    'ctype', CASE WHEN acc.ihdr IS NOT NULL
-       |      THEN CAST(${dynBeSql("acc.ihdr + 9", 1)} AS BIGINT) END))""".stripMargin
+       |      THEN CAST(${dynBeSql("acc.ihdr + 9", 1)} AS BIGINT) END,
+       |    'idat_off', acc.idat,
+       |    'idat_len', acc.ilen))""".stripMargin
   }
 
   // ---- bounded JPEG marker-segment walk -----------------------------------
@@ -714,7 +727,7 @@ object Media {
     * (exposing `h`, `n_bytes`); final stage `pfin` carries `png_ihdr`,
     * `png_w`, `png_ht`, `png_depth`, `png_ctype`. Same
     * materialize-every-stage rationale as [[walkCteSql]]. */
-  private def pngCteSql(src: String): String = {
+  private[multimodal] def pngCteSql(src: String): String = {
     val sb = new StringBuilder
     sb.append(s"p0 AS MATERIALIZED (SELECT *, CASE WHEN n_bytes >= 16 " +
       s"AND substring(h, 1, 16) = '$PngSigHex' THEN CAST(8 AS BIGINT) END " +
@@ -741,8 +754,15 @@ object Media {
       s"CASE WHEN ptyp$k = '$HexIhdr' AND plen$k >= 13 " +
         s"AND n_bytes >= poff$k + 21 THEN poff$k + 8 END")
       .mkString("COALESCE(", ", ", ")")
+    val idat = (0 until WalkChunks).map(k =>
+      s"CASE WHEN ptyp$k = '$HexIdat' THEN poff$k + 8 END")
+      .mkString("COALESCE(", ", ", ")")
+    val idatLen = (0 until WalkChunks).map(k =>
+      s"CASE WHEN ptyp$k = '$HexIdat' THEN plen$k END")
+      .mkString("COALESCE(", ", ", ")")
     sb.append(s""",
-      |pw AS MATERIALIZED (SELECT *, $ihdr AS png_ihdr FROM $prev),
+      |pw AS MATERIALIZED (SELECT *, $ihdr AS png_ihdr,
+      |  $idat AS png_idat, $idatLen AS png_idat_len FROM $prev),
       |pfin AS MATERIALIZED (SELECT *,
       |  CASE WHEN png_ihdr IS NOT NULL
       |    THEN CAST(${dynBeSql("png_ihdr", 4)} AS BIGINT) END AS png_w,
@@ -865,7 +885,7 @@ object Media {
   private[multimodal] def riffMagic: org.apache.spark.sql.Column =
     col("n_bytes") >= 44L && substring(col("h"), 1, 8) === "52494646" &&
       substring(col("h"), 17, 8) === "57415645"
-  private def pngMagic: org.apache.spark.sql.Column =
+  private[multimodal] def pngMagic: org.apache.spark.sql.Column =
     col("n_bytes") >= 16L && substring(col("h"), 1, 16) === PngSigHex
   private def jpgMagic: org.apache.spark.sql.Column =
     col("n_bytes") >= 4L && substring(col("h"), 1, 4) === "FFD8"

@@ -114,6 +114,7 @@ class PlanAuditSpec extends AnyFunSuite {
         // aggregate is the pair-collapsing distinct()
         "image_dup_pairs", "incremental_image_dup", "audio_dup_pairs",
         "incremental_audio_dup", "video_dup_pairs", "incremental_video_dup",
+        "cimage_dup_pairs", "incremental_cimage_dup",
         // corpus_diff's only aggregates are its two distinct-fingerprint
         // relations (the moved-content sides)
         "corpus_diff",
