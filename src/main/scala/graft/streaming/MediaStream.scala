@@ -113,4 +113,39 @@ object MediaStream {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicatesWithinWatermark("media_id", "corpus_id")
   }
+
+  /** The COMPRESSED-IMAGE twin — arriving PNGs/JPEGs span-hashed at
+    * ingest ([[graft.multimodal.CompressedImageHash]], checkpoint-free
+    * spelling) and probed against the persisted corpus `(media_id,
+    * kind, ahash)` sketch. The band probe carries `kind`, so a PNG
+    * upload can only match PNG history (the family's per-format
+    * discipline). Same stateless contract, same watermark collapse. */
+  def cimageMatchStream(payloads: DataFrame, corpusSketch: DataFrame,
+      maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val hashed = graft.multimodal.CompressedImageHash.ahashOfHexMaybeCk(
+        payloads.select(col("media_id"), col("payload"),
+            EventStream.eventTime.as("event_time"))
+          .select(col("media_id"), hex(col("payload")).as("h"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            col("event_time")),
+        checkpoint = false, keep = Seq("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+    val streamB = Hamming64.bands(
+      hashed.select(col("media_id"), col("ahash"), col("kind"),
+        col("event_time")),
+      keep = Seq("kind", "event_time"))
+    val corpusB = Hamming64.bands(
+        corpusSketch.select(col("media_id"), col("ahash"), col("kind")),
+        keep = Seq("kind"))
+      .select(col("media_id").as("corpus_id"), col("ahash").as("cahash"),
+        col("kind"), col("band"), col("nibble"))
+    streamB.join(corpusB, Seq("kind", "band", "nibble"))
+      .select(col("media_id"), col("corpus_id"),
+        bit_count(col("ahash").bitwiseXOR(col("cahash")))
+          .cast("long").as("hamming"),
+        col("event_time"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("media_id", "corpus_id")
+  }
 }

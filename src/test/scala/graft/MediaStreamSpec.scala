@@ -174,4 +174,53 @@ class MediaStreamSpec extends AnyFunSuite {
       "the metadata-edited re-upload matches its original at Hamming 0, " +
         "fresh/junk uploads match nothing")
   }
+
+  test("streamed PNGs/JPEGs match the persisted corpus sketch per format") {
+    implicit val ctx = spark.sqlContext
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length, 4) ++ typ.getBytes("US-ASCII") ++ payload ++ be(0, 4)
+    def png(c: Array[Byte], anc: Boolean): Array[Byte] =
+      pngSig ++
+        (if (anc) chunk("tEXt", "keyA1".getBytes("US-ASCII"))
+         else Array.emptyByteArray) ++
+        chunk("IHDR", be(32, 4) ++ be(32, 4) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+        chunk("IDAT", c) ++ chunk("IEND", Array.emptyByteArray)
+    def jpg(c: Array[Byte]): Array[Byte] = {
+      val app0 = be(0xFFE0L, 2) ++ be(16, 2) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+        be(0x48, 2) ++ be(0x48, 2) ++ be(0, 2)
+      val sof = be(0xFFC0L, 2) ++ be(11, 2) ++ Array[Byte](8) ++
+        be(32, 2) ++ be(32, 2) ++ Array[Byte](1, 1, 0x11, 0)
+      val sos = be(0xFFDAL, 2) ++ be(8, 2) ++ Array[Byte](1, 1, 0, 0, 0x3F, 0)
+      be(0xFFD8L, 2) ++ app0 ++ sof ++ sos ++ c ++ be(0xFFD9L, 2)
+    }
+    val c1 = fill(300, 13L); val c2 = fill(300, 17L)
+    // corpus: one PNG (content c1) and one JPEG (content c2)
+    val corpusSk = graft.multimodal.CompressedImageHash.ahashOfPayloads(
+        Seq(1L -> png(c1, anc = false), 2L -> jpg(c2))
+          .toDF("media_id", "payload"))
+      .select("media_id", "kind", "ahash").localCheckpoint()
+    // uploads: c1 re-uploaded as a PNG with tEXt churn (matches 1), c1
+    // AS A JPEG (same span bytes — must NOT match the PNG history), junk
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(
+      (100L, png(c1, anc = true), T),
+      (101L, jpg(c1), T),
+      (102L, "not an image".getBytes("UTF-8"), T))
+    val name = s"cimage_stream_${System.nanoTime()}"
+    val q = MediaStream.cimageMatchStream(
+        src.toDF().toDF("media_id", "payload", "ts"), corpusSk)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got === Map((100L, 1L) -> 0L),
+      "tEXt churn matches its original at Hamming 0; the SAME bytes as " +
+        "a different format match nothing; junk is silently ineligible")
+  }
 }
