@@ -234,6 +234,14 @@ object CompressedImageHash {
           " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
   }
 
+  /** Test seam: the declarative SOS walk over an arbitrary payload
+    * frame — what lets the spec cross-check the fold against an
+    * imperative reference walker on RANDOM segment layouts. */
+  private[graft] def sosColumns(payloads: DataFrame): DataFrame =
+    payloads.select(col("media_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("sos_data", expr(jpgSosAggSql))
+
   /** Payload-level seam for the spec's hand-built PNGs/JPEGs. */
   private[graft] def ahashOfPayloads(payloads: DataFrame): DataFrame =
     ahashOfHex(payloads.select(col("media_id"),

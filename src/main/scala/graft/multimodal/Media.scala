@@ -916,6 +916,8 @@ object Media {
       .withColumn("png_ht", col("pk.ht"))
       .withColumn("png_depth", col("pk.depth"))
       .withColumn("png_ctype", col("pk.ctype"))
+      .withColumn("png_idat", col("pk.idat_off"))
+      .withColumn("png_idat_len", col("pk.idat_len"))
       .withColumn("jpg_sof", col("jk.sof_off"))
       .withColumn("jpg_prec", col("jk.prec"))
       .withColumn("jpg_ht", col("jk.ht"))
@@ -927,6 +929,8 @@ object Media {
       .withColumn("mp4_mvhd", col("mk.mvhd_off"))
       .withColumn("mp4_mts", col("mk.mts"))
       .withColumn("mp4_mdur", col("mk.mdur"))
+      .withColumn("mp4_mdat", col("mk.mdat_off"))
+      .withColumn("mp4_mdat_len", col("mk.mdat_len"))
       .drop("wk", "pk", "jk", "mk")
 
   /** DuckDB side: the same walk as chained CTEs over `src` (which must

@@ -115,6 +115,77 @@ class CimageHashSpec extends AnyFunSuite {
       "a truncated JPEG (no EOI) hashes its full remaining entropy bytes")
   }
 
+  test("property: SOS declarative walk ≡ imperative walk on random segment soups") {
+    val rnd = new scala.util.Random(61)
+    def seg(): Array[Byte] = rnd.nextInt(7) match {
+      case 0 => // proper SOS — the terminal find
+        be(0xFFDAL, 2) ++ be(8, 2) ++ Array[Byte](1, 1, 0, 0, 0x3F, 0) ++
+          Array.fill[Byte](rnd.nextInt(30))(rnd.nextInt(256).toByte)
+      case 1 => // SOFn — an ordinary hop HERE (the dimension walk stops)
+        val nc = 1 + rnd.nextInt(3)
+        Array(0xff.toByte, Seq(0xc0, 0xc1, 0xc2)(rnd.nextInt(3)).toByte) ++
+          be(8 + 3 * nc, 2) ++ Array[Byte](8) ++ be(1 + rnd.nextInt(999), 2) ++
+          be(1 + rnd.nextInt(999), 2) ++ Array[Byte](nc.toByte) ++
+          Array.fill[Byte](3 * nc)(0x11)
+      case 2 => // APPn/COM/DQT with random payload
+        val n = rnd.nextInt(12)
+        Array(0xff.toByte,
+          Seq(0xe0 + rnd.nextInt(16), 0xfe, 0xdb)(rnd.nextInt(3)).toByte) ++
+          be(n + 2, 2) ++ Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      case 3 => // standalone marker (no length)
+        Array(0xff.toByte, Seq(0x01, 0xd0, 0xd4, 0xd8)(rnd.nextInt(4)).toByte)
+      case 4 => // malformed length < 2 → walk must stop
+        Array(0xff.toByte, 0xc4.toByte) ++ be(rnd.nextInt(2), 2)
+      case 5 => // EOI → stop
+        Array(0xff.toByte, 0xd9.toByte) ++
+          Array.fill[Byte](rnd.nextInt(5))(9)
+      case _ => // garbage (not FF-led)
+        Array.fill[Byte](2 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+    }
+    // imperative reference: hop segments (SOFn included) to the first
+    // FFDA, answer = the byte after its header; 8 bounded steps
+    def refSos(bytes: Array[Byte]): Option[Long] = {
+      def beL(off: Int, n: Int) =
+        (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * (n - 1 - k))).sum
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+          (bytes(1) & 0xff) != 0xd8) return None
+      var off = 2L; var k = 0
+      val standalone = Set(0x01) ++ (0xd0 to 0xd8)
+      while (k < 8 && bytes.length >= off + 4) {
+        val m1 = bytes(off.toInt) & 0xff
+        val m2 = bytes(off.toInt + 1) & 0xff
+        if (m1 == 0xff && m2 == 0xda) {
+          val len = beL(off.toInt + 2, 2)
+          return if (len >= 2) Some(off + 2 + len) else None
+        } else if (m1 == 0xff && standalone(m2)) off += 2
+        else if (m1 == 0xff && m2 != 0xd9) {
+          val len = beL(off.toInt + 2, 2)
+          if (len >= 2) off += 2 + len else return None
+        } else return None
+        k += 1
+      }
+      None
+    }
+    val payloads: Seq[(Long, Array[Byte])] = (0 until 200).map { i =>
+      val full = Array(0xff.toByte, 0xd8.toByte) ++
+        (0 until rnd.nextInt(8)).flatMap(_ => seg()).toArray
+      val cut = if (rnd.nextInt(4) == 0 && full.length > 2)
+        full.take(2 + rnd.nextInt(full.length - 2)) else full
+      (i.toLong, cut)
+    }
+    val declared = CompressedImageHash.sosColumns(
+        payloads.toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[java.lang.Long]("sos_data")).map(_.toLong)).toMap
+    var found = 0
+    for ((id, bytes) <- payloads) {
+      assert(declared(id) === refSos(bytes),
+        s"payload $id (${bytes.length} B): SOS find disagrees")
+      if (declared(id).isDefined) found += 1
+    }
+    assert(found > 10, s"only $found/200 soups resolved — generator too hostile")
+  }
+
   test("one-byte edits pair within a format; identical spans never pair across formats") {
     val base = fill(400, 31L)
     val oneEdit = base.clone(); oneEdit(123) = 99

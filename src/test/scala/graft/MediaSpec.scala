@@ -374,7 +374,7 @@ class MediaSpec extends AnyFunSuite {
     def be(v: Long, n: Int): Array[Byte] =
       (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
     val rnd = new scala.util.Random(53)
-    def box(): Array[Byte] = rnd.nextInt(6) match {
+    def box(): Array[Byte] = rnd.nextInt(7) match {
       case 0 => // descend container header — the walk ENTERS what follows
         be(8 + rnd.nextInt(200), 4) ++
           Seq("moov", "trak")(rnd.nextInt(2)).getBytes("US-ASCII")
@@ -395,8 +395,35 @@ class MediaSpec extends AnyFunSuite {
         val n = rnd.nextInt(30)
         be(8L + n, 4) ++ "free".getBytes("US-ASCII") ++
           Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      case 5 => // mdat with random content (sometimes declared long)
+        val n = rnd.nextInt(40)
+        be(8L + n + (if (rnd.nextInt(3) == 0) 50 else 0), 4) ++
+          "mdat".getBytes("US-ASCII") ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte)
       case _ => // malformed size < 8 → no forward progress, walk stops
         be(rnd.nextInt(8).toLong, 4) ++ "skip".getBytes("US-ASCII")
+    }
+    // imperative reference of the mdat find (realDecode does not track
+    // it — mdat is a hash-family concern, not a MediaDecoded field)
+    def refMdat(bytes: Array[Byte]): (Option[Long], Option[Long]) = {
+      def beL(off: Int, n: Int) =
+        (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * (n - 1 - k))).sum
+      def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+      if (!(bytes.length >= 12 && ascii(4, "ftyp"))) return (None, None)
+      var off = 0L; var md = -1L; var ml = -1L; var k = 0
+      while (k < 10 && off >= 0 && bytes.length >= off + 8) {
+        val sz = beL(off.toInt, 4)
+        if (md < 0 && ascii(off.toInt + 4, "mdat") && sz >= 8) {
+          md = off + 8; ml = sz - 8
+        }
+        if (ascii(off.toInt + 4, "moov") || ascii(off.toInt + 4, "trak"))
+          off += 8
+        else if (sz >= 8) off += sz
+        else off = -1
+        k += 1
+      }
+      (if (md >= 0) Some(md) else None, if (ml >= 0) Some(ml) else None)
     }
     val ftyp = be(16, 4) ++ "ftypisom".getBytes("US-ASCII") ++ be(0, 4)
     val payloads: Seq[(Long, Array[Byte])] = (0 until 200).map { i =>
@@ -409,12 +436,15 @@ class MediaSpec extends AnyFunSuite {
     val declared = Media.containerColumns(payloads.toDF("media_id", "payload"))
       .collect().map { r =>
         def f(c: String) = Option(r.getAs[java.lang.Long](c)).map(_.toLong)
-        r.getAs[Long]("media_id") -> ((f("mp4_tkhd"), f("mp4_w"), f("mp4_ht")))
+        r.getAs[Long]("media_id") ->
+          ((f("mp4_tkhd"), f("mp4_w"), f("mp4_ht"),
+            f("mp4_mdat"), f("mp4_mdat_len")))
       }.toMap
     var found = 0
+    var mdatFound = 0
     for ((id, bytes) <- payloads) {
       val d = Media.realDecode(graft.multimodal.MediaRow(id, bytes, "f"))
-      val (tkhd, mw, mh) = declared(id)
+      val (tkhd, mw, mh, mdat, mlen) = declared(id)
       assert((d.kind === Some("mp4")) === tkhd.isDefined,
         s"payload $id (${bytes.length} B): typed=${d.kind} declarative-tkhd=$tkhd")
       if (tkhd.isDefined) {
@@ -422,8 +452,12 @@ class MediaSpec extends AnyFunSuite {
         assert((d.width, d.height) === ((mw, mh)),
           s"payload $id MP4 dimensions disagree")
       }
+      assert((mdat, mlen) === refMdat(bytes),
+        s"payload $id mdat find disagrees with the reference walk")
+      if (mdat.isDefined) mdatFound += 1
     }
     assert(found > 10, s"only $found/200 soups resolved — generator too hostile")
+    assert(mdatFound > 10, s"only $mdatFound/200 soups carried a walked mdat")
   }
 
   test("overlapping magics: a RIFF size field spelling 'ftyp' still decodes as wav") {
@@ -460,7 +494,7 @@ class MediaSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(47)
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
-    def pngChunk(): Array[Byte] = rnd.nextInt(5) match {
+    def pngChunk(): Array[Byte] = rnd.nextInt(6) match {
       case 0 => // proper IHDR
         be(13, 4) ++ "IHDR".getBytes("US-ASCII") ++
           be(1 + rnd.nextInt(4000), 4) ++ be(1 + rnd.nextInt(3000), 4) ++
@@ -475,8 +509,31 @@ class MediaSpec extends AnyFunSuite {
       case 3 => // declared size overruns the payload
         be(1000 + rnd.nextInt(100000), 4) ++ "zTXt".getBytes("US-ASCII") ++
           Array.fill[Byte](rnd.nextInt(6))(1)
+      case 4 => // IDAT with random content (sometimes declared long)
+        val n = rnd.nextInt(40)
+        be(n + (if (rnd.nextInt(3) == 0) 50 else 0), 4) ++
+          "IDAT".getBytes("US-ASCII") ++
+          Array.fill[Byte](n)(rnd.nextInt(256).toByte) ++ be(0, 4)
       case _ =>
         be(4, 4) ++ "gAMA".getBytes("US-ASCII") ++ be(45455, 4) ++ be(0, 4)
+    }
+    // imperative reference of the IDAT find (the compressed-content
+    // span — not a MediaDecoded field)
+    def refIdat(bytes: Array[Byte]): (Option[Long], Option[Long]) = {
+      def beL(off: Int, n: Int) =
+        (0 until n).map(k => (bytes(off + k) & 0xffL) << (8 * (n - 1 - k))).sum
+      def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+      if (bytes.length < 8 || !pngSig.indices.forall(i => bytes(i) == pngSig(i)))
+        return (None, None)
+      var off = 8L; var id0 = -1L; var il = -1L; var k = 0
+      while (k < 6 && bytes.length >= off + 8) {
+        val len = beL(off.toInt, 4)
+        if (id0 < 0 && ascii(off.toInt + 4, "IDAT")) { id0 = off + 8; il = len }
+        off = off + 12 + len
+        k += 1
+      }
+      (if (id0 >= 0) Some(id0) else None, if (il >= 0) Some(il) else None)
     }
     def jpgSeg(): Array[Byte] = rnd.nextInt(6) match {
       case 0 => // proper SOF0/1/2
@@ -515,17 +572,20 @@ class MediaSpec extends AnyFunSuite {
         def f(c: String) = Option(r.getAs[java.lang.Long](c)).map(_.toLong)
         r.getAs[Long]("media_id") ->
           ((f("png_ihdr"), f("png_w"), f("png_ht"), f("png_depth"), f("png_ctype")),
-            (f("jpg_sof"), f("jpg_prec"), f("jpg_ht"), f("jpg_w"), f("jpg_ncomp")))
+            (f("jpg_sof"), f("jpg_prec"), f("jpg_ht"), f("jpg_w"), f("jpg_ncomp")),
+            (f("png_idat"), f("png_idat_len")))
       }.toMap
     for ((id, bytes) <- payloads) {
       val d = Media.realDecode(graft.multimodal.MediaRow(id, bytes, "f"))
-      val ((ihdr, pw, ph, pd, _), (sof, jp, jh, jw, jn)) = declared(id)
+      val ((ihdr, pw, ph, pd, _), (sof, jp, jh, jw, jn), (idat, ilen)) = declared(id)
       if (id % 2 == 0) {
         assert((d.kind === Some("png")) === ihdr.isDefined,
           s"payload $id (${bytes.length} B): typed=${d.kind} declarative-ihdr=$ihdr")
         if (ihdr.isDefined)
           assert((d.width, d.height, d.bpp) === ((pw, ph, pd)),
             s"payload $id PNG fields disagree")
+        assert((idat, ilen) === refIdat(bytes),
+          s"payload $id IDAT find disagrees with the reference walk")
       } else {
         assert((d.kind === Some("jpeg")) === sof.isDefined,
           s"payload $id (${bytes.length} B): typed=${d.kind} declarative-sof=$sof")
