@@ -970,6 +970,8 @@ object SparkEntry {
       graft.multimodal.CompressedImageHash.cimageDupPairs(graft.Tables.documents(s, dir))),
     "cimage_dup_clusters" -> ((s, dir) =>
       graft.multimodal.CompressedImageHash.cimageDupClusters(graft.Tables.documents(s, dir))),
+    "cimage_dup_clusters_best" -> ((s, dir) =>
+      graft.multimodal.CompressedImageHash.cimageDupClustersBest(graft.Tables.documents(s, dir))),
     "cimage_occupancy" -> ((s, dir) =>
       graft.multimodal.CompressedImageHash.cimageOccupancy(graft.Tables.documents(s, dir))),
     "incremental_cimage_dup" -> ((s, dir) => {
@@ -1628,6 +1630,8 @@ object SparkEntry {
       graft.multimodal.CompressedImageHash.cimageDupPairsSql(),
     "cimage_dup_clusters" ->
       graft.multimodal.CompressedImageHash.cimageDupClustersSql(),
+    "cimage_dup_clusters_best" ->
+      graft.multimodal.CompressedImageHash.cimageDupClustersBestSql(),
     "cimage_occupancy" ->
       graft.multimodal.CompressedImageHash.cimageOccupancySql,
     "incremental_cimage_dup" ->

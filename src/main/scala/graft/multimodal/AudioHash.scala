@@ -258,11 +258,15 @@ object AudioHash {
 
   /** [[audioDupClusters]] with the BEST-COPY survivor policy:
     * `is_canonical` marks the LONGEST clip —
-    * `duration_us = n_frames · 10⁶ div max(sample_rate, 1)` over the
-    * CLAMPED frame count, so a truncated re-upload loses to its intact
+    * `duration_us = n_frames · 10⁶ div sample_rate` over the CLAMPED
+    * frame count, so a truncated re-upload loses to its intact
     * original even at a different sample rate — media_id asc on ties;
     * components and `cluster_id` are [[audioDupClusters]]' exactly.
-    * The shared [[Hamming64.bestCanonical]] body. */
+    * A malformed header declaring `sample_rate ≤ 0` gets metric 0
+    * (r14 advice: the old `div greatest(rate, 1)` spelling made a
+    * zero-rate clone's duration read as n_frames·10⁶ and CROWNED the
+    * corrupt copy), so a corrupt member can never outrank a healthy
+    * one. The shared [[Hamming64.bestCanonical]] body. */
   def audioDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     bestOfSketch(audioAhash(docs).localCheckpoint(), maxHamming)
 
@@ -273,7 +277,8 @@ object AudioHash {
         Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
           "doc_a", "doc_b", maxHamming)),
       sk.select(col("media_id"),
-        expr("(n_frames * 1000000L) div greatest(sample_rate, 1L)")
+        expr("CASE WHEN sample_rate >= 1L THEN " +
+          "(n_frames * 1000000L) div sample_rate ELSE 0L END")
           .as("metric")))
 
   /** Payload-level twin for planted-fixture specs. */
@@ -314,7 +319,9 @@ object AudioHash {
        |rb AS (
        |  SELECT comp.media_id AS media_id, cluster_id,
        |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY (h.n_frames * 1000000) // greatest(h.sample_rate, 1) DESC,
+       |      ORDER BY (CASE WHEN h.sample_rate >= 1
+       |          THEN (h.n_frames * 1000000) // h.sample_rate
+       |          ELSE 0 END) DESC,
        |        comp.media_id ASC) AS rn
        |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
        |)

@@ -30,7 +30,18 @@ import org.apache.spark.sql.functions._
   * not a perceptual hash — metadata-edit invariant at Hamming 0,
   * splice-tolerant, but a RE-ENCODE (or a PNG re-chunking that splits
   * the first IDAT) legitimately reads as new content; a production
-  * perceptual hash decodes pixels first. GIF is deliberately absent:
+  * perceptual hash decodes pixels first. Also out of scope (r14
+  * advice, documented): data appended AFTER the JPEG's EOI marker
+  * (packed thumbnails, archive trailers). The entropy span's end is
+  * resolved from the payload's FINAL two bytes only, so a trailer
+  * shifts every probe stride — the same class of legitimate miss as
+  * re-chunking. The exact fix is the first byte-ALIGNED post-SOS
+  * `FFD9` (byte stuffing keeps `FFD9` out of entropy data), but an
+  * aligned unbounded search has no shared declarative spelling across
+  * the two engines (a hex `instr` can match at a nibble boundary; a
+  * regex over megabyte strings has engine-divergent leftmost-match
+  * semantics), so the production drop-in is the keyframe/pixel decode
+  * this family already defers to. GIF is deliberately absent:
   * it has no standard metadata-segment churn analog (comment
   * extensions live INSIDE the data stream), so its dedup remains the
   * exact payload fingerprint.
@@ -61,7 +72,7 @@ object CompressedImageHash {
   // the walk resolves at the first SOS (FFDA), recording where its
   // segment header ENDS — the entropy stream's first byte.
 
-  private val SosWalkChunks = 8
+  private[graft] val SosWalkChunks = 8
 
   /** The SOS walk as ONE `aggregate` fold (Spark side). */
   private[multimodal] val jpgSosAggSql: String = {
@@ -140,56 +151,78 @@ object CompressedImageHash {
     * the tEXt ancillary chunk (PNG) / the COM segment (JPEG), and the
     * IHDR/SOF dimensions differ too — the green pairing oracle IS the
     * metadata-churn-invariance proof. */
-  private def cimagesHexSql(textHex: String, textBytes: String,
-      idiv: String): String = {
-    def leHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
-    def beHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
+  private def leHexOf(v: String, nBytes: Int, idiv: String): String =
+    (0 until nBytes).map { k =>
+      val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
+      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+  private def beHexOf(v: String, nBytes: Int, idiv: String): String =
+    (0 until nBytes).map { k =>
+      val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
+      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
+        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+
+  /** The two-population coded stream both formats share: (hex, byte
+    * count) of the content the container carries. */
+  private def codedStreamSql(textHex: String, textBytes: String,
+      idiv: String): (String, String) = {
     val g = s"(doc_id $idiv 30)"
-    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
+    val base = s"repeat(${leHexOf(s"($g * 2654435761) % 4294967296", 4, idiv)} || " +
+      s"${leHexOf(s"($g * 2246822519) % 4294967296", 4, idiv)} || " +
+      s"${leHexOf(s"($g * 3266489917) % 4294967296", 4, idiv)} || " +
+      s"${leHexOf(s"($g * 668265263) % 4294967296", 4, idiv)}, " +
       s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT))"
     val p = "(3 + 8 * (doc_id % 25))"
     val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
-      s"${leHex("((doc_id * 101) % 256)", 1)} || " +
+      s"${leHexOf("((doc_id * 101) % 256)", 1, idiv)} || " +
       s"substring($base, CAST($p * 2 + 3 AS INT))"
-    val content = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
-    val nb = s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END"
+    (s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END",
+      s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END")
+  }
+
+  /** The PNG member of the synthesis — sig + [tEXt when odd] + IHDR +
+    * IDAT(content) + IEND. Standalone seam so [[MediaKeep]]'s 5-kind
+    * lake can place PNG groups without JPEG riding the parity. */
+  private[multimodal] def pngHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    val (content, nb) = codedStreamSql(textHex, textBytes, idiv)
     val pw = "(1 + doc_id % 800)"
     val ph = "(1 + doc_id % 600)"
-    // PNG: sig + [tEXt when odd] + IHDR + IDAT(content) + IEND
     val textAnc = "'00000005' || '74455874' || '6B65794131' || '00000000'"
-    val ihdr = s"'0000000D' || '49484452' || ${beHex(pw, 4)} || " +
-      s"${beHex(ph, 4)} || '08' || '02' || '000000' || '00000000'"
-    val idat = s"${beHex(nb, 4)} || '49444154' || $content || '00000000'"
+    val ihdr = s"'0000000D' || '49484452' || ${beHexOf(pw, 4, idiv)} || " +
+      s"${beHexOf(ph, 4, idiv)} || '08' || '02' || '000000' || '00000000'"
+    val idat = s"${beHexOf(nb, 4, idiv)} || '49444154' || $content || '00000000'"
     val iend = "'00000000' || '49454E44' || '00000000'"
-    val png = s"'${Media.PngSigHex}' || " +
+    s"'${Media.PngSigHex}' || " +
       s"(CASE WHEN doc_id % 2 = 1 THEN $textAnc || '' ELSE '' END) || " +
       s"$ihdr || $idat || $iend"
-    // JPEG: SOI + APP0 + [COM when odd] + SOF0(1 component) +
-    // SOS(1 component) + entropy(content) + EOI
+  }
+
+  /** The JPEG member — SOI + APP0 + [COM when odd] + SOF0(1 component)
+    * + SOS(1 component) + entropy(content) + EOI. */
+  private[multimodal] def jpgHexSql(textHex: String, textBytes: String,
+      idiv: String): String = {
+    val (content, _) = codedStreamSql(textHex, textBytes, idiv)
+    val pw = "(1 + doc_id % 800)"
+    val ph = "(1 + doc_id % 600)"
     val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
       "'0048' || '0048' || '0000'"
     val comSeg = "'FFFE' || '0009' || '67726166743134'"
-    val sof = s"'FFC0' || '000B' || '08' || ${beHex(ph, 2)} || " +
-      s"${beHex(pw, 2)} || '01' || '011100'"
+    val sof = s"'FFC0' || '000B' || '08' || ${beHexOf(ph, 2, idiv)} || " +
+      s"${beHexOf(pw, 2, idiv)} || '01' || '011100'"
     val sos = "'FFDA' || '0008' || '01' || '0100' || '003F00'"
-    val jpg = s"'FFD8' || $app0 || " +
+    s"'FFD8' || $app0 || " +
       s"(CASE WHEN doc_id % 2 = 1 THEN $comSeg || '' ELSE '' END) || " +
       s"$sof || $sos || $content || 'FFD9'"
-    s"CASE WHEN (doc_id $idiv 30) % 2 = 0 THEN $png ELSE $jpg END"
   }
+
+  private def cimagesHexSql(textHex: String, textBytes: String,
+      idiv: String): String =
+    s"CASE WHEN (doc_id $idiv 30) % 2 = 0 " +
+      s"THEN ${pngHexSql(textHex, textBytes, idiv)} " +
+      s"ELSE ${jpgHexSql(textHex, textBytes, idiv)} END"
 
   // ---- the hash over an arbitrary payload relation ---------------------------
 
@@ -266,7 +299,7 @@ object CompressedImageHash {
   def cimageDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     pairsOfKinds(cimageAhash(docs).localCheckpoint(), maxHamming)
 
-  private def pairsOfKinds(sk: DataFrame, maxHamming: Int): DataFrame =
+  private[multimodal] def pairsOfKinds(sk: DataFrame, maxHamming: Int): DataFrame =
     Seq("png", "jpeg").map(k =>
       Hamming64.pairsOfSketch(
         sk.filter(col("kind") === k).select("media_id", "ahash"),
@@ -290,6 +323,30 @@ object CompressedImageHash {
       .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
         col("is_survivor").as("is_canonical"))
   }
+
+  /** [[cimageDupClusters]] with the BEST-COPY survivor policy (closing
+    * the one sketch family that shipped r14 without it — r15 verdict
+    * directive #2): `is_canonical` marks the member with the MOST
+    * CONTENT (`n_units` — the clamped coded-stream length, so a
+    * truncated re-upload loses to its intact original), media_id asc
+    * on ties; components and `cluster_id` are [[cimageDupClusters]]'
+    * exactly (pairing stays per format). The shared
+    * [[Hamming64.bestCanonical]] body. */
+  def cimageDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bestOfSketch(cimageAhash(docs).localCheckpoint(), maxHamming)
+
+  private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
+    Hamming64.bestCanonical(
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")),
+        pairsOfKinds(sk, maxHamming)
+          .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b"))),
+      sk.select(col("media_id"), col("n_units").as("metric")))
+
+  /** Payload-level twin for planted-fixture specs. */
+  private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bestOfSketch(ahashOfPayloads(payloads).localCheckpoint(), maxHamming)
 
   /** Occupancy over the (kind, band, nibble) bucket space — kinds are
     * separate bucket populations, the rollup reports per band (the
@@ -321,14 +378,7 @@ object CompressedImageHash {
   /** synthesis → PNG walk + SOS walk → per-kind span → 64 probes →
     * hash, as CTEs ending in `hashed(media_id, kind, n_units, ahash)`.
     */
-  private def ahashCtesSql: String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private def ahashCtesSql: String =
     s"""media AS (
        |  SELECT doc_id AS media_id,
        |    ${cimagesHexSql("hex(encode(text))", "octet_length(encode(text))", "//")} AS h
@@ -336,9 +386,26 @@ object CompressedImageHash {
        |), sized AS (
        |  SELECT media_id, h, len(h) // 2 AS n_bytes FROM media
        |  WHERE h IS NOT NULL
-       |), ${Media.pngCteSql("sized")},
+       |), ${ahashBodyCtesSql("sized", "")}""".stripMargin
+
+  /** The PNG-walk + SOS-walk → per-kind span → 64-probe → hash chain
+    * over an ARBITRARY `(media_id, h, n_bytes)` source CTE, stage names
+    * prefixed — the reuse seam for composed oracles ([[MediaKeep]]).
+    * The walk CTEs ([[Media.pngCteSql]], [[jpgSosCteSql]]) keep their
+    * fixed names: only this chain walks PNG chunks / JPEG markers in
+    * any composed query. `pfx = ""` reproduces the standalone spelling
+    * byte-for-byte. */
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
+    val probes = (0 until Probes).map(k =>
+      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
+      .mkString(",\n    ")
+    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
+    val bits = (0 until Probes).map { k =>
+      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    s"""${Media.pngCteSql(src)},
        |${jpgSosCteSql("pfin")},
-       |spans AS (
+       |${pfx}spans AS (
        |  SELECT media_id, h,
        |    CASE WHEN substring(h, 1, 16) = '${Media.PngSigHex}'
        |      THEN 'png' ELSE 'jpeg' END AS kind,
@@ -350,27 +417,31 @@ object CompressedImageHash {
        |        CAST(n_bytes * 2 - 3 AS INT), 4) = 'FFD9' THEN 2 ELSE 0 END)
        |      END AS n_units
        |  FROM sfin
-       |), elig AS (
-       |  SELECT * FROM spans
+       |), ${pfx}elig AS (
+       |  SELECT * FROM ${pfx}spans
        |  WHERE span_off IS NOT NULL AND n_units >= $Probes
-       |), bsv AS MATERIALIZED (
+       |), ${pfx}bsv AS MATERIALIZED (
        |  SELECT media_id, kind, n_units,
        |    $probes
-       |  FROM elig
-       |), btotv AS MATERIALIZED (
-       |  SELECT *, ($tot) AS btot FROM bsv
-       |), hashed AS (
+       |  FROM ${pfx}elig
+       |), ${pfx}btotv AS MATERIALIZED (
+       |  SELECT *, ($tot) AS btot FROM ${pfx}bsv
+       |), ${pfx}hashed AS (
        |  SELECT media_id, kind, n_units,
        |    $bits AS ahash
-       |  FROM btotv
+       |  FROM ${pfx}btotv
        |)""".stripMargin
   }
 
   /** Kind-carrying band explosion over `hashed`. */
-  private def kindBandsSql: String =
+  private def kindBandsSql: String = kindBandsSqlFrom("hashed")
+
+  /** [[kindBandsSql]] over an arbitrary `(media_id, kind, ahash)` CTE —
+    * for composed oracles ([[MediaKeep]]). */
+  private[multimodal] def kindBandsSqlFrom(table: String): String =
     (0 until Hamming64.Bands).map(m =>
       s"SELECT media_id, kind, ahash, CAST($m AS BIGINT) AS band, " +
-        s"(ahash >> ${m * 16}) & 65535 AS nibble FROM hashed")
+        s"(ahash >> ${m * 16}) & 65535 AS nibble FROM $table")
       .mkString("\n  UNION ALL\n  ")
 
   def cimageAhashSql: String =
@@ -424,6 +495,45 @@ object CompressedImageHash {
        |)
        |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
        |FROM comp
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
+  /** Oracle twin of [[cimageDupClustersBest]] — the per-format cluster
+    * closure with the canonical flag re-ranked by content length. */
+  def cimageDupClustersBestSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${ahashCtesSql},
+       |bands AS (
+       |  $kindBandsSql
+       |),
+       |prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |),
+       |rb AS (
+       |  SELECT comp.media_id AS media_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY h.n_units DESC, comp.media_id ASC) AS rn
+       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
+       |)
+       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
        |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
 
   def cimageOccupancySql: String =

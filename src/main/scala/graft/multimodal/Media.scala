@@ -324,7 +324,7 @@ object Media {
 
   /** Chunks inspected before giving up — covers canonical (data is
     * chunk #1) plus LIST/fact/cue /bext padding in front of it. */
-  private val WalkChunks = 6
+  private[graft] val WalkChunks = 6
   private val HexFmt = "666D7420" // 'fmt '
   private val HexData = "64617461" // 'data'
 
@@ -569,7 +569,7 @@ object Media {
     * reaches it at step 8, so the bound grew 8 → 10; all three
     * spellings share this constant, so the widened walk stays
     * bit-agreed). */
-  private val Mp4WalkChunks = 10
+  private[graft] val Mp4WalkChunks = 10
 
   private val HexMoov = "6D6F6F76"
   private val HexTrak = "7472616B"
@@ -891,6 +891,59 @@ object Media {
     col("n_bytes") >= 4L && substring(col("h"), 1, 4) === "FFD8"
   private[multimodal] def mp4Magic: org.apache.spark.sql.Column =
     col("n_bytes") >= 12L && substring(col("h"), 9, 8) === HexFtyp
+  private[multimodal] def bmpMagic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D"
+  private[multimodal] def gifMagic: org.apache.spark.sql.Column =
+    col("n_bytes") >= 13L &&
+      substring(col("h"), 1, 12).isin("474946383761", "474946383961")
+
+  // ---- the ONE kind-precedence chain -----------------------------------------
+  //
+  // Two surfaces sniff container kinds: the decode report
+  // ([[mediaFeatures]] — walk-RESOLVED predicates: 'png' means a
+  // complete IHDR was found) and the media-lake keep verdict
+  // ([[MediaKeep]] — MAGIC predicates: 'png' means the signature bytes,
+  // cheap enough to label every payload without walking it). The
+  // PRECEDENCE (order + kind strings) is what must never diverge
+  // between them (r15 verdict directive #1), so both build their CASE
+  // from [[KindOrder]] below; the predicates stay each surface's own.
+
+  private[multimodal] val KindOrder: Seq[String] =
+    Seq("bmp", "gif", "png", "jpeg", "mp4", "wav")
+
+  /** The precedence chain as a Column: NULL payload → NULL kind, first
+    * matching predicate in [[KindOrder]] wins, fallthrough → 'raw'. */
+  private[multimodal] def kindCase(hNull: org.apache.spark.sql.Column,
+      preds: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    KindOrder.foldLeft(
+        when(hNull, lit(null).cast("string"))) {
+      (acc, k) => acc.when(preds(k), lit(k))
+    }.otherwise(lit("raw"))
+
+  /** The precedence chain as SQL text (the oracle spelling). */
+  private[multimodal] def kindCaseSql(hNullCond: String,
+      conds: Map[String, String]): String =
+    s"CASE WHEN $hNullCond THEN NULL\n" +
+      KindOrder.map(k => s"         WHEN ${conds(k)} THEN '$k'")
+        .mkString("\n") +
+      "\n         ELSE 'raw' END"
+
+  /** The per-kind MAGIC predicates, Column spelling ([[MediaKeep]]'s
+    * sniff — each is the corresponding walk's own entry condition). */
+  private[multimodal] def magicPreds: Map[String, org.apache.spark.sql.Column] =
+    Map("bmp" -> bmpMagic, "gif" -> gifMagic, "png" -> pngMagic,
+      "jpeg" -> jpgMagic, "mp4" -> mp4Magic, "wav" -> riffMagic)
+
+  /** The per-kind magic predicates, SQL spelling (same conditions). */
+  private[multimodal] val magicCondsSql: Map[String, String] = Map(
+    "bmp" -> "n_bytes >= 54 AND substring(h, 1, 4) = '424D'",
+    "gif" -> ("n_bytes >= 13 AND substring(h, 1, 12) IN " +
+      "('474946383761', '474946383961')"),
+    "png" -> s"n_bytes >= 16 AND substring(h, 1, 16) = '$PngSigHex'",
+    "jpeg" -> "n_bytes >= 4 AND substring(h, 1, 4) = 'FFD8'",
+    "mp4" -> s"n_bytes >= 12 AND substring(h, 9, 8) = '$HexFtyp'",
+    "wav" -> ("n_bytes >= 44 AND substring(h, 1, 8) = '52494646' " +
+      "AND substring(h, 17, 8) = '57415645'"))
 
   /** [[withWalk]] plus the PNG, JPEG, and MP4 walks — one checkpoint
     * for all four folds, each DISPATCH-GATED on its own magic sniff
@@ -1201,16 +1254,15 @@ object Media {
         when(isGif, leVal(col("h"), 10, 1).bitwiseAND(lit(7L)) + lit(1L)))
       .drop("h")
       .localCheckpoint()
-      .withColumn("kind",
-        when(col("h_null"), lit(null).cast("string"))
-          .when(col("is_bmp"), lit("bmp"))
-          .when(col("is_gif"), lit("gif"))
-          .when(col("pk.ihdr_off").isNotNull, lit("png"))
-          .when(col("jk.sof_off").isNotNull, lit("jpeg"))
-          .when(col("mk.tkhd_off").isNotNull, lit("mp4"))
-          .when(col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull,
-            lit("wav"))
-          .otherwise(lit("raw")))
+      // walk-RESOLVED predicates through the shared precedence chain
+      // (kindCase — the one place the kind ORDER lives)
+      .withColumn("kind", kindCase(col("h_null"), Map(
+        "bmp" -> col("is_bmp"),
+        "gif" -> col("is_gif"),
+        "png" -> col("pk.ihdr_off").isNotNull,
+        "jpeg" -> col("jk.sof_off").isNotNull,
+        "mp4" -> col("mk.tkhd_off").isNotNull,
+        "wav" -> (col("wk.fmt_off").isNotNull && col("wk.data_off").isNotNull))))
     withKind.select(
       col("media_id"), col("fmt"), col("n_bytes"), col("header_hex"),
       col("byte_sum"), col("n_hi_bytes"), col("kind"),

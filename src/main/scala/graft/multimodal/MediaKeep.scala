@@ -5,46 +5,61 @@ import org.apache.spark.sql.functions._
 
 /** The curation verdict for the MEDIA lake — the
   * [[graft.text.Curation.corpusKeepFull]] discipline applied to binary
-  * payloads (r13 verdict directive #3: the media families had
-  * detect/pair/cluster/occupancy/incremental/stream faces but no
-  * composed keep verdict): per payload, the reason columns
+  * payloads (r13 verdict directive #3; r15 directive #1 threaded the
+  * compressed-image family in — PNG/JPEG are the DOMINANT image kinds
+  * on a real lake and previously landed as `kind = 'raw'` with their
+  * content dups invisible): per payload, the reason columns
   *
-  *  - `kind` — the sniffed container (bmp/wav/mp4/raw, NULL payload →
-  *    NULL), the [[Media.mediaFeatures]] magic precedence;
+  *  - `kind` — the sniffed container (bmp/gif/png/jpeg/mp4/wav/raw,
+  *    NULL payload → NULL), MAGIC predicates through the SAME
+  *    precedence chain [[Media.mediaFeatures]] resolves its walked
+  *    kinds with ([[Media.KindOrder]] — one place the order lives, so
+  *    the two sniffing surfaces cannot diverge);
   *  - `eligible` — the payload decodes COMPLETELY ENOUGH to content-
   *    fingerprint (the family gates verbatim: ≥8×8 complete 24 bpp
   *    scanlines / walked `fmt `+`data` with ≥64 clamped frames / walked
-  *    `mdat` with ≥64 clamped bytes — judged on the payload's BYTES,
-  *    so an exact copy of an eligible payload is eligible);
+  *    `mdat` with ≥64 clamped bytes / walked `IDAT` or SOS span with
+  *    ≥64 clamped bytes — judged on the payload's BYTES, so an exact
+  *    copy of an eligible payload is eligible). GIF is sniffed (the
+  *    dataset card must count GIFs honestly, r15 directive #4) but
+  *    NEVER eligible: it has no content-identity analog
+  *    ([[CompressedImageHash]] — comment extensions live inside the
+  *    data stream), so GIF dedup is the exact fingerprint only;
   *  - `is_exact_dup` — not the min-id holder of its exact payload
   *    fingerprint (md5 over the payload bytes — the pre-content gate
   *    that catches bit-identical re-uploads of ANY kind, eligible or
   *    not);
   *  - `is_content_dup` — not the canonical member of its CONTENT
-  *    cluster: connected components over the three modality pairing
-  *    graphs ([[ImageHash]]/[[AudioHash]]/[[VideoHash]] sketches,
-  *    paired per modality through the shared [[Hamming64]] body) PLUS
-  *    the exact copy→keeper edges, so N byte-identical copies chain
-  *    into their content cluster without N²/2 band pairs (the
-  *    [[graft.text.Dedup.simhashSketch]] keeper-collapse discipline:
-  *    only exact-dup KEEPERS are decoded and hashed);
+  *    cluster: connected components over the four modality pairing
+  *    graphs ([[ImageHash]]/[[AudioHash]]/[[VideoHash]] plus
+  *    [[CompressedImageHash]] paired PER FORMAT, all through the
+  *    shared [[Hamming64]] body) PLUS the exact copy→keeper edges, so
+  *    N byte-identical copies chain into their content cluster without
+  *    N²/2 band pairs (the [[graft.text.Dedup.simhashSketch]]
+  *    keeper-collapse discipline: only exact-dup KEEPERS are decoded
+  *    and hashed);
   *
   * and `keep` as the production conjunction: eligible, no exact dup,
   * no content dup. Reasons stay separate for the corpus_keep re-tune
   * audit economics.
   *
-  * The fixture lake composes the three family populations by GROUP
-  * (modality = (doc_id div 30) % 3, so every 30-id group keeps its
-  * full internal planted-pair structure), carves one RAW payload per
-  * group (doc_id % 30 = 22 — the ineligible population), and plants
-  * one EXACT-dup pair per group (doc_id % 30 ∈ {4, 19} share a
-  * byte-identical group-keyed payload in the group's modality), so
-  * every gate provably fires where the oracle verifies it — the
+  * The fixture lake composes the five family populations by GROUP
+  * (modality = (doc_id div 30) % 5 over BMP/WAV/MP4/PNG/JPEG, so every
+  * 30-id group keeps its full internal planted-pair structure —
+  * including the PNG tEXt-churn and JPEG COM-churn metadata divergence
+  * within planted pairs, so the green verdict proves the cimage gate
+  * fires), carves one RAW payload per group (doc_id % 30 = 22 — the
+  * ineligible population), plants one byte-identical GIF pair per
+  * group (doc_id % 30 ∈ {7, 25} — proving exact dedup catches the
+  * kind content identity deliberately skips), and plants one EXACT-dup
+  * pair per group (doc_id % 30 ∈ {4, 19} share a byte-identical
+  * group-keyed payload in the group's modality), so every gate
+  * provably fires where the oracle verifies it — the
   * [[graft.text.Curation.DomainKeepQuotaN]] observability rule.
   *
   * Scale shape: ONE synthesized-payload checkpoint feeds the
   * fingerprint pass and (restricted to exact keepers by a semi-join)
-  * the three hash chains; everything downstream of the decode is
+  * the four hash chains; everything downstream of the decode is
   * 8-to-40-byte-row machinery — the md5 groupBy, the banded pairing
   * equi-joins, star contraction on the (sparse) duplicate graph, and
   * doc_id equi-joins back. No payload is decoded twice, no all-pairs
@@ -111,17 +126,44 @@ object MediaKeep {
       beC(8 + 256, 4) + "6D646174"
   }
 
+  /** PNG sig + IHDR (10×8, depth 8, truecolor) + IDAT header declaring
+    * the 256 pattern bytes (no IEND — the clamp reads what is present,
+    * and the plant pair stays byte-identical either way). */
+  private val ExactPngHdr: String =
+    Media.PngSigHex + "0000000D" + "49484452" + beC(10, 4) + beC(8, 4) +
+      "08" + "02" + "000000" + "00000000" + beC(256, 4) + "49444154"
+
+  /** SOI + APP0 + SOF0 (10×8, 1 component) + SOS header — the plant
+    * appends the 256 pattern bytes and a closing EOI. */
+  private val ExactJpgHdr: String =
+    "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0048" +
+      "0048" + "0000" + "FFC0" + "000B" + "08" + beC(8, 2) + beC(10, 2) +
+      "01" + "011100" + "FFDA" + "0008" + "01" + "0100" + "003F00"
+
+  /** GIF89a signature + logical screen descriptor (240×180, GCT flag +
+    * color resolution 1, GCT size 1) — the plant appends the 256
+    * pattern bytes and the trailer. GIF plants prove the EXACT
+    * fingerprint catches the kind whose content identity is
+    * deliberately absent. */
+  private val ExactGifHdr: String =
+    "474946383961" + leC(240, 2) + leC(180, 2) + "91" + "00" + "00"
+
   private def lakeHexSql(textHex: String, textBytes: String,
       idiv: String): String = {
-    val m = s"((doc_id $idiv 30) % 3)"
+    val m = s"((doc_id $idiv 30) % 5)"
     val pat = patternHex(idiv)
     s"""CASE WHEN doc_id % 30 = 22 THEN $textHex
+       |     WHEN doc_id % 30 IN (7, 25) THEN '$ExactGifHdr' || $pat || '3B'
        |     WHEN doc_id % 30 IN (4, 19) AND $m = 0 THEN '$ExactBmpHdr' || $pat
        |     WHEN doc_id % 30 IN (4, 19) AND $m = 1 THEN '$ExactWavHdr' || $pat
        |     WHEN doc_id % 30 IN (4, 19) AND $m = 2 THEN '$ExactMp4Hdr' || $pat
+       |     WHEN doc_id % 30 IN (4, 19) AND $m = 3 THEN '$ExactPngHdr' || $pat
+       |     WHEN doc_id % 30 IN (4, 19) AND $m = 4 THEN '$ExactJpgHdr' || $pat || 'FFD9'
        |     WHEN $m = 0 THEN ${ImageHash.imagesHexSql(textHex, textBytes, idiv)}
        |     WHEN $m = 1 THEN ${AudioHash.wavHexSql(textHex, textBytes, idiv)}
-       |     ELSE ${VideoHash.videoHexSql(textHex, textBytes, idiv)}
+       |     WHEN $m = 2 THEN ${VideoHash.videoHexSql(textHex, textBytes, idiv)}
+       |     WHEN $m = 3 THEN ${CompressedImageHash.pngHexSql(textHex, textBytes, idiv)}
+       |     ELSE ${CompressedImageHash.jpgHexSql(textHex, textBytes, idiv)}
        |END""".stripMargin
   }
 
@@ -177,15 +219,23 @@ object MediaKeep {
       .select("media_id", "ahash")
     val vidSk = VideoHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
       .select("media_id", "ahash")
+    // the compressed-image sketch keeps `kind` — its pairing is PER
+    // FORMAT (a PNG sketch never band-joins a JPEG sketch)
+    val cimSk = CompressedImageHash
+      .ahashOfHexMaybeCk(keeperSized, checkpoint = true)
+      .select("media_id", "kind", "ahash")
     val hashedKeepers = imgSk.select("media_id")
       .unionByName(audSk.select("media_id"))
       .unionByName(vidSk.select("media_id"))
+      .unionByName(cimSk.select("media_id"))
       .distinct().localCheckpoint()
     // per-MODALITY pairing (an image sketch must never band-join an
     // audio sketch), then one cluster pass over the combined edges
-    val contentPairs = Seq(imgSk, audSk, vidSk)
+    val contentPairs = (Seq(imgSk, audSk, vidSk)
       .map(sk => Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming)
-        .select("doc_a", "doc_b"))
+        .select("doc_a", "doc_b")) :+
+      CompressedImageHash.pairsOfKinds(cimSk, maxHamming)
+        .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")))
       .reduce(_ unionByName _)
     val exactEdges = withKeeper.filter(col("media_id") =!= col("keeper_id"))
       .select(col("media_id").as("doc_a"), col("keeper_id").as("doc_b"))
@@ -196,12 +246,10 @@ object MediaKeep {
         hashedKeepers.withColumnRenamed("media_id", "keeper_id"),
         Seq("keeper_id"), "left_semi")
       .select(col("media_id"), lit(true).as("eligible"))
-    val kind = when(col("h").isNull, lit(null).cast("string"))
-      .when(col("n_bytes") >= 54L && substring(col("h"), 1, 4) === "424D",
-        lit("bmp"))
-      .when(Media.mp4Magic, lit("mp4"))
-      .when(Media.riffMagic, lit("wav"))
-      .otherwise(lit("raw"))
+    // magic predicates through the shared precedence chain — the one
+    // place the kind ORDER lives (Media.KindOrder), so this sniff and
+    // mediaFeatures' walked one cannot diverge
+    val kind = Media.kindCase(col("h").isNull, Media.magicPreds)
     sized.select(col("media_id"), kind.as("kind"))
       .join(withKeeper.select(col("media_id"),
         (col("media_id") =!= col("keeper_id")).as("dup")),
@@ -240,11 +288,16 @@ object MediaKeep {
         cnt(col("kind") === "bmp").as("n_bmp"),
         cnt(col("kind") === "wav").as("n_wav"),
         cnt(col("kind") === "mp4").as("n_mp4"),
+        cnt(col("kind") === "png").as("n_png"),
+        cnt(col("kind") === "jpeg").as("n_jpeg"),
+        cnt(col("kind") === "gif").as("n_gif"),
         cnt(col("kind") === "raw").as("n_raw"),
         cnt(col("eligible")).as("n_eligible"),
         cnt(col("kind") === "bmp" && col("eligible")).as("n_bmp_eligible"),
         cnt(col("kind") === "wav" && col("eligible")).as("n_wav_eligible"),
         cnt(col("kind") === "mp4" && col("eligible")).as("n_mp4_eligible"),
+        cnt(col("kind") === "png" && col("eligible")).as("n_png_eligible"),
+        cnt(col("kind") === "jpeg" && col("eligible")).as("n_jpeg_eligible"),
         cnt(col("is_exact_dup")).as("n_exact_dup"),
         cnt(col("is_content_dup")).as("n_content_dup"),
         cnt(col("keep")).as("n_keep"))
@@ -255,6 +308,10 @@ object MediaKeep {
           .as("wav_eligible_millionths"),
         expr("(n_mp4_eligible * 1000000L) div greatest(n_mp4, 1L)")
           .as("mp4_eligible_millionths"),
+        expr("(n_png_eligible * 1000000L) div greatest(n_png, 1L)")
+          .as("png_eligible_millionths"),
+        expr("(n_jpeg_eligible * 1000000L) div greatest(n_jpeg, 1L)")
+          .as("jpeg_eligible_millionths"),
         expr("(n_content_dup * 1000000L) div greatest(n_payloads, 1L)")
           .as("content_dup_millionths"),
         expr("(n_keep * 1000000L) div greatest(n_payloads, 1L)")
@@ -263,9 +320,10 @@ object MediaKeep {
 
   // ---- DuckDB oracle twins ---------------------------------------------------
 
-  /** lake → fp/keepers → three modality hash chains (prefixed bodies)
-    * → per-modality pairs + exact edges → recursive closure → verdict.
-    * Final CTE `verdict` carries the six output columns. */
+  /** lake → fp/keepers → four modality hash chains (prefixed bodies)
+    * → per-modality pairs (per FORMAT for the cimage chain) + exact
+    * edges → recursive closure → verdict. Final CTE `verdict` carries
+    * the six output columns. */
   private def verdictCtesSql(maxHamming: Int): String = {
     val pairSel = (pfx: String) =>
       s"""SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
@@ -292,6 +350,7 @@ object MediaKeep {
        |), ${ImageHash.ahashBodyCtesSql("ksized", "img_")},
        |${AudioHash.ahashBodyCtesSql("ksized", "aud_")},
        |${VideoHash.ahashBodyCtesSql("ksized", "vid_")},
+       |${CompressedImageHash.ahashBodyCtesSql("ksized", "ci_")},
        |img_bands AS (
        |  ${Hamming64.nibbleSelectsSqlFrom("img_hashed")}
        |),
@@ -301,12 +360,21 @@ object MediaKeep {
        |vid_bands AS (
        |  ${Hamming64.nibbleSelectsSqlFrom("vid_hashed")}
        |),
+       |ci_bands AS (
+       |  ${CompressedImageHash.kindBandsSqlFrom("ci_hashed")}
+       |),
        |cpairs AS (
        |  ${pairSel("img_")}
        |  UNION
        |  ${pairSel("aud_")}
        |  UNION
        |  ${pairSel("vid_")}
+       |  UNION
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM ci_bands a JOIN ci_bands b
+       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
        |),
        |exact_edges AS (
        |  SELECT media_id AS doc_a, keeper_id AS doc_b FROM wk
@@ -334,16 +402,12 @@ object MediaKeep {
        |    SELECT media_id FROM img_hashed
        |    UNION ALL SELECT media_id FROM aud_hashed
        |    UNION ALL SELECT media_id FROM vid_hashed
+       |    UNION ALL SELECT media_id FROM ci_hashed
        |  )
        |),
        |verdict AS (
        |  SELECT s.media_id AS media_id,
-       |    CASE WHEN h IS NULL THEN NULL
-       |         WHEN n_bytes >= 54 AND substring(h, 1, 4) = '424D' THEN 'bmp'
-       |         WHEN n_bytes >= 12 AND substring(h, 9, 8) = '66747970' THEN 'mp4'
-       |         WHEN n_bytes >= 44 AND substring(h, 1, 8) = '52494646'
-       |           AND substring(h, 17, 8) = '57415645' THEN 'wav'
-       |         ELSE 'raw' END AS kind,
+       |    ${Media.kindCaseSql("h IS NULL", Media.magicCondsSql)} AS kind,
        |    ah.media_id IS NOT NULL AS eligible,
        |    coalesce(wk.media_id <> wk.keeper_id, FALSE) AS is_exact_dup,
        |    comp.rep_id <> s.media_id AS is_content_dup,
@@ -381,11 +445,16 @@ object MediaKeep {
        |    CAST(coalesce(sum(CASE WHEN kind = 'bmp' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bmp,
        |    CAST(coalesce(sum(CASE WHEN kind = 'wav' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wav,
        |    CAST(coalesce(sum(CASE WHEN kind = 'mp4' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mp4,
+       |    CAST(coalesce(sum(CASE WHEN kind = 'png' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_png,
+       |    CAST(coalesce(sum(CASE WHEN kind = 'jpeg' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_jpeg,
+       |    CAST(coalesce(sum(CASE WHEN kind = 'gif' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gif,
        |    CAST(coalesce(sum(CASE WHEN kind = 'raw' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_raw,
        |    CAST(coalesce(sum(CASE WHEN eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_eligible,
        |    CAST(coalesce(sum(CASE WHEN kind = 'bmp' AND eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bmp_eligible,
        |    CAST(coalesce(sum(CASE WHEN kind = 'wav' AND eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wav_eligible,
        |    CAST(coalesce(sum(CASE WHEN kind = 'mp4' AND eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mp4_eligible,
+       |    CAST(coalesce(sum(CASE WHEN kind = 'png' AND eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_png_eligible,
+       |    CAST(coalesce(sum(CASE WHEN kind = 'jpeg' AND eligible THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_jpeg_eligible,
        |    CAST(coalesce(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact_dup,
        |    CAST(coalesce(sum(CASE WHEN is_content_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_content_dup,
        |    CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep
@@ -398,6 +467,10 @@ object MediaKeep {
        |    AS wav_eligible_millionths,
        |  CAST((n_mp4_eligible * 1000000) // greatest(n_mp4, 1) AS BIGINT)
        |    AS mp4_eligible_millionths,
+       |  CAST((n_png_eligible * 1000000) // greatest(n_png, 1) AS BIGINT)
+       |    AS png_eligible_millionths,
+       |  CAST((n_jpeg_eligible * 1000000) // greatest(n_jpeg, 1) AS BIGINT)
+       |    AS jpeg_eligible_millionths,
        |  CAST((n_content_dup * 1000000) // greatest(n_payloads, 1) AS BIGINT)
        |    AS content_dup_millionths,
        |  CAST((n_keep * 1000000) // greatest(n_payloads, 1) AS BIGINT)

@@ -138,6 +138,23 @@ class AudioHashSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, true)), "singleton stays its own canonical")
   }
 
+  test("best-copy survivor: a zero-sample-rate clone never outranks a healthy copy") {
+    // r14 advice: under `div greatest(rate, 1)` a clone whose header
+    // declares sample_rate = 0 read duration n_frames·10⁶ and was
+    // CROWNED canonical over every healthy member; the metric now
+    // reads 0 for rate ≤ 0, so the corrupt copy always loses
+    val healthy = wav(8000, Array.fill[Byte](256)(100))
+    val corrupt = wav(0, Array.fill[Byte](256)(100))
+    val got = AudioHash.dupClustersBestOfPayloads(payloads(
+        1L -> corrupt, 2L -> healthy))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got(1L) === ((1L, false)),
+      "the zero-rate clone must not be crowned canonical")
+    assert(got(2L) === ((1L, true)),
+      "the healthy copy wins despite the larger media_id")
+  }
+
   test("planted one-sample edits pair; distinct clips do not") {
     val base = fill(400, 31L)
     val oneEdit = base.clone(); oneEdit(123) = 99

@@ -151,7 +151,8 @@ class CimageHashSpec extends AnyFunSuite {
           (bytes(1) & 0xff) != 0xd8) return None
       var off = 2L; var k = 0
       val standalone = Set(0x01) ++ (0xd0 to 0xd8)
-      while (k < 8 && bytes.length >= off + 4) {
+      // budget shared with the production fold (r14 advice)
+      while (k < CompressedImageHash.SosWalkChunks && bytes.length >= off + 4) {
         val m1 = bytes(off.toInt) & 0xff
         val m2 = bytes(off.toInt + 1) & 0xff
         if (m1 == 0xff && m2 == 0xda) {
@@ -201,5 +202,23 @@ class CimageHashSpec extends AnyFunSuite {
       "identical content bytes in a DIFFERENT format never pair " +
         "(per-format band discipline)")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("best-copy survivor: the intact copy beats its truncated re-upload") {
+    // constant content bytes: every probe reads the same value whatever
+    // the span length, so the intact JPEG and its truncated re-upload
+    // hash EQUAL (Hamming 0) and pair — but their n_units differ
+    val intact = jpg(32, 32, Array.fill[Byte](320)(100))
+    val cut = jpg(32, 32, Array.fill[Byte](256)(100), eoi = false)
+    val other = png(32, 32, fill(300, 555L))
+    val got = CompressedImageHash.dupClustersBestOfPayloads(payloads(
+        1L -> cut, 2L -> intact, 3L -> other))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got(1L) === ((1L, false)),
+      "cluster_id stays the component min, but the truncated copy loses")
+    assert(got(2L) === ((1L, true)),
+      "the intact larger-id copy is canonical under the n_units policy")
+    assert(got(3L) === ((3L, true)), "singleton stays its own canonical")
   }
 }

@@ -55,6 +55,37 @@ class MediaKeepSpec extends AnyFunSuite {
       (s >>> 33).toByte }
   }
 
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+  private def chunk(typ: String, payload: Array[Byte]): Array[Byte] =
+    be(payload.length, 4) ++ typ.getBytes("US-ASCII") ++ payload ++ be(0, 4)
+  private def png(w: Int, h: Int, content: Array[Byte],
+      anc: Boolean = false): Array[Byte] = {
+    val ihdr = chunk("IHDR", be(w, 4) ++ be(h, 4) ++
+      Array[Byte](8, 2, 0, 0, 0))
+    val anc0 = if (anc) chunk("tEXt", "keyA1".getBytes("US-ASCII"))
+      else Array.emptyByteArray
+    PngSig ++ anc0 ++ ihdr ++ chunk("IDAT", content) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+  private def jpg(w: Int, h: Int, content: Array[Byte],
+      com: Boolean = false): Array[Byte] = {
+    val app0 = be(0xFFE0L, 2) ++ be(16, 2) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be(0x48, 2) ++ be(0x48, 2) ++ be(0, 2)
+    val comSeg = if (com) be(0xFFFEL, 2) ++ be(9, 2) ++
+      "graft15".getBytes("US-ASCII") else Array.emptyByteArray
+    val sof = be(0xFFC0L, 2) ++ be(11, 2) ++ Array[Byte](8) ++
+      be(h, 2) ++ be(w, 2) ++ Array[Byte](1, 1, 0x11, 0)
+    val sos = be(0xFFDAL, 2) ++ be(8, 2) ++
+      Array[Byte](1, 1, 0, 0, 0x3F, 0)
+    be(0xFFD8L, 2) ++ app0 ++ comSeg ++ sof ++ sos ++ content ++
+      be(0xFFD9L, 2)
+  }
+  private def gif(content: Array[Byte]): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le(240, 2) ++ le(180, 2) ++
+      Array[Byte](0x91.toByte, 0, 0) ++ content ++ Array[Byte](0x3b)
+
   test("kind, eligibility, exact dup, content dup, keep — all gates on one lake") {
     val w = 16; val h = 16; val rb = rowBytes(w)
     val pixA = fill(rb * h, 3L)
@@ -69,7 +100,14 @@ class MediaKeepSpec extends AnyFunSuite {
       7L -> mp4(vidContent, 1000L), // keeper of the video pair
       8L -> mp4(vidContent, 99999L), // metadata-edited → EXACT differs,
         // content identical → content dup of 7
-      9L -> wav(8000, fill(20, 9L))) // wav magic but < 64 frames
+      9L -> wav(8000, fill(20, 9L)), // wav magic but < 64 frames
+      10L -> png(32, 32, fill(300, 40L)), // keeper of the PNG pair
+      11L -> png(640, 480, fill(300, 40L), anc = true), // tEXt churn +
+        // new dims over the same coded stream → content dup of 10
+      12L -> jpg(32, 32, fill(300, 40L)), // SAME span bytes as 10 — but
+        // a JPEG: per-format pairing must keep it a clean keep
+      13L -> gif(fill(100, 50L)), // GIF: sniffed, never eligible
+      14L -> gif(fill(100, 50L))) // byte-identical GIF → exact dup
     val withNull = rows.toDF("media_id", "payload")
       .unionByName(Seq((6L, null.asInstanceOf[Array[Byte]]))
         .toDF("media_id", "payload"))
@@ -94,5 +132,17 @@ class MediaKeepSpec extends AnyFunSuite {
       "a metadata-edited re-upload is a CONTENT dup (exact fp differs)")
     assert(got(9L) === (("wav", false, false, false, false)),
       "a sniffable but too-short clip is ineligible")
+    assert(got(10L) === (("png", true, false, false, true)),
+      "the PNG keeper is a clean keep")
+    assert(got(11L) === (("png", true, false, true, false)),
+      "tEXt churn + new dims over the same coded stream is a content dup")
+    assert(got(12L) === (("jpeg", true, false, false, true)),
+      "identical span bytes in a DIFFERENT format never pair " +
+        "(per-format discipline inside the composed verdict)")
+    assert(got(13L) === (("gif", false, false, false, false)),
+      "GIF is sniffed by kind but never content-eligible")
+    assert(got(14L) === (("gif", false, true, true, false)),
+      "a byte-identical GIF is an exact dup — the gate that covers the " +
+        "kind whose content identity is deliberately absent")
   }
 }

@@ -412,7 +412,9 @@ class MediaSpec extends AnyFunSuite {
         s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
       if (!(bytes.length >= 12 && ascii(4, "ftyp"))) return (None, None)
       var off = 0L; var md = -1L; var ml = -1L; var k = 0
-      while (k < 10 && off >= 0 && bytes.length >= off + 8) {
+      // budget SHARED with the production fold (r14 advice: a literal
+      // here would silently desynchronize on a future budget change)
+      while (k < Media.Mp4WalkChunks && off >= 0 && bytes.length >= off + 8) {
         val sz = beL(off.toInt, 4)
         if (md < 0 && ascii(off.toInt + 4, "mdat") && sz >= 8) {
           md = off + 8; ml = sz - 8
@@ -527,7 +529,8 @@ class MediaSpec extends AnyFunSuite {
       if (bytes.length < 8 || !pngSig.indices.forall(i => bytes(i) == pngSig(i)))
         return (None, None)
       var off = 8L; var id0 = -1L; var il = -1L; var k = 0
-      while (k < 6 && bytes.length >= off + 8) {
+      // budget shared with the production fold (r14 advice)
+      while (k < Media.WalkChunks && bytes.length >= off + 8) {
         val len = beL(off.toInt, 4)
         if (id0 < 0 && ascii(off.toInt + 4, "IDAT")) { id0 = off + 8; il = len }
         off = off + 12 + len
