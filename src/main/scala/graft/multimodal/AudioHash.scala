@@ -136,19 +136,10 @@ object AudioHash {
       .withColumn("n_frames",
         expr("least(declared_len, avail_len) div frame_bytes"))
       .filter(col("n_frames") >= Probes.toLong)
-    wav
-      .withColumn("as_",
-        expr(s"transform(sequence(0, ${Probes - 1})," +
-          s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
-      .withColumn("atot",
-        expr("aggregate(as_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(keep.map(col) ++ Seq(col("media_id"), col("sample_rate"),
-        col("frame_bytes"), col("n_frames"),
-        expr(s"aggregate(sequence(0, ${Probes - 1})," +
-          " CAST(0 AS BIGINT)," +
-          " (a, k) -> a + CASE WHEN 64 * element_at(as_, k + 1) > atot" +
-          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
+    // probe + vote ride the shared Hamming64 body
+    Hamming64.probeVote(wav, Probes, k => probeSql(k, "div"),
+      keep.map(col) ++ Seq(col("media_id"), col("sample_rate"),
+        col("frame_bytes"), col("n_frames")))
   }
 
   /** Payload-level seam for the spec's hand-built WAVs. */
@@ -382,14 +373,7 @@ object AudioHash {
     * CTEs ([[Media.walkCteSql]]) keep their fixed names: only the
     * audio chain walks RIFF in any composed query. `pfx = ""`
     * reproduces the standalone spelling byte-for-byte. */
-  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS a$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"a$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * a$k > atot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String =
     s"""${Media.walkCteSql(src)},
        |${pfx}wav AS (
        |  SELECT media_id, h, data_off,
@@ -408,18 +392,9 @@ object AudioHash {
        |  FROM ${pfx}wav
        |  WHERE frame_bytes >= 1
        |    AND least(declared_len, avail_len) // frame_bytes >= $Probes
-       |), ${pfx}amp AS MATERIALIZED (
-       |  SELECT media_id, sample_rate, frame_bytes, n_frames,
-       |    $probes
-       |  FROM ${pfx}elig
-       |), ${pfx}atot AS MATERIALIZED (
-       |  SELECT *, ($tot) AS atot FROM ${pfx}amp
-       |), ${pfx}hashed AS (
-       |  SELECT media_id, sample_rate, frame_bytes, n_frames,
-       |    $bits AS ahash
-       |  FROM ${pfx}atot
-       |)""".stripMargin
-  }
+       |), ${Hamming64.voteCtesSql(s"${pfx}elig", pfx, Probes,
+            k => probeSql(k.toString, "//"),
+            Seq("sample_rate", "frame_bytes", "n_frames"))}""".stripMargin
 
   def audioAhashSql: String =
     s"""WITH ${ahashCtesSql}

@@ -252,19 +252,9 @@ object CompressedImageHash {
           .otherwise(col("n_bytes") - col("sdata") - eoiAdj)
           .as("n_units")): _*)
       .filter(col("span_off").isNotNull && col("n_units") >= Probes.toLong)
-    span
-      .withColumn("bs_",
-        expr(s"transform(sequence(0, ${Probes - 1})," +
-          s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
-      .withColumn("btot",
-        expr("aggregate(bs_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(keep.map(col) ++ Seq(col("media_id"), col("kind"),
-        col("n_units"),
-        expr(s"aggregate(sequence(0, ${Probes - 1})," +
-          " CAST(0 AS BIGINT)," +
-          " (a, k) -> a + CASE WHEN 64 * element_at(bs_, k + 1) > btot" +
-          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
+    // probe + vote ride the shared Hamming64 body
+    Hamming64.probeVote(span, Probes, k => probeSql(k, "div"),
+      keep.map(col) ++ Seq(col("media_id"), col("kind"), col("n_units")))
   }
 
   /** Test seam: the declarative SOS walk over an arbitrary payload
@@ -395,14 +385,7 @@ object CompressedImageHash {
     * fixed names: only this chain walks PNG chunks / JPEG markers in
     * any composed query. `pfx = ""` reproduces the standalone spelling
     * byte-for-byte. */
-  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String =
     s"""${Media.pngCteSql(src)},
        |${jpgSosCteSql("pfin")},
        |${pfx}spans AS (
@@ -420,18 +403,8 @@ object CompressedImageHash {
        |), ${pfx}elig AS (
        |  SELECT * FROM ${pfx}spans
        |  WHERE span_off IS NOT NULL AND n_units >= $Probes
-       |), ${pfx}bsv AS MATERIALIZED (
-       |  SELECT media_id, kind, n_units,
-       |    $probes
-       |  FROM ${pfx}elig
-       |), ${pfx}btotv AS MATERIALIZED (
-       |  SELECT *, ($tot) AS btot FROM ${pfx}bsv
-       |), ${pfx}hashed AS (
-       |  SELECT media_id, kind, n_units,
-       |    $bits AS ahash
-       |  FROM ${pfx}btotv
-       |)""".stripMargin
-  }
+       |), ${Hamming64.voteCtesSql(s"${pfx}elig", pfx, Probes,
+            k => probeSql(k.toString, "//"), Seq("kind", "n_units"))}""".stripMargin
 
   /** Kind-carrying band explosion over `hashed`. */
   private def kindBandsSql: String = kindBandsSqlFrom("hashed")

@@ -94,6 +94,63 @@ private[graft] object Hamming64 {
         (col("doc_id") === col("best_id")).as("is_canonical"))
   }
 
+  /** The ONE probe-and-vote body every 64-bit content sketch rides
+    * (r15 verdict directive #7 — the four families spelled the
+    * transform + aggregate vote each; a vote change must never
+    * desynchronize them): `probeSqlOf(k)` is the family's integer
+    * probe read (grid gray value / amplitude byte / stride byte) over
+    * its own layout columns, and the vote sets bit k iff
+    * `probes · p_k > Σp` — strictly above the mean, ties → 0, never
+    * divides. One bounded `transform` + two bounded `aggregate` HOFs
+    * (the [[ImageHash]] codegen rationale: unrolled columns blow
+    * janino's method limit and drop the WHOLE stage to interpreted;
+    * the HOFs are interpreted but constant-size per row).
+    * `shiftleft(1L, 63)` is Long.MinValue — the same signed bit-63
+    * spelling as the unrolled oracle. */
+  private[graft] def probeVote(df: DataFrame, probes: Int,
+      probeSqlOf: String => String,
+      out: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("ps_",
+        expr(s"transform(sequence(0, ${probes - 1})," +
+          s" k -> CAST(${probeSqlOf("k")} AS BIGINT))"))
+      .withColumn("ptot",
+        expr("aggregate(ps_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(out :+
+        expr(s"aggregate(sequence(0, ${probes - 1})," +
+          " CAST(0 AS BIGINT)," +
+          s" (a, k) -> a + CASE WHEN $probes * element_at(ps_, k + 1) > ptot" +
+          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
+          " ELSE CAST(0 AS BIGINT) END)").as("ahash"): _*)
+
+  /** DuckDB twin of [[probeVote]]: the probe → total → vote stages as
+    * prefixed CTEs over `src` (which exposes the family's layout
+    * columns), ending in `${pfx}hashed(media_id, <carry...>, ahash)`.
+    * Probes unrolled per column — DuckDB has no janino limit and the
+    * unrolled spelling is its fast path; bit 63's weight interpolates
+    * as Long.MinValue, which ADDS the two's complement sign bit
+    * exactly. */
+  private[graft] def voteCtesSql(src: String, pfx: String, probes: Int,
+      probeSqlOf: Int => String, carry: Seq[String]): String = {
+    val ps = (0 until probes).map(k =>
+      s"CAST(${probeSqlOf(k)} AS BIGINT) AS p$k").mkString(",\n    ")
+    val tot = (0 until probes).map("p" + _).mkString(" + ")
+    val bits = (0 until probes).map { k =>
+      s"CAST(CASE WHEN $probes * p$k > ptot THEN ${1L << k} ELSE 0 END AS BIGINT)"
+    }.mkString("(", "\n   + ", ")")
+    val cs = carry.map(c => s", $c").mkString
+    s"""${pfx}pv AS MATERIALIZED (
+       |  SELECT media_id$cs,
+       |    $ps
+       |  FROM $src
+       |), ${pfx}ptv AS MATERIALIZED (
+       |  SELECT *, ($tot) AS ptot FROM ${pfx}pv
+       |), ${pfx}hashed AS (
+       |  SELECT media_id$cs,
+       |    $bits AS ahash
+       |  FROM ${pfx}ptv
+       |)""".stripMargin
+  }
+
   /** The 4-way band explosion of a `hashed(media_id, ahash)` CTE — the
     * DuckDB side every pairing/occupancy oracle shares. */
   def nibbleSelectsSql: String = nibbleSelectsSqlFrom("hashed")

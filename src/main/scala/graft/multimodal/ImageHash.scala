@@ -82,16 +82,6 @@ object ImageHash {
       s"${byteAtSql((byteOff + k).toString)} * CAST(${1L << (8 * k)} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
-  /** `64·g_k > Σg` bit terms summed into the 64-bit hash — bit 63's
-    * weight interpolates as Long.MinValue, which ADDS the two's
-    * complement sign bit exactly (no other term reaches it), so both
-    * engines stay in signed BIGINT without an unsigned literal.
-    * DuckDB spelling (unrolled over the `gray` CTE's columns). */
-  private def ahashSql: String =
-    (0 until Grid * Grid).map { k =>
-      s"CAST(CASE WHEN 64 * g$k > gtot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
-
   /** Fixture synthesis: documents wrapped in a REAL 54-byte BMP header
     * (the [[Media.asContainerTable]] BMP layout) at aHash-friendly
     * dimensions — width 8 + doc_id % 3, height 8 + doc_id % 5, 24 bpp
@@ -208,25 +198,14 @@ object ImageHash {
         col("n_rows_avail") >= Grid.toLong)
     val bmp = if (checkpoint) bmp1.localCheckpoint() else bmp1
     // grid cell k = (i, j) = (k div 8, k % 8), same integer strides as
-    // the DuckDB cellSql spelling with i/j dynamic
-    val gray = graySql(
-      s"54 + (((k div 8) * n_rows_avail) div 8) * row_bytes" +
-        s" + (((k % 8) * width) div 8) * 3")
-    bmp
-      .withColumn("gs",
-        expr(s"transform(sequence(0, ${Grid * Grid - 1})," +
-          s" k -> CAST($gray AS BIGINT))"))
-      .withColumn("gtot",
-        expr("aggregate(gs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(keep.map(col) ++ Seq(col("media_id"), col("width"),
-        col("height"), col("n_rows_avail"),
-        // shiftleft(1L, 63) is Long.MinValue — the same signed bit-63
-        // spelling as the unrolled oracle
-        expr(s"aggregate(sequence(0, ${Grid * Grid - 1})," +
-          " CAST(0 AS BIGINT)," +
-          " (a, k) -> a + CASE WHEN 64 * element_at(gs, k + 1) > gtot" +
-          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
+    // the DuckDB cellSql spelling with i/j dynamic; probe + vote ride
+    // the shared Hamming64 body
+    Hamming64.probeVote(bmp, Grid * Grid,
+      k => graySql(
+        s"54 + ((($k div 8) * n_rows_avail) div 8) * row_bytes" +
+          s" + ((($k % 8) * width) div 8) * 3"),
+      keep.map(col) ++ Seq(col("media_id"), col("width"),
+        col("height"), col("n_rows_avail")))
   }
 
   // ---- production faces ------------------------------------------------------
@@ -479,11 +458,7 @@ object ImageHash {
     * the reuse seam for composed oracles ([[MediaKeep]]) that run all
     * three modality chains in one query. `pfx = ""` reproduces the
     * standalone spelling byte-for-byte. */
-  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
-    val cells = (0 until Grid * Grid).map(k =>
-      s"CAST(${cellSql(k / Grid, k % Grid, "//")} AS BIGINT) AS g$k")
-      .mkString(",\n    ")
-    val tot = (0 until Grid * Grid).map(k => s"g$k").mkString(" + ")
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String =
     s"""${pfx}bmp AS (
        |  SELECT media_id, h,
        |    CAST(${leSql(18, 4)} AS BIGINT) AS width,
@@ -499,18 +474,9 @@ object ImageHash {
        |), ${pfx}elig AS (
        |  SELECT * FROM ${pfx}rowed
        |  WHERE bpp = 24 AND width >= $Grid AND n_rows_avail >= $Grid
-       |), ${pfx}gray AS MATERIALIZED (
-       |  SELECT media_id, width, height, n_rows_avail,
-       |    $cells
-       |  FROM ${pfx}elig
-       |), ${pfx}tot AS MATERIALIZED (
-       |  SELECT *, ($tot) AS gtot FROM ${pfx}gray
-       |), ${pfx}hashed AS (
-       |  SELECT media_id, width, height, n_rows_avail,
-       |    $ahashSql AS ahash
-       |  FROM ${pfx}tot
-       |)""".stripMargin
-  }
+       |), ${Hamming64.voteCtesSql(s"${pfx}elig", pfx, Grid * Grid,
+            k => cellSql(k / Grid, k % Grid, "//"),
+            Seq("width", "height", "n_rows_avail"))}""".stripMargin
 
   def imageAhashSql: String =
     s"""WITH ${ahashCtesSql}

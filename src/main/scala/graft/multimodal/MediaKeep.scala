@@ -179,8 +179,38 @@ object MediaKeep {
       .withColumn("n_bytes", (length(col("h")) / 2).cast("long"))
       .localCheckpoint()
 
-  def mediaKeep(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    mediaKeepOfSized(lakeSized(docs), maxHamming)
+  /** Session-scoped reuse of the CHECKPOINTED verdict relation (r15
+    * verdict directive #3): [[mediaKeep]], [[mediaKeepStats]], and
+    * [[mediaCard]] all read the same verdict — the lake synthesis,
+    * keeper pass, four hash chains, and star contraction are the media
+    * surface's most expensive relation, and the three faces were each
+    * rebuilding it (~16 s combined at sf0.1). One entry per session,
+    * keyed like [[graft.Tables.widen]]'s memo (session identity +
+    * semantic hash of the ANALYZED docs plan + maxHamming — two
+    * spellings of the same scan share); replacing the entry on a
+    * different corpus drops the previous checkpoint's reference for
+    * the ContextCleaner, so the cache never holds more than the latest
+    * verdict per session. [[verdictBuilds]] counts actual builds — the
+    * spec's evidence that the second face reuses instead of
+    * rebuilding. The verdict rows are narrow (6 columns/payload), so
+    * the checkpoint is cheap to hold. */
+  private val verdictCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, ((Int, Int), DataFrame)]()
+  private[graft] val verdictBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  def mediaKeep(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sess = System.identityHashCode(docs.sparkSession)
+    val key = (docs.queryExecution.analyzed.semanticHash(), maxHamming)
+    val cached = verdictCache.get(sess)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      verdictBuilds.incrementAndGet()
+      val built = mediaKeepOfSized(lakeSized(docs), maxHamming)
+        .localCheckpoint()
+      verdictCache.put(sess, (key, built))
+      built
+    }
+  }
 
   /** Payload-level seam for the spec's hand-built containers. */
   private[graft] def mediaKeepOfPayloads(payloads: DataFrame,

@@ -142,18 +142,9 @@ object VideoHash {
         least(col("mk.mdat_len"), col("n_bytes") - col("mk.mdat_off"))
           .as("n_units")): _*)
       .filter(col("n_units") >= Probes.toLong)
-    vid
-      .withColumn("bs_",
-        expr(s"transform(sequence(0, ${Probes - 1})," +
-          s" k -> CAST(${probeSql("k", "div")} AS BIGINT))"))
-      .withColumn("btot",
-        expr("aggregate(bs_, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(keep.map(col) ++ Seq(col("media_id"), col("n_units"),
-        expr(s"aggregate(sequence(0, ${Probes - 1})," +
-          " CAST(0 AS BIGINT)," +
-          " (a, k) -> a + CASE WHEN 64 * element_at(bs_, k + 1) > btot" +
-          " THEN shiftleft(CAST(1 AS BIGINT), k)" +
-          " ELSE CAST(0 AS BIGINT) END)").as("ahash")): _*)
+    // probe + vote ride the shared Hamming64 body
+    Hamming64.probeVote(vid, Probes, k => probeSql(k, "div"),
+      keep.map(col) ++ Seq(col("media_id"), col("n_units")))
   }
 
   /** Payload-level seam for the spec's hand-built MP4s. */
@@ -377,14 +368,7 @@ object VideoHash {
     * The MP4 walk CTEs ([[Media.mp4CteSql]]) keep their fixed names:
     * only the video chain walks ISO-BMFF in any composed query.
     * `pfx = ""` reproduces the standalone spelling byte-for-byte. */
-  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String = {
-    val probes = (0 until Probes).map(k =>
-      s"CAST(${probeSql(k.toString, "//")} AS BIGINT) AS b$k")
-      .mkString(",\n    ")
-    val tot = (0 until Probes).map(k => s"b$k").mkString(" + ")
-    val bits = (0 until Probes).map { k =>
-      s"CAST(CASE WHEN 64 * b$k > btot THEN ${1L << k} ELSE 0 END AS BIGINT)"
-    }.mkString("(", "\n   + ", ")")
+  private[multimodal] def ahashBodyCtesSql(src: String, pfx: String): String =
     s"""${Media.mp4CteSql(src)},
        |${pfx}elig AS (
        |  SELECT media_id, h, mdat_off, n_units FROM (
@@ -394,18 +378,8 @@ object VideoHash {
        |    WHERE mp4_mdat IS NOT NULL
        |  )
        |  WHERE n_units >= $Probes
-       |), ${pfx}bsv AS MATERIALIZED (
-       |  SELECT media_id, n_units,
-       |    $probes
-       |  FROM ${pfx}elig
-       |), ${pfx}btotv AS MATERIALIZED (
-       |  SELECT *, ($tot) AS btot FROM ${pfx}bsv
-       |), ${pfx}hashed AS (
-       |  SELECT media_id, n_units,
-       |    $bits AS ahash
-       |  FROM ${pfx}btotv
-       |)""".stripMargin
-  }
+       |), ${Hamming64.voteCtesSql(s"${pfx}elig", pfx, Probes,
+            k => probeSql(k.toString, "//"), Seq("n_units"))}""".stripMargin
 
   def videoAhashSql: String =
     s"""WITH ${ahashCtesSql}

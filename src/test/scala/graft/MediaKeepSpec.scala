@@ -145,4 +145,25 @@ class MediaKeepSpec extends AnyFunSuite {
       "a byte-identical GIF is an exact dup — the gate that covers the " +
         "kind whose content identity is deliberately absent")
   }
+
+  test("the three verdict faces share one session-scoped checkpoint") {
+    // the lake synthesis + keeper pass + four hash chains + star
+    // contraction are the media surface's most expensive relation —
+    // keep, stats, and card must build it ONCE per (session, corpus)
+    val docs = (0L until 120L).map(i => (i, s"payload text $i body " * 8))
+      .toDF("doc_id", "text")
+    val before = MediaKeep.verdictBuilds.get()
+    val keepRows = MediaKeep.mediaKeep(docs).count()
+    val statsRows = MediaKeep.mediaKeepStats(docs).count()
+    val cardRows = MediaKeep.mediaCard(docs).count()
+    assert(keepRows === 120L && statsRows >= 1L && cardRows === 1L)
+    assert(MediaKeep.verdictBuilds.get() === before + 1,
+      "stats and card must reuse the keep face's checkpointed verdict")
+    // a DIFFERENT corpus replaces the entry (one build, not zero)
+    val docs2 = (0L until 60L).map(i => (i, s"other corpus $i " * 9))
+      .toDF("doc_id", "text")
+    MediaKeep.mediaKeep(docs2).count()
+    assert(MediaKeep.verdictBuilds.get() === before + 2,
+      "a new corpus must rebuild (the cache is not a stale-answer hole)")
+  }
 }
