@@ -140,44 +140,13 @@ object CompressedImageHash {
     sb.toString
   }
 
-  /** Fixture synthesis: each document as a REAL PNG or JPEG by GROUP
-    * parity (`(doc_id div 30) % 2` — group-level dispatch so every
-    * 30-id group keeps its planted-pair structure), with the family
-    * two-population discipline on the coded stream: doc_id % 3 ≠ 2
-    * carries the text bytes; doc_id % 3 = 2 is the planted near-dup
-    * population (group-keyed base, one byte edited per member). The
-    * CONTAINER METADATA deliberately diverges within every planted
-    * pair: d and d+15 differ in parity, so exactly one member carries
-    * the tEXt ancillary chunk (PNG) / the COM segment (JPEG), and the
-    * IHDR/SOF dimensions differ too — the green pairing oracle IS the
-    * metadata-churn-invariance proof. */
-  private def leHexOf(v: String, nBytes: Int, idiv: String): String =
-    (0 until nBytes).map { k =>
-      val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
-      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-    }.mkString("(", " || ", ")")
-  private def beHexOf(v: String, nBytes: Int, idiv: String): String =
-    (0 until nBytes).map { k =>
-      val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
-      s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-        s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-    }.mkString("(", " || ", ")")
-
   /** The two-population coded stream both formats share: (hex, byte
     * count) of the content the container carries. */
   private def codedStreamSql(textHex: String, textBytes: String,
       idiv: String): (String, String) = {
-    val g = s"(doc_id $idiv 30)"
-    val base = s"repeat(${leHexOf(s"($g * 2654435761) % 4294967296", 4, idiv)} || " +
-      s"${leHexOf(s"($g * 2246822519) % 4294967296", 4, idiv)} || " +
-      s"${leHexOf(s"($g * 3266489917) % 4294967296", 4, idiv)} || " +
-      s"${leHexOf(s"($g * 668265263) % 4294967296", 4, idiv)}, " +
-      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT))"
-    val p = "(3 + 8 * (doc_id % 25))"
-    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
-      s"${leHexOf("((doc_id * 101) % 256)", 1, idiv)} || " +
-      s"substring($base, CAST($p * 2 + 3 AS INT))"
+    val base = Media.groupPatternSql(
+      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT)", idiv)
+    val edited = Media.editedPatternSql(base, 101, idiv)
     (s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END",
       s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END")
   }
@@ -191,9 +160,9 @@ object CompressedImageHash {
     val pw = "(1 + doc_id % 800)"
     val ph = "(1 + doc_id % 600)"
     val textAnc = "'00000005' || '74455874' || '6B65794131' || '00000000'"
-    val ihdr = s"'0000000D' || '49484452' || ${beHexOf(pw, 4, idiv)} || " +
-      s"${beHexOf(ph, 4, idiv)} || '08' || '02' || '000000' || '00000000'"
-    val idat = s"${beHexOf(nb, 4, idiv)} || '49444154' || $content || '00000000'"
+    val ihdr = s"'0000000D' || '49484452' || ${Media.beHexSql(pw, 4, idiv)} || " +
+      s"${Media.beHexSql(ph, 4, idiv)} || '08' || '02' || '000000' || '00000000'"
+    val idat = s"${Media.beHexSql(nb, 4, idiv)} || '49444154' || $content || '00000000'"
     val iend = "'00000000' || '49454E44' || '00000000'"
     s"'${Media.PngSigHex}' || " +
       s"(CASE WHEN doc_id % 2 = 1 THEN $textAnc || '' ELSE '' END) || " +
@@ -210,14 +179,25 @@ object CompressedImageHash {
     val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
       "'0048' || '0048' || '0000'"
     val comSeg = "'FFFE' || '0009' || '67726166743134'"
-    val sof = s"'FFC0' || '000B' || '08' || ${beHexOf(ph, 2, idiv)} || " +
-      s"${beHexOf(pw, 2, idiv)} || '01' || '011100'"
+    val sof = s"'FFC0' || '000B' || '08' || ${Media.beHexSql(ph, 2, idiv)} || " +
+      s"${Media.beHexSql(pw, 2, idiv)} || '01' || '011100'"
     val sos = "'FFDA' || '0008' || '01' || '0100' || '003F00'"
     s"'FFD8' || $app0 || " +
       s"(CASE WHEN doc_id % 2 = 1 THEN $comSeg || '' ELSE '' END) || " +
       s"$sof || $sos || $content || 'FFD9'"
   }
 
+  /** Fixture synthesis: each document as a REAL PNG or JPEG by GROUP
+    * parity (`(doc_id div 30) % 2` — group-level dispatch so every
+    * 30-id group keeps its planted-pair structure), with the family
+    * two-population discipline on the coded stream: doc_id % 3 ≠ 2
+    * carries the text bytes; doc_id % 3 = 2 is the planted near-dup
+    * population (group-keyed base, one byte edited per member). The
+    * CONTAINER METADATA deliberately diverges within every planted
+    * pair: d and d+15 differ in parity, so exactly one member carries
+    * the tEXt ancillary chunk (PNG) / the COM segment (JPEG), and the
+    * IHDR/SOF dimensions differ too — the green pairing oracle IS the
+    * metadata-churn-invariance proof. */
   private def cimagesHexSql(textHex: String, textBytes: String,
       idiv: String): String =
     s"CASE WHEN (doc_id $idiv 30) % 2 = 0 " +
@@ -306,12 +286,9 @@ object CompressedImageHash {
     * edge exists. */
   def cimageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sk = cimageAhash(docs).localCheckpoint()
-    graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        pairsOfKinds(sk, maxHamming)
-          .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")))
-      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
-        col("is_survivor").as("is_canonical"))
+    Hamming64.clustersOfPairs(sk,
+      pairsOfKinds(sk, maxHamming)
+        .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")))
   }
 
   /** [[cimageDupClusters]] with the BEST-COPY survivor policy (closing
@@ -326,12 +303,10 @@ object CompressedImageHash {
     bestOfSketch(cimageAhash(docs).localCheckpoint(), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestCanonical(
-      graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        pairsOfKinds(sk, maxHamming)
-          .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b"))),
-      sk.select(col("media_id"), col("n_units").as("metric")))
+    Hamming64.bestOfPairs(sk,
+      pairsOfKinds(sk, maxHamming)
+        .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")),
+      col("n_units"))
 
   /** Payload-level twin for planted-fixture specs. */
   private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
@@ -443,32 +418,8 @@ object CompressedImageHash {
        |bands AS (
        |  $kindBandsSql
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |)
-       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
-       |FROM comp
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming, "a.kind = b.kind AND ")}
+       |${Hamming64.clustersFinalSql}""".stripMargin
 
   /** Oracle twin of [[cimageDupClustersBest]] — the per-format cluster
     * closure with the canonical flag re-ranked by content length. */
@@ -477,37 +428,8 @@ object CompressedImageHash {
        |bands AS (
        |  $kindBandsSql
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.kind = b.kind AND a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |),
-       |rb AS (
-       |  SELECT comp.media_id AS media_id, cluster_id,
-       |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY h.n_units DESC, comp.media_id ASC) AS rn
-       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
-       |)
-       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming, "a.kind = b.kind AND ")},
+       |${Hamming64.bestFinalSql("h.n_units")}""".stripMargin
 
   def cimageOccupancySql: String =
     s"""WITH ${ahashCtesSql},

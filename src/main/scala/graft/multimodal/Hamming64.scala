@@ -151,6 +151,79 @@ private[graft] object Hamming64 {
        |)""".stripMargin
   }
 
+  /** Star-contraction clusters of a sketch relation over its pairing
+    * graph, renamed to the media-family shape — the Spark body every
+    * `*_dup_clusters` face shares (domain = every hashed member, a
+    * pair-less member is its own canonical singleton, cluster id = the
+    * component minimum). */
+  private[graft] def clustersOfPairs(domain: DataFrame,
+      pairs: DataFrame): DataFrame =
+    graft.text.Dedup.dedupClustersFromPairsStar(
+        domain.select(col("media_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
+        col("is_survivor").as("is_canonical"))
+
+  /** [[clustersOfPairs]] re-marked by [[bestCanonical]] — the Spark
+    * body every `*_dup_clusters_best` face shares: `metric` is the
+    * family's quality column expression over its sketch relation. */
+  private[graft] def bestOfPairs(sk: DataFrame, pairs: DataFrame,
+      metric: org.apache.spark.sql.Column): DataFrame =
+    bestCanonical(
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")), pairs),
+      sk.select(col("media_id"), metric.as("metric")))
+
+  /** DuckDB side of the cluster closure — the recursive
+    * prs → und → reach → comp chain every `*_dup_clusters*` oracle
+    * shares (requires CTEs `bands` and `hashed` in scope; `pairExtra`
+    * prepends extra equi-conditions to the band join — the cimage
+    * per-format `a.kind = b.kind AND `). `cluster_id` is the component
+    * minimum, singletons self-labeled by the LEFT JOIN coalesce. */
+  private[graft] def closureCtesSql(maxHamming: Int,
+      pairExtra: String = ""): String =
+    s"""prs AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON ${pairExtra}a.band = b.band AND a.nibble = b.nibble
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM prs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+       |),
+       |comp AS (
+       |  SELECT h.media_id AS media_id,
+       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
+       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
+       |  GROUP BY h.media_id
+       |)""".stripMargin
+
+  /** Final SELECT of the keep-first cluster oracle (canonical = the
+    * component minimum). */
+  private[graft] val clustersFinalSql: String =
+    """SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
+      |FROM comp
+      |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
+  /** Final CTE + SELECT of the best-copy cluster oracle: `metricSql`
+    * ranks over the `hashed` alias `h`. */
+  private[graft] def bestFinalSql(metricSql: String): String =
+    s"""rb AS (
+       |  SELECT comp.media_id AS media_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY $metricSql DESC, comp.media_id ASC) AS rn
+       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
+       |)
+       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
+       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+
   /** The 4-way band explosion of a `hashed(media_id, ahash)` CTE — the
     * DuckDB side every pairing/occupancy oracle shares. */
   def nibbleSelectsSql: String = nibbleSelectsSqlFrom("hashed")

@@ -110,25 +110,13 @@ object ImageHash {
     val w = "(8 + doc_id % 3)"
     val hgt = "(8 + doc_id % 5)"
     def leHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
+      Media.leHexSql(v, nBytes, idiv)
     // planted branch: width is 8 + 2 = 10 → row stride 32 bytes; the
     // base pattern (16 bytes) repeats h·2 times = h complete 32-byte
     // scanlines; the edit replaces byte p = 3 + 8·(doc_id % 25) (always
     // inside the first 8 sampled rows) with (doc_id · 131) % 256
-    val g = s"(doc_id $idiv 30)"
-    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
-      s"CAST($hgt * 2 AS INT))"
-    val p = "(3 + 8 * (doc_id % 25))"
-    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
-      s"${leHex("((doc_id * 131) % 256)", 1)} || " +
-      s"substring($base, CAST($p * 2 + 3 AS INT))"
+    val base = Media.groupPatternSql(s"CAST($hgt * 2 AS INT)", idiv)
+    val edited = Media.editedPatternSql(base, 131, idiv)
     val pixHex = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
     val pixBytes = s"CASE WHEN doc_id % 3 = 2 THEN $hgt * 32 ELSE $textBytes END"
     s"'424D' || ${leHex(s"54 + $pixBytes", 4)} || '0000000036000000' || " +
@@ -253,11 +241,8 @@ object ImageHash {
     * them (A~B~C with A,C apart). */
   def imageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sk = imageAhash(docs).select("media_id", "ahash").localCheckpoint()
-    graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
-      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
-        col("is_survivor").as("is_canonical"))
+    Hamming64.clustersOfPairs(sk,
+      Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
   }
 
   /** [[imageDupClusters]] with the BEST-COPY survivor policy (r13
@@ -272,13 +257,10 @@ object ImageHash {
     bestOfSketch(imageAhash(docs).localCheckpoint(), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestCanonical(
-      graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
-          "doc_a", "doc_b", maxHamming)),
-      sk.select(col("media_id"),
-        (col("width") * col("n_rows_avail")).as("metric")))
+    Hamming64.bestOfPairs(sk,
+      Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+        "doc_a", "doc_b", maxHamming),
+      col("width") * col("n_rows_avail"))
 
   /** Payload-level twin for planted-fixture specs. */
   private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
@@ -292,37 +274,8 @@ object ImageHash {
        |bands AS (
        |  ${nibbleSelectsSql}
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |),
-       |rb AS (
-       |  SELECT comp.media_id AS media_id, cluster_id,
-       |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY h.width * h.n_rows_avail DESC, comp.media_id ASC) AS rn
-       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
-       |)
-       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming)},
+       |${Hamming64.bestFinalSql("h.width * h.n_rows_avail")}""".stripMargin
 
   /** Oracle twin of [[imageDupClusters]] — transitive closure of the
     * pair relation by recursive CTE, singletons self-labeled. */
@@ -331,32 +284,8 @@ object ImageHash {
        |bands AS (
        |  ${nibbleSelectsSql}
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |)
-       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
-       |FROM comp
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming)}
+       |${Hamming64.clustersFinalSql}""".stripMargin
 
   /** Bucket-occupancy report for the aHash Hamming-band space — the
     * fourth member of the occupancy family (MinHash / SimHash / ANN
@@ -440,8 +369,9 @@ object ImageHash {
 
   /** The synthesis → eligibility → 64-cell → hash chain as CTEs over
     * `documents`; final stage `hashed` carries `(media_id, width,
-    * height, n_rows_avail, ahash)`. `gray` is MATERIALIZED — every g_k
-    * is consumed twice (the total and its own bit), and DuckDB inlines
+    * height, n_rows_avail, ahash)`. The probe/total stages are
+    * MATERIALIZED inside [[Hamming64.voteCtesSql]] — every probe is
+    * consumed twice (the total and its own bit), and DuckDB inlines
     * CTEs by default (the [[Media.walkCteSql]] lesson). */
   private def ahashCtesSql: String =
     s"""imgs AS (

@@ -292,8 +292,11 @@ object Media {
     }.mkString("(", " + ", ")")
 
   /** Hex spelling of `v`'s little-endian `nBytes` bytes — SQL shared by
-    * both engines modulo the integer-divide token (`div` / `//`). */
-  private def leHexSql(v: String, nBytes: Int, idiv: String): String =
+    * both engines modulo the integer-divide token (`div` / `//`). Also
+    * the one spelling every family fixture synthesis uses (r15
+    * consolidation — five files carried local copies of this builder).
+    */
+  private[multimodal] def leHexSql(v: String, nBytes: Int, idiv: String): String =
     (0 until nBytes).map { k =>
       val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
       s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
@@ -302,12 +305,38 @@ object Media {
 
   /** Hex spelling of `v`'s BIG-endian `nBytes` bytes — PNG lengths and
     * dimensions, JPEG segment lengths and dimensions are network order. */
-  private def beHexSql(v: String, nBytes: Int, idiv: String): String =
+  private[multimodal] def beHexSql(v: String, nBytes: Int, idiv: String): String =
     (0 until nBytes).map { k =>
       val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
       s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
         s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
     }.mkString("(", " || ", ")")
+
+  /** The group-keyed planted-clone pattern every media fixture shares:
+    * the 16-byte multiplicative-hash pattern of group
+    * `g = doc_id div 30`, repeated `copies` times (a hex expression —
+    * caller supplies the INT-cast copy count). Constant within a
+    * group, distinct across groups, so planted pairs cluster and
+    * groups don't. */
+  private[multimodal] def groupPatternSql(copies: String, idiv: String): String = {
+    val g = s"(doc_id $idiv 30)"
+    s"repeat(${leHexSql(s"($g * 2654435761) % 4294967296", 4, idiv)} || " +
+      s"${leHexSql(s"($g * 2246822519) % 4294967296", 4, idiv)} || " +
+      s"${leHexSql(s"($g * 3266489917) % 4294967296", 4, idiv)} || " +
+      s"${leHexSql(s"($g * 668265263) % 4294967296", 4, idiv)}, $copies)"
+  }
+
+  /** [[groupPatternSql]]'s base with ONE byte edited at the
+    * doc-dependent position `3 + 8·(doc_id % 25)` — the per-family
+    * edit byte is `(doc_id · mult) % 256` (a distinct multiplier per
+    * family keeps the four fixture populations from aliasing). */
+  private[multimodal] def editedPatternSql(base: String, mult: Int,
+      idiv: String): String = {
+    val p = "(3 + 8 * (doc_id % 25))"
+    s"substring($base, 1, CAST($p * 2 AS INT)) || " +
+      s"${leHexSql(s"((doc_id * $mult) % 256)", 1, idiv)} || " +
+      s"substring($base, CAST($p * 2 + 3 AS INT))"
+  }
 
   // ---- bounded RIFF chunk walk ------------------------------------------
   //

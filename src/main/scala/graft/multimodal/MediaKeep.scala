@@ -67,21 +67,10 @@ import org.apache.spark.sql.functions._
 object MediaKeep {
 
   /** Exact-dup plant pattern: the family plants' multiplicative-hash
-    * 16-byte pattern of group g, repeated to 256 bytes — shared SQL
-    * text in both engines. */
-  private def patternHex(idiv: String): String = {
-    def leHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
-    val g = s"(doc_id $idiv 30)"
-    s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, 16)"
-  }
+    * 16-byte pattern of group g, repeated to 256 bytes — the shared
+    * [[Media.groupPatternSql]] body at a constant copy count. */
+  private def patternHex(idiv: String): String =
+    Media.groupPatternSql("16", idiv)
 
   /** The media-lake payload synthesis — ONE SQL body for both engines
     * (`textHex`/`textBytes`/the divide token are the per-engine seams):

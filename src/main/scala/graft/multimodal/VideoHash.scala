@@ -70,28 +70,11 @@ object VideoHash {
     * proof: the clones pair because only `mdat` is hashed. */
   private[multimodal] def videoHexSql(textHex: String, textBytes: String,
       idiv: String): String = {
-    def leHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * k)}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
     def beHex(v: String, nBytes: Int): String =
-      (0 until nBytes).map { k =>
-        val b = s"((($v) $idiv ${1L << (8 * (nBytes - 1 - k))}) % 256)"
-        s"substr('0123456789ABCDEF', CAST(($b) $idiv 16 AS INT) + 1, 1) || " +
-          s"substr('0123456789ABCDEF', CAST(($b) % 16 AS INT) + 1, 1)"
-      }.mkString("(", " || ", ")")
-    val g = s"(doc_id $idiv 30)"
-    val base = s"repeat(${leHex(s"($g * 2654435761) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 2246822519) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 3266489917) % 4294967296", 4)} || " +
-      s"${leHex(s"($g * 668265263) % 4294967296", 4)}, " +
-      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT))"
-    val p = "(3 + 8 * (doc_id % 25))"
-    val edited = s"substring($base, 1, CAST($p * 2 AS INT)) || " +
-      s"${leHex("((doc_id * 89) % 256)", 1)} || " +
-      s"substring($base, CAST($p * 2 + 3 AS INT))"
+      Media.beHexSql(v, nBytes, idiv)
+    val base = Media.groupPatternSql(
+      s"CAST((256 + 32 * (doc_id % 5)) $idiv 16 AS INT)", idiv)
+    val edited = Media.editedPatternSql(base, 89, idiv)
     val content = s"CASE WHEN doc_id % 3 = 2 THEN $edited ELSE $textHex END"
     val nb = s"CASE WHEN doc_id % 3 = 2 THEN 256 + 32 * (doc_id % 5) ELSE $textBytes END"
     // doc-dependent container metadata (diverges WITHIN planted pairs)
@@ -246,11 +229,8 @@ object VideoHash {
     * cluster id = min). */
   def videoDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sk = videoAhash(docs).select("media_id", "ahash").localCheckpoint()
-    graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
-      .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
-        col("is_survivor").as("is_canonical"))
+    Hamming64.clustersOfPairs(sk,
+      Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
   }
 
   /** [[videoDupClusters]] with the BEST-COPY survivor policy:
@@ -263,12 +243,10 @@ object VideoHash {
     bestOfSketch(videoAhash(docs).localCheckpoint(), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestCanonical(
-      graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")),
-        Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
-          "doc_a", "doc_b", maxHamming)),
-      sk.select(col("media_id"), col("n_units").as("metric")))
+    Hamming64.bestOfPairs(sk,
+      Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+        "doc_a", "doc_b", maxHamming),
+      col("n_units"))
 
   /** Payload-level twin for planted-fixture specs. */
   private[graft] def dupClustersBestOfPayloads(payloads: DataFrame,
@@ -282,37 +260,8 @@ object VideoHash {
        |bands AS (
        |  ${Hamming64.nibbleSelectsSql}
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |),
-       |rb AS (
-       |  SELECT comp.media_id AS media_id, cluster_id,
-       |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY h.n_units DESC, comp.media_id ASC) AS rn
-       |  FROM comp JOIN hashed h ON h.media_id = comp.media_id
-       |)
-       |SELECT media_id, cluster_id, rn = 1 AS is_canonical FROM rb
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming)},
+       |${Hamming64.bestFinalSql("h.n_units")}""".stripMargin
 
   /** Oracle twin of [[videoDupClusters]] — recursive-CTE closure. */
   def videoDupClustersSql(maxHamming: Int = 3): String =
@@ -320,32 +269,8 @@ object VideoHash {
        |bands AS (
        |  ${Hamming64.nibbleSelectsSql}
        |),
-       |prs AS (
-       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.nibble = b.nibble
-       |    AND a.media_id < b.media_id
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
-       |),
-       |und AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM prs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM prs
-       |),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
-       |),
-       |comp AS (
-       |  SELECT h.media_id AS media_id,
-       |    least(h.media_id, coalesce(min(r.dst), h.media_id)) AS cluster_id
-       |  FROM hashed h LEFT JOIN reach r ON r.src = h.media_id
-       |  GROUP BY h.media_id
-       |)
-       |SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
-       |FROM comp
-       |ORDER BY media_id, cluster_id, is_canonical""".stripMargin
+       |${Hamming64.closureCtesSql(maxHamming)}
+       |${Hamming64.clustersFinalSql}""".stripMargin
 
   // ---- DuckDB oracle twins ---------------------------------------------------
 
