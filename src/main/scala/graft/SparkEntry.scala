@@ -994,6 +994,18 @@ object SparkEntry {
       graft.multimodal.MediaKeep.mediaKeepStats(graft.Tables.documents(s, dir))),
     "media_card" -> ((s, dir) =>
       graft.multimodal.MediaKeep.mediaCard(graft.Tables.documents(s, dir))),
+    // Nightly-ingest twin of the composed verdict: the shard's keep
+    // verdict against the persisted corpus state (fp keepers + keeper
+    // sketches + cluster labels) — equals batch-restricted-to-shard,
+    // only never-seen-fingerprint shard payloads pay decode + hash
+    "incremental_media_keep" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.MediaKeep.incrementalMediaKeep(
+        docs.filter(col("doc_id") % 10 === 9),
+        graft.multimodal.MediaKeep.mediaCorpusState(
+          docs.filter(col("doc_id") % 10 =!= 9)))
+    }),
     // BEST-COPY survivor policy for the media cluster families (the
     // dedup_clusters_best axis): components/cluster ids unchanged,
     // is_canonical moves to the highest-resolution image / longest
@@ -1639,6 +1651,8 @@ object SparkEntry {
     "media_keep" -> graft.multimodal.MediaKeep.mediaKeepSql(),
     "media_keep_stats" -> graft.multimodal.MediaKeep.mediaKeepStatsSql(),
     "media_card" -> graft.multimodal.MediaKeep.mediaCardSql(),
+    "incremental_media_keep" ->
+      graft.multimodal.MediaKeep.incrementalMediaKeepSql(),
     "image_dup_clusters_best" ->
       graft.multimodal.ImageHash.imageDupClustersBestSql(),
     "audio_dup_clusters_best" ->

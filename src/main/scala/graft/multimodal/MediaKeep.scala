@@ -204,16 +204,18 @@ object MediaKeep {
   /** Payload-level seam for the spec's hand-built containers. */
   private[graft] def mediaKeepOfPayloads(payloads: DataFrame,
       maxHamming: Int = 3): DataFrame =
-    mediaKeepOfSized(payloads.select(col("media_id"),
-      hex(col("payload")).as("h"),
-      length(col("payload")).cast("long").as("n_bytes")).localCheckpoint(),
-      maxHamming)
+    mediaKeepOfSized(sizedOfPayloads(payloads), maxHamming)
 
-  /** The verdict over an arbitrary CHECKPOINTED `(media_id, h,
-    * n_bytes)` relation — the payload-level seam the spec drives with
-    * hand-built containers. */
-  private[graft] def mediaKeepOfSized(sized: DataFrame,
-      maxHamming: Int): DataFrame = {
+  /** The batch machinery's intermediate relations — shared by the
+    * batch verdict assembly and the corpus-state derivation
+    * ([[corpusStateOfSized]]): the per-payload fingerprint/keeper
+    * relation, the four keeper sketch relations, the set of hashed
+    * keepers, and the content clusters over pairs + exact edges. */
+  private case class LakeParts(fps: DataFrame, imgSk: DataFrame,
+      audSk: DataFrame, vidSk: DataFrame, cimSk: DataFrame,
+      hashedKeepers: DataFrame, clusters: DataFrame)
+
+  private def partsOfSized(sized: DataFrame, maxHamming: Int): LakeParts = {
     // exact payload fingerprint: md5 over the payload bytes (spelled
     // over the hex column — both engines digest the same ASCII)
     val withKeeper = {
@@ -222,7 +224,7 @@ object MediaKeep {
         .localCheckpoint()
       fp.join(fp.groupBy("fp_md5").agg(min("media_id").as("keeper_id")),
           "fp_md5")
-        .select(col("media_id"), col("keeper_id"))
+        .select(col("media_id"), col("fp_md5"), col("keeper_id"))
         .localCheckpoint()
     }
     // only exact-dup KEEPERS pay decode + hash (copies re-enter the
@@ -261,8 +263,18 @@ object MediaKeep {
     val clusters = graft.text.Dedup.dedupClustersFromPairsStar(
       sized.select(col("media_id").as("doc_id")),
       contentPairs.unionByName(exactEdges))
-    val eligibleIds = withKeeper.join(
-        hashedKeepers.withColumnRenamed("media_id", "keeper_id"),
+    LakeParts(withKeeper, imgSk, audSk, vidSk, cimSk, hashedKeepers,
+      clusters)
+  }
+
+  /** The verdict over an arbitrary CHECKPOINTED `(media_id, h,
+    * n_bytes)` relation — the payload-level seam the spec drives with
+    * hand-built containers. */
+  private[graft] def mediaKeepOfSized(sized: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val p = partsOfSized(sized, maxHamming)
+    val eligibleIds = p.fps.join(
+        p.hashedKeepers.withColumnRenamed("media_id", "keeper_id"),
         Seq("keeper_id"), "left_semi")
       .select(col("media_id"), lit(true).as("eligible"))
     // magic predicates through the shared precedence chain — the one
@@ -270,11 +282,11 @@ object MediaKeep {
     // mediaFeatures' walked one cannot diverge
     val kind = Media.kindCase(col("h").isNull, Media.magicPreds)
     sized.select(col("media_id"), kind.as("kind"))
-      .join(withKeeper.select(col("media_id"),
+      .join(p.fps.select(col("media_id"),
         (col("media_id") =!= col("keeper_id")).as("dup")),
         Seq("media_id"), "left")
       .join(eligibleIds, Seq("media_id"), "left")
-      .join(clusters.select(col("doc_id").as("media_id"),
+      .join(p.clusters.select(col("doc_id").as("media_id"),
         (!col("is_survivor")).as("is_content_dup")), Seq("media_id"))
       .select(col("media_id"), col("kind"),
         coalesce(col("eligible"), lit(false)).as("eligible"),
@@ -284,6 +296,188 @@ object MediaKeep {
           coalesce(!col("dup"), lit(true)) &&
           !col("is_content_dup")).as("keep"))
   }
+
+  // ---- the incremental (nightly-ingest) face ---------------------------------
+
+  /** The relations a nightly media ingest PERSISTS between runs — what
+    * lets a shard verdict run without re-decoding one corpus payload:
+    *
+    *  - `fps` — per exact fingerprint: the corpus keeper id and
+    *    whether that keeper content-hashed (`eligible`);
+    *  - the four keeper sketch relations (8 bytes + kind per keeper);
+    *  - `comp` — the corpus content-cluster labels (media_id →
+    *    component-minimum rep).
+    *
+    * Derived here from the corpus docs (production reads them from
+    * tables — the [[VideoHash.incrementalVideoPairs]] stance). */
+  private[graft] case class MediaCorpusState(fps: DataFrame,
+      imgSk: DataFrame, audSk: DataFrame, vidSk: DataFrame,
+      cimSk: DataFrame, comp: DataFrame)
+
+  def mediaCorpusState(corpusDocs: DataFrame,
+      maxHamming: Int = 3): MediaCorpusState =
+    corpusStateOfSized(lakeSized(corpusDocs), maxHamming)
+
+  private[graft] def corpusStateOfSized(sized: DataFrame,
+      maxHamming: Int): MediaCorpusState = {
+    val p = partsOfSized(sized, maxHamming)
+    val fps = p.fps.filter(col("media_id") === col("keeper_id"))
+      .join(p.hashedKeepers.select(col("media_id"),
+        lit(true).as("el")), Seq("media_id"), "left")
+      .select(col("fp_md5"), col("media_id").as("keeper_id"),
+        coalesce(col("el"), lit(false)).as("eligible"))
+      .localCheckpoint()
+    MediaCorpusState(fps, p.imgSk, p.audSk, p.vidSk, p.cimSk,
+      p.clusters.select(col("doc_id").as("media_id"), col("rep_id"))
+        .localCheckpoint())
+  }
+
+  /** The shard keep verdict against a persisted corpus state — the
+    * composed-verdict member of the incremental family (every sketch
+    * family ships a shard-vs-persisted face; the verdict now does
+    * too). CONTRACT: the output equals the BATCH verdict over the
+    * merged lake restricted to shard ids, row for row — that is what
+    * the oracle checks — while only shard payloads are synthesized,
+    * and only shard payloads carrying a fingerprint the corpus has
+    * never seen pay decode + hash.
+    *
+    * Why the restriction is exact:
+    *
+    *  - merged exact keeper = min(shard ids with the fp, persisted
+    *    corpus keeper) — computable from the fp relation alone;
+    *  - a shard copy of a corpus fingerprint inherits the corpus
+    *    keeper's `eligible` (byte-identical payloads hash
+    *    identically) and its sketch pairs exactly as the corpus
+    *    keeper's persisted sketch does, so no decode is needed;
+    *  - merged content components: every corpus member of a component
+    *    touching the shard enters through a shard↔corpus pairing or
+    *    exact edge, and each such member's persisted `comp` rep IS
+    *    its corpus cluster minimum — adding the (member → rep) edges
+    *    makes the small touched subgraph's component minima equal the
+    *    full merged graph's (shard bridges that merge two corpus
+    *    clusters pull in both reps).
+    *
+    * Scale shape: the corpus contributes three slim relations (the
+    * fp/keeper table, the 8-byte sketches, the cluster labels); the
+    * star contraction runs over the shard-touched subgraph only. */
+  def incrementalMediaKeep(newDocs: DataFrame, st: MediaCorpusState,
+      maxHamming: Int = 3): DataFrame =
+    incrementalOfSized(lakeSized(newDocs), st, maxHamming)
+
+  private[graft] def incrementalOfSized(sized: DataFrame,
+      st: MediaCorpusState, maxHamming: Int): DataFrame = {
+    val fp = sized.filter(col("h").isNotNull)
+      .select(col("media_id"), md5(col("h")).as("fp_md5"))
+      .localCheckpoint()
+    // merged fp-group keeper: least() skips NULL, so a fingerprint the
+    // corpus has never seen resolves to the shard minimum
+    val groups = fp.groupBy("fp_md5").agg(min("media_id").as("shard_min"))
+      .join(st.fps.select(col("fp_md5"),
+        col("keeper_id").as("corp_keeper"),
+        col("eligible").as("corp_eligible")), Seq("fp_md5"), "left")
+      .withColumn("keeper_all", least(col("shard_min"), col("corp_keeper")))
+      .localCheckpoint()
+    val wk = fp.join(groups, "fp_md5").localCheckpoint()
+    // ONLY never-seen-fingerprint shard keepers pay decode + hash
+    val toHash = sized.join(
+        wk.filter(col("corp_keeper").isNull &&
+          col("media_id") === col("keeper_all")).select("media_id"),
+        Seq("media_id"), "left_semi")
+      .localCheckpoint()
+    val imgN = ImageHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+      .select("media_id", "ahash")
+    val audN = AudioHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+      .select("media_id", "ahash")
+    val vidN = VideoHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+      .select("media_id", "ahash")
+    val cimN = CompressedImageHash
+      .ahashOfHexMaybeCk(toHash, checkpoint = true)
+      .select("media_id", "kind", "ahash")
+    val hashedNew = imgN.select("media_id")
+      .unionByName(audN.select("media_id"))
+      .unionByName(vidN.select("media_id"))
+      .unionByName(cimN.select("media_id"))
+      .distinct().localCheckpoint()
+    // shard sketches vs the persisted corpus sketches, per modality
+    // (per FORMAT for the compressed images); new-new pairs included
+    val pairs = (Seq((imgN, st.imgSk), (audN, st.audSk), (vidN, st.vidSk))
+      .map { case (n, c) =>
+        Hamming64.pairsIncremental(n, c, "doc_a", "doc_b", maxHamming)
+          .select("doc_a", "doc_b") } ++
+      Seq("png", "jpeg").map(k =>
+        Hamming64.pairsIncremental(
+          cimN.filter(col("kind") === k).select("media_id", "ahash"),
+          st.cimSk.filter(col("kind") === k).select("media_id", "ahash"),
+          "doc_a", "doc_b", maxHamming)
+          .select("doc_a", "doc_b")))
+      .reduce(_ unionByName _)
+    // exact edges: every fp-group member — shard copies AND the corpus
+    // keeper when the group straddles the boundary — points at the
+    // merged keeper
+    val exactE = wk.filter(col("media_id") =!= col("keeper_all"))
+      .select(col("media_id").as("doc_a"), col("keeper_all").as("doc_b"))
+      .unionByName(groups.filter(col("corp_keeper").isNotNull &&
+          col("corp_keeper") =!= col("keeper_all"))
+        .select(col("corp_keeper").as("doc_a"),
+          col("keeper_all").as("doc_b")))
+    val allE = pairs.unionByName(exactE).localCheckpoint()
+    // pull the persisted cluster rep of every corpus endpoint so the
+    // touched subgraph's component minima equal the merged graph's
+    val endpoints = allE.select(col("doc_a").as("media_id"))
+      .unionByName(allE.select(col("doc_b").as("media_id")))
+      .distinct().localCheckpoint()
+    val repE = endpoints.join(st.comp, Seq("media_id"))
+      .filter(col("media_id") =!= col("rep_id"))
+      .select(col("media_id").as("doc_a"), col("rep_id").as("doc_b"))
+    val domain = sized.select(col("media_id").as("doc_id"))
+      .unionByName(endpoints.select(col("media_id").as("doc_id")))
+      .unionByName(repE.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // checkpointed so the returned plan is pure assembly joins over
+    // materialized relations (the batch face gets the same shape from
+    // the verdict cache's checkpoint)
+    val comp = graft.text.Dedup.dedupClustersFromPairsStar(domain,
+      allE.unionByName(repE)).localCheckpoint()
+    // eligible: a corpus-known fingerprint inherits its keeper's flag
+    // (byte-identical payloads hash identically); a new fingerprint is
+    // eligible iff its shard keeper hashed
+    val eligRel = wk.join(hashedNew.select(
+        col("media_id").as("keeper_all"), lit(true).as("hashed_new")),
+        Seq("keeper_all"), "left")
+      .select(col("media_id"),
+        when(col("corp_keeper").isNotNull,
+            coalesce(col("corp_eligible"), lit(false)))
+          .otherwise(coalesce(col("hashed_new"), lit(false)))
+          .as("eligible"))
+    val kind = Media.kindCase(col("h").isNull, Media.magicPreds)
+    sized.select(col("media_id"), kind.as("kind"))
+      .join(wk.select(col("media_id"),
+        (col("media_id") =!= col("keeper_all")).as("dup")),
+        Seq("media_id"), "left")
+      .join(eligRel, Seq("media_id"), "left")
+      .join(comp.select(col("doc_id").as("media_id"),
+        (!col("is_survivor")).as("is_content_dup")), Seq("media_id"))
+      .select(col("media_id"), col("kind"),
+        coalesce(col("eligible"), lit(false)).as("eligible"),
+        coalesce(col("dup"), lit(false)).as("is_exact_dup"),
+        col("is_content_dup"),
+        (coalesce(col("eligible"), lit(false)) &&
+          coalesce(!col("dup"), lit(true)) &&
+          !col("is_content_dup")).as("keep"))
+  }
+
+  /** Payload-level seams for the spec's hand-built corpora. */
+  private[graft] def corpusStateOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): MediaCorpusState =
+    corpusStateOfSized(sizedOfPayloads(payloads), maxHamming)
+
+  private[graft] def incrementalOfPayloads(payloads: DataFrame,
+      st: MediaCorpusState, maxHamming: Int = 3): DataFrame =
+    incrementalOfSized(sizedOfPayloads(payloads), st, maxHamming)
+
+  private def sizedOfPayloads(payloads: DataFrame): DataFrame =
+    payloads.select(col("media_id"), hex(col("payload")).as("h"),
+      length(col("payload")).cast("long").as("n_bytes")).localCheckpoint()
 
   /** Yield rollup — the [[graft.text.Curation.corpusKeepStats]]
     * inclusion-exclusion table for the media verdict: per (kind,
@@ -444,6 +638,18 @@ object MediaKeep {
     s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
        |SELECT media_id, kind, eligible, is_exact_dup, is_content_dup, keep
        |FROM verdict
+       |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
+       |  keep""".stripMargin
+
+  /** Oracle twin of [[incrementalMediaKeep]]: the incremental contract
+    * IS batch-restricted-to-shard, so the oracle is the whole-lake
+    * verdict filtered to the driver's fixture split. */
+  def incrementalMediaKeepSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
+       |SELECT media_id, kind, eligible, is_exact_dup, is_content_dup, keep
+       |FROM verdict
+       |WHERE $shardPred
        |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
        |  keep""".stripMargin
 

@@ -146,6 +146,56 @@ class MediaKeepSpec extends AnyFunSuite {
         "kind whose content identity is deliberately absent")
   }
 
+  test("incremental shard verdict equals batch restricted to the shard") {
+    // the incremental contract verbatim — including the corners a real
+    // nightly ingest hits: a shard id SMALLER than the corpus keeper of
+    // its fingerprint group (id 5 below: the merged keeper moves to the
+    // shard side, yet no decode is needed because the bytes are the
+    // corpus keeper's), a shard near-dup bridging INTO a corpus cluster
+    // (41 pairs 10's content), a brand-new fingerprint paying the only
+    // decode, and a raw shard payload
+    val w = 16; val h = 16; val rb = rowBytes(w)
+    val pixA = fill(rb * h, 3L)
+    val pixEdit = pixA.clone(); pixEdit(rb * 4 + 9) = 55
+    val corpus = Seq[(Long, Array[Byte])](
+      10L -> bmp(w, h, pixA), // corpus keeper + content-cluster rep
+      20L -> bmp(w, h, pixA), // corpus exact copy
+      30L -> bmp(w, h, pixEdit), // corpus content dup of 10
+      32L -> wav(8000, fill(400, 7L))) // unrelated corpus clip
+    val shard = Seq[(Long, Array[Byte])](
+      5L -> bmp(w, h, pixA), // fp matches corpus; shard id < keeper 10
+      41L -> bmp(w, h, pixEdit), // bridges into 10's corpus cluster
+      43L -> wav(8000, fill(380, 21L)), // new fingerprint → clean keep
+      45L -> "no container here".getBytes("UTF-8")) // raw
+    import org.apache.spark.sql.functions.col
+    val got = MediaKeep.incrementalOfPayloads(
+        shard.toDF("media_id", "payload"),
+        MediaKeep.corpusStateOfPayloads(corpus.toDF("media_id", "payload")))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
+          r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_content_dup"),
+          r.getAs[Boolean]("keep")))).toMap
+    val shardIds = shard.map(_._1).toSet
+    val batch = MediaKeep.mediaKeepOfPayloads(
+        (corpus ++ shard).toDF("media_id", "payload"))
+      .filter(col("media_id").isin(shardIds.toSeq: _*))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
+          r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_content_dup"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got === batch,
+      "the shard verdict must equal the batch verdict restricted to shard ids")
+    // and the corners landed where designed, not vacuously
+    assert(got(5L) === (("bmp", true, false, false, true)),
+      "id 5 becomes BOTH the merged exact keeper (5 < 10) and the " +
+        "content-cluster minimum, so the shard copy supersedes the " +
+        "corpus original — retroactively dropping corpus row 10 is the " +
+        "batch sweep's job, like every incremental face")
+    assert(got(41L)._4 === true, "the shard bridge is a content dup")
+    assert(got(43L) === (("wav", true, false, false, true)))
+    assert(got(45L) === (("raw", false, false, false, false)))
+  }
+
   test("the three verdict faces share one session-scoped checkpoint") {
     // the lake synthesis + keeper pass + four hash chains + star
     // contraction are the media surface's most expensive relation —
