@@ -62,11 +62,14 @@ object Bench {
     // codegen, and each table's footer/scan caches. media_card
     // additionally builds the session-scoped media-verdict checkpoint
     // (r15: keep/stats/card share ONE verdict per session — the same
-    // amortization as the token_rarity pair cache), so the three faces
-    // time their steady-state cost and the by-design build-then-cached
-    // pass asymmetry cannot read as machine-load spread.
+    // amortization as the token_rarity pair cache), and
+    // incremental_media_keep builds the session-scoped CORPUS STATE
+    // (the persisted-infrastructure side of the incremental contract),
+    // so those faces time their steady-state cost and the by-design
+    // build-then-cached pass asymmetry cannot read as machine-load
+    // spread.
     Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly",
-        "media_card")
+        "media_card", "incremental_media_keep")
       .filter(SparkEntry.queries.contains).foreach(run)
     // clamp: a zero/negative override would silently record every query
     // as failed (-1) with total 0; a non-numeric one aborted the whole

@@ -215,5 +215,12 @@ class MediaKeepSpec extends AnyFunSuite {
     MediaKeep.mediaKeep(docs2).count()
     assert(MediaKeep.verdictBuilds.get() === before + 2,
       "a new corpus must rebuild (the cache is not a stale-answer hole)")
+    // the corpus STATE gets the same discipline: two shard ingests
+    // against one corpus derive the persisted-infrastructure side once
+    val sBefore = MediaKeep.stateBuilds.get()
+    val st = MediaKeep.mediaCorpusState(docs)
+    val st2 = MediaKeep.mediaCorpusState(docs)
+    assert(st eq st2, "the second ingest must reuse the state")
+    assert(MediaKeep.stateBuilds.get() === sBefore + 1)
   }
 }
