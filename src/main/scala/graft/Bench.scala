@@ -58,18 +58,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up: one untimed query PER INPUT TABLE (round-2 advice: warming
     // only the first sorted query left every other table's first-touch
-    // parquet scan/footer cost inside a timed run). Covers session,
-    // codegen, and each table's footer/scan caches. media_card
-    // additionally builds the session-scoped media-verdict checkpoint
-    // (r15: keep/stats/card share ONE verdict per session — the same
-    // amortization as the token_rarity pair cache), and
-    // incremental_media_keep builds the session-scoped CORPUS STATE
-    // (the persisted-infrastructure side of the incremental contract),
-    // so those faces time their steady-state cost and the by-design
-    // build-then-cached pass asymmetry cannot read as machine-load
-    // spread.
-    Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly",
-        "media_card", "incremental_media_keep")
+    // parquet scan/footer cost inside a timed run) — covers session,
+    // codegen, and each table's footer/scan caches — PLUS the
+    // session-cache builders, DERIVED from SparkEntry.sessionWarm (r16
+    // directive #5: the list is owned next to the queries, so a new
+    // session-cached family cannot silently regress spread hygiene by
+    // missing a hand-maintained Bench literal). Warming changes only
+    // spread hygiene: min-of-interleaved-passes already records the
+    // cached steady-state time either way.
+    (Seq("approx_2hop", "text_stats", "embed_knn", "events_hourly") ++
+        SparkEntry.sessionWarm).distinct
       .filter(SparkEntry.queries.contains).foreach(run)
     // clamp: a zero/negative override would silently record every query
     // as failed (-1) with total 0; a non-numeric one aborted the whole
@@ -144,6 +142,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(maxSpread))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"max_spread":$maxSpreadStr,"dirty":$dirty,"sf":"$sfDir"}"""
     println(line)
+    // A SECOND, short machine line (<200 bytes) as the LAST stdout line
+    // (r16 verdict directive #4, seventh parsed:null round): the driver
+    // tail-captures the final ~2000 chars of stdout, and the full
+    // per-query line above is ~12 KB with "value" at the FRONT — so the
+    // tail always lost it. This compact record carries the headline
+    // numbers (total/max_spread/dirty/sf) in a complete JSON object that
+    // fits any tail window; the full line and BENCH_LAST.json keep the
+    // per-query detail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","max_spread":$maxSpreadStr,"dirty":$dirty,"n_queries":${names.size},"sf":"$sfDir"}""")
     // The full per-query table also lands in a FILE (round-7 verdict
     // item #8: the committed artifacts only tail-capture stdout, and two
     // rounds running lost most of the per-query numbers to truncation).

@@ -942,7 +942,7 @@ object Media {
 
   /** The precedence chain as a Column: NULL payload → NULL kind, first
     * matching predicate in [[KindOrder]] wins, fallthrough → 'raw'. */
-  private[multimodal] def kindCase(hNull: org.apache.spark.sql.Column,
+  private[graft] def kindCase(hNull: org.apache.spark.sql.Column,
       preds: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
     KindOrder.foldLeft(
         when(hNull, lit(null).cast("string"))) {
@@ -959,7 +959,7 @@ object Media {
 
   /** The per-kind MAGIC predicates, Column spelling ([[MediaKeep]]'s
     * sniff — each is the corresponding walk's own entry condition). */
-  private[multimodal] def magicPreds: Map[String, org.apache.spark.sql.Column] =
+  private[graft] def magicPreds: Map[String, org.apache.spark.sql.Column] =
     Map("bmp" -> bmpMagic, "gif" -> gifMagic, "png" -> pngMagic,
       "jpeg" -> jpgMagic, "mp4" -> mp4Magic, "wav" -> riffMagic)
 

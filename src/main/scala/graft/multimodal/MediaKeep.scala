@@ -169,42 +169,70 @@ object MediaKeep {
       .localCheckpoint()
 
   /** Session-scoped reuse of the CHECKPOINTED verdict relation (r15
-    * verdict directive #3): [[mediaKeep]], [[mediaKeepStats]], and
-    * [[mediaCard]] all read the same verdict — the lake synthesis,
-    * keeper pass, four hash chains, and star contraction are the media
-    * surface's most expensive relation, and the three faces were each
-    * rebuilding it (~16 s combined at sf0.1). One entry per session,
-    * keyed like [[graft.Tables.widen]]'s memo (session identity +
-    * semantic hash of the ANALYZED docs plan + maxHamming — two
-    * spellings of the same scan share); replacing the entry on a
-    * different corpus drops the previous checkpoint's reference for
-    * the ContextCleaner, so the cache never holds more than the latest
-    * verdict per session. [[verdictBuilds]] counts actual builds — the
-    * spec's evidence that the second face reuses instead of
-    * rebuilding. The verdict rows are narrow (6 columns/payload), so
-    * the checkpoint is cheap to hold. */
-  private val verdictCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, ((Int, Int), DataFrame)]()
-  private[graft] val verdictBuilds = new java.util.concurrent.atomic.AtomicLong
+    * verdict directive #3): [[mediaKeep]], [[mediaKeepBest]],
+    * [[mediaKeepStats]], and [[mediaCard]] all read the same verdict —
+    * the lake synthesis, keeper pass, four hash chains, and star
+    * contraction are the media surface's most expensive relation, and
+    * the faces were each rebuilding it (~16 s combined at sf0.1). The
+    * cache body is the shared [[graft.SessionCache]]
+    * (session-reference keyed, build-once under the monitor — r16
+    * directive #5); the entry key is (semantic hash of the ANALYZED
+    * docs plan, maxHamming), so two spellings of the same scan share.
+    * [[verdictBuilds]] counts actual builds — the spec's evidence that
+    * the second face reuses instead of rebuilding. The verdict rows
+    * are narrow (8 columns/payload), so the checkpoint is cheap to
+    * hold. */
+  private val verdictCache = new graft.SessionCache[(Int, Int), DataFrame]
+  private[graft] def verdictBuilds = verdictCache.builds
 
-  def mediaKeep(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sess = System.identityHashCode(docs.sparkSession)
-    val key = (docs.queryExecution.analyzed.semanticHash(), maxHamming)
-    val cached = verdictCache.get(sess)
-    if (cached != null && cached._1 == key) cached._2
-    else {
-      verdictBuilds.incrementAndGet()
-      val built = mediaKeepOfSized(lakeSized(docs), maxHamming)
-        .localCheckpoint()
-      verdictCache.put(sess, (key, built))
-      built
+  private def verdictOf(docs: DataFrame, maxHamming: Int): DataFrame =
+    verdictCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(), maxHamming)) {
+      verdictOfSized(lakeSized(docs), maxHamming).localCheckpoint()
     }
-  }
 
-  /** Payload-level seam for the spec's hand-built containers. */
+  /** The six verdict columns of the KEEP-FIRST (component-minimum
+    * survivor) policy, and the same six with the BEST-COPY flags
+    * renamed over them — the two faces project ONE cached relation, so
+    * adding the policy axis cost the batch face nothing. */
+  private val MinPolicyCols = Seq(col("media_id"), col("kind"),
+    col("eligible"), col("is_exact_dup"), col("is_content_dup"),
+    col("keep"))
+  private val BestPolicyCols = Seq(col("media_id"), col("kind"),
+    col("eligible"), col("is_exact_dup"),
+    col("is_content_dup_best").as("is_content_dup"),
+    col("keep_best").as("keep"))
+
+  def mediaKeep(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    verdictOf(docs, maxHamming).select(MinPolicyCols: _*)
+
+  /** The composed verdict under the BEST-COPY survivor policy (r16
+    * verdict directive #2): same components, same exact/eligibility
+    * gates, but the surviving content copy MAXIMIZES the modality's
+    * quality metric — resolution (BMP), clamped duration (WAV), coded
+    * span length (MP4/PNG/JPEG) — media_id ascending on ties, the
+    * shared [[Hamming64.bestCanonical]] ranking every per-family
+    * `_best` face uses. Under the min-id policy a truncated re-upload
+    * with a smaller id survives over the intact original; this face is
+    * what production dedup actually keeps. Exact copies inherit their
+    * keeper's metric (byte-identical payloads decode identically), so
+    * a copy can never outrank its keeper, and ineligible-only clusters
+    * (GIF exact groups, raw singletons) tie at metric 0 and fall back
+    * to the component minimum — the two policies agree wherever no
+    * quality signal exists. */
+  def mediaKeepBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    verdictOf(docs, maxHamming).select(BestPolicyCols: _*)
+
+  /** Payload-level seams for the spec's hand-built containers. */
   private[graft] def mediaKeepOfPayloads(payloads: DataFrame,
       maxHamming: Int = 3): DataFrame =
-    mediaKeepOfSized(sizedOfPayloads(payloads), maxHamming)
+    verdictOfSized(sizedOfPayloads(payloads), maxHamming)
+      .select(MinPolicyCols: _*)
+
+  private[graft] def mediaKeepBestOfPayloads(payloads: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    verdictOfSized(sizedOfPayloads(payloads), maxHamming)
+      .select(BestPolicyCols: _*)
 
   /** The batch machinery's intermediate relations — shared by the
     * batch verdict assembly and the corpus-state derivation
@@ -213,7 +241,19 @@ object MediaKeep {
     * keepers, and the content clusters over pairs + exact edges. */
   private case class LakeParts(fps: DataFrame, imgSk: DataFrame,
       audSk: DataFrame, vidSk: DataFrame, cimSk: DataFrame,
-      hashedKeepers: DataFrame, clusters: DataFrame)
+      hashedKeepers: DataFrame, clusters: DataFrame,
+      memberMetrics: DataFrame)
+
+  /** Each family's quality metric over its own hashed relation — the
+    * EXACT ranking expression of that family's `_best` face
+    * ([[ImageHash.imageDupClustersBest]] & siblings), so the composed
+    * best verdict and the per-family faces can never crown different
+    * copies. Audio guards `sample_rate <= 0` as duration 0 (r14
+    * advice). */
+  private val ImgMetric = col("width") * col("n_rows_avail")
+  private val AudMetric = expr("CASE WHEN sample_rate >= 1L THEN " +
+    "(n_frames * 1000000L) div sample_rate ELSE 0L END")
+  private val UnitsMetric = col("n_units")
 
   private def partsOfSized(sized: DataFrame, maxHamming: Int): LakeParts = {
     // exact payload fingerprint: md5 over the payload bytes (spelled
@@ -240,17 +280,25 @@ object MediaKeep {
     // union, its own pairing, and (for the persisted corpus state)
     // every shard ingest. 8 bytes + kind per keeper, the relation a
     // production pipeline persists verbatim.
+    // each sketch relation carries the family's `_best` quality metric
+    // next to the 8-byte hash (r16 directive #2: the best-copy policy
+    // ranks by it; 8 more bytes/keeper in the persisted relation)
     val imgSk = ImageHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select("media_id", "ahash").localCheckpoint()
+      .select(col("media_id"), col("ahash"), ImgMetric.as("metric"))
+      .localCheckpoint()
     val audSk = AudioHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select("media_id", "ahash").localCheckpoint()
+      .select(col("media_id"), col("ahash"), AudMetric.as("metric"))
+      .localCheckpoint()
     val vidSk = VideoHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select("media_id", "ahash").localCheckpoint()
+      .select(col("media_id"), col("ahash"), UnitsMetric.as("metric"))
+      .localCheckpoint()
     // the compressed-image sketch keeps `kind` — its pairing is PER
     // FORMAT (a PNG sketch never band-joins a JPEG sketch)
     val cimSk = CompressedImageHash
       .ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select("media_id", "kind", "ahash").localCheckpoint()
+      .select(col("media_id"), col("kind"), col("ahash"),
+        UnitsMetric.as("metric"))
+      .localCheckpoint()
     val hashedKeepers = imgSk.select("media_id")
       .unionByName(audSk.select("media_id"))
       .unionByName(vidSk.select("media_id"))
@@ -269,20 +317,39 @@ object MediaKeep {
     val clusters = graft.text.Dedup.dedupClustersFromPairsStar(
       sized.select(col("media_id").as("doc_id")),
       contentPairs.unionByName(exactEdges))
+    // per-MEMBER metric: every payload inherits its exact keeper's
+    // (byte-identical payloads decode identically, and only keepers
+    // were decoded); unhashed members (raw, GIF, null, ineligible)
+    // rank at 0, so metric-less clusters fall back to the min-id tie
+    val keeperMetrics = Seq(imgSk, audSk, vidSk, cimSk)
+      .map(_.select(col("media_id").as("keeper_id"), col("metric")))
+      .reduce(_ unionByName _)
+    val memberMetrics = sized.select("media_id")
+      .join(withKeeper.select("media_id", "keeper_id"), Seq("media_id"),
+        "left")
+      .join(keeperMetrics, Seq("keeper_id"), "left")
+      .select(col("media_id"), coalesce(col("metric"), lit(0L)).as("metric"))
     LakeParts(withKeeper, imgSk, audSk, vidSk, cimSk, hashedKeepers,
-      clusters)
+      clusters, memberMetrics)
   }
 
-  /** The verdict over an arbitrary CHECKPOINTED `(media_id, h,
-    * n_bytes)` relation — the payload-level seam the spec drives with
-    * hand-built containers. */
-  private[graft] def mediaKeepOfSized(sized: DataFrame,
+  /** The 8-column verdict over an arbitrary CHECKPOINTED `(media_id,
+    * h, n_bytes)` relation — both survivor policies in one pass (the
+    * min-id and best-copy flags differ only in which cluster member is
+    * crowned; components, eligibility, and exact gates are shared), so
+    * the public faces are projections of one cached relation. */
+  private[graft] def verdictOfSized(sized: DataFrame,
       maxHamming: Int): DataFrame = {
     val p = partsOfSized(sized, maxHamming)
     val eligibleIds = p.fps.join(
         p.hashedKeepers.withColumnRenamed("media_id", "keeper_id"),
         Seq("keeper_id"), "left_semi")
       .select(col("media_id"), lit(true).as("eligible"))
+    // the best-copy crown: the shared ranking body over the SAME
+    // clusters (cluster membership identical across the two policies)
+    val best = Hamming64.bestCanonical(p.clusters, p.memberMetrics)
+      .select(col("media_id"),
+        (!col("is_canonical")).as("is_content_dup_best"))
     // magic predicates through the shared precedence chain — the one
     // place the kind ORDER lives (Media.KindOrder), so this sniff and
     // mediaFeatures' walked one cannot diverge
@@ -294,13 +361,18 @@ object MediaKeep {
       .join(eligibleIds, Seq("media_id"), "left")
       .join(p.clusters.select(col("doc_id").as("media_id"),
         (!col("is_survivor")).as("is_content_dup")), Seq("media_id"))
+      .join(best, Seq("media_id"))
       .select(col("media_id"), col("kind"),
         coalesce(col("eligible"), lit(false)).as("eligible"),
         coalesce(col("dup"), lit(false)).as("is_exact_dup"),
         col("is_content_dup"),
         (coalesce(col("eligible"), lit(false)) &&
           coalesce(!col("dup"), lit(true)) &&
-          !col("is_content_dup")).as("keep"))
+          !col("is_content_dup")).as("keep"),
+        col("is_content_dup_best"),
+        (coalesce(col("eligible"), lit(false)) &&
+          coalesce(!col("dup"), lit(true)) &&
+          !col("is_content_dup_best")).as("keep_best"))
   }
 
   // ---- the incremental (nightly-ingest) face ---------------------------------
@@ -308,54 +380,70 @@ object MediaKeep {
   /** The relations a nightly media ingest PERSISTS between runs — what
     * lets a shard verdict run without re-decoding one corpus payload:
     *
-    *  - `fps` — per exact fingerprint: the corpus keeper id and
-    *    whether that keeper content-hashed (`eligible`);
-    *  - the four keeper sketch relations (8 bytes + kind per keeper);
+    *  - `fps` — per exact fingerprint: the corpus keeper id, whether
+    *    that keeper content-hashed (`eligible`), and the keeper's
+    *    quality metric (what a shard copy of the fingerprint inherits
+    *    under the best-copy policy);
+    *  - the four keeper sketch relations (8 bytes + kind + metric per
+    *    keeper);
     *  - `comp` — the corpus content-cluster labels (media_id →
-    *    component-minimum rep).
+    *    component-minimum rep);
+    *  - `clusterBest` — per corpus cluster: the best member's (metric,
+    *    id) under the family ranking. The per-CLUSTER rollup is what
+    *    makes the incremental best verdict exact without touching
+    *    untouched members: a corpus member can never outrank its own
+    *    cluster's best, so the merged-cluster argmax over (shard
+    *    members ∪ pulled cluster bests) equals the batch argmax.
     *
     * Derived here from the corpus docs (production reads them from
     * tables — the [[VideoHash.incrementalVideoPairs]] stance). */
   private[graft] case class MediaCorpusState(fps: DataFrame,
       imgSk: DataFrame, audSk: DataFrame, vidSk: DataFrame,
-      cimSk: DataFrame, comp: DataFrame)
+      cimSk: DataFrame, comp: DataFrame, clusterBest: DataFrame)
 
   /** Session-scoped reuse of the corpus state (the [[verdictCache]]
-    * discipline): the state is the persisted-infrastructure side of
-    * the incremental contract — a session running several shard
-    * ingests derives it once, exactly as production reads it from
-    * tables once. One entry per session, replaced on a different
-    * corpus; [[stateBuilds]] is the spec's reuse evidence. */
+    * discipline, same shared [[graft.SessionCache]] body): the state
+    * is the persisted-infrastructure side of the incremental
+    * contract — a session running several shard ingests derives it
+    * once, exactly as production reads it from tables once.
+    * [[stateBuilds]] is the spec's reuse evidence. */
   private val stateCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, ((Int, Int), MediaCorpusState)]()
-  private[graft] val stateBuilds = new java.util.concurrent.atomic.AtomicLong
+    new graft.SessionCache[(Int, Int), MediaCorpusState]
+  private[graft] def stateBuilds = stateCache.builds
 
   def mediaCorpusState(corpusDocs: DataFrame,
-      maxHamming: Int = 3): MediaCorpusState = {
-    val sess = System.identityHashCode(corpusDocs.sparkSession)
-    val key = (corpusDocs.queryExecution.analyzed.semanticHash(), maxHamming)
-    val cached = stateCache.get(sess)
-    if (cached != null && cached._1 == key) cached._2
-    else {
-      stateBuilds.incrementAndGet()
-      val built = corpusStateOfSized(lakeSized(corpusDocs), maxHamming)
-      stateCache.put(sess, (key, built))
-      built
+      maxHamming: Int = 3): MediaCorpusState =
+    stateCache.getOrBuild(corpusDocs.sparkSession,
+        (corpusDocs.queryExecution.analyzed.semanticHash(), maxHamming)) {
+      corpusStateOfSized(lakeSized(corpusDocs), maxHamming)
     }
-  }
 
   private[graft] def corpusStateOfSized(sized: DataFrame,
       maxHamming: Int): MediaCorpusState = {
     val p = partsOfSized(sized, maxHamming)
+    val keeperMetrics = Seq(p.imgSk, p.audSk, p.vidSk, p.cimSk)
+      .map(_.select(col("media_id"), col("metric")))
+      .reduce(_ unionByName _)
     val fps = p.fps.filter(col("media_id") === col("keeper_id"))
       .join(p.hashedKeepers.select(col("media_id"),
         lit(true).as("el")), Seq("media_id"), "left")
+      .join(keeperMetrics, Seq("media_id"), "left")
       .select(col("fp_md5"), col("media_id").as("keeper_id"),
-        coalesce(col("el"), lit(false)).as("eligible"))
+        coalesce(col("el"), lit(false)).as("eligible"),
+        coalesce(col("metric"), lit(0L)).as("metric"))
+      .localCheckpoint()
+    val clusterBest = p.clusters
+      .join(p.memberMetrics, col("doc_id") === col("media_id"))
+      .groupBy("rep_id")
+      .agg(min(struct((-col("metric")).as("o"), col("doc_id").as("d")))
+        .as("b"))
+      .select(col("rep_id"), (-col("b.o")).as("best_metric"),
+        col("b.d").as("best_id"))
       .localCheckpoint()
     MediaCorpusState(fps, p.imgSk, p.audSk, p.vidSk, p.cimSk,
       p.clusters.select(col("doc_id").as("media_id"), col("rep_id"))
-        .localCheckpoint())
+        .localCheckpoint(),
+      clusterBest)
   }
 
   /** The shard keep verdict against a persisted corpus state — the
@@ -386,11 +474,43 @@ object MediaKeep {
     * Scale shape: the corpus contributes three slim relations (the
     * fp/keeper table, the 8-byte sketches, the cluster labels); the
     * star contraction runs over the shard-touched subgraph only. */
+  /** Session-scoped reuse of the CHECKPOINTED incremental verdict (the
+    * [[verdictCache]] discipline, r16 directive #6): the shard verdict,
+    * its best-copy twin, and the stats/card rollups all project one
+    * relation — the shard decode + pairing + contraction runs once per
+    * (session, shard, state). The state rides IN the key (case-class
+    * equality compares the DataFrame fields by reference), so a new
+    * corpus state can never serve a stale shard verdict. */
+  private val incrCache =
+    new graft.SessionCache[(Int, MediaCorpusState, Int), DataFrame]
+  private[graft] def incrBuilds = incrCache.builds
+
+  private def incrVerdictOf(newDocs: DataFrame, st: MediaCorpusState,
+      maxHamming: Int): DataFrame =
+    incrCache.getOrBuild(newDocs.sparkSession,
+        (newDocs.queryExecution.analyzed.semanticHash(), st, maxHamming)) {
+      incrementalVerdictOfSized(lakeSized(newDocs), st, maxHamming)
+        .localCheckpoint()
+    }
+
   def incrementalMediaKeep(newDocs: DataFrame, st: MediaCorpusState,
       maxHamming: Int = 3): DataFrame =
-    incrementalOfSized(lakeSized(newDocs), st, maxHamming)
+    incrVerdictOf(newDocs, st, maxHamming).select(MinPolicyCols: _*)
 
-  private[graft] def incrementalOfSized(sized: DataFrame,
+  /** The incremental face under the BEST-COPY survivor policy — the
+    * same policy [[mediaKeepBest]] applies to the batch verdict,
+    * inherited by the shard ingest (r16 directive #2): shard output ≡
+    * the batch best verdict over the merged lake restricted to shard
+    * ids. Exactness rides on the persisted per-cluster rollup
+    * ([[MediaCorpusState.clusterBest]]): a corpus member can never
+    * outrank its own cluster's best, so comparing shard members
+    * against the pulled cluster bests reproduces the merged-cluster
+    * argmax without touching one untouched corpus row. */
+  def incrementalMediaKeepBest(newDocs: DataFrame, st: MediaCorpusState,
+      maxHamming: Int = 3): DataFrame =
+    incrVerdictOf(newDocs, st, maxHamming).select(BestPolicyCols: _*)
+
+  private[graft] def incrementalVerdictOfSized(sized: DataFrame,
       st: MediaCorpusState, maxHamming: Int): DataFrame = {
     val fp = sized.filter(col("h").isNotNull)
       .select(col("media_id"), md5(col("h")).as("fp_md5"))
@@ -400,7 +520,8 @@ object MediaKeep {
     val groups = fp.groupBy("fp_md5").agg(min("media_id").as("shard_min"))
       .join(st.fps.select(col("fp_md5"),
         col("keeper_id").as("corp_keeper"),
-        col("eligible").as("corp_eligible")), Seq("fp_md5"), "left")
+        col("eligible").as("corp_eligible"),
+        col("metric").as("corp_metric")), Seq("fp_md5"), "left")
       .withColumn("keeper_all", least(col("shard_min"), col("corp_keeper")))
       .localCheckpoint()
     val wk = fp.join(groups, "fp_md5").localCheckpoint()
@@ -411,14 +532,15 @@ object MediaKeep {
         Seq("media_id"), "left_semi")
       .localCheckpoint()
     val imgN = ImageHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select("media_id", "ahash")
+      .select(col("media_id"), col("ahash"), ImgMetric.as("metric"))
     val audN = AudioHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select("media_id", "ahash")
+      .select(col("media_id"), col("ahash"), AudMetric.as("metric"))
     val vidN = VideoHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select("media_id", "ahash")
+      .select(col("media_id"), col("ahash"), UnitsMetric.as("metric"))
     val cimN = CompressedImageHash
       .ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select("media_id", "kind", "ahash")
+      .select(col("media_id"), col("kind"), col("ahash"),
+        UnitsMetric.as("metric"))
     val hashedNew = imgN.select("media_id")
       .unionByName(audN.select("media_id"))
       .unionByName(vidN.select("media_id"))
@@ -475,21 +597,60 @@ object MediaKeep {
             coalesce(col("corp_eligible"), lit(false)))
           .otherwise(coalesce(col("hashed_new"), lit(false)))
           .as("eligible"))
+    // ---- best-copy crown over the merged components -----------------
+    // shard member metric: a corpus-known fingerprint inherits the
+    // persisted keeper metric; a new one inherits its shard keeper's
+    // fresh metric (the batch member-metric rule, computed from the
+    // persisted/fresh relations only)
+    val freshMetrics = Seq(imgN, audN, vidN, cimN)
+      .map(_.select(col("media_id").as("keeper_all"), col("metric")))
+      .reduce(_ unionByName _)
+    val mmetric = wk.join(freshMetrics, Seq("keeper_all"), "left")
+      .select(col("media_id"),
+        when(col("corp_keeper").isNotNull, col("corp_metric"))
+          .otherwise(coalesce(col("metric"), lit(0L))).as("metric"))
+    // candidates per merged component: every shard member with its
+    // metric, plus — for each corpus cluster pulled into the touched
+    // subgraph — that cluster's persisted best (which dominates every
+    // member the subgraph did not touch)
+    val shardCand = sized.select("media_id")
+      .join(mmetric, Seq("media_id"), "left")
+      .select(col("media_id").as("doc_id"),
+        coalesce(col("metric"), lit(0L)).as("metric"))
+      .join(comp.select("doc_id", "rep_id"), Seq("doc_id"))
+      .select(col("rep_id"), col("metric"), col("doc_id").as("cand_id"))
+    val corpusCand = endpoints.join(st.comp, Seq("media_id"))
+      .select(col("rep_id")).distinct()
+      .join(st.clusterBest, Seq("rep_id"))
+      .select(col("rep_id").as("doc_id"), col("best_metric"),
+        col("best_id"))
+      .join(comp.select("doc_id", "rep_id"), Seq("doc_id"))
+      .select(col("rep_id"), col("best_metric").as("metric"),
+        col("best_id").as("cand_id"))
+    val bestPer = shardCand.unionByName(corpusCand)
+      .groupBy("rep_id")
+      .agg(min(struct((-col("metric")).as("o"), col("cand_id").as("d")))
+        .getField("d").as("best_id"))
     val kind = Media.kindCase(col("h").isNull, Media.magicPreds)
     sized.select(col("media_id"), kind.as("kind"))
       .join(wk.select(col("media_id"),
         (col("media_id") =!= col("keeper_all")).as("dup")),
         Seq("media_id"), "left")
       .join(eligRel, Seq("media_id"), "left")
-      .join(comp.select(col("doc_id").as("media_id"),
+      .join(comp.select(col("doc_id").as("media_id"), col("rep_id"),
         (!col("is_survivor")).as("is_content_dup")), Seq("media_id"))
+      .join(bestPer, Seq("rep_id"))
       .select(col("media_id"), col("kind"),
         coalesce(col("eligible"), lit(false)).as("eligible"),
         coalesce(col("dup"), lit(false)).as("is_exact_dup"),
         col("is_content_dup"),
         (coalesce(col("eligible"), lit(false)) &&
           coalesce(!col("dup"), lit(true)) &&
-          !col("is_content_dup")).as("keep"))
+          !col("is_content_dup")).as("keep"),
+        (col("media_id") =!= col("best_id")).as("is_content_dup_best"),
+        (coalesce(col("eligible"), lit(false)) &&
+          coalesce(!col("dup"), lit(true)) &&
+          col("media_id") === col("best_id")).as("keep_best"))
   }
 
   /** Payload-level seams for the spec's hand-built corpora. */
@@ -499,7 +660,13 @@ object MediaKeep {
 
   private[graft] def incrementalOfPayloads(payloads: DataFrame,
       st: MediaCorpusState, maxHamming: Int = 3): DataFrame =
-    incrementalOfSized(sizedOfPayloads(payloads), st, maxHamming)
+    incrementalVerdictOfSized(sizedOfPayloads(payloads), st, maxHamming)
+      .select(MinPolicyCols: _*)
+
+  private[graft] def incrementalBestOfPayloads(payloads: DataFrame,
+      st: MediaCorpusState, maxHamming: Int = 3): DataFrame =
+    incrementalVerdictOfSized(sizedOfPayloads(payloads), st, maxHamming)
+      .select(BestPolicyCols: _*)
 
   private def sizedOfPayloads(payloads: DataFrame): DataFrame =
     payloads.select(col("media_id"), hex(col("payload")).as("h"),
@@ -507,11 +674,24 @@ object MediaKeep {
 
   /** Yield rollup — the [[graft.text.Curation.corpusKeepStats]]
     * inclusion-exclusion table for the media verdict: per (kind,
-    * reason-combination), the payload count. ≤ 5·2⁴ rows. */
-  def mediaKeepStats(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    mediaKeep(docs, maxHamming)
+    * reason-combination), the payload count. ≤ 8·2⁴ rows (kind spans
+    * bmp/gif/png/jpeg/mp4/wav/raw/NULL since the r15 re-composition). */
+  private def statsOfVerdict(verdict: DataFrame): DataFrame =
+    verdict
       .groupBy("kind", "eligible", "is_exact_dup", "is_content_dup", "keep")
       .agg(count(lit(1)).as("n_payloads"))
+
+  def mediaKeepStats(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    statsOfVerdict(mediaKeep(docs, maxHamming))
+
+  /** Shard-level yield rollup — the nightly ingest's report line (r16
+    * directive #6): [[mediaKeepStats]] over the incremental verdict, a
+    * map-side rollup of the cached shard relation. Equals the batch
+    * stats restricted to shard ids — the rollup of a restriction is
+    * the restriction of the rollup. */
+  def incrementalMediaKeepStats(newDocs: DataFrame, st: MediaCorpusState,
+      maxHamming: Int = 3): DataFrame =
+    statsOfVerdict(incrementalMediaKeep(newDocs, st, maxHamming))
 
   /** One-row dataset card for the media lake — the
     * [[graft.text.Curation.corpusCard]] header block, riding the ONE
@@ -519,10 +699,21 @@ object MediaKeep {
     * it summarizes): payload count, per-container counts, per-modality
     * eligible fractions, dup rates and keep yield in exact millionths.
     */
-  def mediaCard(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def mediaCard(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    cardOfVerdict(mediaKeep(docs, maxHamming))
+
+  /** Shard-level dataset card — [[mediaCard]] over the incremental
+    * verdict (r16 directive #6): what a nightly ingest's run report
+    * prints. Same column block, computed over shard rows only, so it
+    * equals the batch card's aggregates restricted to the shard. */
+  def incrementalMediaCard(newDocs: DataFrame, st: MediaCorpusState,
+      maxHamming: Int = 3): DataFrame =
+    cardOfVerdict(incrementalMediaKeep(newDocs, st, maxHamming))
+
+  private def cardOfVerdict(verdict: DataFrame): DataFrame = {
     def cnt(c: org.apache.spark.sql.Column) =
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
-    mediaKeep(docs, maxHamming).agg(
+    verdict.agg(
         count(lit(1)).as("n_payloads"),
         cnt(col("kind") === "bmp").as("n_bmp"),
         cnt(col("kind") === "wav").as("n_wav"),
@@ -562,7 +753,8 @@ object MediaKeep {
   /** lake → fp/keepers → four modality hash chains (prefixed bodies)
     * → per-modality pairs (per FORMAT for the cimage chain) + exact
     * edges → recursive closure → verdict. Final CTE `verdict` carries
-    * the six output columns. */
+    * the six min-policy output columns plus the best-policy pair
+    * (`is_content_dup_best`/`keep_best` — the faces project). */
   private def verdictCtesSql(maxHamming: Int): String = {
     val pairSel = (pfx: String) =>
       s"""SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
@@ -644,6 +836,29 @@ object MediaKeep {
        |    UNION ALL SELECT media_id FROM ci_hashed
        |  )
        |),
+       |kmetric AS (
+       |  SELECT media_id, width * n_rows_avail AS metric FROM img_hashed
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN sample_rate >= 1
+       |         THEN (n_frames * 1000000) // sample_rate
+       |         ELSE 0 END
+       |  FROM aud_hashed
+       |  UNION ALL SELECT media_id, n_units FROM vid_hashed
+       |  UNION ALL SELECT media_id, n_units FROM ci_hashed
+       |),
+       |mmetric AS (
+       |  SELECT s.media_id AS media_id, coalesce(km.metric, 0) AS metric
+       |  FROM sized s
+       |  LEFT JOIN wk ON wk.media_id = s.media_id
+       |  LEFT JOIN kmetric km ON km.media_id = wk.keeper_id
+       |),
+       |vbest AS (
+       |  SELECT comp.media_id AS media_id,
+       |    row_number() OVER (PARTITION BY comp.rep_id
+       |      ORDER BY m.metric DESC, comp.media_id ASC) AS rn
+       |  FROM comp JOIN mmetric m ON m.media_id = comp.media_id
+       |),
        |verdict AS (
        |  SELECT s.media_id AS media_id,
        |    ${Media.kindCaseSql("h IS NULL", Media.magicCondsSql)} AS kind,
@@ -652,17 +867,32 @@ object MediaKeep {
        |    comp.rep_id <> s.media_id AS is_content_dup,
        |    ah.media_id IS NOT NULL
        |      AND coalesce(wk.media_id = wk.keeper_id, TRUE)
-       |      AND comp.rep_id = s.media_id AS keep
+       |      AND comp.rep_id = s.media_id AS keep,
+       |    vb.rn <> 1 AS is_content_dup_best,
+       |    ah.media_id IS NOT NULL
+       |      AND coalesce(wk.media_id = wk.keeper_id, TRUE)
+       |      AND vb.rn = 1 AS keep_best
        |  FROM sized s
        |  LEFT JOIN wk ON wk.media_id = s.media_id
        |  LEFT JOIN allhashed ah ON ah.media_id = wk.keeper_id
        |  JOIN comp ON comp.media_id = s.media_id
+       |  JOIN vbest vb ON vb.media_id = s.media_id
        |)""".stripMargin
   }
 
   def mediaKeepSql(maxHamming: Int = 3): String =
     s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
        |SELECT media_id, kind, eligible, is_exact_dup, is_content_dup, keep
+       |FROM verdict
+       |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
+       |  keep""".stripMargin
+
+  /** Oracle twin of [[mediaKeepBest]]: the verdict CTE's best-policy
+    * columns renamed over the face's output names. */
+  def mediaKeepBestSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
+       |SELECT media_id, kind, eligible, is_exact_dup,
+       |  is_content_dup_best AS is_content_dup, keep_best AS keep
        |FROM verdict
        |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
        |  keep""".stripMargin
@@ -679,16 +909,49 @@ object MediaKeep {
        |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
        |  keep""".stripMargin
 
-  def mediaKeepStatsSql(maxHamming: Int = 3): String =
+  /** Oracle twin of [[incrementalMediaKeepBest]] — the same
+    * batch-restricted contract under the best-copy policy: the
+    * best crown is computed over the WHOLE merged lake (vbest ranks
+    * before the shard restriction), exactly what the incremental face
+    * must reproduce from the persisted per-cluster rollup. */
+  def incrementalMediaKeepBestSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
+       |SELECT media_id, kind, eligible, is_exact_dup,
+       |  is_content_dup_best AS is_content_dup, keep_best AS keep
+       |FROM verdict
+       |WHERE $shardPred
+       |ORDER BY media_id, kind, eligible, is_exact_dup, is_content_dup,
+       |  keep""".stripMargin
+
+  private def statsSql(maxHamming: Int, pred: String): String =
     s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)}
        |SELECT kind, eligible, is_exact_dup, is_content_dup, keep,
        |  CAST(count(*) AS BIGINT) AS n_payloads
        |FROM verdict
+       |WHERE $pred
        |GROUP BY kind, eligible, is_exact_dup, is_content_dup, keep
        |ORDER BY kind, eligible, is_exact_dup, is_content_dup, keep,
        |  n_payloads""".stripMargin
 
-  def mediaCardSql(maxHamming: Int = 3): String =
+  def mediaKeepStatsSql(maxHamming: Int = 3): String =
+    statsSql(maxHamming, "TRUE")
+
+  /** Oracle twin of [[incrementalMediaKeepStats]]: the batch rollup
+    * over the shard restriction. */
+  def incrementalMediaKeepStatsSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    statsSql(maxHamming, shardPred)
+
+  def mediaCardSql(maxHamming: Int = 3): String = cardSql(maxHamming, "TRUE")
+
+  /** Oracle twin of [[incrementalMediaCard]]: the batch card
+    * aggregates over the shard restriction. */
+  def incrementalMediaCardSql(maxHamming: Int = 3,
+      shardPred: String = "media_id % 10 = 9"): String =
+    cardSql(maxHamming, shardPred)
+
+  private def cardSql(maxHamming: Int, pred: String): String =
     s"""WITH RECURSIVE ${verdictCtesSql(maxHamming)},
        |agg AS (
        |  SELECT
@@ -710,6 +973,7 @@ object MediaKeep {
        |    CAST(coalesce(sum(CASE WHEN is_content_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_content_dup,
        |    CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep
        |  FROM verdict
+       |  WHERE $pred
        |)
        |SELECT *,
        |  CAST((n_bmp_eligible * 1000000) // greatest(n_bmp, 1) AS BIGINT)

@@ -668,30 +668,20 @@ object TextAnalysis {
     * the corpus-vocabulary-sized checkpoint — when both run in one
     * session over the same docs relation (the Verify/Bench shape, and
     * any analysis session computing several per-doc reports), the
-    * relation is built ONCE and shared. One entry per session, keyed
-    * like `Tables.widen`'s memo (session identity + semantic hash of
-    * the ANALYZED docs plan — two spellings of the same scan share);
-    * replacing the entry on a different docs relation drops the
-    * previous checkpoint's reference for the ContextCleaner, so the
-    * cache never holds more than the latest corpus per session.
-    * [[pairBuilds]] counts actual builds — the spec's evidence that the
-    * second query reuses instead of rebuilding. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Int, DataFrame)]()
-  private[graft] val pairBuilds = new java.util.concurrent.atomic.AtomicLong
+    * relation is built ONCE and shared. The cache body is the shared
+    * [[graft.SessionCache]] (session-reference keyed, build-once under
+    * the monitor — r16 directive #5); the entry key is the semantic
+    * hash of the ANALYZED docs plan, so two spellings of the same scan
+    * share. [[pairBuilds]] counts actual builds — the spec's evidence
+    * that the second query reuses instead of rebuilding. */
+  private val pairCache = new graft.SessionCache[Int, DataFrame]
+  private[graft] def pairBuilds = pairCache.builds
 
-  private def checkpointedPairCounts(docs: DataFrame): DataFrame = {
-    val sess = System.identityHashCode(docs.sparkSession)
-    val h = docs.queryExecution.analyzed.semanticHash()
-    val cached = pairCache.get(sess)
-    if (cached != null && cached._1 == h) cached._2
-    else {
-      pairBuilds.incrementAndGet()
-      val built = tokenPairCounts(docs).localCheckpoint()
-      pairCache.put(sess, (h, built))
-      built
+  private def checkpointedPairCounts(docs: DataFrame): DataFrame =
+    pairCache.getOrBuild(docs.sparkSession,
+        docs.queryExecution.analyzed.semanticHash()) {
+      tokenPairCounts(docs).localCheckpoint()
     }
-  }
 
   private def coverageFromPairs(docs: DataFrame, pairs: DataFrame,
       vocab: DataFrame): DataFrame = {

@@ -69,7 +69,7 @@ class MediaKeepSpec extends AnyFunSuite {
       chunk("IEND", Array.emptyByteArray)
   }
   private def jpg(w: Int, h: Int, content: Array[Byte],
-      com: Boolean = false): Array[Byte] = {
+      com: Boolean = false, eoi: Boolean = true): Array[Byte] = {
     val app0 = be(0xFFE0L, 2) ++ be(16, 2) ++
       "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
       be(0x48, 2) ++ be(0x48, 2) ++ be(0, 2)
@@ -80,7 +80,7 @@ class MediaKeepSpec extends AnyFunSuite {
     val sos = be(0xFFDAL, 2) ++ be(8, 2) ++
       Array[Byte](1, 1, 0, 0, 0x3F, 0)
     be(0xFFD8L, 2) ++ app0 ++ comSeg ++ sof ++ sos ++ content ++
-      be(0xFFD9L, 2)
+      (if (eoi) be(0xFFD9L, 2) else Array.emptyByteArray)
   }
   private def gif(content: Array[Byte]): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le(240, 2) ++ le(180, 2) ++
@@ -146,6 +146,41 @@ class MediaKeepSpec extends AnyFunSuite {
         "kind whose content identity is deliberately absent")
   }
 
+  test("best-copy policy in the composed verdict: the intact copy beats its truncated re-upload") {
+    // constant content bytes: every probe reads the same value whatever
+    // the span length, so intact and truncated hash EQUAL and pair —
+    // but their quality metrics differ (the CimageHashSpec plant,
+    // composed). Ids are arranged so the two policies DISAGREE: the
+    // truncated copy holds the smaller id in both clusters.
+    val cutJpg = jpg(32, 32, Array.fill[Byte](256)(100), eoi = false)
+    val intactJpg = jpg(32, 32, Array.fill[Byte](320)(100))
+    val cutWav = wav(8000, Array.fill[Byte](250)(55))
+    val intactWav = wav(8000, Array.fill[Byte](400)(55))
+    val rows = Seq[(Long, Array[Byte])](
+      1L -> cutJpg,    // min-policy survivor (component min)…
+      2L -> intactJpg, // …but the BEST copy (n_units 320 > 256)
+      3L -> intactJpg, // byte-identical copy of 2: exact dup under both
+      4L -> cutWav,    // min-policy survivor of the wav cluster…
+      5L -> intactWav) // …but the longer clip wins under best
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Boolean]("is_content_dup"), r.getAs[Boolean]("keep"))))
+        .toMap
+    val minP = verdictMap(MediaKeep.mediaKeepOfPayloads(
+      rows.toDF("media_id", "payload")))
+    val bestP = verdictMap(MediaKeep.mediaKeepBestOfPayloads(
+      rows.toDF("media_id", "payload")))
+    assert(minP(1L) === ((false, true)) && minP(2L) === ((true, false)),
+      "min policy crowns the truncated smaller id")
+    assert(bestP(1L) === ((true, false)) && bestP(2L) === ((false, true)),
+      "best policy crowns the intact copy despite its larger id")
+    assert(bestP(3L)._2 === false,
+      "an exact copy of the best member still never survives")
+    assert(minP(4L) === ((false, true)) && minP(5L) === ((true, false)))
+    assert(bestP(4L) === ((true, false)) && bestP(5L) === ((false, true)),
+      "the longer clip wins the wav cluster under the duration metric")
+  }
+
   test("incremental shard verdict equals batch restricted to the shard") {
     // the incremental contract verbatim — including the corners a real
     // nightly ingest hits: a shard id SMALLER than the corpus keeper of
@@ -161,30 +196,44 @@ class MediaKeepSpec extends AnyFunSuite {
       10L -> bmp(w, h, pixA), // corpus keeper + content-cluster rep
       20L -> bmp(w, h, pixA), // corpus exact copy
       30L -> bmp(w, h, pixEdit), // corpus content dup of 10
-      32L -> wav(8000, fill(400, 7L))) // unrelated corpus clip
+      32L -> wav(8000, fill(400, 7L)), // unrelated corpus clip
+      34L -> jpg(32, 32, Array.fill[Byte](256)(100), eoi = false))
+      // 34: truncated JPEG keeper — the shard's intact re-upload must
+      // dethrone it under the best policy (and only there)
     val shard = Seq[(Long, Array[Byte])](
       5L -> bmp(w, h, pixA), // fp matches corpus; shard id < keeper 10
       41L -> bmp(w, h, pixEdit), // bridges into 10's corpus cluster
       43L -> wav(8000, fill(380, 21L)), // new fingerprint → clean keep
-      45L -> "no container here".getBytes("UTF-8")) // raw
+      45L -> "no container here".getBytes("UTF-8"), // raw
+      47L -> jpg(32, 32, Array.fill[Byte](320)(100))) // intact twin of 34
     import org.apache.spark.sql.functions.col
-    val got = MediaKeep.incrementalOfPayloads(
-        shard.toDF("media_id", "payload"),
-        MediaKeep.corpusStateOfPayloads(corpus.toDF("media_id", "payload")))
-      .collect().map(r => r.getAs[Long]("media_id") ->
+    def sixCols(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("media_id") ->
         ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
           r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_content_dup"),
           r.getAs[Boolean]("keep")))).toMap
+    val st =
+      MediaKeep.corpusStateOfPayloads(corpus.toDF("media_id", "payload"))
+    val got = sixCols(MediaKeep.incrementalOfPayloads(
+      shard.toDF("media_id", "payload"), st))
     val shardIds = shard.map(_._1).toSet
-    val batch = MediaKeep.mediaKeepOfPayloads(
-        (corpus ++ shard).toDF("media_id", "payload"))
-      .filter(col("media_id").isin(shardIds.toSeq: _*))
-      .collect().map(r => r.getAs[Long]("media_id") ->
-        ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
-          r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_content_dup"),
-          r.getAs[Boolean]("keep")))).toMap
+    val merged = (corpus ++ shard).toDF("media_id", "payload")
+    val batch = sixCols(MediaKeep.mediaKeepOfPayloads(merged)
+      .filter(col("media_id").isin(shardIds.toSeq: _*)))
     assert(got === batch,
       "the shard verdict must equal the batch verdict restricted to shard ids")
+    // the BEST-policy face inherits the identical contract (r16): shard
+    // output ≡ batch best verdict restricted to shard ids, via the
+    // persisted per-cluster rollup — no corpus payload re-decoded
+    val gotBest = sixCols(MediaKeep.incrementalBestOfPayloads(
+      shard.toDF("media_id", "payload"), st))
+    val batchBest = sixCols(MediaKeep.mediaKeepBestOfPayloads(merged)
+      .filter(col("media_id").isin(shardIds.toSeq: _*)))
+    assert(gotBest === batchBest,
+      "the best-policy shard verdict must equal batch-best restricted")
+    assert(got(47L)._5 === false && gotBest(47L)._5 === true,
+      "the intact shard re-upload loses to the truncated min-id corpus " +
+        "keeper under min policy but dethrones it under best")
     // and the corners landed where designed, not vacuously
     assert(got(5L) === (("bmp", true, false, false, true)),
       "id 5 becomes BOTH the merged exact keeper (5 < 10) and the " +
@@ -222,5 +271,93 @@ class MediaKeepSpec extends AnyFunSuite {
     val st2 = MediaKeep.mediaCorpusState(docs)
     assert(st eq st2, "the second ingest must reuse the state")
     assert(MediaKeep.stateBuilds.get() === sBefore + 1)
+  }
+
+  test("the incremental faces share one session-scoped shard verdict") {
+    // verdict + best + stats + card over one shard must run the shard
+    // decode/pairing/contraction ONCE (the r16 incremental cache — the
+    // verdictCache discipline applied to the nightly-ingest face)
+    val all = (0L until 100L).map(i => (i, s"ingest text $i body " * 8))
+    val corpus = all.filterNot(_._1 % 10 == 9).toDF("doc_id", "text")
+    val shard = all.filter(_._1 % 10 == 9).toDF("doc_id", "text")
+    val st = MediaKeep.mediaCorpusState(corpus)
+    val before = MediaKeep.incrBuilds.get()
+    val n1 = MediaKeep.incrementalMediaKeep(shard, st).count()
+    val n2 = MediaKeep.incrementalMediaKeepBest(shard, st).count()
+    val nS = MediaKeep.incrementalMediaKeepStats(shard, st).count()
+    val nC = MediaKeep.incrementalMediaCard(shard, st).count()
+    assert(n1 === 10L && n2 === 10L && nS >= 1L && nC === 1L)
+    assert(MediaKeep.incrBuilds.get() === before + 1,
+      "best/stats/card must reuse the keep face's cached shard verdict")
+    // a different shard replaces the entry (one build, not zero)
+    val shard2 = all.filter(_._1 % 10 == 4).toDF("doc_id", "text")
+    MediaKeep.incrementalMediaKeep(shard2, st).count()
+    assert(MediaKeep.incrBuilds.get() === before + 2)
+  }
+
+  test("persisted media sketch bands bucketed by (band, nibble): the shard probe is co-located") {
+    // r16 directive #3 — the corpus-state docstring claim ("the
+    // relation a production pipeline persists verbatim") proven the
+    // DedupSpec/GraphSkewSpec way: write the persisted keeper sketch's
+    // band relation bucketed on the pairing-probe join key, probe it
+    // with a shard's banded rows, walk the plan — the bucketed corpus
+    // subtree must hold ZERO shuffles; the (small) shard side carries
+    // the join's exchange. AQE off so the tree is walkable, broadcast
+    // off so the corpus-sized join shape is the one planned.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val w = 16; val h = 16; val rb = rowBytes(w)
+    val pixA = fill(rb * h, 3L)
+    val nearCopy = pixA.clone(); nearCopy(rb * 4 + 9) = 55
+    val corpusSk = graft.multimodal.ImageHash.ahashOfPayloads(
+        Seq(1L -> bmp(w, h, pixA), 2L -> bmp(w, h, fill(rb * h, 5L)))
+          .toDF("media_id", "payload"))
+      .select("media_id", "ahash")
+    try {
+      graft.multimodal.Hamming64.bands(corpusSk).write
+        .bucketBy(8, "band", "nibble").sortBy("band", "nibble")
+        .mode("overwrite").saveAsTable("media_bands_bkt")
+      val shardB = graft.multimodal.Hamming64.bands(
+        graft.multimodal.ImageHash.ahashOfPayloads(
+            Seq(100L -> bmp(w, h, nearCopy)).toDF("media_id", "payload"))
+          .select("media_id", "ahash").localCheckpoint())
+      val probe = shardB.join(
+          s2.table("media_bands_bkt").select(
+            col("media_id").as("corpus_id"), col("ahash").as("cahash"),
+            col("band"), col("nibble")),
+          Seq("band", "nibble"))
+        .filter(bit_count(col("ahash").bitwiseXOR(col("cahash")))
+          .cast("long") <= 3L)
+      val plan = probe.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected a sort-merge join:\n$plan")
+      def shuffles(p: SparkPlan): Int =
+        p.collect { case _: ShuffleExchangeExec => 1 }.sum
+      def isCorpusSide(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      val (corpusSide, shardSide) =
+        if (isCorpusSide(smj.get.left)) (smj.get.left, smj.get.right)
+        else (smj.get.right, smj.get.left)
+      assert(isCorpusSide(corpusSide),
+        s"no bucketed scan under either side:\n$plan")
+      assert(shuffles(corpusSide) === 0,
+        s"bucketed corpus side still shuffles:\n$corpusSide")
+      assert(shuffles(shardSide) >= 1,
+        s"shard side should carry the join's exchange:\n$shardSide")
+      // the co-located probe really matches: the near-copy shard image
+      // band-collides with (and rescores against) its corpus original
+      assert(probe.collect().map(_.getAs[Long]("corpus_id")).contains(1L))
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS media_bands_bkt")
+    }
   }
 }

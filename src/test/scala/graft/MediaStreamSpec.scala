@@ -175,6 +175,84 @@ class MediaStreamSpec extends AnyFunSuite {
         "fresh/junk uploads match nothing")
   }
 
+  test("composed admission gate: stream verdict rows are bit-identical to the incremental shard verdict") {
+    // r16 directive #1 — the streaming face of incrementalMediaKeep:
+    // arriving payloads get the FULL five-kind keep verdict against the
+    // persisted MediaCorpusState by stateless stream-static probes; the
+    // only state is the (media_id, event_time) collision collapse. The
+    // shard has no intra-shard duplicate relations (each payload
+    // independent) — the slice of the batch contract a bounded-state
+    // stream owns; intra-stream pairs stay the nightly batch's job,
+    // the DocStream line. Rows must equal incrementalOfPayloads on the
+    // SAME payloads and state, bit for bit.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val w = 16; val h = 16; val rb = rowBytes(w)
+    val pixA = fill(rb * h, 3L)
+    val pixEdit = pixA.clone(); pixEdit(rb * 4 + 9) = 55
+    val pixEdit2 = pixA.clone(); pixEdit2(rb * 6 + 3) = 77
+    def wav(rate: Int, samples: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(36L + samples.length, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(rate, 4) ++ le(rate, 4) ++
+        le(1, 2) ++ le(8, 2) ++
+        "data".getBytes("US-ASCII") ++ le(samples.length, 4) ++ samples
+    def gif(content: Array[Byte]): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ le(240, 2) ++ le(180, 2) ++
+        Array[Byte](0x91.toByte, 0, 0) ++ content ++ Array[Byte](0x3b)
+    val corpus = Seq[(Long, Array[Byte])](
+      10L -> bmp(w, h, pixA), // keeper + content-cluster rep
+      20L -> bmp(w, h, pixA), // corpus exact copy
+      30L -> bmp(w, h, pixEdit), // corpus content dup of 10
+      32L -> wav(8000, fill(400, 7L)), // unrelated clip
+      34L -> gif(fill(100, 50L))) // GIF: exact-fp coverage only
+    val st = graft.multimodal.MediaKeep.corpusStateOfPayloads(
+      corpus.toDF("media_id", "payload"))
+    val shard = Seq[(Long, Array[Byte])](
+      5L -> bmp(w, h, pixA), // fp known; shard id < corpus keeper 10
+      41L -> bmp(w, h, pixEdit2), // near-dup bridge into 10's cluster
+      43L -> wav(8000, fill(380, 21L)), // new fingerprint → clean keep
+      45L -> "no container here".getBytes("UTF-8"), // raw
+      47L -> gif(fill(100, 50L))) // exact GIF copy: dup of an
+        // ineligible corpus keeper — exact gate without content gate
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(shard.map { case (id, p) => (id, p, T) }: _*)
+    val name = s"media_keep_stream_${System.nanoTime()}"
+    val q = graft.streaming.MediaStream.mediaKeepStream(
+        src.toDF().toDF("media_id", "payload", "ts"), st)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append-mode aggregation emits a group only once the watermark
+      // passes its event time: push a late dummy payload to advance the
+      // watermark past T (the dummy's own group stays pending)
+      src.addData((999L, Array[Byte](1, 2, 3), T + 3L * 3600L * 1000000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def sixCols(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
+          r.getAs[Boolean]("is_exact_dup"),
+          r.getAs[Boolean]("is_content_dup"),
+          r.getAs[Boolean]("keep")))).toMap
+    val got = sixCols(spark.table(name)
+      .filter(col("media_id") =!= 999L).collect())
+    val batch = sixCols(graft.multimodal.MediaKeep.incrementalOfPayloads(
+      shard.toDF("media_id", "payload"), st).collect())
+    assert(got === batch,
+      "the stream verdict must be bit-identical to the incremental face")
+    // and the gates landed where designed, not vacuously
+    assert(got(5L) === (("bmp", true, false, false, true)),
+      "a shard id below the corpus keeper is the merged keeper at ingest")
+    assert(got(41L)._4 === true, "the near-dup bridge is a content dup")
+    assert(got(43L) === (("wav", true, false, false, true)))
+    assert(got(45L) === (("raw", false, false, false, false)))
+    assert(got(47L) === (("gif", false, true, true, false)),
+      "an exact copy of an ineligible GIF keeper: exact gate fires, " +
+        "content identity stays absent")
+  }
+
   test("streamed PNGs/JPEGs match the persisted corpus sketch per format") {
     implicit val ctx = spark.sqlContext
     def be(v: Long, n: Int): Array[Byte] =

@@ -20,6 +20,7 @@ class OracleContractSpec extends AnyFunSuite {
     "approx_2hop", "rsjoin_triangles", "repjoin_triangles",
     "triangles_oriented",
     "mutual_follows", "graph_summary", "corpus_card", "media_card",
+    "incremental_media_card",
     "bloom_prefilter",
     "zone_skip", "join_skew", "edge_census_quarantine", "bloom_auto",
     "bloom_sized", "bloom_sized_audit", "bloom_size_verdict")
