@@ -95,18 +95,32 @@ object Tables {
     // sizes would re-implement. The count is memoized per canonicalized
     // plan (round-5 verdict: plan-audit suites compile the same
     // documents scan ~40×, paying the cost 40× for one answer); the
-    // memo key includes the session, since the same plan text under a
-    // different maxPartitionBytes splits differently. The key is the
-    // semantic HASH, not the plan (holding canonicalized LocalRelations
-    // would retain their rows for the session's lifetime); a hash
-    // collision can only mis-decide the repartition, never change data.
-    val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash())
-    val n = widenCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    // memo keys on the session REFERENCE (the graft.SessionCache
+    // discipline, r16: a weak-keyed outer map, so a stopped,
+    // dereferenced session's counts drop with it instead of living for
+    // the JVM, and two sessions can never share an entry), then the
+    // semantic HASH of the plan — not the plan itself (holding
+    // canonicalized LocalRelations would retain their rows for the
+    // session's lifetime); a hash collision can only mis-decide the
+    // repartition, never change data.
+    val n = widenCount(df)
     if (n < target) df.repartition(target) else df
   }
-  private val widenCounts =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+  private val widenCounts = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[Int, Int]]()
+  private def widenCount(df: DataFrame): Int = {
+    val per = widenCounts.synchronized {
+      var m = widenCounts.get(df.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+        widenCounts.put(df.sparkSession, m)
+      }
+      m
+    }
+    per.computeIfAbsent(df.queryExecution.analyzed.semanticHash(),
+      _ => df.rdd.getNumPartitions)
+  }
 
   /** The [[widen]] decision without the transform — what a SQL spelling
     * needs to mirror the same plan: `Some(target)` means "this relation
@@ -115,9 +129,6 @@ object Tables {
   def widenFactor(df: DataFrame): Option[Int] = {
     if (df.isStreaming) return None
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash())
-    val n = widenCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
-    if (n < target) Some(target) else None
+    if (widenCount(df) < target) Some(target) else None
   }
 }
