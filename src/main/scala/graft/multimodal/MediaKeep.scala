@@ -250,10 +250,10 @@ object MediaKeep {
     * best verdict and the per-family faces can never crown different
     * copies. Audio guards `sample_rate <= 0` as duration 0 (r14
     * advice). */
-  private val ImgMetric = col("width") * col("n_rows_avail")
-  private val AudMetric = expr("CASE WHEN sample_rate >= 1L THEN " +
+  private[graft] val ImgMetric = col("width") * col("n_rows_avail")
+  private[graft] val AudMetric = expr("CASE WHEN sample_rate >= 1L THEN " +
     "(n_frames * 1000000L) div sample_rate ELSE 0L END")
-  private val UnitsMetric = col("n_units")
+  private[graft] val UnitsMetric = col("n_units")
 
   private def partsOfSized(sized: DataFrame, maxHamming: Int): LakeParts = {
     // exact payload fingerprint: md5 over the payload bytes (spelled

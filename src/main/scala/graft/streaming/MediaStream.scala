@@ -160,25 +160,74 @@ object MediaStream {
     *  - `keep` — the production conjunction, as in batch. */
   def mediaKeepStream(payloads: DataFrame, st: MediaKeep.MediaCorpusState,
       maxHamming: Int = 3,
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour"): DataFrame =
+    keepStreamVerdict(payloads, st, maxHamming, watermarkDelay)
+      .drop("is_content_dup_best", "keep_best")
+
+  /** The composed admission gate under the BEST-COPY survivor policy —
+    * the streaming face of [[MediaKeep.incrementalMediaKeepBest]], the
+    * same policy axis the batch and incremental faces carry: the
+    * arriving payload is kept iff it WINS the merged cluster's quality
+    * contest instead of holding its minimum id. Same contract as
+    * [[mediaKeepStream]] (no intra-shard relations; rows bit-identical
+    * to the incremental best face on the same payloads and state).
+    *
+    * Why per-payload candidates suffice: the merged component's argmax
+    * over (payload ∪ matched corpus clusters) equals the argmax over
+    * (payload ∪ those clusters' persisted
+    * [[MediaKeep.MediaCorpusState.clusterBest]] rows), because an
+    * untouched corpus member can never outrank its own cluster's best —
+    * the exact dominance argument of the incremental batch face, which
+    * is why `clusterBest` is persisted at all. The payload's own metric
+    * is its fresh family metric (a corpus-known fingerprint inherits
+    * the persisted keeper metric instead — equal wherever both exist,
+    * since byte-identical payloads decode identically). */
+  def mediaKeepBestStream(payloads: DataFrame,
+      st: MediaKeep.MediaCorpusState, maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    keepStreamVerdict(payloads, st, maxHamming, watermarkDelay)
+      .select(col("media_id"), col("kind"), col("eligible"),
+        col("is_exact_dup"),
+        col("is_content_dup_best").as("is_content_dup"),
+        col("keep_best").as("keep"), col("event_time"))
+
+  /** Both survivor policies in one pass (the [[MediaKeep]] discipline:
+    * the policies differ only in which cluster member is crowned, so
+    * the faces are projections of one stream). */
+  private def keepStreamVerdict(payloads: DataFrame,
+      st: MediaKeep.MediaCorpusState, maxHamming: Int,
+      watermarkDelay: String): DataFrame = {
     val sized = payloads.select(col("media_id"),
         hex(col("payload")).as("h"),
         length(col("payload")).cast("long").as("n_bytes"),
         EventStream.eventTime.as("event_time"))
       .withWatermark("event_time", watermarkDelay)
     val nullB = lit(null).cast("boolean")
+    val nullL = lit(null).cast("long")
+    val nullCand = lit(null).cast("struct<o:bigint,d:bigint>")
+    // a corpus-candidate struct for the best contest: ordered like the
+    // batch rollup — min(struct(-metric, id)) crowns the highest
+    // metric, smallest id on ties
+    def candOf(metric: org.apache.spark.sql.Column,
+        id: org.apache.spark.sql.Column) =
+      struct((-metric).cast("long").as("o"), id.cast("long").as("d"))
     // base row, one per payload: kind sniff through the shared
-    // precedence chain, the exact-fp probe, and the exact keeper's
-    // persisted cluster rep as a content candidate
+    // precedence chain, the exact-fp probe, the exact keeper's
+    // persisted cluster rep as a content candidate, the keeper's
+    // inherited metric, and the keeper cluster's persisted best as a
+    // best-contest candidate
     val base = sized
       .select(col("media_id"), col("event_time"),
         Media.kindCase(col("h").isNull, Media.magicPreds).as("kind"),
         md5(col("h")).as("fp_md5"))
       .join(st.fps.select(col("fp_md5"),
         col("keeper_id").as("corp_keeper"),
-        col("eligible").as("corp_eligible")), Seq("fp_md5"), "left")
+        col("eligible").as("corp_eligible"),
+        col("metric").as("corp_metric")), Seq("fp_md5"), "left")
       .join(st.comp.select(col("media_id").as("corp_keeper"),
         col("rep_id").as("keeper_rep")), Seq("corp_keeper"), "left")
+      .join(st.clusterBest.select(col("rep_id").as("keeper_rep"),
+        col("best_metric"), col("best_id")), Seq("keeper_rep"), "left")
       .select(col("media_id"), col("event_time"), col("kind"),
         (col("corp_keeper").isNotNull &&
           col("corp_keeper") < col("media_id")).as("is_exact_dup"),
@@ -186,17 +235,23 @@ object MediaStream {
           coalesce(col("corp_eligible"), lit(false)))
           .as("inherit_eligible"),
         nullB.as("hashed"),
-        coalesce(col("keeper_rep"), col("media_id")).as("cand_rep"))
+        coalesce(col("keeper_rep"), col("media_id")).as("cand_rep"),
+        col("corp_metric").cast("long").as("pmetric"),
+        when(col("best_id").isNotNull,
+          candOf(col("best_metric"), col("best_id"))).as("cand"))
     // one branch per family: a `hashed` marker row (the payload
-    // decoded) plus one row per matched corpus member carrying the
-    // member's persisted cluster rep. Candidate collisions that fail
-    // the exact rescore emit nothing — exactly the batch pairing rule.
+    // decoded, carrying its fresh quality metric) plus one row per
+    // matched corpus member carrying the member's persisted cluster
+    // rep and that cluster's persisted best. Candidate collisions that
+    // fail the exact rescore emit nothing — exactly the batch pairing
+    // rule.
     def familyRows(hashed: DataFrame, corpusSk: DataFrame,
         perKind: Boolean): DataFrame = {
       val marker = hashed.select(col("media_id"), col("event_time"),
         lit(null).cast("string").as("kind"), nullB.as("is_exact_dup"),
         nullB.as("inherit_eligible"), lit(true).as("hashed"),
-        col("media_id").as("cand_rep"))
+        col("media_id").as("cand_rep"),
+        col("metric").cast("long").as("pmetric"), nullCand.as("cand"))
       val keyCols = (if (perKind) Seq("kind") else Nil) ++
         Seq("band", "nibble")
       val streamB = Hamming64.bands(hashed,
@@ -213,47 +268,67 @@ object MediaStream {
             .cast("long") <= maxHamming)
           .join(st.comp.select(col("media_id").as("corpus_id"),
             col("rep_id")), Seq("corpus_id"))
+          .join(st.clusterBest, Seq("rep_id"))
           .select(col("media_id"), col("event_time"),
             lit(null).cast("string").as("kind"),
             nullB.as("is_exact_dup"), nullB.as("inherit_eligible"),
-            nullB.as("hashed"), col("rep_id").as("cand_rep")))
+            nullB.as("hashed"), col("rep_id").as("cand_rep"),
+            nullL.as("pmetric"),
+            candOf(col("best_metric"), col("best_id")).as("cand")))
     }
-    val sel = Seq("media_id", "ahash", "event_time")
+    val sel = Seq("media_id", "ahash", "metric", "event_time")
     val rows = base
       .unionByName(familyRows(
         ImageHash.ahashOfHexMaybeCk(sized, checkpoint = false,
-          keep = Seq("event_time")).selectExpr(sel: _*),
+          keep = Seq("event_time"))
+          .withColumn("metric", MediaKeep.ImgMetric)
+          .selectExpr(sel: _*),
         st.imgSk, perKind = false))
       .unionByName(familyRows(
         AudioHash.ahashOfHexMaybeCk(sized, checkpoint = false,
-          keep = Seq("event_time")).selectExpr(sel: _*),
+          keep = Seq("event_time"))
+          .withColumn("metric", MediaKeep.AudMetric)
+          .selectExpr(sel: _*),
         st.audSk, perKind = false))
       .unionByName(familyRows(
         VideoHash.ahashOfHexMaybeCk(sized, checkpoint = false,
-          keep = Seq("event_time")).selectExpr(sel: _*),
+          keep = Seq("event_time"))
+          .withColumn("metric", MediaKeep.UnitsMetric)
+          .selectExpr(sel: _*),
         st.vidSk, perKind = false))
       .unionByName(familyRows(
         CompressedImageHash.ahashOfHexMaybeCk(sized, checkpoint = false,
           keep = Seq("event_time"))
-          .selectExpr("media_id", "kind", "ahash", "event_time"),
+          .withColumn("metric", MediaKeep.UnitsMetric)
+          .selectExpr("media_id", "kind", "ahash", "metric",
+            "event_time"),
         st.cimSk, perKind = true))
     // the one stateful operator: collapse the per-payload rows (base +
     // markers + band/family collisions). Grouping on the watermarked
     // event_time column keeps the state watermark-bounded and the sink
-    // append-mode.
+    // append-mode. The best contest: the payload's struct(-metric, id)
+    // against the min over the matched clusters' persisted bests —
+    // ids are unique across the lake, so the comparison never ties.
+    val pstruct = candOf(coalesce(col("pm"), lit(0L)), col("media_id"))
+    val isBest = col("cb").isNull || pstruct < col("cb")
+    val eligible = coalesce(col("ie"), col("hn"), lit(false))
+    val exact = coalesce(col("x"), lit(false))
     rows.groupBy(col("media_id"), col("event_time"))
       .agg(max(col("kind")).as("kind"),
         max(col("is_exact_dup")).as("x"),
         max(col("inherit_eligible")).as("ie"),
         max(col("hashed")).as("hn"),
-        min(col("cand_rep")).as("min_rep"))
+        min(col("cand_rep")).as("min_rep"),
+        max(col("pmetric")).as("pm"),
+        min(col("cand")).as("cb"))
       .select(col("media_id"), col("kind"),
-        coalesce(col("ie"), col("hn"), lit(false)).as("eligible"),
-        coalesce(col("x"), lit(false)).as("is_exact_dup"),
+        eligible.as("eligible"),
+        exact.as("is_exact_dup"),
         (col("min_rep") < col("media_id")).as("is_content_dup"),
-        (coalesce(col("ie"), col("hn"), lit(false)) &&
-          !coalesce(col("x"), lit(false)) &&
+        (eligible && !exact &&
           !(col("min_rep") < col("media_id"))).as("keep"),
+        (!isBest).as("is_content_dup_best"),
+        (eligible && !exact && isBest).as("keep_best"),
         col("event_time"))
   }
 

@@ -253,6 +253,85 @@ class MediaStreamSpec extends AnyFunSuite {
         "content identity stays absent")
   }
 
+  test("best-policy stream face: bit-identical to the incremental best verdict; an intact arrival beats the truncated corpus best") {
+    // the batch best-policy plant, streamed: constant content bytes so
+    // cut and intact spans hash EQUAL and pair, while the quality
+    // metrics differ — the arriving INTACT copy must be crowned over
+    // the truncated corpus best (keep=true) exactly where the min-id
+    // face calls it a content dup (keep=false)
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    def jpg(c: Array[Byte], eoi: Boolean = true): Array[Byte] = {
+      val app0 = be(0xFFE0L, 2) ++ be(16, 2) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+        be(0x48, 2) ++ be(0x48, 2) ++ be(0, 2)
+      val sof = be(0xFFC0L, 2) ++ be(11, 2) ++ Array[Byte](8) ++
+        be(32, 2) ++ be(32, 2) ++ Array[Byte](1, 1, 0x11, 0)
+      val sos = be(0xFFDAL, 2) ++ be(8, 2) ++
+        Array[Byte](1, 1, 0, 0, 0x3F, 0)
+      be(0xFFD8L, 2) ++ app0 ++ sof ++ sos ++ c ++
+        (if (eoi) be(0xFFD9L, 2) else Array.emptyByteArray)
+    }
+    def wav(rate: Int, samples: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(36L + samples.length, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++
+        le(1, 2) ++ le(8, 2) ++
+        "data".getBytes("US-ASCII") ++ le(samples.length, 4) ++ samples
+    val cutJpg = jpg(Array.fill[Byte](256)(100), eoi = false)
+    val intactJpg = jpg(Array.fill[Byte](320)(100))
+    val corpus = Seq[(Long, Array[Byte])](
+      1L -> cutJpg, // jpeg cluster best: (n_units 256, id 1)
+      4L -> wav(8000, Array.fill[Byte](250)(55))) // wav best: short clip
+    val st = graft.multimodal.MediaKeep.corpusStateOfPayloads(
+      corpus.toDF("media_id", "payload"))
+    val shard = Seq[(Long, Array[Byte])](
+      41L -> intactJpg, // n_units 320 > 256: crowned under best
+      43L -> wav(8000, Array.fill[Byte](400)(55)), // longer clip wins
+      45L -> cutJpg, // byte-identical re-upload: exact dup under both
+      47L -> "just bytes".getBytes("UTF-8")) // raw
+    val src = MemoryStream[(Long, Array[Byte], Long)]
+    src.addData(shard.map { case (id, p) => (id, p, T) }: _*)
+    val name = s"media_keep_best_stream_${System.nanoTime()}"
+    val q = graft.streaming.MediaStream.mediaKeepBestStream(
+        src.toDF().toDF("media_id", "payload", "ts"), st)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      src.addData((999L, Array[Byte](1, 2, 3), T + 3L * 3600L * 1000000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def sixCols(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Boolean]("eligible"),
+          r.getAs[Boolean]("is_exact_dup"),
+          r.getAs[Boolean]("is_content_dup"),
+          r.getAs[Boolean]("keep")))).toMap
+    val got = sixCols(spark.table(name)
+      .filter(col("media_id") =!= 999L).collect())
+    val batch = sixCols(graft.multimodal.MediaKeep.incrementalBestOfPayloads(
+      shard.toDF("media_id", "payload"), st).collect())
+    assert(got === batch,
+      "the stream best verdict must be bit-identical to the " +
+        "incremental best face")
+    assert(got(41L) === (("jpeg", true, false, false, true)),
+      "the intact arrival outranks the truncated corpus best")
+    assert(got(43L) === (("wav", true, false, false, true)),
+      "the longer clip wins the wav cluster under the duration metric")
+    assert(got(45L)._3 === true && got(45L)._5 === false,
+      "a byte-identical re-upload never survives under either policy")
+    assert(got(47L) === (("raw", false, false, false, false)))
+    // the min-id face over the same arrivals calls the intact copy a
+    // content dup — the two policies disagree exactly where designed
+    val minBatch = sixCols(graft.multimodal.MediaKeep.incrementalOfPayloads(
+      shard.toDF("media_id", "payload"), st).collect())
+    assert(minBatch(41L)._4 === true && minBatch(41L)._5 === false,
+      "min policy crowns the truncated smaller id instead")
+  }
+
   test("streamed PNGs/JPEGs match the persisted corpus sketch per format") {
     implicit val ctx = spark.sqlContext
     def be(v: Long, n: Int): Array[Byte] =
