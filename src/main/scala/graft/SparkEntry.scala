@@ -1039,6 +1039,19 @@ object SparkEntry {
         graft.multimodal.MediaKeep.mediaCorpusState(
           docs.filter(col("doc_id") % 10 =!= 9)))
     }),
+    // The PERSISTED-state lifecycle (the training_shards discipline —
+    // the round-trip IS the operator): corpus state written as seven
+    // parquet tables, reloaded, shard verdict run against the reloaded
+    // relations. Same oracle as incremental_media_keep: a green row
+    // proves the parquet round-trip loses nothing the verdict reads.
+    "incremental_media_keep_persisted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(s, dir)
+      graft.multimodal.MediaKeep.incrementalMediaKeepPersisted(
+        docs.filter(col("doc_id") % 10 === 9),
+        docs.filter(col("doc_id") % 10 =!= 9),
+        scratch("media_state", dir))
+    }),
     // BEST-COPY survivor policy for the media cluster families (the
     // dedup_clusters_best axis): components/cluster ids unchanged,
     // is_canonical moves to the highest-resolution image / longest
@@ -1706,6 +1719,10 @@ object SparkEntry {
       graft.multimodal.MediaKeep.incrementalMediaKeepStatsSql(),
     "incremental_media_card" ->
       graft.multimodal.MediaKeep.incrementalMediaCardSql(),
+    // write+reload invariance: the persisted lifecycle must reproduce
+    // the in-session incremental verdict, so the oracle IS that face's
+    "incremental_media_keep_persisted" ->
+      graft.multimodal.MediaKeep.incrementalMediaKeepSql(),
     "image_dup_clusters_best" ->
       graft.multimodal.ImageHash.imageDupClustersBestSql(),
     "audio_dup_clusters_best" ->

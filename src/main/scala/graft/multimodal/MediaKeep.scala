@@ -446,6 +446,54 @@ object MediaKeep {
       clusterBest)
   }
 
+  /** The seven state relations as named parquet tables under `path` —
+    * the write a nightly pipeline runs after each corpus refresh (the
+    * [[graft.text.Curation.trainingShardsUnigram]] persist-and-reload
+    * discipline: the artifact on disk, not the session checkpoint, is
+    * what the next ingest reads). All seven are slim: the fp table is
+    * one row per distinct fingerprint, the sketches 8 bytes + metric
+    * per keeper, the labels and per-cluster bests one row per
+    * member/cluster. */
+  private val StateTables = Seq("fps", "img_sk", "aud_sk", "vid_sk",
+    "cim_sk", "comp", "cluster_best")
+  def writeCorpusState(st: MediaCorpusState, path: String): Unit =
+    StateTables.zip(Seq(st.fps, st.imgSk, st.audSk, st.vidSk, st.cimSk,
+        st.comp, st.clusterBest))
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite")
+          .parquet(new java.io.File(path, name).getPath) }
+
+  /** The read half — what a shard ingest opens instead of deriving the
+    * state in-session. The returned relations are parquet scans (no
+    * checkpoint needed: they are already materialized on disk, the
+    * production shape). */
+  def readCorpusState(spark: org.apache.spark.sql.SparkSession,
+      path: String): MediaCorpusState = {
+    val Seq(fps, img, aud, vid, cim, comp, best) = StateTables.map(name =>
+      spark.read.parquet(new java.io.File(path, name).getPath))
+    MediaCorpusState(fps, img, aud, vid, cim, comp, best)
+  }
+
+  /** The full persisted lifecycle as ONE operator (the
+    * `training_shards` discipline — the round-trip IS the operator,
+    * and its time includes the sink + scan): derive the corpus state
+    * (session-cached, as a standing corpus is), WRITE it under `path`,
+    * RELOAD it, and run the shard verdict against the reloaded
+    * relations. CONTRACT: equal to [[incrementalMediaKeep]] on the
+    * in-session state — the oracle is the same whole-lake SQL, so a
+    * green row proves the parquet round-trip loses nothing the verdict
+    * reads. Deliberately NOT session-cached past the state: every call
+    * pays the write + reload + shard verdict, because that is the cost
+    * a nightly ingest actually pays. */
+  def incrementalMediaKeepPersisted(newDocs: DataFrame,
+      corpusDocs: DataFrame, path: String,
+      maxHamming: Int = 3): DataFrame = {
+    writeCorpusState(mediaCorpusState(corpusDocs, maxHamming), path)
+    incrementalVerdictOfSized(lakeSized(newDocs),
+        readCorpusState(newDocs.sparkSession, path), maxHamming)
+      .select(MinPolicyCols: _*)
+  }
+
   /** The shard keep verdict against a persisted corpus state — the
     * composed-verdict member of the incremental family (every sketch
     * family ships a shard-vs-persisted face; the verdict now does

@@ -243,6 +243,19 @@ class MediaKeepSpec extends AnyFunSuite {
     assert(got(41L)._4 === true, "the shard bridge is a content dup")
     assert(got(43L) === (("wav", true, false, false, true)))
     assert(got(45L) === (("raw", false, false, false, false)))
+    // the state survives a parquet round-trip: the shard verdict
+    // against the RELOADED seven tables is identical under both
+    // policies (the incremental_media_keep_persisted lifecycle)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-state").toString
+    MediaKeep.writeCorpusState(st, dir)
+    val reloaded = MediaKeep.readCorpusState(spark, dir)
+    assert(sixCols(MediaKeep.incrementalOfPayloads(
+        shard.toDF("media_id", "payload"), reloaded)) === got,
+      "the reloaded state must reproduce the in-session shard verdict")
+    assert(sixCols(MediaKeep.incrementalBestOfPayloads(
+        shard.toDF("media_id", "payload"), reloaded)) === gotBest,
+      "the reloaded state must reproduce the best-policy verdict too")
   }
 
   test("the three verdict faces share one session-scoped checkpoint") {
