@@ -121,7 +121,14 @@ class PlanAuditSpec extends AnyFunSuite {
         // graph_components' returned plan is the node-domain distinct
         // joined to the (checkpointed) star-contraction labels — the
         // iteration's own aggs ran at construction, behind checkpoints
-        "graph_components")
+        "graph_components",
+        // the persisted lifecycle returns the UN-checkpointed assembly
+        // (unlike the session-cached incremental face, whose plan is a
+        // checkpoint scan): its heavy aggs ran at construction behind
+        // checkpoints, and the min-policy projection prunes the
+        // best-rollup's min(struct) down to its keys — the residual
+        // aggregates are the function-less distinct pairs
+        "incremental_media_keep_persisted")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       if (distinctOnly(name)) {
