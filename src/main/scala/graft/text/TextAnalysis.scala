@@ -861,7 +861,16 @@ object TextAnalysis {
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
         .limit(1)
         .withColumn("k", lit(1))
-        .localCheckpoint() // feeds BOTH the rewrite join and the output row
+      // ONE driver action per round (was three: winner checkpoint,
+      // broadcast build, rewrite checkpoint — at fixture scale the loop
+      // cost is driver roundtrips, not data): the 1-row winner
+      // materializes as the broadcast subtree INSIDE the rewrite
+      // checkpoint, and its (lhs, rhs, pair_count) columns ride every
+      // rewritten row — constants from the broadcast hash join, ~24
+      // bytes/word — so the round's output frame projects from the SAME
+      // checkpointed relation instead of needing its own job pair. At
+      // 100 TB nothing changes: the loop still runs on the ≤|distinct
+      // words| relation, one agg + one map per round.
       cur = cur.withColumn("k", lit(1))
         .join(broadcast(top), Seq("k"), "left")
         .select(col("w"),
@@ -870,10 +879,19 @@ object TextAnalysis {
               concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
               concat(lit(US), col("lhs"), col("rhs"), lit(US))))
             .otherwise(col("seq")).as("seq"),
-          col("wt"))
+          col("wt"), col("lhs"), col("rhs"), col("pair_count"))
         .localCheckpoint()
-      top.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+      // the round's winner row, recovered from the carried constants:
+      // all rows agree, so limit(1) is deterministic; an exhausted round
+      // (empty pair relation → NULL lhs everywhere, or an empty word
+      // relation) filters to the same EMPTY frame the old spelling's
+      // limit(1)-of-empty produced
+      val out = cur.filter(col("lhs").isNotNull)
+        .select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+        .limit(1)
+      cur = cur.select(col("w"), col("seq"), col("wt"))
+      out
     }
     (rounds, cur)
   }
@@ -1111,6 +1129,13 @@ object TextAnalysis {
     * pair counting, no winner selection. */
   private[text] def bpeApplyRounds(words0: DataFrame,
       rounds: Seq[DataFrame]): DataFrame =
+    // No per-round checkpoint: every step is map work (a broadcast
+    // attach + one replace), so the fold builds ONE |rounds|-deep
+    // map-only plan over the checkpointed word relation and the whole
+    // rewrite chain runs in a single stage when the consumer
+    // materializes it ([[bpeWordIds]] checkpoints the result) — the
+    // old spelling paid |rounds| eager materializations of the full
+    // word relation for the same rows.
     rounds.foldLeft(words0) { (cur, top) =>
       cur.withColumn("k", lit(1))
         .join(broadcast(top.select(col("lhs"), col("rhs"))
@@ -1121,7 +1146,6 @@ object TextAnalysis {
               concat(lit(US), col("lhs"), lit(US + US), col("rhs"), lit(US)),
               concat(lit(US), col("lhs"), col("rhs"), lit(US))))
             .otherwise(col("seq")).as("seq"))
-        .localCheckpoint()
     }
 
   /** Shared assembly half of the doc-id-array spellings: per doc, the
