@@ -22,9 +22,15 @@ import org.apache.spark.sql.SparkSession
   *    exact [[builds]] assertions cannot race (r15 advice #2; builds
   *    are rare one-per-corpus events, so serializing them costs
   *    nothing);
-  *  - ONE entry per session, replaced when `key` changes — the
-  *    previous value's reference drops for the ContextCleaner, so the
-  *    cache never holds more than the latest relation per session;
+  *  - a BOUNDED number of entries per session (`capacity`, default 1 —
+  *    the original replace-on-new-key discipline), evicted
+  *    least-recently-used: an evicted value's reference drops for the
+  *    ContextCleaner, so the cache never holds more than `capacity`
+  *    relations per session. Capacity > 1 exists for the artifact
+  *    families whose faces alternate between two corpora in one
+  *    session (the full-corpus and the `% 10 <> 9` incremental-corpus
+  *    quantizers, say) — a single slot would thrash on exactly the
+  *    alternation the bench runs;
   *  - the key is the caller's affair (semantic hash of the analyzed
   *    input plan + parameters) — NOTE the repo-wide caveat: a semantic
   *    hash identifies the PLAN, so rewriting the underlying files at
@@ -33,8 +39,10 @@ import org.apache.spark.sql.SparkSession
   *    are corpus-build artifacts, and a corpus swap-in-place mid-
   *    session is outside every face's contract.
   */
-private[graft] final class SessionCache[K, V] {
-  private val entries = new java.util.WeakHashMap[SparkSession, (K, V)]()
+private[graft] final class SessionCache[K, V](capacity: Int = 1) {
+  require(capacity >= 1, s"SessionCache capacity must be >= 1 (got $capacity)")
+  private val entries =
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[K, V]]()
 
   /** Actual-build counter — the specs' evidence that a second face
     * reuses instead of rebuilding. */
@@ -42,12 +50,18 @@ private[graft] final class SessionCache[K, V] {
 
   def getOrBuild(session: SparkSession, key: K)(build: => V): V =
     entries.synchronized {
-      val cached = entries.get(session)
-      if (cached != null && cached._1 == key) cached._2
+      val m = entries.computeIfAbsent(session, _ =>
+        // access-order LinkedHashMap = LRU; removeEldestEntry bounds it
+        new java.util.LinkedHashMap[K, V](4, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[K, V]): Boolean = size() > capacity
+        })
+      val cached = m.get(key)
+      if (cached != null) cached
       else {
         builds.incrementAndGet()
         val built = build
-        entries.put(session, (key, built))
+        m.put(key, built)
         built
       }
     }

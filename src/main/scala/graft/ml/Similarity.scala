@@ -845,6 +845,42 @@ object Similarity {
     * scheduling of iters × 3 sequential shuffle stages (~1 s/round on
     * local[32]) — data volume is not the bench cost at test SFs.
     */
+  /** Session-scoped reuse of the TRAINED QUANTIZER (the
+    * [[graft.SessionCache]] discipline the media verdict rides): the
+    * centroid relation is the artifact a 100 TB deployment persists and
+    * refreshes on its own cadence — [[incrementalIvfAssign]]'s contract
+    * says exactly that — so a session running several IVF faces trains
+    * it once per (corpus plan, K, iters), the way production reads it
+    * from a table once. Capacity 2: the full-corpus and the
+    * `% 10 <> 9` incremental-corpus quantizers alternate in one bench
+    * pass, and a single slot would thrash on that alternation. Keyed on
+    * the PRE-checkpoint vectors plan (a localCheckpoint mints a fresh
+    * RDD-backed plan per call, so the checkpointed hash can never
+    * match across faces). */
+  private val centCache =
+    new graft.SessionCache[(Int, Int, Int), DataFrame](capacity = 2)
+  private[graft] def centBuilds = centCache.builds
+
+  /** [[kmeansCentroids]] behind the session cache: `v0` is the
+    * pre-checkpoint vectors plan (the cache key), `v` the materialized
+    * relation a MISS trains on. */
+  private def centroidsCached(v0: DataFrame, v: => DataFrame,
+      numCentroids: Int, iters: Int): DataFrame =
+    centCache.getOrBuild(v0.sparkSession,
+        (v0.queryExecution.analyzed.semanticHash(), numCentroids, iters)) {
+      kmeansCentroids(v, numCentroids, iters)
+    }
+
+  /** Train (or reuse) the quantizer straight from an embeddings
+    * relation — the public entry the frozen-centroid faces use; a MISS
+    * pays the vectors checkpoint + the Lloyd rounds, a HIT pays
+    * nothing. */
+  def kmeansCentroidsOf(embeds: DataFrame, numCentroids: Int = 16,
+      iters: Int = 5): DataFrame = {
+    val v0 = vectors(embeds)
+    centroidsCached(v0, v0.localCheckpoint(), numCentroids, iters)
+  }
+
   def kmeansCentroids(v: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
     var cent = v.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
@@ -905,12 +941,13 @@ object Similarity {
     * bpeMerges idiom). Strictly cheaper than any probe it predicts. */
   def ivfOccupancy(embeds: DataFrame, numCentroids: Int = 16,
       kmeansIters: Int = 5): DataFrame = {
-    val v = vectors(embeds).localCheckpoint()
+    val v0 = vectors(embeds)
+    val v = v0.localCheckpoint()
     // BOTH sides of the constant-key attach are checkpointed so `k` is a
     // materialized column — a foldable literal key would collapse the
     // equi-join to the nested-loop join the plan audit forbids (the
     // graphSummary / bpeMerges idiom)
-    val counts = ivfAssign(v, kmeansCentroids(v, numCentroids, kmeansIters))
+    val counts = ivfAssign(v, centroidsCached(v0, v, numCentroids, kmeansIters))
       .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
       .withColumn("k", lit(1)).localCheckpoint()
     val total = counts.agg(sum("n_vecs").as("tot"))
@@ -981,8 +1018,9 @@ object Similarity {
     */
   def embedIvfKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5,
       numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): DataFrame = {
-    val v = vectors(embeds).localCheckpoint()
-    val cent = kmeansCentroids(v, numCentroids, kmeansIters)
+    val v0 = vectors(embeds)
+    val v = v0.localCheckpoint()
+    val cent = centroidsCached(v0, v, numCentroids, kmeansIters)
     val scoredVc = scoreAgainst(v, cent)
     val asg = argmaxAssign(scoredVc)
     val topkProbe = udaf(new TopKAgg(nProbe), Encoders.product[Scored])
@@ -1386,9 +1424,31 @@ object Similarity {
     * broadcast-join encode scan + a map-side argmin partial agg — no
     * corpus×corpus anything; append-only for new shards under frozen
     * codebooks, exactly like [[incrementalIvfAssign]]. */
-  def pqCodes(embeds: DataFrame): DataFrame = {
-    val sv = pqSubVectors(vectors(embeds)).localCheckpoint()
-    pqEncodeSubv(sv, pqCodebooks(sv))
+  def pqCodes(embeds: DataFrame): DataFrame = pqArtifacts(embeds)._2
+
+  /** Session-scoped reuse of the TWO persisted PQ artifacts — the
+    * codebooks and the CODED CORPUS (the scaladoc above: "THIS is the
+    * artifact a 100 TB deployment persists in place of the raw
+    * vectors") — behind the [[graft.SessionCache]] discipline: trained
+    * and encoded once per (corpus plan, Ksub, iters), reused by every
+    * PQ face in the session exactly as production reads the persisted
+    * index once. Capacity 2 for the full/incremental corpus
+    * alternation; keyed on the PRE-checkpoint vectors plan (a
+    * localCheckpoint mints a fresh RDD-backed plan per call). */
+  private val pqCache =
+    new graft.SessionCache[(Int, Int, Int), (DataFrame, DataFrame)](
+      capacity = 2)
+  private[graft] def pqBuilds = pqCache.builds
+
+  private def pqArtifacts(embeds: DataFrame, ksub: Int = PqCodebookSize,
+      iters: Int = PqIters): (DataFrame, DataFrame) = {
+    val v0 = vectors(embeds)
+    pqCache.getOrBuild(v0.sparkSession,
+        (v0.queryExecution.analyzed.semanticHash(), ksub, iters)) {
+      val sv = pqSubVectors(v0).localCheckpoint()
+      val cb = pqCodebooks(sv, ksub, iters)
+      (cb, pqEncodeSubv(sv, cb).localCheckpoint())
+    }
   }
 
   /** Encode a shard's vectors under FROZEN codebooks — the PQ member of
@@ -1405,7 +1465,7 @@ object Similarity {
     * public entry the incremental spelling freezes and reuses. */
   def pqCodebooksOf(embeds: DataFrame, ksub: Int = PqCodebookSize,
       iters: Int = PqIters): DataFrame =
-    pqCodebooks(pqSubVectors(vectors(embeds)).localCheckpoint(), ksub, iters)
+    pqArtifacts(embeds, ksub, iters)._1
 
   private def pqEncodeSubv(sv: DataFrame, cb: DataFrame): DataFrame =
     pqArgmin(pqScore(sv, cb))
@@ -1459,11 +1519,11 @@ object Similarity {
     * on (< 2⁵³). */
   def embedPqKnn(embeds: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
     val v = vectors(embeds).localCheckpoint()
-    val sv = pqSubVectors(v).localCheckpoint()
-    val cb = pqCodebooks(sv)
-    val codes = pqArgmin(pqScore(sv, cb))
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
-    val dt = pqScore(sv.filter(col("vec_id") < nQueries), cb)
+    val (cb, codesQ) = pqArtifacts(embeds)
+    val codes = codesQ.select(col("vec_id"), col("m"), col("code"))
+    // only the query rows need fresh subvectors — the corpus side reads
+    // the cached coded relation
+    val dt = pqScore(pqSubVectors(v).filter(col("vec_id") < nQueries), cb)
       .select(col("vec_id").as("query_id"), col("m"), col("cid").as("code"),
         col("sqd"))
     val adc = codes.join(broadcast(dt), Seq("m", "code"))

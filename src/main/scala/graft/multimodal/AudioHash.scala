@@ -145,9 +145,22 @@ object AudioHash {
       length(col("payload")).cast("long").as("n_bytes")) ++
       keep.map(col): _*), checkpoint = false, keep = keep)
 
+  /** Session-scoped reuse of the decoded clip sketch (the
+    * [[ImageHash]] sketchCache discipline): the persisted
+    * 8-byte-sketch relation every face and the incremental corpus side
+    * replay — decoded once per (session, corpus plan). */
+  private val sketchCache = new graft.SessionCache[Int, DataFrame](2)
+  private[graft] def sketchBuilds = sketchCache.builds
+
   /** `(media_id, sample_rate, frame_bytes, n_frames, ahash)` per
     * eligible clip of the synthesized corpus. */
-  def audioAhash(docs: DataFrame): DataFrame = {
+  def audioAhash(docs: DataFrame): DataFrame =
+    sketchCache.getOrBuild(docs.sparkSession,
+        docs.queryExecution.analyzed.semanticHash()) {
+      audioAhashBuild(docs).localCheckpoint()
+    }
+
+  private def audioAhashBuild(docs: DataFrame): DataFrame = {
     val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
       wavHexSql("hex(encode(text, 'utf-8'))", "octet_length(text)", "div") +
       "), 1)")
@@ -228,9 +241,10 @@ object AudioHash {
     * detect → pair → cluster loop on the audio sketch (star
     * contraction, singletons self-canonical, cluster id = min). */
   def audioDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sk = audioAhash(docs).select("media_id", "ahash").localCheckpoint()
-    Hamming64.clustersOfPairs(sk,
-      Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
+    val sk = audioAhash(docs) // session-cached, checkpoint-backed
+    Hamming64.clustersOfPairs(sk, maxHamming,
+      Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+        "doc_a", "doc_b", maxHamming))
   }
 
   /** [[audioDupClusters]] with the BEST-COPY survivor policy:
@@ -245,10 +259,10 @@ object AudioHash {
     * corrupt copy), so a corrupt member can never outrank a healthy
     * one. The shared [[Hamming64.bestCanonical]] body. */
   def audioDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bestOfSketch(audioAhash(docs).localCheckpoint(), maxHamming)
+    bestOfSketch(audioAhash(docs), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestOfPairs(sk,
+    Hamming64.bestOfPairs(sk, maxHamming,
       Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
         "doc_a", "doc_b", maxHamming),
       expr("CASE WHEN sample_rate >= 1L THEN " +

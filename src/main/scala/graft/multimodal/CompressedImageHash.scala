@@ -253,7 +253,20 @@ object CompressedImageHash {
 
   /** `(media_id, kind, n_units, ahash)` per eligible compressed image
     * of the synthesized corpus. */
-  def cimageAhash(docs: DataFrame): DataFrame = {
+  /** Session-scoped reuse of the decoded compressed-image sketch (the
+    * [[ImageHash]] sketchCache discipline): the persisted
+    * 8-byte-sketch relation every face and the incremental corpus side
+    * replay — decoded once per (session, corpus plan). */
+  private val sketchCache = new graft.SessionCache[Int, DataFrame](2)
+  private[graft] def sketchBuilds = sketchCache.builds
+
+  def cimageAhash(docs: DataFrame): DataFrame =
+    sketchCache.getOrBuild(docs.sparkSession,
+        docs.queryExecution.analyzed.semanticHash()) {
+      cimageAhashBuild(docs).localCheckpoint()
+    }
+
+  private def cimageAhashBuild(docs: DataFrame): DataFrame = {
     val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
       cimagesHexSql("hex(encode(text, 'utf-8'))", "octet_length(text)",
         "div") + "), 1)")
@@ -285,8 +298,8 @@ object CompressedImageHash {
     * contraction; components never span formats because no cross-format
     * edge exists. */
   def cimageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sk = cimageAhash(docs).localCheckpoint()
-    Hamming64.clustersOfPairs(sk,
+    val sk = cimageAhash(docs) // session-cached, checkpoint-backed
+    Hamming64.clustersOfPairs(sk, maxHamming,
       pairsOfKinds(sk, maxHamming)
         .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")))
   }
@@ -300,10 +313,10 @@ object CompressedImageHash {
     * exactly (pairing stays per format). The shared
     * [[Hamming64.bestCanonical]] body. */
   def cimageDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bestOfSketch(cimageAhash(docs).localCheckpoint(), maxHamming)
+    bestOfSketch(cimageAhash(docs), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestOfPairs(sk,
+    Hamming64.bestOfPairs(sk, maxHamming,
       pairsOfKinds(sk, maxHamming)
         .select(col("pic_a").as("doc_a"), col("pic_b").as("doc_b")),
       col("n_units"))

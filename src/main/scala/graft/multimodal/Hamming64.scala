@@ -151,26 +151,47 @@ private[graft] object Hamming64 {
        |)""".stripMargin
   }
 
+  /** Session-scoped reuse of the LABELED star-contraction relation
+    * `(doc_id, rep_id, is_survivor)` over a sketch's pairing graph (the
+    * [[graft.SessionCache]] discipline): cluster labels are exactly the
+    * relation the corpus state persists
+    * ([[MediaKeep.MediaCorpusState]]'s `comp`), and the keep-first and
+    * best-copy faces are BOTH projections of one contraction — the
+    * sequential spelling ran the iterative loop once per face. Keyed on
+    * the (session-cached, so plan-stable) sketch relation + maxHamming;
+    * `pairs` is by-name, so a HIT never even builds the pairing join.
+    * Capacity 4: one slot per family's live sketch. */
+  private val clusterCache =
+    new graft.SessionCache[(Int, Int), DataFrame](capacity = 4)
+  private[graft] def clusterBuilds = clusterCache.builds
+
+  private def labeledClusters(sk: DataFrame, maxHamming: Int,
+      pairs: => DataFrame): DataFrame =
+    clusterCache.getOrBuild(sk.sparkSession,
+        (sk.queryExecution.analyzed.semanticHash(), maxHamming)) {
+      graft.text.Dedup.dedupClustersFromPairsStar(
+        sk.select(col("media_id").as("doc_id")), pairs).localCheckpoint()
+    }
+
   /** Star-contraction clusters of a sketch relation over its pairing
     * graph, renamed to the media-family shape — the Spark body every
     * `*_dup_clusters` face shares (domain = every hashed member, a
     * pair-less member is its own canonical singleton, cluster id = the
     * component minimum). */
-  private[graft] def clustersOfPairs(domain: DataFrame,
-      pairs: DataFrame): DataFrame =
-    graft.text.Dedup.dedupClustersFromPairsStar(
-        domain.select(col("media_id").as("doc_id")), pairs)
+  private[graft] def clustersOfPairs(sk: DataFrame, maxHamming: Int,
+      pairs: => DataFrame): DataFrame =
+    labeledClusters(sk, maxHamming, pairs)
       .select(col("doc_id").as("media_id"), col("rep_id").as("cluster_id"),
         col("is_survivor").as("is_canonical"))
 
   /** [[clustersOfPairs]] re-marked by [[bestCanonical]] — the Spark
     * body every `*_dup_clusters_best` face shares: `metric` is the
-    * family's quality column expression over its sketch relation. */
-  private[graft] def bestOfPairs(sk: DataFrame, pairs: DataFrame,
+    * family's quality column expression over its sketch relation.
+    * Rides the SAME cached contraction as the keep-first face. */
+  private[graft] def bestOfPairs(sk: DataFrame, maxHamming: Int,
+      pairs: => DataFrame,
       metric: org.apache.spark.sql.Column): DataFrame =
-    bestCanonical(
-      graft.text.Dedup.dedupClustersFromPairsStar(
-        sk.select(col("media_id").as("doc_id")), pairs),
+    bestCanonical(labeledClusters(sk, maxHamming, pairs),
       sk.select(col("media_id"), metric.as("metric")))
 
   /** DuckDB side of the cluster closure — the recursive

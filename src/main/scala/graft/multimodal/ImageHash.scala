@@ -198,10 +198,27 @@ object ImageHash {
 
   // ---- production faces ------------------------------------------------------
 
+  /** Session-scoped reuse of the decoded sketch relation (the
+    * [[graft.SessionCache]] discipline): the scaladoc below says it —
+    * this IS "the 8-byte/image sketch relation a pipeline persists" —
+    * so one session decodes + probe-votes the corpus once per corpus
+    * plan, and every face (ahash/pairs/clusters/best/occupancy, the
+    * incremental corpus side) replays the persisted sketch exactly as
+    * production does. Capacity 2 for the full / `% 10 <> 9`
+    * alternation. */
+  private val sketchCache = new graft.SessionCache[Int, DataFrame](2)
+  private[graft] def sketchBuilds = sketchCache.builds
+
   /** `(media_id, width, height, n_rows_avail, ahash)` per eligible
     * image of the synthesized corpus — the 8-byte/image sketch relation
     * a pipeline persists next to the text SimHash sketch. */
-  def imageAhash(docs: DataFrame): DataFrame = {
+  def imageAhash(docs: DataFrame): DataFrame =
+    sketchCache.getOrBuild(docs.sparkSession,
+        docs.queryExecution.analyzed.semanticHash()) {
+      imageAhashBuild(docs).localCheckpoint()
+    }
+
+  private def imageAhashBuild(docs: DataFrame): DataFrame = {
     // the one-element transform is the [[Media.asContainerTable]]
     // codegen EXCLUSION (r13 ADVICE symmetry with AudioHash): the
     // synthesis CASE is near janino's method limit, and the HOF wrapper
@@ -240,9 +257,10 @@ object ImageHash {
     * collapse to one keeper even when the pairwise radius only chains
     * them (A~B~C with A,C apart). */
   def imageDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sk = imageAhash(docs).select("media_id", "ahash").localCheckpoint()
-    Hamming64.clustersOfPairs(sk,
-      Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
+    val sk = imageAhash(docs) // session-cached, checkpoint-backed
+    Hamming64.clustersOfPairs(sk, maxHamming,
+      Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+        "doc_a", "doc_b", maxHamming))
   }
 
   /** [[imageDupClusters]] with the BEST-COPY survivor policy (r13
@@ -254,10 +272,10 @@ object ImageHash {
     * are [[imageDupClusters]]' exactly. The shared
     * [[Hamming64.bestCanonical]] body. */
   def imageDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bestOfSketch(imageAhash(docs).localCheckpoint(), maxHamming)
+    bestOfSketch(imageAhash(docs), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestOfPairs(sk,
+    Hamming64.bestOfPairs(sk, maxHamming,
       Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
         "doc_a", "doc_b", maxHamming),
       col("width") * col("n_rows_avail"))

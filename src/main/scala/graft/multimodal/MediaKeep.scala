@@ -283,22 +283,28 @@ object MediaKeep {
     // each sketch relation carries the family's `_best` quality metric
     // next to the 8-byte hash (r16 directive #2: the best-copy policy
     // ranks by it; 8 more bytes/keeper in the persisted relation)
-    val imgSk = ImageHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select(col("media_id"), col("ahash"), ImgMetric.as("metric"))
-      .localCheckpoint()
-    val audSk = AudioHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select(col("media_id"), col("ahash"), AudMetric.as("metric"))
-      .localCheckpoint()
-    val vidSk = VideoHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select(col("media_id"), col("ahash"), UnitsMetric.as("metric"))
-      .localCheckpoint()
-    // the compressed-image sketch keeps `kind` — its pairing is PER
-    // FORMAT (a PNG sketch never band-joins a JPEG sketch)
-    val cimSk = CompressedImageHash
-      .ahashOfHexMaybeCk(keeperSized, checkpoint = true)
-      .select(col("media_id"), col("kind"), col("ahash"),
-        UnitsMetric.as("metric"))
-      .localCheckpoint()
+    // the four family decode+hash chains are INDEPENDENT of each other
+    // (each reads only the checkpointed keeperSized relation), so their
+    // materializations run CONCURRENTLY (graft.Par — the guide's
+    // overlap-independent-jobs rule): wall-clock per build drops from
+    // the sum of the four chains to roughly the slowest one.
+    val Seq(imgSk, audSk, vidSk, cimSk) = graft.Par.all(Seq(
+      () => ImageHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
+        .select(col("media_id"), col("ahash"), ImgMetric.as("metric"))
+        .localCheckpoint(),
+      () => AudioHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
+        .select(col("media_id"), col("ahash"), AudMetric.as("metric"))
+        .localCheckpoint(),
+      () => VideoHash.ahashOfHexMaybeCk(keeperSized, checkpoint = true)
+        .select(col("media_id"), col("ahash"), UnitsMetric.as("metric"))
+        .localCheckpoint(),
+      // the compressed-image sketch keeps `kind` — its pairing is PER
+      // FORMAT (a PNG sketch never band-joins a JPEG sketch)
+      () => CompressedImageHash
+        .ahashOfHexMaybeCk(keeperSized, checkpoint = true)
+        .select(col("media_id"), col("kind"), col("ahash"),
+          UnitsMetric.as("metric"))
+        .localCheckpoint()))
     val hashedKeepers = imgSk.select("media_id")
       .unionByName(audSk.select("media_id"))
       .unionByName(vidSk.select("media_id"))
@@ -457,11 +463,15 @@ object MediaKeep {
   private val StateTables = Seq("fps", "img_sk", "aud_sk", "vid_sk",
     "cim_sk", "comp", "cluster_best")
   def writeCorpusState(st: MediaCorpusState, path: String): Unit =
-    StateTables.zip(Seq(st.fps, st.imgSk, st.audSk, st.vidSk, st.cimSk,
-        st.comp, st.clusterBest))
-      .foreach { case (name, df) =>
+    // seven independent writes of already-checkpointed slim relations
+    // to seven distinct directories — run concurrently (graft.Par): the
+    // sequential spelling paid seven job-submit + commit-protocol
+    // roundtrips back to back
+    graft.Par.all(StateTables.zip(Seq(st.fps, st.imgSk, st.audSk,
+        st.vidSk, st.cimSk, st.comp, st.clusterBest))
+      .map { case (name, df) => () =>
         df.write.mode("overwrite")
-          .parquet(new java.io.File(path, name).getPath) }
+          .parquet(new java.io.File(path, name).getPath) })
 
   /** The read half — what a shard ingest opens instead of deriving the
     * state in-session. The returned relations are parquet scans (no
@@ -469,8 +479,11 @@ object MediaKeep {
     * production shape). */
   def readCorpusState(spark: org.apache.spark.sql.SparkSession,
       path: String): MediaCorpusState = {
-    val Seq(fps, img, aud, vid, cim, comp, best) = StateTables.map(name =>
-      spark.read.parquet(new java.io.File(path, name).getPath))
+    // seven independent schema-inference footer reads — concurrent
+    // (graft.Par), like the writes on the other side
+    val Seq(fps, img, aud, vid, cim, comp, best) =
+      graft.Par.all(StateTables.map(name => () =>
+        spark.read.parquet(new java.io.File(path, name).getPath)))
     MediaCorpusState(fps, img, aud, vid, cim, comp, best)
   }
 
@@ -579,33 +592,40 @@ object MediaKeep {
           col("media_id") === col("keeper_all")).select("media_id"),
         Seq("media_id"), "left_semi")
       .localCheckpoint()
-    val imgN = ImageHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select(col("media_id"), col("ahash"), ImgMetric.as("metric"))
-    val audN = AudioHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select(col("media_id"), col("ahash"), AudMetric.as("metric"))
-    val vidN = VideoHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select(col("media_id"), col("ahash"), UnitsMetric.as("metric"))
-    val cimN = CompressedImageHash
-      .ahashOfHexMaybeCk(toHash, checkpoint = true)
-      .select(col("media_id"), col("kind"), col("ahash"),
-        UnitsMetric.as("metric"))
+    // four independent shard decode+hash chains over the checkpointed
+    // toHash relation — materialized concurrently (graft.Par, the
+    // partsOfSized discipline)
+    val Seq(imgN, audN, vidN, cimN) = graft.Par.all(Seq(
+      () => ImageHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+        .select(col("media_id"), col("ahash"), ImgMetric.as("metric")),
+      () => AudioHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+        .select(col("media_id"), col("ahash"), AudMetric.as("metric")),
+      () => VideoHash.ahashOfHexMaybeCk(toHash, checkpoint = true)
+        .select(col("media_id"), col("ahash"), UnitsMetric.as("metric")),
+      () => CompressedImageHash
+        .ahashOfHexMaybeCk(toHash, checkpoint = true)
+        .select(col("media_id"), col("kind"), col("ahash"),
+          UnitsMetric.as("metric"))))
     val hashedNew = imgN.select("media_id")
       .unionByName(audN.select("media_id"))
       .unionByName(vidN.select("media_id"))
       .unionByName(cimN.select("media_id"))
       .distinct().localCheckpoint()
     // shard sketches vs the persisted corpus sketches, per modality
-    // (per FORMAT for the compressed images); new-new pairs included
-    val pairs = (Seq((imgN, st.imgSk), (audN, st.audSk), (vidN, st.vidSk))
-      .map { case (n, c) =>
-        Hamming64.pairsIncremental(n, c, "doc_a", "doc_b", maxHamming)
-          .select("doc_a", "doc_b") } ++
-      Seq("png", "jpeg").map(k =>
+    // (per FORMAT for the compressed images); new-new pairs included.
+    // Each pairsIncremental eagerly checkpoints its shard band side —
+    // five independent materializations, run concurrently (graft.Par)
+    val pairs = graft.Par.all[DataFrame](
+      (Seq((imgN, st.imgSk), (audN, st.audSk), (vidN, st.vidSk))
+        .map { case (n, c) => () =>
+          Hamming64.pairsIncremental(n, c, "doc_a", "doc_b", maxHamming)
+            .select("doc_a", "doc_b") } ++
+      Seq("png", "jpeg").map(k => () =>
         Hamming64.pairsIncremental(
           cimN.filter(col("kind") === k).select("media_id", "ahash"),
           st.cimSk.filter(col("kind") === k).select("media_id", "ahash"),
           "doc_a", "doc_b", maxHamming)
-          .select("doc_a", "doc_b")))
+          .select("doc_a", "doc_b"))))
       .reduce(_ unionByName _)
     // exact edges: every fp-group member — shard copies AND the corpus
     // keeper when the group straddles the boundary — points at the

@@ -147,7 +147,20 @@ object VideoHash {
   /** `(media_id, n_units, ahash)` per eligible video of the
     * synthesized corpus — the 8-byte/video sketch relation a pipeline
     * persists next to the image/audio/SimHash sketches. */
-  def videoAhash(docs: DataFrame): DataFrame = {
+  /** Session-scoped reuse of the decoded video sketch (the
+    * [[ImageHash]] sketchCache discipline): the persisted
+    * 8-byte-sketch relation every face and the incremental corpus side
+    * replay — decoded once per (session, corpus plan). */
+  private val sketchCache = new graft.SessionCache[Int, DataFrame](2)
+  private[graft] def sketchBuilds = sketchCache.builds
+
+  def videoAhash(docs: DataFrame): DataFrame =
+    sketchCache.getOrBuild(docs.sparkSession,
+        docs.queryExecution.analyzed.semanticHash()) {
+      videoAhashBuild(docs).localCheckpoint()
+    }
+
+  private def videoAhashBuild(docs: DataFrame): DataFrame = {
     val h = expr("element_at(transform(sequence(0, 0), fixture_once -> " +
       videoHexSql("hex(encode(text, 'utf-8'))", "octet_length(text)", "div") +
       "), 1)")
@@ -228,9 +241,10 @@ object VideoHash {
     * the video sketch (star contraction, singletons self-canonical,
     * cluster id = min). */
   def videoDupClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sk = videoAhash(docs).select("media_id", "ahash").localCheckpoint()
-    Hamming64.clustersOfPairs(sk,
-      Hamming64.pairsOfSketch(sk, "doc_a", "doc_b", maxHamming))
+    val sk = videoAhash(docs) // session-cached, checkpoint-backed
+    Hamming64.clustersOfPairs(sk, maxHamming,
+      Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
+        "doc_a", "doc_b", maxHamming))
   }
 
   /** [[videoDupClusters]] with the BEST-COPY survivor policy:
@@ -240,10 +254,10 @@ object VideoHash {
     * `cluster_id` are [[videoDupClusters]]' exactly. The shared
     * [[Hamming64.bestCanonical]] body. */
   def videoDupClustersBest(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bestOfSketch(videoAhash(docs).localCheckpoint(), maxHamming)
+    bestOfSketch(videoAhash(docs), maxHamming)
 
   private def bestOfSketch(sk: DataFrame, maxHamming: Int): DataFrame =
-    Hamming64.bestOfPairs(sk,
+    Hamming64.bestOfPairs(sk, maxHamming,
       Hamming64.pairsOfSketch(sk.select("media_id", "ahash"),
         "doc_a", "doc_b", maxHamming),
       col("n_units"))

@@ -41,8 +41,33 @@ object Curation {
       .localCheckpoint()
   }
 
+  /** Session-scoped reuse of the THREE-GATE verdict (the
+    * [[graft.SessionCache]] discipline [[graft.multimodal.MediaKeep]]'s
+    * composed verdict rides): the keep verdict is the relation a
+    * production curation run persists once per corpus, and every
+    * downstream face (the kept-corpus filter feeding the shard writers
+    * and manifests, the standalone report) reads it — so the dedup
+    * machinery inside runs once per (corpus plan, minQuality).
+    * Capacity 2: the full corpus and an incremental corpus can
+    * alternate in one session. */
+  private val keepCache =
+    new graft.SessionCache[(Int, Double), DataFrame](capacity = 2)
+  private[graft] def keepBuilds = keepCache.builds
+
   def corpusKeep(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
-    corpusKeepFromBase(curatedBase(docs), minQuality)
+    keepVerdictCached(docs, minQuality, curatedBase(docs))
+
+  /** The cache body behind [[corpusKeep]]: `base` is by-name so a HIT
+    * never tokenizes, and a caller that already built the base
+    * ([[keptCorpus]]) hands it in instead of paying a second one. */
+  private def keepVerdictCached(docs: DataFrame, minQuality: Double,
+      base: => DataFrame): DataFrame =
+    keepCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(), minQuality)) {
+      // checkpointed so every reusing face is a projection over
+      // materialized rows (the media-verdict discipline)
+      corpusKeepFromBase(base, minQuality).localCheckpoint()
+    }
 
   private def corpusKeepFromBase(base: DataFrame, minQuality: Double): DataFrame =
     corpusKeepFromBaseWithStats(base, statsOf(base), minQuality)
@@ -123,9 +148,30 @@ object Curation {
     * shingle semi-join). Joins after the verdicts are doc_id equi-joins;
     * the contamination flag left-joins its (sparse) flagged set.
     */
+  /** Session-scoped reuse of the SEVEN-GATE verdict (the [[keepCache]]
+    * discipline, one slot per domain-gate spelling): corpus_keep_full
+    * and the stats rollup project the same relation, and the PSL face
+    * keeps its own entry — the gate discriminator (0 = embedded
+    * literal, PSL plan hash otherwise) rides in the key so the two
+    * spellings can never serve each other. */
+  private val fullKeepCache =
+    new graft.SessionCache[(Int, Int, Double, Int), DataFrame](capacity = 2)
+  private[graft] def fullKeepBuilds = fullKeepCache.builds
+
+  private def fullKeepCached(docs: DataFrame, bench: DataFrame,
+      minQuality: Double, gateKey: Int,
+      domainsOf: DataFrame => DataFrame): DataFrame =
+    fullKeepCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(),
+          bench.queryExecution.analyzed.semanticHash(),
+          minQuality, gateKey)) {
+      corpusKeepFullDomains(docs, bench, minQuality, domainsOf)
+        .localCheckpoint()
+    }
+
   def corpusKeepFull(docs: DataFrame, bench: DataFrame,
       minQuality: Double = 0.5): DataFrame =
-    corpusKeepFullDomains(docs, bench, minQuality,
+    fullKeepCached(docs, bench, minQuality, 0,
       // the default gate keys on the embedded-literal extraction over
       // the synthesized URL host — the zero-dependency spelling
       base => base.select(col("doc_id"),
@@ -143,7 +189,8 @@ object Curation {
     * relation is [[corpusKeepFull]] verbatim (one definition). */
   def corpusKeepFullExt(docs: DataFrame, bench: DataFrame, psl: DataFrame,
       minQuality: Double = 0.5): DataFrame =
-    corpusKeepFullDomains(docs, bench, minQuality, base => {
+    fullKeepCached(docs, bench, minQuality,
+      psl.queryExecution.analyzed.semanticHash(), base => {
       val hosted = base.select(col("doc_id"),
         expr(Domains.hostPslSparkSql).as("host"))
       hosted.join(Domains.registrableDomainsFromPsl(hosted, psl), Seq("host"))
@@ -1047,18 +1094,16 @@ object Curation {
       budget: Long = 2048L, nShards: Int = 8,
       valPct: Int = 5, testPct: Int = 5,
       nMerges: Int = TextAnalysis.BpeRounds): DataFrame = {
-    val base = curatedBase(docs)
-    // kept ids are consumed three times (merge learner, encode, split) —
-    // checkpoint the 8-byte rows once; base is already checkpointed.
-    val kept = corpusKeepFromBase(base, minQuality)
-      .filter(col("keep")).select("doc_id").localCheckpoint()
-    val keptBase = base.join(kept, "doc_id")
-    val counts = TextAnalysis.bpeEncodeFromToks(
-      keptBase.select(col("doc_id"), col("toks")), nMerges)
+    // the SHARED kept corpus (session-cached): handing the learner the
+    // same kept-toks relation every writer uses also keys the
+    // merge-learn cache stably — the manifest and the shard writers
+    // train one tokenizer between them
+    val (kept, keptToks) = keptCorpus(docs, minQuality)
+    val counts = TextAnalysis.bpeEncodeFromToks(keptToks, nMerges)
     val packed = chunkFromCounts(
       counts.select(col("doc_id"), col("n_bpe_tokens").as("tok_count")),
       budget, nShards)
-    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+    packed.join(splitAssign(kept, valPct, testPct).select("doc_id", "split"), "doc_id")
   }
 
   def pipelineManifestBpeSql(minQuality: Double = 0.5, minMatch: Long = 8L,
@@ -1159,13 +1204,31 @@ object Curation {
     * checkpointed base, kept ids checkpointed (consumed by the splitter
     * AND whatever encoder follows), kept `(doc_id, toks)` handed to the
     * tokenizer. */
+  /** Session-scoped (the [[keepCache]] discipline): the kept-ids +
+    * kept-toks pair is consumed by EVERY shard writer and manifest in a
+    * session (training_shards × 4, pipeline_manifest × 3 all curate the
+    * same corpus), and reusing the SAME returned relations also keys
+    * the downstream tokenizer-learn caches stably — the learned-merge /
+    * induced-vocab reuse rides on this one. The verdict itself comes
+    * from [[corpusKeep]]'s cache (one dedup-machinery build serves
+    * both). */
+  private val keptCache =
+    new graft.SessionCache[(Int, Double), (DataFrame, DataFrame)](
+      capacity = 2)
+  private[graft] def keptBuilds = keptCache.builds
+
   private def keptCorpus(docs: DataFrame,
-      minQuality: Double): (DataFrame, DataFrame) = {
-    val base = curatedBase(docs)
-    val kept = corpusKeepFromBase(base, minQuality)
-      .filter(col("keep")).select("doc_id").localCheckpoint()
-    (kept, base.join(kept, "doc_id").select(col("doc_id"), col("toks")))
-  }
+      minQuality: Double): (DataFrame, DataFrame) =
+    keptCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(), minQuality)) {
+      val base = curatedBase(docs)
+      val kept = keepVerdictCached(docs, minQuality, base)
+        .filter(col("keep")).select("doc_id").localCheckpoint()
+      (kept, base.join(kept, "doc_id").select(col("doc_id"), col("toks"))
+        // checkpointed: consumed by the learn loop AND the encode side
+        // of every writer — one base join instead of one per consumer
+        .localCheckpoint())
+    }
 
   /** The TOKENIZER-AGNOSTIC back half of the shard writer: given ANY
     * per-doc id-array relation `(doc_id, ids)` — BPE
@@ -1751,14 +1814,11 @@ object Curation {
   def pipelineManifest(docs: DataFrame, minQuality: Double = 0.5,
       budget: Long = 2048L, nShards: Int = 8,
       valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    val base = curatedBase(docs)
-    val kept = corpusKeepFromBase(base, minQuality)
-      .filter(col("keep")).select("doc_id")
-    val keptBase = base.join(kept, "doc_id")
+    val (kept, keptToks) = keptCorpus(docs, minQuality)
     val packed = packFromCounts(
-      keptBase.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
+      keptToks.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
       budget, nShards)
-    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+    packed.join(splitAssign(kept, valPct, testPct).select("doc_id", "split"), "doc_id")
   }
 
   /** [[pipelineManifest]] with the CHUNKED packer — the manifest a
@@ -1771,14 +1831,11 @@ object Curation {
   def pipelineManifestChunked(docs: DataFrame, minQuality: Double = 0.5,
       budget: Long = 2048L, nShards: Int = 8,
       valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    val base = curatedBase(docs)
-    val kept = corpusKeepFromBase(base, minQuality)
-      .filter(col("keep")).select("doc_id")
-    val keptBase = base.join(kept, "doc_id")
+    val (kept, keptToks) = keptCorpus(docs, minQuality)
     val packed = chunkFromCounts(
-      keptBase.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
+      keptToks.select(col("doc_id"), size(col("toks")).cast("long").as("tok_count")),
       budget, nShards)
-    packed.join(splitAssign(keptBase, valPct, testPct).select("doc_id", "split"), "doc_id")
+    packed.join(splitAssign(kept, valPct, testPct).select("doc_id", "split"), "doc_id")
   }
 
   def pipelineManifestChunkedSql(minQuality: Double = 0.5, minMatch: Long = 8L,

@@ -830,8 +830,26 @@ object Dedup {
     * not grow with iterations, and the convergence check reads the
     * checkpointed step output — no recomputation per round.
     */
+  /** Session-scoped reuse of the labeled near-dup cluster relation (the
+    * [[graft.SessionCache]] discipline, r16 optimization round): the
+    * cluster labels are the relation a dedup pipeline persists, and the
+    * keep-first / best-copy / folded faces are all projections or
+    * re-markings of one clustering — the sequential spelling ran the
+    * fingerprint + signature machinery and the fixpoint loop once per
+    * face. Keyed on the docs plan (the folded faces pass the folded
+    * projection — a distinct, stable plan) + parameters; capacity 4 for
+    * plain/folded/star/incidental keys. */
+  private val clusterCache =
+    new graft.SessionCache[(Int, Long, Int, String), DataFrame](capacity = 4)
+  private[graft] def dedupClusterBuilds = clusterCache.builds
+
   def dedupClusters(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 25): DataFrame =
-    dedupClustersFromFp(docs, fingerprintsOf(docs).localCheckpoint(), minMatch, maxIters)
+    clusterCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(), minMatch, maxIters,
+          "minlabel")) {
+      dedupClustersFromFp(docs, fingerprintsOf(docs).localCheckpoint(),
+        minMatch, maxIters).localCheckpoint()
+    }
 
   /** Same clustering over a precomputed `(doc_id, fp_md5)` relation (the
     * caller must cache/checkpoint it — it is consumed twice): clusters
@@ -855,10 +873,14 @@ object Dedup {
     * min-label propagation — identical output (same confirmed-pair edge
     * relation, same oracle), O(log² n) rounds on any component shape. */
   def dedupClustersStar(docs: DataFrame, minMatch: Long = 8L, maxIters: Int = 50): DataFrame =
-    dedupClustersFromPairsStar(docs,
-      confirmedPairs(fingerprintsOf(docs).localCheckpoint(),
-        minhashSignatures(docs), minMatch),
-      maxIters)
+    clusterCache.getOrBuild(docs.sparkSession,
+        (docs.queryExecution.analyzed.semanticHash(), minMatch, maxIters,
+          "star")) {
+      dedupClustersFromPairsStar(docs,
+        confirmedPairs(fingerprintsOf(docs).localCheckpoint(),
+          minhashSignatures(docs), minMatch),
+        maxIters).localCheckpoint()
+    }
 
   /** [[dedupClusters]] with the QUALITY-AWARE survivor policy: components
     * are IDENTICAL (same confirmed-pair edges, same min-label iterator,

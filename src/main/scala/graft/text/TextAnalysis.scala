@@ -841,7 +841,31 @@ object TextAnalysis {
   private def hexSeq(w: Column): Column =
     regexp_replace(hex(encode(w, "UTF-8")), "(..)", s"$US$$1$US")
 
+  /** Session-scoped reuse of the LEARNED MERGE ROUNDS + final word
+    * relation (the [[graft.SessionCache]] discipline): the merge table
+    * is the tokenizer artifact a production pipeline trains once and
+    * FREEZES — the repo's own frozen faces ([[bpeRoundsFromMergeTable]],
+    * [[graft.text.Curation.trainingShardsAppend]]) exist because of
+    * that cadence — so a session learns it once per (word-relation
+    * plan, nMerges) and every face (merges/encode/tokenize/coverage,
+    * the shard writers) reuses it. Keyed on the PRE-checkpoint input
+    * plan; a caller handing a freshly checkpointed relation (fresh
+    * RDD-backed plan each call) simply misses and pays its own learn,
+    * exactly the status quo. Capacity 4: full-corpus, benchmark-slice,
+    * and kept-corpus word relations coexist in one bench pass, plus one
+    * slot of churn from checkpoint-keyed callers. */
+  private val bpeCache = new graft.SessionCache[(Int, Int),
+    (Seq[DataFrame], DataFrame)](capacity = 4)
+  private[graft] def bpeBuilds = bpeCache.builds
+
   private[text] def bpeRoundsAndWordsFromToks(t: DataFrame,
+      nMerges: Int): (Seq[DataFrame], DataFrame) =
+    bpeCache.getOrBuild(t.sparkSession,
+        (t.queryExecution.analyzed.semanticHash(), nMerges)) {
+      bpeRoundsAndWordsFromToksBuild(t, nMerges)
+    }
+
+  private def bpeRoundsAndWordsFromToksBuild(t: DataFrame,
       nMerges: Int): (Seq[DataFrame], DataFrame) = {
     var cur = t.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wt"))

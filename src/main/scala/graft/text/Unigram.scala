@@ -277,22 +277,50 @@ object Unigram {
     (words, vocabF, segF)
   }
 
+  /** Session-scoped reuse of the FULL INDUCTION (words, pruned vocab,
+    * final segmentation) — the [[graft.SessionCache]] discipline: the
+    * vocabulary is the tokenizer artifact production induces once,
+    * PERSISTS, and freezes (this file's own frozen faces exist because
+    * of that cadence), so a session induces once per word-relation key
+    * and every face (vocab/encode/tokenize/fertility, the shard
+    * writer) reuses the triple. Keyed on the PRE-checkpoint toks plan
+    * ([[toksKeyed]]) or the caller's own stable plan; capacity 2 for
+    * the full-corpus / kept-corpus alternation. */
+  private val induceCache =
+    new graft.SessionCache[Int, (DataFrame, DataFrame, DataFrame)](
+      capacity = 2)
+  private[graft] def induceBuilds = induceCache.builds
+
+  private def induceCached(t: DataFrame,
+      key: Int): (DataFrame, DataFrame, DataFrame) =
+    induceCache.getOrBuild(t.sparkSession, key)(induce(t))
+
   /** The pruned `(piece, cnt)` vocabulary induced over an existing
     * `(doc_id, toks)` relation — the persistable artifact the frozen
     * faces reload ([[Curation.trainingShardsUnigram]]'s write). */
-  private[text] def vocabFromToks(t: DataFrame): DataFrame = induce(t)._2
+  private[text] def vocabFromToks(t: DataFrame): DataFrame =
+    induceCached(t, t.queryExecution.analyzed.semanticHash())._2
 
-  private def toks(docs: DataFrame): DataFrame = {
-    val wide = graft.Tables.widen(docs)
-    wide.select(col("doc_id"), col("lang"),
-      TextAnalysis.tokens(col("text")).as("toks")).localCheckpoint()
+  private def toks(docs: DataFrame): DataFrame = toksKeyed(docs)._1
+
+  /** [[toks]] plus the PRE-checkpoint plan's semantic hash — the
+    * induce-cache key (the checkpointed relation itself mints a fresh
+    * RDD-backed plan per call, so its hash can never match across
+    * faces). */
+  private def toksKeyed(docs: DataFrame): (DataFrame, Int) = {
+    val t0 = graft.Tables.widen(docs).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    (t0.localCheckpoint(),
+      t0.queryExecution.analyzed.semanticHash())
   }
 
   /** The induced vocabulary: `(piece, n_bytes, cnt, cost_q20)` — hex
     * piece, its byte length, its final hard-EM count, and its
     * smoothed Q20 cost under the pruned distribution. */
   def unigramVocab(docs: DataFrame): DataFrame = {
-    val (_, vocabF, _) = induce(toks(docs).select(col("doc_id"), col("toks")))
+    val (t, key) = toksKeyed(docs)
+    val (_, vocabF, _) =
+      induceCached(t.select(col("doc_id"), col("toks")), key)
     vocabF.join(smoothedCosts(vocabF).withColumnRenamed("cost", "cost_q20"),
         Seq("piece"))
       .select(col("piece"),
@@ -316,8 +344,8 @@ object Unigram {
   /** Per-document token counts under the induced tokenizer — the
     * [[TextAnalysis.bpeEncode]] face: empty/NULL-text docs report 0. */
   def unigramEncode(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val (_, _, segF) = induce(t.select(col("doc_id"), col("toks")))
+    val (t, key) = toksKeyed(docs)
+    val (_, _, segF) = induceCached(t.select(col("doc_id"), col("toks")), key)
     encodeRollup(t, segF)
   }
 
@@ -390,8 +418,9 @@ object Unigram {
     * occurrence-sized shape, the inherent cost of materializing ids
     * per position. */
   def unigramTokenize(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val (_, vocabF, segF) = induce(t.select(col("doc_id"), col("toks")))
+    val (t, key) = toksKeyed(docs)
+    val (_, vocabF, segF) =
+      induceCached(t.select(col("doc_id"), col("toks")), key)
     tokenizeFromSeg(t, segF, vocabF)
   }
 
@@ -464,8 +493,8 @@ object Unigram {
     * as [[TextAnalysis.bpeFertility]], so the two tokenizer families
     * compare column-for-column on the same corpus. */
   def unigramFertility(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val (_, _, segF) = induce(t.select(col("doc_id"), col("toks")))
+    val (t, key) = toksKeyed(docs)
+    val (_, _, segF) = induceCached(t.select(col("doc_id"), col("toks")), key)
     val occ = t.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n_occ"))
     val perDoc = occ.join(segF.select(col("w"), col("np")), Seq("w"))

@@ -299,12 +299,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("pipeline_manifest_chunked").contains("documents.parquet"),
       "pipeline_manifest_chunked re-scans documents parquet instead of the shared base")
     assert("documents\\.parquet".r.findAllIn(plan("text_stats")).size === 1)
-    // corpus_keep_full: every CORPUS-side gate (dup ×2, quality, Gopher,
-    // classifier, contamination shingles) derives from the checkpointed
-    // base; the ONLY allowed documents scan is the benchmark side of the
-    // decontamination semi-join
-    assert("documents\\.parquet".r.findAllIn(plan("corpus_keep_full")).size === 1,
-      "corpus_keep_full may scan documents only for the benchmark side")
+    // corpus_keep_full: the seven-gate verdict is session-cached AND
+    // checkpointed (r16 optimization round), so the served plan is a
+    // pure projection over the materialized relation — zero documents
+    // scans (the corpus scan and the benchmark side of the
+    // decontamination semi-join both ran once, at build time)
+    assert(!plan("corpus_keep_full").contains("documents.parquet"),
+      "corpus_keep_full re-scans documents parquet instead of the cached verdict")
     // boilerplate_scrub: the flag side AND the rebuild join both derive
     // from the checkpointed (doc, toks, th) base — no re-scan either
     assert(!plan("boilerplate_scrub").contains("documents.parquet"),
